@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided synthetic tables (TESTDATA.md).
   *
@@ -28,7 +29,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively; with spark.sql.legacy.parquet.nanosAsLong=true (set
+    * by every graft session) it arrives as nanos-since-epoch LongType.
+    * Convert with integer `div` — double division would lose precision
+    * above 2^53 (~9e15, vs ~1.7e18 ns here). */
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
