@@ -21,7 +21,8 @@ object Catalog {
 
   /** All registered query groups, in SURVEY §2 order. */
   def defs: Seq[QueryDef] =
-    RelationalQueries.defs ++ OpsQueries.defs ++ PipelineQueries.defs
+    RelationalQueries.defs ++ OpsQueries.defs ++ FunctionQueries.defs ++
+      PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

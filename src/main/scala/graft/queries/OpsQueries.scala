@@ -1,9 +1,262 @@
 package graft.queries
 
-/** SURVEY §2.5 upsert/sync operators (U1–U9) demonstrated as verifiable
-  * queries: each builds "stored" and "incoming" snapshots from the
-  * synthetic tables and runs the generic operator from graft.ops.
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.YtFunctions
+import graft.ops.Upserts
+
+/** SURVEY §2.5 upsert/sync operators U1–U9 as verifiable queries.
+  *
+  * Each builds "stored" and "incoming" snapshots from the synthetic
+  * tables and runs the REAL operator from [[graft.ops.Upserts]] — the
+  * oracle re-derives the expected result in plain SQL. This is the
+  * correctness gate for the merge library, not a re-implementation.
   */
 object OpsQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  /** U1: INSERT OR REPLACE — incoming replaces matched rows wholesale. */
+  private val u1 = QueryDef(
+    "u1_lww_upsert",
+    "last-write-wins full-row upsert",
+    (s, dir) => {
+      val stored = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val incoming = Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1.5).as("o_totalprice"))
+      Upserts.upsertLastWriteWins(stored, incoming, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH incoming AS (
+              SELECT o_orderkey, 'U' AS o_orderstatus,
+                     o_totalprice + 1.5 AS o_totalprice
+              FROM orders WHERE o_orderkey < 3000)
+            SELECT * FROM incoming
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders s
+            WHERE NOT EXISTS (SELECT 1 FROM incoming i
+                              WHERE i.o_orderkey = s.o_orderkey)
+            ORDER BY o_orderkey"""))
+
+  /** U2: INSERT OR IGNORE — stored rows always win. */
+  private val u2 = QueryDef(
+    "u2_insert_if_absent",
+    "insert-if-absent append",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val stored = c.filter(col("c_custkey") < 1000)
+      val incoming = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), concat(lit("NEW "), col("c_name")).as("c_name"),
+          col("c_mktsegment"))
+      Upserts.insertIfAbsent(stored, incoming, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH stored AS (SELECT c_custkey, c_name, c_mktsegment
+                            FROM customer WHERE c_custkey < 1000),
+                 incoming AS (SELECT c_custkey, 'NEW ' || c_name AS c_name,
+                                     c_mktsegment
+                              FROM customer WHERE c_mktsegment = 'BUILDING')
+            SELECT * FROM stored
+            UNION ALL
+            SELECT * FROM incoming i
+            WHERE NOT EXISTS (SELECT 1 FROM stored s
+                              WHERE s.c_custkey = i.c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** U3: field-subset UPDATE — only the named columns change, explicit
+    * NULL goes through (presence marker, not coalesce). */
+  private val u3 = QueryDef(
+    "u3_partial_update",
+    "partial UPDATE of matched rows",
+    (s, dir) => {
+      val stored = Tables.part(s, dir)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+      val updates = Tables.part(s, dir)
+        .filter(col("p_size") > 40)
+        .select(col("p_partkey"),
+          when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(lit("Brand#UPD")).as("p_brand"),
+          lit(0.0).as("p_retailprice"))
+      Upserts.updateSubset(stored, updates, Seq("p_partkey"),
+        Seq("p_brand", "p_retailprice"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH upd AS (
+              SELECT p_partkey,
+                     CASE WHEN p_partkey % 5 = 0 THEN NULL
+                          ELSE 'Brand#UPD' END AS b,
+                     0.0 AS rp
+              FROM part WHERE p_size > 40)
+            SELECT p.p_partkey, p.p_name,
+                   CASE WHEN u.p_partkey IS NOT NULL THEN u.b
+                        ELSE p.p_brand END AS p_brand,
+                   CASE WHEN u.p_partkey IS NOT NULL THEN u.rp
+                        ELSE p.p_retailprice END AS p_retailprice
+            FROM part p LEFT JOIN upd u ON p.p_partkey = u.p_partkey
+            ORDER BY p.p_partkey"""))
+
+  /** U4: keyed DELETE with a composite key. */
+  private val u4 = QueryDef(
+    "u4_keyed_delete",
+    "keyed delete as anti-join rewrite",
+    (s, dir) => {
+      val stored = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 500)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val removals = stored.filter(col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber")
+      Upserts.deleteByKey(stored, removals, Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l
+            WHERE l_orderkey < 500 AND NOT EXISTS (
+              SELECT 1 FROM lineitem r
+              WHERE r.l_orderkey = l.l_orderkey
+                AND r.l_linenumber = l.l_linenumber
+                AND r.l_orderkey < 500 AND r.l_quantity < 5)
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** U5: diff-sync — reconciled membership keeps stored attributes for
+    * retained keys, takes remote attributes for adds, drops removes.
+    * The +100 position offset on the remote side proves which side a
+    * surviving row came from. */
+  private val u5 = QueryDef(
+    "u5_diff_sync",
+    "membership diff-sync (adds/removes/retained)",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_orderkey") < 300)
+      val stored = li.filter(col("l_shipdate") < "1997-01-01")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(min(col("l_linenumber")).as("position"))
+      val remote = li.filter(col("l_quantity") > 10)
+        .groupBy("l_orderkey", "l_partkey")
+        .agg((min(col("l_linenumber")) + 100).as("position"))
+      Upserts.diffSync(stored, remote, Seq("l_orderkey", "l_partkey"))
+        .synced.orderBy("l_orderkey", "l_partkey")
+    },
+    Some("""WITH base AS (SELECT * FROM lineitem WHERE l_orderkey < 300),
+                 stored AS (SELECT l_orderkey, l_partkey,
+                              min(l_linenumber) AS position
+                            FROM base WHERE l_shipdate < '1997-01-01'
+                            GROUP BY 1, 2),
+                 remote AS (SELECT l_orderkey, l_partkey,
+                              min(l_linenumber) + 100 AS position
+                            FROM base WHERE l_quantity > 10
+                            GROUP BY 1, 2)
+            SELECT s.* FROM stored s
+            WHERE EXISTS (SELECT 1 FROM remote r
+                          WHERE r.l_orderkey = s.l_orderkey
+                            AND r.l_partkey = s.l_partkey)
+            UNION ALL
+            SELECT r.* FROM remote r
+            WHERE NOT EXISTS (SELECT 1 FROM stored s
+                              WHERE s.l_orderkey = r.l_orderkey
+                                AND s.l_partkey = r.l_partkey)
+            ORDER BY l_orderkey, l_partkey"""))
+
+  /** U6: conditional upsert — "timestamped transcripts always win"
+    * (new wins iff it has timestamps or the old one doesn't), driven
+    * by the real F5 predicate. Text is synthesized so the condition
+    * splits all four ways deterministically. */
+  private val u6 = QueryDef(
+    "u6_conditional_upsert",
+    "conditional transcript upsert (timestamped wins)",
+    (s, dir) => {
+      val ids = Tables.documents(s, dir).select("doc_id")
+      val stored = ids.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("[01:23] stored text"))
+          .otherwise(lit("stored text")).as("transcript"))
+      val incoming = ids.filter(col("doc_id") < 250)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("[00:45] new version"))
+            .otherwise(lit("new plain version")).as("transcript"))
+      Upserts.conditionalUpsert(stored, incoming, Seq("doc_id")) { (inc, old) =>
+        YtFunctions.hasTimestamps(inc("transcript")) ||
+          !YtFunctions.hasTimestamps(old("transcript"))
+      }.orderBy("doc_id")
+    },
+    Some("""WITH stored AS (
+              SELECT doc_id, CASE WHEN doc_id % 2 = 0
+                THEN '[01:23] stored text' ELSE 'stored text' END AS transcript
+              FROM documents),
+            incoming AS (
+              SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                THEN '[00:45] new version' ELSE 'new plain version' END AS transcript
+              FROM documents WHERE doc_id < 250),
+            ts AS (SELECT s.doc_id, s.transcript AS old_t, i.transcript AS new_t,
+                     (i.doc_id IS NOT NULL) AS matched,
+                     CASE WHEN i.doc_id IS NULL THEN false
+                          ELSE regexp_matches(i.transcript, '\[\d{1,2}:\d{2}\]')
+                            OR NOT regexp_matches(s.transcript, '\[\d{1,2}:\d{2}\]')
+                     END AS wins
+                   FROM stored s LEFT JOIN incoming i ON s.doc_id = i.doc_id)
+            SELECT doc_id,
+                   CASE WHEN matched AND wins THEN new_t ELSE old_t END AS transcript
+            FROM ts ORDER BY doc_id"""))
+
+  /** U7: freshness-gated refresh work list — null or stale timestamps
+    * only; `now` injected for reproducibility. */
+  private val u7 = QueryDef(
+    "u7_freshness_gate",
+    "freshness-threshold refresh filter",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"),
+          when(col("event_id") % 97 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("ts")).as("ts_n"))
+      val now = to_timestamp(lit("2024-01-25 00:00:00"))
+      Upserts.freshnessGate(ev, "ts_n", now, 7)
+        .select("event_id").orderBy("event_id")
+    },
+    Some("""SELECT event_id FROM (
+              SELECT event_id, CASE WHEN event_id % 97 = 0 THEN NULL
+                                    ELSE ts END AS ts_n FROM events)
+            WHERE ts_n IS NULL
+               OR ts_n < TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY
+            ORDER BY event_id"""))
+
+  /** U8: idempotent-job ledger — skip already-processed work items. */
+  private val u8 = QueryDef(
+    "u8_ledger_skip",
+    "processed-ledger anti-join",
+    (s, dir) => {
+      val work = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      val ledger = Tables.customer(s, dir)
+        .filter(col("c_custkey") < 750).select("c_custkey")
+      Upserts.skipProcessed(work, ledger, "o_custkey", "c_custkey")
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT DISTINCT o_custkey FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey < 750)
+            ORDER BY o_custkey"""))
+
+  /** U9: ping lifecycle — append-only status log; the current-status
+    * view is latest-per-key joined with per-key ping counts (derived,
+    * never UPDATEd). */
+  private val u9 = QueryDef(
+    "u9_ping_lifecycle",
+    "append-only status log → latest status + ping counts",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val latest = Upserts.latestByKey(ev, Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type").as("latest_status"))
+      val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n_pings"))
+      latest.join(counts, "user_id").orderBy("user_id")
+    },
+    Some("""WITH latest AS (
+              SELECT user_id, event_type AS latest_status
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+              WHERE rn = 1),
+            counts AS (SELECT user_id, count(*) AS n_pings FROM events
+                       GROUP BY user_id)
+            SELECT l.user_id, l.latest_status, c.n_pings
+            FROM latest l JOIN counts c ON l.user_id = c.user_id
+            ORDER BY l.user_id"""))
+
+  def defs: Seq[QueryDef] = Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9)
 }
