@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text/tokenization primitives for the training-data pipeline
+  * operators (dedup, similarity, analysis). All pure Column
+  * expressions — higher-order array functions, no UDFs, so the whole
+  * pipeline stays in codegen and scales linearly per row.
+  *
+  * Hashing is the **portable 60-bit md5 prefix**
+  * (`conv(substr(md5(s),1,15),16,10)`): deterministic, available in
+  * any engine (the DuckDB oracle uses `('0x'||substr(md5(s),1,15))
+  * ::BIGINT`), and ANSI-safe (< 2^60, no overflow). xxhash64 would be
+  * ~3× faster but is Spark-private — the verify gate needs
+  * cross-engine equality; swap `portableHash64` for `xxhash64` when
+  * running without an oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty array for blank/null-ish input. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Deterministic cross-engine 60-bit hash (see object doc). */
+  def portableHash64(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles, space-joined; empty when too few tokens. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** Distinct character n-grams; empty when the text is too short. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+
+  /** MinHash signature: k independent hash slots, each the min of
+    * seed-perturbed hashes over the shingle set. Null for empty
+    * shingle sets (caller filters). One pass, k×|shingles| hashes. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    when(size(shingles) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), lit(k - 1)),
+        s => array_min(transform(shingles,
+          sh => portableHash64(concat(s.cast("string"), lit("|"), sh))))))
+
+  /** LSH band keys from a signature: `bands` hashes, each over a
+    * contiguous rows-per-band slice. Pairs agreeing on ANY band are
+    * candidates — the standard s-curve selectivity knob. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        portableHash64(concat_ws(",",
+          transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")))).as("band_hash")))
+
+  /** 32-bit SimHash over a token array: per bit, sum +1/-1 weighted by
+    * each token's hash bit; the sign vector packs into one long. Near-
+    * identical texts land on near-identical (often equal) values.
+    * The 32 bit positions are unrolled at plan-build time (shiftright
+    * needs a literal count); token hashes are computed once and the 32
+    * per-bit folds run over the cached hash array. */
+  def simhash32(toks: Column): Column = {
+    val hs = transform(toks, t => portableHash64(t))
+    (0 until 32).map { i =>
+      val score = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
+      when(score > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Jaccard similarity of two arrays treated as sets. Exact rational
+    * arithmetic (int/int in double) — bit-identical across engines. */
+  def jaccardSim(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** Cosine similarity of two float vectors, computed in double with
+    * strict left-to-right accumulation (aggregate is a sequential
+    * fold), matching the oracle's list_reduce order. */
+  def cosineSim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Normalized-text fingerprint: lowercase, collapse whitespace,
+    * trim, md5 — the exact-dedup key (rolling-hash variant:
+    * [[rollingFingerprint]]). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Karp–Rabin-style rolling fingerprint over tokens: fold
+    * acc = (acc * 31 + h(tok)) mod p with p = 1e9+7 (keeps every
+    * intermediate < 2^63 under ANSI). Order-sensitive, unlike the
+    * set-based shingle hashes. */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) =>
+      (acc * 31L + pmod(portableHash64(t), lit(1000000007L))) % 1000000007L)
+}

@@ -1,0 +1,133 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * Design for 100 TB:
+  *  - bytes stay an opaque BinaryType column in parquet — the engine
+  *    never shuffles decoded pixels, only bytes (columnar-compressed)
+  *    and small feature vectors;
+  *  - decode/featurize are genuinely imperative per-item work (a
+  *    codec), so they run in `mapPartitions` on executors — the one
+  *    place SURVEY §7.3's "(d) mapPartitions last resort" applies.
+  *    Each partition re-uses one decoder instance (here: one
+  *    MessageDigest) — the setup-once-per-partition pattern that
+  *    matters when the real codec has per-process init cost;
+  *  - the codec itself is a clearly-marked STUB (no image/audio libs
+  *    in this container): deterministic bytes→features so tests are
+  *    reproducible. The Spark-side plumbing — schema, typed Dataset,
+  *    partition batching, flatMap fan-out for frames — is real.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaItem(
+      media_id: Long,
+      kind: String, // image | audio | video
+      bytes: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      n_frames: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      digest: String,
+      features: Array[Float])
+
+  final case class Frame(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      bytes: Array[Byte])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** Deterministic synthetic media table derived from the documents
+    * fixture (no real media in the container): text bytes stand in for
+    * the payload, metadata derived from doc stats. */
+  def syntheticMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "utf-8").as("bytes"),
+      (col("n_chars") % 1920 + 1).cast("int").as("width"),
+      (col("n_chars") % 1080 + 1).cast("int").as("height"),
+      lit(16000).as("sample_rate"),
+      (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map("%02x".format(_)).mkString
+
+  /** STUB decode+featurize. A real deployment replaces the body of
+    * `fakeDecode` with the codec call (e.g. JPEG decode → CNN
+    * embed); everything around it — the typed Dataset boundary, the
+    * per-partition decoder reuse, the fixed-dim float output — is the
+    * production shape. */
+  def decodeAndFeaturize(items: Dataset[MediaItem], dim: Int = 16): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      // one decoder per partition (real codecs have init cost)
+      val md = MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val digest = hex(md.digest(m.bytes))
+        val features = fakeDecode(digest, dim)
+        MediaFeatures(m.media_id, m.kind, m.bytes.length, digest, features)
+      }
+    }
+  }
+
+  /** STUB: deterministic digest→pseudo-features. Replace with the
+    * real model forward pass. */
+  private def fakeDecode(digest: String, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val c = digest.charAt(i % digest.length)
+      ((c * 31 + i * 7) % 997) / 997.0f
+    }
+
+  /** STUB resize: real impl re-encodes pixels; the stub carries the
+    * metadata transformation (aspect-preserving fit into a box) with
+    * payload passthrough — the catalyst-visible part is real. */
+  def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW).cast("double") / col("width"),
+      lit(maxH).cast("double") / col("height"), lit(1.0))
+    media
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** Frame sampling: one video row fans out to ≤ `maxFrames` frame
+    * rows (stride sampling). flatMap inside mapPartitions — the frame
+    * extraction itself is the stubbed codec step. */
+  def sampleFrames(items: Dataset[MediaItem], maxFrames: Int): Dataset[Frame] = {
+    import items.sparkSession.implicits._
+    items.filter(_.kind == "video").flatMap { m =>
+      val stride = math.max(1, m.n_frames / maxFrames)
+      (0 until m.n_frames by stride).take(maxFrames).map { idx =>
+        // STUB: real impl decodes frame `idx`; payload here is a
+        // deterministic slice standing in for the decoded frame.
+        val lo = math.min(idx, math.max(0, m.bytes.length - 1))
+        val hi = math.min(m.bytes.length, lo + 64)
+        Frame(m.media_id, idx, m.width, m.height, m.bytes.slice(lo, hi))
+      }
+    }
+  }
+}

@@ -1,8 +1,390 @@
 package graft.queries
 
-/** LLM-training-data pipeline operators (dedup, similarity search, text
-  * analysis) over the documents/embeddings tables.
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, SimilaritySearch, TextAnalysis}
+
+/** LLM-training-data pipeline operators over documents/embeddings —
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), similarity search, and text analysis, each driven by the
+  * real graft.ops library and verified against a DuckDB oracle that
+  * replicates the algorithm (portable md5-prefix hashing makes even
+  * MinHash signatures engine-identical).
+  *
+  * Near-duplicates are manufactured deterministically (the fixture
+  * corpus has none): every 4th doc gets a copy with the first word
+  * dropped, every 5th doc an exact copy / a perturbed embedding.
   */
 object PipelineQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  /** documents ∪ near-dup copies (id+10000, first word dropped). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+    val perturbed = d.filter(col("id") % 4 === 0)
+      .select((col("id") + 10000).as("id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    d.unionByName(perturbed)
+  }
+
+  private val dupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS id,
+      |         regexp_replace(text, '^\S+\s+', '') AS text
+      |  FROM documents WHERE doc_id % 4 = 0)""".stripMargin
+
+  /** D1: exact dedup over a corpus with manufactured exact copies. */
+  private val d1 = QueryDef(
+    "d1_exact_dedup",
+    "exact dedup via normalized md5 fingerprint groupBy",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val copies = d.filter(col("id") % 5 === 0)
+        .select((col("id") + 20000).as("id"), col("text"))
+      Dedup.exactDuplicates(d.unionByName(copies), "id", "text")
+        .orderBy("rep_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id AS id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000 AS id, text FROM documents
+              WHERE doc_id % 5 = 0)
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                   min(id) AS rep_id, count(*) AS n_members
+            FROM corpus GROUP BY 1 ORDER BY rep_id"""))
+
+  /** D2: MinHash+LSH near-dup pairs — shingle → 32-slot signature →
+    * 8 bands × 4 rows → bucket join → exact Jaccard ≥ 0.6. The oracle
+    * replicates the entire algorithm (portable hashing); manufactured
+    * pairs sit at jaccard ≥ 0.875, noise at ≤ 0.03 — fat margins. */
+  private val d2 = QueryDef(
+    "d2_minhash_lsh_pairs",
+    "MinHash+LSH near-duplicate pair mining",
+    (s, dir) => Dedup.minhashLshPairs(dupCorpus(s, dir), "id", "text",
+      shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.6)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH $dupCorpusSql,
+            tok AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM corpus),
+            sh AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+                   FROM tok WHERE len(t) >= 3),
+            sig AS (SELECT id, shingles,
+                      list_transform(generate_series(0, 31), s ->
+                        list_min(list_transform(shingles, g ->
+                          ('0x' || substr(md5(s::VARCHAR || '|' || g), 1, 15))::BIGINT)))
+                        AS sig
+                    FROM sh),
+            bands AS (SELECT id, shingles, b,
+                        ('0x' || substr(md5(
+                           sig[b*4+1]::VARCHAR || ',' || sig[b*4+2]::VARCHAR || ',' ||
+                           sig[b*4+3]::VARCHAR || ',' || sig[b*4+4]::VARCHAR), 1, 15))::BIGINT
+                          AS band_hash
+                      FROM sig, generate_series(0, 7) AS gs(b)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       a.shingles AS sh_a, b.shingles AS sh_b
+                     FROM bands a JOIN bands b
+                       ON a.b = b.b AND a.band_hash = b.band_hash AND a.id < b.id)
+            SELECT id_a, id_b,
+              len(list_intersect(sh_a, sh_b))::DOUBLE /
+              len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE AS jaccard
+            FROM cand
+            WHERE len(list_intersect(sh_a, sh_b))::DOUBLE /
+                  len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE >= 0.6
+            ORDER BY id_a, id_b"""))
+
+  /** D3: SimHash values — near-identical docs collapse to (near-)equal
+    * 32-bit sketches; the oracle recomputes every bit. */
+  private val d3 = QueryDef(
+    "d3_simhash",
+    "32-bit SimHash sketch per document",
+    (s, dir) => Dedup.simhashValues(dupCorpus(s, dir), "id", "text")
+      .orderBy("id"),
+    Some(s"""WITH $dupCorpusSql,
+            tok AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM corpus),
+            hs AS (SELECT id, list_transform(t, tk ->
+                     ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS h FROM tok)
+            SELECT id,
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(generate_series(0, 31), i ->
+                  CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                         list_transform(h, hv ->
+                           CASE WHEN (hv >> i) % 2 = 1 THEN 1::BIGINT
+                                ELSE (-1)::BIGINT END)),
+                         (a, b) -> a + b) > 0
+                       THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+                (a, b) -> a + b) AS simhash
+            FROM hs ORDER BY id"""))
+
+  /** D4: character-5-gram Jaccard with deterministic length-bucket
+    * blocking (bucket + next-bucket probes) — no O(n²) cross join. */
+  private val d4 = QueryDef(
+    "d4_ngram_jaccard_pairs",
+    "char-n-gram Jaccard near-dup pairs, length-bucketed",
+    (s, dir) => Dedup.ngramJaccardPairs(dupCorpus(s, dir), "id", "text",
+      n = 5, bucketWidth = 100, threshold = 0.7)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH $dupCorpusSql,
+            g AS (SELECT id,
+                    list_distinct(list_transform(
+                      generate_series(1, length(text) - 4),
+                      i -> substr(text, i, 5))) AS grams,
+                    length(text) // 100 AS bucket
+                  FROM corpus WHERE length(text) >= 5),
+            probes AS (SELECT id, grams, bucket FROM g
+                       UNION ALL SELECT id, grams, bucket + 1 FROM g),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       a.grams AS g_a, b.grams AS g_b
+                     FROM probes a JOIN g b ON a.bucket = b.bucket
+                     WHERE a.id < b.id)
+            SELECT id_a, id_b,
+              len(list_intersect(g_a, g_b))::DOUBLE /
+              len(list_distinct(list_concat(g_a, g_b)))::DOUBLE AS jaccard
+            FROM cand
+            WHERE len(list_intersect(g_a, g_b))::DOUBLE /
+                  len(list_distinct(list_concat(g_a, g_b)))::DOUBLE >= 0.7
+            ORDER BY id_a, id_b"""))
+
+  /** D5: embedding near-dup pairs, blocked by label, exact cosine
+    * ≥ 0.9. Natural within-label cosine tops out at 0.48; the
+    * perturbed copies (one component bumped) sit ≈ 0.99. */
+  private val d5 = QueryDef(
+    "d5_embedding_near_dup",
+    "embedding-cosine near-dup pairs (label-blocked)",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("label"), col("embedding"))
+      val perturbed = e.filter(col("id") % 5 === 0)
+        .select((col("id") + 10000).as("id"), col("label"),
+          concat(
+            array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      Dedup.embeddingNearDupPairs(e.unionByName(perturbed),
+        "id", "embedding", "label", threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH corpus AS (
+              SELECT vec_id AS id, label, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000 AS id, label,
+                list_concat([(embedding[1] + 0.25)::FLOAT], embedding[2:64])
+              FROM embeddings WHERE vec_id % 5 = 0),
+            pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+                        a.embedding AS va, b.embedding AS vb
+                      FROM corpus a JOIN corpus b
+                        ON a.label = b.label AND a.id < b.id),
+            scored AS (SELECT id_a, id_b,
+                         list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(va)),
+                           i -> va[i]::DOUBLE * vb[i]::DOUBLE)), (x, y) -> x + y) /
+                         sqrt(
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(va)),
+                             i -> va[i]::DOUBLE * va[i]::DOUBLE)), (x, y) -> x + y) *
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(vb)),
+                             i -> vb[i]::DOUBLE * vb[i]::DOUBLE)), (x, y) -> x + y))
+                         AS cos
+                       FROM pairs)
+            SELECT id_a, id_b, round(cos, 6) AS cos_r
+            FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b"""))
+
+  /** SS1: brute-force exact cosine top-5 per query vector — the ANN
+    * baseline/recall oracle. Rank key rounded at 1e-12 so a 1-ulp
+    * cross-engine wiggle can't flip an order; ties break on id. */
+  private val ss1 = QueryDef(
+    "ss1_bruteforce_topk",
+    "exact cosine top-k neighbors (brute force baseline)",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val scored = SimilaritySearch.bruteForceTopK(
+        e.filter(col("id") < 10), e, "id", "embedding", k = 5)
+      scored.select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_r"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                       FROM embeddings),
+            scored AS (SELECT query_id, neighbor_id,
+                         list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(qv)),
+                           i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (x, y) -> x + y) /
+                         sqrt(
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(qv)),
+                             i -> qv[i]::DOUBLE * qv[i]::DOUBLE)), (x, y) -> x + y) *
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(cv)),
+                             i -> cv[i]::DOUBLE * cv[i]::DOUBLE)), (x, y) -> x + y))
+                         AS cos
+                       FROM q, c WHERE query_id != neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+                       FROM scored)
+            SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** TS1: language-ID heuristic (stopword argmax with fixed
+    * preference order). */
+  private val ts1 = QueryDef(
+    "ts1_lang_id",
+    "stopword-heuristic language identification",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("pred"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, lang,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+            s AS (SELECT doc_id, lang,
+              len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS s_en,
+              len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','mit','ist','ein','zu'))) AS s_de,
+              len(list_filter(toks, x -> x IN ('el','la','los','de','que','y','es','un','en','no'))) AS s_es,
+              len(list_filter(toks, x -> x IN ('le','la','les','et','des','un','est','que','dans'))) AS s_fr
+              FROM t)
+            SELECT doc_id, lang,
+              CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                   WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                   WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS pred
+            FROM s ORDER BY doc_id"""))
+
+  /** TS2: quality scoring — exact counts, single-division ratios, and
+    * the composite score (per-row double math, rounded at output). */
+  private val ts2 = QueryDef(
+    "ts2_quality_score",
+    "document quality components + composite score",
+    (s, dir) => {
+      val comps = TextAnalysis.qualityComponents(col("text"))
+        .map { case (n, c) => c.as(n) }
+      Tables.documents(s, dir)
+        .select((col("doc_id") +: comps :+
+          round(TextAnalysis.qualityScore(col("text")), 6).as("score")): _*)
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          round(col("punct_ratio"), 6).as("punct_r"),
+          round(col("digit_ratio"), 6).as("digit_r"),
+          round(col("stopword_ratio"), 6).as("stop_r"),
+          round(col("mean_token_len"), 6).as("mean_len"),
+          col("score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+              regexp_split_to_array(trim(text), '\s+') AS toks,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks
+              FROM documents),
+            c AS (SELECT doc_id,
+              length(text) AS n_chars,
+              len(toks) AS n_tokens,
+              len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+              len(regexp_extract_all(text, '[0-9]')) AS digits,
+              len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS stops,
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(toks, x -> length(x)::BIGINT)), (a,b) -> a+b) AS tok_chars
+              FROM t)
+            SELECT doc_id, n_chars, n_tokens,
+              round(CASE WHEN n_chars = 0 THEN 0.0::DOUBLE
+                    ELSE punct::DOUBLE / n_chars::DOUBLE END, 6) AS punct_r,
+              round(CASE WHEN n_chars = 0 THEN 0.0::DOUBLE
+                    ELSE digits::DOUBLE / n_chars::DOUBLE END, 6) AS digit_r,
+              round(CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE
+                    ELSE stops::DOUBLE / n_tokens::DOUBLE END, 6) AS stop_r,
+              round(CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE
+                    ELSE tok_chars::DOUBLE / n_tokens::DOUBLE END, 6) AS mean_len,
+              round(
+                0.4::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) +
+                0.3::DOUBLE * least((CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE
+                    ELSE stops::DOUBLE / n_tokens::DOUBLE END) * 5.0::DOUBLE, 1.0::DOUBLE) +
+                0.3::DOUBLE * (1.0::DOUBLE - least((CASE WHEN n_chars = 0 THEN 0.0::DOUBLE
+                    ELSE digits::DOUBLE / n_chars::DOUBLE END) * 10.0::DOUBLE, 1.0::DOUBLE)),
+                6) AS score
+            FROM c ORDER BY doc_id"""))
+
+  /** TS3: token counting — whitespace words and the BPE-ish regex
+    * proxy. */
+  private val ts3 = QueryDef(
+    "ts3_token_counts",
+    "whitespace + BPE-ish token counting",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
+              len(regexp_extract_all(text,
+                '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe
+            FROM documents ORDER BY doc_id"""))
+
+  /** TS4: document fingerprints — normalized md5 and the order-
+    * sensitive rolling hash (mod 1e9+7 token fold). */
+  private val ts4 = QueryDef(
+    "ts4_fingerprints",
+    "md5 + rolling-hash document fingerprints",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.docFingerprint(col("text")).as("fp"),
+        TextAnalysis.docRollingFingerprint(col("text")).as("roll_fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(regexp_split_to_array(trim(text), '\s+'),
+                  tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % 1000000007)),
+                (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
+            FROM documents ORDER BY doc_id"""))
+
+  /** MM1: multimodal binary-column plumbing — text → utf8 bytes →
+    * byte length + digest, proving binary round-trips through the
+    * engine (the decode stubs live in graft.multimodal). */
+  private val mm1 = QueryDef(
+    "mm1_binary_roundtrip",
+    "opaque binary column round-trip (length + digest)",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
+      .select(col("doc_id"), length(col("bytes")).as("n_bytes"),
+        md5(col("bytes")).as("digest"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+              md5(text) AS digest
+            FROM documents ORDER BY doc_id"""))
+
+  /** A7 scale path: approx_count_distinct sketch — rows-only check
+    * (an approximate sketch has no exact SQL oracle by design). */
+  private val a7b = QueryDef(
+    "a7b_approx_distinct_sketch",
+    "HLL approx distinct cardinality (sketch scale path)",
+    (s, dir) => Tables.lineitem(s, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")),
+    None)
+
+  /** SS2: LSH-bucketed ANN — probabilistic recall, so rows-only here;
+    * the spec asserts recall ≥ 0.4 vs the brute-force baseline. */
+  private val ss2 = QueryDef(
+    "ss2_lsh_ann_topk",
+    "random-hyperplane LSH approximate top-k",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      SimilaritySearch.lshTopK(e.filter(col("id") < 10), e,
+        "id", "embedding", k = 5, planes = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  def defs: Seq[QueryDef] =
+    Seq(d1, d2, d3, d4, d5, ss1, ss2, ts1, ts2, ts3, ts4, mm1, a7b)
 }

@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media() = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    syntheticMedia(docs)
+  }
+
+  test("synthetic media table has the contract schema") {
+    val m = media()
+    // compare names+types; nullability of derived columns is a plan
+    // property, not part of the contract
+    assert(m.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      mediaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(m.count() > 0)
+    val kinds = m.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("decodeAndFeaturize: typed round-trip, fixed dim, deterministic") {
+    import spark.implicits._
+    val items = media().as[MediaItem]
+    val f1 = decodeAndFeaturize(items, dim = 16).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    val f2 = decodeAndFeaturize(items, dim = 16).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(f1 == f2) // stub decode is deterministic
+    assert(f1.values.forall(_.size == 16))
+    // digest matches the engine-side md5 of the same bytes
+    val engineDigest = media().select(col("media_id"), md5(col("bytes")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val opDigest = decodeAndFeaturize(items).collect()
+      .map(f => f.media_id -> f.digest).toMap
+    assert(engineDigest == opDigest)
+  }
+
+  test("resizeMeta fits within the box preserving aspect") {
+    val r = resizeMeta(media(), 640, 360)
+      .select("width", "height", "out_width", "out_height").collect()
+    r.foreach { row =>
+      val (w, h, ow, oh) = (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
+      assert(ow <= 640 && oh <= 360)
+      if (w <= 640 && h <= 360) assert(ow == w && oh == h) // no upscale
+    }
+  }
+
+  test("sampleFrames fans out only videos, capped and strided") {
+    import spark.implicits._
+    val frames = sampleFrames(media().as[MediaItem], maxFrames = 4).collect()
+    assert(frames.nonEmpty)
+    val byMedia = frames.groupBy(_.media_id)
+    assert(byMedia.values.forall(_.length <= 4))
+    val videoIds = media().filter(col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(byMedia.keySet.subsetOf(videoIds))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+/** Dedup / similarity / text-analysis operator semantics. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("portableHash64 matches the cross-engine known vector") {
+    // DuckDB: ('0x' || substr(md5('abc'),1,15))::BIGINT = 648541476951500027
+    val got = Seq("abc").toDF("s")
+      .select(portableHash64(col("s"))).head.getLong(0)
+    assert(got == 648541476951500027L)
+  }
+
+  test("wordShingles and charNgrams edge cases") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+      .select(wordShingles(tokens(col("t")), 3).as("w"),
+        charNgrams(col("t"), 5).as("c"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](0) == Seq.empty) // too few tokens
+    assert(rows(2).getSeq[String](0) == Seq.empty) // empty text
+    assert(rows(1).getSeq[String](1) == Seq.empty) // text shorter than n
+  }
+
+  test("minhash LSH finds exact duplicates with certainty and near-dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact
+      (3L, "a quick brown fox jumps over the lazy dog again and again"),   // near
+      (4L, "completely unrelated text about spark catalyst optimizer plans")
+    ).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → guaranteed candidate
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical text → identical value; unrelated → different") {
+    val df = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark shuffles data across the cluster"),
+      (3L, "ducks swim on the quiet pond at dawn")
+    ).toDF("id", "text")
+    val v = Dedup.simhashValues(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v(1L) == v(2L))
+    assert(v(1L) != v(3L))
+  }
+
+  test("exact dedup keeps one representative per normalized text") {
+    val df = Seq(
+      (5L, "Same   Text here"), (9L, "same text HERE"), // same after normalize
+      (7L, "different")
+    ).toDF("id", "text")
+    val reps = Dedup.dropExactDuplicates(df, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(reps == Set(5L, 7L))
+  }
+
+  test("lsh ANN recall vs brute force on real embeddings") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(q, e, "id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.lshTopK(q, e, "id", "embedding", 5, planes = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 2 hyperplanes → 4 buckets over 150 vectors: recall is partial by
+    // design; assert it beats random-bucket baseline comfortably
+    assert(recall >= 0.3, s"recall=$recall")
+    // and every approx hit must be a real vector pair, not junk
+    assert(approx.forall { case (a, b) => a < 10 && b >= 0 })
+  }
+
+  test("langId picks the stopword-dominant language") {
+    val df = Seq(
+      "the cat is on the mat and it is happy",
+      "der hund und die katze sind nicht da",
+      "el perro y la casa de los vecinos",
+      "le chat et les souris dans la maison",
+      "zzz qqq www").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("quality score is bounded and ranks clean text above digit soup") {
+    val df = Seq(
+      ("clean", "the report covers a range of topics that it presents in detail for the reader"),
+      ("soup", "8237 2384 9283 1123 4455 6677 8899 0011 2233 4455")
+    ).toDF("k", "text")
+    val s = df.select(col("k"), TextAnalysis.qualityScore(col("text")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("clean") > s("soup"))
+    assert(s.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("rolling fingerprint is order-sensitive where md5 fp is not") {
+    val df = Seq(("a b c"), ("c b a")).toDF("text")
+      .select(rollingFingerprint(tokens(col("text"))).as("r"))
+    val vals = df.as[Long].collect()
+    assert(vals(0) != vals(1))
+  }
+}
