@@ -22,7 +22,7 @@ object Catalog {
   /** All registered query groups, in SURVEY §2 order. */
   def defs: Seq[QueryDef] =
     RelationalQueries.defs ++ OpsQueries.defs ++ FunctionQueries.defs ++
-      PipelineQueries.defs
+      SourceQueries.defs ++ PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap
