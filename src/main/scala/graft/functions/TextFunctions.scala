@@ -41,15 +41,39 @@ object TextFunctions {
         sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n)))))
 
-  /** MinHash signature: k independent hash slots, each the min of
-    * seed-perturbed hashes over the shingle set. Null for empty
-    * shingle sets (caller filters). One pass, k×|shingles| hashes. */
+  /** MinHash modulus and the k affine-derived hash constants
+    * (universal hashing family h_i(x) = (a_i·x + b_i) mod p): ONE md5
+    * per shingle, k cheap integer perturbations — 32× fewer digests
+    * than hashing per-seed. Constants are fixed (seeded) so the
+    * DuckDB oracle interpolates the same numbers. p = 1e9+7 keeps
+    * a_i·x < 1e9·(1e9+7) < 2^63 (ANSI-safe). */
+  val MinhashP: Long = 1000000007L
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(k)((1L + rnd.nextInt(999999999).toLong,
+      rnd.nextInt(1000000007).toLong))
+  }
+
+  /** Per-shingle base hashes (one md5 each). Project this into its
+    * OWN column (ideally behind an exchange) before computing slots —
+    * referencing it from the k slot expressions inline would
+    * re-evaluate the md5 pass k times. */
+  def minhashBase(shingles: Column): Column =
+    transform(shingles, sh => portableHash64(sh) % MinhashP)
+
+  /** The k affine MinHash slots over a pre-computed base-hash array. */
+  def minhashSlotsFromBase(base: Column, k: Int): Column = {
+    val slots = minhashCoeffs(k).map { case (a, b) =>
+      array_min(transform(base, h => (h * a + b) % MinhashP))
+    }
+    when(size(base) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(array(slots: _*))
+  }
+
+  /** One-shot signature (inline base — fine for small k or one-off
+    * use; the LSH pipeline uses the split form). */
   def minhashSignature(shingles: Column, k: Int): Column =
-    when(size(shingles) === 0, lit(null).cast("array<bigint>"))
-      .otherwise(transform(
-        sequence(lit(0), lit(k - 1)),
-        s => array_min(transform(shingles,
-          sh => portableHash64(concat(s.cast("string"), lit("|"), sh))))))
+    minhashSlotsFromBase(minhashBase(shingles), k)
 
   /** LSH band keys from a signature: `bands` hashes, each over a
     * contiguous rows-per-band slice. Pairs agreeing on ANY band are
@@ -67,14 +91,18 @@ object TextFunctions {
     * The 32 bit positions are unrolled at plan-build time (shiftright
     * needs a literal count); token hashes are computed once and the 32
     * per-bit folds run over the cached hash array. */
-  def simhash32(toks: Column): Column = {
-    val hs = transform(toks, t => portableHash64(t))
+  def simhash32(toks: Column): Column =
+    simhash32FromHashes(transform(toks, t => portableHash64(t)))
+
+  /** SimHash over pre-computed hashes — callers should project the
+    * hash array into its own column first so the md5s evaluate once,
+    * not once per bit fold. */
+  def simhash32FromHashes(hs: Column): Column =
     (0 until 32).map { i =>
       val score = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
       when(score > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** Jaccard similarity of two arrays treated as sets. Exact rational
     * arithmetic (int/int in double) — bit-identical across engines. */
@@ -84,15 +112,18 @@ object TextFunctions {
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
-  /** Cosine similarity of two float vectors, computed in double with
-    * strict left-to-right accumulation (aggregate is a sequential
-    * fold), matching the oracle's list_reduce order. */
-  def cosineSim(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  /** Double dot product with strict left-to-right accumulation
+    * (aggregate is a sequential fold), matching the oracle's
+    * list_reduce order. */
+  def dotProduct(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two float vectors in double. NB the exact
+    * expression shape (sqrt of the product) is part of the oracle
+    * contract — sqrt(aa)*sqrt(bb) is a different double. */
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / sqrt(dotProduct(a, a) * dotProduct(b, b))
 
   /** Normalized-text fingerprint: lowercase, collapse whitespace,
     * trim, md5 — the exact-dedup key (rolling-hash variant:

@@ -43,74 +43,103 @@ object Dedup {
     df.join(reps, Seq(idCol), "left_semi")
   }
 
-  /** MinHash+LSH near-dup pairs: shingle → signature → band buckets →
-    * bucket equi-join → exact Jaccard verify ≥ `threshold`.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
+  /** LSH candidate pairs + exact Jaccard verify over an item-set
+    * column — the shared engine under both the word-shingle and the
+    * char-n-gram near-dup operators.
+    *
+    * `withItems` must provide (id, items: array<string>). Pipeline:
+    * items → base hashes → k affine MinHash slots → band keys →
+    * bucket equi-join (ids only) → distinct candidate pairs →
+    * re-attach items → exact Jaccard ≥ threshold.
+    */
+  private[ops] def lshJaccardPairs(withItems: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = df.select(col(idCol).as("id"),
-      wordShingles(tokens(col(textCol)), shingleLen).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    val banded = sig.select(col("id"), col("shingles"),
+    val items = withItems.filter(size(col("items")) > 0)
+    // The exchange between base and slots is deliberate: it
+    // materializes the md5 pass ONCE per row; inlined, CollapseProject
+    // would duplicate the expensive base expression into all k slot
+    // expressions (measured 2.4× slower). The shuffled payload is just
+    // the long array, and LSH shuffles for the bucket join anyway.
+    val based = items
+      .withColumn("base", minhashBase(col("items")))
+      .repartition(col("id"))
+    val sig = based.withColumn("sig",
+      minhashSlotsFromBase(col("base"), numHashes))
+    // candidates carry ids only — dedup never shuffles item arrays
+    val banded = sig.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("shingles"),
+      .select(col("id"),
         col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        col("sh_a"), col("sh_b")).distinct() // candidates may collide in >1 band
-      .withColumn("jaccard", jaccardSim(col("sh_a"), col("sh_b")))
+      .select("id_a", "id_b").distinct()
+    // re-attach items to the (small) candidate set for exact verify
+    cand
+      .join(items.select(col("id").as("id_a"), col("items").as("it_a")), "id_a")
+      .join(items.select(col("id").as("id_b"), col("items").as("it_b")), "id_b")
+      .withColumn("jaccard", jaccardSim(col("it_a"), col("it_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash values per doc; equal values = near-dup classes. */
+  /** MinHash+LSH near-dup pairs over word shingles: shingle →
+    * signature → band buckets → bucket equi-join → exact Jaccard
+    * verify ≥ `threshold`. Returns (id_a, id_b, jaccard), id_a < id_b. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame =
+    lshJaccardPairs(
+      df.select(col(idCol).as("id"),
+        wordShingles(tokens(col(textCol)), shingleLen).as("items")),
+      numHashes, bands, threshold)
+
+  /** SimHash values per doc; equal values = near-dup classes. The
+    * token hashes are projected into their own column so each md5
+    * evaluates once, not once per bit fold. */
   def simhashValues(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), simhash32(tokens(col(textCol))).as("simhash"))
+    df.select(col(idCol),
+      transform(tokens(col(textCol)), t => portableHash64(t)).as("__hs"))
+      .select(col(idCol), simhash32FromHashes(col("__hs")).as("simhash"))
 
-  /** Character-n-gram Jaccard near-dup pairs with deterministic
-    * length-bucket blocking: docs within the same `bucketWidth` chars
-    * bucket (and adjacent bucket) are compared exactly. */
+  /** Character-n-gram Jaccard near-dup pairs. Same LSH candidate
+    * engine as [[minhashLshPairs]], but the item set is the distinct
+    * char n-grams — the character-level metric catches reorderings
+    * and small edits that word shingles miss.
+    *
+    * (A length-bucket blocking variant was measured first: with
+    * real-world length concentration the buckets go quadratic — a few
+    * buckets held most docs, producing millions of full array
+    * intersections and partition skew. LSH keeps candidate mass
+    * proportional to actual similarity, so it survives scale-up.) */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, bucketWidth: Int = 100, threshold: Double = 0.7): DataFrame = {
-    val g = df.select(col(idCol).as("id"),
-      charNgrams(col(textCol), n).as("grams"),
-      (length(col(textCol)) / bucketWidth).cast("long").as("bucket"))
-      .filter(size(col("grams")) > 0)
-    // compare within same bucket and with the next bucket (docs near a
-    // boundary): explode each doc to (bucket) and (bucket+1) probes.
-    val probes = g.select(col("id"), col("grams"),
-      explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
-    val a = probes.select(col("bucket"), col("id").as("id_a"), col("grams").as("g_a"))
-    val b = g.select(col("bucket"), col("id").as("id_b"), col("grams").as("g_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("g_a"), col("g_b")).distinct()
-      .withColumn("jaccard", jaccardSim(col("g_a"), col("g_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+      n: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame =
+    lshJaccardPairs(
+      df.select(col(idCol).as("id"),
+        charNgrams(col(textCol), n).as("items")),
+      numHashes, bands, threshold)
 
   /** Embedding near-dup pairs: exact cosine within coarse blocks
     * (blockCol = any cheap cluster id; at scale, an IVF coarse
     * centroid id). Returns (id_a, id_b, cos). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    // self-norms computed once per vector (not once per pair)
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       col(vecCol).as("vec"))
-    val a = v.select(col("block"), col("id").as("id_a"), col("vec").as("v_a"))
-    val b = v.select(col("block"), col("id").as("id_b"), col("vec").as("v_b"))
+      .withColumn("norm", sqrt(dotProduct(col("vec"), col("vec"))))
+    val a = v.select(col("block"), col("id").as("id_a"),
+      col("vec").as("v_a"), col("norm").as("n_a"))
+    val b = v.select(col("block"), col("id").as("id_b"),
+      col("vec").as("v_b"), col("norm").as("n_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosineSim(col("v_a"), col("v_b")))
+      .withColumn("cos",
+        dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

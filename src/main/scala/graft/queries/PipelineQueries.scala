@@ -61,41 +61,52 @@ object PipelineQueries {
     * 8 bands × 4 rows → bucket join → exact Jaccard ≥ 0.6. The oracle
     * replicates the entire algorithm (portable hashing); manufactured
     * pairs sit at jaccard ≥ 0.875, noise at ≤ 0.03 — fat margins. */
+  /** The 32 affine slot expressions for the oracle, generated from
+    * the SAME constants the engine bakes into its plan. */
+  private val minhashSlotsSql: String =
+    TextFunctions.minhashCoeffs(32).map { case (a, b) =>
+      s"list_min(list_transform(base, h -> (h * $a + $b) % ${TextFunctions.MinhashP}))"
+    }.mkString("[", ",\n                        ", "]")
+
+  /** Shared LSH-candidates + exact-Jaccard oracle tail; `itemsCte`
+    * must define `it(id, items)`. Mirrors Dedup.lshJaccardPairs. */
+  private def lshOracleSql(itemsCte: String, threshold: Double): String =
+    s"""$itemsCte,
+       based AS (SELECT id, list_transform(items, g ->
+                   ('0x' || substr(md5(g), 1, 15))::BIGINT
+                     % ${TextFunctions.MinhashP}) AS base
+                 FROM it WHERE len(items) > 0),
+       sig AS (SELECT id, $minhashSlotsSql AS sig FROM based),
+       bands AS (SELECT id, b,
+                   ('0x' || substr(md5(
+                      sig[b*4+1]::VARCHAR || ',' || sig[b*4+2]::VARCHAR || ',' ||
+                      sig[b*4+3]::VARCHAR || ',' || sig[b*4+4]::VARCHAR), 1, 15))::BIGINT
+                     AS band_hash
+                 FROM sig, generate_series(0, 7) AS gs(b)),
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.b = b.b AND a.band_hash = b.band_hash AND a.id < b.id),
+       verif AS (SELECT id_a, id_b,
+                   len(list_intersect(x.items, y.items))::DOUBLE /
+                   len(list_distinct(list_concat(x.items, y.items)))::DOUBLE
+                     AS jaccard
+                 FROM cand JOIN it x ON x.id = cand.id_a
+                           JOIN it y ON y.id = cand.id_b)
+       SELECT id_a, id_b, jaccard FROM verif
+       WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+
   private val d2 = QueryDef(
     "d2_minhash_lsh_pairs",
     "MinHash+LSH near-duplicate pair mining",
     (s, dir) => Dedup.minhashLshPairs(dupCorpus(s, dir), "id", "text",
       shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.6)
       .orderBy("id_a", "id_b"),
-    Some(s"""WITH $dupCorpusSql,
-            tok AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t
-                    FROM corpus),
-            sh AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
-                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
-                   FROM tok WHERE len(t) >= 3),
-            sig AS (SELECT id, shingles,
-                      list_transform(generate_series(0, 31), s ->
-                        list_min(list_transform(shingles, g ->
-                          ('0x' || substr(md5(s::VARCHAR || '|' || g), 1, 15))::BIGINT)))
-                        AS sig
-                    FROM sh),
-            bands AS (SELECT id, shingles, b,
-                        ('0x' || substr(md5(
-                           sig[b*4+1]::VARCHAR || ',' || sig[b*4+2]::VARCHAR || ',' ||
-                           sig[b*4+3]::VARCHAR || ',' || sig[b*4+4]::VARCHAR), 1, 15))::BIGINT
-                          AS band_hash
-                      FROM sig, generate_series(0, 7) AS gs(b)),
-            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                       a.shingles AS sh_a, b.shingles AS sh_b
-                     FROM bands a JOIN bands b
-                       ON a.b = b.b AND a.band_hash = b.band_hash AND a.id < b.id)
-            SELECT id_a, id_b,
-              len(list_intersect(sh_a, sh_b))::DOUBLE /
-              len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE AS jaccard
-            FROM cand
-            WHERE len(list_intersect(sh_a, sh_b))::DOUBLE /
-                  len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE >= 0.6
-            ORDER BY id_a, id_b"""))
+    Some("WITH " + dupCorpusSql + ",\n" + lshOracleSql(
+      """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM corpus),
+         it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                FROM tok WHERE len(t) >= 3)""", 0.6)))
 
   /** D3: SimHash values — near-identical docs collapse to (near-)equal
     * 32-bit sketches; the oracle recomputes every bit. */
@@ -121,34 +132,19 @@ object PipelineQueries {
                 (a, b) -> a + b) AS simhash
             FROM hs ORDER BY id"""))
 
-  /** D4: character-5-gram Jaccard with deterministic length-bucket
-    * blocking (bucket + next-bucket probes) — no O(n²) cross join. */
+  /** D4: character-5-gram Jaccard — same LSH candidate engine, the
+    * character-level item set (catches edits word shingles miss). */
   private val d4 = QueryDef(
     "d4_ngram_jaccard_pairs",
-    "char-n-gram Jaccard near-dup pairs, length-bucketed",
+    "char-n-gram Jaccard near-dup pairs (LSH-blocked)",
     (s, dir) => Dedup.ngramJaccardPairs(dupCorpus(s, dir), "id", "text",
-      n = 5, bucketWidth = 100, threshold = 0.7)
+      n = 5, numHashes = 32, bands = 8, threshold = 0.7)
       .orderBy("id_a", "id_b"),
-    Some(s"""WITH $dupCorpusSql,
-            g AS (SELECT id,
-                    list_distinct(list_transform(
-                      generate_series(1, length(text) - 4),
-                      i -> substr(text, i, 5))) AS grams,
-                    length(text) // 100 AS bucket
-                  FROM corpus WHERE length(text) >= 5),
-            probes AS (SELECT id, grams, bucket FROM g
-                       UNION ALL SELECT id, grams, bucket + 1 FROM g),
-            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                       a.grams AS g_a, b.grams AS g_b
-                     FROM probes a JOIN g b ON a.bucket = b.bucket
-                     WHERE a.id < b.id)
-            SELECT id_a, id_b,
-              len(list_intersect(g_a, g_b))::DOUBLE /
-              len(list_distinct(list_concat(g_a, g_b)))::DOUBLE AS jaccard
-            FROM cand
-            WHERE len(list_intersect(g_a, g_b))::DOUBLE /
-                  len(list_distinct(list_concat(g_a, g_b)))::DOUBLE >= 0.7
-            ORDER BY id_a, id_b"""))
+    Some("WITH " + dupCorpusSql + ",\n" + lshOracleSql(
+      """it AS (SELECT id, list_distinct(list_transform(
+                  generate_series(1, length(text) - 4),
+                  i -> substr(text, i, 5))) AS items
+                FROM corpus WHERE length(text) >= 5)""", 0.7)))
 
   /** D5: embedding near-dup pairs, blocked by label, exact cosine
     * ≥ 0.9. Natural within-label cosine tops out at 0.48; the
@@ -175,23 +171,26 @@ object PipelineQueries {
               SELECT vec_id + 10000 AS id, label,
                 list_concat([(embedding[1] + 0.25)::FLOAT], embedding[2:64])
               FROM embeddings WHERE vec_id % 5 = 0),
-            pairs AS (SELECT a.id AS id_a, b.id AS id_b,
-                        a.embedding AS va, b.embedding AS vb
-                      FROM corpus a JOIN corpus b
-                        ON a.label = b.label AND a.id < b.id),
+            -- norms per vector then dot/(n_a*n_b), mirroring the
+            -- engine's precomputed-norm shape (sqrt(aa)*sqrt(bb) is a
+            -- different double than sqrt(aa*bb))
+            normed AS (SELECT id, label, embedding,
+                         sqrt(list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(embedding)),
+                           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                           (x, y) -> x + y)) AS norm
+                       FROM corpus),
+            pairs2 AS (SELECT a.id AS id_a, b.id AS id_b,
+                         a.embedding AS va, b.embedding AS vb,
+                         a.norm AS na, b.norm AS nb
+                       FROM normed a JOIN normed b
+                         ON a.label = b.label AND a.id < b.id),
             scored AS (SELECT id_a, id_b,
                          list_reduce(list_prepend(0.0, list_transform(
                            generate_series(1, len(va)),
                            i -> va[i]::DOUBLE * vb[i]::DOUBLE)), (x, y) -> x + y) /
-                         sqrt(
-                           list_reduce(list_prepend(0.0, list_transform(
-                             generate_series(1, len(va)),
-                             i -> va[i]::DOUBLE * va[i]::DOUBLE)), (x, y) -> x + y) *
-                           list_reduce(list_prepend(0.0, list_transform(
-                             generate_series(1, len(vb)),
-                             i -> vb[i]::DOUBLE * vb[i]::DOUBLE)), (x, y) -> x + y))
-                         AS cos
-                       FROM pairs)
+                         (na * nb) AS cos
+                       FROM pairs2)
             SELECT id_a, id_b, round(cos, 6) AS cos_r
             FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b"""))
 
