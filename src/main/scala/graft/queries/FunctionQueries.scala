@@ -110,13 +110,17 @@ object FunctionQueries {
                OR regexp_matches(txt, '<\d{1,2}:\d{2}(:\d{2})?>')) AS has_ts
             FROM t ORDER BY doc_id"""))
 
-  /** F6: search-context slicing + highlight over real document text. */
+  /** F6: search-context slicing + highlight over real document text —
+    * runs the NATIVE codegen expression (graft.plans.HighlightContext);
+    * the oracle is the same SQL as for the composed-builtin form,
+    * proving the two implementations agree. */
   private val f6 = QueryDef(
     "f6_search_context",
-    "±30-char context slice with **hit** highlight",
+    "±30-char context slice with **hit** highlight (native expression)",
     (s, dir) => Tables.documents(s, dir)
       .select(col("doc_id"),
-        searchContext(col("text"), "merge", ctx = 30).as("ctx"))
+        graft.plans.HighlightContext.highlightContext(
+          col("text"), "merge", ctx = 30).as("ctx"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
               CASE WHEN pos = 0 THEN NULL ELSE
