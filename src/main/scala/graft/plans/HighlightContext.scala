@@ -92,10 +92,16 @@ object HighlightContext {
       bridge.expression(org.apache.spark.sql.functions.lit(query)),
       bridge.expression(org.apache.spark.sql.functions.lit(ctx))))
 
+  /** Arity-checked SQL builder (wrong arity would otherwise surface
+    * as a bare IndexOutOfBoundsException). */
+  def fromExpressions(exprs: Seq[Expression]): HighlightContext = {
+    require(exprs.length == 3,
+      s"highlight_context requires (text, query, ctx); got ${exprs.length} argument(s)")
+    HighlightContext(exprs(0), exprs(1), exprs(2))
+  }
+
   /** Register as a SQL function (`highlight_context(text, q, ctx)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "highlight_context",
-      exprs => HighlightContext(exprs(0), exprs(1), exprs(2)),
-      "scala_udf")
+      "highlight_context", fromExpressions, "scala_udf")
 }
