@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.functions.YtFunctions
@@ -78,4 +80,60 @@ object Streams {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int)
+
+  /** Gap-based sessionization with custom state
+    * (flatMapGroupsWithState): a user's events belong to one session
+    * until a gap > `gapMinutes` (or state timeout) closes it —
+    * the per-user activity-session view a scrape/ping log needs that
+    * fixed windows can't express. State is O(1) per user (start,
+    * last, count); closed sessions emit downstream, open ones ride in
+    * the state store — unbounded keys scale horizontally because the
+    * state is partitioned by user like any other keyed shuffle. */
+  def sessionize(events: Dataset[UserEvent], gapMinutes: Int = 30,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val timeoutEnabled = timeout != GroupStateTimeout.NoTimeout
+
+    def fn(userId: Long, evs: Iterator[UserEvent],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      val sorted = evs.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[UserSession]
+      var cur = state.getOption
+      if (state.hasTimedOut && cur.isDefined) {
+        val s = cur.get
+        closed ::= UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+        cur = None
+        state.remove()
+      }
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // ProcessingTimeTimeout makes the engine re-trigger to fire
+        // timers (so processAllAvailable never settles) — only arm it
+        // when the caller opted in for production use.
+        if (timeoutEnabled) state.setTimeoutDuration(gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+  }
 }

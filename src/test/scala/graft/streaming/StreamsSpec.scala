@@ -37,6 +37,35 @@ class StreamsSpec extends SparkSpec {
       "ccccccccccc" -> "fresh insert"))     // unmatched inserted
   }
 
+  test("sessionize: gap-based sessions via flatMapGroupsWithState") {
+    import spark.implicits._
+    import Streams.{UserEvent, UserSession}
+    val dir = tmpDir("sess")
+    def ev(u: Long, t: String, k: String) =
+      UserEvent(u, java.sql.Timestamp.valueOf(t), k)
+    // user 1: two sessions separated by a 2h gap; user 2: one session
+    Seq(
+      ev(1, "2024-01-01 09:00:00", "click"),
+      ev(1, "2024-01-01 09:10:00", "view"),
+      ev(1, "2024-01-01 11:30:00", "click"),
+      ev(2, "2024-01-01 10:00:00", "signup")
+    ).toDF().write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("user_id long, ts timestamp, event_type string")
+      .parquet(dir).as[UserEvent]
+    val q = Streams.sessionize(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // closed sessions only (open ones still in state): user 1's first
+    // session closed when the 11:30 event arrived in the same batch
+    val got = spark.table("sess").as[UserSession].collect()
+      .map(s => (s.user_id, s.session_start.toString, s.n_events)).toSet
+    assert(got == Set((1L, "2024-01-01 09:00:00.0", 2)))
+  }
+
   test("event windowed counts with watermark (memory sink)") {
     import spark.implicits._
     val dir = tmpDir("sev")
