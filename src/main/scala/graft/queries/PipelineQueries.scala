@@ -57,20 +57,30 @@ object PipelineQueries {
                    min(id) AS rep_id, count(*) AS n_members
             FROM corpus GROUP BY 1 ORDER BY rep_id"""))
 
-  /** D2: MinHash+LSH near-dup pairs — shingle → 32-slot signature →
-    * 8 bands × 4 rows → bucket join → exact Jaccard ≥ 0.6. The oracle
-    * replicates the entire algorithm (portable hashing); manufactured
-    * pairs sit at jaccard ≥ 0.875, noise at ≤ 0.03 — fat margins. */
-  /** The 32 affine slot expressions for the oracle, generated from
-    * the SAME constants the engine bakes into its plan. */
+  /** LSH geometry for the catalog queries: 32 hashes in 8 bands × 4
+    * rows. Measured trade-off: halving to 8×2 bands SLOWED both dedup
+    * queries — char-gram noise similarity (~0.3 between unrelated docs
+    * sharing vocabulary) makes 2-row band collisions (~j²) admit a
+    * large fraction of all pairs, and the exact-verify stage swamps
+    * the signature savings. 4-row bands (~j⁴ selectivity) keep the
+    * candidate mass proportional to true near-dups. */
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  /** The affine slot expressions for the oracle, generated from the
+    * SAME constants the engine bakes into its plan. */
   private val minhashSlotsSql: String =
-    TextFunctions.minhashCoeffs(32).map { case (a, b) =>
+    TextFunctions.minhashCoeffs(NumHashes).map { case (a, b) =>
       s"list_min(list_transform(base, h -> (h * $a + $b) % ${TextFunctions.MinhashP}))"
     }.mkString("[", ",\n                        ", "]")
 
   /** Shared LSH-candidates + exact-Jaccard oracle tail; `itemsCte`
     * must define `it(id, items)`. Mirrors Dedup.lshJaccardPairs. */
-  private def lshOracleSql(itemsCte: String, threshold: Double): String =
+  private def lshOracleSql(itemsCte: String, threshold: Double): String = {
+    val bandConcat = (1 to RowsPerBand)
+      .map(r => s"sig[b*$RowsPerBand+$r]::VARCHAR")
+      .mkString(" || ',' || ")
     s"""$itemsCte,
        based AS (SELECT id, list_transform(items, g ->
                    ('0x' || substr(md5(g), 1, 15))::BIGINT
@@ -78,11 +88,9 @@ object PipelineQueries {
                  FROM it WHERE len(items) > 0),
        sig AS (SELECT id, $minhashSlotsSql AS sig FROM based),
        bands AS (SELECT id, b,
-                   ('0x' || substr(md5(
-                      sig[b*4+1]::VARCHAR || ',' || sig[b*4+2]::VARCHAR || ',' ||
-                      sig[b*4+3]::VARCHAR || ',' || sig[b*4+4]::VARCHAR), 1, 15))::BIGINT
+                   ('0x' || substr(md5($bandConcat), 1, 15))::BIGINT
                      AS band_hash
-                 FROM sig, generate_series(0, 7) AS gs(b)),
+                 FROM sig, generate_series(0, ${Bands - 1}) AS gs(b)),
        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                 FROM bands a JOIN bands b
                   ON a.b = b.b AND a.band_hash = b.band_hash AND a.id < b.id),
@@ -94,12 +102,17 @@ object PipelineQueries {
                            JOIN it y ON y.id = cand.id_b)
        SELECT id_a, id_b, jaccard FROM verif
        WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+  }
 
+  /** D2: MinHash+LSH near-dup pairs — shingle → signature → band
+    * bucket join → exact Jaccard ≥ 0.6. The oracle replicates the
+    * entire algorithm (portable hashing); manufactured pairs sit at
+    * jaccard ≥ 0.875, noise at ≤ 0.03 — fat margins. */
   private val d2 = QueryDef(
     "d2_minhash_lsh_pairs",
     "MinHash+LSH near-duplicate pair mining",
     (s, dir) => Dedup.minhashLshPairs(dupCorpus(s, dir), "id", "text",
-      shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.6)
+      shingleLen = 3, numHashes = NumHashes, bands = Bands, threshold = 0.6)
       .orderBy("id_a", "id_b"),
     Some("WITH " + dupCorpusSql + ",\n" + lshOracleSql(
       """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -138,7 +151,7 @@ object PipelineQueries {
     "d4_ngram_jaccard_pairs",
     "char-n-gram Jaccard near-dup pairs (LSH-blocked)",
     (s, dir) => Dedup.ngramJaccardPairs(dupCorpus(s, dir), "id", "text",
-      n = 5, numHashes = 32, bands = 8, threshold = 0.7)
+      n = 5, numHashes = NumHashes, bands = Bands, threshold = 0.7)
       .orderBy("id_a", "id_b"),
     Some("WITH " + dupCorpusSql + ",\n" + lshOracleSql(
       """it AS (SELECT id, list_distinct(list_transform(
