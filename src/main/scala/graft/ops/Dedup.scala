@@ -62,6 +62,10 @@ object Dedup {
     // would duplicate the expensive base expression into all k slot
     // expressions (measured 2.4× slower). The shuffled payload is just
     // the long array, and LSH shuffles for the bucket join anyway.
+    // (A native single-pass kernel exists — graft.plans.MinhashSlots,
+    // bit-identical, spec-verified — but measured SLOWER in this plan
+    // at sf0.1: d4 68s vs 27s. Left available for future profiling;
+    // the HOF pipeline stays until the kernel wins on the clock.)
     val based = items
       .withColumn("base", minhashBase(col("items")))
       .repartition(col("id"))
