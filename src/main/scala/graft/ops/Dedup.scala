@@ -53,24 +53,32 @@ object Dedup {
     * re-attach items → exact Jaccard ≥ threshold.
     */
   private[ops] def lshJaccardPairs(withItems: DataFrame, numHashes: Int,
-      bands: Int, threshold: Double): DataFrame = {
+      bands: Int, threshold: Double, nativeKernel: Boolean): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val items = withItems.filter(size(col("items")) > 0)
-    // The exchange between base and slots is deliberate: it
-    // materializes the md5 pass ONCE per row; inlined, CollapseProject
-    // would duplicate the expensive base expression into all k slot
-    // expressions (measured 2.4× slower). The shuffled payload is just
-    // the long array, and LSH shuffles for the bucket join anyway.
-    // (A native single-pass kernel exists — graft.plans.MinhashSlots,
-    // bit-identical, spec-verified — but measured SLOWER in this plan
-    // at sf0.1: d4 68s vs 27s. Left available for future profiling;
-    // the HOF pipeline stays until the kernel wins on the clock.)
-    val based = items
-      .withColumn("base", minhashBase(col("items")))
-      .repartition(col("id"))
-    val sig = based.withColumn("sig",
-      minhashSlotsFromBase(col("base"), numHashes))
+    // Two signature paths, bit-identical (MinhashSlotsSpec):
+    //  - native kernel (graft.plans.MinhashSlots): one digest + k
+    //    running minima per row in a tight loop; 1.7× faster than the
+    //    HOF form when measured in isolation, and the faster full
+    //    pipeline for word shingles (d2: 12.1s vs 13.3s at sf0.1);
+    //  - composed HOF (minhashBase + slots) behind the exchange
+    //    barrier; unexpectedly the faster full pipeline for char
+    //    n-grams (d4: 20.6s vs 61.7s) — same signatures, same
+    //    candidates (verified), so the cause is downstream plan
+    //    interaction, unresolved this round.
+    // The repartition is the materialization barrier in both paths
+    // (CollapseProject would otherwise duplicate the expensive
+    // expression into every band-key consumer).
+    val sig =
+      if (nativeKernel)
+        items.withColumn("sig",
+          graft.plans.MinhashSlots.minhashSlots(col("items"), numHashes))
+          .repartition(col("id"))
+      else
+        items.withColumn("base", minhashBase(col("items")))
+          .repartition(col("id"))
+          .withColumn("sig", minhashSlotsFromBase(col("base"), numHashes))
     // candidates carry ids only — dedup never shuffles item arrays
     val banded = sig.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -99,7 +107,7 @@ object Dedup {
     lshJaccardPairs(
       df.select(col(idCol).as("id"),
         wordShingles(tokens(col(textCol)), shingleLen).as("items")),
-      numHashes, bands, threshold)
+      numHashes, bands, threshold, nativeKernel = true)
 
   /** SimHash values per doc; equal values = near-dup classes. The
     * token hashes are projected into their own column so each md5
@@ -125,7 +133,7 @@ object Dedup {
     lshJaccardPairs(
       df.select(col(idCol).as("id"),
         charNgrams(col(textCol), n).as("items")),
-      numHashes, bands, threshold)
+      numHashes, bands, threshold, nativeKernel = false)
 
   /** Embedding near-dup pairs: exact cosine within coarse blocks
     * (blockCol = any cheap cluster id; at scale, an IVF coarse
