@@ -579,6 +579,17 @@ object RelationalQueries {
             FROM part WHERE p_partkey < 300
             ORDER BY lower(name), name, p_partkey"""))
 
+  /** O2 (display.py:81): ORDER BY count DESC — the dashboard's
+    * most-filled-first ordering as its own row (also inside j1/a2). */
+  private val o2 = QueryDef(
+    "o2_count_desc_sort",
+    "descending count ordering",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_items"))
+      .orderBy(desc("n_items"), asc("l_suppkey")),
+    Some("""SELECT l_suppkey, count(*) AS n_items FROM lineitem
+            GROUP BY l_suppkey ORDER BY n_items DESC, l_suppkey"""))
+
   /** O3 (display.py:102): ORDER BY date DESC with nulls — SQLite puts
     * NULL last on DESC; Spark's desc_nulls_last matches; the oracle
     * pins it explicitly. Nulls manufactured via CASE. */
@@ -611,6 +622,19 @@ object RelationalQueries {
               strftime(l_shipdate, '%Y-%m-%d') AS ship
             FROM lineitem WHERE l_orderkey < 30
             ORDER BY l_linenumber ASC, ship DESC, l_orderkey ASC"""))
+
+  /** O5 (web_app.py:53, export_playlists.py:44): playlist-position
+    * ordering — curated order within each parent (also inside w1/s3). */
+  private val o5 = QueryDef(
+    "o5_position_order",
+    "per-parent curated position ordering",
+    (s, dir) => Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .orderBy(asc("l_orderkey"), asc("l_linenumber"), asc("l_partkey")),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+            WHERE l_orderkey < 100
+            ORDER BY l_orderkey, l_linenumber, l_partkey"""))
 
   /** O6 (display.py:556): top-k by sort + limit — Spark plans
     * TakeOrderedAndProject (per-partition heap + driver merge), which
@@ -681,5 +705,5 @@ object RelationalQueries {
     j1, j2, j3, j4, j5, j6, j7, j8, j9,
     a1, a2, a3, a4, a5, a6, a7,
     w1, w2, w3,
-    o1, o3, o4, o6, o7, o8)
+    o1, o2, o3, o4, o5, o6, o7, o8)
 }
