@@ -1,0 +1,142 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.connectors.FakeYouTubeConnector
+import graft.ingest.PlaylistJson
+import graft.ops.{ParquetTableStore, Upserts}
+import graft.functions.YtFunctions
+
+/** The run_me.py-equivalent driver (SURVEY §3.1): one CLI over the
+  * whole engine — sync a channel into the versioned store, query it,
+  * ingest/export the file formats.
+  *
+  * {{{
+  *   runMain graft.app.Main sync <channelRef> <storeDir>
+  *   runMain graft.app.Main summary <storeDir>
+  *   runMain graft.app.Main status <storeDir>
+  *   runMain graft.app.Main search-titles <storeDir> <query>
+  *   runMain graft.app.Main search-transcripts <storeDir> <query>
+  *   runMain graft.app.Main import-playlists <storeDir> <file.json>
+  *   runMain graft.app.Main export-playlists <storeDir> <out.json>
+  *   runMain graft.app.Main ingest-inbox <storeDir> <inboxDir>
+  * }}}
+  *
+  * The sync uses the deterministic offline connector (this container
+  * has no network); a live deployment swaps in a YouTubeConnector
+  * implementation — nothing else changes.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: <command> <storeDir> [args...]  (see scaladoc)")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[8]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  private def show(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = 60)
+
+  private[app] def run(spark: SparkSession, args: Array[String]): Unit = {
+    val cmd = args(0)
+    val store = new ParquetTableStore(args(1))
+    def t(name: String) = store.read(spark, name)
+
+    cmd match {
+      case "sync" =>
+        val Array(_, storeDir, channel) = args.take(3)
+        val pipe = new SyncPipeline(store, new FakeYouTubeConnector())
+        val report = pipe.syncChannel(spark, channel, current_timestamp())
+        println(s"synced channel '$channel' into $storeDir: " +
+          s"${report.playlists} playlists, +${report.added}/-${report.removed} " +
+          s"memberships, ${report.scraped} videos scraped")
+
+      case "summary" =>
+        show(YtQueries.playlistSummary(t("playlists"), t("playlist_videos")))
+        show(YtQueries.summaryStats(t("playlists"), t("videos"), t("transcripts")))
+
+      case "status" =>
+        val pipe = new SyncPipeline(store, new FakeYouTubeConnector())
+        show(pipe.pingStatus(spark)
+          .select("playlist_id", "status", "pinged_timestamp"))
+
+      case "search-titles" =>
+        show(YtQueries.searchTitles(t("videos"), t("playlist_videos"),
+          t("playlists"), args(2)))
+
+      case "search-transcripts" =>
+        show(YtQueries.searchTranscripts(t("transcripts"), t("videos"), args(2)))
+
+      case "import-playlists" =>
+        val incoming = PlaylistJson.importPlaylists(spark, args(2))
+          .withColumn("item_count", lit(null).cast("int"))
+          .withColumn("last_updated", lit(null).cast("timestamp"))
+        val merged =
+          if (!store.exists("playlists")) incoming
+          else Upserts.insertIfAbsent(store.read(spark, "playlists"), incoming,
+            Seq("playlist_id"))
+        store.commit(spark, "playlists", merged)
+        println(s"playlists table now has ${t("playlists").count()} rows")
+
+      case "export-playlists" =>
+        PlaylistJson.writeJsonArrayFile(
+          PlaylistJson.exportShape(t("playlists"), t("playlist_videos")), args(2))
+        println(s"exported to ${args(2)}")
+
+      case "ingest-inbox" =>
+        val parsed = spark.read.format("transcript-inbox").load(args(2))
+        val valid = Upserts.dedupKeepLast(
+          parsed.filter(col("valid")).select("video_id", "transcript"),
+          Seq("video_id"), Seq(col("transcript")))
+          // align to the full transcripts schema (add_transcripts.py
+          // stamps language='en' and the fetch time on file ingest)
+          .withColumn("language", lit("en"))
+          .withColumn("last_fetched_timestamp", current_timestamp())
+          .select("video_id", "language", "transcript", "last_fetched_timestamp")
+        val merged =
+          if (!store.exists("transcripts")) valid
+          else Upserts.conditionalUpsert(store.read(spark, "transcripts"),
+            valid, Seq("video_id")) { (inc, old) =>
+            YtFunctions.hasTimestamps(inc("transcript")) ||
+              !YtFunctions.hasTimestamps(old("transcript"))
+          }
+        store.commit(spark, "transcripts", merged)
+        // the reference also inserts a minimal videos row for inbox
+        // files whose video is unknown (add_transcripts.py:145-155)
+        val minimalVideos = parsed.filter(col("valid"))
+          .select(col("video_id"), col("title"),
+            lit(null).cast("string").as("description"),
+            lit(null).cast("string").as("channel"),
+            lit(null).cast("date").as("publish_date"),
+            lit(null).cast("int").as("duration_seconds"),
+            lit(null).cast("long").as("view_count"),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("channel_id"),
+            lit(null).cast("string").as("thumbnail_url"),
+            col("url").as("video_url"),
+            current_timestamp().as("last_scraped_timestamp"))
+        store.commit(spark, "videos",
+          if (!store.exists("videos")) minimalVideos
+          else Upserts.insertIfAbsent(store.read(spark, "videos"),
+            minimalVideos, Seq("video_id")))
+        val rejected = parsed.filter(!col("valid"))
+          .select("path", "reject_reason").collect()
+        rejected.foreach(r => println(s"rejected ${r.getString(0)}: ${r.getString(1)}"))
+        println(s"transcripts table now has ${t("transcripts").count()} rows")
+
+      case other =>
+        sys.error(s"unknown command '$other' — see graft.app.Main scaladoc")
+    }
+  }
+}
