@@ -81,6 +81,25 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** §2.9 periodic refresh (main_scraper.py:342-356): the reference's
+    * cron-ish re-run maps to Trigger.AvailableNow — process everything
+    * new since the last checkpoint, then STOP. Each invocation is one
+    * incremental batch over the files that appeared since the previous
+    * run (checkpointed offsets), with `process` applied per
+    * micro-batch — restart-safe incremental ETL without a resident
+    * stream. */
+  def availableNowRefresh(spark: SparkSession, inputDir: String,
+      schemaDDL: String, checkpointDir: String)(
+      process: DataFrame => Unit): StreamingQuery = {
+    val in = spark.readStream.schema(schemaDDL).parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => process(batch); () }
+      .start()
+  }
+
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class UserSession(user_id: Long, session_start: Timestamp,

@@ -37,6 +37,29 @@ class StreamsSpec extends SparkSpec {
       "ccccccccccc" -> "fresh insert"))     // unmatched inserted
   }
 
+  test("availableNow refresh: processes only files new since last run") {
+    import spark.implicits._
+    val in = tmpDir("anin")
+    val ckpt = tmpDir("anckpt")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def runOnce(): Unit = {
+      val q = Streams.availableNowRefresh(spark, in, "k long", ckpt) { b =>
+        seen.addAndGet(b.count())
+      }
+      try q.awaitTermination(60000) finally if (q.isActive) q.stop()
+    }
+    Seq(1L, 2L, 3L).toDF("k").write.mode("append").parquet(in)
+    runOnce()
+    assert(seen.get() == 3)
+    // second invocation with nothing new → no reprocessing
+    runOnce()
+    assert(seen.get() == 3)
+    // new file appears → only the delta processes
+    Seq(4L).toDF("k").write.mode("append").parquet(in)
+    runOnce()
+    assert(seen.get() == 4)
+  }
+
   test("sessionize: gap-based sessions via flatMapGroupsWithState") {
     import spark.implicits._
     import Streams.{UserEvent, UserSession}
