@@ -59,14 +59,12 @@ object Dedup {
     val items = withItems.filter(size(col("items")) > 0)
     // Two signature paths, bit-identical (MinhashSlotsSpec):
     //  - native kernel (graft.plans.MinhashSlots): one digest + k
-    //    running minima per row in a tight loop; 1.7× faster than the
-    //    HOF form when measured in isolation, and the faster full
-    //    pipeline for word shingles (d2: 12.1s vs 13.3s at sf0.1);
+    //    running minima per row in a tight loop (1.7× faster than the
+    //    HOF form in isolation); faster end-to-end for word shingles;
     //  - composed HOF (minhashBase + slots) behind the exchange
-    //    barrier; unexpectedly the faster full pipeline for char
-    //    n-grams (d4: 20.6s vs 61.7s) — same signatures, same
-    //    candidates (verified), so the cause is downstream plan
-    //    interaction, unresolved this round.
+    //    barrier; still measures faster end-to-end for char n-grams
+    //    (22s vs 31s cold at sf0.1) — the exchange topology shifts
+    //    which stage the verify condition lands in.
     // The repartition is the materialization barrier in both paths
     // (CollapseProject would otherwise duplicate the expensive
     // expression into every band-key consumer).
@@ -89,11 +87,26 @@ object Dedup {
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // re-attach items to the (small) candidate set for exact verify
+    // Exact verify over HASHED item sets. Two hard-won lessons baked
+    // in here (stack-sampled at sf0.1):
+    //  1. The Jaccard filter gets pushed into the broadcast-join
+    //     CONDITION and evaluates in the candidate stage, which AQE
+    //     coalesces to ONE partition by bytes — and an explicit
+    //     repartition cannot help because the optimizer eliminates it
+    //     (broadcast joins demand no distribution). Fighting the
+    //     planner is fragile;
+    //  2. so make the verify cheap instead: intersecting long arrays
+    //     is ~an order of magnitude cheaper than string arrays (the
+    //     hot frames were Murmur3-over-bytes + arrayEquals inside
+    //     OpenHashSet). Jaccard over 60-bit hashes equals Jaccard
+    //     over the strings up to negligible collisions, and the
+    //     DuckDB oracle hashes identically, so parity is exact.
+    val hashed = items.select(col("id"),
+      transform(col("items"), g => portableHash64(g)).as("hs"))
     cand
-      .join(items.select(col("id").as("id_a"), col("items").as("it_a")), "id_a")
-      .join(items.select(col("id").as("id_b"), col("items").as("it_b")), "id_b")
-      .withColumn("jaccard", jaccardSim(col("it_a"), col("it_b")))
+      .join(broadcast(hashed.select(col("id").as("id_a"), col("hs").as("h_a"))), "id_a")
+      .join(broadcast(hashed.select(col("id").as("id_b"), col("hs").as("h_b"))), "id_b")
+      .withColumn("jaccard", jaccardSim(col("h_a"), col("h_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -94,12 +94,15 @@ object PipelineQueries {
        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                 FROM bands a JOIN bands b
                   ON a.b = b.b AND a.band_hash = b.band_hash AND a.id < b.id),
+       hashed AS (SELECT id, list_transform(items, g ->
+                    ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+                  FROM it),
        verif AS (SELECT id_a, id_b,
-                   len(list_intersect(x.items, y.items))::DOUBLE /
-                   len(list_distinct(list_concat(x.items, y.items)))::DOUBLE
+                   len(list_intersect(x.hs, y.hs))::DOUBLE /
+                   len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE
                      AS jaccard
-                 FROM cand JOIN it x ON x.id = cand.id_a
-                           JOIN it y ON y.id = cand.id_b)
+                 FROM cand JOIN hashed x ON x.id = cand.id_a
+                           JOIN hashed y ON y.id = cand.id_b)
        SELECT id_a, id_b, jaccard FROM verif
        WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
   }
