@@ -385,8 +385,11 @@ object PipelineQueries {
         countDistinct(col("l_partkey")).as("exact_parts")),
     None)
 
-  /** SS2: LSH-bucketed ANN — probabilistic recall, so rows-only here;
-    * the spec asserts recall ≥ 0.4 vs the brute-force baseline. */
+  /** SS2: LSH-bucketed ANN. Approximate-by-construction but fully
+    * DETERMINISTIC (the hyperplanes derive from the portable hash),
+    * so the oracle replicates the whole algorithm — sign-bit
+    * bucketing, bucket join, exact cosine, rank. Recall vs the exact
+    * baseline is asserted separately in PipelineSpec. */
   private val ss2 = QueryDef(
     "ss2_lsh_ann_topk",
     "random-hyperplane LSH approximate top-k",
@@ -398,7 +401,44 @@ object PipelineQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""WITH bucketed AS (
+              SELECT vec_id AS id, embedding,
+                list_reduce(list_prepend(0::BIGINT,
+                  list_transform(generate_series(0, 3), p ->
+                    CASE WHEN
+                      list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(generate_series(1, len(embedding)), i ->
+                          embedding[i]::DOUBLE *
+                          ((('0x' || substr(md5(p::VARCHAR || ':' ||
+                              (i-1)::VARCHAR), 1, 15))::BIGINT::DOUBLE
+                            / 1.152921504606847e18) - 0.5))),
+                        (x, y) -> x + y) > 0
+                    THEN (1::BIGINT << p) ELSE 0::BIGINT END)),
+                  (a, b) -> a + b) AS bucket
+              FROM embeddings),
+            q AS (SELECT id AS query_id, embedding AS qv, bucket
+                  FROM bucketed WHERE id < 10),
+            c AS (SELECT id AS neighbor_id, embedding AS cv, bucket
+                  FROM bucketed),
+            scored AS (SELECT query_id, neighbor_id,
+                         list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(qv)),
+                           i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (x, y) -> x + y) /
+                         sqrt(
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(qv)),
+                             i -> qv[i]::DOUBLE * qv[i]::DOUBLE)), (x, y) -> x + y) *
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(cv)),
+                             i -> cv[i]::DOUBLE * cv[i]::DOUBLE)), (x, y) -> x + y))
+                         AS cos
+                       FROM q JOIN c USING (bucket)
+                       WHERE query_id != neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+                       FROM scored)
+            SELECT query_id, rank, neighbor_id
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, ss1, ss2, ts1, ts2, ts3, ts4, mm1, a7b)
