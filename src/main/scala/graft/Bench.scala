@@ -38,7 +38,10 @@ object Bench {
     // untimed warmup (session init, codegen, parquet footer caches)
     materialize("j1_parent_child_counts")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    // optional args: query names to time (default: the whole catalog)
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -87,25 +87,37 @@ object Dedup {
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // Exact verify over HASHED item sets. Two hard-won lessons baked
-    // in here (stack-sampled at sf0.1):
-    //  1. The Jaccard filter gets pushed into the broadcast-join
-    //     CONDITION and evaluates in the candidate stage, which AQE
-    //     coalesces to ONE partition by bytes — and an explicit
+    // Exact verify over HASHED item sets. Hard-won lessons baked in
+    // here (stack-sampled at sf0.1):
+    //  1. The Jaccard filter gets pushed into the join CONDITION; with
+    //     a broadcast join it evaluates in the candidate stage, which
+    //     AQE coalesces to ONE partition by bytes — and an explicit
     //     repartition cannot help because the optimizer eliminates it
-    //     (broadcast joins demand no distribution). Fighting the
-    //     planner is fragile;
-    //  2. so make the verify cheap instead: intersecting long arrays
-    //     is ~an order of magnitude cheaper than string arrays (the
-    //     hot frames were Murmur3-over-bytes + arrayEquals inside
-    //     OpenHashSet). Jaccard over 60-bit hashes equals Jaccard
-    //     over the strings up to negligible collisions, and the
-    //     DuckDB oracle hashes identically, so parity is exact.
+    //     (broadcast joins demand no distribution). So the verify
+    //     joins are pinned to SHUFFLE_HASH: the condition evaluates in
+    //     the join stage, partitioned by the join key — distributed at
+    //     any scale, AQE skew-split still applies.
+    //  2. Make the verify cheap: intersecting long arrays is ~an order
+    //     of magnitude cheaper than string arrays (the hot frames were
+    //     Murmur3-over-bytes + arrayEquals inside OpenHashSet).
+    //     Jaccard over 60-bit hashes equals Jaccard over the strings
+    //     up to negligible collisions, and the DuckDB oracle hashes
+    //     identically, so parity is exact.
+    //  3. NEVER broadcast the corpus (round-1 scale-killer): the
+    //     hashed item sets reach the verify through SHUFFLE joins
+    //     keyed by id — O(corpus) long-array shuffle, disk-backed and
+    //     partition-parallel at any scale, vs a broadcast that must
+    //     fit whole in every executor. (A semi-join shrinking the
+    //     corpus to candidate participants first was measured and
+    //     rejected: it re-evaluates the entire LSH candidate subtree
+    //     per semi-join — the signature pass is the dominant cost and
+    //     tripled. The two shuffle-side subtrees below canonicalize
+    //     identically, so ReuseExchange computes the md5 pass once.)
     val hashed = items.select(col("id"),
       transform(col("items"), g => portableHash64(g)).as("hs"))
     cand
-      .join(broadcast(hashed.select(col("id").as("id_a"), col("hs").as("h_a"))), "id_a")
-      .join(broadcast(hashed.select(col("id").as("id_b"), col("hs").as("h_b"))), "id_b")
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("h_a")).hint("shuffle_hash"), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("h_b")).hint("shuffle_hash"), "id_b")
       .withColumn("jaccard", jaccardSim(col("h_a"), col("h_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -66,7 +66,11 @@ object SourceQueries {
         .select(col("o_orderkey").as("playlist_id"),
           concat(lit("Order "), col("o_orderkey")).as("title"),
           concat(lit("https://o/"), col("o_orderkey")).as("url"))
+      // Gate shape: join the ordered array to a string — the driver's
+      // pandas harness can't hash array cells (round-1 red row). The
+      // library (exportShape) keeps the real nested array.
       PlaylistJson.exportShape(p, pv)
+        .withColumn("video_ids", array_join(col("video_ids"), ","))
         .orderBy("playlist_id")
     },
     Some("""WITH pv AS (SELECT l_orderkey AS playlist_id,
@@ -78,7 +82,7 @@ object SourceQueries {
                           FROM pv GROUP BY playlist_id)
             SELECT o_orderkey AS playlist_id, 'Order ' || o_orderkey AS title,
                    'https://o/' || o_orderkey AS url,
-                   coalesce(vids.video_ids, []) AS video_ids
+                   coalesce(array_to_string(vids.video_ids, ','), '') AS video_ids
             FROM orders LEFT JOIN vids ON o_orderkey = vids.playlist_id
             WHERE o_orderkey < 300
             ORDER BY playlist_id"""))
