@@ -27,6 +27,17 @@ object TextFunctions {
   def portableHash64(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** JVM-side twin of [[portableHash64]] — same md5-prefix value,
+    * computed at plan-build time. Lets operators bake deterministic
+    * pseudo-random constants (LSH hyperplane components) into the
+    * plan as literals instead of re-hashing a constant per row. */
+  def portableHash64Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
   /** Word n-gram shingles, space-joined; empty when too few tokens. */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))

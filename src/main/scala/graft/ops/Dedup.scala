@@ -160,9 +160,38 @@ object Dedup {
         charNgrams(col(textCol), n).as("items")),
       numHashes, bands, threshold, nativeKernel = false)
 
-  /** Embedding near-dup pairs: exact cosine within coarse blocks
-    * (blockCol = any cheap cluster id; at scale, an IVF coarse
-    * centroid id). Returns (id_a, id_b, cos). */
+  /** Embedding near-dup pairs blocked by IVF coarse-centroid cells
+    * ([[Ivf.assignments]]): candidate pairs are same-cell collisions
+    * (ids only — vectors re-attach through SHUFFLE_HASH joins, same
+    * discipline as the LSH verify), then exact cosine ≥ threshold.
+    * Within-cell work is (n/numCentroids)² per cell — the knob that
+    * keeps the quadratic term bounded as the corpus grows (pick
+    * numCentroids ~ sqrt(n)); `probes` ≥ 2 catches boundary pairs. */
+  def embeddingNearDupPairsIvf(df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, probes: Int, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val assign = Ivf.assignments(v, "id", "vec", numCentroids, probes)
+    val a = assign.select(col("centroid_id"), col("id").as("id_a"))
+    val b = assign.select(col("centroid_id"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withNorm = v.withColumn("norm", sqrt(dotProduct(col("vec"), col("vec"))))
+    cand
+      .join(withNorm.select(col("id").as("id_a"), col("vec").as("v_a"),
+        col("norm").as("n_a")).hint("shuffle_hash"), "id_a")
+      .join(withNorm.select(col("id").as("id_b"), col("vec").as("v_b"),
+        col("norm").as("n_b")).hint("shuffle_hash"), "id_b")
+      .withColumn("cos",
+        dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Embedding near-dup pairs: exact cosine within caller-provided
+    * coarse blocks (any cheap cluster id — for the self-deriving
+    * variant use [[embeddingNearDupPairsIvf]]). Returns
+    * (id_a, id_b, cos). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     // self-norms computed once per vector (not once per pair)

