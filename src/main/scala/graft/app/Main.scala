@@ -86,8 +86,8 @@ object Main {
           if (!store.exists("playlists")) incoming
           else Upserts.insertIfAbsent(store.read(spark, "playlists"), incoming,
             Seq("playlist_id"))
-        store.commit(spark, "playlists", merged)
-        println(s"playlists table now has ${t("playlists").count()} rows")
+        val committed = store.commit(spark, "playlists", merged)
+        println(s"playlists table now has ${committed.count()} rows")
 
       case "export-playlists" =>
         PlaylistJson.writeJsonArrayFile(
@@ -111,7 +111,7 @@ object Main {
             YtFunctions.hasTimestamps(inc("transcript")) ||
               !YtFunctions.hasTimestamps(old("transcript"))
           }
-        store.commit(spark, "transcripts", merged)
+        val committedTx = store.commit(spark, "transcripts", merged)
         // the reference also inserts a minimal videos row for inbox
         // files whose video is unknown (add_transcripts.py:145-155)
         val minimalVideos = parsed.filter(col("valid"))
@@ -133,7 +133,7 @@ object Main {
         val rejected = parsed.filter(!col("valid"))
           .select("path", "reject_reason").collect()
         rejected.foreach(r => println(s"rejected ${r.getString(0)}: ${r.getString(1)}"))
-        println(s"transcripts table now has ${t("transcripts").count()} rows")
+        println(s"transcripts table now has ${committedTx.count()} rows")
 
       case other =>
         sys.error(s"unknown command '$other' — see graft.app.Main scaladoc")

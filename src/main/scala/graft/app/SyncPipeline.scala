@@ -30,19 +30,18 @@ final class SyncPipeline(store: ParquetTableStore, connector: YouTubeConnector,
   /** One full channel sync (run_me.py:225-257 equivalent). `now` is
     * injected for reproducibility (F9/U7). */
   def syncChannel(spark: SparkSession, channelRef: String, now: Column): SyncReport = {
-    // Version hygiene: a DataFrame read from version N of a store
-    // table must NOT be reused after a later commit of that table —
-    // the commit's pruning can delete N under the lazy plan. Pattern:
-    // commit, then re-read the published version for downstream use.
+    // Version hygiene: commit() returns the RE-READ frame (reading
+    // the published version's files, not the input's lazy plan), so
+    // it is safe to keep using downstream — even across the next
+    // commit of the same table.
     // S10 + U1: refresh the playlists table
     val remotePl = connector.channelPlaylists(spark, channelRef)
       .withColumn("item_count", lit(null).cast("int"))
       .withColumn("last_updated", lit(null).cast("timestamp"))
-    store.commit(spark, "playlists",
+    val playlists = store.commit(spark, "playlists",
       if (!store.exists("playlists")) remotePl
       else Upserts.upsertLastWriteWins(store.read(spark, "playlists"), remotePl,
         Seq("playlist_id")))
-    val playlists = store.read(spark, "playlists")
     val nPlaylists = playlists.count()
     ping(spark, playlists.select(col("playlist_id")), "started", now)
 
@@ -54,8 +53,7 @@ final class SyncPipeline(store: ParquetTableStore, connector: YouTubeConnector,
     val sync = Upserts.diffSync(stored, remote, Seq("playlist_id", "video_id"))
     val nAdds = sync.adds.count()
     val nRemoves = sync.removes.count()
-    store.commit(spark, "playlist_videos", sync.synced)
-    val memberships = store.read(spark, "playlist_videos")
+    val memberships = store.commit(spark, "playlist_videos", sync.synced)
 
     // U3-equivalent: refresh item_count/last_updated from the sync
     val counts = memberships.groupBy("playlist_id")
@@ -65,7 +63,7 @@ final class SyncPipeline(store: ParquetTableStore, connector: YouTubeConnector,
       .withColumn("item_count", coalesce(col("item_count"), lit(0)))
       .withColumn("last_updated", now)
       .select(playlists.columns.map(col).toIndexedSeq: _*)
-    store.commit(spark, "playlists", playlists2)
+    val playlists2Committed = store.commit(spark, "playlists", playlists2)
 
     // work list: member videos never scraped or stale (U7 + J9)
     val memberIds = memberships.select(col("video_id")).distinct()
@@ -103,7 +101,7 @@ final class SyncPipeline(store: ParquetTableStore, connector: YouTubeConnector,
       else Upserts.upsertLastWriteWins(store.read(spark, "transcripts"),
         transcriptsNew, Seq("video_id")))
 
-    ping(spark, store.read(spark, "playlists").select(col("playlist_id")),
+    ping(spark, playlists2Committed.select(col("playlist_id")),
       "completed", now)
     SyncReport(nPlaylists, nAdds, nRemoves, nScraped)
   }

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Add-only schema evolution for stored tables — the engine analog of
+  * the reference's runtime migrations (migrate_schema.py:15-42 probes
+  * PRAGMA table_info and ALTER TABLE ADD COLUMN;
+  * main_scraper.py:245-251 and update_playlists_metadata.py:44-52 do
+  * the same ad hoc before writes). Semantics: a merge may ADD columns
+  * (old rows read as null) and may OMIT stored columns (incoming rows
+  * get null); it never drops or retypes a stored column — name
+  * collisions cast the incoming side to the STORED type, keeping the
+  * table schema authoritative exactly like ALTER TABLE ADD COLUMN
+  * keeps existing columns intact.
+  */
+object SchemaEvolution {
+
+  /** Widen `stored` and `incoming` to the union schema: stored column
+    * order first (incoming cast to stored types, null where absent),
+    * then genuinely new incoming columns appended (null-filled on the
+    * stored side). Both outputs have identical schemas, ready for any
+    * keyed merge. */
+  def align(stored: DataFrame, incoming: DataFrame): (DataFrame, DataFrame) = {
+    val storedFields = stored.schema.fields
+    val storedNames = storedFields.map(_.name).toSet
+    val newFields = incoming.schema.fields.filterNot(f => storedNames.contains(f.name))
+    val incomingNames = incoming.schema.fields.map(_.name).toSet
+
+    val storedOut = stored.select(
+      storedFields.map(f => col(f.name)) ++
+        newFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val incomingOut = incoming.select(
+      storedFields.map(f =>
+        if (incomingNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)) ++
+        newFields.map(f => col(f.name)): _*)
+    (storedOut, incomingOut)
+  }
+
+  /** True when a merge of `incoming` into `stored` needs alignment. */
+  def differs(stored: DataFrame, incoming: DataFrame): Boolean =
+    stored.schema != incoming.schema
+}

@@ -1,20 +1,41 @@
 package graft.ops
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 
 import graft.SparkSpec
 
 class ParquetTableStoreSpec extends SparkSpec {
 
+  private def inodesUnder(dir: Path): Map[String, Long] =
+    Files.walk(dir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => dir.relativize(p).toString ->
+        Files.getAttribute(p, "unix:ino").asInstanceOf[Long])
+      .toMap
+
   test("commit/read round-trip and version bump") {
     import spark.implicits._
     val store = new ParquetTableStore(tmpDir("store"))
-    val v0 = store.commit(spark, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
-    assert(v0 == 0)
+    store.commit(spark, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(store.currentVersion("t").contains(0L))
     assert(store.read(spark, "t").count() == 2)
-    val v1 = store.commit(spark, "t", Seq((1, "a")).toDF("k", "v"))
-    assert(v1 == 1)
+    store.commit(spark, "t", Seq((1, "a")).toDF("k", "v"))
+    assert(store.currentVersion("t").contains(1L))
     assert(store.read(spark, "t").count() == 1)
+  }
+
+  test("commit returns the re-read frame, reusable across a later commit") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("store")) // keepVersions = 2
+    val committed = store.commit(spark, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    // a SECOND commit bumps the version; the returned frame must keep
+    // working because it reads the published v=0 files (which
+    // keepVersions=2 retains), not the caller's lazy input plan
+    store.commit(spark, "t", Seq((9, "z")).toDF("k", "v"))
+    assert(committed.count() == 2)
+    assert(committed.collect().map(_.getInt(0)).toSet == Set(1, 2))
   }
 
   test("upsert creates then merges with LWW semantics") {
@@ -25,6 +46,80 @@ class ParquetTableStoreSpec extends SparkSpec {
     val got = store.read(spark, "videos").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("v1", "new"), ("v2", "keep"), ("v3", "add")))
+  }
+
+  test("upsert evolves the schema add-only (migrate_schema analog)") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("store"))
+    // reference's old 3-column playlists schema …
+    store.upsert(spark, "playlists",
+      Seq(("PL1", "First", "u1"), ("PL2", "Second", "u2"))
+        .toDF("playlist_id", "title", "url"),
+      Seq("playlist_id"))
+    // … a producer that grew item_count/last_updated merges cleanly
+    val incoming = Seq(("PL2", "Second v2", "u2", 10, "2026-01-01"),
+      ("PL3", "Third", "u3", 5, "2026-01-02"))
+      .toDF("playlist_id", "title", "url", "item_count", "last_updated")
+    val out = store.upsert(spark, "playlists", incoming, Seq("playlist_id"))
+    assert(out.columns.toSeq ==
+      Seq("playlist_id", "title", "url", "item_count", "last_updated"))
+    val byId = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("PL1").isNullAt(3) && byId("PL1").isNullAt(4)) // old row widened
+    assert(byId("PL2").getString(1) == "Second v2" && byId("PL2").getInt(3) == 10)
+    assert(byId("PL3").getInt(3) == 5)
+    // and an incoming frame MISSING a stored column still merges
+    val out2 = store.upsert(spark, "playlists",
+      Seq(("PL4", "Fourth")).toDF("playlist_id", "title"), Seq("playlist_id"))
+    val pl4 = out2.collect().find(_.getString(0) == "PL4").get
+    assert(pl4.isNullAt(2) && pl4.isNullAt(3))
+    assert(out2.count() == 4)
+  }
+
+  test("bucketed upsert rewrites only touched buckets; rest are hard-linked") {
+    import spark.implicits._
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root)
+    val base = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 8)
+    assert(store.numBuckets("t").contains(8))
+    val v0 = Paths.get(root, "t", "v=0")
+    val before = inodesUnder(v0)
+    assert(before.keys.map(_.split('/').head).toSet.size > 1, "multiple buckets expected")
+
+    // delta: one existing key updated + one new key
+    val delta = Seq(("k1", "v1-new"), ("k999", "fresh")).toDF("k", "v")
+    val out = store.upsertBucketed(spark, "t", delta, Seq("k"))
+    val v1 = Paths.get(root, "t", "v=1")
+    val after = inodesUnder(v1)
+
+    // merged contents = full LWW semantics
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.size == 101 && got("k1") == "v1-new" && got("k999") == "fresh"
+      && got("k50") == "v50")
+    // the public frame never exposes the internal bucket column
+    assert(!out.columns.contains("__kb"))
+
+    // untouched bucket dirs must be the SAME inodes (hard links);
+    // touched buckets must be new files
+    val rewritten = after.keys.map(_.split('/').head).toSet.filter { d =>
+      after.exists { case (rel, ino) =>
+        rel.startsWith(d + "/") && !before.get(rel).contains(ino) }
+    }
+    val sharedInodes = after.filter { case (rel, ino) => before.get(rel).contains(ino) }
+    assert(sharedInodes.nonEmpty, "expected hard-linked untouched buckets")
+    assert(rewritten.nonEmpty && rewritten.size <= 2,
+      s"delta of 2 keys must touch at most 2 buckets, saw $rewritten")
+
+    // prune safety: enough commits to delete v=0; linked data survives
+    store.upsertBucketed(spark, "t",
+      Seq(("k2", "v2-new")).toDF("k", "v"), Seq("k"))
+    store.upsertBucketed(spark, "t",
+      Seq(("k3", "v3-new")).toDF("k", "v"), Seq("k"))
+    assert(!Files.exists(v0))
+    val finalGot = store.read(spark, "t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(finalGot.size == 101 && finalGot("k50") == "v50"
+      && finalGot("k3") == "v3-new")
   }
 
   test("old versions are pruned, current survives") {
