@@ -156,4 +156,29 @@ class IngestSpec extends SparkSpec {
     assert(got(0).getString(0) == "PL9")
     assert(got(0).getString(2) == "https://www.youtube.com/playlist?list=PL9")
   }
+
+  test("S4: CSV-export reader — variant headers, quoting, empty cells") {
+    // the shape a real export?format=csv response has: header-driven
+    // keys, quoted fields with commas/doubled quotes, empty cells
+    val csv = Seq(
+      "id,name,url",
+      "PL1,\"Jazz, \"\"Late\"\" Night\",https://u/PL1",
+      "PL2,Plain,",            // empty url -> synthesized
+      ",No id -> dropped,x",   // empty id cell -> row dropped
+      "PL3,\"Multi\nline\","   // embedded newline survives quoting
+    ).mkString("\r\n")
+    val f = Paths.get(tmpDir("sheet"), "ws.csv")
+    Files.write(f, csv.getBytes("UTF-8"))
+    val got = SheetsSource.toPlaylists(spark,
+      new SheetsSource.CsvExport(f.toUri.toString))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("PL1", "Jazz, \"Late\" Night", "https://u/PL1"),
+      ("PL2", "Plain", "https://www.youtube.com/playlist?list=PL2"),
+      ("PL3", "Multi\nline", "https://www.youtube.com/playlist?list=PL3")))
+    // endpoint construction is the documented public surface
+    assert(SheetsSource.csvExportUrl("SHEET", 7) ==
+      "https://docs.google.com/spreadsheets/d/SHEET/export?format=csv&gid=7")
+  }
 }
