@@ -53,33 +53,28 @@ object Dedup {
     * re-attach items → exact Jaccard ≥ threshold.
     */
   private[ops] def lshJaccardPairs(withItems: DataFrame, numHashes: Int,
-      bands: Int, threshold: Double, nativeKernel: Boolean): DataFrame = {
+      bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val items = withItems.filter(size(col("items")) > 0)
-    // Two signature paths, bit-identical (MinhashSlotsSpec):
-    //  - native kernel (graft.plans.MinhashSlots): one digest + k
-    //    running minima per row in a tight loop (1.7× faster than the
-    //    HOF form in isolation); faster end-to-end for word shingles;
-    //  - composed HOF (minhashBase + slots) behind the exchange
-    //    barrier; still measures faster end-to-end for char n-grams
-    //    (22s vs 31s cold at sf0.1) — the exchange topology shifts
-    //    which stage the verify condition lands in.
-    // The repartition is the materialization barrier in both paths
-    // (CollapseProject would otherwise duplicate the expensive
-    // expression into every band-key consumer).
-    val sig =
-      if (nativeKernel)
-        items.withColumn("sig",
-          graft.plans.MinhashSlots.minhashSlots(col("items"), numHashes))
-          .repartition(col("id"))
-      else
-        items.withColumn("base", minhashBase(col("items")))
-          .repartition(col("id"))
-          .withColumn("sig", minhashSlotsFromBase(col("base"), numHashes))
-    // candidates carry ids only — dedup never shuffles item arrays
+    // Signature via the native kernel (graft.plans.MinhashSlots): one
+    // digest + k running minima per row in a tight codegen'd loop,
+    // bit-identical to the composed HOF form (MinhashSlotsSpec).
+    // (Round 1 kept a per-operator HOF fallback because char-grams
+    // measured faster composed; with the shuffle-hash verify and the
+    // native band-key/jaccard kernels the native path wins for both —
+    // word shingles and char n-grams — so the selection is gone.)
+    // The repartition is the materialization barrier (CollapseProject
+    // would otherwise duplicate the expensive signature into every
+    // band-key consumer).
+    val sig = items.withColumn("sig",
+      graft.plans.MinhashSlots.minhashSlots(col("items"), numHashes))
+      .repartition(col("id"))
+    // candidates carry ids only — dedup never shuffles item arrays.
+    // Band keys via the native kernel (bit-identical to the HOF form;
+    // LshKernelsSpec) — one digest pass per band, codegen'd.
     val banded = sig.select(col("id"),
-      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      explode(graft.plans.LshKernels.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"),
         col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -118,7 +113,8 @@ object Dedup {
     cand
       .join(hashed.select(col("id").as("id_a"), col("hs").as("h_a")).hint("shuffle_hash"), "id_a")
       .join(hashed.select(col("id").as("id_b"), col("hs").as("h_b")).hint("shuffle_hash"), "id_b")
-      .withColumn("jaccard", jaccardSim(col("h_a"), col("h_b")))
+      .withColumn("jaccard",
+        graft.plans.LshKernels.hashedJaccard(col("h_a"), col("h_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -132,7 +128,7 @@ object Dedup {
     lshJaccardPairs(
       df.select(col(idCol).as("id"),
         wordShingles(tokens(col(textCol)), shingleLen).as("items")),
-      numHashes, bands, threshold, nativeKernel = true)
+      numHashes, bands, threshold)
 
   /** SimHash values per doc; equal values = near-dup classes. The
     * token hashes are projected into their own column so each md5
@@ -158,7 +154,7 @@ object Dedup {
     lshJaccardPairs(
       df.select(col(idCol).as("id"),
         charNgrams(col(textCol), n).as("items")),
-      numHashes, bands, threshold, nativeKernel = false)
+      numHashes, bands, threshold)
 
   /** Embedding near-dup pairs blocked by IVF coarse-centroid cells
     * ([[Ivf.assignments]]): candidate pairs are same-cell collisions

@@ -1,0 +1,161 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Native codegen kernels for the two remaining interpreted HOF hot
+  * spots in the LSH dedup pipeline (the signature pass already has
+  * [[MinhashSlots]]):
+  *
+  *  - [[LshBandKeys]]: signature → per-band (band, band_hash) structs.
+  *    Replaces `transform(sequence, b → struct(b, md5(concat_ws(slice
+  *    …))))` — per-band slice/transform/concat allocations, all
+  *    interpreted — with one digest pass per band over a reused
+  *    builder.
+  *  - [[HashedJaccard]]: exact Jaccard of two long-array item sets.
+  *    Replaces `size(array_intersect)/size(array_union)` — which
+  *    builds two intermediate ArrayData per pair — with two hash-set
+  *    probes and no intermediate arrays.
+  *
+  * Both are BIT-IDENTICAL to their composed forms (specs assert it on
+  * randomized inputs), so the DuckDB oracle needs no change.
+  */
+case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"lsh_band_keys expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("band_hash", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "lsh_band_keys"
+
+  override def nullSafeEval(sig: Any): Any =
+    LshKernels.bandKeys(sig.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(cg: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(cg, ev, sig => {
+      val cls = LshKernels.getClass.getName.stripSuffix("$")
+      s"""
+         |${ev.value} = $cls.bandKeys($sig, $bands, $rowsPerBand);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class HashedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hashed_jaccard expects two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hashed_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LshKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(cg: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(cg, ev, (a, b) => {
+      val cls = LshKernels.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.jaccard($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LshKernels {
+
+  private val digestTL = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** portableHash64 of a byte string: top 60 bits (15 hex chars) of
+    * the md5 digest — identical to conv(substr(md5(s),1,15),16,10). */
+  private def hash60(md: MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Static kernel: band b's key is portableHash64 of the band's
+    * slots rendered as "s0,s1,…" (concat_ws(",") of the longs) —
+    * byte-for-byte the composed form's input. */
+  def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val md = digestTL.get()
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rowsPerBand * 20)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rowsPerBand) {
+        val idx = b * rowsPerBand + r
+        if (idx < sig.numElements()) {
+          if (r > 0) sb.append(',')
+          sb.append(sig.getLong(idx))
+        }
+        r += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(b) = new GenericInternalRow(Array[Any](b, hash60(md, bytes)))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact set-Jaccard over long arrays; 0.0 when both sets are empty
+    * (mirrors the composed form's `when(union = 0, 0.0)` guard). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[java.lang.Long](
+      Math.max(8, a.numElements() * 2))
+    var i = 0
+    while (i < a.numElements()) { sa.add(a.getLong(i)); i += 1 }
+    val sb = new java.util.HashSet[java.lang.Long](
+      Math.max(8, b.numElements() * 2))
+    var inter = 0
+    i = 0
+    while (i < b.numElements()) {
+      val v: java.lang.Long = b.getLong(i)
+      if (sb.add(v) && sa.contains(v)) inter += 1
+      i += 1
+    }
+    val union = sa.size() + sb.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** Column-API entry points. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    bridge.column(LshBandKeys(bridge.expression(sig), bands, rowsPerBand))
+
+  def hashedJaccard(a: Column, b: Column): Column =
+    bridge.column(HashedJaccard(bridge.expression(a), bridge.expression(b)))
+}
