@@ -172,14 +172,14 @@ object Dedup {
     val cand = a.join(b, Seq("centroid_id"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val withNorm = v.withColumn("norm", sqrt(dotProduct(col("vec"), col("vec"))))
+    val withNorm = v.withColumn("norm", sqrt(graft.plans.VectorKernels.dotProduct(col("vec"), col("vec"))))
     cand
       .join(withNorm.select(col("id").as("id_a"), col("vec").as("v_a"),
         col("norm").as("n_a")).hint("shuffle_hash"), "id_a")
       .join(withNorm.select(col("id").as("id_b"), col("vec").as("v_b"),
         col("norm").as("n_b")).hint("shuffle_hash"), "id_b")
       .withColumn("cos",
-        dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        graft.plans.VectorKernels.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -193,7 +193,7 @@ object Dedup {
     // self-norms computed once per vector (not once per pair)
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       col(vecCol).as("vec"))
-      .withColumn("norm", sqrt(dotProduct(col("vec"), col("vec"))))
+      .withColumn("norm", sqrt(graft.plans.VectorKernels.dotProduct(col("vec"), col("vec"))))
     val a = v.select(col("block"), col("id").as("id_a"),
       col("vec").as("v_a"), col("norm").as("n_a"))
     val b = v.select(col("block"), col("id").as("id_b"),
@@ -201,7 +201,7 @@ object Dedup {
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        graft.plans.VectorKernels.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

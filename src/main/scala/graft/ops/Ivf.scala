@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions._
+import graft.plans.VectorKernels
 
 /** IVF-style coarse quantization: assign every vector to its nearest
   * coarse-centroid cell(s), giving dedup/ANN a block key whose cell
@@ -47,7 +47,7 @@ object Ivf {
       .crossJoin(broadcast(anchors))
       .select(col("id"),
         slice(array_sort(transform(col("__anchors"), a =>
-          struct((lit(0.0) - cosineSim(col("__vec"), a.getField("vec"))).as("neg"),
+          struct((lit(0.0) - VectorKernels.cosineSim(col("__vec"), a.getField("vec"))).as("neg"),
             a.getField("centroid_id").as("cid")))), 1, probes).as("__top"))
       .select(col("id"), explode(col("__top")).as("__p"))
       .select(col("id"), col("__p.cid").as("centroid_id"))

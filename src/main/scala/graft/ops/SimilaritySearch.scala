@@ -33,7 +33,7 @@ object SimilaritySearch {
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("cos", graft.plans.VectorKernels.cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -116,7 +116,7 @@ object SimilaritySearch {
       .join(candidates
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .hint("shuffle_hash"), "neighbor_id")
-      .withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("cos", graft.plans.VectorKernels.cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
