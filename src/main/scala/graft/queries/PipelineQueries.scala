@@ -163,10 +163,10 @@ object PipelineQueries {
                 FROM corpus WHERE length(text) >= 5)""", 0.7)))
 
   /** D5: embedding near-dup pairs, blocked by IVF coarse-centroid
-    * cells (16-anchor sample codebook, 2 probes), exact cosine ≥ 0.9.
+    * cells (64-anchor sample codebook, 2 probes), exact cosine ≥ 0.9.
     * Natural cross-vector cosine tops out at 0.48; the perturbed
     * copies (one component bumped) sit ≈ 0.99. The oracle replicates
-    * the whole pipeline: codebook = 16 lowest-id corpus vectors,
+    * the whole pipeline: codebook = 64 lowest-id corpus vectors,
     * assignment = top-2 anchors by (cos DESC, cid), candidates =
     * same-cell collisions, verify = precomputed-norm cosine. */
   private val d5 = QueryDef(
@@ -181,7 +181,7 @@ object PipelineQueries {
             array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
             slice(col("embedding"), 2, 63)).as("embedding"))
       Dedup.embeddingNearDupPairsIvf(e.unionByName(perturbed),
-        "id", "embedding", numCentroids = 16, probes = 2, threshold = 0.9)
+        "id", "embedding", numCentroids = 64, probes = 2, threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
         .orderBy("id_a", "id_b")
     },
@@ -192,7 +192,7 @@ object PipelineQueries {
                 list_concat([(embedding[1] + 0.25)::FLOAT], embedding[2:64])
               FROM embeddings WHERE vec_id % 5 = 0),
             anchors AS (SELECT id AS cid, embedding AS avec
-                        FROM corpus ORDER BY id LIMIT 16),
+                        FROM corpus ORDER BY id LIMIT 64),
             -- anchor affinity mirrors the engine's cosineSim shape:
             -- dot / sqrt(aa * bb) (single sqrt of the product)
             ranked_a AS (SELECT c.id, a.cid,
