@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -43,73 +44,94 @@ object Dedup {
     df.join(reps, Seq(idCol), "left_semi")
   }
 
+  /** Default per-(band, bucket) candidate cap: finite so a naive
+    * caller gets the scale-safe plan (one boilerplate-text bucket
+    * cannot go quadratic); large enough that it never binds on
+    * ordinary corpora. Callers with an oracle mirror the cap rule. */
+  val DefaultBucketCap: Int = 10000
+
+  /** All unordered pairs (id_a < id_b) from a SORTED id array — the
+    * in-bucket candidate explosion. */
+  private def sortedPairs(ids: Column): Column =
+    flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+      transform(sequence(i + 1, size(ids)), j =>
+        struct(element_at(ids, i).as("id_a"),
+          element_at(ids, j).as("id_b")))))
+
   /** LSH candidate pairs + exact Jaccard verify over an item-set
     * column — the shared engine under both the word-shingle and the
     * char-n-gram near-dup operators.
     *
     * `withItems` must provide (id, items: array<string>). Pipeline:
-    * items → base hashes → k affine MinHash slots → band keys →
-    * bucket equi-join (ids only) → distinct candidate pairs →
-    * re-attach items → exact Jaccard ≥ threshold.
+    * items → ONE md5 pass (hashed item sets, materialized) → k affine
+    * MinHash slots from the hashes → band keys → per-bucket cap →
+    * in-bucket pair explosion (ids only) → distinct candidate pairs →
+    * re-attach hashed sets → exact Jaccard ≥ threshold.
+    *
+    * The md5-per-item pass is the dominant cost at every scale, and
+    * this plan pays it EXACTLY ONCE: `hashed` is materialized eagerly
+    * (localCheckpoint — the blocks are freed by the context cleaner
+    * once the result frame is unreachable), the signature derives
+    * from the stored hashes via [[graft.plans.MinhashSlotsFromHashes]]
+    * (pure arithmetic, no digests), and both verify sides re-read the
+    * same blocks. (The round-2 self-join shape re-evaluated the
+    * signature subtree per join side — ReuseExchange does NOT fire
+    * across renamed-column subtrees — so the corpus was scanned 8×
+    * and digested ~2×. On a multi-executor cluster swap
+    * localCheckpoint for a reliable `checkpoint` dir if executor loss
+    * must not fail the job; the semantics are identical.)
+    *
+    * Candidate generation is a single groupBy over (band, band_hash):
+    * window-cap the bucket membership (first `bucketCap` by id —
+    * streaming sort, never a corpus-sized buffer), collect the ≤cap
+    * ids, explode the in-bucket pairs. One shuffle, one evaluation of
+    * the signature pass, and a hot bucket is bounded at cap²/2 pairs.
     */
   private[ops] def lshJaccardPairs(withItems: DataFrame, numHashes: Int,
-      bands: Int, threshold: Double): DataFrame = {
+      bands: Int, threshold: Double,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(bucketCap >= 2, "bucketCap must admit at least one pair")
     val rowsPerBand = numHashes / bands
     val items = withItems.filter(size(col("items")) > 0)
-    // Signature via the native kernel (graft.plans.MinhashSlots): one
-    // digest + k running minima per row in a tight codegen'd loop,
-    // bit-identical to the composed HOF form (MinhashSlotsSpec).
-    // (Round 1 kept a per-operator HOF fallback because char-grams
-    // measured faster composed; with the shuffle-hash verify and the
-    // native band-key/jaccard kernels the native path wins for both —
-    // word shingles and char n-grams — so the selection is gone.)
-    // The repartition is the materialization barrier (CollapseProject
-    // would otherwise duplicate the expensive signature into every
-    // band-key consumer).
-    val sig = items.withColumn("sig",
-      graft.plans.MinhashSlots.minhashSlots(col("items"), numHashes))
-      .repartition(col("id"))
-    // candidates carry ids only — dedup never shuffles item arrays.
-    // Band keys via the native kernel (bit-identical to the HOF form;
-    // LshKernelsSpec) — one digest pass per band, codegen'd.
-    val banded = sig.select(col("id"),
-      explode(graft.plans.LshKernels.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"),
-        col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // Exact verify over HASHED item sets. Hard-won lessons baked in
-    // here (stack-sampled at sf0.1):
-    //  1. The Jaccard filter gets pushed into the join CONDITION; with
-    //     a broadcast join it evaluates in the candidate stage, which
-    //     AQE coalesces to ONE partition by bytes — and an explicit
-    //     repartition cannot help because the optimizer eliminates it
-    //     (broadcast joins demand no distribution). So the verify
-    //     joins are pinned to SHUFFLE_HASH: the condition evaluates in
-    //     the join stage, partitioned by the join key — distributed at
-    //     any scale, AQE skew-split still applies.
-    //  2. Make the verify cheap: intersecting long arrays is ~an order
-    //     of magnitude cheaper than string arrays (the hot frames were
-    //     Murmur3-over-bytes + arrayEquals inside OpenHashSet).
-    //     Jaccard over 60-bit hashes equals Jaccard over the strings
-    //     up to negligible collisions, and the DuckDB oracle hashes
-    //     identically, so parity is exact.
-    //  3. NEVER broadcast the corpus (round-1 scale-killer): the
-    //     hashed item sets reach the verify through SHUFFLE joins
-    //     keyed by id — O(corpus) long-array shuffle, disk-backed and
-    //     partition-parallel at any scale, vs a broadcast that must
-    //     fit whole in every executor. (A semi-join shrinking the
-    //     corpus to candidate participants first was measured and
-    //     rejected: it re-evaluates the entire LSH candidate subtree
-    //     per semi-join — the signature pass is the dominant cost and
-    //     tripled. The two shuffle-side subtrees below canonicalize
-    //     identically, so ReuseExchange computes the md5 pass once.)
+    // THE md5 pass — once, materialized. 60-bit portable hashes keep
+    // the verify exact (Jaccard over the hashes equals Jaccard over
+    // the strings up to negligible collisions, and the DuckDB oracle
+    // hashes identically).
     val hashed = items.select(col("id"),
       transform(col("items"), g => portableHash64(g)).as("hs"))
+      .localCheckpoint(true)
+    // Signature from the stored hashes (no digests), band keys via
+    // the native kernel — both codegen'd, evaluated once inside the
+    // single candidate-generation pass below.
+    val banded = hashed.select(col("id"),
+      explode(graft.plans.LshKernels.lshBandKeys(
+        graft.plans.MinhashSlots.minhashSlotsFromHashes(col("hs"), numHashes),
+        bands, rowsPerBand)).as("bk"))
+      .select(col("id"),
+        col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    // Window + groupBy share one exchange on (band, band_hash): the
+    // row_number cap streams through the sorted bucket (no giant
+    // in-memory list for a pathological bucket), then collect_list
+    // holds at most `bucketCap` ids.
+    val wb = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(col("id").asc)
+    val buckets = banded
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= bucketCap)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cand = buckets
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    // Exact verify over the SAME materialized hashed sets. The joins
+    // are pinned SHUFFLE_HASH: with a broadcast join the Jaccard
+    // condition would evaluate in an AQE-coalesced single-partition
+    // probe stage, and the corpus must never broadcast (round-1
+    // scale-killer) — shuffle joins keyed by id stay disk-backed and
+    // partition-parallel at any scale, AQE skew-split still applies.
     cand
       .join(hashed.select(col("id").as("id_a"), col("hs").as("h_a")).hint("shuffle_hash"), "id_a")
       .join(hashed.select(col("id").as("id_b"), col("hs").as("h_b")).hint("shuffle_hash"), "id_b")
@@ -124,19 +146,21 @@ object Dedup {
     * verify ≥ `threshold`. Returns (id_a, id_b, jaccard), id_a < id_b. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6): DataFrame =
+      threshold: Double = 0.6, bucketCap: Int = DefaultBucketCap): DataFrame =
     lshJaccardPairs(
       df.select(col(idCol).as("id"),
         wordShingles(tokens(col(textCol)), shingleLen).as("items")),
-      numHashes, bands, threshold)
+      numHashes, bands, threshold, bucketCap)
 
-  /** SimHash values per doc; equal values = near-dup classes. The
-    * token hashes are projected into their own column so each md5
-    * evaluates once, not once per bit fold. */
+  /** SimHash values per doc; equal values = near-dup classes. One md5
+    * pass for the token hashes, then the native one-pass kernel
+    * ([[graft.plans.Simhash32]] — bit-identical to the 32-fold HOF
+    * form, SimhashKernelSpec) packs the sketch. */
   def simhashValues(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       transform(tokens(col(textCol)), t => portableHash64(t)).as("__hs"))
-      .select(col(idCol), simhash32FromHashes(col("__hs")).as("simhash"))
+      .select(col(idCol),
+        graft.plans.SimhashKernel.simhash32(col("__hs")).as("simhash"))
 
   /** Character-n-gram Jaccard near-dup pairs. Same LSH candidate
     * engine as [[minhashLshPairs]], but the item set is the distinct
@@ -150,11 +174,17 @@ object Dedup {
     * proportional to actual similarity, so it survives scale-up.) */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame =
+      threshold: Double = 0.7, bucketCap: Int = DefaultBucketCap): DataFrame =
     lshJaccardPairs(
       df.select(col(idCol).as("id"),
         charNgrams(col(textCol), n).as("items")),
-      numHashes, bands, threshold)
+      numHashes, bands, threshold, bucketCap)
+
+  /** Default per-cell candidate cap for the IVF dedup — same
+    * discipline as [[DefaultBucketCap]]: one hot cell (a
+    * duplicate-heavy corpus is exactly the dedup use case) must not
+    * go quadratic. */
+  val DefaultCellCap: Int = 10000
 
   /** Embedding near-dup pairs blocked by IVF coarse-centroid cells
     * ([[Ivf.assignments]]): candidate pairs are same-cell collisions
@@ -162,16 +192,31 @@ object Dedup {
     * discipline as the LSH verify), then exact cosine ≥ threshold.
     * Within-cell work is (n/numCentroids)² per cell — the knob that
     * keeps the quadratic term bounded as the corpus grows (pick
-    * numCentroids ~ sqrt(n)); `probes` ≥ 2 catches boundary pairs. */
+    * numCentroids ~ sqrt(n)); `probes` ≥ 2 catches boundary pairs;
+    * `cellCap` (first-N by id, window-capped) bounds a hot cell at
+    * cap²/2 pairs no matter how skewed the corpus.
+    *
+    * The corpus is materialized ONCE (localCheckpoint): the codebook
+    * sample, the assignment pass, and both verify sides all read the
+    * same blocks instead of re-scanning (and re-deriving) the source. */
   def embeddingNearDupPairsIvf(df: DataFrame, idCol: String, vecCol: String,
-      numCentroids: Int, probes: Int, threshold: Double): DataFrame = {
+      numCentroids: Int, probes: Int, threshold: Double,
+      cellCap: Int = DefaultCellCap): DataFrame = {
+    require(cellCap >= 2, "cellCap must admit at least one pair")
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint(true)
     val assign = Ivf.assignments(v, "id", "vec", numCentroids, probes)
-    val a = assign.select(col("centroid_id"), col("id").as("id_a"))
-    val b = assign.select(col("centroid_id"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("centroid_id"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val wc = Window.partitionBy(col("centroid_id")).orderBy(col("id").asc)
+    val cells = assign
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= cellCap)
+      .groupBy(col("centroid_id"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cand = cells
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
     val withNorm = v.withColumn("norm", sqrt(graft.plans.VectorKernels.dotProduct(col("vec"), col("vec"))))
     cand
       .join(withNorm.select(col("id").as("id_a"), col("vec").as("v_a"),

@@ -86,11 +86,13 @@ object SimilaritySearch {
     * a corpus broadcast). `bucketCap` bounds the per-(table, bucket)
     * candidate list (deterministic: first `cap` by id), so one hot
     * bucket — the classic LSH skew failure — cannot go quadratic;
-    * capped + AQE skew-split this survives a 100× corpus.
+    * capped + AQE skew-split this survives a 100× corpus. The default
+    * cap is FINITE so the naive call gets the scale-safe plan; pass
+    * `Int.MaxValue` to opt out explicitly.
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8,
-      tables: Int = 4, bucketCap: Int = Int.MaxValue,
+      tables: Int = 4, bucketCap: Int = 10000,
       dim: Int = 64): DataFrame = {
     def exploded(df: DataFrame, id: String) =
       df.select(col(idCol).as(id),

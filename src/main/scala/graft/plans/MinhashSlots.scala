@@ -59,6 +59,43 @@ case class MinhashSlots(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature from PRE-COMPUTED raw portable hashes
+  * (array<long> of portableHash64 values, un-modded): the affine
+  * slots over `h % p` — arithmetically identical to [[MinhashSlots]]
+  * on the original items, but with zero digest work. This is what lets the
+  * LSH pipeline pay its md5 pass exactly once: the hashed item sets
+  * are materialized for the verify stage anyway, and the signature
+  * derives from them instead of re-digesting the strings. */
+case class MinhashSlotsFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_slots_from_hashes expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_slots_from_hashes"
+
+  override def nullSafeEval(hs: Any): Any =
+    MinhashSlots.runFromHashes(hs.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(cg: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(cg, ev, hs => {
+      val cls = MinhashSlots.getClass.getName.stripSuffix("$")
+      s"""
+         |${ev.value} = $cls.runFromHashes($hs, $numHashes);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinhashSlots {
 
   private val P = TextFunctions.MinhashP
@@ -109,7 +146,33 @@ object MinhashSlots {
     new GenericArrayData(mins)
   }
 
+  /** [[MinhashSlotsFromHashes]]'s kernel: same affine minima, base =
+    * `h % p` over the supplied raw hashes — no digests. Null for
+    * empty arrays (same guard as [[run]]). */
+  def runFromHashes(hs: ArrayData, k: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val (as, bs) = coeffs(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i) % P
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Column-API entry point. */
   def minhashSlots(items: Column, k: Int): Column =
     bridge.column(MinhashSlots(bridge.expression(items), k))
+
+  /** Column-API entry point over pre-computed portableHash64 values. */
+  def minhashSlotsFromHashes(hs: Column, k: Int): Column =
+    bridge.column(MinhashSlotsFromHashes(bridge.expression(hs), k))
 }

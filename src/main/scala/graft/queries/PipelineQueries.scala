@@ -75,8 +75,15 @@ object PipelineQueries {
       s"list_min(list_transform(base, h -> (h * $a + $b) % ${TextFunctions.MinhashP}))"
     }.mkString("[", ",\n                        ", "]")
 
+  /** Per-bucket / per-cell candidate cap for the catalog queries —
+    * explicit (not the library default) and replicated in the oracle's
+    * cap rule, so the gate checks the cap discipline itself. Far above
+    * any bucket size at gate scale, so recall is unaffected there. */
+  private val CatalogCap = 1000
+
   /** Shared LSH-candidates + exact-Jaccard oracle tail; `itemsCte`
-    * must define `it(id, items)`. Mirrors Dedup.lshJaccardPairs. */
+    * must define `it(id, items)`. Mirrors Dedup.lshJaccardPairs,
+    * including the per-(band, bucket) first-`cap`-by-id rule. */
   private def lshOracleSql(itemsCte: String, threshold: Double): String = {
     val bandConcat = (1 to RowsPerBand)
       .map(r => s"sig[b*$RowsPerBand+$r]::VARCHAR")
@@ -91,9 +98,14 @@ object PipelineQueries {
                    ('0x' || substr(md5($bandConcat), 1, 15))::BIGINT
                      AS band_hash
                  FROM sig, generate_series(0, ${Bands - 1}) AS gs(b)),
+       capped AS (SELECT id, b, band_hash,
+                    row_number() OVER (PARTITION BY b, band_hash
+                                       ORDER BY id) AS rn
+                  FROM bands),
        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                FROM bands a JOIN bands b
-                  ON a.b = b.b AND a.band_hash = b.band_hash AND a.id < b.id),
+                FROM capped a JOIN capped b
+                  ON a.b = b.b AND a.band_hash = b.band_hash AND a.id < b.id
+                WHERE a.rn <= $CatalogCap AND b.rn <= $CatalogCap),
        hashed AS (SELECT id, list_transform(items, g ->
                     ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
                   FROM it),
@@ -115,7 +127,8 @@ object PipelineQueries {
     "d2_minhash_lsh_pairs",
     "MinHash+LSH near-duplicate pair mining",
     (s, dir) => Dedup.minhashLshPairs(dupCorpus(s, dir), "id", "text",
-      shingleLen = 3, numHashes = NumHashes, bands = Bands, threshold = 0.6)
+      shingleLen = 3, numHashes = NumHashes, bands = Bands, threshold = 0.6,
+      bucketCap = CatalogCap)
       .orderBy("id_a", "id_b"),
     Some("WITH " + dupCorpusSql + ",\n" + lshOracleSql(
       """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -154,7 +167,8 @@ object PipelineQueries {
     "d4_ngram_jaccard_pairs",
     "char-n-gram Jaccard near-dup pairs (LSH-blocked)",
     (s, dir) => Dedup.ngramJaccardPairs(dupCorpus(s, dir), "id", "text",
-      n = 5, numHashes = NumHashes, bands = Bands, threshold = 0.7)
+      n = 5, numHashes = NumHashes, bands = Bands, threshold = 0.7,
+      bucketCap = CatalogCap)
       .orderBy("id_a", "id_b"),
     Some("WITH " + dupCorpusSql + ",\n" + lshOracleSql(
       """it AS (SELECT id, list_distinct(list_transform(
@@ -181,7 +195,8 @@ object PipelineQueries {
             array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
             slice(col("embedding"), 2, 63)).as("embedding"))
       Dedup.embeddingNearDupPairsIvf(e.unionByName(perturbed),
-        "id", "embedding", numCentroids = 64, probes = 2, threshold = 0.9)
+        "id", "embedding", numCentroids = 64, probes = 2, threshold = 0.9,
+        cellCap = CatalogCap)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
         .orderBy("id_a", "id_b")
     },
@@ -212,9 +227,14 @@ object PipelineQueries {
                                   (x, y) -> x + y))) DESC, a.cid) AS rn
                          FROM corpus c, anchors a),
             assign AS (SELECT id, cid FROM ranked_a WHERE rn <= 2),
+            capped AS (SELECT id, cid,
+                         row_number() OVER (PARTITION BY cid
+                                            ORDER BY id) AS crn
+                       FROM assign),
             cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                     FROM assign a JOIN assign b
-                       ON a.cid = b.cid AND a.id < b.id),
+                     FROM capped a JOIN capped b
+                       ON a.cid = b.cid AND a.id < b.id
+                     WHERE a.crn <= 1000 AND b.crn <= 1000),
             -- norms per vector then dot/(n_a*n_b), mirroring the
             -- engine's precomputed-norm shape (sqrt(aa)*sqrt(bb) is a
             -- different double than sqrt(aa*bb))

@@ -143,6 +143,41 @@ class PipelineSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("lshJaccardPairs bucketCap bounds candidate mass without losing true dups") {
+    // 12 docs sharing ONE hot vocabulary (every pair is a bucket
+    // collision) plus an exact-dup pair: a small cap must still find
+    // the exact pair (lowest ids collide inside the cap) and must
+    // bound the pair count at cap²/2 per bucket.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((1L to 12L).map(i => (i, base)) :+ (100L, base)).toDF("id", "text")
+    val capped = Dedup.minhashLshPairs(docs, "id", "text",
+      threshold = 0.99, bucketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only ids 1..4 survive the per-bucket cap (first-4 by id): the
+    // candidate set is exactly the 6 pairs among them
+    assert(capped == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      s"got $capped")
+    // uncapped finds all 13·12/2 identical pairs
+    val full = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.99)
+      .count()
+    assert(full == 13L * 12 / 2)
+  }
+
+  test("embeddingNearDupPairsIvf cellCap bounds a hot cell deterministically") {
+    // 10 identical vectors land in one cell; cap 3 must keep exactly
+    // the pairs among the 3 lowest ids
+    val vec = Array.fill(8)(1.0f).toSeq
+    val dupes = (1L to 10L).map(i => (i, vec)).toDF("id", "vec")
+    val capped = Dedup.embeddingNearDupPairsIvf(dupes, "id", "vec",
+      numCentroids = 2, probes = 1, threshold = 0.99, cellCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $capped")
+    val full = Dedup.embeddingNearDupPairsIvf(dupes, "id", "vec",
+      numCentroids = 2, probes = 1, threshold = 0.99)
+      .count()
+    assert(full == 10L * 9 / 2)
+  }
+
   test("langId picks the stopword-dominant language") {
     val df = Seq(
       "the cat is on the mat and it is happy",

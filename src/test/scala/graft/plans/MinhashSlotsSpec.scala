@@ -29,6 +29,29 @@ class MinhashSlotsSpec extends SparkSpec {
     assert(got(1).getSeq[Long](0).length == 4)
   }
 
+  test("fromHashes twin is bit-identical to the item-digesting kernel") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        TextFunctions.charNgrams(col("text"), 5).as("items"))
+      .filter(size(col("items")) > 0)
+    val both = docs
+      .withColumn("hs", transform(col("items"),
+        g => TextFunctions.portableHash64(g)))
+      .withColumn("from_items", MinhashSlots.minhashSlots(col("items"), 32))
+      .withColumn("from_hashes",
+        MinhashSlots.minhashSlotsFromHashes(col("hs"), 32))
+    assert(both.filter(!(col("from_items") <=> col("from_hashes"))).count() == 0)
+  }
+
+  test("fromHashes: empty array → null, like the item form") {
+    import spark.implicits._
+    val got = Seq(Seq.empty[Long], Seq(648541476951500027L)).toDF("hs")
+      .select(MinhashSlots.minhashSlotsFromHashes(col("hs"), 4).as("s"))
+      .collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getSeq[Long](0).length == 4)
+  }
+
   test("known vector: single item 'abc' matches the portable hash arithmetic") {
     import spark.implicits._
     // base = 648541476951500027 % (1e9+7); slots = (a*h+b) % p
