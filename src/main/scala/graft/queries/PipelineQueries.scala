@@ -420,16 +420,26 @@ object PipelineQueries {
               md5(text) AS digest
             FROM documents ORDER BY doc_id"""))
 
-  /** A7 scale path: approx_count_distinct sketch — rows-only check
-    * (an approximate sketch has no exact SQL oracle by design). */
+  /** A7 scale path: approx_count_distinct sketch. The sketch value
+    * itself has no exact SQL oracle by design — but its ERROR BAND
+    * does: the query emits the exact count plus a boolean asserting
+    * the HLL estimate landed within 10% of it (default rsd 0.05, so
+    * 10% is a >2-sigma margin — deterministic for a fixed input set),
+    * and the oracle pins that boolean true. A sketch regression now
+    * turns the gate row red instead of passing rows-only. */
   private val a7b = QueryDef(
     "a7b_approx_distinct_sketch",
     "HLL approx distinct cardinality (sketch scale path)",
     (s, dir) => Tables.lineitem(s, dir)
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts")),
-    None)
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("exact_parts"),
+        (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double")) /
+          col("exact_parts").cast("double") <= 0.1).as("within_10pct")),
+    Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+              true AS within_10pct
+            FROM lineitem"""))
 
   /** SS2: LSH-bucketed ANN, multi-table OR-construction — 4 hash
     * tables × 6 sign-bit planes (64 buckets/table; table t owns
