@@ -1,6 +1,6 @@
 package graft.ops
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 
@@ -40,14 +40,20 @@ import org.apache.spark.sql.functions._
   * TABLE ADD COLUMN analog), so a producer that grew a column merges
   * into an old table without a manual migration.
   *
-  * Scale notes: on HDFS rename is atomic; on S3-style object stores an
-  * atomic-rename substitute (conditional PUT of _CURRENT) is needed —
-  * that, plus multi-writer coordination and snapshot history, is what
-  * a transactional table format (Delta/Iceberg) provides; this store
-  * keeps the engine dependency-free while preserving the semantics the
-  * operators need. Old versions are pruned to `keepVersions`.
+  * Scale notes: the two filesystem-semantics dependencies (atomic
+  * pointer swap, hard-link sharing) live behind the [[StoreIo]] seam:
+  * [[PosixStoreIo]] (default) is correct on HDFS and any real
+  * filesystem; [[ObjectStoreIo]] is the S3-style profile (atomic
+  * single-object pointer PUT — the hook where a multi-writer
+  * deployment adds a conditional-PUT precondition — and server-side
+  * COPY instead of links). Multi-writer coordination and snapshot
+  * history are what a transactional table format (Delta/Iceberg)
+  * provides; this store keeps the engine dependency-free while
+  * preserving the semantics the operators need. Old versions are
+  * pruned to `keepVersions`.
   */
-final class ParquetTableStore(root: String, keepVersions: Int = 2) {
+final class ParquetTableStore(root: String, keepVersions: Int = 2,
+    io: StoreIo = PosixStoreIo) {
   require(keepVersions >= 1)
 
   private val BucketCol = "__kb"
@@ -143,7 +149,8 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2) {
       val nextDir = versionDir(table, next)
       merged.write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
-      // hard-link untouched bucket dirs from the previous version
+      // share untouched bucket dirs from the previous version without
+      // rewriting them (hard links on POSIX, copies on object stores)
       Files.list(curDir).iterator().asScala
         .filter(p => Files.isDirectory(p))
         .filter(p => p.getFileName.toString.startsWith(s"$BucketCol="))
@@ -154,7 +161,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2) {
           Files.createDirectories(dst)
           Files.list(src).iterator().asScala
             .filter(f => Files.isRegularFile(f))
-            .foreach(f => Files.createLink(dst.resolve(f.getFileName.toString), f))
+            .foreach(f => io.shareFile(f, dst.resolve(f.getFileName.toString)))
         }
       publish(table, next)
       readVersion(spark, table, next)
@@ -171,10 +178,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2) {
   }
 
   private def publish(table: String, next: Long): Unit = {
-    val tmp = tableDir(table).resolve("_CURRENT.tmp")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentFile(table),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    io.swapPointer(currentFile(table), next.toString)
     prune(table, next)
   }
 

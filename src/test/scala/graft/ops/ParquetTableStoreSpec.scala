@@ -122,6 +122,39 @@ class ParquetTableStoreSpec extends SparkSpec {
       && finalGot("k3") == "v3-new")
   }
 
+  test("ObjectStoreIo profile: same semantics, copies instead of links") {
+    import spark.implicits._
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root, io = ObjectStoreIo)
+    val base = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 8)
+    val before = inodesUnder(Paths.get(root, "t", "v=0"))
+
+    val out = store.upsertBucketed(spark, "t",
+      Seq(("k1", "v1-new"), ("k999", "fresh")).toDF("k", "v"), Seq("k"))
+    val after = inodesUnder(Paths.get(root, "t", "v=1"))
+
+    // identical merge semantics through the copy-fallback path …
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.size == 101 && got("k1") == "v1-new" && got("k999") == "fresh"
+      && got("k50") == "v50")
+    // … but NO inode sharing: every v=1 file is its own object
+    assert(!after.exists { case (rel, ino) => before.get(rel).contains(ino) },
+      "object-store profile must not hard-link")
+    // untouched buckets are still carried over byte-identically
+    val carried = after.keySet intersect before.keySet
+    assert(carried.nonEmpty, "untouched buckets must be carried into v=1")
+
+    // pointer swap via in-place PUT still publishes atomically enough
+    // for the single-writer contract: reads resolve the new version
+    assert(store.currentVersion("t").contains(1L))
+    // prune safety without links: v=0 deletion cannot strand v=1 data
+    store.upsertBucketed(spark, "t", Seq(("k2", "x")).toDF("k", "v"), Seq("k"))
+    store.upsertBucketed(spark, "t", Seq(("k3", "y")).toDF("k", "v"), Seq("k"))
+    assert(!Files.exists(Paths.get(root, "t", "v=0")))
+    assert(store.read(spark, "t").count() == 101)
+  }
+
   test("old versions are pruned, current survives") {
     import spark.implicits._
     val root = tmpDir("store")
