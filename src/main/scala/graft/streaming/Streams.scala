@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
+import graft.connectors.ConnectorRuntime
 import graft.functions.YtFunctions
 import graft.ingest.TranscriptFiles
 import graft.ops.{ParquetTableStore, Upserts}
@@ -97,6 +98,65 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) => process(batch); () }
+      .start()
+  }
+
+  /** §2.9 × §3.2 end-to-end: the rate-limited INCREMENTAL scrape loop
+    * (reference shape: main_scraper.py:342-377 — "re-scrape whatever
+    * is due, politely, and keep going when one item dies"). One
+    * AvailableNow pass over the work-item feed wires the whole chain
+    * inside foreachBatch:
+    *
+    *   1. checkpointed incremental input: only work files that
+    *      appeared since the last invocation are processed;
+    *   2. U7 freshness gate against the stored table — ids scraped
+    *      within `days` are dropped before any network is touched;
+    *   3. [[ConnectorRuntime.fetchWithPolicy]] fan-out — rate-limited
+    *      per partition, bounded retries, terminal failures as rows.
+    *      The fetch stage is materialized ONCE (localCheckpoint), so
+    *      the store's planning actions cannot re-trigger fetches;
+    *   4. successes merge into the key-bucketed store (O(delta)
+    *      commit); failures LWW-upsert into a dead-letter table
+    *      (latest failure per id, U9-style view over retries).
+    *
+    * Work items are parquet files of a single `id STRING` column;
+    * the stored table is (id, payload, scraped_at). `now` is injected
+    * for reproducibility, like the U7 gate it feeds. */
+  def incrementalScrape(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore, table: String,
+      deadLetterTable: String, fetch: String => String,
+      now: org.apache.spark.sql.Column, days: Int,
+      ratePerSecPerPartition: Double = 1.0, maxAttempts: Int = 3,
+      backoffMs: Long = 1000L, numPartitions: Int = 0,
+      sleeper: Long => Unit = Thread.sleep(_)): StreamingQuery = {
+    val in = spark.readStream.schema("id STRING").parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.select("id").distinct()
+        val withTs =
+          if (store.exists(table))
+            ids.join(store.read(spark, table).select(col("id"), col("scraped_at")),
+              Seq("id"), "left")
+          else ids.withColumn("scraped_at", lit(null).cast("timestamp"))
+        val due = Upserts.freshnessGate(withTs, "scraped_at", now, days)
+          .select("id")
+        val fetched = ConnectorRuntime.fetchWithPolicy(due, "id", fetch,
+          ratePerSecPerPartition, maxAttempts, backoffMs, numPartitions,
+          sleeper)
+          .localCheckpoint(true)
+        val ok = fetched.filter(col("error").isNull)
+          .select(col("id"), col("payload"), now.cast("timestamp").as("scraped_at"))
+        store.upsertBucketed(spark, table, ok, Seq("id"))
+        val dead = fetched.filter(col("error").isNotNull)
+          .select(col("id"), col("error"), col("attempts"),
+            now.cast("timestamp").as("failed_at"))
+        if (dead.limit(1).count() > 0)
+          store.upsert(spark, deadLetterTable, dead, Seq("id"))
+        ()
+      }
       .start()
   }
 
