@@ -41,11 +41,19 @@ object Bench {
     // optional args: query names to time (default: the whole catalog)
     val names =
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val t = materialize(n)
+      // contamination guard (round-3 lesson): any RDD blocks still
+      // pinned after a query poison every later one — surface the
+      // count per query so a leak can never hide in the total again
+      (n, t, spark.sparkContext.getPersistentRDDs.size)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val retained = results.map { case (k, _, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retained_rdds":$retained,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,57 +50,71 @@ object Dedup {
     * ordinary corpora. Callers with an oracle mirror the cap rule. */
   val DefaultBucketCap: Int = 10000
 
-  /** All unordered pairs (id_a < id_b) from a SORTED id array — the
-    * in-bucket candidate explosion. */
-  private def sortedPairs(ids: Column): Column =
-    flatten(transform(sequence(lit(1), size(ids) - 1), i =>
-      transform(sequence(i + 1, size(ids)), j =>
-        struct(element_at(ids, i).as("id_a"),
-          element_at(ids, j).as("id_b")))))
+  /** Distinct unordered candidate pairs (id_a < id_b) from capped
+    * bucket membership rows via an equi-self-join on the bucket key.
+    * `capped` must carry (`id` :: keyCols). Both join sides alias the
+    * SAME plan, so the bucket-key exchange canonicalizes identically
+    * and is computed once (ReuseExchange / AQE stage reuse) — the
+    * expensive subtree above it (signatures, assignments) never
+    * evaluates twice. (Round 3 tried collect_list + an in-row pair
+    * explosion here instead; the nested sequence/transform struct
+    * building measured 5-7× slower than the codegen'd join at sf0.1
+    * and was reverted.) */
+  private def cappedPairs(capped: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val joinCond = keyCols.map(k => col(s"ca.$k") === col(s"cb.$k"))
+      .reduce(_ && _) && col("ca.id") < col("cb.id")
+    // MERGE-pinned: left to stats, Spark broadcasts one side — a
+    // BroadcastExchange never canonicalizes equal to the other side's
+    // shuffle, so the expensive subtree would run twice (measured 7×
+    // at sf0.1). With SMJ both children are the identical
+    // already-partitioned, already-sorted bucket-key plan: one
+    // shuffle, one evaluation, zero extra sorts.
+    capped.as("ca").hint("merge").join(capped.as("cb"), joinCond)
+      .select(col("ca.id").as("id_a"), col("cb.id").as("id_b"))
+      .distinct()
+  }
 
-  /** LSH candidate pairs + exact Jaccard verify over an item-set
-    * column — the shared engine under both the word-shingle and the
+  /** LSH candidate pairs + exact Jaccard verify over pre-hashed item
+    * sets — the shared engine under both the word-shingle and the
     * char-n-gram near-dup operators.
     *
-    * `withItems` must provide (id, items: array<string>). Pipeline:
-    * items → ONE md5 pass (hashed item sets, materialized) → k affine
-    * MinHash slots from the hashes → band keys → per-bucket cap →
-    * in-bucket pair explosion (ids only) → distinct candidate pairs →
-    * re-attach hashed sets → exact Jaccard ≥ threshold.
+    * `withHashes` must provide (id, hs: array<long>), hs NON-EMPTY,
+    * projected by a native kernel ([[graft.plans.HashKernels]])
+    * directly above a `repartition(id)` barrier — see the callers.
+    * The barrier earns its one narrow raw-text shuffle three ways:
+    * (1) the expensive hashing pass parallelizes over the full
+    * shuffle-partition count regardless of input split layout (the
+    * gate corpus is ONE parquet split — without the barrier the
+    * whole md5 pass ran as a single task); (2) every consumer of
+    * `withHashes` sits above the SAME exchange, which canonicalizes
+    * identically and is computed once (AQE stage reuse) — one scan,
+    * one shuffle, then banding and both verify builds each evaluate
+    * the cheap codegen'd kernel in parallel; (3) its output is
+    * already hashpartitioned by id, which is exactly the verify
+    * joins' required distribution, so the hashed sides need NO
+    * further exchange.
     *
-    * The md5-per-item pass is the dominant cost at every scale, and
-    * this plan pays it EXACTLY ONCE: `hashed` is materialized eagerly
-    * (localCheckpoint — the blocks are freed by the context cleaner
-    * once the result frame is unreachable), the signature derives
-    * from the stored hashes via [[graft.plans.MinhashSlotsFromHashes]]
-    * (pure arithmetic, no digests), and both verify sides re-read the
-    * same blocks. (The round-2 self-join shape re-evaluated the
-    * signature subtree per join side — ReuseExchange does NOT fire
-    * across renamed-column subtrees — so the corpus was scanned 8×
-    * and digested ~2×. On a multi-executor cluster swap
-    * localCheckpoint for a reliable `checkpoint` dir if executor loss
-    * must not fail the job; the semantics are identical.)
+    * Materialization policy (round 4, after measuring round 3's
+    * regression): the plan is FULLY LAZY — nothing is pinned. An
+    * eager snapshot (localCheckpoint) of the hashed sets was measured
+    * strictly worse at sf0.1: building the corpus-sized (per-gram!)
+    * deserialized block set cost more than the recompute it saved,
+    * and the pinned blocks outlived the query, degrading every
+    * subsequent query in a shared session. A linear, codegen'd
+    * recompute scales; an unbounded block-manager residency does not.
     *
-    * Candidate generation is a single groupBy over (band, band_hash):
-    * window-cap the bucket membership (first `bucketCap` by id —
-    * streaming sort, never a corpus-sized buffer), collect the ≤cap
-    * ids, explode the in-bucket pairs. One shuffle, one evaluation of
-    * the signature pass, and a hot bucket is bounded at cap²/2 pairs.
+    * Pipeline: hs → k affine MinHash slots → band keys → per-bucket
+    * cap (window row_number) → capped in-bucket self-join (ids only)
+    * → distinct candidate pairs → re-attach hashed sets → exact
+    * Jaccard ≥ threshold.
     */
-  private[ops] def lshJaccardPairs(withItems: DataFrame, numHashes: Int,
+  private[ops] def lshJaccardPairs(withHashes: DataFrame, numHashes: Int,
       bands: Int, threshold: Double,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(bucketCap >= 2, "bucketCap must admit at least one pair")
     val rowsPerBand = numHashes / bands
-    val items = withItems.filter(size(col("items")) > 0)
-    // THE md5 pass — once, materialized. 60-bit portable hashes keep
-    // the verify exact (Jaccard over the hashes equals Jaccard over
-    // the strings up to negligible collisions, and the DuckDB oracle
-    // hashes identically).
-    val hashed = items.select(col("id"),
-      transform(col("items"), g => portableHash64(g)).as("hs"))
-      .localCheckpoint(true)
+    val hashed = withHashes
     // Signature from the stored hashes (no digests), band keys via
     // the native kernel — both codegen'd, evaluated once inside the
     // single candidate-generation pass below.
@@ -110,55 +124,69 @@ object Dedup {
         bands, rowsPerBand)).as("bk"))
       .select(col("id"),
         col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
-    // Window + groupBy share one exchange on (band, band_hash): the
-    // row_number cap streams through the sorted bucket (no giant
-    // in-memory list for a pathological bucket), then collect_list
-    // holds at most `bucketCap` ids.
+    // Per-bucket cap: row_number over the (band, band_hash) exchange
+    // streams through the sorted bucket — first `bucketCap` ids, a
+    // hot bucket is bounded at cap²/2 pairs. Candidates are then the
+    // capped in-bucket equi-self-join (ids only; one exchange, see
+    // [[cappedPairs]]).
     val wb = Window.partitionBy(col("band"), col("band_hash"))
       .orderBy(col("id").asc)
-    val buckets = banded
+    val capped = banded
       .withColumn("__rn", row_number().over(wb))
       .filter(col("__rn") <= bucketCap)
-      .groupBy(col("band"), col("band_hash"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val cand = buckets
-      .select(explode(sortedPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
-    // Exact verify over the SAME materialized hashed sets. The joins
-    // are pinned SHUFFLE_HASH: with a broadcast join the Jaccard
-    // condition would evaluate in an AQE-coalesced single-partition
-    // probe stage, and the corpus must never broadcast (round-1
-    // scale-killer) — shuffle joins keyed by id stay disk-backed and
-    // partition-parallel at any scale, AQE skew-split still applies.
+      .select("band", "band_hash", "id")
+    val cand = cappedPairs(capped, Seq("band", "band_hash"))
+    // Exact verify. The joins are pinned SHUFFLE_HASH: with a
+    // broadcast join the Jaccard condition would evaluate in an
+    // AQE-coalesced single-partition probe stage, and the corpus must
+    // never broadcast (round-1 scale-killer) — shuffle joins keyed by
+    // id stay disk-backed and partition-parallel at any scale, AQE
+    // skew-split still applies. Both sides alias the SAME un-renamed
+    // `hashed` plan — already id-partitioned by the callers' barrier,
+    // so neither side shuffles again and both descend from the one
+    // reused exchange.
+    val verify = hashed.hint("shuffle_hash")
     cand
-      .join(hashed.select(col("id").as("id_a"), col("hs").as("h_a")).hint("shuffle_hash"), "id_a")
-      .join(hashed.select(col("id").as("id_b"), col("hs").as("h_b")).hint("shuffle_hash"), "id_b")
+      .join(verify.as("ha"), col("id_a") === col("ha.id"))
+      .join(verify.as("hb"), col("id_b") === col("hb.id"))
       .withColumn("jaccard",
-        graft.plans.LshKernels.hashedJaccard(col("h_a"), col("h_b")))
+        graft.plans.LshKernels.sortedHashedJaccard(col("ha.hs"), col("hb.hs")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** MinHash+LSH near-dup pairs over word shingles: shingle →
     * signature → band buckets → bucket equi-join → exact Jaccard
-    * verify ≥ `threshold`. Returns (id_a, id_b, jaccard), id_a < id_b. */
+    * verify ≥ `threshold`. Returns (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * The shingle-hash pass is the native one-pass kernel
+    * ([[graft.plans.HashKernels]] — bit-identical to the composed
+    * `transform(wordShingles(tokens), portableHash64)` form, which
+    * evaluated interpreted per element), projected above the
+    * `repartition(id)` barrier (see lshJaccardPairs). The non-empty
+    * guard is a cheap raw predicate (≥ shingleLen tokens ⟺ non-empty
+    * shingle set): an items-based `size(items) > 0` guard would
+    * re-derive the shingles inside the pushed-down filter. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.6, bucketCap: Int = DefaultBucketCap): DataFrame =
     lshJaccardPairs(
-      df.select(col(idCol).as("id"),
-        wordShingles(tokens(col(textCol)), shingleLen).as("items")),
+      df.filter(size(tokens(col(textCol))) >= shingleLen)
+        .select(col(idCol).as("id"), col(textCol).as("__text"))
+        .repartition(col("id"))
+        .select(col("id"),
+          graft.plans.HashKernels.hashedWordShingles(col("__text"), shingleLen).as("hs")),
       numHashes, bands, threshold, bucketCap)
 
-  /** SimHash values per doc; equal values = near-dup classes. One md5
-    * pass for the token hashes, then the native one-pass kernel
-    * ([[graft.plans.Simhash32]] — bit-identical to the 32-fold HOF
-    * form, SimhashKernelSpec) packs the sketch. */
+  /** SimHash values per doc; equal values = near-dup classes. Token
+    * hashes via the native kernel (hashedWordShingles with n = 1 ≡
+    * one portableHash64 per token — the composed
+    * `transform(tokens, portableHash64)` form evaluated interpreted),
+    * then the native one-pass packer ([[graft.plans.SimhashKernel]] —
+    * bit-identical to the 32-fold HOF form, SimhashKernelSpec). */
   def simhashValues(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-      transform(tokens(col(textCol)), t => portableHash64(t)).as("__hs"))
+      graft.plans.HashKernels.hashedWordShingles(col(textCol), 1).as("__hs"))
       .select(col(idCol),
         graft.plans.SimhashKernel.simhash32(col("__hs")).as("simhash"))
 
@@ -176,8 +204,14 @@ object Dedup {
       n: Int = 5, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, bucketCap: Int = DefaultBucketCap): DataFrame =
     lshJaccardPairs(
-      df.select(col(idCol).as("id"),
-        charNgrams(col(textCol), n).as("items")),
+      // length ≥ n ⟺ non-empty n-gram set (cheap raw-text guard);
+      // distinct-gram hashing via the native kernel above the
+      // repartition barrier — same design as minhashLshPairs.
+      df.filter(length(col(textCol)) >= n)
+        .select(col(idCol).as("id"), col(textCol).as("__text"))
+        .repartition(col("id"))
+        .select(col("id"),
+          graft.plans.HashKernels.hashedCharNgrams(col("__text"), n).as("hs")),
       numHashes, bands, threshold, bucketCap)
 
   /** Default per-cell candidate cap for the IVF dedup — same
@@ -196,35 +230,39 @@ object Dedup {
     * `cellCap` (first-N by id, window-capped) bounds a hot cell at
     * cap²/2 pairs no matter how skewed the corpus.
     *
-    * The corpus is materialized ONCE (localCheckpoint): the codebook
-    * sample, the assignment pass, and both verify sides all read the
-    * same blocks instead of re-scanning (and re-deriving) the source. */
+    * Fully lazy (round 4): the source is re-scanned by the codebook
+    * sample, the assignment pass, and the verify join — each a
+    * pruned, pushed-down columnar scan, linear at any scale — and the
+    * two verify sides share one id-partitioned exchange via the same
+    * alias trick as [[lshJaccardPairs]]. The round-3 eager snapshot
+    * (localCheckpoint of the whole corpus) was measured 25× slower
+    * and pinned corpus-sized blocks past the query's lifetime. */
   def embeddingNearDupPairsIvf(df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, probes: Int, threshold: Double,
       cellCap: Int = DefaultCellCap): DataFrame = {
     require(cellCap >= 2, "cellCap must admit at least one pair")
+    // repartition(id) barrier, same design as lshJaccardPairs: the
+    // assignment pass (n·k cosines) parallelizes independent of input
+    // split layout, every consumer shares the one reused exchange,
+    // and its id-partitioning is exactly what the verify joins need.
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .localCheckpoint(true)
+      .repartition(col("id"))
     val assign = Ivf.assignments(v, "id", "vec", numCentroids, probes)
     val wc = Window.partitionBy(col("centroid_id")).orderBy(col("id").asc)
-    val cells = assign
+    val capped = assign
       .withColumn("__rn", row_number().over(wc))
       .filter(col("__rn") <= cellCap)
-      .groupBy(col("centroid_id"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val cand = cells
-      .select(explode(sortedPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
-    val withNorm = v.withColumn("norm", sqrt(graft.plans.VectorKernels.dotProduct(col("vec"), col("vec"))))
+      .select("centroid_id", "id")
+    val cand = cappedPairs(capped, Seq("centroid_id"))
+    val withNorm = v.withColumn("norm",
+      sqrt(graft.plans.VectorKernels.dotProduct(col("vec"), col("vec"))))
+      .hint("shuffle_hash")
     cand
-      .join(withNorm.select(col("id").as("id_a"), col("vec").as("v_a"),
-        col("norm").as("n_a")).hint("shuffle_hash"), "id_a")
-      .join(withNorm.select(col("id").as("id_b"), col("vec").as("v_b"),
-        col("norm").as("n_b")).hint("shuffle_hash"), "id_b")
+      .join(withNorm.as("va"), col("id_a") === col("va.id"))
+      .join(withNorm.as("vb"), col("id_b") === col("vb.id"))
       .withColumn("cos",
-        graft.plans.VectorKernels.dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        graft.plans.VectorKernels.dotProduct(col("va.vec"), col("vb.vec")) /
+          (col("va.norm") * col("vb.norm")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -15,15 +15,19 @@ import org.apache.spark.sql.functions._
   * root/<table>/_BUCKETS (the bucket count, fixed at creation) and
   * nest `kb=<N>/` partition dirs under each version.
   *
-  * Commit protocol (single-writer):
+  * Commit protocol:
   *   1. write the new snapshot to v=<K+1> (a fresh directory — never
   *      touches the live one, so readers are never torn);
-  *   2. write _CURRENT.tmp and ATOMIC_MOVE it over _CURRENT.
+  *   2. compare-and-set _CURRENT from K to K+1 ([[StoreIo
+  *      .swapPointerIfCurrent]]): a competing writer that published
+  *      first makes the CAS throw [[ConcurrentCommitException]] — a
+  *      clean retryable failure — instead of silently orphaning one
+  *      writer's merge.
   * Readers resolve _CURRENT first, then read only that version dir —
-  * the swap is a single atomic rename, so a concurrent reader sees
-  * either the old or the new snapshot, never a mix. INSERT OR REPLACE
-  * in the reference got this from SQLite's WAL; here it's the classic
-  * staged-overwrite pattern.
+  * the swap is reader-atomic, so a concurrent reader sees either the
+  * old or the new snapshot, never a mix. INSERT OR REPLACE in the
+  * reference got this from SQLite's WAL; here it's the classic
+  * staged-overwrite pattern plus an optimistic-concurrency publish.
   *
   * O(delta) commits: [[upsertBucketed]] partitions the table by a key
   * bucket (`kb = pmod(hash(keys), numBuckets)`), rewrites ONLY the
@@ -44,11 +48,12 @@ import org.apache.spark.sql.functions._
   * pointer swap, hard-link sharing) live behind the [[StoreIo]] seam:
   * [[PosixStoreIo]] (default) is correct on HDFS and any real
   * filesystem; [[ObjectStoreIo]] is the S3-style profile (atomic
-  * single-object pointer PUT — the hook where a multi-writer
-  * deployment adds a conditional-PUT precondition — and server-side
-  * COPY instead of links). Multi-writer coordination and snapshot
-  * history are what a transactional table format (Delta/Iceberg)
-  * provides; this store keeps the engine dependency-free while
+  * single-object pointer PUT with the conditional-PUT / If-Match
+  * precondition modeled for multi-writer, and server-side COPY
+  * instead of links). Writer conflicts surface as
+  * [[ConcurrentCommitException]] (re-read + retry); richer snapshot
+  * history is what a transactional table format (Delta/Iceberg)
+  * provides — this store keeps the engine dependency-free while
   * preserving the semantics the operators need. Old versions are
   * pruned to `keepVersions`.
   */
@@ -177,8 +182,16 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     next
   }
 
+  /** Publish version `next` with a compare-and-set on the pointer:
+    * the expected previous content is exactly the version this commit
+    * was computed against (`next - 1`, or absence for a new table).
+    * A competing writer that published in between makes the CAS throw
+    * [[ConcurrentCommitException]] — the staged `v=next` directory is
+    * left intact and the caller can re-read + retry — instead of
+    * silently orphaning one writer's merge (last-write-wins). */
   private def publish(table: String, next: Long): Unit = {
-    io.swapPointer(currentFile(table), next.toString)
+    val expected = if (next == 0) None else Some((next - 1).toString)
+    io.swapPointerIfCurrent(currentFile(table), next.toString, expected)
     prune(table, next)
   }
 

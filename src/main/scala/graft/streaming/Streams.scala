@@ -113,8 +113,13 @@ object Streams {
     *      within `days` are dropped before any network is touched;
     *   3. [[ConnectorRuntime.fetchWithPolicy]] fan-out — rate-limited
     *      per partition, bounded retries, terminal failures as rows.
-    *      The fetch stage is materialized ONCE (localCheckpoint), so
-    *      the store's planning actions cannot re-trigger fetches;
+    *      The fetch stage is persisted, forced once, and unpersisted
+    *      at the end of the batch (explicit lifecycle — no blocks
+    *      outlive the micro-batch), so the store's planning actions
+    *      cannot re-trigger fetches. (Lineage is kept: if an executor
+    *      loses a cached block, that partition refetches — at-least-
+    *      once on failure; a deployment needing strict at-most-once
+    *      swaps in a reliable checkpoint dir.);
     *   4. successes merge into the key-bucketed store (O(delta)
     *      commit); failures LWW-upsert into a dead-letter table
     *      (latest failure per id, U9-style view over retries).
@@ -146,15 +151,18 @@ object Streams {
         val fetched = ConnectorRuntime.fetchWithPolicy(due, "id", fetch,
           ratePerSecPerPartition, maxAttempts, backoffMs, numPartitions,
           sleeper)
-          .localCheckpoint(true)
-        val ok = fetched.filter(col("error").isNull)
-          .select(col("id"), col("payload"), now.cast("timestamp").as("scraped_at"))
-        store.upsertBucketed(spark, table, ok, Seq("id"))
-        val dead = fetched.filter(col("error").isNotNull)
-          .select(col("id"), col("error"), col("attempts"),
-            now.cast("timestamp").as("failed_at"))
-        if (dead.limit(1).count() > 0)
-          store.upsert(spark, deadLetterTable, dead, Seq("id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          fetched.count() // force the fetch exactly once, populate cache
+          val ok = fetched.filter(col("error").isNull)
+            .select(col("id"), col("payload"), now.cast("timestamp").as("scraped_at"))
+          store.upsertBucketed(spark, table, ok, Seq("id"))
+          val dead = fetched.filter(col("error").isNotNull)
+            .select(col("id"), col("error"), col("attempts"),
+              now.cast("timestamp").as("failed_at"))
+          if (dead.limit(1).count() > 0)
+            store.upsert(spark, deadLetterTable, dead, Seq("id"))
+        } finally fetched.unpersist(false)
         ()
       }
       .start()

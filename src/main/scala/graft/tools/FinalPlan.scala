@@ -18,7 +18,11 @@ object FinalPlan {
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
-      df.write.mode("overwrite").format("noop").save()
+      // Execute df's OWN QueryExecution (a .write would re-plan a
+      // clone and leave this plan un-executed / isFinalPlan=false):
+      // the printed tree is then the runtime-final adaptive plan,
+      // ReusedExchange / ReusedShuffle nodes included.
+      df.queryExecution.toRdd.count()
       println(s"======== $name (final adaptive plan) ========")
       println(df.queryExecution.executedPlan.toString)
     }

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-3 regression guard: materializing a dedup result must leave
+  * ZERO retained RDD blocks behind. The round-3 implementation pinned
+  * an eager localCheckpoint of the corpus-scale hashed sets, which
+  * outlived the query and degraded every subsequent query in a
+  * shared session (the full-catalog bench went 94 s → 1,976 s). The
+  * operators are now fully lazy; this spec keeps them that way. */
+class BlockHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureDocs = (1 to 60).map(i =>
+    (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta doc$i " * 3))
+    .toDF("id", "text")
+
+  private def fixtureVecs = (1 to 60).map(i =>
+    (i.toLong, Array.fill(8)((i % 7).toFloat + 0.1f)))
+    .toDF("id", "vec")
+
+  test("minhash/ngram/simhash dedup retains no blocks after materialization") {
+    Dedup.minhashLshPairs(fixtureDocs, "id", "text").count()
+    Dedup.ngramJaccardPairs(fixtureDocs, "id", "text").count()
+    Dedup.simhashValues(fixtureDocs, "id", "text").count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
+  test("IVF embedding dedup retains no blocks after materialization") {
+    Dedup.embeddingNearDupPairsIvf(fixtureVecs, "id", "vec",
+      numCentroids = 8, probes = 2, threshold = 0.5).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+}

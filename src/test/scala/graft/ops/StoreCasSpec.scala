@@ -1,0 +1,83 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multi-writer publish: the pointer swap is a compare-and-set, so a
+  * lost race is a clean retryable [[ConcurrentCommitException]], not
+  * a silent last-write-wins that orphans the other writer's merge. */
+class StoreCasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ptr(dir: String): Path = Paths.get(dir, "_CURRENT")
+
+  for (io <- Seq(("posix", PosixStoreIo), ("object", ObjectStoreIo)))
+    test(s"${io._1}: concurrent CAS increments each apply exactly once") {
+      val p = ptr(tmpDir(s"cas-${io._1}"))
+      io._2.swapPointerIfCurrent(p, "0", None)
+      val threads = (1 to 8).map(_ => new Thread(() => {
+        (1 to 25).foreach { _ =>
+          var done = false
+          while (!done) {
+            try {
+              // dirty read: the object profile's in-place PUT is only
+              // reader-atomic on a real object store, so a torn local
+              // read (NumberFormatException) is retried like a lost CAS
+              val cur = new String(Files.readAllBytes(p)).trim
+              io._2.swapPointerIfCurrent(p, (cur.toLong + 1).toString, Some(cur))
+              done = true
+            } catch {
+              case _: ConcurrentCommitException | _: NumberFormatException =>
+            }
+          }
+        }
+      }))
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(new String(Files.readAllBytes(p)).trim == "200")
+    }
+
+  test("CAS with absent-pointer expectation: second creator loses") {
+    val p = ptr(tmpDir("cas-create"))
+    PosixStoreIo.swapPointerIfCurrent(p, "0", None)
+    val e = intercept[ConcurrentCommitException] {
+      PosixStoreIo.swapPointerIfCurrent(p, "0", None)
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+  }
+
+  test("store commit racing a competing publisher fails cleanly and retries") {
+    val root = tmpDir("cas-store")
+    // A StoreIo whose FIRST CAS simulates a competing writer that
+    // published just before this writer's publish reached the pointer.
+    var raced = false
+    val racingIo: StoreIo = new StoreIo {
+      override def swapPointer(p: Path, c: String): Unit =
+        PosixStoreIo.swapPointer(p, c)
+      override def shareFile(s: Path, d: Path): Unit =
+        PosixStoreIo.shareFile(s, d)
+      override def swapPointerIfCurrent(p: Path, c: String,
+          exp: Option[String]): Unit = {
+        if (!raced && exp.isDefined) {
+          raced = true
+          PosixStoreIo.swapPointer(p, (exp.get.toLong + 1).toString)
+        }
+        PosixStoreIo.swapPointerIfCurrent(p, c, exp)
+      }
+    }
+    val seed = new ParquetTableStore(root) // normal io: seed v0
+    seed.commit(spark, "t", Seq((1L, "a")).toDF("id", "v"))
+
+    val store = new ParquetTableStore(root, io = racingIo)
+    intercept[ConcurrentCommitException] {
+      store.upsert(spark, "t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    }
+    // the competing writer's publish won; this writer re-reads + retries
+    assert(seed.currentVersion("t").contains(1L))
+    store.upsert(spark, "t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(seed.read(spark, "t").count() == 2)
+  }
+}

@@ -75,5 +75,9 @@ class ScrapeLoopSpec extends SparkSpec {
     assert(calls.get("new2") == 1)
     assert(calls.get("stale1") == 1, "freshly-scraped id re-fetched")
     assert(calls.get("new1") == 1, "checkpoint re-processed an old file")
+    // the per-batch persist must be unpersisted when the batch ends —
+    // a leaked block here degrades every later query in the session
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "scrape loop leaked persisted blocks past the micro-batch")
   }
 }
