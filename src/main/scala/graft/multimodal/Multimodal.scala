@@ -17,13 +17,17 @@ import org.apache.spark.sql.types._
   *  - decode/featurize are genuinely imperative per-item work (a
   *    codec), so they run in `mapPartitions` on executors — the one
   *    place SURVEY §7.3's "(d) mapPartitions last resort" applies.
-  *    Each partition re-uses one decoder instance (here: one
-  *    MessageDigest) — the setup-once-per-partition pattern that
-  *    matters when the real codec has per-process init cost;
-  *  - the codec itself is a clearly-marked STUB (no image/audio libs
-  *    in this container): deterministic bytes→features so tests are
-  *    reproducible. The Spark-side plumbing — schema, typed Dataset,
-  *    partition batching, flatMap fan-out for frames — is real.
+  *    Each partition opens ONE codec instance and closes it at task
+  *    completion — the setup-once-per-partition pattern that matters
+  *    when the real codec has per-process init cost;
+  *  - the codec is pluggable behind the [[MediaCodec]] SPI: a
+  *    deployment passes its [[MediaCodecProvider]] (JNI/lib-backed)
+  *    and nothing else changes. The default is the clearly-marked
+  *    STUB provider ([[DigestStubCodecProvider]] — no image/audio
+  *    libs in this container): deterministic bytes→features so tests
+  *    are reproducible. The Spark-side plumbing — schema, typed
+  *    Dataset, partition batching, flatMap fan-out for frames — is
+  *    real either way.
   */
 object Multimodal {
 
@@ -77,31 +81,25 @@ object Multimodal {
   private def hex(bytes: Array[Byte]): String =
     bytes.map("%02x".format(_)).mkString
 
-  /** STUB decode+featurize. A real deployment replaces the body of
-    * `fakeDecode` with the codec call (e.g. JPEG decode → CNN
-    * embed); everything around it — the typed Dataset boundary, the
-    * per-partition decoder reuse, the fixed-dim float output — is the
-    * production shape. */
-  def decodeAndFeaturize(items: Dataset[MediaItem], dim: Int = 16): Dataset[MediaFeatures] = {
+  /** Decode + featurize through the codec SPI. The digest/n_bytes
+    * metadata is engine-side (payload identity, codec-independent);
+    * the feature vector comes from the provider's codec — the default
+    * stub for tests, a JNI/lib-backed implementation in a deployment.
+    * One codec per partition, closed at task completion. */
+  def decodeAndFeaturize(items: Dataset[MediaItem], dim: Int = 16,
+      provider: MediaCodecProvider = DigestStubCodecProvider): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
-      // one decoder per partition (real codecs have init cost)
+      val codec = provider.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
       val md = MessageDigest.getInstance("MD5")
       it.map { m =>
-        val digest = hex(md.digest(m.bytes))
-        val features = fakeDecode(digest, dim)
-        MediaFeatures(m.media_id, m.kind, m.bytes.length, digest, features)
+        MediaFeatures(m.media_id, m.kind, m.bytes.length,
+          hex(md.digest(m.bytes)), codec.featurize(m, dim))
       }
     }
   }
-
-  /** STUB: deterministic digest→pseudo-features. Replace with the
-    * real model forward pass. */
-  private def fakeDecode(digest: String, dim: Int): Array[Float] =
-    Array.tabulate(dim) { i =>
-      val c = digest.charAt(i % digest.length)
-      ((c * 31 + i * 7) % 997) / 997.0f
-    }
 
   /** STUB resize: real impl re-encodes pixels; the stub carries the
     * metadata transformation (aspect-preserving fit into a box) with
@@ -115,18 +113,21 @@ object Multimodal {
   }
 
   /** Frame sampling: one video row fans out to ≤ `maxFrames` frame
-    * rows (stride sampling). flatMap inside mapPartitions — the frame
-    * extraction itself is the stubbed codec step. */
-  def sampleFrames(items: Dataset[MediaItem], maxFrames: Int): Dataset[Frame] = {
+    * rows (stride sampling). The stride/cap selection is engine-side;
+    * each selected frame decodes through the codec SPI. One codec per
+    * partition, closed at task completion. */
+  def sampleFrames(items: Dataset[MediaItem], maxFrames: Int,
+      provider: MediaCodecProvider = DigestStubCodecProvider): Dataset[Frame] = {
     import items.sparkSession.implicits._
-    items.filter(_.kind == "video").flatMap { m =>
-      val stride = math.max(1, m.n_frames / maxFrames)
-      (0 until m.n_frames by stride).take(maxFrames).map { idx =>
-        // STUB: real impl decodes frame `idx`; payload here is a
-        // deterministic slice standing in for the decoded frame.
-        val lo = math.min(idx, math.max(0, m.bytes.length - 1))
-        val hi = math.min(m.bytes.length, lo + 64)
-        Frame(m.media_id, idx, m.width, m.height, m.bytes.slice(lo, hi))
+    items.filter(_.kind == "video").mapPartitions { it =>
+      val codec = provider.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.flatMap { m =>
+        val stride = math.max(1, m.n_frames / maxFrames)
+        (0 until m.n_frames by stride).take(maxFrames).map { idx =>
+          Frame(m.media_id, idx, m.width, m.height, codec.decodeFrame(m, idx))
+        }
       }
     }
   }

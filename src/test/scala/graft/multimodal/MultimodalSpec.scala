@@ -1,9 +1,31 @@
 package graft.multimodal
 
+import java.util.concurrent.atomic.AtomicInteger
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.multimodal.Multimodal._
+
+/** Closure-side codec with JVM-static lifecycle counters (local mode
+  * shares the JVM, so per-partition open/close is observable). */
+object MultimodalSpec {
+  val opens = new AtomicInteger(0)
+  val closes = new AtomicInteger(0)
+
+  object MarkerCodecProvider extends MediaCodecProvider {
+    override def open(): MediaCodec = {
+      opens.incrementAndGet()
+      new MediaCodec {
+        override def featurize(item: MediaItem, dim: Int): Array[Float] =
+          Array.tabulate(dim)(i => (i + 1).toFloat) // recognizable marker
+        override def decodeFrame(item: MediaItem, frameIdx: Int): Array[Byte] =
+          Array(42.toByte, frameIdx.toByte)
+        override def close(): Unit = { closes.incrementAndGet(); () }
+      }
+    }
+  }
+}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -48,6 +70,26 @@ class MultimodalSpec extends SparkSpec {
       assert(ow <= 640 && oh <= 360)
       if (w <= 640 && h <= 360) assert(ow == w && oh == h) // no upscale
     }
+  }
+
+  test("a custom codec provider drives featurize + frame decode end-to-end") {
+    import spark.implicits._
+    import MultimodalSpec._
+    opens.set(0); closes.set(0)
+    val items = media().as[MediaItem]
+    val fs = decodeAndFeaturize(items, dim = 4,
+      provider = MarkerCodecProvider).collect()
+    assert(fs.nonEmpty &&
+      fs.forall(_.features.toSeq == Seq(1f, 2f, 3f, 4f)),
+      "features must come from the injected codec, not the stub")
+    val frames = sampleFrames(items, maxFrames = 2,
+      provider = MarkerCodecProvider).collect()
+    assert(frames.nonEmpty && frames.forall(f =>
+      f.bytes.length == 2 && f.bytes(0) == 42.toByte
+        && f.bytes(1) == f.frame_idx.toByte),
+      "frame payloads must come from the injected codec")
+    assert(opens.get() > 0 && opens.get() == closes.get(),
+      s"codec lifecycle leak: opens=${opens.get()} closes=${closes.get()}")
   }
 
   test("sampleFrames fans out only videos, capped and strided") {
