@@ -38,4 +38,21 @@ object Tables {
     load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The catalog seam, exercised: register every table under its name
+    * so `spark.table(name)` / `spark.sql` serve the same frames the
+    * path loaders do (events keeps its nanos→timestamp conversion).
+    * In a metastore deployment the views become real catalog tables
+    * and [[fromCatalog]] is the only loader the queries need —
+    * partition pruning and pushdown work identically through either
+    * path (CatalogSeamSpec compares the plans). */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    all.foreach {
+      case "events" => events(s, dir).createOrReplaceTempView("events")
+      case n        => load(s, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** Catalog-backed loader — the drop-in replacement for the path
+    * loaders once tables live in a metastore. */
+  def fromCatalog(s: SparkSession, name: String): DataFrame = s.table(name)
 }

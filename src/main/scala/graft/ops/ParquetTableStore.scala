@@ -10,19 +10,23 @@ import org.apache.spark.sql.functions._
 /** Versioned parquet table store with atomic commits — the persistence
   * half of the upsert library (SURVEY §7.4 hard part #1).
   *
-  * Layout:  root/<table>/v=<K>/part-*.parquet  plus  root/<table>/_CURRENT
-  * containing the live version number. Bucketed tables add
-  * root/<table>/_BUCKETS (the bucket count, fixed at creation) and
-  * nest `kb=<N>/` partition dirs under each version.
+  * Layout:  root/<table>/v=<K>-<writer>/part-*.parquet  plus
+  * root/<table>/_CURRENT containing the live version DIR NAME (each
+  * writer stages under a unique suffix; only the pointer defines
+  * liveness). Bucketed tables add root/<table>/_BUCKETS (the bucket
+  * count, fixed at creation) and nest `kb=<N>/` partition dirs under
+  * each version.
   *
-  * Commit protocol:
-  *   1. write the new snapshot to v=<K+1> (a fresh directory — never
-  *      touches the live one, so readers are never torn);
-  *   2. compare-and-set _CURRENT from K to K+1 ([[StoreIo
-  *      .swapPointerIfCurrent]]): a competing writer that published
-  *      first makes the CAS throw [[ConcurrentCommitException]] — a
-  *      clean retryable failure — instead of silently orphaning one
-  *      writer's merge.
+  * Commit protocol (optimistic concurrency):
+  *   1. write the new snapshot to v=<K+1>-<unique writer suffix> (a
+  *      fresh directory PER WRITER — concurrent committers can never
+  *      interleave part files, and readers are never torn);
+  *   2. compare-and-set _CURRENT to the staged dir name ([[StoreIo
+  *      .swapPointerIfCurrent]], expected = the pointer this commit
+  *      was computed against): a competing writer that published
+  *      first makes the CAS throw [[ConcurrentCommitException]] — the
+  *      loser's staged dir is deleted and the operation retried over
+  *      the winner's snapshot ([[withCommitRetries]]).
   * Readers resolve _CURRENT first, then read only that version dir —
   * the swap is reader-atomic, so a concurrent reader sees either the
   * old or the new snapshot, never a mix. INSERT OR REPLACE in the
@@ -66,14 +70,32 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   private def tableDir(table: String): Path = Paths.get(root, table)
   private def currentFile(table: String): Path = tableDir(table).resolve("_CURRENT")
   private def bucketsFile(table: String): Path = tableDir(table).resolve("_BUCKETS")
-  private def versionDir(table: String, v: Long): Path = tableDir(table).resolve(s"v=$v")
+
+  /** The pointer holds the live version DIRECTORY NAME
+    * (`v=<K>-<writer-suffix>`): each writer stages under a
+    * unique-suffixed dir, so two optimistic committers can never
+    * interleave part files in one directory — the pointer CAS is the
+    * single commit point, exactly the transactional-table-format
+    * discipline. (Pre-round-4 pointers held the bare number with
+    * un-suffixed `v=<K>` dirs; both forms still parse.) */
+  private def dirNameOf(pointer: String): String =
+    if (pointer.startsWith("v=")) pointer else s"v=$pointer"
+
+  private def versionOf(dirName: String): Long = {
+    val core = dirName.stripPrefix("v=")
+    val dash = core.indexOf('-')
+    (if (dash < 0) core else core.substring(0, dash)).toLong
+  }
+
+  private def currentPointer(table: String): Option[String] =
+    if (!exists(table)) None
+    else Some(new String(Files.readAllBytes(currentFile(table)),
+      StandardCharsets.UTF_8).trim)
 
   def exists(table: String): Boolean = Files.exists(currentFile(table))
 
   def currentVersion(table: String): Option[Long] =
-    if (!exists(table)) None
-    else Some(new String(Files.readAllBytes(currentFile(table)),
-      StandardCharsets.UTF_8).trim.toLong)
+    currentPointer(table).map(p => versionOf(dirNameOf(p)))
 
   /** Bucket count for a bucketed table (absent → snapshot table). */
   def numBuckets(table: String): Option[Int] =
@@ -83,13 +105,13 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
 
   /** The live snapshot. The internal bucket column never escapes. */
   def read(spark: SparkSession, table: String): DataFrame = {
-    val v = currentVersion(table).getOrElse(
+    val p = currentPointer(table).getOrElse(
       throw new IllegalStateException(s"table $table has no committed version"))
-    readVersion(spark, table, v)
+    readDir(spark, table, dirNameOf(p))
   }
 
-  private def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
-    val df = spark.read.parquet(versionDir(table, v).toString)
+  private def readDir(spark: SparkSession, table: String, dirName: String): DataFrame = {
+    val df = spark.read.parquet(tableDir(table).resolve(dirName).toString)
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 
@@ -101,9 +123,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * is always safe, which is the exact sharp edge the old
     * commit-then-re-read discipline existed to avoid. */
   def commit(spark: SparkSession, table: String, df: DataFrame): DataFrame = {
-    val next = writeVersion(spark, table, df, partitioned = false)
-    publish(table, next)
-    readVersion(spark, table, next)
+    val prev = currentPointer(table)
+    val staged = writeVersion(spark, table, df, prev, partitioned = false)
+    publish(table, staged, prev)
+    readDir(spark, table, staged)
   }
 
   /** U1 persisted: LWW-upsert `incoming` into the stored table (which
@@ -130,15 +153,15 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     if (!exists(table)) {
       Files.createDirectories(tableDir(table))
       Files.write(bucketsFile(table), numBuckets.toString.getBytes(StandardCharsets.UTF_8))
-      val next = writeVersion(spark, table, bucketed(incoming, numBuckets),
-        partitioned = true)
-      publish(table, next)
-      readVersion(spark, table, next)
+      val staged = writeVersion(spark, table, bucketed(incoming, numBuckets),
+        None, partitioned = true)
+      publish(table, staged, None)
+      readDir(spark, table, staged)
     } else {
       val n = this.numBuckets(table).getOrElse(throw new IllegalStateException(
         s"table $table was created as a snapshot table; use upsert"))
-      val cur = currentVersion(table).get
-      val curDir = versionDir(table, cur)
+      val prev = currentPointer(table)
+      val curDir = tableDir(table).resolve(dirNameOf(prev.get))
       // which buckets does the delta touch? (≤ n ints — driver-safe)
       val inc = bucketed(incoming, n)
       val touched = inc.select(BucketCol).distinct()
@@ -150,8 +173,8 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
         storedTouched.drop(BucketCol), incoming)
       val merged = bucketed(
         Upserts.upsertLastWriteWins(stored, incA, keys), n)
-      val next = cur + 1
-      val nextDir = versionDir(table, next)
+      val staged = stagedDirName(versionOf(dirNameOf(prev.get)) + 1)
+      val nextDir = tableDir(table).resolve(staged)
       merged.write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
       // share untouched bucket dirs from the previous version without
@@ -168,39 +191,71 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
             .filter(f => Files.isRegularFile(f))
             .foreach(f => io.shareFile(f, dst.resolve(f.getFileName.toString)))
         }
-      publish(table, next)
-      readVersion(spark, table, next)
+      publish(table, staged, prev)
+      readDir(spark, table, staged)
     }
   }
 
+  /** Run `op` (any commit/upsert on this store) with optimistic-
+    * concurrency retries: a lost pointer race re-runs the whole
+    * operation, which re-reads the winner's snapshot and re-applies
+    * the delta — upserts are idempotent re-applied over a newer base.
+    */
+  def withCommitRetries[T](maxAttempts: Int = 5)(op: => T): T = {
+    @scala.annotation.tailrec
+    def loop(attempt: Int): T =
+      try op
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e else loop(attempt + 1)
+      }
+    loop(1)
+  }
+
+  /** Unique per-writer staging dir for a version: two optimistic
+    * committers can never write into the same directory, so a commit
+    * race can tear NOTHING — the pointer CAS is the single commit
+    * point and the loser's staged dir is deleted on conflict. */
+  private def stagedDirName(version: Long): String =
+    s"v=$version-${java.util.UUID.randomUUID.toString.take(8)}"
+
   private def writeVersion(spark: SparkSession, table: String, df: DataFrame,
-      partitioned: Boolean): Long = {
-    val next = currentVersion(table).getOrElse(-1L) + 1
-    val dir = versionDir(table, next)
+      prev: Option[String], partitioned: Boolean): String = {
+    val staged = stagedDirName(prev.map(p => versionOf(dirNameOf(p))).getOrElse(-1L) + 1)
+    val dir = tableDir(table).resolve(staged)
     val w = df.write.mode("errorifexists")
     (if (partitioned) w.partitionBy(BucketCol) else w).parquet(dir.toString)
-    next
+    staged
   }
 
-  /** Publish version `next` with a compare-and-set on the pointer:
-    * the expected previous content is exactly the version this commit
-    * was computed against (`next - 1`, or absence for a new table).
-    * A competing writer that published in between makes the CAS throw
-    * [[ConcurrentCommitException]] — the staged `v=next` directory is
-    * left intact and the caller can re-read + retry — instead of
-    * silently orphaning one writer's merge (last-write-wins). */
-  private def publish(table: String, next: Long): Unit = {
-    val expected = if (next == 0) None else Some((next - 1).toString)
-    io.swapPointerIfCurrent(currentFile(table), next.toString, expected)
-    prune(table, next)
+  /** Publish the staged dir with a compare-and-set on the pointer:
+    * the expected previous content is exactly the pointer this commit
+    * was computed against (absence for a new table). A competing
+    * writer that published in between makes the CAS throw
+    * [[ConcurrentCommitException]]; the loser's staged directory is
+    * deleted before rethrowing, and the caller re-reads + retries
+    * (see [[withCommitRetries]]) instead of silently losing a merge. */
+  private def publish(table: String, staged: String,
+      expected: Option[String]): Unit = {
+    try io.swapPointerIfCurrent(currentFile(table), staged, expected)
+    catch {
+      case e: ConcurrentCommitException =>
+        deleteRecursively(tableDir(table).resolve(staged))
+        throw e
+    }
+    prune(table, versionOf(staged))
   }
 
+  /** Delete version dirs (winners and any lingering lost-race
+    * stagings alike) whose version number fell out of the retention
+    * window. Only the pointer defines liveness, so stale dirs are
+    * never read — pruning is pure space reclamation. */
   private def prune(table: String, current: Long): Unit = {
     val dir = tableDir(table)
     if (Files.exists(dir)) {
       Files.list(dir).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("v="))
-        .map(p => (p, p.getFileName.toString.stripPrefix("v=").toLong))
+        .map(p => (p, versionOf(p.getFileName.toString)))
         .filter { case (_, v) => v <= current - keepVersions }
         .foreach { case (p, _) => deleteRecursively(p) }
     }

@@ -137,6 +137,50 @@ object PipelineQueries {
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
                 FROM tok WHERE len(t) >= 3)""", 0.6)))
 
+  /** D6: the production dedup ORDER as one verified pipeline — exact
+    * dedup first (linear, digest-keyed), THEN near-dup LSH over the
+    * survivors. The round-4 scale probe showed why this composition
+    * is the 100 TB shape: LSH cost tracks candidate-pair mass, which
+    * is quadratic in the duplication factor, so the linear exact pass
+    * must run first. The corpus carries BOTH manufactured exact
+    * copies (collapse in stage 1) and near-dup copies (pair up in
+    * stage 2); the oracle replicates the full two-stage pipeline. */
+  private val d6 = QueryDef(
+    "d6_dedup_pipeline",
+    "exact-dedup survivors, then MinHash-LSH near-dup pairs",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val nearDups = d.filter(col("id") % 4 === 0)
+        .select((col("id") + 10000).as("id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      val exacts = d.filter(col("id") % 5 === 0)
+        .select((col("id") + 20000).as("id"), col("text"))
+      val corpus = d.unionByName(nearDups).unionByName(exacts)
+      val survivors = Dedup.dropExactDuplicates(corpus, "id", "text")
+      Dedup.minhashLshPairs(survivors, "id", "text", shingleLen = 3,
+        numHashes = NumHashes, bands = Bands, threshold = 0.6,
+        bucketCap = CatalogCap)
+        .orderBy("id_a", "id_b")
+    },
+    Some("WITH corpus AS (\n" +
+      """  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS id,
+        |         regexp_replace(text, '^\S+\s+', '') AS text
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |reps AS (SELECT min(id) AS id FROM corpus
+        |         GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |surv AS (SELECT c.id, c.text FROM corpus c JOIN reps USING (id)),
+        |""".stripMargin + lshOracleSql(
+      """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM surv),
+         it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                FROM tok WHERE len(t) >= 3)""", 0.6)))
+
   /** D3: SimHash values — near-identical docs collapse to (near-)equal
     * 32-bit sketches; the oracle recomputes every bit. */
   private val d3 = QueryDef(
@@ -509,5 +553,5 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, ss1, ss2, ts1, ts2, ts3, ts4, mm1, a7b)
+    Seq(d1, d2, d3, d4, d5, d6, ss1, ss2, ts1, ts2, ts3, ts4, mm1, a7b)
 }

@@ -15,6 +15,17 @@ class ParquetTableStoreSpec extends SparkSpec {
         Files.getAttribute(p, "unix:ino").asInstanceOf[Long])
       .toMap
 
+  /** Version K's dir (`v=K-<writer suffix>` since the optimistic-
+    * concurrency layout; bare `v=K` accepted for compat). */
+  private def verDir(root: String, table: String, v: Long): Path =
+    Files.list(Paths.get(root, table)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n == s"v=$v" || n.startsWith(s"v=$v-")
+      }
+      .toSeq.headOption
+      .getOrElse(Paths.get(root, table, s"v=$v")) // absent → old name
+
   test("commit/read round-trip and version bump") {
     import spark.implicits._
     val store = new ParquetTableStore(tmpDir("store"))
@@ -82,14 +93,14 @@ class ParquetTableStoreSpec extends SparkSpec {
     val base = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("k", "v")
     store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 8)
     assert(store.numBuckets("t").contains(8))
-    val v0 = Paths.get(root, "t", "v=0")
+    val v0 = verDir(root, "t", 0)
     val before = inodesUnder(v0)
     assert(before.keys.map(_.split('/').head).toSet.size > 1, "multiple buckets expected")
 
     // delta: one existing key updated + one new key
     val delta = Seq(("k1", "v1-new"), ("k999", "fresh")).toDF("k", "v")
     val out = store.upsertBucketed(spark, "t", delta, Seq("k"))
-    val v1 = Paths.get(root, "t", "v=1")
+    val v1 = verDir(root, "t", 1)
     val after = inodesUnder(v1)
 
     // merged contents = full LWW semantics
@@ -128,11 +139,12 @@ class ParquetTableStoreSpec extends SparkSpec {
     val store = new ParquetTableStore(root, io = ObjectStoreIo)
     val base = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("k", "v")
     store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 8)
-    val before = inodesUnder(Paths.get(root, "t", "v=0"))
+    val v0 = verDir(root, "t", 0)
+    val before = inodesUnder(v0)
 
     val out = store.upsertBucketed(spark, "t",
       Seq(("k1", "v1-new"), ("k999", "fresh")).toDF("k", "v"), Seq("k"))
-    val after = inodesUnder(Paths.get(root, "t", "v=1"))
+    val after = inodesUnder(verDir(root, "t", 1))
 
     // identical merge semantics through the copy-fallback path …
     val got = out.collect().map(r => (r.getString(0), r.getString(1))).toMap
@@ -151,7 +163,7 @@ class ParquetTableStoreSpec extends SparkSpec {
     // prune safety without links: v=0 deletion cannot strand v=1 data
     store.upsertBucketed(spark, "t", Seq(("k2", "x")).toDF("k", "v"), Seq("k"))
     store.upsertBucketed(spark, "t", Seq(("k3", "y")).toDF("k", "v"), Seq("k"))
-    assert(!Files.exists(Paths.get(root, "t", "v=0")))
+    assert(!Files.exists(v0))
     assert(store.read(spark, "t").count() == 101)
   }
 
@@ -163,8 +175,9 @@ class ParquetTableStoreSpec extends SparkSpec {
     val dirs = Files.list(Paths.get(root, "t")).iterator()
     val names = new scala.collection.mutable.ArrayBuffer[String]
     while (dirs.hasNext) names += dirs.next().getFileName.toString
-    assert(names.contains("v=4") && names.contains("v=3"))
-    assert(!names.contains("v=0") && !names.contains("v=1") && !names.contains("v=2"))
+    def ver(n: String) = n.stripPrefix("v=").takeWhile(_ != '-')
+    val vers = names.filter(_.startsWith("v=")).map(ver).toSet
+    assert(vers == Set("3", "4"), s"expected v3+v4 only, saw $names")
     assert(store.read(spark, "t").head.getInt(0) == 4)
   }
 

@@ -51,8 +51,10 @@ class StoreCasSpec extends SparkSpec {
 
   test("store commit racing a competing publisher fails cleanly and retries") {
     val root = tmpDir("cas-store")
-    // A StoreIo whose FIRST CAS simulates a competing writer that
-    // published just before this writer's publish reached the pointer.
+    val seed = new ParquetTableStore(root) // competing writer, normal io
+    // A StoreIo whose FIRST contested CAS lets a REAL competing commit
+    // publish first, then delegates — the loser must see a clean
+    // conflict, drop its staged dir, and succeed on retry.
     var raced = false
     val racingIo: StoreIo = new StoreIo {
       override def swapPointer(p: Path, c: String): Unit =
@@ -63,21 +65,44 @@ class StoreCasSpec extends SparkSpec {
           exp: Option[String]): Unit = {
         if (!raced && exp.isDefined) {
           raced = true
-          PosixStoreIo.swapPointer(p, (exp.get.toLong + 1).toString)
+          seed.upsert(spark, "t", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
         }
         PosixStoreIo.swapPointerIfCurrent(p, c, exp)
       }
     }
-    val seed = new ParquetTableStore(root) // normal io: seed v0
     seed.commit(spark, "t", Seq((1L, "a")).toDF("id", "v"))
 
     val store = new ParquetTableStore(root, io = racingIo)
     intercept[ConcurrentCommitException] {
       store.upsert(spark, "t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
     }
-    // the competing writer's publish won; this writer re-reads + retries
+    // the competing writer's publish won and nothing was lost
     assert(seed.currentVersion("t").contains(1L))
-    store.upsert(spark, "t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
-    assert(seed.read(spark, "t").count() == 2)
+    assert(seed.read(spark, "t").count() == 2) // ids 1, 3
+    // retry (the withCommitRetries path) merges over the winner's base
+    store.withCommitRetries() {
+      store.upsert(spark, "t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    }
+    assert(seed.currentVersion("t").contains(2L))
+    assert(seed.read(spark, "t").count() == 3) // ids 1, 2, 3 — no lost merge
+  }
+
+  test("concurrent committers with retries: every delta lands, dirs never shared") {
+    val root = tmpDir("cas-stress")
+    val store = new ParquetTableStore(root, keepVersions = 100)
+    store.commit(spark, "t", Seq((0L, "seed")).toDF("id", "v"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map(w => new Thread(() => {
+      try store.withCommitRetries(maxAttempts = 50) {
+        store.upsert(spark, "t",
+          Seq((w.toLong, s"writer$w")).toDF("id", "v"), Seq("id"))
+      } catch { case t: Throwable => errs.add(t) }
+    }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val rows = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L), s"lost a merge: $rows")
   }
 }
