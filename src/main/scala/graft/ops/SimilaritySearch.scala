@@ -20,8 +20,12 @@ import graft.functions.TextFunctions._
   *    |Q|·|C| to the bucket collision mass. Hyperplanes are
   *    deterministic pseudo-random vectors derived from the portable
   *    hash so results are reproducible across engines and runs.
-  *    (An IVF variant would swap the bucket key for a k-means coarse
-  *    centroid id — same join shape.)
+  *  - [[ivfTopK]]: the IVF variant — the bucket key is a coarse
+  *    centroid cell ([[Ivf]]'s deterministic sample codebook). The
+  *    corpus indexes ONCE (one cell per vector); each query probes
+  *    its `probes` nearest cells; exact cosine ranks the probed
+  *    members. probes/numCentroids is the recall-vs-cost dial:
+  *    candidate mass per query ≈ probes·|C|/numCentroids.
   */
 object SimilaritySearch {
 
@@ -113,6 +117,52 @@ object SimilaritySearch {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val scored = pairs
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        "query_id")
+      .join(candidates
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .hint("shuffle_hash"), "neighbor_id")
+      .withColumn("cos", graft.plans.VectorKernels.cosineSim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** IVF ANN top-k: corpus assigned once to its nearest coarse cell
+    * (sample codebook — deterministic, oracle-replicable); queries
+    * probe their `probes` nearest cells OF THE SAME codebook (a
+    * driver value: k·dim doubles, small by construction); candidates
+    * are the probed cells' members (ids only, `cellCap`-bounded per
+    * cell), then exact cosine + top-k.
+    *
+    * Scale shape mirrors [[lshTopK]]: the candidate join is keyed by
+    * centroid_id carrying ids only; the query side re-attaches by a
+    * stats-driven join (small by contract), the corpus side by a
+    * pinned SHUFFLE_HASH join — never a corpus broadcast. At 100 TB
+    * the knobs follow the dedup discipline: numCentroids ~ sqrt(|C|)
+    * keeps per-cell population flat, cellCap bounds a skewed cell. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, numCentroids: Int,
+      probes: Int = 4, cellCap: Int = 10000): DataFrame = {
+    val corpusAssign = Ivf.assignments(candidates, idCol, vecCol,
+      numCentroids, probes = 1)
+      .select(col("id").as("neighbor_id"), col("centroid_id"))
+    val wc = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("neighbor_id").asc)
+    val capped = corpusAssign
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= cellCap)
+      .drop("__rn")
+    val codebook = Ivf.sampleCodebook(candidates, idCol, vecCol, numCentroids)
+    val queryAssign = Ivf.assignmentsWithCodebook(queries, idCol, vecCol,
+      codebook, probes)
+      .select(col("id").as("query_id"), col("centroid_id"))
+    val cand = queryAssign.join(capped, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
         "query_id")
       .join(candidates

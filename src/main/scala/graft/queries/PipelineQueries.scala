@@ -338,6 +338,79 @@ object PipelineQueries {
             SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** SS3: IVF ANN top-k — corpus indexed once into 32 coarse cells
+    * (sample codebook), queries probe their 8 nearest cells, exact
+    * cosine ranks the members. Deterministic end to end, so the
+    * oracle replicates the whole algorithm: one affinity ranking CTE
+    * serves both the corpus top-1 assignment and the query top-8
+    * probes (the query set is a subset of the corpus, and the engine
+    * uses the same codebook + ranking formula for both). */
+  private val ss3 = QueryDef(
+    "ss3_ivf_ann_topk",
+    "IVF coarse-cell approximate top-k (probes=8/32 cells)",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      SimilaritySearch.ivfTopK(e.filter(col("id") < 10), e,
+        "id", "embedding", k = 5, numCentroids = 32, probes = 8,
+        cellCap = 1000)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH anchors AS (SELECT vec_id AS cid, embedding AS avec
+                             FROM embeddings ORDER BY vec_id LIMIT 32),
+            -- affinity rank of every corpus vector against every
+            -- anchor, engine formula: dot / sqrt(aa * bb), ties on cid
+            aff AS (SELECT e.vec_id AS id, a.cid,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        (list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(e.embedding)),
+                           i -> e.embedding[i]::DOUBLE * a.avec[i]::DOUBLE)),
+                           (x, y) -> x + y) /
+                         sqrt(
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(e.embedding)),
+                             i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+                             (x, y) -> x + y) *
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(a.avec)),
+                             i -> a.avec[i]::DOUBLE * a.avec[i]::DOUBLE)),
+                             (x, y) -> x + y))) DESC, a.cid) AS rn
+                    FROM embeddings e, anchors a),
+            cassign AS (SELECT id AS neighbor_id, cid FROM aff WHERE rn <= 1),
+            qassign AS (SELECT id AS query_id, cid FROM aff
+                        WHERE id < 10 AND rn <= 8),
+            capped AS (SELECT neighbor_id, cid,
+                         row_number() OVER (PARTITION BY cid
+                                            ORDER BY neighbor_id) AS crn
+                       FROM cassign),
+            cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+                     FROM qassign q JOIN capped c ON q.cid = c.cid
+                     WHERE c.crn <= 1000 AND q.query_id != c.neighbor_id),
+            scored AS (SELECT query_id, neighbor_id,
+                         list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(eq.embedding)),
+                           i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)),
+                           (x, y) -> x + y) /
+                         sqrt(
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(eq.embedding)),
+                             i -> eq.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE)),
+                             (x, y) -> x + y) *
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(ec.embedding)),
+                             i -> ec.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)),
+                             (x, y) -> x + y))
+                         AS cos
+                       FROM cand
+                       JOIN embeddings eq ON eq.vec_id = cand.query_id
+                       JOIN embeddings ec ON ec.vec_id = cand.neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+                       FROM scored)
+            SELECT query_id, rank, neighbor_id
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** TS1: language-ID heuristic (stopword argmax with fixed
     * preference order). */
   private val ts1 = QueryDef(
@@ -553,5 +626,5 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, ss1, ss2, ts1, ts2, ts3, ts4, mm1, a7b)
+    Seq(d1, d2, d3, d4, d5, d6, ss1, ss2, ss3, ts1, ts2, ts3, ts4, mm1, a7b)
 }

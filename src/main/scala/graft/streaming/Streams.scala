@@ -72,6 +72,25 @@ object Streams {
       .start()
   }
 
+  /** Streaming exact dedup for a continuous document feed: drop any
+    * row whose normalized content fingerprint (the same digest the
+    * batch d1 operator groups by) was already admitted within the
+    * watermark window. State is one fingerprint per admitted doc,
+    * partitioned by fingerprint like any keyed state, and the
+    * watermark bounds its lifetime — the knob that makes streaming
+    * dedup survive an unbounded feed (an infinite-retention dedup is
+    * `dropDuplicates`, which never evicts; callers that truly want
+    * exact-once-ever semantics should dedup against the STORE with
+    * U2 insert-if-absent instead). Batch near-dup passes (d2-d6)
+    * then run over the stored, already-exact-deduped table. */
+  def dedupDocStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Watermarked tumbling-window event counts over a streaming event
     * log (ts, event_type): the run-log aggregation pattern. */
   def eventCounts(events: DataFrame, window_ : String = "5 minutes",

@@ -96,6 +96,27 @@ class PipelineSpec extends SparkSpec {
       s"multi-table recall $recall < single-table $recallSingle")
   }
 
+  test("IVF ANN recall rises with probes; full probing = exact top-k") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(q, e, "id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(probes: Int): Double = {
+      val approx = SimilaritySearch.ivfTopK(q, e, "id", "embedding", k = 5,
+        numCentroids = 16, probes = probes)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r8 >= r2, s"recall must not fall with more probes: $r2 -> $r8")
+    // probing EVERY cell scans the whole corpus ⇒ exact answer
+    assert(recallAt(16) == 1.0, "full probing must equal brute force")
+  }
+
   test("IVF assignment bounds block population and catches boundary near-dups") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))

@@ -37,6 +37,38 @@ class StreamsSpec extends SparkSpec {
       "ccccccccccc" -> "fresh insert"))     // unmatched inserted
   }
 
+  test("streaming exact dedup: duplicate content across batches is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val deduped = Streams.dedupDocStream(
+      in.toDF().toDF("id", "text", "ts"), "id", "text", "ts",
+      watermark = "1 hour")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two distinct docs + an in-batch exact copy (differs
+      // only by whitespace — the NORMALIZED fingerprint must collapse it)
+      in.addData((1L, "alpha beta", t("2026-03-01 10:00:00")),
+        (2L, "gamma delta", t("2026-03-01 10:00:05")),
+        (3L, "  alpha   beta ", t("2026-03-01 10:00:09")))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate (inside the watermark) + new
+      in.addData((4L, "alpha beta", t("2026-03-01 10:10:00")),
+        (5L, "epsilon zeta", t("2026-03-01 10:10:01")))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+        .map(_.getLong(0)).toSet
+      assert(got.intersect(Set(1L, 3L)).size == 1, s"in-batch dup survived: $got")
+      assert(!got.contains(4L), s"cross-batch dup survived: $got")
+      assert(got.contains(2L) && got.contains(5L), s"distinct docs lost: $got")
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    } finally q.stop()
+  }
+
   test("availableNow refresh: processes only files new since last run") {
     import spark.implicits._
     val in = tmpDir("anin")
