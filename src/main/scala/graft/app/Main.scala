@@ -21,6 +21,7 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main import-playlists <storeDir> <file.json>
   *   runMain graft.app.Main export-playlists <storeDir> <out.json>
   *   runMain graft.app.Main ingest-inbox <storeDir> <inboxDir>
+  *   runMain graft.app.Main dedup-transcripts <storeDir> [threshold]
   * }}}
   *
   * The sync uses the deterministic offline connector (this container
@@ -134,6 +135,26 @@ object Main {
           .select("path", "reject_reason").collect()
         rejected.foreach(r => println(s"rejected ${r.getString(0)}: ${r.getString(1)}"))
         println(s"transcripts table now has ${committedTx.count()} rows")
+
+      case "dedup-transcripts" =>
+        // re-upload detection over the stored corpus, in the
+        // production order (PLANS.md scale probe): exact digest
+        // groups first, then MinHash-LSH near-dup pairs among the
+        // exact-dedup survivors
+        val threshold = if (args.length > 2) args(2).toDouble else 0.8
+        val tx = t("transcripts").select(col("video_id"), col("transcript"))
+          .filter(col("transcript").isNotNull)
+        val exact = graft.ops.Dedup
+          .exactDuplicates(tx, "video_id", "transcript")
+          .filter(col("n_members") > 1)
+        println("exact duplicate transcript groups (same normalized text):")
+        show(exact.orderBy(desc("n_members"), col("rep_id")))
+        val survivors = graft.ops.Dedup
+          .dropExactDuplicates(tx, "video_id", "transcript")
+        val pairs = graft.ops.Dedup.minhashLshPairs(survivors,
+          "video_id", "transcript", threshold = threshold)
+        println(s"near-duplicate transcript pairs (jaccard >= $threshold):")
+        show(pairs.orderBy(desc("jaccard"), col("id_a"), col("id_b")))
 
       case other =>
         sys.error(s"unknown command '$other' — see graft.app.Main scaladoc")

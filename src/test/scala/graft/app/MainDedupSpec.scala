@@ -1,0 +1,44 @@
+package graft.app
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{Dedup, ParquetTableStore}
+
+/** The dedup-transcripts CLI command end-to-end over a store with
+  * manufactured exact + near duplicates (string video_id keys — the
+  * dedup operators must be id-type-generic). */
+class MainDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup-transcripts runs the two-stage pipeline over string ids") {
+    val root = tmpDir("maindedup")
+    val store = new ParquetTableStore(root)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    store.commit(spark, "transcripts", Seq(
+      ("vid_aaa", base),
+      ("vid_bbb", base),                       // exact dup of aaa
+      ("vid_ccc", base.replace("quick ", "")), // near dup
+      ("vid_ddd", "completely different content about cooking pasta tonight"),
+      ("vid_eee", null)                        // must be ignored
+    ).toDF("video_id", "transcript"))
+
+    // the CLI command itself must run clean
+    Main.run(spark, Array("dedup-transcripts", root, "0.5"))
+
+    // and the pipeline it wires must find exactly the planted structure
+    val tx = store.read(spark, "transcripts")
+      .select(col("video_id"), col("transcript"))
+      .filter(col("transcript").isNotNull)
+    val exact = Dedup.exactDuplicates(tx, "video_id", "transcript")
+      .filter(col("n_members") > 1).collect()
+    assert(exact.length == 1 && exact(0).getString(1) == "vid_aaa"
+      && exact(0).getLong(2) == 2)
+    val survivors = Dedup.dropExactDuplicates(tx, "video_id", "transcript")
+    assert(survivors.count() == 3) // aaa survives, bbb collapsed
+    val pairs = Dedup.minhashLshPairs(survivors, "video_id", "transcript",
+      threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("vid_aaa", "vid_ccc")), s"got $pairs")
+  }
+}

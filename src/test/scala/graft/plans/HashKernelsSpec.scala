@@ -61,6 +61,39 @@ class HashKernelsSpec extends SparkSpec {
     assert(r == r.sorted)
   }
 
+  test("parity holds on random code-point soup (multibyte, whitespace zoo)") {
+    // strings of random defined code points — multibyte UTF-8, every
+    // whitespace class, combining marks — the worst case for the
+    // byte-offset walk and the trim/split parity
+    def randCp(): Int = {
+      var cp = 0
+      do cp = rnd.nextInt(0x2FFF) + 1
+      while (!Character.isDefined(cp) || Character.isSurrogate(cp.toChar))
+      cp
+    }
+    val soup = (1 to 200).map { i =>
+      val sb = new java.lang.StringBuilder
+      (0 until rnd.nextInt(60)).foreach { _ =>
+        if (rnd.nextInt(5) == 0) sb.append(" \t\n ".charAt(rnd.nextInt(4)))
+        else sb.appendCodePoint(randCp())
+      }
+      (i.toLong, sb.toString)
+    }.toDF("id", "text")
+    val nShingle = soup.select(col("id"),
+      HashKernels.hashedWordShingles(col("text"), 2).as("hs"))
+    val hShingle = soup.select(col("id"),
+      sortedHof(transform(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2),
+        g => TextFunctions.portableHash64(g))).as("hs"))
+    assert(nShingle.exceptAll(hShingle).isEmpty && hShingle.exceptAll(nShingle).isEmpty)
+    val nGram = soup.select(col("id"),
+      HashKernels.hashedCharNgrams(col("text"), 3).as("hs"))
+    val hGram = soup.select(col("id"),
+      sortedHof(transform(TextFunctions.charNgrams(col("text"), 3),
+        g => TextFunctions.portableHash64(g))).as("hs"))
+    assert(nGram.exceptAll(hGram).isEmpty && hGram.exceptAll(nGram).isEmpty)
+  }
+
   test("sorted_hashed_jaccard == hashed_jaccard on random multisets") {
     val pairs = (1 to 300).map { _ =>
       val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).sorted
