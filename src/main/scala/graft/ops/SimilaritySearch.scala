@@ -45,38 +45,19 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplane `gp` as a PLAN-TIME
-    * literal array (component i = portableHash64("gp:i") / 2^60 -
-    * 0.5, evaluated on the JVM — the value is row-independent, so
-    * hashing it per row would be ~dim×planes wasted md5 calls per
-    * vector; measured 2× on the ss2 catalog query). `gp` is the
-    * GLOBAL plane index — table t owns planes [t*planes,
-    * (t+1)*planes), so the formula (and the SQL oracle that
-    * replicates it via md5) is identical for any table count. */
-  private def planeLit(gp: Int, dim: Int) =
-    array((0 until dim).map { i =>
-      lit(portableHash64Local(s"$gp:$i").toDouble /
-        1.152921504606847e18 - 0.5)
-    }: _*)
-
-  private def planeDot(vec: org.apache.spark.sql.Column, gp: Int, dim: Int) =
-    aggregate(
-      zip_with(vec, planeLit(gp, dim), (x, c) => x.cast("double") * c),
-      lit(0.0), (acc, v) => acc + v)
-
   /** One bucket long per table: table t's key packs the sign bits of
-    * planes t*planes..t*planes+planes-1. Each dot is written exactly
-    * once (HOFs are interpreted — no codegen subexpression
-    * elimination, so a shared sign-bit array would re-evaluate all
-    * dots per reference). */
+    * planes t*planes..t*planes+planes-1 against deterministic
+    * pseudo-random hyperplanes (global plane gp's component i =
+    * portableHash64("gp:i") / 2^60 - 0.5 — reproducible across
+    * engines, which is what lets the SQL oracle replicate the
+    * algorithm via md5). Round 4 moved the evaluation into the native
+    * [[graft.plans.LshPlaneBuckets]] kernel: the composed form was
+    * tables×planes interpreted `aggregate(zip_with(...))` dots per
+    * row — the last interpreted-HOF hot path in the catalog — and the
+    * kernel is bit-identical to it (LshKernelsSpec). */
   private def tableBuckets(vec: org.apache.spark.sql.Column,
       planes: Int, tables: Int, dim: Int) =
-    array((0 until tables).map { t =>
-      (0 until planes).map { o =>
-        when(planeDot(vec, t * planes + o, dim) > 0, lit(1L << o))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    graft.plans.LshKernels.lshPlaneBuckets(vec, planes, tables, dim)
 
   /** LSH ANN with an OR-construction over `tables` independent hash
     * tables of `planes` sign bits each: a pair is a candidate if it

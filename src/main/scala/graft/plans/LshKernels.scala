@@ -97,6 +97,48 @@ case class SortedHashedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `tables` random-hyperplane LSH bucket keys of one vector in a
+  * single codegen'd pass. Replaces the composed form — per plane an
+  * interpreted `aggregate(zip_with(vec, planeLit, ...))` dot, i.e.
+  * tables×planes lambda-dispatched loops with an intermediate array
+  * each. The hyperplane components are the SAME deterministic
+  * plan-time values (portableHash64Local("gp:i")/2^60 - 0.5), derived
+  * once per (planes, tables, dim) and cached; accumulation is
+  * left-to-right from 0.0, so bucket values are bit-identical to the
+  * composed form (LshKernelsSpec) and the ss2 oracle needs no change.
+  * A vector whose length ≠ dim yields bucket 0 in every table —
+  * exactly the composed form's zip_with-null-pads → null dot →
+  * `when` false behavior. */
+case class LshPlaneBuckets(child: Expression, planes: Int, tables: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"lsh_plane_buckets expects array<float|double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "lsh_plane_buckets"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(vec: Any): Any =
+    LshKernels.planeBuckets(vec.asInstanceOf[ArrayData], planes, tables, dim, isFloat)
+
+  override protected def doGenCode(cg: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(cg, ev, v => {
+      val cls = LshKernels.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.planeBuckets($v, $planes, $tables, $dim, $isFloat);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class HashedJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -227,9 +269,56 @@ object LshKernels {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
+  // hyperplane components per (planes, tables, dim): global plane gp's
+  // component i = portableHash64("gp:i") / 2^60 - 0.5 — identical to
+  // SimilaritySearch.planeLit's plan-time literals
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+  private def planeComps(planes: Int, tables: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((planes, tables, dim), { case (p, t, d) =>
+      Array.tabulate(t * p * d) { idx =>
+        val gp = idx / d
+        val i = idx % d
+        graft.functions.TextFunctions.portableHash64Local(s"$gp:$i").toDouble /
+          1.152921504606847e18 - 0.5
+      }
+    })
+
+  /** [[LshPlaneBuckets]]'s kernel: per table t, pack the sign bits of
+    * planes t·planes..t·planes+planes-1 (dot > 0 ⇒ bit o set). */
+  def planeBuckets(vec: ArrayData, planes: Int, tables: Int, dim: Int,
+      isFloat: Boolean): ArrayData = {
+    val out = new Array[Long](tables)
+    if (vec.numElements() != dim) return new GenericArrayData(out)
+    val comps = planeComps(planes, tables, dim)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var o = 0
+      while (o < planes) {
+        val base = ((t * planes) + o) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          acc += x * comps(base + i)
+          i += 1
+        }
+        if (acc > 0) bucket += (1L << o)
+        o += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Column-API entry points. */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     bridge.column(LshBandKeys(bridge.expression(sig), bands, rowsPerBand))
+
+  def lshPlaneBuckets(vec: Column, planes: Int, tables: Int, dim: Int): Column =
+    bridge.column(LshPlaneBuckets(bridge.expression(vec), planes, tables, dim))
 
   def hashedJaccard(a: Column, b: Column): Column =
     bridge.column(HashedJaccard(bridge.expression(a), bridge.expression(b)))

@@ -522,6 +522,74 @@ object PipelineQueries {
                 (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
             FROM documents ORDER BY doc_id"""))
 
+  /** TP1: the full curation pipeline as ONE verified composition —
+    * language filter (ts1's heuristic) → quality filter (ts2's score)
+    * → exact dedup survivors (d1's digest, min-id representative) →
+    * per-doc token stats (ts3's BPE-ish proxy). This is the query a
+    * training-data pipeline actually runs; the gate proves the
+    * library's pieces compose without each stage re-deriving its
+    * inputs, and the oracle replicates all four stages. Threshold
+    * 0.47 avoids round-composite score values that could tie at the
+    * last ulp across engines. */
+  private val tp1 = QueryDef(
+    "tp1_curation_pipeline",
+    "lang filter → quality filter → exact dedup → token stats",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val copies = d.filter(col("id") % 5 === 0)
+        .select((col("id") + 20000).as("id"), col("text"))
+      val corpus = d.unionByName(copies)
+      val kept = corpus
+        .filter(TextAnalysis.langId(col("text")) === "en")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.47)
+      Dedup.dropExactDuplicates(kept, "id", "text")
+        .select(col("id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("score_r"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
+        .orderBy("id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id AS id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000 AS id, text FROM documents
+              WHERE doc_id % 5 = 0),
+            t AS (SELECT id, text,
+              regexp_split_to_array(trim(text), '\s+') AS toks,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks
+              FROM corpus),
+            feat AS (SELECT id, text,
+              len(toks) AS n_tokens,
+              length(text) AS n_chars,
+              len(regexp_extract_all(text, '[0-9]')) AS digits,
+              len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS s_en,
+              len(list_filter(ltoks, x -> x IN ('der','die','das','und','nicht','mit','ist','ein','zu'))) AS s_de,
+              len(list_filter(ltoks, x -> x IN ('el','la','los','de','que','y','es','un','en','no'))) AS s_es,
+              len(list_filter(ltoks, x -> x IN ('le','la','les','et','des','un','est','que','dans'))) AS s_fr
+              FROM t),
+            scored AS (SELECT id, text, n_tokens,
+              CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                   WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                   WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS pred,
+              0.4::DOUBLE * least(n_tokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) +
+              0.3::DOUBLE * least((CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE
+                  ELSE s_en::DOUBLE / n_tokens::DOUBLE END) * 5.0::DOUBLE, 1.0::DOUBLE) +
+              0.3::DOUBLE * (1.0::DOUBLE - least((CASE WHEN n_chars = 0 THEN 0.0::DOUBLE
+                  ELSE digits::DOUBLE / n_chars::DOUBLE END) * 10.0::DOUBLE, 1.0::DOUBLE))
+                AS score
+              FROM feat),
+            kept AS (SELECT id, text, score FROM scored
+                     WHERE pred = 'en' AND score >= 0.47),
+            reps AS (SELECT min(id) AS id FROM kept
+                     GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+            surv AS (SELECT k.id, k.text, k.score
+                     FROM kept k JOIN reps USING (id))
+            SELECT id, round(score, 6) AS score_r,
+              len(regexp_extract_all(text,
+                '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe
+            FROM surv ORDER BY id"""))
+
   /** MM1: multimodal binary-column plumbing — text → utf8 bytes →
     * byte length + digest, proving binary round-trips through the
     * engine (the decode stubs live in graft.multimodal). */
@@ -626,5 +694,5 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, ss1, ss2, ss3, ts1, ts2, ts3, ts4, mm1, a7b)
+    Seq(d1, d2, d3, d4, d5, d6, ss1, ss2, ss3, ts1, ts2, ts3, ts4, tp1, mm1, a7b)
 }

@@ -51,6 +51,36 @@ class LshKernelsSpec extends SparkSpec {
     }
   }
 
+  test("lsh_plane_buckets == composed per-plane aggregate(zip_with) dots") {
+    import org.apache.spark.sql.Column
+    val (planes, tables, dim) = (3, 2, 8)
+    def planeLit(gp: Int) = array((0 until dim).map { i =>
+      lit(TextFunctions.portableHash64Local(s"$gp:$i").toDouble /
+        1.152921504606847e18 - 0.5)
+    }: _*)
+    def planeDot(vec: Column, gp: Int) = aggregate(
+      zip_with(vec, planeLit(gp), (x, c) => x.cast("double") * c),
+      lit(0.0), (acc, v) => acc + v)
+    def composed(vec: Column) = array((0 until tables).map { t =>
+      (0 until planes).map { o =>
+        when(planeDot(vec, t * planes + o) > 0, lit(1L << o)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val rnd = new scala.util.Random(23)
+    import spark.implicits._
+    val vecs = ((1 to 200).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))) :+
+      (900L, Array.fill(dim - 1)(0.5f)) :+ // wrong length → all-zero buckets
+      (901L, Array.fill(dim)(0.0f)))       // zero vector → dot 0, bit unset
+      .toDF("id", "vec")
+    val native = vecs.select(col("id"),
+      LshKernels.lshPlaneBuckets(col("vec"), planes, tables, dim).as("b"))
+    val hof = vecs.select(col("id"), composed(col("vec")).as("b"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    val short = native.filter(col("id") === 900L).head().getSeq[Long](1)
+    assert(short == Seq(0L, 0L))
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // spark.range (not a local Seq — ConvertToLocalRelation would
     // constant-fold the projection away before it ever hits codegen)
