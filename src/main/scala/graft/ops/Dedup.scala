@@ -190,6 +190,58 @@ object Dedup {
       .select(col(idCol),
         graft.plans.SimhashKernel.simhash32(col("__hs")).as("simhash"))
 
+  /** SimHash near-dup pairs within hamming distance ≤ `maxDist`:
+    * pigeonhole bit-band blocking — the 32 sketch bits split into
+    * maxDist+1 contiguous bands, and two sketches within `maxDist`
+    * MUST agree on at least one whole band (pigeonhole), so
+    * equal-band collision is a COMPLETE candidate generator (recall
+    * 1.0, unlike the probabilistic LSH engines). Candidates are the
+    * capped in-band self-join (ids only, one 8-byte sketch per doc —
+    * the cheapest near-dup shuffle in the library); verify is
+    * popcount(xor) on the re-attached sketches.
+    *
+    * Scale note: a 32-bit sketch gives each band only 32/(maxDist+1)
+    * bits, so band buckets saturate as the corpus grows and the
+    * candidate mass trends quadratic — `bucketCap` bounds it, at the
+    * price of radius recall past the cap. A 100 TB deployment should
+    * widen the sketch (64-bit simhash = double the band selectivity;
+    * the banding/verify shape here is width-agnostic) — 32 bits is
+    * kept because it is the reference's sketch width and the DuckDB
+    * oracle replicates it bit-for-bit. */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
+    require(bucketCap >= 2, "bucketCap must admit at least one pair")
+    val bands = maxDist + 1
+    val sh = simhashValues(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val banded = sh.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        val lo = b * 32 / bands
+        val hi = (b + 1) * 32 / bands
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), lo)
+            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("band_bits"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.band_bits").as("band_bits"))
+    val wb = Window.partitionBy(col("band"), col("band_bits"))
+      .orderBy(col("id").asc)
+    val capped = banded
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= bucketCap)
+      .select("band", "band_bits", "id")
+    val cand = cappedPairs(capped, Seq("band", "band_bits"))
+    val verify = sh.hint("shuffle_hash")
+    cand
+      .join(verify.as("sa"), col("id_a") === col("sa.id"))
+      .join(verify.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("hamming",
+        bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Character-n-gram Jaccard near-dup pairs. Same LSH candidate
     * engine as [[minhashLshPairs]], but the item set is the distinct
     * char n-grams — the character-level metric catches reorderings

@@ -137,6 +137,55 @@ object PipelineQueries {
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
                 FROM tok WHERE len(t) >= 3)""", 0.6)))
 
+  /** D7: SimHash hamming-radius near-dup pairs — pigeonhole bit-band
+    * blocking over the 32-bit sketch (maxDist+1 bands ⇒ recall 1.0
+    * within the radius), popcount verify. Complements d3 (equal
+    * values only) with the radius search its Scaladoc promises; the
+    * oracle replicates sketch, banding (integer-division band
+    * boundaries), cap rule, and popcount. */
+  private val d7 = QueryDef(
+    "d7_simhash_hamming_pairs",
+    "SimHash pairs within hamming distance 4 (pigeonhole bands)",
+    (s, dir) => Dedup.simhashHammingPairs(dupCorpus(s, dir), "id", "text",
+      maxDist = 4, bucketCap = CatalogCap)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH $dupCorpusSql,
+            tok AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM corpus),
+            hs AS (SELECT id, list_transform(t, tk ->
+                     ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS h FROM tok),
+            sh AS (SELECT id,
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(generate_series(0, 31), i ->
+                  CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                         list_transform(h, hv ->
+                           CASE WHEN (hv >> i) % 2 = 1 THEN 1::BIGINT
+                                ELSE (-1)::BIGINT END)),
+                         (a, b) -> a + b) > 0
+                       THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+                (a, b) -> a + b) AS simhash
+              FROM hs),
+            banded AS (SELECT id, b,
+                         (simhash >> ((b*32)//5)) &
+                         ((1::BIGINT << (((b+1)*32)//5 - (b*32)//5)) - 1)
+                           AS band_bits
+                       FROM sh, generate_series(0, 4) AS gs(b)),
+            capped AS (SELECT id, b, band_bits,
+                         row_number() OVER (PARTITION BY b, band_bits
+                                            ORDER BY id) AS rn
+                       FROM banded),
+            cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+                     FROM capped a JOIN capped b2
+                       ON a.b = b2.b AND a.band_bits = b2.band_bits
+                          AND a.id < b2.id
+                     WHERE a.rn <= $CatalogCap AND b2.rn <= $CatalogCap),
+            verif AS (SELECT id_a, id_b,
+                        bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+                      FROM cand JOIN sh x ON x.id = cand.id_a
+                                JOIN sh y ON y.id = cand.id_b)
+            SELECT id_a, id_b, hamming FROM verif
+            WHERE hamming <= 4 ORDER BY id_a, id_b"""))
+
   /** D6: the production dedup ORDER as one verified pipeline — exact
     * dedup first (linear, digest-keyed), THEN near-dup LSH over the
     * survivors. The round-4 scale probe showed why this composition
@@ -694,5 +743,5 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, ss1, ss2, ss3, ts1, ts2, ts3, ts4, tp1, mm1, a7b)
+    Seq(d1, d2, d3, d4, d5, d6, d7, ss1, ss2, ss3, ts1, ts2, ts3, ts4, tp1, mm1, a7b)
 }

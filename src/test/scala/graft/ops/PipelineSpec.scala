@@ -96,6 +96,32 @@ class PipelineSpec extends SparkSpec {
       s"multi-table recall $recall < single-table $recallSingle")
   }
 
+  test("simhash hamming pairs: pigeonhole recall is complete within the radius") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // identical
+      (3L, "beta gamma delta epsilon zeta eta theta iota kappa"),       // 1 word off
+      (4L, "totally unrelated cooking recipe with garlic and butter sauce")
+    ).toDF("id", "text")
+    val sh = Dedup.simhashValues(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: every pair within hamming<=8 must be found (the
+    // pigeonhole banding is COMPLETE, not probabilistic)
+    val expect = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 8
+    } yield (a, b)).toSet
+    val got = Dedup.simhashHammingPairs(docs, "id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.contains((1L, 2L)), "identical docs must pair at distance 0")
+    // radius 0 degenerates to equal-sketch pairs exactly
+    val eq0 = Dedup.simhashHammingPairs(docs, "id", "text", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(eq0 == Set((1L, 2L, 0)) || eq0.forall(_._3 == 0))
+  }
+
   test("IVF ANN recall rises with probes; full probing = exact top-k") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
