@@ -266,6 +266,31 @@ object Dedup {
           graft.plans.HashKernels.hashedCharNgrams(col("__text"), n).as("hs")),
       numHashes, bands, threshold, bucketCap)
 
+  /** APPLY a near-dup pair list: survivors = every row whose id never
+    * appears as the LARGER member of a pair — the standard greedy
+    * smaller-id-wins drop. Greedy, not transitive-closure: in a chain
+    * a~b~c (a<b<c) where a̸~c, both b and c drop because each pairs
+    * with a smaller survivor-or-dropped id; exact connected-component
+    * dedup needs an iterative closure whose cost is unbounded on
+    * adversarial chains, and greedy is the accepted practice in
+    * training-data pipelines (deterministic, one anti-join, strictly
+    * conservative: it never keeps both sides of a detected pair).
+    * `pairs` must carry (id_a, id_b) with id_a < id_b. */
+  def dropPairedDuplicates(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** End-to-end near-dup DROP over word shingles: [[minhashLshPairs]]
+    * then the greedy smaller-id-wins apply. Returns the surviving
+    * rows of `df`. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6, bucketCap: Int = DefaultBucketCap): DataFrame =
+    dropPairedDuplicates(df, idCol,
+      minhashLshPairs(df, idCol, textCol, shingleLen, numHashes, bands,
+        threshold, bucketCap))
+
   /** Default per-cell candidate cap for the IVF dedup — same
     * discipline as [[DefaultBucketCap]]: one hot cell (a
     * duplicate-heavy corpus is exactly the dedup use case) must not

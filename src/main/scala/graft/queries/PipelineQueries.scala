@@ -145,9 +145,9 @@ object PipelineQueries {
     * boundaries), cap rule, and popcount. */
   private val d7 = QueryDef(
     "d7_simhash_hamming_pairs",
-    "SimHash pairs within hamming distance 4 (pigeonhole bands)",
+    "SimHash pairs within hamming distance 2 (pigeonhole bands)",
     (s, dir) => Dedup.simhashHammingPairs(dupCorpus(s, dir), "id", "text",
-      maxDist = 4, bucketCap = CatalogCap)
+      maxDist = 2, bucketCap = CatalogCap)
       .orderBy("id_a", "id_b"),
     Some(s"""WITH $dupCorpusSql,
             tok AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -166,10 +166,10 @@ object PipelineQueries {
                 (a, b) -> a + b) AS simhash
               FROM hs),
             banded AS (SELECT id, b,
-                         (simhash >> ((b*32)//5)) &
-                         ((1::BIGINT << (((b+1)*32)//5 - (b*32)//5)) - 1)
+                         (simhash >> ((b*32)//3)) &
+                         ((1::BIGINT << (((b+1)*32)//3 - (b*32)//3)) - 1)
                            AS band_bits
-                       FROM sh, generate_series(0, 4) AS gs(b)),
+                       FROM sh, generate_series(0, 2) AS gs(b)),
             capped AS (SELECT id, b, band_bits,
                          row_number() OVER (PARTITION BY b, band_bits
                                             ORDER BY id) AS rn
@@ -184,7 +184,29 @@ object PipelineQueries {
                       FROM cand JOIN sh x ON x.id = cand.id_a
                                 JOIN sh y ON y.id = cand.id_b)
             SELECT id_a, id_b, hamming FROM verif
-            WHERE hamming <= 4 ORDER BY id_a, id_b"""))
+            WHERE hamming <= 2 ORDER BY id_a, id_b"""))
+
+  /** D8: the near-dup APPLY step — greedy smaller-id-wins drop over
+    * the d2 pair list; the output is the surviving corpus users
+    * actually feed downstream. Oracle: the d2 pair pipeline as a
+    * nested-WITH CTE, then the anti-join. */
+  private val d8 = QueryDef(
+    "d8_near_dup_drop",
+    "greedy near-duplicate drop (survivors after MinHash-LSH)",
+    (s, dir) => Dedup.dropNearDuplicates(dupCorpus(s, dir), "id", "text",
+      shingleLen = 3, numHashes = NumHashes, bands = Bands, threshold = 0.6,
+      bucketCap = CatalogCap)
+      .orderBy("id"),
+    Some("WITH " + dupCorpusSql + ",\n" +
+      "pairs AS (WITH " + lshOracleSql(
+        """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM corpus),
+           it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                  FROM tok WHERE len(t) >= 3)""", 0.6) + ")\n" +
+      """SELECT c.id, c.text FROM corpus c
+         LEFT JOIN (SELECT DISTINCT id_b FROM pairs) p ON c.id = p.id_b
+         WHERE p.id_b IS NULL ORDER BY c.id"""))
 
   /** D6: the production dedup ORDER as one verified pipeline — exact
     * dedup first (linear, digest-keyed), THEN near-dup LSH over the
@@ -743,5 +765,6 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, ss1, ss2, ss3, ts1, ts2, ts3, ts4, tp1, mm1, a7b)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, ss1, ss2, ss3, ts1, ts2, ts3, ts4,
+      tp1, mm1, a7b)
 }

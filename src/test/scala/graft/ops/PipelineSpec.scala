@@ -96,6 +96,28 @@ class PipelineSpec extends SparkSpec {
       s"multi-table recall $recall < single-table $recallSingle")
   }
 
+  test("near-dup drop: greedy smaller-id-wins, chains drop entirely") {
+    import spark.implicits._
+    // synthetic pair list: chain 1~2, 2~3 (1̸~3) and isolated 4
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val surv = Dedup.dropPairedDuplicates(docs, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    // greedy: 2 drops (pairs with 1), 3 drops (pairs with 2) — the
+    // whole chain collapses to its smallest id; 4 untouched
+    assert(surv == Set(1L, 4L))
+
+    // end-to-end: exact copies → only the min-id member survives
+    val d2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "an entirely different sentence about gardening and soil")
+    ).toDF("id", "text")
+    val got = Dedup.dropNearDuplicates(d2, "id", "text", threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 12L), s"got $got")
+  }
+
   test("simhash hamming pairs: pigeonhole recall is complete within the radius") {
     import spark.implicits._
     val docs = Seq(
