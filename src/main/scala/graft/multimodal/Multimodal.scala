@@ -90,13 +90,17 @@ object Multimodal {
       provider: MediaCodecProvider = DigestStubCodecProvider): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
-      val codec = provider.open()
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
-      val md = MessageDigest.getInstance("MD5")
-      it.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.bytes.length,
-          hex(md.digest(m.bytes)), codec.featurize(m, dim))
+      // empty partitions must not pay codec init (model weights, JNI)
+      if (!it.hasNext) Iterator.empty
+      else {
+        val codec = provider.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+        val md = MessageDigest.getInstance("MD5")
+        it.map { m =>
+          MediaFeatures(m.media_id, m.kind, m.bytes.length,
+            hex(md.digest(m.bytes)), codec.featurize(m, dim))
+        }
       }
     }
   }
@@ -120,13 +124,16 @@ object Multimodal {
       provider: MediaCodecProvider = DigestStubCodecProvider): Dataset[Frame] = {
     import items.sparkSession.implicits._
     items.filter(_.kind == "video").mapPartitions { it =>
-      val codec = provider.open()
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
-      it.flatMap { m =>
-        val stride = math.max(1, m.n_frames / maxFrames)
-        (0 until m.n_frames by stride).take(maxFrames).map { idx =>
-          Frame(m.media_id, idx, m.width, m.height, codec.decodeFrame(m, idx))
+      if (!it.hasNext) Iterator.empty
+      else {
+        val codec = provider.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+        it.flatMap { m =>
+          val stride = math.max(1, m.n_frames / maxFrames)
+          (0 until m.n_frames by stride).take(maxFrames).map { idx =>
+            Frame(m.media_id, idx, m.width, m.height, codec.decodeFrame(m, idx))
+          }
         }
       }
     }

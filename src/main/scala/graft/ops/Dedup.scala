@@ -213,7 +213,12 @@ object Dedup {
     require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
     require(bucketCap >= 2, "bucketCap must admit at least one pair")
     val bands = maxDist + 1
-    val sh = simhashValues(df, idCol, textCol)
+    // same repartition(id) barrier as the LSH engines: the dominant
+    // tokenize+hash+sketch pass parallelizes independent of input
+    // splits, and banding + both verify sides share the one exchange
+    val sh = simhashValues(
+      df.select(col(idCol), col(textCol)).repartition(col(idCol)),
+      idCol, textCol)
       .select(col(idCol).as("id"), col("simhash"))
     val banded = sh.select(col("id"),
       explode(array((0 until bands).map { b =>

@@ -68,7 +68,10 @@ object Ivf {
   }
 
   /** The sample codebook as a driver value — the same `numCentroids`
-    * lowest-id vectors [[assignments]] derives in-plan. */
+    * lowest-id vectors [[assignments]] derives in-plan. CONTRACT: ids
+    * must be numeric (castable to long) — a string id would cast to
+    * null here while [[assignments]] orders the raw column, silently
+    * disagreeing about which vectors anchor the cells. */
   def sampleCodebook(df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int): Codebook =
     df.select(col(idCol).cast("long").as("cid"), col(vecCol).as("v"))

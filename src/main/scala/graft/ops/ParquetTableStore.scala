@@ -122,10 +122,19 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * default keepVersions=2 that means "reuse after the next commit"
     * is always safe, which is the exact sharp edge the old
     * commit-then-re-read discipline existed to avoid. */
-  def commit(spark: SparkSession, table: String, df: DataFrame): DataFrame = {
-    val prev = currentPointer(table)
-    val staged = writeVersion(spark, table, df, prev, partitioned = false)
-    publish(table, staged, prev)
+  def commit(spark: SparkSession, table: String, df: DataFrame): DataFrame =
+    commitExpecting(spark, table, df, currentPointer(table))
+
+  /** Commit `df` with the CAS expectation pinned to `expected` — the
+    * pointer the CALLER's computation was based on. Every merge path
+    * must capture the pointer BEFORE reading the snapshot it merges
+    * against and pass it here; re-reading the pointer at publish time
+    * would let a competing commit that landed in between be silently
+    * overwritten (the lost-update the CAS exists to prevent). */
+  private def commitExpecting(spark: SparkSession, table: String,
+      df: DataFrame, expected: Option[String]): DataFrame = {
+    val staged = writeVersion(spark, table, df, expected, partitioned = false)
+    publish(table, staged, expected)
     readDir(spark, table, staged)
   }
 
@@ -134,12 +143,21 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * the incoming schema grew. Full-snapshot rewrite — for O(delta)
     * commits on big tables use [[upsertBucketed]]. */
   def upsert(spark: SparkSession, table: String, incoming: DataFrame,
-      keys: Seq[String]): DataFrame =
-    if (!exists(table)) commit(spark, table, incoming)
-    else {
-      val (stored, inc) = SchemaEvolution.align(read(spark, table), incoming)
-      commit(spark, table, Upserts.upsertLastWriteWins(stored, inc, keys))
+      keys: Seq[String]): DataFrame = {
+    // capture the pointer ONCE: the merge below reads THIS snapshot,
+    // so the publish must CAS against exactly this value — including
+    // the None case (a competitor creating the table concurrently
+    // must fail our create-commit, not be replaced by it)
+    val prev = currentPointer(table)
+    prev match {
+      case None => commitExpecting(spark, table, incoming, None)
+      case Some(p) =>
+        val (stored, inc) = SchemaEvolution.align(
+          readDir(spark, table, dirNameOf(p)), incoming)
+        commitExpecting(spark, table,
+          Upserts.upsertLastWriteWins(stored, inc, keys), prev)
     }
+  }
 
   /** LWW-upsert into a key-bucketed table, rewriting only the buckets
     * the delta touches; untouched buckets are hard-linked from the
@@ -174,23 +192,37 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       val merged = bucketed(
         Upserts.upsertLastWriteWins(stored, incA, keys), n)
       val staged = stagedDirName(versionOf(dirNameOf(prev.get)) + 1)
-      val nextDir = tableDir(table).resolve(staged)
+      val nextDir = tableDir(table).resolve(tmpName(staged))
       merged.write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
       // share untouched bucket dirs from the previous version without
-      // rewriting them (hard links on POSIX, copies on object stores)
-      Files.list(curDir).iterator().asScala
-        .filter(p => Files.isDirectory(p))
-        .filter(p => p.getFileName.toString.startsWith(s"$BucketCol="))
-        .filterNot(p => touched.contains(
-          p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt))
-        .foreach { src =>
-          val dst = nextDir.resolve(src.getFileName.toString)
-          Files.createDirectories(dst)
-          Files.list(src).iterator().asScala
-            .filter(f => Files.isRegularFile(f))
-            .foreach(f => io.shareFile(f, dst.resolve(f.getFileName.toString)))
-        }
+      // rewriting them (hard links on POSIX, copies on object stores).
+      // If the base version vanishes mid-link, competitors advanced
+      // past the retention window — surface it as the retryable
+      // conflict it is, not a raw I/O error. (Deployments should size
+      // keepVersions comfortably above the concurrent-writer count so
+      // a merger's base version normally survives its operation.)
+      try {
+        Files.list(curDir).iterator().asScala
+          .filter(p => Files.isDirectory(p))
+          .filter(p => p.getFileName.toString.startsWith(s"$BucketCol="))
+          .filterNot(p => touched.contains(
+            p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt))
+          .foreach { src =>
+            val dst = nextDir.resolve(src.getFileName.toString)
+            Files.createDirectories(dst)
+            Files.list(src).iterator().asScala
+              .filter(f => Files.isRegularFile(f))
+              .foreach(f => io.shareFile(f, dst.resolve(f.getFileName.toString)))
+          }
+      } catch {
+        case _: java.nio.file.NoSuchFileException =>
+          deleteRecursively(nextDir)
+          throw new ConcurrentCommitException(
+            s"base version $curDir pruned during bucket linking — " +
+              "concurrent commits advanced past retention; re-read and retry")
+      }
+      finalizeStaged(table, staged)
       publish(table, staged, prev)
       readDir(spark, table, staged)
     }
@@ -219,12 +251,30 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   private def stagedDirName(version: Long): String =
     s"v=$version-${java.util.UUID.randomUUID.toString.take(8)}"
 
+  /** In-flight writes live under `tmp-<name>` — a prefix [[prune]]
+    * never touches — and move into the `v=` namespace only when the
+    * write is COMPLETE. Otherwise a slow writer whose target version
+    * fell out of the retention window mid-write (competitors kept
+    * publishing) would have its half-written dir pruned out from
+    * under the running Spark job, failing it with a non-retryable
+    * I/O error instead of a clean CAS conflict. After the move the
+    * worst a concurrent prune can do is delete a COMPLETE staged dir
+    * whose version already lost — and then the CAS must fail too,
+    * which is the clean retry path. (A crashed writer can orphan a
+    * tmp- dir; they are inert and cheap to sweep out-of-band.) */
+  private def tmpName(staged: String): String = s"tmp-$staged"
+
+  private def finalizeStaged(table: String, staged: String): Unit =
+    Files.move(tableDir(table).resolve(tmpName(staged)),
+      tableDir(table).resolve(staged))
+
   private def writeVersion(spark: SparkSession, table: String, df: DataFrame,
       prev: Option[String], partitioned: Boolean): String = {
     val staged = stagedDirName(prev.map(p => versionOf(dirNameOf(p))).getOrElse(-1L) + 1)
-    val dir = tableDir(table).resolve(staged)
+    val dir = tableDir(table).resolve(tmpName(staged))
     val w = df.write.mode("errorifexists")
     (if (partitioned) w.partitionBy(BucketCol) else w).parquet(dir.toString)
+    finalizeStaged(table, staged)
     staged
   }
 

@@ -127,8 +127,13 @@ object SimilaritySearch {
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, numCentroids: Int,
       probes: Int = 4, cellCap: Int = 10000): DataFrame = {
-    val corpusAssign = Ivf.assignments(candidates, idCol, vecCol,
-      numCentroids, probes = 1)
+    // ONE codebook derivation (k·dim doubles to the driver — the
+    // documented Ivf contract, numeric ids required), shared by both
+    // assignment sides; deriving the corpus side in-plan as well
+    // would re-run the orderBy+limit codebook subplan a second time
+    val codebook = Ivf.sampleCodebook(candidates, idCol, vecCol, numCentroids)
+    val corpusAssign = Ivf.assignmentsWithCodebook(candidates, idCol, vecCol,
+      codebook, probes = 1)
       .select(col("id").as("neighbor_id"), col("centroid_id"))
     val wc = Window.partitionBy(col("centroid_id"))
       .orderBy(col("neighbor_id").asc)
@@ -136,7 +141,6 @@ object SimilaritySearch {
       .withColumn("__rn", row_number().over(wc))
       .filter(col("__rn") <= cellCap)
       .drop("__rn")
-    val codebook = Ivf.sampleCodebook(candidates, idCol, vecCol, numCentroids)
     val queryAssign = Ivf.assignmentsWithCodebook(queries, idCol, vecCol,
       codebook, probes)
       .select(col("id").as("query_id"), col("centroid_id"))

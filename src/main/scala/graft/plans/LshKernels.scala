@@ -285,11 +285,20 @@ object LshKernels {
     })
 
   /** [[LshPlaneBuckets]]'s kernel: per table t, pack the sign bits of
-    * planes t·planes..t·planes+planes-1 (dot > 0 ⇒ bit o set). */
+    * planes t·planes..t·planes+planes-1 (dot > 0 ⇒ bit o set). A
+    * length-mismatched vector OR one containing a null element yields
+    * all-zero buckets — exactly the composed form, where zip_with's
+    * null padding / null element nulls every plane's dot and the
+    * `when(dot > 0)` test fails for every bit. */
   def planeBuckets(vec: ArrayData, planes: Int, tables: Int, dim: Int,
       isFloat: Boolean): ArrayData = {
     val out = new Array[Long](tables)
     if (vec.numElements() != dim) return new GenericArrayData(out)
+    var n = 0
+    while (n < dim) {
+      if (vec.isNullAt(n)) return new GenericArrayData(out)
+      n += 1
+    }
     val comps = planeComps(planes, tables, dim)
     var t = 0
     while (t < tables) {

@@ -83,7 +83,7 @@ object Streams {
     * exact-once-ever semantics should dedup against the STORE with
     * U2 insert-if-absent instead). Batch near-dup passes (d2-d6)
     * then run over the stored, already-exact-deduped table. */
-  def dedupDocStream(docs: DataFrame, idCol: String, textCol: String,
+  def dedupDocStream(docs: DataFrame, textCol: String,
       tsCol: String, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))

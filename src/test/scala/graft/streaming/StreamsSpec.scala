@@ -45,7 +45,7 @@ class StreamsSpec extends SparkSpec {
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val deduped = Streams.dedupDocStream(
-      in.toDF().toDF("id", "text", "ts"), "id", "text", "ts",
+      in.toDF().toDF("id", "text", "ts"), "text", "ts",
       watermark = "1 hour")
     val q = deduped.writeStream.format("memory")
       .queryName("dedup_out").outputMode(OutputMode.Append).start()
