@@ -118,19 +118,18 @@ object Ivf {
   }
 
   /** Shared assignment tail: per-row rank of the broadcast anchor
-    * array by (cos DESC, cid) via struct array_sort — total and
-    * engine-portable — keeping the vector column for callers that
-    * need it (the Lloyd mean). The final sort is total, so
-    * collect_list's nondeterministic order can't leak into the
-    * result. */
+    * array by (cos DESC, cid) — total ordering, so collect_list's
+    * nondeterministic order can't leak into the result — via the
+    * native [[VectorKernels.ivfTopCells]] kernel (round 4: the
+    * composed slice(array_sort(transform(...))) form evaluated
+    * interpreted and measured degrading ~10× in long sessions;
+    * ranking semantics are identical, IvfKernelParitySpec). Keeps the
+    * vector column for callers that need it (the Lloyd mean). */
   private def assignAgainst(df: DataFrame, idCol: String, vecCol: String,
       anchors: DataFrame, probes: Int): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("__vec"))
       .crossJoin(broadcast(anchors))
       .select(col("id"), col("__vec"),
-        slice(array_sort(transform(col("__anchors"), a =>
-          struct((lit(0.0) - VectorKernels.cosineSim(col("__vec"), a.getField("vec"))).as("neg"),
-            a.getField("centroid_id").as("cid")))), 1, probes).as("__top"))
-      .select(col("id"), col("__vec"), explode(col("__top")).as("__p"))
-      .select(col("id"), col("__vec"), col("__p.cid").as("centroid_id"))
+        explode(VectorKernels.ivfTopCells(col("__vec"), col("__anchors"), probes))
+          .as("centroid_id"))
 }

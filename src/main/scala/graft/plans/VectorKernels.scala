@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
 
@@ -87,6 +87,63 @@ case class CosineSimKernel(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-`probes` anchor cells of one vector by (cosine DESC, cid ASC)
+  * — the IVF assignment ranking in ONE codegen'd pass. Replaces the
+  * composed `slice(array_sort(transform(anchors, struct(-cos, cid))),
+  * 1, probes)`: higher-order transform + per-row struct-array
+  * allocation + comparator lambdas all evaluate interpreted, and the
+  * path measured degrading ~10× in long-lived sessions (megamorphic
+  * `Expression.eval` — the round-4 post-mortem's mechanism). Ranking
+  * semantics are identical: cosine from the same fused
+  * [[VectorKernels.cosine]] (bit-equal doubles), ties on cid
+  * ascending, NaN ordered greatest like SQL doubles, a
+  * length-mismatched anchor (null cosine in the composed form)
+  * ordered last. */
+case class IvfTopCells(left: Expression, right: Expression, probes: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def vecOk(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val anchorsOk = right.dataType match {
+      case ArrayType(StructType(Array(f1, f2)), _) =>
+        f1.dataType == LongType && vecOk(f2.dataType)
+      case _ => false
+    }
+    if (vecOk(left.dataType) && anchorsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ivf_top_cells expects (array<float|double>, array<struct<bigint, array<float|double>>>), " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_top_cells"
+
+  private def vecIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def anchorIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType].fields(1).dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(vec: Any, anchors: Any): Any =
+    VectorKernels.topCells(vec.asInstanceOf[ArrayData],
+      anchors.asInstanceOf[ArrayData], probes, vecIsFloat, anchorIsFloat)
+
+  override protected def doGenCode(cg: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(cg, ev, (v, a) => {
+      val cls = VectorKernels.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.topCells($v, $a, $probes, $vecIsFloat, $anchorIsFloat);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorKernels {
 
   @inline private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
@@ -120,8 +177,46 @@ object VectorKernels {
   }
 
   /** Column-API entry points. */
+  /** [[IvfTopCells]]'s kernel: rank all anchors by (−cosine, cid)
+    * ascending — i.e. cosine DESC, ties cid ASC — and return the
+    * first `probes` cids. NaN/null cosines (zero vector / length
+    * mismatch) order last, matching SQL double ordering and the
+    * composed form's null propagation. */
+  def topCells(vec: ArrayData, anchors: ArrayData, probes: Int,
+      vf: Boolean, af: Boolean): ArrayData = {
+    val n = anchors.numElements()
+    val negs = new Array[Double](n)
+    val cids = new Array[Long](n)
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      val row = anchors.getStruct(i, 2)
+      cids(i) = row.getLong(0)
+      val c = cosine(vec, row.getArray(1), vf, af)
+      // null cosine (length mismatch) → order last, like the composed
+      // form's null struct field; NaN already orders greatest via
+      // Double.compare, same as SQL
+      negs(i) = if (c == null) Double.NaN else 0.0 - c
+      idx(i) = i
+      i += 1
+    }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val cmp = java.lang.Double.compare(negs(a), negs(b))
+      if (cmp != 0) cmp else java.lang.Long.compare(cids(a), cids(b))
+    })
+    val k = math.min(probes, n)
+    val out = new Array[Long](k)
+    i = 0
+    while (i < k) { out(i) = cids(idx(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def dotProduct(a: Column, b: Column): Column =
     bridge.column(DotProductKernel(bridge.expression(a), bridge.expression(b)))
+
+  def ivfTopCells(vec: Column, anchors: Column, probes: Int): Column =
+    bridge.column(IvfTopCells(bridge.expression(vec),
+      bridge.expression(anchors), probes))
 
   def cosineSim(a: Column, b: Column): Column =
     bridge.column(CosineSimKernel(bridge.expression(a), bridge.expression(b)))

@@ -67,9 +67,15 @@ object ScaleProbe {
           "id", "embedding", numCentroids = cells, probes = 2, threshold = 0.9,
           cellCap = 1000))
       }
+      probe(s"d7_hamming_x$m", Dedup.simhashHammingPairs(docs(m), "id", "text",
+        maxDist = 2, bucketCap = 1000))
       probe(s"ss2_lsh_ann_x$m", SimilaritySearch.lshTopK(
         vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
         k = 5, planes = 6, tables = 4, bucketCap = 200))
+      probe(s"ss3_ivf_ann_x$m", SimilaritySearch.ivfTopK(
+        vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
+        k = 5, numCentroids = math.max(32, math.sqrt(2000.0 * m).toInt),
+        probes = 8, cellCap = 1000))
       val _ = nDocs
     }
     spark.stop()
