@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.TemporalJoins
 
 /** SURVEY §2.2–§2.7 relational operator inventory (P/J/A/W/O rows),
   * re-expressed over the driver's synthetic tables by role analogy:
@@ -371,6 +372,48 @@ object RelationalQueries {
                                 AND l_shipdate < '1996-06-01')
             ORDER BY p_partkey"""))
 
+  /** J10: as-of join — each click attaches the user's most recent
+    * prior view within 6 hours ([[graft.ops.TemporalJoins.asOfJoin]]:
+    * union+window, one key shuffle, never a range theta-join). The
+    * oracle states the same semantics as the textbook ranked
+    * range-join — equivalent, but quadratic per key, which is exactly
+    * why the operator doesn't plan it that way. */
+  private val j10 = QueryDef(
+    "j10_asof_join",
+    "as-of join: latest prior event per key within tolerance",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value").as("view_value"), col("ts").as("view_ts"))
+      TemporalJoins.asOfJoin(clicks, views, Seq("user_id"),
+          leftTsCol = "ts", rightTsCol = "ts",
+          payload = Seq("view_id", "view_value", "view_ts"),
+          tieBreak = "view_id", toleranceUs = Some(6L * 3600 * 1000000))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("view_ts")))
+        .select("event_id", "user_id", "view_id", "view_value", "gap_us")
+        .orderBy("event_id")
+    },
+    Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'click'),
+                 views AS (SELECT event_id AS view_id, user_id, ts,
+                                  value AS view_value FROM events
+                           WHERE event_type = 'view'),
+                 ranked AS (
+                   SELECT c.event_id, c.user_id, v.view_id, v.view_value,
+                          epoch_us(c.ts) - epoch_us(v.ts) AS gap_us,
+                          row_number() OVER (
+                            PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.view_id DESC) AS rn
+                   FROM clicks c LEFT JOIN views v
+                     ON c.user_id = v.user_id AND v.ts <= c.ts
+                    AND epoch_us(c.ts) - epoch_us(v.ts) <= 21600000000)
+            SELECT event_id, user_id, view_id, view_value, gap_us
+            FROM ranked WHERE rn = 1 ORDER BY event_id"""))
+
   // ---------------------------------------------------------------- A
 
   /** A1 (display.py:153-160): dashboard table totals, one row per
@@ -702,7 +745,7 @@ object RelationalQueries {
 
   def defs: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p9,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
     a1, a2, a3, a4, a5, a6, a7,
     w1, w2, w3,
     o1, o2, o3, o4, o5, o6, o7, o8)
