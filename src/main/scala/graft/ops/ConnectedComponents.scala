@@ -1,0 +1,125 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over near-duplicate pair graphs — the
+  * transitive-closure step between pair mining ([[Dedup]] d2/d4/d5/d7
+  * outputs) and cluster-level decisions (keep one doc per duplicate
+  * CLASS, not per pair; the greedy pair drop in
+  * [[Dedup.dropPairedDuplicates]] is the cheap approximation, this is
+  * the exact one).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) —
+  * converges in O(log n) rounds on any graph, vs. graph-diameter
+  * rounds for naive min-label propagation (a pathological near-dup
+  * chain is exactly where naive propagation degrades). Each round is
+  * two aggregate+join passes over the edge list, all key shuffles —
+  * nothing is ever collected to the driver and no per-node adjacency
+  * list is materialized (high-degree nodes stay distributed).
+  */
+object ConnectedComponents {
+
+  /** Map every id in `pairs(id_a, id_b)` to the smallest id reachable
+    * through the pair graph (its cluster representative). Output:
+    * (id, cluster_id), one row per distinct id in `pairs`; roots map
+    * to themselves.
+    *
+    * Materialization contract: iterative convergence requires
+    * per-round actions, so unlike the lazy pair miners this operator
+    * is EAGER — `pairs` is evaluated exactly once, rounds
+    * persist/unpersist deterministically (zero retained blocks on
+    * return), and the fixpoint is staged to `scratchDir` (a temp dir
+    * by default) and returned as a clean parquet scan, so callers can
+    * re-join it repeatedly without recompute. At cluster scale this is
+    * the standard shape for a CC job: checkpoint the fixpoint to
+    * storage, read it back.
+    */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50,
+      scratchDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col(pairs.columns(0)).cast("long").as("u"),
+        col(pairs.columns(1)).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+
+    // Each round references the previous edge set several times; left
+    // as nested logical plans that's an exponential TREE (measured: an
+    // OOM in plan stringification before round 10). Staging every
+    // round through a persisted RDD makes it a LogicalRDD LEAF —
+    // constant plan size, each round computed exactly once. All
+    // rounds' blocks are freed together on return (edge sets are
+    // pair-graph-sized, far below corpus scale, and spill to disk).
+    val staged = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def stage(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      staged += rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    def freeAll(): Unit = staged.foreach(_.unpersist(blocking = false))
+
+    try {
+      var e = stage(canonical(p))
+      var n = e.count()
+      var rounds = 0
+      var converged = n == 0
+      while (!converged && rounds < maxRounds) {
+        val next = stage(smallStar(largeStar(e)))
+        val m = next.count()
+        // distinct sets of equal size with an empty one-sided
+        // difference are equal — a full L∘S round that was a no-op
+        // makes every later round a no-op too.
+        converged = m == n && next.exceptAll(e).limit(1).count() == 0
+        e = next
+        n = m
+        rounds += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds")
+      // Fixpoint is a star forest with every edge (root=component min,
+      // leaf): leaves label from their root, roots label themselves.
+      val labels = e.select(col("hi").as("id"), col("lo").as("cluster_id"))
+        .unionByName(e.select(col("lo").as("id"), col("lo").as("cluster_id")))
+        .distinct()
+      val dir = scratchDir.getOrElse(
+        Files.createTempDirectory("graft-cc-").toString)
+      labels.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    } finally freeAll()
+  }
+
+  /** Undirected edge in canonical (lo < hi) form, self-loops dropped. */
+  private def canonical(df: DataFrame): DataFrame =
+    df.select(least(col("u"), col("v")).as("lo"),
+        greatest(col("u"), col("v")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct()
+
+  /** Connect each node's strictly-larger neighbors to the minimum of
+    * its closed neighborhood. The min is ≤ the node < the neighbor,
+    * so the output is canonical by construction. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("lo").as("n"), col("hi").as("m"))
+      .unionByName(e.select(col("hi").as("n"), col("lo").as("m")))
+    val mins = sym.groupBy("n").agg(min("m").as("mn"))
+      .select(col("n"), least(col("n"), col("mn")).as("lab"))
+    sym.where(col("m") > col("n"))
+      .join(mins, "n")
+      .select(col("lab").as("lo"), col("m").as("hi"))
+      .where(col("lo") =!= col("hi")).distinct()
+  }
+
+  /** Orient each edge towards its larger endpoint, then connect that
+    * endpoint and its smaller neighbors to the smallest of them. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("hi").agg(min("lo").as("mn"))
+    e.join(mins, "hi")
+      .select(col("mn").as("lo"), col("lo").as("hi"))
+      .unionByName(mins.select(col("mn").as("lo"), col("hi")))
+      .where(col("lo") =!= col("hi")).distinct()
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.ops.{ConnectedComponents, Dedup, SimilaritySearch, TextAnalysis}
 
 /** LLM-training-data pipeline operators over documents/embeddings —
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -207,6 +207,38 @@ object PipelineQueries {
       """SELECT c.id, c.text FROM corpus c
          LEFT JOIN (SELECT DISTINCT id_b FROM pairs) p ON c.id = p.id_b
          WHERE p.id_b IS NULL ORDER BY c.id"""))
+
+  /** D9: duplicate CLUSTERS — exact transitive closure over the d2
+    * pair graph via alternating large-star/small-star
+    * ([[graft.ops.ConnectedComponents.duplicateClusters]]), every id
+    * labeled with the min id of its component. The greedy d8 drop is
+    * the cheap pairwise approximation; this is the cluster-level
+    * truth curation pipelines key on. Oracle: the d2 pipeline as a
+    * CTE, then a recursive reachability CTE taking min(reach). */
+  private val d9 = QueryDef(
+    "d9_dup_clusters",
+    "connected-component duplicate classes over LSH pairs",
+    (s, dir) => ConnectedComponents.duplicateClusters(
+      Dedup.minhashLshPairs(dupCorpus(s, dir), "id", "text",
+        shingleLen = 3, numHashes = NumHashes, bands = Bands,
+        threshold = 0.6, bucketCap = CatalogCap)
+        .select("id_a", "id_b"))
+      .orderBy("id"),
+    Some("WITH RECURSIVE " + dupCorpusSql + ",\n" +
+      "pairs AS (WITH " + lshOracleSql(
+        """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM corpus),
+           it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                  FROM tok WHERE len(t) >= 3)""", 0.6) + "),\n" +
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |cc(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach)
+        |SELECT node AS id, min(reach) AS cluster_id FROM cc
+        |GROUP BY node ORDER BY id""".stripMargin))
 
   /** D6: the production dedup ORDER as one verified pipeline — exact
     * dedup first (linear, digest-keyed), THEN near-dup LSH over the
@@ -765,6 +797,6 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, ss1, ss2, ss3, ts1, ts2, ts3, ts4,
-      tp1, mm1, a7b)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, ss1, ss2, ss3, ts1, ts2, ts3,
+      ts4, tp1, mm1, a7b)
 }
