@@ -84,6 +84,50 @@ object TextAnalysis {
   def tokenCountBpe(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"))
 
+  /** PII categories as (name, pattern, replacement), applied in this
+    * order. The patterns are deliberately RE2-compatible (character
+    * classes, bounded counts, no lookaround/backreferences) so the
+    * SAME pattern strings run in the DuckDB oracle — and would run in
+    * any RE2-based scan pushdown. Order matters: emails first (their
+    * dotted domains would otherwise feed the IPv4 pattern), then
+    * IPv4, then phone numbers (whose digit runs never survive inside
+    * an already-redacted email/IP). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "(\\+\\d{1,2}[ -])?\\(?\\d{3}\\)?[ -]\\d{3}[ -]\\d{4}", "<PHONE>"))
+
+  /** Redact all PII categories: staged regexp_replace, one category
+    * at a time in [[piiPatterns]] order. Pure column expressions —
+    * one scan, no shuffle, codegen'd. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, p, r)) =>
+      regexp_replace(acc, lit(p), lit(r))
+    }
+
+  /** Per-category PII match counts, STAGED like [[redactPii]]: each
+    * category counts over the text with all earlier categories
+    * already redacted, so a dotted email domain is never double-
+    * counted as an IP. Returns (n_email, n_ipv4, n_phone) columns. */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val (cols, _) = piiPatterns.foldLeft(
+        (Seq.empty[(String, Column)], text)) {
+      case ((acc, t), (name, p, r)) =>
+        (acc :+ (s"n_$name" -> regexp_count(t, lit(p))),
+          regexp_replace(t, lit(p), lit(r)))
+    }
+    cols
+  }
+
+  /** Gopher-style repetition stats over the whitespace tokens, via
+    * the native one-pass kernel ([[graft.plans.RepetitionKernel]] —
+    * the composed array_distinct/transform/filter form is O(d·n)
+    * interpreted lambda dispatch per doc, the round-4 anti-pattern).
+    * Struct of exact ints: n_tokens, n_distinct, n_bigrams,
+    * top_bigram_n; derive fractions with single int/int divisions. */
+  def repetitionStats(text: Column): Column =
+    graft.plans.RepetitionKernel.repetitionStats(tokens(text))
+
   /** Normalized md5 fingerprint (exact-dedup key). */
   def docFingerprint(text: Column): Column = fingerprint(text)
 

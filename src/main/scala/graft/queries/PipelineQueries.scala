@@ -625,6 +625,119 @@ object PipelineQueries {
                 (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
             FROM documents ORDER BY doc_id"""))
 
+  /** TS5: PII detection + redaction ([[TextAnalysis.redactPii]]).
+    * The synthetic corpus carries no real PII, so the gate
+    * MANUFACTURES it deterministically from the row itself (an email
+    * from doc_id+source, a phone on every 3rd doc, an IPv4 on every
+    * 4th) — both engines build the identical string, then the Spark
+    * operator and the oracle's staged regexp_replace must agree on
+    * every match boundary and every count. Patterns are RE2-safe so
+    * the same strings drive both engines (see piiPatterns). */
+  private val ts5 = QueryDef(
+    "ts5_pii_redaction",
+    "staged PII counting + redaction (email/IPv4/phone)",
+    (s, dir) => {
+      val raw = concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".net"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call (555) 123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(""),
+        lit(" "), col("text"))
+      val counts = TextAnalysis.piiCounts(raw).map { case (n, c) => c.as(n) }
+      Tables.documents(s, dir)
+        .select((col("doc_id") +: counts :+
+          TextAnalysis.redactPii(raw).as("redacted")): _*)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              'contact user' || doc_id::VARCHAR || '@' || source || '.net' ||
+              CASE WHEN doc_id % 3 = 0 THEN ' call (555) 123-' ||
+                lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+              CASE WHEN doc_id % 4 = 0 THEN ' from 10.' ||
+                (doc_id % 256)::VARCHAR || '.0.' ||
+                ((doc_id * 7) % 256)::VARCHAR ELSE '' END ||
+              ' ' || text AS raw
+              FROM documents),
+            r1 AS (SELECT doc_id,
+              len(regexp_extract_all(raw,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(raw,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS s1
+              FROM t),
+            r2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(s1,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+              regexp_replace(s1,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                '<IP>', 'g') AS s2
+              FROM r1)
+            SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(s2,
+                '(\+\d{1,2}[ -])?\(?\d{3}\)?[ -]\d{3}[ -]\d{4}')) AS n_phone,
+              regexp_replace(s2,
+                '(\+\d{1,2}[ -])?\(?\d{3}\)?[ -]\d{3}[ -]\d{4}',
+                '<PHONE>', 'g') AS redacted
+            FROM r2 ORDER BY doc_id"""))
+
+  /** TS6: Gopher-style repetition stats via the native one-pass
+    * kernel ([[graft.plans.RepetitionKernel]]): duplicate-token
+    * fraction and most-frequent-adjacent-bigram fraction — the
+    * degenerate-repetition signals a curation pipeline thresholds on.
+    * The oracle recomputes the same exact counts with plain list +
+    * group-by arithmetic (chr(1)-joined bigram keys, identical to the
+    * kernel's separator). Ratios are single int/int divisions rounded
+    * at output (house determinism rule). */
+  private val ts6 = QueryDef(
+    "ts6_repetition_stats",
+    "dup-token + top-bigram repetition fractions (native kernel)",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.n_distinct").as("n_distinct"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.top_bigram_n").as("top_bigram_n"),
+        round(when(col("r.n_tokens") === 0, 0.0)
+          .otherwise(lit(1.0) - col("r.n_distinct").cast("double") /
+            col("r.n_tokens").cast("double")), 6).as("dup_token_frac"),
+        round(when(col("r.n_bigrams") === 0, 0.0)
+          .otherwise(col("r.top_bigram_n").cast("double") /
+            col("r.n_bigrams").cast("double")), 6).as("top_bigram_frac"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents),
+            b AS (SELECT doc_id,
+              len(toks) AS n_tokens,
+              len(list_distinct(toks)) AS n_distinct,
+              list_transform(range(1, len(toks)),
+                i -> toks[i] || chr(1) || toks[i+1]) AS bg
+              FROM t),
+            c AS (SELECT doc_id, g, count(*) AS cnt
+                  FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+                  GROUP BY doc_id, g),
+            m AS (SELECT doc_id, max(cnt) AS top_n FROM c GROUP BY doc_id)
+            SELECT b.doc_id, n_tokens, n_distinct,
+              len(bg) AS n_bigrams,
+              coalesce(top_n, 0) AS top_bigram_n,
+              round(CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE
+                ELSE 1.0::DOUBLE - n_distinct::DOUBLE / n_tokens::DOUBLE
+                END, 6) AS dup_token_frac,
+              round(CASE WHEN len(bg) = 0 THEN 0.0::DOUBLE
+                ELSE coalesce(top_n, 0)::DOUBLE / len(bg)::DOUBLE
+                END, 6) AS top_bigram_frac
+            FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+            ORDER BY b.doc_id"""))
+
   /** TP1: the full curation pipeline as ONE verified composition —
     * language filter (ts1's heuristic) → quality filter (ts2's score)
     * → exact dedup survivors (d1's digest, min-id representative) →
@@ -798,5 +911,5 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, ss1, ss2, ss3, ts1, ts2, ts3,
-      ts4, tp1, mm1, a7b)
+      ts4, ts5, ts6, tp1, mm1, a7b)
 }

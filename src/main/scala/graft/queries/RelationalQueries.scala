@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.TemporalJoins
+import graft.ops.{Sessions, TemporalJoins}
 
 /** SURVEY §2.2–§2.7 relational operator inventory (P/J/A/W/O rows),
   * re-expressed over the driver's synthetic tables by role analogy:
@@ -542,6 +542,33 @@ object RelationalQueries {
               count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
             FROM lineitem"""))
 
+  /** A8: exact grouped quantiles — percentile with linear
+    * interpolation, the profiling query every curation pipeline runs
+    * over its numeric signals (here events.value by type). Exact
+    * (not approx_percentile) so the oracle's quantile_cont matches
+    * bit-for-bit: both engines compute rank = p·(n−1) and lerp the
+    * two neighbors; round(6) guards the last ulp. Exact percentiles
+    * buffer each group's values, so this is one shuffle keyed by
+    * event_type plus per-group sorts — at 100 TB the scale path is
+    * approx_percentile (a7b's sketch discipline); this row pins the
+    * exact semantics the sketch approximates. */
+  private val a8 = QueryDef(
+    "a8_grouped_quantiles",
+    "exact per-group quantiles (p50/p90/p99)",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.9), 6) AS p90,
+              round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- W
 
   /** W1 (scrape_my_channel.py:457): 1-based position assignment per
@@ -602,6 +629,42 @@ object RelationalQueries {
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
             WHERE rn = 1 ORDER BY user_id"""))
+
+  /** W4: gap-based sessionization ([[graft.ops.Sessions]]) — the
+    * batch twin of the streaming sessionizer, 30-minute gap. Two
+    * stacked windows on one (user_id, ts) exchange assign session
+    * numbers; the rollup emits one row per session. event_id breaks
+    * same-ts ties so the boundaries are deterministic. */
+  private val w4 = QueryDef(
+    "w4_sessionize",
+    "gap-based session assignment + per-session rollup",
+    (s, dir) => Sessions.sessionSummary(
+        Tables.events(s, dir), "user_id", "ts", gapSeconds = 1800,
+        tieBreak = "event_id")
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+        col("span_ms"))
+      .orderBy("user_id", "session_no"),
+    Some("""WITH g AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                          > 1800 * 1000 THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            a AS (
+              SELECT user_id, ts,
+                (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                  AS session_no
+              FROM g)
+            SELECT user_id, session_no, count(*) AS n_events,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+              epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
+            FROM a GROUP BY user_id, session_no
+            ORDER BY user_id, session_no"""))
 
   // ---------------------------------------------------------------- O
 
@@ -746,7 +809,7 @@ object RelationalQueries {
   def defs: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p9,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
-    a1, a2, a3, a4, a5, a6, a7,
-    w1, w2, w3,
+    a1, a2, a3, a4, a5, a6, a7, a8,
+    w1, w2, w3, w4,
     o1, o2, o3, o4, o5, o6, o7, o8)
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SessionsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      // user 1: two sessions split by a 31-minute gap
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:10:00")),
+      (1L, 3L, ts("2024-01-01 10:41:00")),
+      // user 2: one event at exactly the 30-minute gap (inclusive —
+      // NOT a new session; the boundary is strict >)
+      (2L, 4L, ts("2024-01-01 09:00:00")),
+      (2L, 5L, ts("2024-01-01 09:30:00")),
+      // user 2: same-ts tie, ordered by event_id
+      (2L, 6L, ts("2024-01-01 09:30:00"))
+    ).toDF("user_id", "event_id", "ts")
+  }
+
+  test("gap strictly greater than the threshold starts a new session") {
+    val got = Sessions.assignSessions(fixture, "user_id", "ts",
+        gapSeconds = 1800, tieBreak = "event_id")
+      .select("event_id", "session_no")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1 && got(2L) == 1)
+    assert(got(3L) == 2) // 31 min > 30 min
+    assert(got(4L) == 1 && got(5L) == 1 && got(6L) == 1) // 30 min exactly
+  }
+
+  test("summary rolls up counts and spans per session") {
+    val got = Sessions.sessionSummary(fixture, "user_id", "ts",
+        gapSeconds = 1800, tieBreak = "event_id")
+      .orderBy("user_id", "session_no")
+      .collect()
+    assert(got.length == 3)
+    val u1s1 = got(0)
+    assert(u1s1.getAs[Long]("n_events") == 2)
+    assert(u1s1.getAs[Long]("span_ms") == 10 * 60 * 1000L)
+    val u1s2 = got(1)
+    assert(u1s2.getAs[Long]("n_events") == 1)
+    assert(u1s2.getAs[Long]("span_ms") == 0L)
+    val u2s1 = got(2)
+    assert(u2s1.getAs[Long]("n_events") == 3)
+    assert(u2s1.getAs[Long]("span_ms") == 30 * 60 * 1000L)
+  }
+
+  test("one exchange feeds both window passes (no extra shuffle)") {
+    val plan = Sessions.assignSessions(fixture, "user_id", "ts",
+        gapSeconds = 1800, tieBreak = "event_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1, s"expected one exchange, plan:\n$plan")
+  }
+}
