@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{ConnectedComponents, Dedup, SimilaritySearch, TextAnalysis}
+import graft.ops.{ConnectedComponents, Dedup, SimilaritySearch, TextAnalysis, VectorCompression}
 
 /** LLM-training-data pipeline operators over documents/embeddings —
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -738,6 +738,79 @@ object PipelineQueries {
             FROM b LEFT JOIN m ON b.doc_id = m.doc_id
             ORDER BY b.doc_id"""))
 
+  /** SS4: int8 embedding quantization ([[VectorCompression]]) — the
+    * compression pass a vector corpus runs before ANN indexing. The
+    * gate hash-compares the quantized int arrays THEMSELVES (the
+    * arithmetic is pinned: scale = max|v|/127, round half-away-from-
+    * zero — identical in both engines) plus the reconstruction
+    * fidelity, whose three dot-product folds the oracle replicates
+    * left-to-right so even the double sums are bit-identical. */
+  private val ss4 = QueryDef(
+    "ss4_int8_quantization",
+    "symmetric int8 vector quantization + reconstruction fidelity",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("scale", VectorCompression.int8Scale(col("embedding")))
+        .withColumn("qv", VectorCompression.quantizeInt8(col("embedding"), col("scale")))
+      e.select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          col("qv"),
+          round(VectorCompression.fidelity(
+            col("embedding"), col("qv"), col("scale")), 6).as("fid_r"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH t AS (SELECT vec_id,
+              list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+            s AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM t),
+            q AS (SELECT vec_id, v, scale,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> 0::INTEGER)
+                   ELSE list_transform(v, x -> round(x / scale)::INTEGER)
+              END AS qv
+              FROM s),
+            d AS (SELECT vec_id, v, scale, qv,
+              list_transform(qv, x -> x::DOUBLE * scale) AS dq
+              FROM q),
+            f AS (SELECT vec_id, scale, qv,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(list_zip(v, dq), p -> p[1] * p[2])),
+                (a, b) -> a + b) AS ab,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(v, x -> x * x)), (a, b) -> a + b) AS aa,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(dq, x -> x * x)), (a, b) -> a + b) AS bb
+              FROM d)
+            SELECT vec_id, round(scale, 6) AS scale_r, qv,
+              round(CASE WHEN scale = 0 THEN 0.0::DOUBLE
+                    ELSE ab / sqrt(aa * bb) END, 6) AS fid_r
+            FROM f ORDER BY vec_id"""))
+
+  /** A8B: sketch-path grouped quantiles — approx_percentile against
+    * a8's exact values, pinned inside a 2% relative error band the
+    * oracle asserts true (the a7b discipline: the sketch result is
+    * engine-specific, the BAND is checkable). */
+  private val a8b = QueryDef(
+    "a8b_approx_quantile_band",
+    "approx_percentile within 2% of exact per-group quantiles",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
+        percentile(col("value"), lit(0.5)).as("ep50"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("ap90"),
+        percentile(col("value"), lit(0.9)).as("ep90"))
+      .select(col("event_type"), col("n"),
+        (abs(col("ap50") - col("ep50")) / abs(col("ep50")) <= 0.02).as("p50_ok"),
+        (abs(col("ap90") - col("ep90")) / abs(col("ep90")) <= 0.02).as("p90_ok"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+              true AS p50_ok, true AS p90_ok
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** TP1: the full curation pipeline as ONE verified composition —
     * language filter (ts1's heuristic) → quality filter (ts2's score)
     * → exact dedup survivors (d1's digest, min-id representative) →
@@ -910,6 +983,6 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, ss1, ss2, ss3, ts1, ts2, ts3,
-      ts4, ts5, ts6, tp1, mm1, a7b)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, ss1, ss2, ss3, ss4, ts1, ts2,
+      ts3, ts4, ts5, ts6, tp1, mm1, a7b, a8b)
 }

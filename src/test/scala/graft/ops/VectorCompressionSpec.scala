@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorCompressionSpec extends SparkSpec {
+
+  private def quantized = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .withColumn("scale", VectorCompression.int8Scale(col("embedding")))
+    .withColumn("qv", VectorCompression.quantizeInt8(col("embedding"), col("scale")))
+
+  test("quantized components stay within int8 range") {
+    val bad = quantized
+      .select(explode(col("qv")).as("q"))
+      .filter(abs(col("q")) > 127)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("reconstruction fidelity is high on real embeddings") {
+    val fid = quantized
+      .select(VectorCompression.fidelity(
+        col("embedding"), col("qv"), col("scale")).as("f"))
+      .agg(min("f")).head.getDouble(0)
+    assert(fid > 0.99, s"worst-case cosine fidelity $fid")
+  }
+
+  test("zero vectors quantize to zeros with scale 0 and fidelity 0") {
+    import spark.implicits._
+    val row = Seq(Seq(0f, 0f, 0f)).toDF("embedding")
+      .withColumn("scale", VectorCompression.int8Scale(col("embedding")))
+      .withColumn("qv", VectorCompression.quantizeInt8(col("embedding"), col("scale")))
+      .select(col("scale"), col("qv"),
+        VectorCompression.fidelity(col("embedding"), col("qv"), col("scale")).as("f"))
+      .head
+    assert(row.getDouble(0) == 0.0)
+    assert(row.getSeq[Int](1) == Seq(0, 0, 0))
+    assert(row.getDouble(2) == 0.0)
+  }
+
+  test("max-magnitude component maps to ±127 exactly") {
+    import spark.implicits._
+    val q = Seq(Seq(0.5f, -2.0f, 1.0f)).toDF("embedding")
+      .withColumn("scale", VectorCompression.int8Scale(col("embedding")))
+      .select(VectorCompression.quantizeInt8(col("embedding"), col("scale")))
+      .head.getSeq[Int](0)
+    assert(q(1) == -127)
+    assert(q == Seq(32, -127, 64))
+  }
+}
