@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic sampling for training-data pipelines: hash-based
+  * train/test splits and per-stratum fixed-size samples.
+  *
+  * Randomness comes from the portable 60-bit md5-prefix hash
+  * ([[TextFunctions.portableHash64]]) over the row KEY — never from
+  * rand(): the split is (1) reproducible across runs, engines, and
+  * cluster sizes, (2) stable under corpus growth (a row's assignment
+  * never changes when other rows arrive — the property that keeps a
+  * held-out set held out across dataset versions), and (3) verifiable
+  * by the DuckDB oracle, which computes the identical md5 arithmetic.
+  *
+  * Scale shape: [[hashSplit]] is a pure per-row column expression —
+  * one scan, zero shuffle, works at any corpus size. A salt string
+  * decorrelates independent splits of the same keys (split on
+  * "holdout-v2:" + id without re-dealing "holdout-v1:").
+  */
+object Sampling {
+
+  /** The split bucket in [0, 100): portable hash of (salt + key). */
+  def splitBucket(key: Column, salt: String): Column =
+    pmod(TextFunctions.portableHash64(
+      concat(lit(salt), key.cast("string"))), lit(100L))
+
+  /** Adds `split` = "train"/"test": train iff bucket < trainPct.
+    * Deterministic per key — re-running, re-partitioning, or growing
+    * the corpus never reassigns a row. */
+  def hashSplit(df: DataFrame, keyCol: String, trainPct: Int,
+      salt: String = ""): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100)
+    df.withColumn("split",
+      when(splitBucket(col(keyCol), salt) < trainPct, "train")
+        .otherwise("test"))
+  }
+
+  /** At most `n` rows per stratum, chosen by hash order (a
+    * deterministic uniform draw, tie-broken by the key): one
+    * (stratum) exchange; WindowGroupLimit pushes the cap below the
+    * full per-stratum sort, so a giant stratum never fully sorts. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      n: Int, salt: String = ""): DataFrame = {
+    require(n >= 1)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(splitBucket(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{ConnectedComponents, Dedup, SimilaritySearch, TextAnalysis, VectorCompression}
+import graft.ops.{ConnectedComponents, Dedup, Sampling, SimilaritySearch, TextAnalysis, VectorCompression}
 
 /** LLM-training-data pipeline operators over documents/embeddings —
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -811,6 +811,42 @@ object PipelineQueries {
               true AS p50_ok, true AS p90_ok
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** SM1: deterministic hash train/test split ([[Sampling
+    * .hashSplit]]) — assignment is a pure function of the key (md5
+    * bucket < 80), so the gate hash-compares the FULL membership, not
+    * just the counts: reproducibility across engines IS the feature.
+    * Zero shuffle (one scan + the output sort). */
+  private val sm1 = QueryDef(
+    "sm1_hash_split",
+    "deterministic 80/20 hash split (full membership check)",
+    (s, dir) => Sampling.hashSplit(Tables.documents(s, dir), "doc_id", 80)
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                        % 100 < 80
+                   THEN 'train' ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
+
+  /** SM2: per-stratum fixed-size sample ([[Sampling
+    * .stratifiedSample]]) — 20 docs per source, drawn by hash order
+    * (deterministic uniform draw). WindowGroupLimit caps each stratum
+    * before its full sort; one (source) exchange. */
+  private val sm2 = QueryDef(
+    "sm2_stratified_sample",
+    "deterministic 20-per-stratum sample by hash order",
+    (s, dir) => Sampling.stratifiedSample(
+        Tables.documents(s, dir), "source", "doc_id", 20)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id"),
+    Some("""SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                             % 100, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 20 ORDER BY source, doc_id"""))
+
   /** TP1: the full curation pipeline as ONE verified composition —
     * language filter (ts1's heuristic) → quality filter (ts2's score)
     * → exact dedup survivors (d1's digest, min-id representative) →
@@ -984,5 +1020,5 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, ss1, ss2, ss3, ss4, ts1, ts2,
-      ts3, ts4, ts5, ts6, tp1, mm1, a7b, a8b)
+      ts3, ts4, ts5, ts6, sm1, sm2, tp1, mm1, a7b, a8b)
 }

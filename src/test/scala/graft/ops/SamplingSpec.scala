@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("split is stable under corpus growth (held-out stays held out)") {
+    val subset = Sampling.hashSplit(docs.filter(col("doc_id") < 100), "doc_id", 80)
+      .select("doc_id", "split")
+    val full = Sampling.hashSplit(docs, "doc_id", 80)
+      .select(col("doc_id"), col("split").as("split_full"))
+    val reassigned = subset.join(full, "doc_id")
+      .filter(col("split") =!= col("split_full")).count()
+    assert(reassigned == 0)
+  }
+
+  test("split proportions approximate the requested percentage") {
+    val frac = Sampling.hashSplit(docs, "doc_id", 80)
+      .agg(avg(when(col("split") === "train", 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("salt decorrelates splits without re-dealing either") {
+    val a = Sampling.hashSplit(docs, "doc_id", 50, salt = "v1:")
+      .select(col("doc_id"), col("split").as("s1"))
+    val b = Sampling.hashSplit(docs, "doc_id", 50, salt = "v2:")
+      .select(col("doc_id"), col("split").as("s2"))
+    val agree = a.join(b, "doc_id")
+      .agg(avg(when(col("s1") === col("s2"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    // independent fair coins agree ~50%; identical splits would be 100%
+    assert(agree > 0.35 && agree < 0.65, s"agreement $agree")
+  }
+
+  test("stratified sample returns exactly n per stratum, deterministically") {
+    val s1 = Sampling.stratifiedSample(docs, "source", "doc_id", 5)
+    val sizes = s1.groupBy("source").count().collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach(r => assert(r.getLong(1) == 5, s"stratum ${r.get(0)}"))
+    val s2 = Sampling.stratifiedSample(docs, "source", "doc_id", 5)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).count() == 0)
+  }
+
+  test("stratum cap is pushed below the full sort (WindowGroupLimit)") {
+    val plan = Sampling.stratifiedSample(docs, "source", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+}
