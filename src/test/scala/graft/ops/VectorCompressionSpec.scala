@@ -40,6 +40,19 @@ class VectorCompressionSpec extends SparkSpec {
     assert(row.getDouble(2) == 0.0)
   }
 
+  test("ANN over the quantized corpus preserves exact top-k recall") {
+    val dq = quantized.select(col("vec_id"),
+      VectorCompression.dequantize(col("qv"), col("scale")).as("embedding"))
+    val orig = quantized.select(col("vec_id"), col("embedding"))
+    val queries = orig.filter(col("vec_id") < 5)
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+    val exact = topk(orig)
+    val overlap = topk(dq).intersect(exact).count().toDouble / exact.count()
+    assert(overlap >= 0.9, s"quantized top-k recall $overlap")
+  }
+
   test("max-magnitude component maps to ±127 exactly") {
     import spark.implicits._
     val q = Seq(Seq(0.5f, -2.0f, 1.0f)).toDF("embedding")
