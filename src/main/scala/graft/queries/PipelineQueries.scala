@@ -744,7 +744,11 @@ object PipelineQueries {
     * arithmetic is pinned: scale = max|v|/127, round half-away-from-
     * zero — identical in both engines) plus the reconstruction
     * fidelity, whose three dot-product folds the oracle replicates
-    * left-to-right so even the double sums are bit-identical. */
+    * left-to-right so even the double sums are bit-identical. The
+    * array is compared as a scalar md5 of its comma-joined elements
+    * (the s3 discipline: the driver's comparator can't sort raw
+    * array columns) — bit-equality of the digest IS bit-equality of
+    * every quantized element. */
   private val ss4 = QueryDef(
     "ss4_int8_quantization",
     "symmetric int8 vector quantization + reconstruction fidelity",
@@ -755,7 +759,7 @@ object PipelineQueries {
         .withColumn("qv", VectorCompression.quantizeInt8(col("embedding"), col("scale")))
       e.select(col("vec_id"),
           round(col("scale"), 6).as("scale_r"),
-          col("qv"),
+          md5(concat_ws(",", col("qv").cast("array<string>"))).as("qv_md5"),
           round(VectorCompression.fidelity(
             col("embedding"), col("qv"), col("scale")), 6).as("fid_r"))
         .orderBy("vec_id")
@@ -783,7 +787,8 @@ object PipelineQueries {
               list_reduce(list_prepend(0.0::DOUBLE,
                 list_transform(dq, x -> x * x)), (a, b) -> a + b) AS bb
               FROM d)
-            SELECT vec_id, round(scale, 6) AS scale_r, qv,
+            SELECT vec_id, round(scale, 6) AS scale_r,
+              md5(array_to_string(qv, ',')) AS qv_md5,
               round(CASE WHEN scale = 0 THEN 0.0::DOUBLE
                     ELSE ab / sqrt(aa * bb) END, 6) AS fid_r
             FROM f ORDER BY vec_id"""))
