@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks any
+// consumer that json-parses the Bench contract line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Suites share one JVM; several manage their own SparkSession
 // lifecycle (extensions spec stops/rebuilds) — keep them sequential.
 Test / parallelExecution := false
