@@ -109,7 +109,15 @@ object TextFunctions {
     * hash array into its own column first so the md5s evaluate once,
     * not once per bit fold. */
   def simhash32FromHashes(hs: Column): Column =
-    (0 until 32).map { i =>
+    simhashFromHashes(hs, 32)
+
+  /** Width-parametric composed form (width ≤ 60: every bit position
+    * must be live in the portable 60-bit hash). Kept as the
+    * bit-parity reference for the native one-pass kernel
+    * ([[graft.plans.SimhashKernel]]) — width interpreted folds, so
+    * use the kernel in any hot path. */
+  def simhashFromHashes(hs: Column, width: Int): Column =
+    (0 until width).map { i =>
       val score = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
       when(score > 0, lit(1L << i)).otherwise(lit(0L))

@@ -183,34 +183,44 @@ object Dedup {
     * one portableHash64 per token — the composed
     * `transform(tokens, portableHash64)` form evaluated interpreted),
     * then the native one-pass packer ([[graft.plans.SimhashKernel]] —
-    * bit-identical to the 32-fold HOF form, SimhashKernelSpec). */
-  def simhashValues(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * bit-identical to the width-fold HOF form, SimhashKernelSpec).
+    *
+    * `width` (sketch bits, default 32 = the reference's width): 60 is
+    * the scale setting — the widest sketch every one of whose
+    * counters sees a live bit of the portable 60-bit md5-prefix
+    * token hash (and the widest whose oracle replica stays in signed
+    * BIGINT); see [[graft.plans.SimhashWide]]. */
+  def simhashValues(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 32): DataFrame =
     df.select(col(idCol),
       graft.plans.HashKernels.hashedWordShingles(col(textCol), 1).as("__hs"))
       .select(col(idCol),
-        graft.plans.SimhashKernel.simhash32(col("__hs")).as("simhash"))
+        graft.plans.SimhashKernel.simhashWide(col("__hs"), width).as("simhash"))
 
   /** SimHash near-dup pairs within hamming distance ≤ `maxDist`:
-    * pigeonhole bit-band blocking — the 32 sketch bits split into
-    * maxDist+1 contiguous bands, and two sketches within `maxDist`
-    * MUST agree on at least one whole band (pigeonhole), so
+    * pigeonhole bit-band blocking — the `width` sketch bits split
+    * into maxDist+1 contiguous bands, and two sketches within
+    * `maxDist` MUST agree on at least one whole band (pigeonhole), so
     * equal-band collision is a COMPLETE candidate generator (recall
     * 1.0, unlike the probabilistic LSH engines). Candidates are the
     * capped in-band self-join (ids only, one 8-byte sketch per doc —
     * the cheapest near-dup shuffle in the library); verify is
     * popcount(xor) on the re-attached sketches.
     *
-    * Scale note: a 32-bit sketch gives each band only 32/(maxDist+1)
-    * bits, so band buckets saturate as the corpus grows and the
-    * candidate mass trends quadratic — `bucketCap` bounds it, at the
-    * price of radius recall past the cap. A 100 TB deployment should
-    * widen the sketch (64-bit simhash = double the band selectivity;
-    * the banding/verify shape here is width-agnostic) — 32 bits is
-    * kept because it is the reference's sketch width and the DuckDB
-    * oracle replicates it bit-for-bit. */
+    * Scale note: each band gets width/(maxDist+1) bits of
+    * selectivity, so at the 32-bit default the band buckets saturate
+    * as the corpus grows and the candidate mass trends quadratic —
+    * `bucketCap` bounds it, at the price of radius recall past the
+    * cap. A 100 TB deployment runs `width = 60` (2^9–2^10 more
+    * selective per band at maxDist ≤ 2; the d7b gate pins its
+    * semantics and the round-5 scale probe measures the saturation
+    * gap). 32 remains the default because it is the reference's
+    * sketch width and the d3/d7 oracles replicate it bit-for-bit. */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, bucketCap: Int = DefaultBucketCap): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
+      maxDist: Int = 3, bucketCap: Int = DefaultBucketCap,
+      width: Int = 32): DataFrame = {
+    require(width >= 1 && width <= 64, "width must be in [1, 64]")
+    require(maxDist >= 0 && maxDist < width, "maxDist must be in [0, width)")
     require(bucketCap >= 2, "bucketCap must admit at least one pair")
     val bands = maxDist + 1
     // same repartition(id) barrier as the LSH engines: the dominant
@@ -218,15 +228,16 @@ object Dedup {
     // splits, and banding + both verify sides share the one exchange
     val sh = simhashValues(
       df.select(col(idCol), col(textCol)).repartition(col(idCol)),
-      idCol, textCol)
+      idCol, textCol, width)
       .select(col(idCol).as("id"), col("simhash"))
     val banded = sh.select(col("id"),
       explode(array((0 until bands).map { b =>
-        val lo = b * 32 / bands
-        val hi = (b + 1) * 32 / bands
+        val lo = b * width / bands
+        val hi = (b + 1) * width / bands
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), lo)
-            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("band_bits"))
+            .bitwiseAND(lit(if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1))
+            .as("band_bits"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"),
         col("bk.band_bits").as("band_bits"))

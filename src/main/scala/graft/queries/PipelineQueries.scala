@@ -186,6 +186,58 @@ object PipelineQueries {
             SELECT id_a, id_b, hamming FROM verif
             WHERE hamming <= 2 ORDER BY id_a, id_b"""))
 
+  /** D7B: the WIDE-sketch hamming search — d7's engine at width 60,
+    * the 100 TB deployment setting (each pigeonhole band carries 20
+    * bits of selectivity instead of ~10.7, pushing band-bucket
+    * saturation out by ~2^9-2^10 in corpus size; the round-5 scale
+    * probe measures the gap). 60 because that is every portable bit
+    * the md5-prefix token hash carries, so the oracle replicates the
+    * sketch bit-for-bit in signed-BIGINT arithmetic — same banding
+    * (integer-division boundaries), cap rule, and popcount verify as
+    * d7. */
+  private val d7b = QueryDef(
+    "d7b_simhash60_hamming_pairs",
+    "wide (60-bit) SimHash pairs within hamming distance 2",
+    (s, dir) => Dedup.simhashHammingPairs(dupCorpus(s, dir), "id", "text",
+      maxDist = 2, bucketCap = CatalogCap, width = 60)
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH $dupCorpusSql,
+            tok AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM corpus),
+            hs AS (SELECT id, list_transform(t, tk ->
+                     ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS h FROM tok),
+            sh AS (SELECT id,
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(generate_series(0, 59), i ->
+                  CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                         list_transform(h, hv ->
+                           CASE WHEN (hv >> i) % 2 = 1 THEN 1::BIGINT
+                                ELSE (-1)::BIGINT END)),
+                         (a, b) -> a + b) > 0
+                       THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+                (a, b) -> a + b) AS simhash
+              FROM hs),
+            banded AS (SELECT id, b,
+                         (simhash >> ((b*60)//3)) &
+                         ((1::BIGINT << (((b+1)*60)//3 - (b*60)//3)) - 1)
+                           AS band_bits
+                       FROM sh, generate_series(0, 2) AS gs(b)),
+            capped AS (SELECT id, b, band_bits,
+                         row_number() OVER (PARTITION BY b, band_bits
+                                            ORDER BY id) AS rn
+                       FROM banded),
+            cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+                     FROM capped a JOIN capped b2
+                       ON a.b = b2.b AND a.band_bits = b2.band_bits
+                          AND a.id < b2.id
+                     WHERE a.rn <= $CatalogCap AND b2.rn <= $CatalogCap),
+            verif AS (SELECT id_a, id_b,
+                        bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+                      FROM cand JOIN sh x ON x.id = cand.id_a
+                                JOIN sh y ON y.id = cand.id_b)
+            SELECT id_a, id_b, hamming FROM verif
+            WHERE hamming <= 2 ORDER BY id_a, id_b"""))
+
   /** D8: the near-dup APPLY step — greedy smaller-id-wins drop over
     * the d2 pair list; the output is the surviving corpus users
     * actually feed downstream. Oracle: the d2 pair pipeline as a
@@ -1024,6 +1076,6 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, ss1, ss2, ss3, ss4, ts1, ts2,
-      ts3, ts4, ts5, ts6, sm1, sm2, tp1, mm1, a7b, a8b)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, ss1, ss2, ss3, ss4, ts1,
+      ts2, ts3, ts4, ts5, ts6, sm1, sm2, tp1, mm1, a7b, a8b)
 }

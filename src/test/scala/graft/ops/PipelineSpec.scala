@@ -144,6 +144,27 @@ class PipelineSpec extends SparkSpec {
     assert(eq0 == Set((1L, 2L, 0)) || eq0.forall(_._3 == 0))
   }
 
+  test("wide (60-bit) simhash hamming pairs keep pigeonhole completeness") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "totally unrelated cooking recipe with garlic and butter sauce")
+    ).toDF("id", "text")
+    val sh = Dedup.simhashValues(docs, "id", "text", width = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 8
+    } yield (a, b)).toSet
+    val got = Dedup.simhashHammingPairs(docs, "id", "text", maxDist = 8,
+        width = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.contains((1L, 2L)), "identical docs must pair at distance 0")
+  }
+
   test("IVF ANN recall rises with probes; full probing = exact top-k") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
