@@ -124,6 +124,68 @@ object SimilaritySearch {
     * pinned SHUFFLE_HASH join — never a corpus broadcast. At 100 TB
     * the knobs follow the dedup discipline: numCentroids ~ sqrt(|C|)
     * keeps per-cell population flat, cellCap bounds a skewed cell. */
+  /** IVF ANN over an int8-QUANTIZED corpus — what a 100 TB vector
+    * deployment actually runs: the corpus is stored/shuffled as
+    * (q8: binary, scale: double) — dim + 8 bytes per vector instead
+    * of dim·8 ([[graft.plans.Q8Kernels]]) — and every vector-valued
+    * step dequantizes on the fly with the pinned ss4 arithmetic
+    * (q_i·scale in double), so the whole pipeline is deterministic
+    * and oracle-replicable.
+    *
+    * Structure mirrors [[ivfTopK]] with the corpus swapped for its
+    * dequantized view: codebook + corpus cell assignment come from
+    * dequantized vectors (index-build-time compute, one linear
+    * assignment pass); queries arrive UNQUANTIZED (the live-query
+    * deployment shape) and probe the dequantized codebook; final
+    * scoring is exact cosine of raw query vs dequantized candidate.
+    * The corpus-side re-attach — the largest exchange of the query —
+    * carries only (neighbor_id, q8, scale) through the pinned
+    * SHUFFLE_HASH join; the 8× narrower rows are the point of this
+    * operator. Recall vs the float path is bounded by the ss4
+    * fidelity (≈0.999 cosine on the gate corpus); the
+    * quantized-recall spec pins top-k agreement empirically. */
+  def quantizedIvfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, numCentroids: Int,
+      probes: Int = 4, cellCap: Int = 10000): DataFrame = {
+    import graft.plans.Q8Kernels
+    val comp = candidates
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .withColumn("__scale", VectorCompression.int8Scale(col("__v")))
+      .select(col("neighbor_id"),
+        Q8Kernels.packInt8(
+          VectorCompression.quantizeInt8(col("__v"), col("__scale"))).as("__q8"),
+        col("__scale"))
+    val dq = comp.select(col("neighbor_id").as("id"),
+      Q8Kernels.dequantizeQ8(col("__q8"), col("__scale")).as("vec"))
+    val codebook = Ivf.sampleCodebook(dq, "id", "vec", numCentroids)
+    val corpusAssign = Ivf.assignmentsWithCodebook(dq, "id", "vec",
+      codebook, probes = 1)
+      .select(col("id").as("neighbor_id"), col("centroid_id"))
+    val wc = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("neighbor_id").asc)
+    val capped = corpusAssign
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= cellCap)
+      .drop("__rn")
+    val queryAssign = Ivf.assignmentsWithCodebook(queries, idCol, vecCol,
+      codebook, probes)
+      .select(col("id").as("query_id"), col("centroid_id"))
+    val cand = queryAssign.join(capped, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        "query_id")
+      .join(comp.hint("shuffle_hash"), "neighbor_id")
+      .withColumn("cos", graft.plans.VectorKernels.cosineSim(col("q_vec"),
+        Q8Kernels.dequantizeQ8(col("__q8"), col("__scale"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, numCentroids: Int,
       probes: Int = 4, cellCap: Int = 10000): DataFrame = {

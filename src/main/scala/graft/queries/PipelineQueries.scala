@@ -845,6 +845,105 @@ object PipelineQueries {
                     ELSE ab / sqrt(aa * bb) END, 6) AS fid_r
             FROM f ORDER BY vec_id"""))
 
+  /** SS5: the quantized-corpus ANN pipeline END-TO-END — quantize
+    * (ss4's pinned arithmetic) → pack to binary → IVF index the
+    * dequantized corpus → search with RAW float queries → exact
+    * cosine over dequantized candidates. This is what a 100 TB
+    * vector deployment actually runs (the corpus shuffles as dim+8
+    * bytes per vector, not dim·8); every stage is deterministic, so
+    * the oracle replicates the whole pipeline: quantize chain, the
+    * 32-anchor sample codebook OF THE DEQUANTIZED corpus, the
+    * engine's affinity formula for both assignment sides (corpus:
+    * dq vs dq anchors; queries: raw vs dq anchors), the cell cap,
+    * and the final raw-vs-dq cosine ranking. */
+  private val ss5 = QueryDef(
+    "ss5_quantized_ivf_topk",
+    "IVF ANN over the int8-quantized corpus (raw queries)",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      SimilaritySearch.quantizedIvfTopK(e.filter(col("id") < 10), e,
+        "id", "embedding", k = 5, numCentroids = 32, probes = 8,
+        cellCap = 1000)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH t AS (SELECT vec_id,
+              list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+            s AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM t),
+            dqc AS (SELECT vec_id,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0::DOUBLE)
+                   ELSE list_transform(v, x ->
+                     round(x / scale)::INTEGER::DOUBLE * scale)
+              END AS dq
+              FROM s),
+            anchors AS (SELECT vec_id AS cid, dq AS avec FROM dqc
+                        ORDER BY vec_id LIMIT 32),
+            caff AS (SELECT d.vec_id AS id, a.cid,
+                      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                        (list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(d.dq)),
+                           i -> d.dq[i] * a.avec[i])), (x, y) -> x + y) /
+                         sqrt(
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(d.dq)),
+                             i -> d.dq[i] * d.dq[i])), (x, y) -> x + y) *
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(a.avec)),
+                             i -> a.avec[i] * a.avec[i])), (x, y) -> x + y)))
+                        DESC, a.cid) AS rn
+                    FROM dqc d, anchors a),
+            qaff AS (SELECT e.vec_id AS id, a.cid,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        (list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(e.embedding)),
+                           i -> e.embedding[i]::DOUBLE * a.avec[i])),
+                           (x, y) -> x + y) /
+                         sqrt(
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(e.embedding)),
+                             i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+                             (x, y) -> x + y) *
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(a.avec)),
+                             i -> a.avec[i] * a.avec[i])), (x, y) -> x + y)))
+                        DESC, a.cid) AS rn
+                    FROM embeddings e, anchors a WHERE e.vec_id < 10),
+            cassign AS (SELECT id AS neighbor_id, cid FROM caff WHERE rn <= 1),
+            qassign AS (SELECT id AS query_id, cid FROM qaff WHERE rn <= 8),
+            capped AS (SELECT neighbor_id, cid,
+                         row_number() OVER (PARTITION BY cid
+                                            ORDER BY neighbor_id) AS crn
+                       FROM cassign),
+            cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+                     FROM qassign q JOIN capped c ON q.cid = c.cid
+                     WHERE c.crn <= 1000 AND q.query_id != c.neighbor_id),
+            scored AS (SELECT query_id, neighbor_id,
+                         list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(eq.embedding)),
+                           i -> eq.embedding[i]::DOUBLE * dc.dq[i])),
+                           (x, y) -> x + y) /
+                         sqrt(
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(eq.embedding)),
+                             i -> eq.embedding[i]::DOUBLE * eq.embedding[i]::DOUBLE)),
+                             (x, y) -> x + y) *
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(dc.dq)),
+                             i -> dc.dq[i] * dc.dq[i])), (x, y) -> x + y))
+                         AS cos
+                       FROM cand
+                       JOIN embeddings eq ON eq.vec_id = cand.query_id
+                       JOIN dqc dc ON dc.vec_id = cand.neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+                       FROM scored)
+            SELECT query_id, rank, neighbor_id
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** A8B: sketch-path grouped quantiles — approx_percentile against
     * a8's exact values, pinned inside a 2% relative error band the
     * oracle asserts true (the a7b discipline: the sketch result is
@@ -1076,6 +1175,6 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, ss1, ss2, ss3, ss4, ts1,
-      ts2, ts3, ts4, ts5, ts6, sm1, sm2, tp1, mm1, a7b, a8b)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, ss1, ss2, ss3, ss4, ss5,
+      ts1, ts2, ts3, ts4, ts5, ts6, sm1, sm2, tp1, mm1, a7b, a8b)
 }

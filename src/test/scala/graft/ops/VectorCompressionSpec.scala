@@ -53,6 +53,45 @@ class VectorCompressionSpec extends SparkSpec {
     assert(overlap >= 0.9, s"quantized top-k recall $overlap")
   }
 
+  test("binary pack/dequantize kernels are bit-identical to the array form") {
+    import graft.plans.Q8Kernels
+    val both = quantized.select(
+      VectorCompression.dequantize(col("qv"), col("scale")).as("a"),
+      Q8Kernels.dequantizeQ8(
+        Q8Kernels.packInt8(col("qv")), col("scale")).as("b"))
+    assert(both.filter(!(col("a") <=> col("b"))).count() == 0)
+  }
+
+  test("pack_int8 fails loudly on values outside int8 range") {
+    import spark.implicits._
+    import graft.plans.Q8Kernels
+    val ex = intercept[Exception] {
+      Seq(Seq(200)).toDF("qv")
+        .select(Q8Kernels.packInt8(col("qv"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: causes(e.getCause))
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage).exists(_.contains("int8"))))
+  }
+
+  test("quantized IVF ANN equals the float path over the dequantized corpus") {
+    val orig = quantized.select(col("vec_id"), col("embedding"))
+    val dq = quantized.select(col("vec_id"),
+      VectorCompression.dequantize(col("qv"), col("scale")).as("embedding"))
+    val q = orig.filter(col("vec_id") < 5)
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+    val packed = proj(SimilaritySearch.quantizedIvfTopK(q, orig,
+      "vec_id", "embedding", k = 5, numCentroids = 16, probes = 4,
+      cellCap = 1000))
+    val arrays = proj(SimilaritySearch.ivfTopK(q, dq,
+      "vec_id", "embedding", k = 5, numCentroids = 16, probes = 4,
+      cellCap = 1000))
+    assert(packed.count() == arrays.count())
+    assert(packed.except(arrays).count() == 0)
+  }
+
   test("max-magnitude component maps to ±127 exactly") {
     import spark.implicits._
     val q = Seq(Seq(0.5f, -2.0f, 1.0f)).toDF("embedding")
