@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, SimilaritySearch}
+import graft.ops.{ConnectedComponents, Dedup, Sampling, Sessions, SimilaritySearch}
 
 /** Scale probe for the dedup/ANN family: replicate the sf corpus
   * `mult`× (id-offset copies — a duplicate-HEAVY corpus, the worst
@@ -39,6 +39,25 @@ object ScaleProbe {
       (0 until m).map(i => e.select((col("id") + i * 10000000L).as("id"), col("embedding")))
         .reduce(_ unionByName _)
     }
+    // documents with the stratum column (sm2's shape)
+    def docsS(m: Int): DataFrame = {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), col("source"), col("text"))
+      (0 until m).map(i => d.select((col("id") + i * 10000000L).as("id"),
+          col("source"), col("text")))
+        .reduce(_ unionByName _)
+    }
+    // events replicated by user-id offset: the key SPACE grows with m
+    // (more users), per-key history stays fixed — the realistic way a
+    // clickstream scales
+    def evts(m: Int): DataFrame = {
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      (0 until m).map(i => e.select(
+          (col("user_id") + i * 10000000L).as("user_id"),
+          (col("event_id") + i * 10000000L).as("event_id"), col("ts")))
+        .reduce(_ unionByName _)
+    }
 
     def probe(name: String, df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
@@ -67,8 +86,26 @@ object ScaleProbe {
           "id", "embedding", numCentroids = cells, probes = 2, threshold = 0.9,
           cellCap = 1000))
       }
-      probe(s"d7_hamming_x$m", Dedup.simhashHammingPairs(docs(m), "id", "text",
+      // 32- vs 60-bit sketch: same radius, same cap. The 32-bit rows
+      // count INCLUDES false sketch collisions (unrelated docs within
+      // hamming 2 of each other purely from 32-bit crowding) and its
+      // band buckets saturate as m grows — the wide sketch's relative
+      // cost/row advantage at mult× IS the saturation measurement.
+      probe(s"d7_hamming32_x$m", Dedup.simhashHammingPairs(docs(m), "id", "text",
         maxDist = 2, bucketCap = 1000))
+      probe(s"d7b_hamming60_x$m", Dedup.simhashHammingPairs(docs(m), "id", "text",
+        maxDist = 2, bucketCap = 1000, width = 60))
+      // CC clusters over the LSH pair graph: dup-heavy replication
+      // makes every doc a clique member — rounds stay O(log n) but
+      // the edge mass is the cost driver
+      probe(s"d9_clusters_x$m", ConnectedComponents.duplicateClusters(
+        Dedup.minhashLshPairs(docs(m), "id", "text",
+          shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.6,
+          bucketCap = 1000).select("id_a", "id_b")))
+      probe(s"w4_sessionize_x$m", Sessions.sessionSummary(evts(m),
+        "user_id", "ts", gapSeconds = 1800, tieBreak = "event_id"))
+      probe(s"sm2_stratified_x$m", Sampling.stratifiedSample(docsS(m),
+        "source", "id", 20))
       probe(s"ss2_lsh_ann_x$m", SimilaritySearch.lshTopK(
         vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
         k = 5, planes = 6, tables = 4, bucketCap = 200))
