@@ -92,6 +92,49 @@ class MultimodalSpec extends SparkSpec {
       s"codec lifecycle leak: opens=${opens.get()} closes=${closes.get()}")
   }
 
+  test("ImageIO provider really decodes PNG payloads through the SPI") {
+    import spark.implicits._
+    def png(rgb: Int, w: Int = 32, h: Int = 32,
+        splitAt: Option[Int] = None): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, splitAt match {
+          case Some(sx) => if (x < sx) 0x000000 else 0xffffff
+          case None => rgb
+        })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def item(id: Long, bytes: Array[Byte]) =
+      MediaItem(id, "image", bytes, 32, 32, 0, 1)
+    val items = Seq(
+      item(1, png(0x000000)),             // black
+      item(2, png(0xffffff)),             // white
+      item(3, png(0, splitAt = Some(16))), // left black / right white
+      item(4, "not an image at all".getBytes("UTF-8"))
+    ).toDS()
+    val fs = decodeAndFeaturize(items, dim = 16,
+      provider = ImageIoCodecProvider)
+      .collect().map(f => f.media_id -> f.features).toMap
+    assert(fs(1L).forall(_ < 0.05f), "black image must pool to ~0")
+    assert(fs(2L).forall(_ > 0.95f), "white image must pool to ~1")
+    // 4x4 grid over a left-black/right-white image: each row's first
+    // two cells dark, last two bright
+    val grid = fs(3L).grouped(4).toSeq
+    assert(grid.forall(r => r(0) < 0.1f && r(3) > 0.9f),
+      s"split image grid off: ${fs(3L).toSeq}")
+    // undecodable payload falls back to the stub's digest features
+    val stub = DigestStubCodecProvider.open()
+    assert(fs(4L).toSeq == stub.featurize(
+      item(4, "not an image at all".getBytes("UTF-8")), 16).toSeq)
+    // frame 0 of a decodable still = row-major luminance plane
+    val codec = ImageIoCodecProvider.open()
+    val plane = codec.decodeFrame(item(2, png(0xffffff)), 0)
+    assert(plane.length == 32 * 32 && plane.forall(b => (b & 0xff) == 255))
+  }
+
   test("sampleFrames fans out only videos, capped and strided") {
     import spark.implicits._
     val frames = sampleFrames(media().as[MediaItem], maxFrames = 4).collect()
