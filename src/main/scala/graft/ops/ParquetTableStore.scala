@@ -60,6 +60,19 @@ import org.apache.spark.sql.functions._
   * provides — this store keeps the engine dependency-free while
   * preserving the semantics the operators need. Old versions are
   * pruned to `keepVersions`.
+  *
+  * Cross-table contract: atomicity is per TABLE — there is no
+  * multi-table transaction (the reference had none either: each
+  * sqlite3 script opened its own connection and committed per
+  * statement). Racing writers on two tables therefore guarantee (a)
+  * no committed merge on either table is ever lost (each table's CAS
+  * serializes its own publishes) and (b) readers see each table at
+  * some complete committed version — but a reader MAY observe table A
+  * at a newer version than table B. Pipelines that need referential
+  * integrity get it by commit ORDER: commit parents before children
+  * (the SyncPipeline shape) and an insert-only reader can never see
+  * an orphan child, only a parent whose child has not landed yet —
+  * StoreCasSpec's two-table race pins exactly this contract.
   */
 final class ParquetTableStore(root: String, keepVersions: Int = 2,
     io: StoreIo = PosixStoreIo) {

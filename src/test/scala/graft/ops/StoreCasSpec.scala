@@ -87,6 +87,62 @@ class StoreCasSpec extends SparkSpec {
     assert(seed.read(spark, "t").count() == 3) // ids 1, 2, 3 — no lost merge
   }
 
+  test("two-table racing writers: per-table atomicity, parents-first reads never torn") {
+    // The SyncPipeline shape: each writer lands one (video, transcript)
+    // pair — two SEPARATE commits, parents first. The store's contract
+    // is per-TABLE atomicity (no cross-table transaction): the spec
+    // pins what that does and does not guarantee. Guaranteed: no
+    // committed merge on either table is ever lost, and with
+    // parents-first ordering an insert-only reader can never observe a
+    // child row whose parent is missing. Not guaranteed (and expected):
+    // a reader may see a parent whose child has not landed yet.
+    val root = tmpDir("cas-two-tables")
+    val store = new ParquetTableStore(root, keepVersions = 100)
+    store.commit(spark, "videos", Seq((0L, "seed")).toDF("id", "title"))
+    store.commit(spark, "transcripts", Seq((0L, "seed")).toDF("video_id", "text"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (1 to 4).map(w => new Thread(() => {
+      try {
+        store.withCommitRetries(maxAttempts = 50) {
+          store.upsert(spark, "videos",
+            Seq((w.toLong, s"video$w")).toDF("id", "title"), Seq("id"))
+        }
+        store.withCommitRetries(maxAttempts = 50) {
+          store.upsert(spark, "transcripts",
+            Seq((w.toLong, s"text$w")).toDF("video_id", "text"), Seq("video_id"))
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    }))
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stopReader.get()) {
+        try {
+          // snapshot children FIRST, parents second: with parents-first
+          // writers this ordering is the adversarial one — any torn
+          // observation would show an orphan child
+          val ts = store.read(spark, "transcripts")
+            .select("video_id").collect().map(_.getLong(0)).toSet
+          val vs = store.read(spark, "videos")
+            .select("id").collect().map(_.getLong(0)).toSet
+          if (!ts.subsetOf(vs))
+            errs.add(new AssertionError(s"orphan transcripts: ${ts -- vs}"))
+        } catch { case t: Throwable => errs.add(t) }
+      }
+    })
+    reader.start()
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    stopReader.set(true)
+    reader.join()
+    assert(errs.isEmpty, s"failure: ${errs.peek()}")
+    val vids = store.read(spark, "videos").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val trs = store.read(spark, "transcripts").select("video_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(vids == Set(0L, 1L, 2L, 3L, 4L), s"lost a video merge: $vids")
+    assert(trs == Set(0L, 1L, 2L, 3L, 4L), s"lost a transcript merge: $trs")
+  }
+
   test("concurrent committers with retries: every delta lands, dirs never shared") {
     val root = tmpDir("cas-stress")
     val store = new ParquetTableStore(root, keepVersions = 100)
