@@ -35,4 +35,14 @@ class BlockHygieneSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
+
+  test("wide simhash pairs and quantized ANN retain no blocks (round-5 ops)") {
+    Dedup.simhashHammingPairs(fixtureDocs, "id", "text",
+      maxDist = 2, width = 60).count()
+    SimilaritySearch.quantizedIvfTopK(
+      fixtureVecs.filter(col("id") < 5), fixtureVecs, "id", "vec",
+      k = 3, numCentroids = 8, probes = 2).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
 }
