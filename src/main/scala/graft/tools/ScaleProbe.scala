@@ -75,6 +75,12 @@ object ScaleProbe {
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.6, bucketCap = 1000))
       probe(s"d4_ngram_x$m", Dedup.ngramJaccardPairs(docs(m), "id", "text",
         n = 5, numHashes = 32, bands = 8, threshold = 0.7, bucketCap = 1000))
+      // the documented char-gram guidance measured: 8-row bands (~j^8
+      // selectivity) against the 4-row default (~j^4) — char-5-gram
+      // noise similarity (~0.3) is what makes d4 the pair-mass hog
+      if (m > 1)
+        probe(s"d4_ngram_x${m}_rpb8", Dedup.ngramJaccardPairs(docs(m), "id", "text",
+          n = 5, numHashes = 32, bands = 4, threshold = 0.7, bucketCap = 1000))
       // fixed knobs: cell population grows linearly with m (the trap)
       probe(s"d5_ivf_x${m}_cells64", Dedup.embeddingNearDupPairsIvf(vecs(m),
         "id", "embedding", numCentroids = 64, probes = 2, threshold = 0.9,
@@ -110,6 +116,10 @@ object ScaleProbe {
         vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
         k = 5, planes = 6, tables = 4, bucketCap = 200))
       probe(s"ss3_ivf_ann_x$m", SimilaritySearch.ivfTopK(
+        vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
+        k = 5, numCentroids = math.max(32, math.sqrt(2000.0 * m).toInt),
+        probes = 8, cellCap = 1000))
+      probe(s"ss5_q8_ivf_ann_x$m", SimilaritySearch.quantizedIvfTopK(
         vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
         k = 5, numCentroids = math.max(32, math.sqrt(2000.0 * m).toInt),
         probes = 8, cellCap = 1000))
