@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the pre-training hygiene step that
+  * finds (and drops) training documents overlapping an evaluation
+  * set, by shared word n-grams (the standard n-gram–overlap
+  * definition; n defaults to 8, the common contamination window).
+  *
+  * Scale shape (the reason this is cheap at 100 TB): the benchmark
+  * side is SMALL BY CONTRACT (an eval suite is thousands of docs, not
+  * billions), so its distinct gram-hash table broadcasts; the corpus
+  * side is one scan → native shingle-hash kernel → explode → codegen
+  * broadcast-hash-join, meaning corpus text is never shuffled and
+  * only MATCHED gram rows (≈ the contamination mass, tiny for a clean
+  * corpus) reach the (doc, bench) aggregation. The apply step is one
+  * ids-only anti-join, like the near-dup drop.
+  *
+  * Hashing is the portable 60-bit md5 prefix
+  * ([[graft.plans.HashKernels]]), so the DuckDB oracle replicates the
+  * whole pipeline bit-for-bit (gate dc1/dc2). Overlap counts DISTINCT
+  * shared grams (a doc repeating one benchmark phrase k times is one
+  * shared gram, not k).
+  */
+object Decontamination {
+
+  /** (doc_id, bench_id, n_shared) for every pair sharing at least
+    * `minShared` distinct word `n`-grams. `bench` must be small
+    * enough to broadcast (eval-suite sized) — its grams are collected
+    * to a broadcast hash table, which is what keeps the corpus side
+    * shuffle-free. */
+  def contaminationPairs(docs: DataFrame, docId: String, docText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, minShared: Int = 2): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    require(minShared >= 1, "minShared must be >= 1")
+    val dg = docs
+      .select(col(docId).as("doc_id"),
+        explode(graft.plans.HashKernels.hashedWordShingles(col(docText), n))
+          .as("g"))
+    val bg = bench
+      .select(col(benchId).as("bench_id"),
+        explode(graft.plans.HashKernels.hashedWordShingles(col(benchText), n))
+          .as("g"))
+      .distinct()
+    dg.join(broadcast(bg), Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The apply step: training rows NOT contaminated by any benchmark
+    * doc (one ids-only anti-join over the pair list). */
+  def dropContaminated(docs: DataFrame, docId: String, docText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, minShared: Int = 2): DataFrame =
+    docs.join(
+      contaminationPairs(docs, docId, docText, bench, benchId, benchText,
+        n, minShared)
+        .select(col("doc_id").as(docId)).distinct(),
+      Seq(docId), "left_anti")
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{ConnectedComponents, Dedup, Sampling, SimilaritySearch, TextAnalysis, VectorCompression}
+import graft.ops.{ConnectedComponents, Decontamination, Dedup, Sampling, SimilaritySearch, TextAnalysis, VectorCompression}
 
 /** LLM-training-data pipeline operators over documents/embeddings —
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -944,6 +944,101 @@ object PipelineQueries {
             SELECT query_id, rank, neighbor_id
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** The 8-token gram concat for the decontamination oracles — built
+    * from the same n the engine bakes into its kernel call. */
+  private val gram8 = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+
+  /** The dc benchmark fixture: every 10th doc, first two words
+    * dropped, id+50000 — shares long n-gram runs with its source doc
+    * without being identical (the realistic leak: an eval item
+    * paraphrased into the crawl). */
+  private val benchSql =
+    """bench AS (SELECT doc_id + 50000 AS bench_id,
+      |            regexp_replace(text, '^\S+\s+\S+\s+', '') AS text
+      |          FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private def benchDf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 50000).as("bench_id"),
+        regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text"))
+
+  /** DC1: benchmark DECONTAMINATION pairs ([[Decontamination]]) — the
+    * pre-training hygiene step: training docs sharing ≥2 distinct
+    * word 8-grams with an eval-set doc. The benchmark side broadcasts
+    * (small by contract), so the corpus never shuffles text — only
+    * matched gram hashes reach the (doc, bench) aggregation. The
+    * oracle replicates shingling, the portable hash, the distinct
+    * rule, and the threshold. */
+  private val dc1 = QueryDef(
+    "dc1_decontamination_pairs",
+    "train×eval docs sharing >=2 distinct word 8-grams",
+    (s, dir) => Decontamination.contaminationPairs(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", benchDf(s, dir), "bench_id", "text",
+      n = 8, minShared = 2)
+      .orderBy("doc_id", "bench_id"),
+    Some(s"""WITH $benchSql,
+            dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM documents),
+            bt AS (SELECT bench_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM bench),
+            dg AS (SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                   FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> $gram8)) AS g
+                         FROM dt)),
+            bg AS (SELECT DISTINCT bench_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                   FROM (SELECT bench_id,
+                           unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> $gram8)) AS g
+                         FROM bt))
+            SELECT dg.doc_id, bg.bench_id,
+                   count(DISTINCT dg.g) AS n_shared
+            FROM dg JOIN bg ON dg.g = bg.g
+            GROUP BY 1, 2 HAVING count(DISTINCT dg.g) >= 2
+            ORDER BY doc_id, bench_id"""))
+
+  /** DC2: the decontamination APPLY step — the surviving training
+    * corpus after dropping every dc1-contaminated doc (one ids-only
+    * anti-join; what actually feeds the trainer). */
+  private val dc2 = QueryDef(
+    "dc2_decontaminated_corpus",
+    "training docs surviving benchmark decontamination",
+    (s, dir) => Decontamination.dropContaminated(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", benchDf(s, dir), "bench_id", "text",
+      n = 8, minShared = 2)
+      .orderBy("doc_id"),
+    Some(s"""WITH $benchSql,
+            dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM documents),
+            bt AS (SELECT bench_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM bench),
+            dg AS (SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                   FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> $gram8)) AS g
+                         FROM dt)),
+            bg AS (SELECT DISTINCT bench_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                   FROM (SELECT bench_id,
+                           unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> $gram8)) AS g
+                         FROM bt)),
+            bad AS (SELECT dg.doc_id
+                    FROM dg JOIN bg ON dg.g = bg.g
+                    GROUP BY dg.doc_id, bg.bench_id
+                    HAVING count(DISTINCT dg.g) >= 2)
+            SELECT d.doc_id, d.text FROM documents d
+            LEFT JOIN (SELECT DISTINCT doc_id FROM bad) b
+              ON d.doc_id = b.doc_id
+            WHERE b.doc_id IS NULL
+            ORDER BY d.doc_id"""))
+
   /** A8B: sketch-path grouped quantiles — approx_percentile against
     * a8's exact values, pinned inside a 2% relative error band the
     * oracle asserts true (the a7b discipline: the sketch result is
@@ -1175,6 +1270,6 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, ss1, ss2, ss3, ss4, ss5,
-      ts1, ts2, ts3, ts4, ts5, ts6, sm1, sm2, tp1, mm1, a7b, a8b)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, dc1, dc2, ss1, ss2, ss3,
+      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, sm1, sm2, tp1, mm1, a7b, a8b)
 }
