@@ -53,4 +53,29 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Deterministic DATA MIXING: keep a row iff its hash bucket falls
+    * under its stratum's sampling percentage, with the mixture given
+    * as a TABLE (stratum → pct in [0, 100]) — the way a pretraining
+    * pipeline states a domain mix ("web 30%, code 100%, forums 10%").
+    *
+    * Scale shape: the mixture table is tiny by nature and broadcasts;
+    * the keep/drop decision is then a pure per-row expression — ZERO
+    * shuffle, zero sort, scan-rate at any corpus size (contrast
+    * [[stratifiedSample]], whose exact-count contract needs the
+    * stratum exchange). Same hash discipline as [[hashSplit]]:
+    * reproducible across runs/engines/cluster sizes, stable under
+    * corpus growth, salt-decorrelated from other draws on the same
+    * keys. Strata absent from the mixture table are DROPPED (an
+    * unlisted domain is an unsampled domain — the conservative
+    * default for a curated mix). */
+  def mixByHash(df: DataFrame, strataCol: String, keyCol: String,
+      mix: DataFrame, mixStrataCol: String, pctCol: String,
+      salt: String = ""): DataFrame =
+    df.join(
+        broadcast(mix.select(col(mixStrataCol).as(strataCol),
+          col(pctCol).cast("long").as("__pct"))),
+        Seq(strataCol))
+      .filter(splitBucket(col(keyCol), salt) < col("__pct"))
+      .drop("__pct")
 }

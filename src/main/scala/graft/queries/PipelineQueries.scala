@@ -1098,6 +1098,29 @@ object PipelineQueries {
               FROM documents)
             WHERE rn <= 20 ORDER BY source, doc_id"""))
 
+  /** SM3: deterministic DATA MIXING ([[Sampling.mixByHash]]) — the
+    * domain-mixture draw a pretraining pipeline runs ("web 30%, code
+    * 100%…"), stated as a broadcast mixture table (here: derived
+    * in-plan, pct = 25/50/75 by source-name length mod 3) and applied
+    * as a pure per-row hash predicate: ZERO shuffle before the output
+    * sort. The gate hash-compares FULL membership (sm1's discipline —
+    * determinism across engines IS the feature). */
+  private val sm3 = QueryDef(
+    "sm3_hash_mix",
+    "deterministic per-domain fractional mix (full membership)",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val mixT = d.select(col("source")).distinct()
+        .withColumn("pct", lit(25) + length(col("source")) % 3 * lit(25))
+      Sampling.mixByHash(d, "source", "doc_id", mixT, "source", "pct")
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""SELECT source, doc_id FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+                  < 25 + length(source) % 3 * 25
+            ORDER BY source, doc_id"""))
+
   /** TP1: the full curation pipeline as ONE verified composition —
     * language filter (ts1's heuristic) → quality filter (ts2's score)
     * → exact dedup survivors (d1's digest, min-id representative) →
@@ -1271,5 +1294,6 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, dc1, dc2, ss1, ss2, ss3,
-      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, sm1, sm2, tp1, mm1, a7b, a8b)
+      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, sm1, sm2, sm3, tp1, mm1,
+      a7b, a8b)
 }

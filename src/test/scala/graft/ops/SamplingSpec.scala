@@ -52,4 +52,33 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("mixByHash: fractional mix tracks the mixture table, zero-shuffle, stable") {
+    import spark.implicits._
+    val mix = Seq(("s0", 100L), ("s1", 50L), ("s2", 0L)).toDF("src", "pct")
+    val corpus = docs.withColumn("grp",
+      concat(lit("s"), (col("doc_id") % 3).cast("string")))
+    val got = Sampling.mixByHash(corpus, "grp", "doc_id", mix, "src", "pct")
+    val byGrp = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = corpus.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("s0") == totals("s0"), "pct=100 keeps everything")
+    assert(!byGrp.contains("s2"), "pct=0 drops the stratum")
+    val frac = byGrp("s1").toDouble / totals("s1")
+    assert(frac > 0.35 && frac < 0.65, s"pct=50 draw off: $frac")
+    // a stratum ABSENT from the mixture table is dropped entirely
+    val noS0 = Sampling.mixByHash(corpus, "grp", "doc_id",
+      mix.filter(col("src") =!= "s0"), "src", "pct")
+    assert(noS0.filter(col("grp") === "s0").count() == 0)
+    // per-key assignment is the hashSplit bucket: growth-stable and
+    // identical across runs
+    val again = Sampling.mixByHash(corpus, "grp", "doc_id", mix, "src", "pct")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // zero shuffle: no Exchange in the plan apart from none at all
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"mix must not shuffle the corpus:\n$plan")
+  }
 }
