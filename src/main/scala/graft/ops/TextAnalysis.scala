@@ -128,6 +128,36 @@ object TextAnalysis {
   def repetitionStats(text: Column): Column =
     graft.plans.RepetitionKernel.repetitionStats(tokens(text))
 
+  /** Context-window CHUNKING: split each document into fixed-size
+    * token windows with stride overlap — the sequence-prep step
+    * before tokenization/packing (e.g. 64-token windows, stride 48 =
+    * 25% overlap so no boundary context is lost). One chunk row per
+    * window start k·stride < n_tokens; the tail chunk may be shorter.
+    * Documents with zero tokens emit no chunks.
+    *
+    * Pure column expressions — tokenize once, explode the window
+    * starts, slice per chunk: one scan, no shuffle, linear in output
+    * size at any corpus scale. Returns (id, chunk_no, start_tok,
+    * n_tokens, chunk_text). */
+  def chunk(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, windowTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(stride >= 1, "stride must be >= 1")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(sequence(lit(0),
+          floor((col("__n") - 1) / stride).cast("int"))).as("chunk_no"))
+      .select(col(idCol),
+        col("chunk_no").cast("long").as("chunk_no"),
+        (col("chunk_no") * stride).cast("long").as("start_tok"),
+        least(lit(windowTokens), col("__n") - col("chunk_no") * stride)
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__t"), col("chunk_no") * stride + 1,
+          lit(windowTokens)), " ").as("chunk_text"))
+  }
+
   /** Normalized md5 fingerprint (exact-dedup key). */
   def docFingerprint(text: Column): Column = fingerprint(text)
 

@@ -1098,6 +1098,28 @@ object PipelineQueries {
               FROM documents)
             WHERE rn <= 20 ORDER BY source, doc_id"""))
 
+  /** TS7: context-window CHUNKING ([[TextAnalysis.chunk]]) — 64-token
+    * windows at stride 48 (25% overlap), the sequence-prep step
+    * before tokenization/packing. The oracle replicates window
+    * arithmetic, inclusive list slicing, and the tail-chunk rule. */
+  private val ts7 = QueryDef(
+    "ts7_chunking",
+    "stride-overlapped 64-token context windows per doc",
+    (s, dir) => TextAnalysis.chunk(
+      Tables.documents(s, dir), "doc_id", "text",
+      windowTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_no"),
+    Some("""WITH t AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0),
+            c AS (SELECT doc_id, toks,
+              unnest(generate_series(0, (len(toks) - 1) // 48)) AS k
+              FROM t)
+            SELECT doc_id, k AS chunk_no, k * 48 AS start_tok,
+              least(64, len(toks) - k * 48) AS n_tokens,
+              array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_no"""))
+
   /** SM3: deterministic DATA MIXING ([[Sampling.mixByHash]]) — the
     * domain-mixture draw a pretraining pipeline runs ("web 30%, code
     * 100%…"), stated as a broadcast mixture table (here: derived
@@ -1294,6 +1316,6 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, dc1, dc2, ss1, ss2, ss3,
-      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, sm1, sm2, sm3, tp1, mm1,
-      a7b, a8b)
+      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, sm1, sm2, sm3, tp1,
+      mm1, a7b, a8b)
 }

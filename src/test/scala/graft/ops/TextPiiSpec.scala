@@ -49,4 +49,33 @@ class TextPiiSpec extends SparkSpec {
       .head
     assert((0 until 3).forall(row.getInt(_) == 0))
   }
+
+  test("chunking: window/stride arithmetic, tail rule, full coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks: 1 chunk
+      (2L, (1 to 64).map(i => s"w$i").mkString(" ")), // exactly 1 window, but 64 > 48 => 2 starts
+      (3L, (1 to 100).map(i => s"w$i").mkString(" ")),
+      (4L, "   ")                                     // no tokens: no chunks
+    ).toDF("doc_id", "text")
+    val c = TextAnalysis.chunk(docs, "doc_id", "text",
+      windowTokens = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val byDoc = c.groupBy(_._1)
+    assert(!byDoc.contains(4L))
+    assert(byDoc(1L).toSeq == Seq((1L, 0L, 0L, 10L,
+      (1 to 10).map(i => s"w$i").mkString(" "))))
+    // doc 2: starts 0 and 48; tail chunk = tokens 49..64 (16 tokens)
+    assert(byDoc(2L).map(x => (x._2, x._3, x._4)).toSet ==
+      Set((0L, 0L, 64L), (1L, 48L, 16L)))
+    // doc 3: starts 0, 48, 96; every token appears in some chunk
+    assert(byDoc(3L).map(_._3).toSet == Set(0L, 48L, 96L))
+    val covered = byDoc(3L).flatMap(x => x._5.split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"w$i").toSet)
+    // overlap: chunk k starts mid-window of chunk k-1
+    val c0 = byDoc(3L).find(_._2 == 0L).get._5.split(" ")
+    val c1 = byDoc(3L).find(_._2 == 1L).get._5.split(" ")
+    assert(c0.drop(48).toSeq == c1.take(16).toSeq)
+  }
 }
