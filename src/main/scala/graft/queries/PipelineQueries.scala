@@ -1120,6 +1120,48 @@ object PipelineQueries {
               array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_no"""))
 
+  /** SP1: sequence PACKING ([[graft.ops.Packing]]) — ts7's chunks
+    * stream-packed into 256-token training examples over 8 parallel
+    * hash shards; per-pack rollup (chunks, tokens, fill). The oracle
+    * replicates chunking, the shard hash, the within-shard order, the
+    * prefix-sum boundary rule, and the fill arithmetic. Non-final
+    * packs land in (budget−window, budget+window) tokens by the
+    * boundary rule (PackingSpec pins it). */
+  private val sp1 = QueryDef(
+    "sp1_sequence_packing",
+    "shard-parallel stream packing of chunks into 256-token budgets",
+    (s, dir) => graft.ops.Packing.packSummary(
+      TextAnalysis.chunk(Tables.documents(s, dir), "doc_id", "text",
+        windowTokens = 64, stride = 48)
+        .withColumn("ck", concat_ws(":", col("doc_id"), col("chunk_no"))),
+      "ck", "n_tokens", budgetTokens = 256, numShards = 8)
+      .orderBy("shard", "pack_no"),
+    Some("""WITH t AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0),
+            c AS (SELECT doc_id, toks,
+              unnest(generate_series(0, (len(toks) - 1) // 48)) AS k
+              FROM t),
+            ch AS (SELECT doc_id::VARCHAR || ':' || k::VARCHAR AS ck,
+              least(64, len(toks) - k * 48) AS n_tokens
+              FROM c),
+            h AS (SELECT ck, n_tokens,
+              ('0x' || substr(md5(ck), 1, 15))::BIGINT AS hv
+              FROM ch),
+            p AS (SELECT hv % 8 AS shard, ck, n_tokens, hv,
+              coalesce(sum(n_tokens) OVER (PARTITION BY hv % 8
+                ORDER BY hv, ck
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS tok_before
+              FROM h),
+            a AS (SELECT shard, (tok_before // 256)::BIGINT AS pack_no,
+                         n_tokens
+                  FROM p)
+            SELECT shard, pack_no, count(*) AS n_chunks,
+              sum(n_tokens)::BIGINT AS n_tokens,
+              round(sum(n_tokens)::DOUBLE / 256, 6) AS fill
+            FROM a GROUP BY 1, 2 ORDER BY shard, pack_no"""))
+
   /** SM3: deterministic DATA MIXING ([[Sampling.mixByHash]]) — the
     * domain-mixture draw a pretraining pipeline runs ("web 30%, code
     * 100%…"), stated as a broadcast mixture table (here: derived
@@ -1316,6 +1358,6 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, dc1, dc2, ss1, ss2, ss3,
-      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, sm1, sm2, sm3, tp1,
-      mm1, a7b, a8b)
+      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, sm1, sm2, sm3, sp1,
+      tp1, mm1, a7b, a8b)
 }
