@@ -1039,6 +1039,93 @@ object PipelineQueries {
             WHERE b.doc_id IS NULL
             ORDER BY d.doc_id"""))
 
+  /** TP2: the TRAINING-PREP pipeline END-TO-END — what a pretraining
+    * data job actually runs, as ONE verified composition:
+    * decontaminate (dc2) → exact-dedup survivors (d1) → domain mix
+    * (sm3) → context chunking (ts7) → sequence packing (sp1). Every
+    * stage is the real graft.ops operator; the oracle replicates all
+    * five. The scale story is the sum of the stages': broadcast
+    * bench grams, one digest shuffle, a zero-shuffle mix predicate,
+    * scan-rate chunking, one shard exchange for packing. */
+  private val tp2 = QueryDef(
+    "tp2_training_prep",
+    "decontaminate -> dedup -> mix -> chunk -> pack, end to end",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val clean = Decontamination.dropContaminated(docs, "doc_id", "text",
+        benchDf(s, dir), "bench_id", "text", n = 8, minShared = 2)
+      val deduped = Dedup.dropExactDuplicates(clean, "doc_id", "text")
+      val mixT = docs.select(col("source")).distinct()
+        .withColumn("pct", lit(25) + length(col("source")) % 3 * lit(25))
+      val mixed = Sampling.mixByHash(deduped, "source", "doc_id",
+        mixT, "source", "pct")
+      val chunks = TextAnalysis.chunk(mixed, "doc_id", "text",
+        windowTokens = 64, stride = 48)
+        .withColumn("ck", concat_ws(":", col("doc_id"), col("chunk_no")))
+      graft.ops.Packing.packSummary(chunks, "ck", "n_tokens",
+        budgetTokens = 256, numShards = 8)
+        .orderBy("shard", "pack_no")
+    },
+    Some(s"""WITH $benchSql,
+            ddt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM documents),
+            dbt AS (SELECT bench_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM bench),
+            ddg AS (SELECT doc_id,
+                      ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                    FROM (SELECT doc_id,
+                            unnest(list_transform(generate_series(1, len(t) - 7),
+                              i -> $gram8)) AS g
+                          FROM ddt)),
+            dbg AS (SELECT DISTINCT bench_id,
+                      ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                    FROM (SELECT bench_id,
+                            unnest(list_transform(generate_series(1, len(t) - 7),
+                              i -> $gram8)) AS g
+                          FROM dbt)),
+            bad AS (SELECT ddg.doc_id
+                    FROM ddg JOIN dbg ON ddg.g = dbg.g
+                    GROUP BY ddg.doc_id, dbg.bench_id
+                    HAVING count(DISTINCT ddg.g) >= 2),
+            clean AS (SELECT d.doc_id, d.source, d.text FROM documents d
+                      LEFT JOIN (SELECT DISTINCT doc_id FROM bad) b
+                        ON d.doc_id = b.doc_id
+                      WHERE b.doc_id IS NULL),
+            reps AS (SELECT min(doc_id) AS doc_id FROM clean
+                     GROUP BY md5(regexp_replace(lower(trim(text)),
+                       '\\s+', ' ', 'g'))),
+            dd AS (SELECT c.doc_id, c.source, c.text FROM clean c
+                   JOIN reps r ON c.doc_id = r.doc_id),
+            mixed AS (SELECT doc_id, text FROM dd
+                      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                            % 100 < 25 + length(source) % 3 * 25),
+            t AS (SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM mixed WHERE length(trim(text)) > 0),
+            c AS (SELECT doc_id, toks,
+                    unnest(generate_series(0, (len(toks) - 1) // 48)) AS k
+                  FROM t),
+            ch AS (SELECT doc_id::VARCHAR || ':' || k::VARCHAR AS ck,
+                     least(64, len(toks) - k * 48) AS n_tokens
+                   FROM c),
+            hh AS (SELECT ck, n_tokens,
+                     ('0x' || substr(md5(ck), 1, 15))::BIGINT AS hv
+                   FROM ch),
+            p AS (SELECT hv % 8 AS shard, ck, n_tokens, hv,
+                    coalesce(sum(n_tokens) OVER (PARTITION BY hv % 8
+                      ORDER BY hv, ck
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tok_before
+                  FROM hh),
+            a AS (SELECT shard, (tok_before // 256)::BIGINT AS pack_no,
+                         n_tokens
+                  FROM p)
+            SELECT shard, pack_no, count(*) AS n_chunks,
+              sum(n_tokens)::BIGINT AS n_tokens,
+              round(sum(n_tokens)::DOUBLE / 256, 6) AS fill
+            FROM a GROUP BY 1, 2 ORDER BY shard, pack_no"""))
+
   /** A8B: sketch-path grouped quantiles — approx_percentile against
     * a8's exact values, pinned inside a 2% relative error band the
     * oracle asserts true (the a7b discipline: the sketch result is
@@ -1359,5 +1446,5 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, dc1, dc2, ss1, ss2, ss3,
       ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, sm1, sm2, sm3, sp1,
-      tp1, mm1, a7b, a8b)
+      tp1, tp2, mm1, a7b, a8b)
 }
