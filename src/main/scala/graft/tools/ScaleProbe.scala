@@ -112,6 +112,22 @@ object ScaleProbe {
         "user_id", "ts", gapSeconds = 1800, tieBreak = "event_id"))
       probe(s"sm2_stratified_x$m", Sampling.stratifiedSample(docsS(m),
         "source", "id", 20))
+      // decontamination: the corpus grows, the eval set does NOT (the
+      // realistic shape) — contamination mass grows with the corpus'
+      // leaked fraction, the broadcast side stays fixed
+      probe(s"dc1_decontam_x$m", {
+        val bench = Tables.documents(spark, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 50000000L).as("bench_id"),
+            regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text"))
+        graft.ops.Decontamination.contaminationPairs(docs(m), "id", "text",
+          bench, "bench_id", "text", n = 8, minShared = 2)
+      })
+      // chunk -> pack: both scan-rate; output rows grow linearly
+      probe(s"sp1_chunk_pack_x$m", graft.ops.Packing.packSummary(
+        graft.ops.TextAnalysis.chunk(docs(m), "id", "text", 64, 48)
+          .withColumn("ck", concat_ws(":", col("id"), col("chunk_no"))),
+        "ck", "n_tokens", budgetTokens = 256, numShards = 32))
       probe(s"ss2_lsh_ann_x$m", SimilaritySearch.lshTopK(
         vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
         k = 5, planes = 6, tables = 4, bucketCap = 200))
