@@ -22,6 +22,7 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main export-playlists <storeDir> <out.json>
   *   runMain graft.app.Main ingest-inbox <storeDir> <inboxDir>
   *   runMain graft.app.Main dedup-transcripts <storeDir> [threshold]
+  *   runMain graft.app.Main pack-transcripts <storeDir> [window] [budget]
   * }}}
   *
   * The sync uses the deterministic offline connector (this container
@@ -155,6 +156,30 @@ object Main {
           "video_id", "transcript", threshold = threshold)
         println(s"near-duplicate transcript pairs (jaccard >= $threshold):")
         show(pairs.orderBy(desc("jaccard"), col("id_a"), col("id_b")))
+
+      case "pack-transcripts" =>
+        // training-prep over the stored corpus: exact-dedup survivors
+        // → stride-overlapped context chunks → shard-packed examples
+        // (the tp2 pipeline shape on store tables)
+        val window = if (args.length > 2) args(2).toInt else 64
+        val budget = if (args.length > 3) args(3).toInt else 256
+        val tx = t("transcripts").select(col("video_id"), col("transcript"))
+          .filter(col("transcript").isNotNull)
+        val survivors = graft.ops.Dedup
+          .dropExactDuplicates(tx, "video_id", "transcript")
+        val chunks = graft.ops.TextAnalysis.chunk(survivors,
+          "video_id", "transcript", window, stride = window * 3 / 4)
+          .withColumn("ck", concat_ws(":", col("video_id"), col("chunk_no")))
+        val packs = graft.ops.Packing.packSummary(chunks, "ck", "n_tokens",
+          budgetTokens = budget, numShards = 8)
+        println(s"packed training examples ($window-token windows, " +
+          s"$budget-token budget):")
+        show(packs.orderBy("shard", "pack_no"))
+        val stats = packs.agg(count(lit(1)).as("n_packs"),
+          sum("n_chunks").as("n_chunks"), sum("n_tokens").as("n_tokens"),
+          round(avg("fill"), 4).as("avg_fill")).head
+        println(s"packs=${stats.getLong(0)} chunks=${stats.getLong(1)} " +
+          s"tokens=${stats.getLong(2)} avg_fill=${stats.getDouble(3)}")
 
       case other =>
         sys.error(s"unknown command '$other' — see graft.app.Main scaladoc")
