@@ -242,4 +242,50 @@ object Streams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
+
+  final case class ChunkIn(ck: String, n_tokens: Long)
+  final case class PackState(before: Long)
+  final case class PackedChunk(shard: Long, ck: String, n_tokens: Long,
+      pack_no: Long, pack_tok_start: Long)
+
+  /** STREAMING sequence packing — the unbounded twin of
+    * [[graft.ops.Packing.assignPacks]]: chunks arrive on a stream,
+    * each hash shard keeps ONE running token counter as state
+    * (mapGroupsWithState-style O(1) state per shard), and every
+    * arriving chunk is assigned its pack immediately. Same boundary
+    * arithmetic as the batch packer (pack_no = tokens-before /
+    * budget); the difference is the ORDER: a stream has no global
+    * deterministic order, so assignment is order-of-arrival within
+    * each shard — the honest streaming contract (batch re-packing is
+    * the deterministic one; this operator exists so a live ingest can
+    * emit trainable examples without waiting for the batch window).
+    * State never grows with history — one counter per shard — so the
+    * query runs forever. */
+  def packStream(chunks: Dataset[ChunkIn], budgetTokens: Int,
+      numShards: Int): Dataset[PackedChunk] = {
+    require(budgetTokens >= 1 && numShards >= 1)
+    import chunks.sparkSession.implicits._
+
+    def shardOf(ck: String): Long = {
+      val h = graft.functions.TextFunctions.portableHash64Local(ck)
+      ((h % numShards) + numShards) % numShards
+    }
+
+    def fn(shard: Long, it: Iterator[ChunkIn],
+        state: GroupState[PackState]): Iterator[PackedChunk] = {
+      var before = state.getOption.map(_.before).getOrElse(0L)
+      val out = it.map { c =>
+        val packed = PackedChunk(shard, c.ck, c.n_tokens,
+          before / budgetTokens, before % budgetTokens)
+        before += c.n_tokens
+        packed
+      }.toList
+      state.update(PackState(before))
+      out.iterator
+    }
+
+    chunks.groupByKey(c => shardOf(c.ck))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

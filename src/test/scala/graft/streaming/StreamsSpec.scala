@@ -145,4 +145,34 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got == Set(("00:00", "click", 2L), ("00:05", "view", 1L)))
   }
+
+  test("packStream: per-shard running state packs across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import Streams.{ChunkIn, PackedChunk}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[ChunkIn]
+    val q = Streams.packStream(in.toDS(), budgetTokens = 10, numShards = 1)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("packs").start()
+    try {
+      in.addData(ChunkIn("a", 4), ChunkIn("b", 4))
+      q.processAllAvailable()
+      // state carries ACROSS batches: the next chunk continues pack 0
+      in.addData(ChunkIn("c", 4), ChunkIn("d", 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("packs").as[PackedChunk].collect()
+      .map(c => c.ck -> (c.pack_no, c.pack_tok_start)).toMap
+    assert(got.size == 4)
+    // batch 1: a at (0,0), b at (0,4); batch 2 resumes before=8:
+    // c starts pack 0 offset 8 (straddles), d lands in pack 1
+    assert(got("a") == (0L, 0L) && got("b") == (0L, 4L), s"got $got")
+    assert(got("c") == (0L, 8L), s"got $got")
+    assert(got("d") == (1L, 2L), s"got $got")
+    // token conservation: offsets advance by exactly the token counts
+    val total = spark.table("packs").as[PackedChunk].collect()
+      .map(_.n_tokens).sum
+    assert(total == 16)
+  }
 }
