@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions entry point — the deployment-grade way to
   * ship the engine's Catalyst additions into ANY session:
@@ -11,16 +12,70 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   spark.sql.extensions=graft.plans.GraftExtensions
   * }}}
   *
-  * Currently registers the native SQL functions (highlight_context);
-  * planner strategies/rules would be injected here too if an operator
-  * ever needs them (the reference's surface doesn't — SURVEY §4.2).
+  * Registers every native kernel as a SQL function, so `spark.sql`
+  * users get the same codegen'd hot paths the Column API uses:
+  * highlight_context, hashed_word_shingles, hashed_char_ngrams,
+  * simhash, pack_int8, dequantize_q8, dot_product, cosine_sim,
+  * repetition_stats. Planner strategies/rules would be injected here
+  * too if an operator ever needs them (the reference's surface
+  * doesn't — SURVEY §4.2).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Width/size parameters must be plan-time constants (they bake
+    * into generated code): accept any foldable integer expression. */
+  private def intArg(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case e if e.foldable && e.dataType == IntegerType =>
+      e.eval().asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    require(exprs.length == n,
+      s"$fn requires $n argument(s); got ${exprs.length}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("highlight_context"),
-      new ExpressionInfo(classOf[HighlightContext].getName, "highlight_context"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HighlightContext.fromExpressions(exprs)))
+    def inject(name: String, cls: Class[_],
+        builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+
+    inject("highlight_context", classOf[HighlightContext],
+      HighlightContext.fromExpressions)
+    inject("hashed_word_shingles", classOf[HashedWordShingles], exprs => {
+      arity("hashed_word_shingles", exprs, 2)
+      HashedWordShingles(exprs(0),
+        intArg(exprs(1), "hashed_word_shingles", "n"))
+    })
+    inject("hashed_char_ngrams", classOf[HashedCharNgrams], exprs => {
+      arity("hashed_char_ngrams", exprs, 2)
+      HashedCharNgrams(exprs(0), intArg(exprs(1), "hashed_char_ngrams", "n"))
+    })
+    inject("simhash", classOf[SimhashWide], exprs => {
+      arity("simhash", exprs, 2)
+      SimhashWide(exprs(0), intArg(exprs(1), "simhash", "width"))
+    })
+    inject("pack_int8", classOf[PackInt8], exprs => {
+      arity("pack_int8", exprs, 1)
+      PackInt8(exprs(0))
+    })
+    inject("dequantize_q8", classOf[DequantizeQ8], exprs => {
+      arity("dequantize_q8", exprs, 2)
+      DequantizeQ8(exprs(0), exprs(1))
+    })
+    inject("dot_product", classOf[DotProductKernel], exprs => {
+      arity("dot_product", exprs, 2)
+      DotProductKernel(exprs(0), exprs(1))
+    })
+    inject("cosine_sim", classOf[CosineSimKernel], exprs => {
+      arity("cosine_sim", exprs, 2)
+      CosineSimKernel(exprs(0), exprs(1))
+    })
+    inject("repetition_stats", classOf[RepetitionStats], exprs => {
+      arity("repetition_stats", exprs, 1)
+      RepetitionStats(exprs(0))
+    })
   }
 }

@@ -23,6 +23,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT highlight_context('find the needle here', 'NEEDLE', 4) AS h")
         .head.getString(0)
       assert(got == "the **needle** her")
+      // the whole kernel family resolves and computes through SQL
+      val kernels = spark.sql(
+        """SELECT
+             simhash(hashed_word_shingles('alpha beta gamma', 1), 60) AS sh,
+             dequantize_q8(pack_int8(array(1, -2, 127)), 0.5D) AS dq,
+             round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cs,
+             dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS dp,
+             repetition_stats(array('a', 'b', 'a')).n_distinct AS nd""")
+        .head
+      assert(kernels.getLong(0) != 0L)
+      assert(kernels.getSeq[Double](1) == Seq(0.5, -1.0, 63.5))
+      assert(kernels.getDouble(2) == 1.0)
+      assert(kernels.getDouble(3) == 23.0)
+      assert(kernels.getInt(4) == 2)
+      // width must be a literal — a column reference fails loudly
+      val err = intercept[Exception] {
+        spark.sql("SELECT simhash(hashed_word_shingles('x', 1), id + 1) " +
+          "FROM range(1)").collect()
+      }
+      assert(err.getMessage != null)
     } finally spark.stop()
   }
 }
