@@ -165,11 +165,12 @@ class StreamsSpec extends SparkSpec {
     val got = spark.table("packs").as[PackedChunk].collect()
       .map(c => c.ck -> (c.pack_no, c.pack_tok_start)).toMap
     assert(got.size == 4)
-    // batch 1: a at (0,0), b at (0,4); batch 2 resumes before=8:
-    // c starts pack 0 offset 8 (straddles), d lands in pack 1
-    assert(got("a") == (0L, 0L) && got("b") == (0L, 4L), s"got $got")
-    assert(got("c") == (0L, 8L), s"got $got")
-    assert(got("d") == (1L, 2L), s"got $got")
+    // within-batch iterator order is not contractual, so assert the
+    // offset MULTISET per batch: batch 1 fills offsets 0 and 4 of
+    // pack 0; batch 2 resumes before=8 — one chunk straddles at
+    // (0,8), the other lands in pack 1 at offset 2
+    assert(Set(got("a"), got("b")) == Set((0L, 0L), (0L, 4L)), s"got $got")
+    assert(Set(got("c"), got("d")) == Set((0L, 8L), (1L, 2L)), s"got $got")
     // token conservation: offsets advance by exactly the token counts
     val total = spark.table("packs").as[PackedChunk].collect()
       .map(_.n_tokens).sum
