@@ -113,17 +113,11 @@ object Dedup {
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(bucketCap >= 2, "bucketCap must admit at least one pair")
-    val rowsPerBand = numHashes / bands
     val hashed = withHashes
     // Signature from the stored hashes (no digests), band keys via
     // the native kernel — both codegen'd, evaluated once inside the
     // single candidate-generation pass below.
-    val banded = hashed.select(col("id"),
-      explode(graft.plans.LshKernels.lshBandKeys(
-        graft.plans.MinhashSlots.minhashSlotsFromHashes(col("hs"), numHashes),
-        bands, rowsPerBand)).as("bk"))
-      .select(col("id"),
-        col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val banded = bandKeys(hashed, numHashes, bands)
     // Per-bucket cap: row_number over the (band, band_hash) exchange
     // streams through the sorted bucket — first `bucketCap` ids, a
     // hot bucket is bounded at cap²/2 pairs. Candidates are then the
@@ -170,13 +164,114 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.6, bucketCap: Int = DefaultBucketCap): DataFrame =
-    lshJaccardPairs(
-      df.filter(size(tokens(col(textCol))) >= shingleLen)
-        .select(col(idCol).as("id"), col(textCol).as("__text"))
-        .repartition(col("id"))
-        .select(col("id"),
-          graft.plans.HashKernels.hashedWordShingles(col("__text"), shingleLen).as("hs")),
+    lshJaccardPairs(lshSignatures(df, idCol, textCol, shingleLen),
       numHashes, bands, threshold, bucketCap)
+
+  /** The per-doc hashed word-shingle sets (id, hs: array<long>) — the
+    * signature table an incremental dedup deployment persists once
+    * per corpus (ONE text pass ever; the band index and every later
+    * batch probe derive from it, never from the raw text again).
+    * Shape: the minhashLshPairs preamble verbatim — non-empty guard
+    * as a raw-token predicate, `repartition(id)` barrier, native
+    * one-pass shingle-hash kernel above it (see [[lshJaccardPairs]]
+    * for why the barrier earns its shuffle). */
+  def lshSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3): DataFrame =
+    df.filter(size(tokens(col(textCol))) >= shingleLen)
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        graft.plans.HashKernels.hashedWordShingles(col("__text"), shingleLen).as("hs"))
+
+  /** (id, band, band_hash) band-membership keys from a signature
+    * table — the shared candidate-generation geometry of the batch
+    * and incremental engines (minhash slots + band keys, both native
+    * codegen'd kernels). */
+  private def bandKeys(hashed: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    hashed.select(col("id"),
+      explode(graft.plans.LshKernels.lshBandKeys(
+        graft.plans.MinhashSlots.minhashSlotsFromHashes(col("hs"), numHashes),
+        bands, numHashes / bands)).as("bk"))
+      .select(col("id"),
+        col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+  }
+
+  /** The LSH band INDEX of a corpus: (id, band, band_hash), capped at
+    * `bucketCap` members per (band, band_hash) bucket (first-by-id,
+    * the same cap rule as the batch engine). Built FROM the stored
+    * signature table ([[lshSignatures]]) so indexing never re-reads
+    * text. This is the artifact an incremental deployment maintains
+    * in the table store next to the signatures: ~bands rows of three
+    * narrow columns per doc, appended as batches commit. */
+  def lshBandIndex(signatures: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val wb = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(col("id").asc)
+    bandKeys(signatures, numHashes, bands)
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= bucketCap)
+      .select("id", "band", "band_hash")
+  }
+
+  /** Incremental near-dup probe: match a NEW ingest batch against an
+    * already-indexed corpus without re-signaturing (or re-shuffling)
+    * the corpus. Returns (corpus_id, new_id, jaccard ≥ threshold).
+    *
+    * This is the shape a 100 TB deployment actually runs — the full
+    * pair mine ([[minhashLshPairs]]) happens once, then every crawl
+    * batch probes the stored index:
+    *  - `corpusBands` (id, band, band_hash) and `corpusHashes`
+    *    (id, hs) are the STORED index + signature tables
+    *    ([[lshBandIndex]] / [[lshSignatures]]).
+    *  - The batch side is ingest-batch-sized BY CONTRACT, so both
+    *    corpus tables are probed with BROADCAST joins: candidate
+    *    generation broadcasts the batch's band keys into one
+    *    scan-rate pass over the index, and verify broadcasts the
+    *    candidate ids into one scan-rate pass over the signatures.
+    *    NOTHING corpus-sized ever shuffles — per-batch cost is
+    *    O(corpus scan) + O(batch + candidate mass), and with the
+    *    index stored partitioned the scan itself prunes.
+    *  - Bucket capping lives in the stored index (build-time rule);
+    *    a hot boilerplate bucket contributes ≤ cap candidates per
+    *    batch doc per band.
+    *  - In-batch duplicates are out of scope by design: compose with
+    *    `minhashLshPairs(batch)` (batch-sized, cheap) when needed.
+    * Batch ids must be disjoint from corpus ids (ingest contract;
+    * equal ids are skipped defensively). */
+  def incrementalLshPairs(newDocs: DataFrame, idCol: String,
+      textCol: String, corpusBands: DataFrame, corpusHashes: DataFrame,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    val batch = lshSignatures(newDocs, idCol, textCol, shingleLen)
+    val batchBands = bandKeys(batch, numHashes, bands)
+    // Candidate generation: ONE scan-rate pass over the stored index,
+    // batch band keys on the broadcast side.
+    val cand = corpusBands.as("ci")
+      .join(broadcast(batchBands.as("nb")),
+        col("ci.band") === col("nb.band") &&
+          col("ci.band_hash") === col("nb.band_hash") &&
+          col("ci.id") =!= col("nb.id"))
+      .select(col("ci.id").as("corpus_id"), col("nb.id").as("new_id"))
+      .distinct()
+    // Verify: attach corpus hashed sets by broadcasting the candidate
+    // pairs into ONE scan-rate pass over the stored signatures (the
+    // corpus-side alternative — a shuffle-hash join — would shuffle
+    // the whole signature table by id per batch); then a small
+    // shuffle-hash join re-attaches the batch sets. Only
+    // candidate-mass-sized data ever exchanges.
+    val withCorpus = corpusHashes.as("ha")
+      .join(broadcast(cand), col("ha.id") === col("corpus_id"))
+      .select(col("corpus_id"), col("new_id"), col("ha.hs").as("__hs_c"))
+    withCorpus.hint("shuffle_hash")
+      .join(batch.as("hb").hint("shuffle_hash"),
+        col("new_id") === col("hb.id"))
+      .withColumn("jaccard",
+        graft.plans.LshKernels.sortedHashedJaccard(col("__hs_c"), col("hb.hs")))
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "new_id", "jaccard")
+  }
 
   /** SimHash values per doc; equal values = near-dup classes. Token
     * hashes via the native kernel (hashedWordShingles with n = 1 ≡

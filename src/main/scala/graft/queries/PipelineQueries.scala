@@ -81,13 +81,38 @@ object PipelineQueries {
     * any bucket size at gate scale, so recall is unaffected there. */
   private val CatalogCap = 1000
 
+  private val bandConcat = (1 to RowsPerBand)
+    .map(r => s"sig[b*$RowsPerBand+$r]::VARCHAR")
+    .mkString(" || ',' || ")
+
+  /** One side of the LSH oracle — tokenization through band keys,
+    * every CTE name prefixed `p` so the incremental oracle can stand
+    * up TWO independent sides (stored corpus vs new batch) over
+    * different source CTEs. Arithmetic identical to [[lshOracleSql]]
+    * (same kernels' portable md5 forms). `src(id, text)` must exist. */
+  private def lshSideSql(p: String, src: String): String =
+    s"""${p}tok AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM $src),
+       ${p}it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                  FROM ${p}tok WHERE len(t) >= 3),
+       ${p}based AS (SELECT id, list_transform(items, g ->
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT
+                         % ${TextFunctions.MinhashP}) AS base
+                     FROM ${p}it WHERE len(items) > 0),
+       ${p}sig AS (SELECT id, $minhashSlotsSql AS sig FROM ${p}based),
+       ${p}bands AS (SELECT id, b,
+                       ('0x' || substr(md5($bandConcat), 1, 15))::BIGINT
+                         AS band_hash
+                     FROM ${p}sig, generate_series(0, ${Bands - 1}) AS gs(b)),
+       ${p}hashed AS (SELECT id, list_transform(items, g ->
+                        ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+                      FROM ${p}it)"""
+
   /** Shared LSH-candidates + exact-Jaccard oracle tail; `itemsCte`
     * must define `it(id, items)`. Mirrors Dedup.lshJaccardPairs,
     * including the per-(band, bucket) first-`cap`-by-id rule. */
   private def lshOracleSql(itemsCte: String, threshold: Double): String = {
-    val bandConcat = (1 to RowsPerBand)
-      .map(r => s"sig[b*$RowsPerBand+$r]::VARCHAR")
-      .mkString(" || ',' || ")
     s"""$itemsCte,
        based AS (SELECT id, list_transform(items, g ->
                    ('0x' || substr(md5(g), 1, 15))::BIGINT
@@ -291,6 +316,55 @@ object PipelineQueries {
         |  SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach)
         |SELECT node AS id, min(reach) AS cluster_id FROM cc
         |GROUP BY node ORDER BY id""".stripMargin))
+
+  /** D10: INCREMENTAL near-dup — a new ingest batch probed against
+    * the stored LSH index of an already-signatured corpus
+    * ([[Dedup.incrementalLshPairs]]). The corpus (documents) is
+    * signatured and band-indexed ONCE (in a deployment both live in
+    * the table store; the spec proves the store round-trip); the
+    * batch (the perturbed near-dup docs) probes it with broadcast
+    * joins — nothing corpus-sized shuffles. The oracle stands up the
+    * two sides independently and replicates the asymmetric cap rule
+    * (cap lives in the stored index only — the batch side is
+    * uncapped by contract). */
+  private val d10 = QueryDef(
+    "d10_incremental_neardup",
+    "new-batch near-dup probe against a stored LSH band index",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 10000).as("id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      val sigs = Dedup.lshSignatures(d, "id", "text", shingleLen = 3)
+      val index = Dedup.lshBandIndex(sigs, NumHashes, Bands, CatalogCap)
+      Dedup.incrementalLshPairs(batch, "id", "text", index, sigs,
+        shingleLen = 3, numHashes = NumHashes, bands = Bands,
+        threshold = 0.6)
+        .orderBy("corpus_id", "new_id")
+    },
+    Some(s"""WITH oldc AS (SELECT doc_id AS id, text FROM documents),
+            newc AS (SELECT doc_id + 10000 AS id,
+                       regexp_replace(text, '^\\S+\\s+', '') AS text
+                     FROM documents WHERE doc_id % 4 = 0),
+            ${lshSideSql("o", "oldc")},
+            ${lshSideSql("n", "newc")},
+            ocapped AS (SELECT id, b, band_hash,
+                          row_number() OVER (PARTITION BY b, band_hash
+                                             ORDER BY id) AS rn
+                        FROM obands),
+            cand AS (SELECT DISTINCT o.id AS corpus_id, n.id AS new_id
+                     FROM ocapped o JOIN nbands n
+                       ON o.b = n.b AND o.band_hash = n.band_hash
+                          AND o.id <> n.id
+                     WHERE o.rn <= $CatalogCap),
+            verif AS (SELECT corpus_id, new_id,
+                        len(list_intersect(x.hs, y.hs))::DOUBLE /
+                        len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE
+                          AS jaccard
+                      FROM cand JOIN ohashed x ON x.id = cand.corpus_id
+                                JOIN nhashed y ON y.id = cand.new_id)
+            SELECT corpus_id, new_id, jaccard FROM verif
+            WHERE jaccard >= 0.6 ORDER BY corpus_id, new_id"""))
 
   /** D6: the production dedup ORDER as one verified pipeline — exact
     * dedup first (linear, digest-keyed), THEN near-dup LSH over the
@@ -1444,7 +1518,7 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, dc1, dc2, ss1, ss2, ss3,
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, dc1, dc2, ss1, ss2, ss3,
       ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, sm1, sm2, sm3, sp1,
       tp1, tp2, mm1, a7b, a8b)
 }
