@@ -78,4 +78,22 @@ object Sampling {
         Seq(strataCol))
       .filter(splitBucket(col(keyCol), salt) < col("__pct"))
       .drop("__pct")
+
+  /** Deterministic GLOBAL SHUFFLE: a total order by the portable
+    * hash of (seed ":" key) — the pre-training permutation that
+    * decorrelates document order from crawl/ingest order, identically
+    * on every engine, every cluster size, every re-run of the same
+    * seed. Changing the seed re-deals the entire permutation
+    * (epoch-wise re-shuffling without materializing anything).
+    *
+    * Scale shape: ONE range-partitioned sort on a uniform 60-bit
+    * key — the sampler sees an even key distribution by construction,
+    * so no skewed sort partition exists; downstream writers emit
+    * shard files in permuted order directly. The hash tie-breaks on
+    * the key itself, so the order is total and reproducible. */
+  def seededShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+        TextFunctions.portableHash64(
+          concat(lit(seed + ":"), col(keyCol).cast("string"))))
+      .orderBy(col("shuffle_key").asc, col(keyCol).asc)
 }

@@ -1346,6 +1346,24 @@ object PipelineQueries {
                   < 25 + length(source) % 3 * 25
             ORDER BY source, doc_id"""))
 
+  /** SM4: the seeded global corpus shuffle ([[Sampling.seededShuffle]])
+    * — the deterministic pre-training permutation. The gate compares
+    * the (doc, shuffle_key) MAPPING (the permutation itself, since
+    * rank order is exactly key order): same seed ⇒ bit-identical
+    * permutation in both engines, which is the reproducibility
+    * contract epoch shuffling depends on. */
+  private val sm4 = QueryDef(
+    "sm4_seeded_shuffle",
+    "deterministic seeded global shuffle (permutation mapping)",
+    (s, dir) => Sampling.seededShuffle(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "ep1")
+      .select(col("doc_id"), col("shuffle_key")),
+    Some("""SELECT doc_id,
+              ('0x' || substr(md5('ep1:' || doc_id), 1, 15))::BIGINT
+                AS shuffle_key
+            FROM documents ORDER BY shuffle_key, doc_id"""))
+
   /** TP1: the full curation pipeline as ONE verified composition —
     * language filter (ts1's heuristic) → quality filter (ts2's score)
     * → exact dedup survivors (d1's digest, min-id representative) →
@@ -1519,6 +1537,6 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, dc1, dc2, ss1, ss2, ss3,
-      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, sm1, sm2, sm3, sp1,
+      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, sm1, sm2, sm3, sm4, sp1,
       tp1, tp2, mm1, a7b, a8b)
 }

@@ -81,4 +81,31 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"mix must not shuffle the corpus:\n$plan")
   }
+
+  test("seededShuffle: reproducible total order, seed re-deals it") {
+    val a = Sampling.seededShuffle(docs, "doc_id", "ep1")
+      .select("doc_id").collect().map(_.getLong(0))
+    val b = Sampling.seededShuffle(docs, "doc_id", "ep1")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(a.sameElements(b), "same seed must reproduce the permutation")
+    assert(a.toSet == docs.select("doc_id").collect()
+      .map(_.getLong(0)).toSet, "a permutation loses nothing")
+    val c = Sampling.seededShuffle(docs, "doc_id", "ep2")
+      .select("doc_id").collect().map(_.getLong(0))
+    // epoch reshuffle: the orders must disagree almost everywhere
+    val agree = a.zip(c).count { case (x, y) => x == y }
+    assert(agree < a.length / 10, s"seeds failed to decorrelate: $agree")
+    // and neither order is the ingest order
+    val ingest = docs.orderBy("doc_id").select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(!a.sameElements(ingest))
+  }
+
+  test("seededShuffle sorts by range partition, never hash-shuffles") {
+    val plan = Sampling.seededShuffle(docs, "doc_id", "ep1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"global shuffle must be one range sort:\n$plan")
+  }
 }
