@@ -128,6 +128,54 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 
+  /** Version numbers currently on disk for `table`, ascending — the
+    * retention window [[readVersion]] can time-travel into (bounded
+    * by `keepVersions`; older versions are pruned space, not history).
+    */
+  def versions(table: String): Seq[Long] =
+    if (!Files.exists(tableDir(table))) Seq.empty
+    else {
+      val s = Files.list(tableDir(table))
+      try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("v="))
+        .map(versionOf).toSeq.distinct.sorted
+      finally s.close()
+    }
+
+  /** TIME TRAVEL: read retained version `version` of `table` — the
+    * audit/rollback/reproducibility read ("train on the corpus
+    * exactly as committed last Tuesday"). Throws if the version fell
+    * out of the retention window (size `keepVersions` at commit
+    * time) or was never committed.
+    *
+    * Contract note: version dirs are uniquely-suffixed per writer and
+    * losers are deleted at CAS time, so a version number normally
+    * maps to exactly one dir — the winner. A writer that CRASHED
+    * between finalize and publish can orphan a complete same-number
+    * dir; that makes history ambiguous for the number, and this read
+    * refuses (throws) rather than guess. Sweeping orphans (any `v=`
+    * dir newer than the pointer target, out-of-band) restores
+    * time-travel for the number. The CURRENT version never has this
+    * problem — liveness is defined by the pointer, which [[read]]
+    * resolves. */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val s = Files.list(tableDir(table))
+    val dirs =
+      try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("v="))
+        .filter(versionOf(_) == version).toList
+      finally s.close()
+    dirs match {
+      case Nil => throw new IllegalStateException(
+        s"version $version of table $table is not retained " +
+          "(pruned or never committed)")
+      case d :: Nil => readDir(spark, table, d)
+      case many => throw new IllegalStateException(
+        s"version $version of table $table is ambiguous " +
+          s"(${many.size} dirs — a crashed writer's orphan; sweep it)")
+    }
+  }
+
   /** Write `df` as the next version, atomically publish it, and
     * return the RE-READ frame. The returned frame reads the committed
     * files (not the input's lazy plan), so it stays valid across

@@ -185,4 +185,46 @@ class ParquetTableStoreSpec extends SparkSpec {
     val store = new ParquetTableStore(tmpDir("store"))
     intercept[IllegalStateException](store.read(spark, "nope"))
   }
+
+  test("time travel: retained versions read back exactly, pruned refuse") {
+    import spark.implicits._
+    val root = tmpDir("store-tt")
+    val store = new ParquetTableStore(root, keepVersions = 3)
+    // commits create versions 0..3; keepVersions=3 retains 1..3
+    (1 to 4).foreach(i => store.commit(spark, "t", Seq(i).toDF("x")))
+    assert(store.versions("t") == Seq(1L, 2L, 3L))
+    // each retained version is the snapshot as committed, not a diff
+    (1 to 3).foreach { v =>
+      assert(store.readVersion(spark, "t", v).head.getInt(0) == v + 1)
+    }
+    // the current version resolves identically through both reads
+    assert(store.readVersion(spark, "t", 3).collect().toSeq ==
+      store.read(spark, "t").collect().toSeq)
+    // v0 fell out of the retention window: refuse, don't guess
+    val e = intercept[IllegalStateException](
+      store.readVersion(spark, "t", 0))
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("time travel refuses an ambiguous version (orphaned writer dir)") {
+    import spark.implicits._
+    val root = tmpDir("store-amb")
+    val store = new ParquetTableStore(root, keepVersions = 3)
+    store.commit(spark, "t", Seq(1).toDF("x"))
+    store.commit(spark, "t", Seq(2).toDF("x"))
+    // simulate a writer that crashed between finalize and publish:
+    // a second COMPLETE dir carrying the current version number (1)
+    val src = verDir(root, "t", 1)
+    val orphan = Paths.get(root, "t", "v=1-deadbeef")
+    Files.walk(src).iterator().asScala.toSeq.foreach { p =>
+      val dst = orphan.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst)
+    }
+    val e = intercept[IllegalStateException](
+      store.readVersion(spark, "t", 1))
+    assert(e.getMessage.contains("ambiguous"))
+    // current read is pointer-resolved and unaffected
+    assert(store.read(spark, "t").head.getInt(0) == 2)
+  }
 }
