@@ -187,6 +187,86 @@ object Streams {
       .start()
   }
 
+  /** Streaming INCREMENTAL near-dup ingest — the dedup twin of
+    * [[incrementalScrape]]: one AvailableNow pass over a doc feed
+    * (`id BIGINT, text STRING` parquet files); per micro-batch,
+    *
+    *   1. in-batch near-dups collapse first (batch-sized LSH —
+    *      [[graft.ops.Dedup.dropNearDuplicates]]);
+    *   2. survivors probe the STORED corpus artifacts
+    *      ([[graft.ops.Dedup.incrementalLshPairs]] — both corpus
+    *      passes are broadcast probes, nothing corpus-sized
+    *      shuffles);
+    *   3. un-matched docs append to the corpus + signature +
+    *      band-index tables as O(delta) bucketed commits; matched
+    *      docs LWW-upsert into a reject table with their single best
+    *      corpus match (id, matched_id, jaccard).
+    *
+    * The STORE is the streaming state: executor state stores never
+    * hold corpus-scale data, and a restart resumes from the source
+    * checkpoint plus the committed tables — a replayed batch
+    * re-derives the same accepts and the keyed upserts absorb them
+    * idempotently (at-least-once in, exactly-once effect). Appended
+    * index rows are capped within-batch only; the global per-bucket
+    * cap is re-asserted by periodic compaction (recompute
+    * [[graft.ops.Dedup.lshBandIndex]] over the signature table and
+    * commit) — the log-structured discipline. */
+  def nearDupIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      corpusTable: String = "corpus",
+      signatureTable: String = "lsh_signatures",
+      indexTable: String = "lsh_band_index",
+      rejectTable: String = "near_dup_rejects",
+      threshold: Double = 0.6, numBuckets: Int = 32): StreamingQuery = {
+    val in = spark.readStream.schema("id BIGINT, text STRING").parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inBatch = graft.ops.Dedup.dropNearDuplicates(batch, "id",
+          "text", threshold = threshold)
+        val (accepted, rejects) =
+          if (!store.exists(signatureTable)) (inBatch, None)
+          else {
+            val pairs = graft.ops.Dedup.incrementalLshPairs(inBatch, "id",
+              "text", store.read(spark, indexTable),
+              store.read(spark, signatureTable), threshold = threshold)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("new_id")
+              .orderBy(col("jaccard").desc, col("corpus_id").asc)
+            val best = pairs.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1)
+              .select(col("new_id").as("id"),
+                col("corpus_id").as("matched_id"), col("jaccard"))
+            (inBatch.join(pairs.select(col("new_id").as("id")).distinct(),
+              Seq("id"), "left_anti"), Some(best))
+          }
+        // the accepted set feeds three commits — pin it for the batch,
+        // release it before the batch ends (round-3 lifecycle rule)
+        val acc = accepted
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (acc.limit(1).count() > 0) {
+            val sigs = graft.ops.Dedup.lshSignatures(acc, "id", "text")
+            store.upsertBucketed(spark, corpusTable, acc, Seq("id"),
+              numBuckets)
+            store.upsertBucketed(spark, signatureTable, sigs, Seq("id"),
+              numBuckets)
+            store.upsertBucketed(spark, indexTable,
+              graft.ops.Dedup.lshBandIndex(sigs), Seq("id", "band"),
+              numBuckets)
+          }
+          rejects.foreach { r =>
+            if (r.limit(1).count() > 0)
+              store.upsert(spark, rejectTable, r, Seq("id"))
+          }
+        } finally acc.unpersist(false)
+        ()
+      }
+      .start()
+  }
+
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class UserSession(user_id: Long, session_start: Timestamp,
