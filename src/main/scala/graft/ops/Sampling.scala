@@ -96,4 +96,35 @@ object Sampling {
         TextFunctions.portableHash64(
           concat(lit(seed + ":"), col(keyCol).cast("string"))))
       .orderBy(col("shuffle_key").asc, col(keyCol).asc)
+
+  /** LEAKAGE-SAFE train/test split: hash assignment on the doc's
+    * duplicate-CLUSTER representative, not the doc itself — every
+    * member of a near-dup cluster lands on the same side, so a test
+    * doc can never have a near-copy in train (the eval-contamination
+    * mode a plain per-doc split ([[hashSplit]]) cannot prevent).
+    *
+    * `pairs` is the near-dup pair graph (first two columns = ids, as
+    * mined by [[Dedup.minhashLshPairs]] or any of the d-family);
+    * representatives are the min-id member of each connected
+    * component ([[ConnectedComponents.duplicateClusters]], O(log n)
+    * rounds). Docs in no pair are singleton clusters (their own
+    * representative), so with an empty pair set this IS hashSplit —
+    * the split stays growth-stable and salted exactly like sm1.
+    *
+    * Scale shape: the cluster map is pair-graph-sized (only docs
+    * that appear in some pair), typically a small fraction of the
+    * corpus; attaching it is one left join keyed by id — AQE
+    * broadcasts it when small, shuffles both sides when not. The
+    * assignment itself stays a pure per-row expression. */
+  def leakageSafeSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
+      trainPct: Int, salt: String = ""): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100)
+    val clusters = ConnectedComponents.duplicateClusters(pairs)
+      .select(col("id").as("__cc_id"), col("cluster_id").as("__rep"))
+    df.join(clusters, df(keyCol) === col("__cc_id"), "left")
+      .withColumn("split",
+        when(splitBucket(coalesce(col("__rep"), col(keyCol)), salt)
+          < trainPct, "train").otherwise("test"))
+      .drop("__cc_id", "__rep")
+  }
 }

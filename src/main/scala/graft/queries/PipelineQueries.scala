@@ -1346,6 +1346,48 @@ object PipelineQueries {
                   < 25 + length(source) % 3 * 25
             ORDER BY source, doc_id"""))
 
+  /** SM5: LEAKAGE-SAFE split ([[Sampling.leakageSafeSplit]]) — the
+    * assignment hashes the duplicate-CLUSTER representative (d9's
+    * connected components over the LSH pair graph), so a near-dup
+    * cluster can never straddle train/test — the eval-contamination
+    * mode a per-doc split cannot prevent. Oracle: d9's recursive-CTE
+    * components feeding sm1's hash rule on coalesce(cluster, id).
+    * Full membership compared (every doc, both sides). */
+  private val sm5 = QueryDef(
+    "sm5_leakage_safe_split",
+    "cluster-aware 70/30 split: near-dup clusters never straddle",
+    (s, dir) => {
+      val corpus = dupCorpus(s, dir)
+      val pairs = Dedup.minhashLshPairs(corpus, "id", "text",
+        shingleLen = 3, numHashes = NumHashes, bands = Bands,
+        threshold = 0.6, bucketCap = CatalogCap)
+      Sampling.leakageSafeSplit(corpus, "id", pairs, 70)
+        .select(col("id"), col("split"))
+        .orderBy("id")
+    },
+    Some("WITH RECURSIVE " + dupCorpusSql + ",\n" +
+      "pairs AS (WITH " + lshOracleSql(
+        """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM corpus),
+           it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                  FROM tok WHERE len(t) >= 3)""", 0.6) + "),\n" +
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |cc(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach),
+        |clus AS (SELECT node AS id, min(reach) AS cluster_id FROM cc
+        |         GROUP BY node)
+        |SELECT c.id,
+        |  CASE WHEN ('0x' || substr(md5(
+        |              coalesce(cl.cluster_id, c.id)::VARCHAR), 1, 15))::BIGINT
+        |            % 100 < 70
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM corpus c LEFT JOIN clus cl ON cl.id = c.id
+        |ORDER BY c.id""".stripMargin))
+
   /** SM4: the seeded global corpus shuffle ([[Sampling.seededShuffle]])
     * — the deterministic pre-training permutation. The gate compares
     * the (doc, shuffle_key) MAPPING (the permutation itself, since
@@ -1537,6 +1579,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, dc1, dc2, ss1, ss2, ss3,
-      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, sm1, sm2, sm3, sm4, sp1,
+      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, sm1, sm2, sm3, sm4, sm5,
+      sp1,
       tp1, tp2, mm1, a7b, a8b)
 }

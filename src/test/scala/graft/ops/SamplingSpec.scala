@@ -101,6 +101,49 @@ class SamplingSpec extends SparkSpec {
     assert(!a.sameElements(ingest))
   }
 
+  test("leakageSafeSplit: no near-dup cluster straddles the boundary") {
+    import spark.implicits._
+    val corpus = docs.select(col("doc_id").as("id"), col("text"))
+    val withDups = corpus.unionByName(corpus.filter(col("id") % 4 === 0)
+      .select((col("id") + 10000).as("id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+    val pairs = Dedup.minhashLshPairs(withDups, "id", "text",
+      threshold = 0.5)
+    val split = Sampling.leakageSafeSplit(withDups, "id", pairs, 70)
+      .select(col("id"), col("split"))
+    // every mined pair must land on ONE side — zero straddlers
+    val straddlers = pairs
+      .join(split.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(split.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddlers == 0)
+    // both sides are populated (the split still splits)
+    assert(split.select("split").distinct().count() == 2)
+    // a plain per-doc split DOES straddle on this corpus — the
+    // failure mode this operator exists to prevent
+    val naive = Sampling.hashSplit(withDups, "id", 70)
+      .select(col("id"), col("split"))
+    val naiveStraddlers = pairs
+      .join(naive.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(naive.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(naiveStraddlers > 0, "fixture no longer exercises leakage")
+  }
+
+  test("leakageSafeSplit with no pairs is exactly hashSplit") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val a = Sampling.leakageSafeSplit(docs, "doc_id", noPairs, 80)
+      .select(col("doc_id"), col("split"))
+    val b = Sampling.hashSplit(docs, "doc_id", 80)
+      .select(col("doc_id"), col("split"))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("seededShuffle sorts by range partition, never hash-shuffles") {
     val plan = Sampling.seededShuffle(docs, "doc_id", "ep1")
       .queryExecution.executedPlan.toString
