@@ -23,6 +23,7 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main ingest-inbox <storeDir> <inboxDir>
   *   runMain graft.app.Main dedup-transcripts <storeDir> [threshold]
   *   runMain graft.app.Main pack-transcripts <storeDir> [window] [budget]
+  *   runMain graft.app.Main ingest-docs <storeDir> <inboxDir> [threshold]
   * }}}
   *
   * The sync uses the deterministic offline connector (this container
@@ -180,6 +181,25 @@ object Main {
           round(avg("fill"), 4).as("avg_fill")).head
         println(s"packs=${stats.getLong(0)} chunks=${stats.getLong(1)} " +
           s"tokens=${stats.getLong(2)} avg_fill=${stats.getDouble(3)}")
+
+      case "ingest-docs" =>
+        // streaming incremental near-dup ingest: one AvailableNow
+        // pass over new doc files (id BIGINT, text STRING parquet),
+        // probed against the store's LSH artifacts; only genuinely
+        // new content appends ([[graft.streaming.Streams
+        // .nearDupIngest]] — the checkpoint under the store dir makes
+        // re-invocations process only files added since last run)
+        val inbox = args(2)
+        val threshold = if (args.length > 3) args(3).toDouble else 0.6
+        val q = graft.streaming.Streams.nearDupIngest(spark, inbox,
+          args(1) + "/_ingest_checkpoint", store, threshold = threshold)
+        q.awaitTermination()
+        println("corpus after ingest:")
+        show(t("corpus").orderBy("id"))
+        if (store.exists("near_dup_rejects")) {
+          println("rejected near-duplicates (best corpus match):")
+          show(t("near_dup_rejects").orderBy("id"))
+        }
 
       case other =>
         sys.error(s"unknown command '$other' — see graft.app.Main scaladoc")

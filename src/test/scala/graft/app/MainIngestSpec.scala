@@ -1,0 +1,45 @@
+package graft.app
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.ParquetTableStore
+
+/** The ingest-docs CLI command end-to-end: two invocations over a
+  * growing inbox — the checkpoint under the store dir makes the
+  * second run process only the new files, and the incremental probe
+  * keeps the corpus near-dup-free across them. */
+class MainIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def text(tail: String): String =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango " + tail
+
+  test("ingest-docs: incremental across CLI invocations") {
+    val root = tmpDir("mainingest")
+    val inbox = tmpDir("mainingest-in")
+    val store = new ParquetTableStore(root)
+
+    Seq((1L, text("original first document here")),
+        (2L, "entirely different words about sailing knots weather " +
+          "tides anchors harbors lighthouses navigation charts"))
+      .toDF("id", "text").write.mode("append").parquet(inbox)
+    Main.run(spark, Array("ingest-docs", root, inbox, "0.5"))
+    assert(store.read(spark, "corpus").count() == 2)
+
+    // second invocation: one near-dup of doc 1, one genuinely new doc
+    Seq((10L, text("original first document here extended")),
+        (11L, "unrelated prose on pottery kilns glazes clay wheels " +
+          "firing temperatures ceramic traditions craft"))
+      .toDF("id", "text").write.mode("append").parquet(inbox)
+    Main.run(spark, Array("ingest-docs", root, inbox, "0.5"))
+
+    val ids = store.read(spark, "corpus").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L), s"got $ids")
+    val rej = store.read(spark, "near_dup_rejects").collect()
+    assert(rej.length == 1 && rej.head.getAs[Long]("id") == 10L
+      && rej.head.getAs[Long]("matched_id") == 1L)
+  }
+}
