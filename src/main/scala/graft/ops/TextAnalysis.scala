@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -156,6 +157,38 @@ object TextAnalysis {
           .cast("long").as("n_tokens"),
         array_join(slice(col("__t"), col("chunk_no") * stride + 1,
           lit(windowTokens)), " ").as("chunk_text"))
+  }
+
+  /** VOCABULARY INDUCTION for tokenizer prep: the top-`k` tokens of
+    * the corpus stream by frequency, each with its rank and the
+    * CUMULATIVE coverage of the token stream — the curve a tokenizer
+    * team reads to size a vocab ("how many types cover 95% of
+    * tokens"). Returns (rank, token, n, coverage), rank 1 = most
+    * frequent; ties broken by token (deterministic cross-engine).
+    *
+    * Scale shape: one map-side-combinable groupBy(token) exchange
+    * (Zipf skew is absorbed by partial aggregation — hot tokens
+    * combine within every map task), a global top-k via
+    * TakeOrdered (never a full sort), and the rank/coverage window
+    * over the K survivors only — K-sized by contract, the one
+    * deliberately-single-partition step. The total-token denominator
+    * rides in as a broadcast scalar. */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    // the denominator never needs the grouped counts: per-doc token
+    // sizes sum at scan rate (no second token exchange)
+    val total = df
+      .select(sum(size(tokens(col(textCol)))).cast("long").as("__total"))
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    counts.orderBy(col("n").desc, col("token").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("coverage",
+        round(sum(col("n")).over(w) / col("__total"), 6))
+      .select("rank", "token", "n", "coverage")
   }
 
   /** Normalized md5 fingerprint (exact-dedup key). */

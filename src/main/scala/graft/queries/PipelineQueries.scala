@@ -1346,6 +1346,32 @@ object PipelineQueries {
                   < 25 + length(source) % 3 * 25
             ORDER BY source, doc_id"""))
 
+  /** TS8: vocabulary induction ([[TextAnalysis.vocabCoverage]]) —
+    * top-100 corpus tokens with rank and cumulative stream coverage,
+    * the vocab-sizing curve of tokenizer prep. Deterministic
+    * tie-break on the token string; the coverage divisions are the
+    * same long/long→double in both engines, rounded at output. */
+  private val ts8 = QueryDef(
+    "ts8_vocab_coverage",
+    "top-k token frequencies with cumulative coverage",
+    (s, dir) => TextAnalysis.vocabCoverage(
+      Tables.documents(s, dir), "text", k = 100)
+      .orderBy("rank"),
+    Some("""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text),
+                            '\s+')) AS token
+                          FROM documents WHERE length(trim(text)) > 0),
+            counts AS (SELECT token, count(*) AS n FROM toks
+                       GROUP BY token),
+            tot AS (SELECT sum(n) AS total FROM counts),
+            topk AS (SELECT token, n FROM counts
+                     ORDER BY n DESC, token LIMIT 100)
+            SELECT row_number() OVER (ORDER BY n DESC, token) AS rank,
+                   token, n,
+                   round(sum(n) OVER (ORDER BY n DESC, token
+                                      ROWS UNBOUNDED PRECEDING)
+                         / total, 6) AS coverage
+            FROM topk, tot ORDER BY rank"""))
+
   /** SM5: LEAKAGE-SAFE split ([[Sampling.leakageSafeSplit]]) — the
     * assignment hashes the duplicate-CLUSTER representative (d9's
     * connected components over the LSH pair graph), so a near-dup
@@ -1579,7 +1605,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, dc1, dc2, ss1, ss2, ss3,
-      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, sm1, sm2, sm3, sm4, sm5,
-      sp1,
+      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8, sm1, sm2, sm3, sm4,
+      sm5, sp1,
       tp1, tp2, mm1, a7b, a8b)
 }

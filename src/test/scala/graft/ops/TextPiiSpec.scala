@@ -78,4 +78,35 @@ class TextPiiSpec extends SparkSpec {
     val c1 = byDoc(3L).find(_._2 == 1L).get._5.split(" ")
     assert(c0.drop(48).toSeq == c1.take(16).toSeq)
   }
+
+  test("vocabCoverage: ranks, counts, and a monotone curve to 1.0") {
+    import spark.implicits._
+    // a 10 b 6 c 3 d 1 — 20 tokens total
+    val df = Seq("a a a a a b b b c", "a a a a a b b b c c d", "")
+      .toDF("text")
+    val full = TextAnalysis.vocabCoverage(df, "text", k = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(full.toSeq == Seq((1, "a", 10L, 0.5), (2, "b", 6L, 0.8),
+      (3, "c", 3L, 0.95), (4, "d", 1L, 1.0)))
+    // truncation keeps the head of the same curve
+    val top2 = TextAnalysis.vocabCoverage(df, "text", k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(top2.toSeq == Seq((1, "a"), (2, "b")))
+    // count ties broken by token, deterministically
+    val tied = TextAnalysis.vocabCoverage(
+      Seq("z y z y").toDF("text"), "text", k = 2).collect()
+      .map(_.getString(1))
+    assert(tied.toSeq == Seq("y", "z"))
+  }
+
+  test("vocabCoverage plan: top-k via TakeOrdered, one token exchange") {
+    import spark.implicits._
+    val plan = TextAnalysis.vocabCoverage(
+      Seq("a b c").toDF("text"), "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must never full-sort:\n$plan")
+    val exchanges = "hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"only the token count may exchange:\n$plan")
+  }
 }
