@@ -83,4 +83,32 @@ object TemporalJoins {
     matched.select(leftCols.map(c => col(s"__l.$c").as(c)) ++
       payload.map(p => when(inRange, col(s"__m.$p")).as(p)): _*)
   }
+
+  /** INTERVAL (range) join: every left row whose `leftTs` falls in a
+    * right row's [lo, hi] (both ends inclusive), planned as a
+    * BUCKETED EQUI-JOIN — never the theta-join Spark would plan from
+    * a bare `ts BETWEEN lo AND hi` condition (a
+    * BroadcastNestedLoopJoin, O(n·m) at scale).
+    *
+    * Both sides key on fixed-width time buckets: an interval explodes
+    * into every bucket it overlaps, a point lands in exactly one, the
+    * bucket key carries the join to an ordinary hash shuffle, and the
+    * exact containment predicate filters inside buckets. Each
+    * qualifying (point, interval) pair meets in exactly one bucket —
+    * the point's — so no dedup pass is needed. Size `bucketSeconds`
+    * near the typical interval length: replication factor is
+    * len/bucket + 1 per interval; too small replicates intervals,
+    * too large fills buckets with non-matches. Second precision. */
+  def rangeJoin(left: DataFrame, leftTs: String, right: DataFrame,
+      loCol: String, hiCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, "bucketSeconds must be positive")
+    val lb = left.withColumn("__b",
+      floor(unix_timestamp(col(leftTs)) / bucketSeconds).cast("long"))
+    val rb = right.withColumn("__b", explode(sequence(
+      floor(unix_timestamp(col(loCol)) / bucketSeconds).cast("long"),
+      floor(unix_timestamp(col(hiCol)) / bucketSeconds).cast("long"))))
+    lb.join(rb, Seq("__b"))
+      .filter(col(leftTs) >= col(loCol) && col(leftTs) <= col(hiCol))
+      .drop("__b")
+  }
 }

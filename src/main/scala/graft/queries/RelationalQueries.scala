@@ -378,6 +378,36 @@ object RelationalQueries {
     * oracle states the same semantics as the textbook ranked
     * range-join — equivalent, but quadratic per key, which is exactly
     * why the operator doesn't plan it that way. */
+  /** J11: interval (range) join ([[TemporalJoins.rangeJoin]]) —
+    * events landing inside daily 06:00–18:00 windows, counted per
+    * window. The engine plans it as a bucketed EQUI-join (intervals
+    * exploded into 6-hour buckets, points in exactly one, containment
+    * filtered inside buckets — spec-asserted no NestedLoop/Cartesian);
+    * the oracle uses the naive BETWEEN theta-join DuckDB can afford
+    * at gate scale. Both ends inclusive. */
+  private val j11 = QueryDef(
+    "j11_range_join",
+    "interval containment join via time-bucket banding",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+      val windows = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day")).distinct()
+        .select(col("day"),
+          (col("day").cast("timestamp") + expr("INTERVAL 6 HOURS")).as("lo"),
+          (col("day").cast("timestamp") + expr("INTERVAL 18 HOURS")).as("hi"))
+      TemporalJoins.rangeJoin(ev, "ts", windows, "lo", "hi",
+        bucketSeconds = 21600)
+        .groupBy("day").agg(count(lit(1)).as("n_events"))
+        .orderBy("day")
+    },
+    Some("""WITH days AS (SELECT DISTINCT ts::DATE AS day FROM events),
+            w AS (SELECT day, day::TIMESTAMP + INTERVAL 6 HOUR AS lo,
+                         day::TIMESTAMP + INTERVAL 18 HOUR AS hi
+                  FROM days)
+            SELECT day, count(*) AS n_events
+            FROM w JOIN events e ON e.ts >= w.lo AND e.ts <= w.hi
+            GROUP BY day ORDER BY day"""))
+
   private val j10 = QueryDef(
     "j10_asof_join",
     "as-of join: latest prior event per key within tolerance",
@@ -808,7 +838,7 @@ object RelationalQueries {
 
   def defs: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p9,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     a1, a2, a3, a4, a5, a6, a7, a8,
     w1, w2, w3, w4,
     o1, o2, o3, o4, o5, o6, o7, o8)

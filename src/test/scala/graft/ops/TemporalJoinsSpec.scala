@@ -69,4 +69,54 @@ class TemporalJoinsSpec extends SparkSpec {
       s"as-of join must not plan a range join:\n$plan")
     assert(plan.contains("Window"), s"expected a window plan:\n$plan")
   }
+
+  private def points = {
+    import spark.implicits._
+    Seq((1L, ts("2024-01-01 05:59:59")), (2L, ts("2024-01-01 06:00:00")),
+      (3L, ts("2024-01-01 11:30:00")), (4L, ts("2024-01-01 18:00:00")),
+      (5L, ts("2024-01-01 18:00:01")), (6L, ts("2024-01-03 12:00:00")))
+      .toDF("pid", "pt")
+  }
+
+  private def intervals = {
+    import spark.implicits._
+    Seq((10L, ts("2024-01-01 06:00:00"), ts("2024-01-01 18:00:00")),
+      // a long interval spanning many buckets — must still match
+      // each contained point exactly once
+      (20L, ts("2024-01-01 00:00:00"), ts("2024-01-02 23:59:59")))
+      .toDF("wid", "lo", "hi")
+  }
+
+  test("rangeJoin: containment with inclusive ends, exactly-once matches") {
+    val got = TemporalJoins.rangeJoin(points, "pt", intervals,
+      "lo", "hi", bucketSeconds = 3600)
+      .select("pid", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // window 10: inclusive [06:00, 18:00] — 2, 3, 4 in; 1, 5 out
+    // window 20: everything on Jan 1 (1-5); 6 is Jan 3, matches none
+    assert(got == Set((2L, 10L), (3L, 10L), (4L, 10L),
+      (1L, 20L), (2L, 20L), (3L, 20L), (4L, 20L), (5L, 20L)))
+  }
+
+  test("rangeJoin equals the naive theta join for any bucket width") {
+    val naive = points.crossJoin(intervals)
+      .filter(col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("pid", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 60L, 3600L, 86400L, 7L * 86400L)) {
+      val got = TemporalJoins.rangeJoin(points, "pt", intervals,
+        "lo", "hi", bucketSeconds = w)
+        .select("pid", "wid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"bucketSeconds=$w")
+    }
+  }
+
+  test("rangeJoin plans an equi-join on the bucket — never a nested loop") {
+    val plan = TemporalJoins.rangeJoin(points, "pt", intervals,
+      "lo", "hi", bucketSeconds = 3600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join degenerated to a theta join:\n$plan")
+  }
 }
