@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{ConnectedComponents, Decontamination, Dedup, Sampling, SimilaritySearch, TextAnalysis, VectorCompression}
+import graft.ops.{ConnectedComponents, Decontamination, Dedup, Sampling, SimilaritySearch, TextAnalysis, VectorAggregates, VectorCompression}
 
 /** LLM-training-data pipeline operators over documents/embeddings —
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -1346,6 +1346,41 @@ object PipelineQueries {
                   < 25 + length(source) % 3 * 25
             ORDER BY source, doc_id"""))
 
+  /** SS6: label centroids ([[VectorAggregates.labelCentroids]]) —
+    * the element-wise mean embedding per label (cluster summary /
+    * k-means update step), in hash-comparable LONG format. The gate
+    * runs the ORDERED variant: cross-row double addition order is
+    * engine-dependent, so the oracle-checked numbers come from the
+    * deterministic vec_id-ordered running fold both engines replicate
+    * bit-for-bit; the production unordered agg matches to the last
+    * ulp (spec'd). */
+  private val ss6 = QueryDef(
+    "ss6_label_centroids",
+    "per-label mean embedding (ordered-fold vector aggregate)",
+    (s, dir) => VectorAggregates.labelCentroids(
+      Tables.embeddings(s, dir), "label", "vec_id", "embedding",
+      ordered = true)
+      .select(col("label"), col("pos"), col("n"),
+        round(col("centroid"), 6).as("centroid_r"))
+      .orderBy("label", "pos"),
+    Some("""WITH e AS (SELECT label, vec_id,
+                         unnest(list_transform(
+                           generate_series(1, len(embedding)),
+                           i -> {'pos': i - 1, 'v': embedding[i]::DOUBLE}))
+                           AS u
+                       FROM embeddings),
+            x AS (SELECT label, vec_id, u.pos AS pos, u.v AS v FROM e),
+            r AS (SELECT label, pos, vec_id,
+                    count(*) OVER w AS n,
+                    sum(v) OVER w AS s,
+                    row_number() OVER (PARTITION BY label, pos
+                                       ORDER BY vec_id DESC) AS rn
+                  FROM x
+                  WINDOW w AS (PARTITION BY label, pos ORDER BY vec_id
+                               ROWS UNBOUNDED PRECEDING))
+            SELECT label, pos, n, round(s / n, 6) AS centroid_r
+            FROM r WHERE rn = 1 ORDER BY label, pos"""))
+
   /** TS8: vocabulary induction ([[TextAnalysis.vocabCoverage]]) —
     * top-100 corpus tokens with rank and cumulative stream coverage,
     * the vocab-sizing curve of tokenizer prep. Deterministic
@@ -1605,7 +1640,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, dc1, dc2, ss1, ss2, ss3,
-      ss4, ss5, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8, sm1, sm2, sm3, sm4,
-      sm5, sp1,
+      ss4, ss5, ss6, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8, sm1, sm2, sm3,
+      sm4, sm5, sp1,
       tp1, tp2, mm1, a7b, a8b)
 }
