@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{ConnectedComponents, Decontamination, Dedup, Sampling, SimilaritySearch, TextAnalysis, VectorAggregates, VectorCompression}
+import graft.ops.{ConnectedComponents, Decontamination, Dedup, Ivf, Sampling, SimilaritySearch, TextAnalysis, VectorAggregates, VectorCompression}
 
 /** LLM-training-data pipeline operators over documents/embeddings —
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -1381,6 +1381,65 @@ object PipelineQueries {
             SELECT label, pos, n, round(s / n, 6) AS centroid_r
             FROM r WHERE rn = 1 ORDER BY label, pos"""))
 
+  /** SS7: one DISTRIBUTED k-means (Lloyd) iteration — assignment of
+    * every vector to its nearest sample anchor (ss3's oracle-pinned
+    * affinity formula, probes=1) composed with the ss6 ordered-fold
+    * centroid update, keyed by cell. This is the codebook-training
+    * step a vector deployment runs at corpus scale (the driver-side
+    * [[graft.ops.Ivf]].lloydRefine twin, distributed): broadcast
+    * codebook → one assignment pass → one (cell, pos) update
+    * exchange. Long-format output, bit-exact oracle. */
+  private val ss7 = QueryDef(
+    "ss7_kmeans_step",
+    "distributed Lloyd iteration: assign + ordered centroid update",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val assign = Ivf.assignments(e, "id", "embedding",
+        numCentroids = 32, probes = 1)
+      VectorAggregates.labelCentroids(e.join(assign, "id"),
+        "centroid_id", "id", "embedding", ordered = true)
+        .select(col("centroid_id"), col("pos"), col("n"),
+          round(col("centroid"), 6).as("centroid_r"))
+        .orderBy("centroid_id", "pos")
+    },
+    Some("""WITH anchors AS (SELECT vec_id AS cid, embedding AS avec
+                             FROM embeddings ORDER BY vec_id LIMIT 32),
+            aff AS (SELECT e.vec_id AS id, a.cid,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        (list_reduce(list_prepend(0.0, list_transform(
+                           generate_series(1, len(e.embedding)),
+                           i -> e.embedding[i]::DOUBLE * a.avec[i]::DOUBLE)),
+                           (x, y) -> x + y) /
+                         sqrt(
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(e.embedding)),
+                             i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+                             (x, y) -> x + y) *
+                           list_reduce(list_prepend(0.0, list_transform(
+                             generate_series(1, len(a.avec)),
+                             i -> a.avec[i]::DOUBLE * a.avec[i]::DOUBLE)),
+                             (x, y) -> x + y))) DESC, a.cid) AS rn
+                    FROM embeddings e, anchors a),
+            cassign AS (SELECT id, cid FROM aff WHERE rn <= 1),
+            ex AS (SELECT c.cid, m.vec_id,
+                     unnest(list_transform(
+                       generate_series(1, len(m.embedding)),
+                       i -> {'pos': i - 1, 'v': m.embedding[i]::DOUBLE}))
+                       AS u
+                   FROM cassign c JOIN embeddings m ON m.vec_id = c.id),
+            x AS (SELECT cid, vec_id, u.pos AS pos, u.v AS v FROM ex),
+            r AS (SELECT cid, pos, vec_id,
+                    count(*) OVER w AS n,
+                    sum(v) OVER w AS s,
+                    row_number() OVER (PARTITION BY cid, pos
+                                       ORDER BY vec_id DESC) AS rn2
+                  FROM x
+                  WINDOW w AS (PARTITION BY cid, pos ORDER BY vec_id
+                               ROWS UNBOUNDED PRECEDING))
+            SELECT cid AS centroid_id, pos, n, round(s / n, 6) AS centroid_r
+            FROM r WHERE rn2 = 1 ORDER BY centroid_id, pos"""))
+
   /** TS8: vocabulary induction ([[TextAnalysis.vocabCoverage]]) —
     * top-100 corpus tokens with rank and cumulative stream coverage,
     * the vocab-sizing curve of tokenizer prep. Deterministic
@@ -1640,7 +1699,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, dc1, dc2, ss1, ss2, ss3,
-      ss4, ss5, ss6, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8, sm1, sm2, sm3,
+      ss4, ss5, ss6, ss7, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8, sm1, sm2, sm3,
       sm4, sm5, sp1,
       tp1, tp2, mm1, a7b, a8b)
 }

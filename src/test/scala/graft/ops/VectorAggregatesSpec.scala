@@ -41,6 +41,31 @@ class VectorAggregatesSpec extends SparkSpec {
     assert(maxDiff < 1e-9, s"fold orders diverged by $maxDiff")
   }
 
+  test("a Lloyd step never increases distortion for its assignment") {
+    // the k-means update guarantee: with the assignment held fixed,
+    // the mean minimizes squared distance — SSE(new centroids) <=
+    // SSE(old anchors) on the same cells
+    val e = vecs.select(col("vec_id").as("id"), col("embedding"))
+    val assign = Ivf.assignments(e, "id", "embedding",
+      numCentroids = 8, probes = 1)
+    val member = e.join(assign, "id")
+      .select(col("id"), col("centroid_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val updated = VectorAggregates.labelCentroids(e.join(assign, "id"),
+      "centroid_id", "id", "embedding")
+      .select(col("centroid_id"), col("pos"), col("centroid"))
+    val anchors = e.orderBy("id").limit(8)
+      .select(col("id").as("centroid_id"),
+        posexplode(col("embedding")).as(Seq("pos", "centroid")))
+      .withColumn("centroid", col("centroid").cast("double"))
+    def sse(cents: org.apache.spark.sql.DataFrame): Double =
+      member.join(cents, Seq("centroid_id", "pos"))
+        .agg(sum(pow(col("v") - col("centroid"), 2))).head.getDouble(0)
+    assert(sse(updated) <= sse(anchors) + 1e-9,
+      s"update increased distortion: ${sse(updated)} > ${sse(anchors)}")
+  }
+
   test("production form: one partial-agg exchange on (group, pos)") {
     val plan = VectorAggregates.labelCentroids(vecs, "label", "vec_id",
       "embedding").queryExecution.executedPlan.toString
