@@ -161,6 +161,33 @@ object ScaleProbe {
         vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
         k = 5, numCentroids = math.max(32, math.sqrt(2000.0 * m).toInt),
         probes = 8, cellCap = 1000))
+      // one distributed Lloyd step: assignment rides the scan against
+      // a broadcast codebook, the update is one (cell, pos) exchange
+      // of dim x n rows — linear by construction, measured here
+      probe(s"ss7_kmeans_step_x$m", {
+        val e = vecs(m)
+        val assign = graft.ops.Ivf.assignments(e, "id", "embedding",
+          numCentroids = math.max(32, math.sqrt(2000.0 * m).toInt),
+          probes = 1)
+        graft.ops.VectorAggregates.labelCentroids(e.join(assign, "id"),
+          "centroid_id", "id", "embedding")
+      })
+      // interval join: daily service windows over the growing event
+      // log — interval count grows with distinct days (fixed here),
+      // points with m; the bucket equi-join stays linear
+      probe(s"j11_range_join_x$m", {
+        val ev = evts(m).select(col("event_id"), col("ts"))
+        val windows = evts(1)
+          .select(to_date(col("ts")).as("day")).distinct()
+          .select(col("day"),
+            (col("day").cast("timestamp") +
+              expr("INTERVAL 6 HOURS")).as("lo"),
+            (col("day").cast("timestamp") +
+              expr("INTERVAL 18 HOURS")).as("hi"))
+        graft.ops.TemporalJoins.rangeJoin(ev, "ts", windows, "lo", "hi",
+          bucketSeconds = 21600)
+          .groupBy("day").agg(count(lit(1)).as("n"))
+      })
       val _ = nDocs
     }
     spark.stop()

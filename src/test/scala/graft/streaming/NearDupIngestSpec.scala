@@ -70,5 +70,24 @@ class NearDupIngestSpec extends SparkSpec {
     assert(store.read(spark, "corpus").count() == 3)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "batch persist must not outlive the micro-batch")
+
+    // crash-replay convergence: lose the source checkpoint (the
+    // at-least-once worst case — EVERY batch replays against a store
+    // that already absorbed them) and re-run. Replayed docs match
+    // only their own committed copy (same id — skipped by the
+    // self-id guard), re-accept, and the keyed upserts absorb them:
+    // same corpus, same rejects, exactly-once effect.
+    val corpusBefore = store.read(spark, "corpus")
+      .collect().map(_.toString).sorted.toSeq
+    val rejectsBefore = store.read(spark, "near_dup_rejects")
+      .select("id", "matched_id").collect().map(_.toString).sorted.toSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(ckpt))
+    runOnce(in, ckpt, store)
+    assert(store.read(spark, "corpus")
+      .collect().map(_.toString).sorted.toSeq == corpusBefore)
+    assert(store.read(spark, "near_dup_rejects")
+      .select("id", "matched_id").collect()
+      .map(_.toString).sorted.toSeq == rejectsBefore)
   }
 }
