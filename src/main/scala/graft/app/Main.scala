@@ -194,8 +194,10 @@ object Main {
         val q = graft.streaming.Streams.nearDupIngest(spark, inbox,
           args(1) + "/_ingest_checkpoint", store, threshold = threshold)
         q.awaitTermination()
-        println("corpus after ingest:")
-        show(t("corpus").orderBy("id"))
+        if (store.exists("corpus")) {
+          println("corpus after ingest:")
+          show(t("corpus").orderBy("id"))
+        } else println("corpus after ingest: empty (no documents accepted)")
         if (store.exists("near_dup_rejects")) {
           println("rejected near-duplicates (best corpus match):")
           show(t("near_dup_rejects").orderBy("id"))

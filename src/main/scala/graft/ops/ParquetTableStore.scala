@@ -135,10 +135,13 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   def versions(table: String): Seq[Long] =
     if (!Files.exists(tableDir(table))) Seq.empty
     else {
+      // versions above the pointer are crash orphans (a writer that
+      // finalized but never published) — never committed, never listed
+      val ceiling = currentVersion(table).getOrElse(-1L)
       val s = Files.list(tableDir(table))
       try s.iterator().asScala
         .map(_.getFileName.toString).filter(_.startsWith("v="))
-        .map(versionOf).toSeq.distinct.sorted
+        .map(versionOf).filter(_ <= ceiling).toSeq.distinct.sorted
       finally s.close()
     }
 
@@ -148,17 +151,25 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * out of the retention window (size `keepVersions` at commit
     * time) or was never committed.
     *
-    * Contract note: version dirs are uniquely-suffixed per writer and
-    * losers are deleted at CAS time, so a version number normally
-    * maps to exactly one dir — the winner. A writer that CRASHED
-    * between finalize and publish can orphan a complete same-number
-    * dir; that makes history ambiguous for the number, and this read
-    * refuses (throws) rather than guess. Sweeping orphans (any `v=`
+    * Contract note: only versions at or below the published pointer
+    * are committed history — a dir ABOVE the pointer is a crashed
+    * writer's unpublished staging and is refused (and hidden from
+    * [[versions]]). Version dirs are uniquely-suffixed per writer and
+    * losers are deleted at CAS time, so a committed number normally
+    * maps to exactly one dir — the winner. A pre-publish crash orphan
+    * whose number a LATER writer then commits makes that number
+    * ambiguous, and this read refuses (throws) rather than guess. Sweeping orphans (any `v=`
     * dir newer than the pointer target, out-of-band) restores
     * time-travel for the number. The CURRENT version never has this
     * problem — liveness is defined by the pointer, which [[read]]
     * resolves. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    // committed means at-or-below the pointer: a dir ABOVE it is a
+    // crashed writer's unpublished staging and must never be served
+    if (!exists(table) || version > currentVersion(table).getOrElse(-1L))
+      throw new IllegalStateException(
+        s"version $version of table $table is not retained " +
+          "(pruned or never committed)")
     val s = Files.list(tableDir(table))
     val dirs =
       try s.iterator().asScala

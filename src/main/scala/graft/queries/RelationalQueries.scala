@@ -378,36 +378,6 @@ object RelationalQueries {
     * oracle states the same semantics as the textbook ranked
     * range-join — equivalent, but quadratic per key, which is exactly
     * why the operator doesn't plan it that way. */
-  /** J11: interval (range) join ([[TemporalJoins.rangeJoin]]) —
-    * events landing inside daily 06:00–18:00 windows, counted per
-    * window. The engine plans it as a bucketed EQUI-join (intervals
-    * exploded into 6-hour buckets, points in exactly one, containment
-    * filtered inside buckets — spec-asserted no NestedLoop/Cartesian);
-    * the oracle uses the naive BETWEEN theta-join DuckDB can afford
-    * at gate scale. Both ends inclusive. */
-  private val j11 = QueryDef(
-    "j11_range_join",
-    "interval containment join via time-bucket banding",
-    (s, dir) => {
-      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
-      val windows = Tables.events(s, dir)
-        .select(to_date(col("ts")).as("day")).distinct()
-        .select(col("day"),
-          (col("day").cast("timestamp") + expr("INTERVAL 6 HOURS")).as("lo"),
-          (col("day").cast("timestamp") + expr("INTERVAL 18 HOURS")).as("hi"))
-      TemporalJoins.rangeJoin(ev, "ts", windows, "lo", "hi",
-        bucketSeconds = 21600)
-        .groupBy("day").agg(count(lit(1)).as("n_events"))
-        .orderBy("day")
-    },
-    Some("""WITH days AS (SELECT DISTINCT ts::DATE AS day FROM events),
-            w AS (SELECT day, day::TIMESTAMP + INTERVAL 6 HOUR AS lo,
-                         day::TIMESTAMP + INTERVAL 18 HOUR AS hi
-                  FROM days)
-            SELECT day, count(*) AS n_events
-            FROM w JOIN events e ON e.ts >= w.lo AND e.ts <= w.hi
-            GROUP BY day ORDER BY day"""))
-
   private val j10 = QueryDef(
     "j10_asof_join",
     "as-of join: latest prior event per key within tolerance",
@@ -443,6 +413,36 @@ object RelationalQueries {
                     AND epoch_us(c.ts) - epoch_us(v.ts) <= 21600000000)
             SELECT event_id, user_id, view_id, view_value, gap_us
             FROM ranked WHERE rn = 1 ORDER BY event_id"""))
+
+  /** J11: interval (range) join ([[TemporalJoins.rangeJoin]]) —
+    * events landing inside daily 06:00–18:00 windows, counted per
+    * window. The engine plans it as a bucketed EQUI-join (intervals
+    * exploded into 6-hour buckets, points in exactly one, containment
+    * filtered inside buckets — spec-asserted no NestedLoop/Cartesian);
+    * the oracle uses the naive BETWEEN theta-join DuckDB can afford
+    * at gate scale. Both ends inclusive. */
+  private val j11 = QueryDef(
+    "j11_range_join",
+    "interval containment join via time-bucket banding",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+      val windows = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day")).distinct()
+        .select(col("day"),
+          (col("day").cast("timestamp") + expr("INTERVAL 6 HOURS")).as("lo"),
+          (col("day").cast("timestamp") + expr("INTERVAL 18 HOURS")).as("hi"))
+      TemporalJoins.rangeJoin(ev, "ts", windows, "lo", "hi",
+        bucketSeconds = 21600)
+        .groupBy("day").agg(count(lit(1)).as("n_events"))
+        .orderBy("day")
+    },
+    Some("""WITH days AS (SELECT DISTINCT ts::DATE AS day FROM events),
+            w AS (SELECT day, day::TIMESTAMP + INTERVAL 6 HOUR AS lo,
+                         day::TIMESTAMP + INTERVAL 18 HOUR AS hi
+                  FROM days)
+            SELECT day, count(*) AS n_events
+            FROM w JOIN events e ON e.ts >= w.lo AND e.ts <= w.hi
+            GROUP BY day ORDER BY day"""))
 
   // ---------------------------------------------------------------- A
 

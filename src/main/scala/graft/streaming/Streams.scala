@@ -206,9 +206,18 @@ object Streams {
     * hold corpus-scale data, and a restart resumes from the source
     * checkpoint plus the committed tables — a replayed batch
     * re-derives the same accepts and the keyed upserts absorb them
-    * idempotently (at-least-once in, exactly-once effect). Appended
-    * index rows are capped within-batch only; the global per-bucket
-    * cap is re-asserted by periodic compaction (recompute
+    * idempotently (at-least-once in, exactly-once effect). The probe
+    * is gated on BOTH artifact tables existing, so a crash between
+    * the signature and index commits replays as a probe-less first
+    * batch (self-id matches are skipped; the idempotent commits
+    * complete the missing table) instead of wedging on a read of the
+    * never-committed index. Rejects commit FIRST, while the pinned
+    * pre-batch table versions they are computed from are still
+    * guaranteed live; the store should keep `keepVersions >= 2` (the
+    * default) so lineage recompute of an evicted cached batch can
+    * still reach its base versions. Appended index rows are capped
+    * within-batch only; the global per-bucket cap is re-asserted by
+    * periodic compaction (recompute
     * [[graft.ops.Dedup.lshBandIndex]] over the signature table and
     * commit) — the log-structured discipline. */
   def nearDupIngest(spark: SparkSession, inputDir: String,
@@ -227,7 +236,8 @@ object Streams {
         val inBatch = graft.ops.Dedup.dropNearDuplicates(batch, "id",
           "text", threshold = threshold)
         val (accepted, rejects) =
-          if (!store.exists(signatureTable)) (inBatch, None)
+          if (!store.exists(signatureTable) || !store.exists(indexTable))
+            (inBatch, None)
           else {
             val pairs = graft.ops.Dedup.incrementalLshPairs(inBatch, "id",
               "text", store.read(spark, indexTable),
@@ -242,26 +252,39 @@ object Streams {
             (inBatch.join(pairs.select(col("new_id").as("id")).distinct(),
               Seq("id"), "left_anti"), Some(best))
           }
-        // the accepted set feeds three commits — pin it for the batch,
-        // release it before the batch ends (round-3 lifecycle rule)
+        // the accepted and reject sets each feed commits — pin them
+        // for the batch, release before the batch ends (round-3
+        // lifecycle rule). Rejects commit BEFORE the artifact tables
+        // advance: they are computed from the pre-batch versions, and
+        // committing them first means those versions are still live
+        // while they evaluate (committing after would race pruning).
         val acc = accepted
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rej = rejects.map(_.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         try {
+          rej.foreach { r =>
+            if (r.limit(1).count() > 0)
+              store.withCommitRetries()(
+                store.upsert(spark, rejectTable, r, Seq("id")))
+          }
           if (acc.limit(1).count() > 0) {
             val sigs = graft.ops.Dedup.lshSignatures(acc, "id", "text")
-            store.upsertBucketed(spark, corpusTable, acc, Seq("id"),
-              numBuckets)
-            store.upsertBucketed(spark, signatureTable, sigs, Seq("id"),
-              numBuckets)
-            store.upsertBucketed(spark, indexTable,
-              graft.ops.Dedup.lshBandIndex(sigs), Seq("id", "band"),
-              numBuckets)
+            store.withCommitRetries()(
+              store.upsertBucketed(spark, corpusTable, acc, Seq("id"),
+                numBuckets))
+            store.withCommitRetries()(
+              store.upsertBucketed(spark, signatureTable, sigs, Seq("id"),
+                numBuckets))
+            store.withCommitRetries()(
+              store.upsertBucketed(spark, indexTable,
+                graft.ops.Dedup.lshBandIndex(sigs), Seq("id", "band"),
+                numBuckets))
           }
-          rejects.foreach { r =>
-            if (r.limit(1).count() > 0)
-              store.upsert(spark, rejectTable, r, Seq("id"))
-          }
-        } finally acc.unpersist(false)
+        } finally {
+          acc.unpersist(false)
+          rej.foreach(_.unpersist(false))
+        }
         ()
       }
       .start()

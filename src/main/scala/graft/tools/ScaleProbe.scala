@@ -138,17 +138,20 @@ object ScaleProbe {
       locally {
         val tmp = java.nio.file.Files
           .createTempDirectory(s"probe-d10-x$m").toString
-        val sigs = Dedup.lshSignatures(docs(m), "id", "text")
-        sigs.write.mode("overwrite").parquet(s"$tmp/sigs")
-        Dedup.lshBandIndex(sigs, bucketCap = 1000)
-          .write.mode("overwrite").parquet(s"$tmp/index")
-        val batch = Tables.documents(spark, dir)
-          .filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 90000000L).as("id"),
-            regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
-        probe(s"d10_incremental_x$m", Dedup.incrementalLshPairs(
-          batch, "id", "text", spark.read.parquet(s"$tmp/index"),
-          spark.read.parquet(s"$tmp/sigs"), threshold = 0.6))
+        try {
+          val sigs = Dedup.lshSignatures(docs(m), "id", "text")
+          sigs.write.mode("overwrite").parquet(s"$tmp/sigs")
+          Dedup.lshBandIndex(sigs, bucketCap = 1000)
+            .write.mode("overwrite").parquet(s"$tmp/index")
+          val batch = Tables.documents(spark, dir)
+            .filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 90000000L).as("id"),
+              regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+          probe(s"d10_incremental_x$m", Dedup.incrementalLshPairs(
+            batch, "id", "text", spark.read.parquet(s"$tmp/index"),
+            spark.read.parquet(s"$tmp/sigs"), threshold = 0.6))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
       }
       probe(s"ss2_lsh_ann_x$m", SimilaritySearch.lshTopK(
         vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",

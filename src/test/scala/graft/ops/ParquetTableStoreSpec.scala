@@ -206,6 +206,31 @@ class ParquetTableStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("not retained"))
   }
 
+  test("time travel never serves an unpublished above-pointer orphan") {
+    import spark.implicits._
+    val root = tmpDir("store-orphan")
+    val store = new ParquetTableStore(root, keepVersions = 3)
+    store.commit(spark, "t", Seq(1).toDF("x"))
+    // a writer finalized v=1 but crashed before publishing: the dir
+    // exists, the pointer still names v=0 — that data was NEVER
+    // committed and must be invisible to both listing and reads
+    val src = verDir(root, "t", 0)
+    val orphan = Paths.get(root, "t", "v=1-deadbeef")
+    Files.walk(src).iterator().asScala.toSeq.foreach { p =>
+      val dst = orphan.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst)
+    }
+    assert(store.versions("t") == Seq(0L))
+    val e = intercept[IllegalStateException](
+      store.readVersion(spark, "t", 1))
+    assert(e.getMessage.contains("not retained"))
+    // and a table that never existed fails with the same clean error
+    val e2 = intercept[IllegalStateException](
+      store.readVersion(spark, "nope", 0))
+    assert(e2.getMessage.contains("not retained"))
+  }
+
   test("time travel refuses an ambiguous version (orphaned writer dir)") {
     import spark.implicits._
     val root = tmpDir("store-amb")
