@@ -402,6 +402,48 @@ object Dedup {
       minhashLshPairs(df, idCol, textCol, shingleLen, numHashes, bands,
         threshold, bucketCap))
 
+  /** CLUSTER-BEST dedup apply: transitive-closure clusters from the
+    * pair graph ([[ConnectedComponents.duplicateClusters]]), then ONE
+    * survivor per cluster chosen by the caller's `score` — the
+    * curation-grade alternative to [[dropPairedDuplicates]]'s greedy
+    * min-id rule (a production pipeline keeps the BEST copy of a
+    * boilerplate family, not the first-crawled one). Rows absent from
+    * the pair graph are singleton clusters and always survive.
+    *
+    * Returns the winning row per cluster (all `df` columns) plus
+    * `cluster_id` (the min member id) and `n_members`. The rank key
+    * is (score desc, id asc) — the id tiebreak makes the winner total
+    * and engine-portable on equal scores; callers whose score is
+    * float-valued should pre-round it (see the d11 gate) so a 1-ulp
+    * cross-engine wiggle cannot flip a winner.
+    *
+    * Scale shape: the cluster map is pair-graph-sized (only docs in
+    * ≥1 pair) and attaches by one left join; the survivor choice is
+    * one window exchange keyed by cluster_id with WindowGroupLimit
+    * capping the per-cluster sort at 1. `n_members` comes from a
+    * map-side-combinable aggregate on the same key — deliberately NOT
+    * a count-over-window, which would buffer every member of a giant
+    * boilerplate cluster in the window operator and defeat the group
+    * limit. Nothing corpus-sized broadcasts. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val clusters = ConnectedComponents.duplicateClusters(pairs)
+      .select(col("id").as("__cc_id"), col("cluster_id").as("__rep"))
+    val withCluster = df
+      .join(clusters, df(idCol) === col("__cc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__rep"), col(idCol)))
+      .drop("__cc_id", "__rep")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(score.desc, col(idCol).asc)
+    val winners = withCluster
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val sizes = withCluster.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    winners.join(sizes, Seq("cluster_id"))
+  }
+
   /** Default per-cell candidate cap for the IVF dedup — same
     * discipline as [[DefaultBucketCap]]: one hot cell (a
     * duplicate-heavy corpus is exactly the dedup use case) must not

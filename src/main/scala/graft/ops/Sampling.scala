@@ -97,6 +97,70 @@ object Sampling {
           concat(lit(seed + ":"), col(keyCol).cast("string"))))
       .orderBy(col("shuffle_key").asc, col(keyCol).asc)
 
+  /** TEMPERATURE-SAMPLED mixture weights: per-stratum sampling
+    * weight ∝ count^(1/tau), normalized over strata — the
+    * multilingual / multi-domain rebalancing rule (tau = 1 reproduces
+    * natural proportions, tau → ∞ approaches uniform; pretraining
+    * mixes typically run 1 < tau ≤ 5 to lift low-resource strata
+    * without drowning the head). One row per stratum:
+    * (stratum, n_docs, weight).
+    *
+    * Determinism: counts are exact; the root is one per-stratum pow;
+    * the normalizing total is an ORDERED running sum over strata
+    * (stratum-name order, ROWS UNBOUNDED PRECEDING) whose final value
+    * feeds every row — the same cross-row fold discipline as the ss6
+    * vector aggregate, replicated bit-for-bit by an oracle (an
+    * unordered double sum is engine- and partitioning-dependent).
+    *
+    * Scale shape: one map-side-combinable count aggregation reduces
+    * the corpus to #strata rows; the ordered fold and the global max
+    * then run on that tiny frame (the single-partition window is by
+    * construction bounded — a mixture over millions of strata is not
+    * a mixture). */
+  def temperatureWeights(df: DataFrame, strataCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0, s"tau must be positive, got $tau")
+    val wRun = Window.orderBy(col(strataCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__root",
+        pow(col("n_docs").cast("double"), lit(1.0 / tau)))
+      .withColumn("__run", sum(col("__root")).over(wRun))
+      .withColumn("weight", col("__root") / max(col("__run")).over(wAll))
+      .drop("__root", "__run")
+  }
+
+  /** TOKEN-BUDGETED per-stratum cap: keep rows in the caller's
+    * preference `order` until the stratum's cumulative token count
+    * reaches `budget`. Mixtures are specified in TOKENS, not rows
+    * ("50 B tokens of web, 5 B of forums") — a row-count cap
+    * ([[stratifiedSample]]) over-serves short-document domains. A row
+    * survives iff it STARTS within budget (its running sum minus its
+    * own tokens < budget): the first over-budget doc is kept, so the
+    * budget overshoots by at most one document and never undershoots
+    * — and every non-empty stratum keeps at least its best row.
+    * Survivors carry `cum_tokens` (their running total, in preference
+    * order) for downstream accounting.
+    *
+    * Determinism: token counts are integers, so the running sum needs
+    * no float fold discipline; callers whose `order` includes a
+    * float score should pre-round it and tie-break on the key.
+    *
+    * Scale shape: one (stratum) exchange + per-stratum sort — the
+    * sort is inherent (the operator's contract is "best docs first
+    * within budget"), parallel across strata, and the running sum
+    * streams in sort order with O(1) state. No corpus-sized broadcast
+    * or driver collection. */
+  def tokenBudgetCap(df: DataFrame, strataCol: String, tokensCol: Column,
+      budget: Long, order: Seq[Column]): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(strataCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokensCol.cast("long")).over(w))
+      .filter(col("cum_tokens") - tokensCol.cast("long") < budget)
+  }
+
   /** LEAKAGE-SAFE train/test split: hash assignment on the doc's
     * duplicate-CLUSTER representative, not the doc itself — every
     * member of a near-dup cluster lands on the same side, so a test

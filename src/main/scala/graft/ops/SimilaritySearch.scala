@@ -222,4 +222,28 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** Recall@k of an ANN result against exact ground truth: both
+    * frames carry (query_id, neighbor_id) rows (any extra columns
+    * ignored); returns one row per ground-truth query —
+    * (query_id, hits, k), hits = |approx ∩ exact|. Integer-only
+    * output: the standard ANN quality gate, runnable as a
+    * verification query with no float-tolerance questions (the float
+    * discipline lives in the two inputs' own rank pins). Queries the
+    * approx side missed entirely still appear, with hits = 0.
+    *
+    * Scale shape: both inputs are k·|Q|-sized — the evaluation never
+    * touches the corpus. One equi-join on (query_id, neighbor_id)
+    * plus a map-side-combinable count; AQE broadcasts whichever side
+    * is small (both are). */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), lit(k).as("k"))
+  }
 }

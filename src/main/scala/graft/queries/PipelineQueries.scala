@@ -1697,9 +1697,234 @@ object PipelineQueries {
             SELECT query_id, rank, neighbor_id
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** ts2's composite-score arithmetic as SQL, over names for
+    * (n_tokens, stops, digits, n_chars) — textually identical to the
+    * ts2 oracle's expression so every quality-ranked gate pins the
+    * same double arithmetic, rounded at 10^-`nd`. */
+  private def qualitySql(nTokens: String, stops: String, digits: String,
+      nChars: String, nd: Int): String =
+    s"""round(
+         0.4::DOUBLE * least($nTokens::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) +
+         0.3::DOUBLE * least((CASE WHEN $nTokens = 0 THEN 0.0::DOUBLE
+             ELSE $stops::DOUBLE / $nTokens::DOUBLE END) * 5.0::DOUBLE, 1.0::DOUBLE) +
+         0.3::DOUBLE * (1.0::DOUBLE - least((CASE WHEN $nChars = 0 THEN 0.0::DOUBLE
+             ELSE $digits::DOUBLE / $nChars::DOUBLE END) * 10.0::DOUBLE, 1.0::DOUBLE)),
+         $nd)"""
+
+  /** The (toks, ltoks → n_tokens, stops, digits, n_chars) feature CTE
+    * body shared by the quality-ranked gates; `src(id, text)`-shaped
+    * input with an extra pass-through column. */
+  private def qualityFeatureSql(src: String, idName: String,
+      extraCol: String): String =
+    s"""qm AS (SELECT $idName, $extraCol, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+           FROM $src),
+       qf AS (SELECT $idName, $extraCol,
+             len(toks) AS n_tokens,
+             len(list_filter(ltoks, x -> x IN ('the','a','of','to','and','in','is','that','it','for'))) AS stops,
+             len(regexp_extract_all(text, '[0-9]')) AS digits,
+             length(text) AS n_chars
+           FROM qm)"""
+
+  /** D11: quality-argmax survivor per duplicate cluster
+    * ([[Dedup.keepBestPerCluster]]) — the curation-grade dedup apply:
+    * transitive-closure clusters (d9's CC engine) with the ts2
+    * composite quality score choosing the KEPT copy, instead of d8's
+    * positional min-id rule (production pipelines keep the best
+    * member of a boilerplate family, not the first-crawled one). The
+    * rank key is the score pre-rounded at 1e-9 with min-id ties —
+    * the ss1 rank-pin discipline, so a 1-ulp cross-engine wiggle
+    * cannot flip a winner. Oracle: LSH-pair CTE → recursive
+    * reachability → per-cluster quality argmax. */
+  private val d11 = QueryDef(
+    "d11_cluster_best_keep",
+    "quality-argmax survivor per duplicate cluster",
+    (s, dir) => {
+      val corpus = dupCorpus(s, dir)
+        .withColumn("q9", round(TextAnalysis.qualityScore(col("text")), 9))
+      val pairs = Dedup.minhashLshPairs(corpus, "id", "text",
+        shingleLen = 3, numHashes = NumHashes, bands = Bands,
+        threshold = 0.6, bucketCap = CatalogCap)
+      Dedup.keepBestPerCluster(corpus, "id", pairs, col("q9"))
+        .select(col("cluster_id"), col("id").as("keep_id"),
+          col("n_members"), round(col("q9"), 6).as("score_r"))
+        .orderBy("cluster_id")
+    },
+    Some("WITH RECURSIVE " + dupCorpusSql + ",\n" +
+      "pairs AS (WITH " + lshOracleSql(
+        """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM corpus),
+           it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                  FROM tok WHERE len(t) >= 3)""", 0.6) + "),\n" +
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |cc(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach),
+        |clus AS (SELECT node AS id, min(reach) AS cluster_id FROM cc
+        |         GROUP BY node),
+        |withc AS (SELECT c.id, coalesce(cl.cluster_id, c.id) AS cluster_id,
+        |            c.text
+        |          FROM corpus c LEFT JOIN clus cl ON cl.id = c.id),
+        |""".stripMargin +
+      qualityFeatureSql("withc", "id", "cluster_id") + ",\n" +
+      s"""sc AS (SELECT id, cluster_id,
+         ${qualitySql("n_tokens", "stops", "digits", "n_chars", 9)} AS q9
+           FROM qf),\n""" +
+      """r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |                           ORDER BY q9 DESC, id) AS rn,
+        |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |      FROM sc)
+        |SELECT cluster_id, id AS keep_id, n_members,
+        |       round(q9, 6) AS score_r
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin))
+
+  /** SM6: temperature-sampled mixture weights
+    * ([[Sampling.temperatureWeights]], tau = 2) — the multilingual
+    * rebalancing rule (weight ∝ n^(1/tau), normalized). The
+    * normalizing total is the ordered running-sum fold over strata
+    * (the ss6 cross-row discipline) so both engines fold the same
+    * doubles in the same order; the per-stratum root is pow(n, 0.5)
+    * in both engines' SQL text. */
+  private val sm6 = QueryDef(
+    "sm6_temperature_weights",
+    "per-language temperature sampling weights (tau=2, ordered fold)",
+    (s, dir) => Sampling.temperatureWeights(
+      Tables.documents(s, dir), "lang", tau = 2.0)
+      .select(col("lang"), col("n_docs"),
+        round(col("weight"), 9).as("w_r"))
+      .orderBy("lang"),
+    Some("""WITH g AS (SELECT lang, count(*) AS n_docs
+                       FROM documents GROUP BY lang),
+            r AS (SELECT lang, n_docs,
+                    pow(n_docs::DOUBLE, 0.5) AS rootn,
+                    sum(pow(n_docs::DOUBLE, 0.5))
+                      OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS run
+                  FROM g),
+            t AS (SELECT *, max(run) OVER () AS tot FROM r)
+            SELECT lang, n_docs, round(rootn / tot, 9) AS w_r
+            FROM t ORDER BY lang"""))
+
+  /** SM7: token-budgeted per-source cap ([[Sampling.tokenBudgetCap]])
+    * — mixtures are specified in TOKENS, not rows, so each source
+    * keeps its best documents (ts2 quality order, 1e-9 rank pin,
+    * min-id ties) until 800 whitespace tokens are spent; the first
+    * over-budget doc is kept (bounded overshoot, never undershoot).
+    * Integer running sums — no cross-row float fold at all. */
+  private val sm7 = QueryDef(
+    "sm7_token_budget_cap",
+    "token-budgeted per-source cap in quality order",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("q9", round(TextAnalysis.qualityScore(col("text")), 9))
+        .withColumn("tok", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      Sampling.tokenBudgetCap(d, "source", col("tok"), budget = 800L,
+        Seq(col("q9").desc, col("doc_id").asc))
+        .select(col("source"), col("doc_id"), col("tok"), col("cum_tokens"))
+        .orderBy("source", "doc_id")
+    },
+    Some("WITH docsrc AS (SELECT doc_id, source, text FROM documents),\n" +
+      qualityFeatureSql("docsrc", "doc_id", "source") + ",\n" +
+      s"""sc AS (SELECT doc_id, source, n_tokens::BIGINT AS tok,
+         ${qualitySql("n_tokens", "stops", "digits", "n_chars", 9)} AS q9
+           FROM qf),\n""" +
+      """r AS (SELECT *,
+        |        sum(tok) OVER (PARTITION BY source
+        |                       ORDER BY q9 DESC, doc_id
+        |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |      FROM sc)
+        |SELECT source, doc_id, tok, cum_tokens FROM r
+        |WHERE cum_tokens - tok < 800 ORDER BY source, doc_id""".stripMargin))
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(
+          generate_series(1, len($a)),
+          i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"""
+
+  /** The ss1/ss3 cosine, textually regenerated: dot(a,b) /
+    * sqrt(dot(a,a) * dot(b,b)) with the left operand's self-dot
+    * first — the operand order the pinned oracles use. */
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+
+  /** SS8: ANN recall@k as a VERIFIED query
+    * ([[SimilaritySearch.recallAtK]]) — IVF with probes = 2 of 32
+    * cells (deliberately starved so recall is interesting) evaluated
+    * against the ss1 exact ground truth; per query, hits =
+    * |IVF top-5 ∩ exact top-5|. Integer-only output. The oracle
+    * replicates BOTH sides (ss1's brute-force CTE and ss3's IVF CTE
+    * at probes = 2) and joins them — the recall measurement itself is
+    * engine-portable, which is what lets a deployment run this gate
+    * on a corpus sample as a production canary. */
+  private val ss8 = QueryDef(
+    "ss8_ann_recall",
+    "recall@5 of starved IVF ANN vs exact ground truth",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val q = e.filter(col("id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(q, e, "id", "embedding",
+        k = 5)
+      val approx = SimilaritySearch.ivfTopK(q, e, "id", "embedding",
+        k = 5, numCentroids = 32, probes = 2, cellCap = 1000)
+      SimilaritySearch.recallAtK(exact, approx, k = 5).orderBy("query_id")
+    },
+    Some(s"""WITH exact AS (
+              WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                         FROM embeddings WHERE vec_id < 10),
+                   c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                         FROM embeddings),
+                   scored AS (SELECT query_id, neighbor_id,
+                                ${cosSql("qv", "cv")} AS cos
+                              FROM q, c WHERE query_id != neighbor_id),
+                   ranked AS (SELECT *, row_number() OVER (
+                                PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+                              FROM scored)
+              SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+            approx AS (
+              WITH anchors AS (SELECT vec_id AS cid, embedding AS avec
+                               FROM embeddings ORDER BY vec_id LIMIT 32),
+                   aff AS (SELECT e.vec_id AS id, a.cid,
+                             row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY ${cosSql("e.embedding", "a.avec")}
+                                 DESC, a.cid) AS rn
+                           FROM embeddings e, anchors a),
+                   cassign AS (SELECT id AS neighbor_id, cid FROM aff
+                               WHERE rn <= 1),
+                   qassign AS (SELECT id AS query_id, cid FROM aff
+                               WHERE id < 10 AND rn <= 2),
+                   capped AS (SELECT neighbor_id, cid,
+                                row_number() OVER (PARTITION BY cid
+                                  ORDER BY neighbor_id) AS crn
+                              FROM cassign),
+                   cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+                            FROM qassign q JOIN capped c ON q.cid = c.cid
+                            WHERE c.crn <= 1000
+                              AND q.query_id != c.neighbor_id),
+                   scored AS (SELECT query_id, neighbor_id,
+                                ${cosSql("eq.embedding", "ec.embedding")} AS cos
+                              FROM cand
+                              JOIN embeddings eq ON eq.vec_id = cand.query_id
+                              JOIN embeddings ec ON ec.vec_id = cand.neighbor_id),
+                   ranked AS (SELECT *, row_number() OVER (
+                                PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+                              FROM scored)
+              SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5)
+            SELECT e.query_id, count(a.neighbor_id) AS hits,
+                   5 AS k
+            FROM exact e LEFT JOIN approx a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id ORDER BY e.query_id"""))
+
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, dc1, dc2, ss1, ss2, ss3,
-      ss4, ss5, ss6, ss7, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8, sm1, sm2, sm3,
-      sm4, sm5, sp1,
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, dc1, dc2, ss1, ss2,
+      ss3, ss4, ss5, ss6, ss7, ss8, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      sm1, sm2, sm3, sm4, sm5, sm6, sm7, sp1,
       tp1, tp2, mm1, a7b, a8b)
 }

@@ -118,6 +118,60 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set(10L, 12L), s"got $got")
   }
 
+  test("keepBestPerCluster: score argmax wins, singletons survive, sizes exact") {
+    import spark.implicits._
+    // chain 1~2, 2~3 = one cluster {1,2,3}; pair 5~6; singleton 4
+    val docs = Seq(
+      (1L, "a", 0.2), (2L, "b", 0.9), (3L, "c", 0.5),
+      (4L, "d", 0.1), (5L, "e", 0.7), (6L, "f", 0.7)
+    ).toDF("id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(docs, "id", pairs, col("q"))
+      .select("cluster_id", "id", "n_members")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cluster 1: best score 0.9 → id 2 (NOT min-id 1, the d8 rule);
+    // cluster 5: tie at 0.7 → min id 5; singleton 4 keeps itself
+    assert(kept == Set((1L, 2L, 3L), (5L, 5L, 2L), (4L, 4L, 1L)), kept)
+  }
+
+  test("keepBestPerCluster plan: rank capped by WindowGroupLimit, sizes by aggregate") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 0.2), (2L, "b", 0.9)).toDF("id", "text", "q")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val plan = Dedup.keepBestPerCluster(docs, "id", pairs, col("q"))
+      .queryExecution.executedPlan.toString
+    // the survivor choice must keep the group limit (a giant
+    // boilerplate cluster never fully sorts), and n_members must NOT
+    // be a count-over-window (which would buffer the whole cluster)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("recallAtK: exact self-eval is k/k, starved probes lose recall, misses are 0") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 5)
+    val exact = SimilaritySearch.bruteForceTopK(q, e, "id", "embedding", k = 5)
+    // identical inputs → every query scores k hits
+    val self = SimilaritySearch.recallAtK(exact, exact, k = 5)
+    assert(self.filter(col("hits") =!= 5).count() == 0)
+    // IVF with probes=32/32 IS exact (PipelineSpec proves top-k
+    // equality elsewhere) → recall 5; probes=1 can only lose hits
+    val full = SimilaritySearch.ivfTopK(q, e, "id", "embedding", 5, 32, 32)
+    assert(SimilaritySearch.recallAtK(exact, full, k = 5)
+      .filter(col("hits") =!= 5).count() == 0)
+    val starved = SimilaritySearch.ivfTopK(q, e, "id", "embedding", 5, 32, 1)
+    val rs = SimilaritySearch.recallAtK(exact, starved, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rs.size == 5 && rs.values.forall(h => h >= 0 && h <= 5), rs)
+    // a query whose ANN side vanishes entirely still reports, with 0
+    val none = SimilaritySearch.recallAtK(exact,
+      exact.filter(col("query_id") < 0), k = 5)
+    assert(none.count() == 5 &&
+      none.filter(col("hits") =!= 0).count() == 0)
+  }
+
   test("simhash hamming pairs: pigeonhole recall is complete within the radius") {
     import spark.implicits._
     val docs = Seq(

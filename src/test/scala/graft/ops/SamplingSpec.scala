@@ -151,4 +151,55 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"global shuffle must be one range sort:\n$plan")
   }
+
+  test("temperatureWeights: sums to 1, tau=1 is natural, higher tau flattens") {
+    def weights(tau: Double): Map[String, (Long, Double)] =
+      Sampling.temperatureWeights(docs, "lang", tau).collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val w1 = weights(1.0)
+    val w2 = weights(2.0)
+    val w5 = weights(5.0)
+    val total = docs.count().toDouble
+    assert(math.abs(w1.values.map(_._2).sum - 1.0) < 1e-12)
+    assert(math.abs(w2.values.map(_._2).sum - 1.0) < 1e-12)
+    // tau = 1 reproduces natural proportions exactly
+    w1.foreach { case (_, (n, w)) =>
+      assert(math.abs(w - n / total) < 1e-12, s"n=$n w=$w") }
+    // flattening is monotone in tau: the head stratum's weight drops,
+    // the tail stratum's rises, toward uniform 1/|strata|
+    val head = w1.maxBy(_._2._1)._1
+    val tail = w1.minBy(_._2._1)._1
+    assert(w2(head)._2 < w1(head)._2 && w5(head)._2 < w2(head)._2)
+    assert(w2(tail)._2 > w1(tail)._2 && w5(tail)._2 > w2(tail)._2)
+    assert(math.abs(w5(head)._2 - 1.0 / w1.size) <
+      math.abs(w1(head)._2 - 1.0 / w1.size))
+  }
+
+  test("tokenBudgetCap: budget bounds spend, best-first, one-doc overshoot max") {
+    import spark.implicits._
+    val d = docs
+      .withColumn("tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("pref", col("n_chars").cast("double"))
+    val budget = 500L
+    val kept = Sampling.tokenBudgetCap(d, "source", col("tok"), budget,
+      Seq(col("pref").desc, col("doc_id").asc))
+    // every survivor STARTS within budget; spend ≤ budget + its last doc
+    assert(kept.filter(col("cum_tokens") - col("tok") >= budget).count() == 0)
+    // every non-empty source keeps at least its best doc
+    assert(kept.select("source").distinct().count() ==
+      d.select("source").distinct().count())
+    // the kept set is exactly the prefix of the preference order:
+    // no dropped doc ranks above any kept doc within its source
+    val ranked = d.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("pref").desc, col("doc_id").asc)))
+    val keptRn = ranked.join(kept.select("doc_id"), "doc_id")
+      .groupBy("source").agg(max("rn").as("max_kept"), count(lit(1)).as("n_kept"))
+    assert(keptRn.filter(col("max_kept") =!= col("n_kept")).count() == 0,
+      "kept set must be a prefix of the preference order")
+    // deterministic across runs
+    val again = Sampling.tokenBudgetCap(d, "source", col("tok"), budget,
+      Seq(col("pref").desc, col("doc_id").asc)).select("doc_id")
+    assert(kept.select("doc_id").except(again).count() == 0)
+  }
 }
