@@ -108,10 +108,38 @@ object ScaleProbe {
         Dedup.minhashLshPairs(docs(m), "id", "text",
           shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.6,
           bucketCap = 1000).select("id_a", "id_b")))
+      // cluster-best apply on top of the same mine+CC: the delta vs
+      // the d9 row is the apply itself (one WindowGroupLimit exchange
+      // + one combinable sizes aggregate on the same key)
+      probe(s"d11_cluster_best_x$m", {
+        val corpus = docs(m).withColumn("q9",
+          round(graft.ops.TextAnalysis.qualityScore(col("text")), 9))
+        Dedup.keepBestPerCluster(corpus, "id",
+          Dedup.minhashLshPairs(corpus, "id", "text",
+            shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.6,
+            bucketCap = 1000).select("id_a", "id_b"),
+          col("q9"))
+      })
       probe(s"w4_sessionize_x$m", Sessions.sessionSummary(evts(m),
         "user_id", "ts", gapSeconds = 1800, tieBreak = "event_id"))
       probe(s"sm2_stratified_x$m", Sampling.stratifiedSample(docsS(m),
         "source", "id", 20))
+      // mixture weights: corpus reduces to #strata rows at the
+      // combiners — the probe shows scan-rate regardless of m
+      probe(s"sm6_temp_weights_x$m",
+        Sampling.temperatureWeights(docsS(m), "source", tau = 2.0))
+      // token budget cap: fixed budget, growing corpus — survivors
+      // stay budget-sized per stratum, the per-stratum sort is the
+      // linear cost (the contract is best-first, so it is inherent)
+      probe(s"sm7_token_cap_x$m", {
+        val d = docsS(m)
+          .withColumn("q9",
+            round(graft.ops.TextAnalysis.qualityScore(col("text")), 9))
+          .withColumn("tok",
+            graft.ops.TextAnalysis.tokenCountWs(col("text")).cast("long"))
+        Sampling.tokenBudgetCap(d, "source", col("tok"), budget = 800L,
+          Seq(col("q9").desc, col("id").asc))
+      })
       // decontamination: the corpus grows, the eval set does NOT (the
       // realistic shape) — contamination mass grows with the corpus'
       // leaked fraction, the broadcast side stays fixed
@@ -164,6 +192,20 @@ object ScaleProbe {
         vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
         k = 5, numCentroids = math.max(32, math.sqrt(2000.0 * m).toInt),
         probes = 8, cellCap = 1000))
+      // recall canary: fixed |Q|, growing corpus — the exact side is
+      // the |Q| x n brute-force scan (linear, the canary's cost), the
+      // IVF side rides the scaled-cells index, the eval join itself
+      // stays k x |Q|-sized at every m
+      probe(s"ss8_recall_x$m", {
+        val q = vecs(1).filter(col("id") < 10)
+        SimilaritySearch.recallAtK(
+          SimilaritySearch.bruteForceTopK(q, vecs(m), "id", "embedding",
+            k = 5),
+          SimilaritySearch.ivfTopK(q, vecs(m), "id", "embedding", k = 5,
+            numCentroids = math.max(32, math.sqrt(2000.0 * m).toInt),
+            probes = 2, cellCap = 1000),
+          k = 5)
+      })
       // one distributed Lloyd step: assignment rides the scan against
       // a broadcast codebook, the update is one (cell, pos) exchange
       // of dim x n rows — linear by construction, measured here
