@@ -131,6 +131,59 @@ object Sampling {
       .drop("__root", "__run")
   }
 
+  /** TEMPERATURE-BALANCED mixture MATERIALIZATION: the composition a
+    * pretraining pipeline actually runs — [[temperatureWeights]]
+    * turned into per-stratum keep percentages and applied as the
+    * [[mixByHash]] per-row hash draw. Each stratum's target share of
+    * `targetRows` is weight·targetRows documents; its keep pct is
+    * round(100 · weight · targetRows / n_s), capped at 100 (a tail
+    * stratum asked for more than it has keeps everything — temperature
+    * sampling can only lift a low-resource stratum to full
+    * representation, it cannot invent documents; deployments
+    * compensate with epoch repetition, which is [[seededShuffle]]'s
+    * job).
+    *
+    * The pct derives from the 1e-9-rounded weight so the derivation
+    * is engine-portable (same discipline as the sm6 gate).
+    *
+    * Scale shape: the weights frame is #strata rows and broadcasts
+    * through [[mixByHash]]; the draw itself is a pure per-row hash
+    * predicate — ZERO corpus shuffle at any size. */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
+      tau: Double, targetRows: Long, salt: String = ""): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val mix = temperatureWeights(df, strataCol, tau)
+      .select(col(strataCol),
+        least(lit(100L),
+          round(round(col("weight"), 9) * (targetRows * 100.0) /
+            col("n_docs").cast("double"))
+            .cast("long")).as("__mix_pct"))
+    mixByHash(df, strataCol, keyCol, mix, strataCol, "__mix_pct", salt)
+  }
+
+  /** Deterministic GLOBAL k-sample: the k rows with the smallest
+    * portable hash of (salt + key) — a reproducible uniform draw
+    * ("pull 100 random docs for QA") that never globally sorts.
+    * Returns the sample with its `draw` key (the re-derivable
+    * evidence of membership).
+    *
+    * Scale shape: orderBy+limit plans as TakeOrderedAndProject —
+    * each partition keeps a k-row heap, the driver merges #partitions
+    * heaps; NO exchange, no global sort (contrast [[seededShuffle]],
+    * which materializes the full permutation because its contract is
+    * the order itself). k is driver-merged so this is for
+    * QA/debug-sized samples, not sub-corpus extraction — use
+    * [[mixByHash]] or [[hashSplit]] for those. */
+  def hashTopKSample(df: DataFrame, keyCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.withColumn("draw",
+        TextFunctions.portableHash64(
+          concat(lit(salt), col(keyCol).cast("string"))))
+      .orderBy(col("draw").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** TOKEN-BUDGETED per-stratum cap: keep rows in the caller's
     * preference `order` until the stratum's cumulative token count
     * reaches `budget`. Mixtures are specified in TOKENS, not rows

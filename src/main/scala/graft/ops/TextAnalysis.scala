@@ -197,4 +197,31 @@ object TextAnalysis {
   /** Order-sensitive rolling fingerprint over tokens. */
   def docRollingFingerprint(text: Column): Column =
     rollingFingerprint(tokens(text))
+
+  /** Fixed-width TOKEN-LENGTH HISTOGRAM: per-doc whitespace token
+    * counts binned at `binWidth`, the last bin open-ended (the
+    * corpus-QA length distribution every curation report starts
+    * with). Output per non-empty bin: (bin, lo_tokens, n_docs,
+    * cum_docs) — integer-only, so the gate needs no float
+    * discipline at all.
+    *
+    * Scale shape: one map-side-combinable count aggregation reduces
+    * the corpus to ≤ numBins rows; the cumulative sum then runs on
+    * that tiny frame (single-partition window bounded by numBins,
+    * the sm6 pattern). */
+  def lengthHistogram(df: DataFrame, textCol: String, binWidth: Int,
+      numBins: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be positive, got $binWidth")
+    require(numBins >= 2, s"numBins must be at least 2, got $numBins")
+    val tok = tokenCountWs(col(textCol)).cast("long")
+    val bin = least(floor(tok / lit(binWidth.toDouble)),
+      lit(numBins - 1L)).cast("long")
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"))
+      .withColumn("lo_tokens", col("bin") * binWidth)
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .select("bin", "lo_tokens", "n_docs", "cum_docs")
+  }
 }

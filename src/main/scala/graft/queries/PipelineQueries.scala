@@ -1840,6 +1840,76 @@ object PipelineQueries {
         |SELECT source, doc_id, tok, cum_tokens FROM r
         |WHERE cum_tokens - tok < 800 ORDER BY source, doc_id""".stripMargin))
 
+  /** TP3: temperature-balanced mixture MATERIALIZED
+    * ([[Sampling.temperatureMix]]) — sm6's weights composed into
+    * per-stratum keep percentages and applied as sm3's per-row hash
+    * draw: the "rebalance the corpus toward τ-tempered language
+    * shares" job. The oracle replicates the whole derivation chain
+    * (ordered-fold weights → pct → md5 bucket predicate), so the
+    * gate checks the COMPOSITION, not just the pieces. Full
+    * membership compared. */
+  private val tp3 = QueryDef(
+    "tp3_temperature_mix",
+    "temperature-rebalanced corpus draw (tau=2, full membership)",
+    (s, dir) => Sampling.temperatureMix(Tables.documents(s, dir),
+      "lang", "doc_id", tau = 2.0, targetRows = 250L)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id"),
+    Some("""WITH g AS (SELECT lang, count(*) AS n_docs
+                       FROM documents GROUP BY lang),
+            r AS (SELECT lang, n_docs,
+                    pow(n_docs::DOUBLE, 0.5) AS rootn,
+                    sum(pow(n_docs::DOUBLE, 0.5))
+                      OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS run
+                  FROM g),
+            t AS (SELECT *, max(run) OVER () AS tot FROM r),
+            p AS (SELECT lang,
+                    least(100, round(round(rootn / tot, 9) * 25000.0
+                                     / n_docs::DOUBLE)::BIGINT) AS pct
+                  FROM t)
+            SELECT d.lang, d.doc_id
+            FROM documents d JOIN p ON p.lang = d.lang
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 100 < p.pct
+            ORDER BY d.lang, d.doc_id"""))
+
+  /** SM8: deterministic global k-sample ([[Sampling.hashTopKSample]])
+    * — the k smallest portable hashes of the key ("pull 100
+    * reproducible docs for QA") with NO global sort: the plan is
+    * TakeOrderedAndProject (per-partition heaps, driver merge; spec
+    * asserts no Exchange). The `draw` column is the re-derivable
+    * membership evidence, hash-compared here. */
+  private val sm8 = QueryDef(
+    "sm8_hash_topk_sample",
+    "deterministic 100-doc global sample, no global sort",
+    (s, dir) => Sampling.hashTopKSample(
+      Tables.documents(s, dir), "doc_id", k = 100)
+      .select(col("doc_id"), col("draw"))
+      .orderBy("draw", "doc_id"),
+    Some("""SELECT doc_id,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS draw
+            FROM documents ORDER BY draw, doc_id LIMIT 100"""))
+
+  /** TS9: token-length histogram ([[TextAnalysis.lengthHistogram]])
+    * — the corpus-QA length distribution, 16-token bins with an
+    * open-ended top bin. Integer-only (bin, lo_tokens, n_docs,
+    * cum_docs); the cumulative sum folds over ≤ numBins rows. */
+  private val ts9 = QueryDef(
+    "ts9_length_histogram",
+    "token-length histogram with cumulative counts",
+    (s, dir) => TextAnalysis.lengthHistogram(
+      Tables.documents(s, dir), "text", binWidth = 16, numBins = 8)
+      .orderBy("bin"),
+    Some("""WITH t AS (SELECT least(
+                floor(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
+                      / 16)::BIGINT, 7) AS bin
+              FROM documents),
+            g AS (SELECT bin, count(*) AS n_docs FROM t GROUP BY bin)
+            SELECT bin, bin * 16 AS lo_tokens, n_docs,
+              sum(n_docs) OVER (ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_docs
+            FROM g ORDER BY bin"""))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -1925,6 +1995,6 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      sm1, sm2, sm3, sm4, sm5, sm6, sm7, sp1,
-      tp1, tp2, mm1, a7b, a8b)
+      ts9, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sp1,
+      tp1, tp2, tp3, mm1, a7b, a8b)
 }

@@ -175,6 +175,46 @@ class SamplingSpec extends SparkSpec {
       math.abs(w1(head)._2 - 1.0 / w1.size))
   }
 
+  test("temperatureMix: tail strata keep more than natural share, head less; no corpus shuffle") {
+    val natural = docs.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = natural.values.sum.toDouble
+    val target = (total / 2).toLong
+    val mixed = Sampling.temperatureMix(docs, "lang", "doc_id",
+      tau = 2.0, targetRows = target)
+    val keptShare = mixed.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val head = natural.maxBy(_._2)._1
+    val tail = natural.minBy(_._2)._1
+    // kept fraction of the tail stratum must exceed the head's —
+    // the whole point of temperature rebalancing
+    val headFrac = keptShare(head).toDouble / natural(head)
+    val tailFrac = keptShare(tail).toDouble / natural(tail)
+    assert(tailFrac > headFrac, s"tail $tailFrac vs head $headFrac")
+    // membership is a subset of the corpus and deterministic
+    val again = Sampling.temperatureMix(docs, "lang", "doc_id",
+      tau = 2.0, targetRows = target).select("doc_id")
+    assert(mixed.select("doc_id").except(again).count() == 0)
+    // the draw is a per-row predicate over a broadcast mixture —
+    // the corpus itself never shuffles
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("hashTopKSample: k rows, reproducible, TakeOrdered plan with no exchange") {
+    val s1 = Sampling.hashTopKSample(docs, "doc_id", k = 50)
+    assert(s1.count() == 50)
+    val s2 = Sampling.hashTopKSample(docs, "doc_id", k = 50)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).count() == 0)
+    // different salt re-deals the draw
+    val s3 = Sampling.hashTopKSample(docs, "doc_id", k = 50, salt = "v2:")
+    assert(s3.select("doc_id").except(s1.select("doc_id")).count() > 0)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"),
+      s"global k-sample must not shuffle:\n$plan")
+  }
+
   test("tokenBudgetCap: budget bounds spend, best-first, one-doc overshoot max") {
     import spark.implicits._
     val d = docs

@@ -109,4 +109,28 @@ class TextPiiSpec extends SparkSpec {
     val exchanges = "hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"only the token count may exchange:\n$plan")
   }
+
+  test("lengthHistogram: bins partition the corpus, top bin open-ended, empty docs bin 0") {
+    import spark.implicits._
+    val docs = Seq(
+      "",                                    // 1 token after split ("")
+      "one two three",                       // 3 → bin 0
+      ("w " * 10).trim,                      // 10 → bin 2
+      ("w " * 100).trim                      // 100 → capped at top bin
+    ).toDF("text")
+    val h = TextAnalysis.lengthHistogram(docs, "text", binWidth = 4,
+      numBins = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // bins: 0 → ["" , "one two three"], 2 → [10-token], 3 (capped) → [100-token]
+    assert(h(0)._2 == 2 && h(2)._2 == 1 && h(3)._2 == 1, h)
+    assert(h(0)._1 == 0 && h(2)._1 == 8 && h(3)._1 == 12) // lo_tokens
+    // counts partition the corpus; cumulative reaches the total
+    assert(h.values.map(_._2).sum == 4)
+    assert(h(3)._3 == 4, "last cum_docs must equal the corpus size")
+    // plan: corpus reduces at the combiners before the tiny window
+    val plan = TextAnalysis.lengthHistogram(docs, "text", 4, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), plan)
+  }
 }
