@@ -161,6 +161,28 @@ object Sampling {
     mixByHash(df, strataCol, keyCol, mix, strataCol, "__mix_pct", salt)
   }
 
+  /** Per-ROW importance-weighted keep: a row survives iff its hash
+    * bucket (0..9999) falls under round(weight · 10000) —
+    * [[mixByHash]] generalized from per-stratum percentages to a
+    * per-row `weight` column in [0, 1] ("keep each document with
+    * probability equal to its quality score", the soft alternative to
+    * a hard threshold). Same hash discipline as every sampler here:
+    * reproducible across runs/engines/cluster sizes, stable under
+    * corpus growth, salt-decorrelated.
+    *
+    * Callers whose weight is float-valued should pre-round it (the
+    * sm9 gate rounds at 1e-9) so the bucket comparison is
+    * engine-portable.
+    *
+    * Scale shape: pure per-row expressions — one scan, ZERO shuffle,
+    * scan-rate at any corpus size. */
+  def weightedKeep(df: DataFrame, keyCol: String, weight: Column,
+      salt: String = ""): DataFrame =
+    df.filter(
+      pmod(TextFunctions.portableHash64(
+        concat(lit(salt), col(keyCol).cast("string"))), lit(10000L)) <
+        round(weight * 10000.0).cast("long"))
+
   /** Deterministic GLOBAL k-sample: the k rows with the smallest
     * portable hash of (salt + key) — a reproducible uniform draw
     * ("pull 100 random docs for QA") that never globally sorts.

@@ -198,6 +198,36 @@ object TextAnalysis {
   def docRollingFingerprint(text: Column): Column =
     rollingFingerprint(tokens(text))
 
+  /** GOPHER-style repetition/length quality FILTER (Rae et al. 2021's
+    * repetition-removal discipline): keep documents whose token count
+    * lies in [minTokens, maxTokens], whose duplicate-token fraction
+    * (1 − distinct/tokens) is ≤ maxDupTokenPct/100, and whose
+    * top-bigram fraction is ≤ maxTopBigramPct/100 — the standard
+    * pre-filter before dedup (boilerplate and keyword-stuffed pages
+    * fail these long before any near-dup pass sees them).
+    *
+    * Thresholds compare EXACT integer cross-products
+    * ((tokens − distinct)·100 ≤ tokens·pct), so no float boundary can
+    * disagree across engines or partitionings. Documents with no
+    * bigrams pass the bigram rule (no repetition evidence). Stats
+    * come from the one-pass native kernel ([[repetitionStats]]) —
+    * one scan, no shuffle. */
+  def gopherFilter(df: DataFrame, textCol: String,
+      maxDupTokenPct: Int = 30, maxTopBigramPct: Int = 20,
+      minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    require(maxDupTokenPct >= 0 && maxDupTokenPct <= 100)
+    require(maxTopBigramPct >= 0 && maxTopBigramPct <= 100)
+    require(minTokens >= 1 && maxTokens >= minTokens)
+    df.withColumn("__r", repetitionStats(col(textCol)))
+      .filter(col("__r.n_tokens") >= minTokens &&
+        col("__r.n_tokens") <= maxTokens &&
+        (col("__r.n_tokens") - col("__r.n_distinct")) * 100 <=
+          col("__r.n_tokens") * maxDupTokenPct &&
+        col("__r.top_bigram_n") * 100 <=
+          col("__r.n_bigrams") * maxTopBigramPct)
+      .drop("__r")
+  }
+
   /** Fixed-width TOKEN-LENGTH HISTOGRAM: per-doc whitespace token
     * counts binned at `binWidth`, the last bin open-ended (the
     * corpus-QA length distribution every curation report starts

@@ -1910,6 +1910,62 @@ object PipelineQueries {
                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_docs
             FROM g ORDER BY bin"""))
 
+  /** TS10: Gopher-style repetition/length filter
+    * ([[TextAnalysis.gopherFilter]]) — the pre-dedup quality gate.
+    * All four rules bind on this fixture (thresholds chosen against
+    * the measured stat distribution: dup-token median 0.54, bigram
+    * p90 0.069, token p10 21/p90 88). Integer cross-product
+    * comparisons — no float boundary exists anywhere in the gate. */
+  private val ts10 = QueryDef(
+    "ts10_gopher_filter",
+    "repetition/length quality filter (integer threshold algebra)",
+    (s, dir) => TextAnalysis.gopherFilter(Tables.documents(s, dir),
+      "text", maxDupTokenPct = 60, maxTopBigramPct = 5,
+      minTokens = 25, maxTokens = 100)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, lang,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents),
+            b AS (SELECT doc_id, lang,
+              len(toks) AS n_tokens,
+              len(list_distinct(toks)) AS n_distinct,
+              list_transform(range(1, len(toks)),
+                i -> toks[i] || chr(1) || toks[i+1]) AS bg
+              FROM t),
+            c AS (SELECT doc_id, g, count(*) AS cnt
+                  FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+                  GROUP BY doc_id, g),
+            m AS (SELECT doc_id, max(cnt) AS top_n FROM c GROUP BY doc_id)
+            SELECT b.doc_id, b.lang
+            FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+            WHERE n_tokens >= 25 AND n_tokens <= 100
+              AND (n_tokens - n_distinct) * 100 <= n_tokens * 60
+              AND coalesce(top_n, 0) * 100 <= len(bg) * 5
+            ORDER BY b.doc_id"""))
+
+  /** SM9: importance-weighted keep ([[Sampling.weightedKeep]]) —
+    * each doc survives with probability equal to its ts2 quality
+    * score (1e-9-rounded): the soft quality filter. Full membership
+    * compared; the oracle replicates hash bucket and weight. */
+  private val sm9 = QueryDef(
+    "sm9_weighted_keep",
+    "per-doc quality-probability keep (full membership)",
+    (s, dir) => Sampling.weightedKeep(Tables.documents(s, dir),
+      "doc_id", round(TextAnalysis.qualityScore(col("text")), 9))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some("WITH docsrc AS (SELECT doc_id, lang AS grp, text FROM documents),\n" +
+      qualityFeatureSql("docsrc", "doc_id", "grp") + ",\n" +
+      s"""sc AS (SELECT doc_id, grp,
+         ${qualitySql("n_tokens", "stops", "digits", "n_chars", 9)} AS q9
+           FROM qf)\n""" +
+      """SELECT doc_id, grp AS lang FROM sc
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |        % 10000 < round(q9 * 10000.0)::BIGINT
+        |ORDER BY doc_id""".stripMargin))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -1995,6 +2051,6 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sp1,
+      ts9, ts10, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, mm1, a7b, a8b)
 }

@@ -201,6 +201,28 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("weightedKeep: keep rate tracks the weight, 0 and 1 are exact, zero shuffle") {
+    // weight 1 keeps everything, weight 0 nothing — the endpoints
+    // are exact, not probabilistic
+    assert(Sampling.weightedKeep(docs, "doc_id", lit(1.0)).count() ==
+      docs.count())
+    assert(Sampling.weightedKeep(docs, "doc_id", lit(0.0)).count() == 0)
+    // a 0.3 constant weight keeps ~30% (hash-uniform draw)
+    val frac = Sampling.weightedKeep(docs, "doc_id", lit(0.3)).count()
+      .toDouble / docs.count()
+    assert(frac > 0.2 && frac < 0.4, s"keep fraction $frac")
+    // deterministic, and the salt re-deals the draw
+    val a = Sampling.weightedKeep(docs, "doc_id", lit(0.5)).select("doc_id")
+    val b = Sampling.weightedKeep(docs, "doc_id", lit(0.5)).select("doc_id")
+    assert(a.except(b).count() == 0)
+    val c = Sampling.weightedKeep(docs, "doc_id", lit(0.5), salt = "v2:")
+      .select("doc_id")
+    assert(c.except(a).count() > 0)
+    val plan = Sampling.weightedKeep(docs, "doc_id", lit(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("hashTopKSample: k rows, reproducible, TakeOrdered plan with no exchange") {
     val s1 = Sampling.hashTopKSample(docs, "doc_id", k = 50)
     assert(s1.count() == 50)

@@ -110,6 +110,28 @@ class TextPiiSpec extends SparkSpec {
     assert(exchanges <= 1, s"only the token count may exchange:\n$plan")
   }
 
+  test("gopherFilter: each rule drops its own violator, clean doc passes") {
+    import spark.implicits._
+    val good = "alpha beta gamma delta epsilon zeta eta theta"     // 8 distinct
+    val shortDoc = "alpha beta"                                    // length rule
+    val dupSoup = "spam spam spam spam spam alpha beta gamma"      // dup-token rule
+    val bigramLoop = ("click here " * 4).trim + " alpha beta gamma delta" // bigram rule
+    val docs = Seq((1L, good), (2L, shortDoc), (3L, dupSoup), (4L, bigramLoop))
+      .toDF("id", "text")
+    val kept = TextAnalysis.gopherFilter(docs, "text",
+      maxDupTokenPct = 30, maxTopBigramPct = 20, minTokens = 5,
+      maxTokens = 100).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"kept $kept")
+    // no-bigram doc passes the bigram rule (no repetition evidence)
+    val one = Seq((9L, "single")).toDF("id", "text")
+    assert(TextAnalysis.gopherFilter(one, "text", minTokens = 1)
+      .count() == 1)
+    // pure per-row filter: no exchange anywhere
+    val plan = TextAnalysis.gopherFilter(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("lengthHistogram: bins partition the corpus, top bin open-ended, empty docs bin 0") {
     import spark.implicits._
     val docs = Seq(
