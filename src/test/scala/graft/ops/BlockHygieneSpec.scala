@@ -45,4 +45,13 @@ class BlockHygieneSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
+
+  test("cluster-best keep retains no blocks (eager CC inside)") {
+    val pairs = Dedup.minhashLshPairs(fixtureDocs, "id", "text")
+      .select("id_a", "id_b")
+    Dedup.keepBestPerCluster(fixtureDocs, "id", pairs,
+      length(col("text")).cast("double")).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
 }
