@@ -1966,6 +1966,102 @@ object PipelineQueries {
         |        % 10000 < round(q9 * 10000.0)::BIGINT
         |ORDER BY doc_id""".stripMargin))
 
+  /** TP4: curation pipeline v2 — this round's operators composed
+    * end-to-end the way a corpus build actually runs them:
+    * Gopher repetition/length filter (ts10) → QUALITY-ARGMAX
+    * cluster dedup (d11: LSH pairs → CC → keep best) → token-budget
+    * cap per language in quality order (sm7). Each stage consumes
+    * the previous stage's survivors; the oracle replicates all
+    * three stages plus the shared quality/tokenization arithmetic
+    * in one SQL chain — the composition is what's verified, not
+    * the pieces. */
+  private val tp4 = QueryDef(
+    "tp4_curation_v2",
+    "gopher filter -> cluster-best dedup -> token budget (composed)",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"), col("lang"))
+      val pert = base.filter(col("id") % 4 === 0)
+        .select((col("id") + 10000).as("id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"),
+          col("lang"))
+      val corpus = base.unionByName(pert)
+      val filtered = TextAnalysis.gopherFilter(corpus, "text",
+        maxDupTokenPct = 75, maxTopBigramPct = 10,
+        minTokens = 10, maxTokens = 120)
+      val scored = filtered.withColumn("q9",
+        round(TextAnalysis.qualityScore(col("text")), 9))
+      val pairs = Dedup.minhashLshPairs(scored, "id", "text",
+        shingleLen = 3, numHashes = NumHashes, bands = Bands,
+        threshold = 0.6, bucketCap = CatalogCap)
+      val kept = Dedup.keepBestPerCluster(scored, "id", pairs, col("q9"))
+        .withColumn("tok", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      Sampling.tokenBudgetCap(kept, "lang", col("tok"), budget = 1500L,
+        Seq(col("q9").desc, col("id").asc))
+        .select(col("lang"), col("id"), col("tok"), col("cum_tokens"))
+        .orderBy("lang", "id")
+    },
+    Some("WITH RECURSIVE corpus AS (\n" +
+      """  SELECT doc_id AS id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS id,
+        |         regexp_replace(text, '^\S+\s+', '') AS text, lang
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |gt AS (SELECT id, lang, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |       FROM corpus),
+        |gb AS (SELECT id, lang, text, len(toks) AS n_tokens,
+        |         len(list_distinct(toks)) AS n_distinct,
+        |         list_transform(range(1, len(toks)),
+        |           i -> toks[i] || chr(1) || toks[i+1]) AS bg
+        |       FROM gt),
+        |gm AS (SELECT id, max(cnt) AS top_n
+        |       FROM (SELECT id, g, count(*) AS cnt
+        |             FROM (SELECT id, unnest(bg) AS g FROM gb)
+        |             GROUP BY id, g)
+        |       GROUP BY id),
+        |fcorpus AS (SELECT gb.id, gb.lang, gb.text
+        |            FROM gb LEFT JOIN gm ON gb.id = gm.id
+        |            WHERE n_tokens >= 10 AND n_tokens <= 120
+        |              AND (n_tokens - n_distinct) * 100 <= n_tokens * 75
+        |              AND coalesce(top_n, 0) * 100 <= len(bg) * 10),
+        |""".stripMargin +
+      "pairs AS (WITH " + lshOracleSql(
+        """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM fcorpus),
+           it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                  FROM tok WHERE len(t) >= 3)""", 0.6) + "),\n" +
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |cc(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach),
+        |clus AS (SELECT node AS id, min(reach) AS cluster_id FROM cc
+        |         GROUP BY node),
+        |withc AS (SELECT f.id, coalesce(cl.cluster_id, f.id) AS cluster_id,
+        |            f.lang, f.text
+        |          FROM fcorpus f LEFT JOIN clus cl ON cl.id = f.id),
+        |""".stripMargin +
+      qualityFeatureSql("withc", "id", "cluster_id, lang") + ",\n" +
+      s"""sc AS (SELECT id, cluster_id, lang, n_tokens::BIGINT AS tok,
+         ${qualitySql("n_tokens", "stops", "digits", "n_chars", 9)} AS q9
+           FROM qf),\n""" +
+      """r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |                           ORDER BY q9 DESC, id) AS rn
+        |      FROM sc),
+        |kept AS (SELECT id, lang, q9, tok FROM r WHERE rn = 1),
+        |rr AS (SELECT *,
+        |         sum(tok) OVER (PARTITION BY lang
+        |                        ORDER BY q9 DESC, id
+        |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |       FROM kept)
+        |SELECT lang, id, tok, cum_tokens FROM rr
+        |WHERE cum_tokens - tok < 1500 ORDER BY lang, id""".stripMargin))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -2052,5 +2148,5 @@ object PipelineQueries {
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, mm1, a7b, a8b)
+      tp1, tp2, tp3, tp4, mm1, a7b, a8b)
 }
