@@ -267,36 +267,100 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       val nextDir = tableDir(table).resolve(tmpName(staged))
       merged.write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
-      // share untouched bucket dirs from the previous version without
-      // rewriting them (hard links on POSIX, copies on object stores).
-      // If the base version vanishes mid-link, competitors advanced
-      // past the retention window — surface it as the retryable
-      // conflict it is, not a raw I/O error. (Deployments should size
-      // keepVersions comfortably above the concurrent-writer count so
-      // a merger's base version normally survives its operation.)
-      try {
-        Files.list(curDir).iterator().asScala
-          .filter(p => Files.isDirectory(p))
-          .filter(p => p.getFileName.toString.startsWith(s"$BucketCol="))
-          .filterNot(p => touched.contains(
-            p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt))
-          .foreach { src =>
-            val dst = nextDir.resolve(src.getFileName.toString)
-            Files.createDirectories(dst)
-            Files.list(src).iterator().asScala
-              .filter(f => Files.isRegularFile(f))
-              .foreach(f => io.shareFile(f, dst.resolve(f.getFileName.toString)))
-          }
-      } catch {
-        case _: java.nio.file.NoSuchFileException =>
-          deleteRecursively(nextDir)
-          throw new ConcurrentCommitException(
-            s"base version $curDir pruned during bucket linking — " +
-              "concurrent commits advanced past retention; re-read and retry")
-      }
+      shareUntouchedBuckets(curDir, nextDir, touched)
       finalizeStaged(table, staged)
       publish(table, staged, prev)
       readDir(spark, table, staged)
+    }
+  }
+
+  /** Share untouched bucket dirs from the previous version without
+    * rewriting them (hard links on POSIX, copies on object stores).
+    * If the base version vanishes mid-link, competitors advanced
+    * past the retention window — surface it as the retryable
+    * conflict it is, not a raw I/O error. (Deployments should size
+    * keepVersions comfortably above the concurrent-writer count so
+    * a merger's base version normally survives its operation.) */
+  private def shareUntouchedBuckets(curDir: Path, nextDir: Path,
+      touched: Set[Int]): Unit = {
+    try {
+      Files.list(curDir).iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .filter(p => p.getFileName.toString.startsWith(s"$BucketCol="))
+        .filterNot(p => touched.contains(
+          p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt))
+        .foreach { src =>
+          val dst = nextDir.resolve(src.getFileName.toString)
+          Files.createDirectories(dst)
+          Files.list(src).iterator().asScala
+            .filter(f => Files.isRegularFile(f))
+            .foreach(f => io.shareFile(f, dst.resolve(f.getFileName.toString)))
+        }
+    } catch {
+      case _: java.nio.file.NoSuchFileException =>
+        deleteRecursively(nextDir)
+        throw new ConcurrentCommitException(
+          s"base version $curDir pruned during bucket linking — " +
+            "concurrent commits advanced past retention; re-read and retry")
+    }
+  }
+
+  /** MAINTENANCE: compact a bucketed table's fragmented buckets.
+    * O(delta) upserts rewrite a touched bucket as one fresh file set
+    * per commit, and the shuffle that feeds each rewrite can emit
+    * several part files — so hot buckets accumulate files version
+    * over version, and scan cost drifts up even though the data
+    * volume doesn't (the classic lakehouse small-files problem).
+    * Compaction rewrites every bucket whose parquet file count
+    * exceeds `maxFilesPerBucket` down to ONE file (each bucket is
+    * hash-routed to a single task, so `partitionBy` emits exactly
+    * one part per bucket), shares all other buckets untouched, and
+    * publishes through the same CAS pointer swap as any commit.
+    *
+    * Concurrency: a compaction is a semantic no-op, so losing the
+    * pointer race to a concurrent upsert is always safe — the CAS
+    * throws [[ConcurrentCommitException]], the staged dir is
+    * dropped, and [[withCommitRetries]] re-reads the winner's base
+    * and re-compacts (or finds nothing left to do).
+    *
+    * Returns the bucket ids rewritten; empty = nothing fragmented,
+    * NO new version published (maintenance never churns versions
+    * for its own sake). */
+  def compactBuckets(spark: SparkSession, table: String,
+      maxFilesPerBucket: Int = 4): Set[Int] = {
+    require(maxFilesPerBucket >= 1)
+    numBuckets(table).getOrElse(throw new IllegalStateException(
+      s"table $table is not bucketed; snapshot tables rewrite whole on commit"))
+    val prev = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    val curDir = tableDir(table).resolve(dirNameOf(prev))
+    // bucket -> parquet part-file count; a driver-side listing of
+    // ≤ numBuckets dirs (same scale contract as the touched-set)
+    val counts: Map[Int, Int] = Files.list(curDir).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$BucketCol="))
+      .map { p =>
+        val b = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+        val n = Files.list(p).iterator().asScala.count(f =>
+          Files.isRegularFile(f) &&
+            !f.getFileName.toString.startsWith("_") &&
+            !f.getFileName.toString.startsWith("."))
+        b -> n
+      }.toMap
+    val rewrite = counts.filter(_._2 > maxFilesPerBucket).keySet
+    if (rewrite.isEmpty) Set.empty
+    else {
+      val fragmented = spark.read.parquet(curDir.toString)
+        .filter(col(BucketCol).isin(rewrite.toSeq: _*))
+        .repartition(rewrite.size, col(BucketCol))
+      val staged = stagedDirName(versionOf(dirNameOf(prev)) + 1)
+      val nextDir = tableDir(table).resolve(tmpName(staged))
+      fragmented.write.mode("errorifexists")
+        .partitionBy(BucketCol).parquet(nextDir.toString)
+      shareUntouchedBuckets(curDir, nextDir, rewrite)
+      finalizeStaged(table, staged)
+      publish(table, staged, Some(prev))
+      rewrite
     }
   }
 

@@ -252,4 +252,53 @@ class ParquetTableStoreSpec extends SparkSpec {
     // current read is pointer-resolved and unaffected
     assert(store.read(spark, "t").head.getInt(0) == 2)
   }
+
+  test("compaction: fragmented buckets collapse to one file, rest stay linked, data exact") {
+    import spark.implicits._
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root, keepVersions = 10)
+    val base = (1 to 200).map(i => (s"k$i", s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 4)
+    // fragment the hot buckets: repeated deltas each add part files
+    (1 to 6).foreach { r =>
+      store.upsertBucketed(spark, "t",
+        (1 to 40).map(i => (s"k$i", s"v$i-r$r")).toDF("k", "v"), Seq("k"))
+    }
+    val vBefore = store.currentVersion("t").get
+    val expected = store.read(spark, "t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    def filesPerBucket(v: Long): Map[String, Int] =
+      inodesUnder(verDir(root, "t", v)).keys
+        .groupBy(_.split('/').head).map { case (d, fs) => d -> fs.size }
+    assert(filesPerBucket(vBefore).values.max > 1, "fixture failed to fragment")
+
+    val rewritten = store.compactBuckets(spark, "t", maxFilesPerBucket = 1)
+    assert(rewritten.nonEmpty)
+    val vAfter = store.currentVersion("t").get
+    assert(vAfter == vBefore + 1)
+    // every rewritten bucket is now exactly one part file; untouched
+    // buckets are the same inodes (shared, not copied)
+    val after = filesPerBucket(vAfter)
+    rewritten.foreach(b => assert(after(s"__kb=$b") == 1, after))
+    val beforeInodes = inodesUnder(verDir(root, "t", vBefore))
+    val afterInodes = inodesUnder(verDir(root, "t", vAfter))
+    val untouched = after.keys.filterNot(d =>
+      rewritten.contains(d.stripPrefix("__kb=").toInt))
+    untouched.foreach { d =>
+      afterInodes.filter(_._1.startsWith(d + "/")).foreach { case (rel, ino) =>
+        assert(beforeInodes.get(rel).contains(ino), s"$rel not shared") }
+    }
+    // the data is bit-for-bit the same snapshot
+    val got = store.read(spark, "t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == expected)
+    // an already-compact table publishes NOTHING
+    assert(store.compactBuckets(spark, "t", maxFilesPerBucket = 1).isEmpty)
+    assert(store.currentVersion("t").contains(vAfter))
+    // and upserts compose on top of the compacted base
+    store.upsertBucketed(spark, "t", Seq(("k1", "zz")).toDF("k", "v"), Seq("k"))
+    assert(store.read(spark, "t")
+      .filter(org.apache.spark.sql.functions.col("k") === "k1")
+      .head.getString(1) == "zz")
+  }
 }
