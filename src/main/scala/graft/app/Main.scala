@@ -24,6 +24,7 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main dedup-transcripts <storeDir> [threshold]
   *   runMain graft.app.Main pack-transcripts <storeDir> [window] [budget]
   *   runMain graft.app.Main ingest-docs <storeDir> <inboxDir> [threshold]
+  *   runMain graft.app.Main compact <storeDir> <table> [maxFilesPerBucket]
   * }}}
   *
   * The sync uses the deterministic offline connector (this container
@@ -202,6 +203,23 @@ object Main {
           println("rejected near-duplicates (best corpus match):")
           show(t("near_dup_rejects").orderBy("id"))
         }
+
+      case "compact" =>
+        // lakehouse maintenance: collapse fragmented buckets of a
+        // bucketed store table ([[ParquetTableStore.compactBuckets]]);
+        // safe to run concurrently with ingest — a lost pointer race
+        // retries against the winner's base
+        val table = args(2)
+        val maxFiles = if (args.length > 3) args(3).toInt else 4
+        val rewritten = store.withCommitRetries() {
+          store.compactBuckets(spark, table, maxFiles)
+        }
+        if (rewritten.isEmpty)
+          println(s"$table: nothing fragmented past $maxFiles files/bucket")
+        else
+          println(s"$table: compacted ${rewritten.size} buckets " +
+            s"(${rewritten.toSeq.sorted.mkString(",")}) -> " +
+            s"v${store.currentVersion(table).getOrElse(-1L)}")
 
       case other =>
         sys.error(s"unknown command '$other' — see graft.app.Main scaladoc")

@@ -42,4 +42,28 @@ class MainIngestSpec extends SparkSpec {
     assert(rej.length == 1 && rej.head.getAs[Long]("id") == 10L
       && rej.head.getAs[Long]("matched_id") == 1L)
   }
+
+  test("compact CLI: maintenance pass after repeated ingests, snapshot unchanged") {
+    import spark.implicits._
+    val root = tmpDir("maincompact")
+    val store = new ParquetTableStore(root, keepVersions = 10)
+    store.upsertBucketed(spark, "corpus",
+      (1 to 100).map(i => (i.toLong, s"text $i")).toDF("id", "text"),
+      Seq("id"), numBuckets = 4)
+    (1 to 5).foreach { r =>
+      store.upsertBucketed(spark, "corpus",
+        (1 to 30).map(i => (i.toLong, s"text $i rev $r")).toDF("id", "text"),
+        Seq("id"))
+    }
+    val before = store.read(spark, "corpus").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    Main.run(spark, Array("compact", root, "corpus", "1"))
+    val after = store.read(spark, "corpus").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after == before)
+    // idempotent second pass publishes nothing
+    val v = store.currentVersion("corpus")
+    Main.run(spark, Array("compact", root, "corpus", "1"))
+    assert(store.currentVersion("corpus") == v)
+  }
 }
