@@ -1609,6 +1609,113 @@ object PipelineQueries {
               md5(text) AS digest
             FROM documents ORDER BY doc_id"""))
 
+  /** MM2: the codec SPI path itself, ORACLE-CHECKED — synthetic
+    * media (text bytes as payload) through
+    * [[graft.multimodal.Multimodal.decodeAndFeaturize]]: the REAL
+    * mapPartitions plumbing (one codec per partition, task-completion
+    * close) with the deterministic stub codec, whose features are a
+    * pure function of the payload bytes — so DuckDB replicates the
+    * whole path: digest, byte length, and each feature's integer
+    * numerator ((ord(hex char)·31 + i·7) mod 997; the engine emits
+    * numerator/997 as float32, the gate multiplies back and rounds,
+    * recovering the integer exactly). A deployment's JNI codec swaps
+    * in behind the same SPI; this row pins everything around it. */
+  private val mm2 = QueryDef(
+    "mm2_codec_featurize",
+    "mapPartitions codec featurize (integer feature numerators)",
+    (s, dir) => {
+      import s.implicits._
+      val items = graft.multimodal.Multimodal
+        .syntheticMedia(Tables.documents(s, dir))
+        .as[graft.multimodal.Multimodal.MediaItem]
+      graft.multimodal.Multimodal.decodeAndFeaturize(items, dim = 8)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"), col("digest"),
+          posexplode(col("features")).as(Seq("pos", "f")))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("digest"), col("pos").cast("long").as("pos"),
+          round(col("f") * 997.0, 0).cast("long").as("f_num"))
+        .orderBy("media_id", "pos")
+    },
+    Some("""WITH f AS (SELECT doc_id AS media_id,
+              (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
+              octet_length(text::BLOB)::BIGINT AS n_bytes,
+              md5(text) AS digest
+            FROM documents)
+            SELECT media_id, kind, n_bytes, digest, i AS pos,
+              ((ord(substr(digest, (i % 32)::INT + 1, 1)) * 31 + i * 7)
+                % 997)::BIGINT AS f_num
+            FROM f, generate_series(0, 7) AS gs(i)
+            ORDER BY media_id, pos"""))
+
+  /** MM3: resize metadata — the aspect-preserving fit arithmetic
+    * (engine-side part of a resize; the pixel re-encode is the
+    * codec's job). Pure column exprs, integer output. */
+  private val mm3 = QueryDef(
+    "mm3_resize_meta",
+    "aspect-preserving resize metadata (fit into 160x90)",
+    (s, dir) => graft.multimodal.Multimodal.resizeMeta(
+      graft.multimodal.Multimodal
+        .syntheticMedia(Tables.documents(s, dir)), 160, 90)
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_width"), col("out_height"))
+      .orderBy("media_id"),
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+              (n_chars % 1920 + 1)::INT AS width,
+              (n_chars % 1080 + 1)::INT AS height
+            FROM documents),
+            s AS (SELECT *, least(160.0 / width, 90.0 / height, 1.0) AS sc
+                  FROM m)
+            SELECT media_id, width, height,
+              floor(width * sc)::INT AS out_width,
+              floor(height * sc)::INT AS out_height
+            FROM s ORDER BY media_id"""))
+
+  /** MM4: frame sampling — video rows fan out to ≤ maxFrames stride-
+    * sampled frames, each frame's bytes decoded through the codec
+    * SPI (stub: a 64-byte window into the payload at the frame
+    * index). The stride/cap selection AND the stub decode are
+    * deterministic, so the oracle replicates the fan-out and
+    * hash-checks every frame payload. */
+  private val mm4 = QueryDef(
+    "mm4_frame_sample",
+    "stride frame sampling through the codec (fan-out + payload hash)",
+    (s, dir) => {
+      import s.implicits._
+      val items = graft.multimodal.Multimodal
+        .syntheticMedia(Tables.documents(s, dir))
+        .as[graft.multimodal.Multimodal.MediaItem]
+      graft.multimodal.Multimodal.sampleFrames(items, maxFrames = 4)
+        .toDF()
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width"), col("height"), md5(col("bytes")).as("frame_digest"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH v AS (SELECT doc_id AS media_id, text,
+              (n_chars % 1920 + 1)::INT AS width,
+              (n_chars % 1080 + 1)::INT AS height,
+              (n_chars % 30 + 1)::INT AS n_frames
+            FROM documents WHERE doc_id % 3 = 2),
+            idx AS (SELECT media_id, text, width, height, n_frames,
+                      greatest(1, n_frames // 4) AS stride
+                    FROM v),
+            ex AS (SELECT media_id, text, width, height,
+                     unnest(range(0, n_frames, stride)) AS frame_idx
+                   FROM idx),
+            fr AS (SELECT *,
+                     row_number() OVER (PARTITION BY media_id
+                                        ORDER BY frame_idx) AS rn
+                   FROM ex),
+            cut AS (SELECT media_id, frame_idx, width, height,
+                      least(frame_idx,
+                        greatest(0, octet_length(text::BLOB) - 1)) AS lo,
+                      text
+                    FROM fr WHERE rn <= 4)
+            SELECT media_id, frame_idx, width, height,
+              md5(substr(text, lo::INT + 1, 64)) AS frame_digest
+            FROM cut ORDER BY media_id, frame_idx"""))
+
   /** A7 scale path: approx_count_distinct sketch. The sketch value
     * itself has no exact SQL oracle by design — but its ERROR BAND
     * does: the query emits the exact count plus a boolean asserting
@@ -2148,5 +2255,5 @@ object PipelineQueries {
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, mm1, a7b, a8b)
+      tp1, tp2, tp3, tp4, mm1, mm2, mm3, mm4, a7b, a8b)
 }
