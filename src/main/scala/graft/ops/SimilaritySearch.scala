@@ -223,6 +223,73 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** PERSISTENT IVF index: build once, probe per batch — the
+    * vector-search twin of the d10 stored LSH index. The index is
+    * two plain DataFrames a table store versions like any other
+    * artifact: the sample codebook (`numCentroids` rows of
+    * (cid, cvec)) and the cellCap-capped member list
+    * (centroid_id, neighbor_id). Building pays the one corpus
+    * assignment pass; every later batch probes without it. */
+  def ivfIndexFrames(candidates: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, cellCap: Int = 10000): (DataFrame, DataFrame) = {
+    val codebookDf = candidates
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      .orderBy("cid").limit(numCentroids)
+    val codebook = Ivf.sampleCodebook(candidates, idCol, vecCol, numCentroids)
+    val corpusAssign = Ivf.assignmentsWithCodebook(candidates, idCol, vecCol,
+      codebook, probes = 1)
+      .select(col("id").as("neighbor_id"), col("centroid_id"))
+    val wc = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("neighbor_id").asc)
+    val members = corpusAssign
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= cellCap)
+      .drop("__rn")
+    (codebookDf, members)
+  }
+
+  /** Probe a STORED IVF index ([[ivfIndexFrames]], round-tripped
+    * through any table store) with a query batch: re-derive the
+    * driver codebook from the stored frame (k·dim — the documented
+    * [[Ivf]] driver contract), assign ONLY the batch, join the
+    * stored member list, exact-cosine rank. Nothing corpus-sized is
+    * re-assigned or broadcast at probe time — the corpus appears
+    * only as the pinned SHUFFLE_HASH vector re-attach, exactly
+    * [[ivfTopK]]'s verify side. With the same codebook, caps, and
+    * probes, results are IDENTICAL to the in-memory [[ivfTopK]]
+    * (spec-pinned). */
+  def probeStoredIvf(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, codebookDf: DataFrame,
+      members: DataFrame, k: Int, probes: Int = 4): DataFrame = {
+    val codebook: Ivf.Codebook = codebookDf
+      .select(col("cid"), col("cvec"))
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toIndexedSeq))
+      .toIndexedSeq
+    val queryAssign = Ivf.assignmentsWithCodebook(queries, idCol, vecCol,
+      codebook, probes)
+      .select(col("id").as("query_id"), col("centroid_id"))
+    val cand = queryAssign
+      .join(members.select(col("centroid_id"), col("neighbor_id")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        "query_id")
+      .join(candidates
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .hint("shuffle_hash"), "neighbor_id")
+      .withColumn("cos",
+        graft.plans.VectorKernels.cosineSim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Recall@k of an ANN result against exact ground truth: both
     * frames carry (query_id, neighbor_id) rows (any extra columns
     * ignored); returns one row per ground-truth query —

@@ -2017,6 +2017,61 @@ object PipelineQueries {
                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_docs
             FROM g ORDER BY bin"""))
 
+  /** SS9: STORED-index IVF probe ([[SimilaritySearch.ivfIndexFrames]]
+    * + [[SimilaritySearch.probeStoredIvf]]) — the production
+    * vector-search shape: the corpus is assigned to cells ONCE (the
+    * index artifacts live in the table store; the spec proves the
+    * parquet round-trip and the probe ≡ in-memory ivfTopK identity),
+    * then each query batch assigns only itself and joins the stored
+    * member list. The oracle replicates the same algorithm with the
+    * batch at ids 100–109 — a different batch than ss3's, proving
+    * the index serves ARBITRARY later batches, not the one it was
+    * built with. */
+  private val ss9 = QueryDef(
+    "ss9_stored_ivf_probe",
+    "query batch probes a prebuilt IVF index (build-once, probe-many)",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val (cb, members) = SimilaritySearch.ivfIndexFrames(e, "id",
+        "embedding", numCentroids = 32, cellCap = 1000)
+      val q = e.filter(col("id") >= 100 && col("id") < 110)
+      SimilaritySearch.probeStoredIvf(q, e, "id", "embedding", cb,
+        members, k = 5, probes = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH anchors AS (SELECT vec_id AS cid, embedding AS avec
+                              FROM embeddings ORDER BY vec_id LIMIT 32),
+             aff AS (SELECT e.vec_id AS id, a.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${cosSql("e.embedding", "a.avec")}
+                           DESC, a.cid) AS rn
+                     FROM embeddings e, anchors a),
+             cassign AS (SELECT id AS neighbor_id, cid FROM aff
+                         WHERE rn <= 1),
+             qassign AS (SELECT id AS query_id, cid FROM aff
+                         WHERE id >= 100 AND id < 110 AND rn <= 8),
+             capped AS (SELECT neighbor_id, cid,
+                          row_number() OVER (PARTITION BY cid
+                            ORDER BY neighbor_id) AS crn
+                        FROM cassign),
+             cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+                      FROM qassign q JOIN capped c ON q.cid = c.cid
+                      WHERE c.crn <= 1000
+                        AND q.query_id != c.neighbor_id),
+             scored AS (SELECT query_id, neighbor_id,
+                          ${cosSql("eq.embedding", "ec.embedding")} AS cos
+                        FROM cand
+                        JOIN embeddings eq ON eq.vec_id = cand.query_id
+                        JOIN embeddings ec ON ec.vec_id = cand.neighbor_id),
+             ranked AS (SELECT *, row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+                        FROM scored)
+             SELECT query_id, rank, neighbor_id
+             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** TS10: Gopher-style repetition/length filter
     * ([[TextAnalysis.gopherFilter]]) — the pre-dedup quality gate.
     * All four rules bind on this fixture (thresholds chosen against
@@ -2253,7 +2308,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, dc1, dc2, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, mm1, mm2, mm3, mm4, a7b, a8b)
 }

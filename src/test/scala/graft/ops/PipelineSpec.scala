@@ -172,6 +172,39 @@ class PipelineSpec extends SparkSpec {
       none.filter(col("hits") =!= 0).count() == 0)
   }
 
+  test("stored IVF index: parquet round-trip probe is identical to in-memory ivfTopK") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") >= 20 && col("id") < 26)
+    val (cb, members) = SimilaritySearch.ivfIndexFrames(e, "id",
+      "embedding", numCentroids = 16, cellCap = 1000)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    try {
+      cb.write.mode("overwrite").parquet(s"$tmp/codebook")
+      members.write.mode("overwrite").parquet(s"$tmp/members")
+      val probed = SimilaritySearch.probeStoredIvf(q, e, "id", "embedding",
+        spark.read.parquet(s"$tmp/codebook"),
+        spark.read.parquet(s"$tmp/members"), k = 4, probes = 4)
+      val direct = SimilaritySearch.ivfTopK(q, e, "id", "embedding",
+        k = 4, numCentroids = 16, probes = 4, cellCap = 1000)
+      val pRows = probed.select("query_id", "rank", "neighbor_id").collect().toSet
+      val dRows = direct.select("query_id", "rank", "neighbor_id").collect().toSet
+      assert(pRows == dRows && pRows.nonEmpty)
+      // probe-time plan: exactly ONE assignment subtree (the query
+      // batch) — the corpus assignment was paid at build time and
+      // must never recur per batch
+      val probePlan = SimilaritySearch.probeStoredIvf(q, e, "id", "embedding",
+        spark.read.parquet(s"$tmp/codebook"),
+        spark.read.parquet(s"$tmp/members"), k = 4, probes = 4)
+        .queryExecution.executedPlan.toString
+      val directPlan = direct.queryExecution.executedPlan.toString
+      def assigns(p: String) = "ivf_top_cells".r.findAllIn(p).size
+      assert(assigns(probePlan) < assigns(directPlan),
+        s"probe must not re-assign the corpus: probe=${assigns(probePlan)} direct=${assigns(directPlan)}")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("simhash hamming pairs: pigeonhole recall is complete within the radius") {
     import spark.implicits._
     val docs = Seq(
