@@ -93,6 +93,60 @@ object ConnectedComponents {
     } finally freeAll()
   }
 
+  /** INCREMENTAL cluster maintenance: fold a NEW batch's pair graph
+    * into an existing (id, cluster_id) label map without
+    * re-clustering the corpus — the d10 discipline applied to the
+    * transitive closure. New pairs have their endpoints REWRITTEN to
+    * their stored representatives (unknown ids represent
+    * themselves), the fixpoint then runs on that rep graph — sized
+    * by the DELTA's connectivity, not the corpus — and the resulting
+    * rep→rep merges are joined back over the stored map in one pass.
+    *
+    * Labels keep the min-id invariant: every stored rep is already
+    * its component's min, and the rep-graph CC takes the min of
+    * merged reps, so the final label is the global min id of the
+    * merged component — EXACTLY what from-scratch clustering over
+    * (old ∪ new) pairs produces (gate d12 pins this identity against
+    * a full recursive-CTE oracle).
+    *
+    * Output: one row per id in `stored` ∪ ids(newPairs), labeled
+    * (id, cluster_id). Scale shape: two broadcast-or-shuffle joins
+    * keyed by id to rewrite endpoints + one join to relabel the
+    * stored map; the EAGER fixpoint (the only iterative part)
+    * touches only the delta's rep edges. */
+  def mergeClusters(stored: DataFrame, newPairs: DataFrame): DataFrame = {
+    val lbl = stored.select(col(stored.columns(0)).cast("long").as("__id"),
+      col(stored.columns(1)).cast("long").as("__rep"))
+    val p = newPairs.select(
+      col(newPairs.columns(0)).cast("long").as("u"),
+      col(newPairs.columns(1)).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+    def rewrite(side: String): DataFrame => DataFrame = df =>
+      df.join(lbl.select(col("__id").as(side), col("__rep").as(s"__r_$side")),
+          Seq(side), "left")
+        .withColumn(side, coalesce(col(s"__r_$side"), col(side)))
+        .drop(s"__r_$side")
+    val repEdges = rewrite("v")(rewrite("u")(p))
+      .where(col("u") =!= col("v"))
+    // the fixpoint runs on rep-graph edges only (delta-sized);
+    // an empty rep graph (batch connects nothing) skips it entirely
+    val merges =
+      if (repEdges.isEmpty) repEdges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("cluster_id")).limit(0)
+      else duplicateClusters(repEdges)
+    val m = merges.select(col("id").as("__m_id"),
+      col("cluster_id").as("__m_rep"))
+    // every id we must label: the stored corpus plus the batch's ids
+    val batchIds = p.select(col("u").as("__id"))
+      .unionByName(p.select(col("v").as("__id"))).distinct()
+      .join(lbl.select("__id"), Seq("__id"), "left_anti")
+      .withColumn("__rep", col("__id"))
+    lbl.unionByName(batchIds)
+      .join(m, col("__rep") === col("__m_id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("__m_rep"), col("__rep")).as("cluster_id"))
+  }
+
   /** Undirected edge in canonical (lo < hi) form, self-loops dropped. */
   private def canonical(df: DataFrame): DataFrame =
     df.select(least(col("u"), col("v")).as("lo"),

@@ -366,6 +366,79 @@ object PipelineQueries {
             SELECT corpus_id, new_id, jaccard FROM verif
             WHERE jaccard >= 0.6 ORDER BY corpus_id, new_id"""))
 
+  /** D12: INCREMENTAL cluster maintenance
+    * ([[ConnectedComponents.mergeClusters]]) — the d10 discipline
+    * applied to the transitive closure: stored cluster labels (d9's
+    * pipeline over the dup corpus) absorb a NEW batch's incremental
+    * pairs (d10's probe, batch = further-perturbed docs at +30000)
+    * WITHOUT re-clustering the corpus — the eager fixpoint touches
+    * only the delta's rep-graph edges. The oracle clusters the
+    * UNION of both pair sets from scratch with the recursive CTE:
+    * the gate therefore pins the identity incremental ≡ full, which
+    * is this operator's entire contract. */
+  private val d12 = QueryDef(
+    "d12_incremental_clusters",
+    "new-batch pairs folded into stored clusters (≡ from-scratch)",
+    (s, dir) => {
+      val corpus = dupCorpus(s, dir)
+      val stored = ConnectedComponents.duplicateClusters(
+        Dedup.minhashLshPairs(corpus, "id", "text",
+          shingleLen = 3, numHashes = NumHashes, bands = Bands,
+          threshold = 0.6, bucketCap = CatalogCap)
+          .select("id_a", "id_b"))
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 30000).as("id"),
+          regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text"))
+      val sigs = Dedup.lshSignatures(corpus, "id", "text", shingleLen = 3)
+      val index = Dedup.lshBandIndex(sigs, NumHashes, Bands, CatalogCap)
+      val incPairs = Dedup.incrementalLshPairs(batch, "id", "text",
+        index, sigs, shingleLen = 3, numHashes = NumHashes,
+        bands = Bands, threshold = 0.6)
+        .select("corpus_id", "new_id")
+      ConnectedComponents.mergeClusters(stored, incPairs)
+        .orderBy("id")
+    },
+    Some("WITH RECURSIVE " + dupCorpusSql + ",\n" +
+      """newc AS (SELECT doc_id + 30000 AS id,
+        |           regexp_replace(text, '^\S+\s+\S+\s+', '') AS text
+        |         FROM documents WHERE doc_id % 4 = 2),
+        |""".stripMargin +
+      "cpairs AS (WITH " + lshOracleSql(
+        """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM corpus),
+           it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                  FROM tok WHERE len(t) >= 3)""", 0.6) + "),\n" +
+      s"""${lshSideSql("o", "corpus")},
+          ${lshSideSql("n", "newc")},\n""" +
+      s"""ocapped AS (SELECT id, b, band_hash,
+                        row_number() OVER (PARTITION BY b, band_hash
+                                           ORDER BY id) AS rn
+                      FROM obands),
+          icand AS (SELECT DISTINCT o.id AS corpus_id, n.id AS new_id
+                    FROM ocapped o JOIN nbands n
+                      ON o.b = n.b AND o.band_hash = n.band_hash
+                         AND o.id <> n.id
+                    WHERE o.rn <= $CatalogCap),
+          ipairs AS (SELECT corpus_id, new_id
+                     FROM (SELECT corpus_id, new_id,
+                             len(list_intersect(x.hs, y.hs))::DOUBLE /
+                             len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE
+                               AS jaccard
+                           FROM icand JOIN ohashed x ON x.id = icand.corpus_id
+                                      JOIN nhashed y ON y.id = icand.new_id)
+                     WHERE jaccard >= 0.6),\n""" +
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM cpairs
+        |          UNION SELECT id_b, id_a FROM cpairs
+        |          UNION SELECT corpus_id, new_id FROM ipairs
+        |          UNION SELECT new_id, corpus_id FROM ipairs),
+        |cc(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach)
+        |SELECT node AS id, min(reach) AS cluster_id FROM cc
+        |GROUP BY node ORDER BY id""".stripMargin))
+
   /** D6: the production dedup ORDER as one verified pipeline — exact
     * dedup first (linear, digest-keyed), THEN near-dup LSH over the
     * survivors. The round-4 scale probe showed why this composition
@@ -2307,7 +2380,7 @@ object PipelineQueries {
             GROUP BY e.query_id ORDER BY e.query_id"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, mm1, mm2, mm3, mm4, a7b, a8b)

@@ -181,6 +181,56 @@ object ScaleProbe {
         } finally org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(tmp))
       }
+      // incremental clustering: stored labels + index built untimed
+      // (amortized over every batch); timed = one fixed batch's
+      // probe + rep-graph merge. Read against d9_clusters_x$m: that
+      // is the full re-cluster this replaces.
+      locally {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"probe-d12-x$m").toString
+        try {
+          val corpus = docs(m)
+          val pairs = Dedup.minhashLshPairs(corpus, "id", "text",
+            shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.6,
+            bucketCap = 1000).select("id_a", "id_b")
+          ConnectedComponents.duplicateClusters(pairs)
+            .write.mode("overwrite").parquet(s"$tmp/clusters")
+          val sigs = Dedup.lshSignatures(corpus, "id", "text")
+          sigs.write.mode("overwrite").parquet(s"$tmp/sigs")
+          Dedup.lshBandIndex(sigs, bucketCap = 1000)
+            .write.mode("overwrite").parquet(s"$tmp/index")
+          val batch = Tables.documents(spark, dir)
+            .filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 95000000L).as("id"),
+              regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+          probe(s"d12_incr_clusters_x$m", ConnectedComponents.mergeClusters(
+            spark.read.parquet(s"$tmp/clusters"),
+            Dedup.incrementalLshPairs(batch, "id", "text",
+              spark.read.parquet(s"$tmp/index"),
+              spark.read.parquet(s"$tmp/sigs"), threshold = 0.6)
+              .select("corpus_id", "new_id")))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+      }
+      // stored IVF probe: index built untimed; the timed probe
+      // assigns only the 10-query batch and joins the stored members
+      locally {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"probe-ss9-x$m").toString
+        try {
+          val (cb, members) = SimilaritySearch.ivfIndexFrames(vecs(m),
+            "id", "embedding",
+            numCentroids = math.max(32, math.sqrt(2000.0 * m).toInt),
+            cellCap = 1000)
+          cb.write.mode("overwrite").parquet(s"$tmp/cb")
+          members.write.mode("overwrite").parquet(s"$tmp/members")
+          probe(s"ss9_stored_probe_x$m", SimilaritySearch.probeStoredIvf(
+            vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
+            spark.read.parquet(s"$tmp/cb"),
+            spark.read.parquet(s"$tmp/members"), k = 5, probes = 8))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+      }
       probe(s"ss2_lsh_ann_x$m", SimilaritySearch.lshTopK(
         vecs(1).filter(col("id") < 10), vecs(m), "id", "embedding",
         k = 5, planes = 6, tables = 4, bucketCap = 200))

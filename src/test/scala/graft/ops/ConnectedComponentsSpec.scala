@@ -65,4 +65,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
     assert(got == lab)
   }
+
+  test("mergeClusters: incremental ≡ from-scratch on random deltas") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    // the delta reaches known ids AND brand-new ones (40-54)
+    val delta = Seq.fill(30)((rnd.nextInt(55).toLong, rnd.nextInt(55).toLong))
+      .filter(p => p._1 != p._2)
+    val stored = ConnectedComponents.duplicateClusters(base.toDF("id_a", "id_b"))
+    val inc = ConnectedComponents.mergeClusters(stored, delta.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = ConnectedComponents.duplicateClusters(
+      (base ++ delta).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full covers ids in some pair; incremental additionally carries
+    // stored singletons — restricted to full's domain they agree,
+    // and nothing in inc contradicts a full label
+    assert(full.keySet.subsetOf(inc.keySet))
+    full.foreach { case (id, rep) => assert(inc(id) == rep, s"id $id") }
+  }
+
+  test("mergeClusters: merge-through-new-id, pure-new component, no-op delta") {
+    // stored: {1,2} and {5,6}
+    val stored = ConnectedComponents.duplicateClusters(
+      Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"))
+    // bridge both stored components through a brand-new id 100,
+    // plus a disjoint all-new component {200, 201}
+    val inc = ConnectedComponents.mergeClusters(stored,
+      Seq((2L, 100L), (100L, 6L), (200L, 201L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      100L -> 1L, 200L -> 200L, 201L -> 200L), inc)
+    // a delta entirely INSIDE one stored component is a no-op: the
+    // rep graph is all self-loops, the fixpoint never runs
+    val noop = ConnectedComponents.mergeClusters(stored,
+      Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L), noop)
+  }
 }
