@@ -25,6 +25,7 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main pack-transcripts <storeDir> [window] [budget]
   *   runMain graft.app.Main ingest-docs <storeDir> <inboxDir> [threshold]
   *   runMain graft.app.Main compact <storeDir> <table> [maxFilesPerBucket]
+  *   runMain graft.app.Main cluster-docs <storeDir> <inboxDir> [threshold]
   * }}}
   *
   * The sync uses the deterministic offline connector (this container
@@ -203,6 +204,21 @@ object Main {
           println("rejected near-duplicates (best corpus match):")
           show(t("near_dup_rejects").orderBy("id"))
         }
+
+      case "cluster-docs" =>
+        // keep-and-label ingest: every doc is accepted, the store's
+        // duplicate-cluster map is maintained incrementally
+        // ([[graft.streaming.Streams.clusterIngest]]); curation
+        // decides per cluster offline (keepBestPerCluster)
+        val inbox = args(2)
+        val threshold = if (args.length > 3) args(3).toDouble else 0.6
+        val q = graft.streaming.Streams.clusterIngest(spark, inbox,
+          args(1) + "/_cluster_checkpoint", store, threshold = threshold)
+        q.awaitTermination()
+        if (store.exists("dup_clusters")) {
+          println("duplicate clusters after ingest:")
+          show(t("dup_clusters").orderBy("cluster_id", "id"))
+        } else println("duplicate clusters after ingest: none found yet")
 
       case "compact" =>
         // lakehouse maintenance: collapse fragmented buckets of a

@@ -2297,6 +2297,52 @@ object PipelineQueries {
         |SELECT lang, id, tok, cum_tokens FROM rr
         |WHERE cum_tokens - tok < 1500 ORDER BY lang, id""".stripMargin))
 
+  /** TS11: the corpus QA REPORT — language distribution, token-length
+    * histogram, and quality-score deciles in ONE long-format
+    * integer-only frame (section, key, n_docs): the report card a
+    * curation team reads before touching thresholds. Three
+    * map-side-combinable aggregations over one table, unioned. */
+  private val ts11 = QueryDef(
+    "ts11_corpus_report",
+    "corpus QA report: lang / length / quality distributions",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val lang = d.groupBy(col("lang").as("key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("section", lit("lang"))
+      val bins = TextAnalysis.lengthHistogram(d, "text", 16, 8)
+        .select(col("bin").cast("string").as("key"), col("n_docs"))
+        .withColumn("section", lit("len_bin"))
+      val dec = d
+        .select(floor(least(
+          round(TextAnalysis.qualityScore(col("text")), 9) * 10.0,
+          lit(9.0))).cast("long").as("d10"))
+        .groupBy(col("d10").cast("string").as("key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("section", lit("quality_decile"))
+      lang.unionByName(bins).unionByName(dec)
+        .select(col("section"), col("key"), col("n_docs"))
+        .orderBy("section", "key")
+    },
+    Some("WITH docsrc AS (SELECT doc_id, lang, text FROM documents),\n" +
+      qualityFeatureSql("docsrc", "doc_id", "lang") + ",\n" +
+      s"""sc AS (SELECT doc_id,
+         ${qualitySql("n_tokens", "stops", "digits", "n_chars", 9)} AS q9,
+           n_tokens
+           FROM qf)\n""" +
+      """SELECT * FROM (
+        |  SELECT 'lang' AS section, lang AS key, count(*) AS n_docs
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'len_bin', least(floor(n_tokens::DOUBLE / 16)::BIGINT,
+        |                          7)::VARCHAR, count(*)
+        |  FROM sc GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'quality_decile',
+        |         floor(least(q9 * 10.0, 9.0))::BIGINT::VARCHAR, count(*)
+        |  FROM sc GROUP BY 2)
+        |ORDER BY section, key""".stripMargin))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -2382,6 +2428,6 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, mm1, mm2, mm3, mm4, a7b, a8b)
 }

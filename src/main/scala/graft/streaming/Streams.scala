@@ -290,6 +290,79 @@ object Streams {
       .start()
   }
 
+  /** Streaming KEEP-AND-LABEL ingest — the policy alternative to
+    * [[nearDupIngest]]'s reject mode: every document is accepted
+    * into the corpus, and the store's duplicate-CLUSTER map is
+    * maintained INCREMENTALLY instead (curation then decides per
+    * cluster offline — e.g. [[graft.ops.Dedup.keepBestPerCluster]]).
+    * Per micro-batch: in-batch pairs (full LSH over the batch only)
+    * ∪ cross pairs (d10 probe against the stored index) fold into
+    * the stored cluster table via
+    * [[graft.ops.ConnectedComponents.mergeClusters]] — the fixpoint
+    * touches only the delta's rep graph, never the corpus
+    * (incremental ≡ from-scratch, the d12-pinned identity). The
+    * cluster table holds one row per doc that appears in ≥1 pair
+    * (d9's contract); unpaired docs are implicit singletons.
+    *
+    * Same crash-replay discipline as [[nearDupIngest]]: keyed
+    * upserts absorb replayed batches idempotently (a replayed merge
+    * re-derives the same labels over the already-updated store —
+    * labels only coarsen toward the component min, so re-merging is
+    * a no-op), and the artifact-gated probe tolerates a crash
+    * between commits. */
+  def clusterIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      corpusTable: String = "corpus",
+      signatureTable: String = "lsh_signatures",
+      indexTable: String = "lsh_band_index",
+      clusterTable: String = "dup_clusters",
+      threshold: Double = 0.6, numBuckets: Int = 32): StreamingQuery = {
+    val in = spark.readStream.schema("id BIGINT, text STRING").parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (b.limit(1).count() > 0) {
+            val inPairs = graft.ops.Dedup.minhashLshPairs(b, "id", "text",
+              threshold = threshold)
+              .select(col("id_a").as("u"), col("id_b").as("v"))
+            val crossPairs =
+              if (!store.exists(signatureTable) || !store.exists(indexTable))
+                inPairs.limit(0)
+              else graft.ops.Dedup.incrementalLshPairs(b, "id", "text",
+                store.read(spark, indexTable),
+                store.read(spark, signatureTable), threshold = threshold)
+                .select(col("corpus_id").as("u"), col("new_id").as("v"))
+            val stored =
+              if (store.exists(clusterTable)) store.read(spark, clusterTable)
+              else spark.range(0).select(col("id"), col("id").as("cluster_id"))
+            val merged = graft.ops.ConnectedComponents.mergeClusters(
+              stored, inPairs.unionByName(crossPairs))
+            if (merged.limit(1).count() > 0)
+              store.withCommitRetries()(
+                store.upsert(spark, clusterTable, merged, Seq("id")))
+            val sigs = graft.ops.Dedup.lshSignatures(b, "id", "text")
+            store.withCommitRetries()(
+              store.upsertBucketed(spark, corpusTable, b, Seq("id"),
+                numBuckets))
+            store.withCommitRetries()(
+              store.upsertBucketed(spark, signatureTable, sigs, Seq("id"),
+                numBuckets))
+            store.withCommitRetries()(
+              store.upsertBucketed(spark, indexTable,
+                graft.ops.Dedup.lshBandIndex(sigs), Seq("id", "band"),
+                numBuckets))
+          }
+        } finally b.unpersist(false)
+        ()
+      }
+      .start()
+  }
+
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class UserSession(user_id: Long, session_start: Timestamp,

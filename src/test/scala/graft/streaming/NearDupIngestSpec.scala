@@ -90,4 +90,49 @@ class NearDupIngestSpec extends SparkSpec {
       .select("id", "matched_id").collect()
       .map(_.toString).sorted.toSeq == rejectsBefore)
   }
+
+  test("clusterIngest: keep-and-label policy maintains the cluster map across batches") {
+    val in = tmpDir("ci-in")
+    val ckpt = tmpDir("ci-ckpt")
+    val store = new ParquetTableStore(tmpDir("ci-store"))
+    def run(): Unit = {
+      val q = Streams.clusterIngest(spark, in, ckpt, store, threshold = 0.5)
+      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    }
+    def clusterMap(): Map[Long, Long] =
+      store.read(spark, "dup_clusters").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch 1: docs 1~3 are in-batch near-dups; 2 is distinct
+    Seq((1L, text("one ocean eleven twelve thirteen")),
+        (2L, "completely different short unrelated content entirely " +
+          "separate vocabulary nothing shared with others at all here"),
+        (3L, text("one ocean eleven twelve thirteen").dropWhile(_ != ' ').trim))
+      .toDF("id", "text").write.mode("append").parquet(in)
+    run()
+    // EVERY doc is kept (the policy difference vs nearDupIngest)
+    assert(store.read(spark, "corpus").count() == 3)
+    assert(clusterMap() == Map(1L -> 1L, 3L -> 1L), clusterMap())
+
+    // batch 2: doc 10 near-dups doc 1 (cross-batch) → joins cluster 1;
+    // doc 11 is fresh and unpaired (implicit singleton)
+    Seq((10L, text("one ocean eleven twelve thirteen extra")),
+        (11L, "fresh document speaking about gardens tomatoes rainfall " +
+          "harvest seasons crop rotation soil compost seedlings pruning"))
+      .toDF("id", "text").write.mode("append").parquet(in)
+    run()
+    assert(store.read(spark, "corpus").count() == 5)
+    assert(clusterMap() == Map(1L -> 1L, 3L -> 1L, 10L -> 1L), clusterMap())
+
+    // the streamed map must equal from-scratch clustering of the
+    // WHOLE corpus — the d12 identity, end-to-end through the store
+    val full = graft.ops.ConnectedComponents.duplicateClusters(
+      graft.ops.Dedup.minhashLshPairs(
+        store.read(spark, "corpus"), "id", "text", threshold = 0.5)
+        .select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusterMap() == full)
+    // hygiene: the loop leaves no retained blocks behind
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
