@@ -228,6 +228,53 @@ object TextAnalysis {
       .drop("__r")
   }
 
+  /** PERPLEXITY-PROXY quality scoring (the CCNet discipline): a
+    * bigram language model TRAINED ON THE CORPUS ITSELF scores every
+    * document by mean token log-probability — boilerplate and
+    * keyword-stuffed text sits far from the corpus's own n-gram
+    * distribution, which is what perplexity bucketing filters on.
+    * Add-one smoothing over the unigram vocabulary:
+    * lp(w₂|w₁) = ln((C₂(w₁,w₂)+1) / (C₁(w₁)+V)); score = Σlp / n.
+    * Returns (id, n_bigrams, lm_score) for docs with ≥ 2 tokens.
+    *
+    * Determinism: counts are exact; each doc's log-probs fold in
+    * POSITION order (collect → sort_array by pos → sequential
+    * `aggregate` lambda) — the per-group analog of the ss6 ordered
+    * fold, so the float sum never depends on partitioning.
+    *
+    * Scale shape: bigram explode rides the scan; the count tables
+    * are two map-side-combinable aggregations; the scoring join is
+    * keyed by (w₁, w₂) — Zipf-skewed, the known hazard, handled by
+    * AQE skew splitting (and saltable upstream if a single stop-pair
+    * dominates); the per-doc fold is one (id) exchange. Nothing
+    * corpus-sized broadcasts: the count tables are vocabulary-sized
+    * and broadcast only when genuinely small. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val x = toks.select(col("id"), posexplode(expr(
+      "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+        " (a, b) -> struct(a AS w1, b AS w2))")))
+      .select(col("id"), col("pos"), col("col.w1").as("w1"),
+        col("col.w2").as("w2"))
+    val c2 = x.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val lp = x.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("id"), col("pos"),
+        log((col("c2") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("lp"))
+    lp.groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("lp")))).as("__arr"))
+      .select(col("id"), col("n_bigrams"),
+        round(expr("aggregate(__arr, 0D, (acc, s) -> acc + s.lp)") /
+          col("n_bigrams"), 6).as("lm_score"))
+  }
+
   /** Fixed-width TOKEN-LENGTH HISTOGRAM: per-doc whitespace token
     * counts binned at `binWidth`, the last bin open-ended (the
     * corpus-QA length distribution every curation report starts

@@ -2343,6 +2343,50 @@ object PipelineQueries {
         |  FROM sc GROUP BY 2)
         |ORDER BY section, key""".stripMargin))
 
+  /** TS12: perplexity-proxy scoring ([[TextAnalysis.bigramLmScore]])
+    * — the CCNet-style corpus-self-trained bigram LM, add-one
+    * smoothed, scoring every document by mean token log-probability.
+    * The oracle replicates the whole model: the same bigram/unigram
+    * count tables, the same vocabulary size, the same
+    * ln((c2+1)/(c1+V)) smoothing, and — the part that makes a float
+    * gate pinnable — the same POSITION-ORDERED left fold of the
+    * per-bigram log-probs, so both engines add the same doubles in
+    * the same order before the 6-dp round. ln() itself may differ by
+    * an ulp between libms, but a 1-ulp input wiggle moves the
+    * rounded mean by ~n·ulp ≪ 0.5e-6. */
+  private val ts12 = QueryDef(
+    "ts12_bigram_lm_score",
+    "corpus-trained bigram LM mean log-prob per document",
+    (s, dir) => TextAnalysis.bigramLmScore(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents),
+            tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+            x AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+                  FROM (SELECT doc_id, toks,
+                          unnest(range(1, len(toks))) AS i FROM tt)),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM x GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+            v AS (SELECT count(DISTINCT w) AS v
+                  FROM (SELECT unnest(toks) AS w FROM tt)),
+            lp AS (SELECT x.doc_id, x.pos,
+                     ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE) AS lp
+                   FROM x
+                   JOIN c2 ON x.w1 = c2.w1 AND x.w2 = c2.w2
+                   JOIN c1 ON x.w1 = c1.w1
+                   CROSS JOIN v),
+            agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                      list(lp ORDER BY pos) AS arr
+                    FROM lp GROUP BY doc_id)
+            SELECT doc_id, n_bigrams,
+              round(list_reduce(list_prepend(0.0::DOUBLE, arr),
+                      (a, b) -> a + b) / n_bigrams, 6) AS lm_score
+            FROM agg ORDER BY doc_id"""))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -2428,6 +2472,6 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, mm1, mm2, mm3, mm4, a7b, a8b)
 }

@@ -132,6 +132,36 @@ class TextPiiSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("bigramLmScore: add-one smoothed mean log-prob, short docs excluded, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus = docs 1,2 (>=2 tokens); V = |{a,b}| = 2
+    // C2(a,b)=3, C2(b,a)=1; C1(a)=3, C1(b)=1
+    val lpAB = math.log(4.0 / 5.0) // (3+1)/(3+2)
+    val lpBA = math.log(2.0 / 3.0) // (1+1)/(1+2)
+    assert(out.keySet == Set(1L, 2L), out)
+    assert(out(1L)._1 == 3 && out(2L)._1 == 1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 == r6((lpAB + lpBA + lpAB) / 3.0), out(1L))
+    assert(out(2L)._2 == r6(lpAB), out(2L))
+    // the position-ordered fold makes the float sum partitioning-proof
+    val shuffled = TextAnalysis.bigramLmScore(
+      docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(shuffled == out.map { case (k, v) => k -> v._2 })
+    // nothing corpus-sized broadcasts: only the 1-row vocab count may
+    val plan = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl == 1, s"the vocab scalar attaches as the only BNLJ:\n$plan")
+    assert(bhj <= 2, s"count tables may broadcast only at toy scale:\n$plan")
+  }
+
   test("lengthHistogram: bins partition the corpus, top bin open-ended, empty docs bin 0") {
     import spark.implicits._
     val docs = Seq(
