@@ -275,6 +275,35 @@ object TextAnalysis {
           col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING: documents labeled head /
+    * middle / tail by corpus-quantile cuts over the bigram-LM mean
+    * log-prob ([[bigramLmScore]]) — the standard downstream use of a
+    * perplexity signal (CCNet keeps head+middle, drops tail). Higher
+    * mean log-prob = lower perplexity = "head".
+    *
+    * Cuts are EXACT interpolated percentiles of the 6-dp-rounded
+    * scores (the a8 semantics pin; `approx_percentile` is the drop-in
+    * 100 TB path, as with a8b). Scores are 6-dp-spaced, quantile
+    * interpolation lands strictly inside an order-stat gap, so the
+    * `>=` bucket boundaries cannot straddle an engine ulp.
+    *
+    * Scale shape: the cut frame is ONE row (broadcast); bucketing is
+    * then a per-row CASE — no shuffle beyond [[bigramLmScore]]'s own
+    * exchanges. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      lo: Double = 0.3, hi: Double = 0.7): DataFrame = {
+    require(lo > 0 && hi < 1 && lo < hi, s"need 0 < lo < hi < 1, got $lo/$hi")
+    val scored = bigramLmScore(df, idCol, textCol)
+    val cuts = scored.agg(
+      percentile(col("lm_score"), lit(lo)).as("c_lo"),
+      percentile(col("lm_score"), lit(hi)).as("c_hi"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("id"), col("lm_score"),
+        when(col("lm_score") >= col("c_hi"), "head")
+          .when(col("lm_score") >= col("c_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Fixed-width TOKEN-LENGTH HISTOGRAM: per-doc whitespace token
     * counts binned at `binWidth`, the last bin open-ended (the
     * corpus-QA length distribution every curation report starts

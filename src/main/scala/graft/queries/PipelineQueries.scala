@@ -2354,14 +2354,11 @@ object PipelineQueries {
     * the same order before the 6-dp round. ln() itself may differ by
     * an ulp between libms, but a 1-ulp input wiggle moves the
     * rounded mean by ~n·ulp ≪ 0.5e-6. */
-  private val ts12 = QueryDef(
-    "ts12_bigram_lm_score",
-    "corpus-trained bigram LM mean log-prob per document",
-    (s, dir) => TextAnalysis.bigramLmScore(
-        Tables.documents(s, dir), "doc_id", "text")
-      .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"))
-      .orderBy("doc_id"),
-    Some("""WITH t AS (SELECT doc_id,
+  /** The ts12 model as a reusable WITH-chain ending in
+    * lmsc(doc_id, n_bigrams, lm_score) — tp5 builds its quantile
+    * cuts on top of the same CTEs. */
+  private val bigramLmCtes: String =
+    """WITH t AS (SELECT doc_id,
               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
               FROM documents),
@@ -2381,11 +2378,48 @@ object PipelineQueries {
                    CROSS JOIN v),
             agg AS (SELECT doc_id, count(*) AS n_bigrams,
                       list(lp ORDER BY pos) AS arr
-                    FROM lp GROUP BY doc_id)
-            SELECT doc_id, n_bigrams,
+                    FROM lp GROUP BY doc_id),
+            lmsc AS (SELECT doc_id, n_bigrams,
               round(list_reduce(list_prepend(0.0::DOUBLE, arr),
                       (a, b) -> a + b) / n_bigrams, 6) AS lm_score
-            FROM agg ORDER BY doc_id"""))
+              FROM agg)"""
+
+  private val ts12 = QueryDef(
+    "ts12_bigram_lm_score",
+    "corpus-trained bigram LM mean log-prob per document",
+    (s, dir) => TextAnalysis.bigramLmScore(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"))
+      .orderBy("doc_id"),
+    Some(bigramLmCtes +
+      "\nSELECT doc_id, n_bigrams, lm_score FROM lmsc ORDER BY doc_id"))
+
+  /** TP5: CCNet perplexity bucketing
+    * ([[TextAnalysis.perplexityBuckets]]) — the ts12 signal put to
+    * its standard use: head/middle/tail labels from exact corpus
+    * percentile cuts (p30/p70) over the 6-dp-rounded scores. The
+    * oracle rebuilds the same LM chain, takes `quantile_cont` cuts
+    * (the a8-pinned interpolation twin of Spark's `percentile`),
+    * and labels with the same `>=` CASE — full membership compared.
+    * Scores are 6-dp-spaced while interpolated cuts land strictly
+    * inside an order-stat gap, so no boundary can straddle an
+    * engine ulp. */
+  private val tp5 = QueryDef(
+    "tp5_perplexity_buckets",
+    "head/middle/tail perplexity buckets from corpus quantile cuts",
+    (s, dir) => TextAnalysis.perplexityBuckets(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("lm_score"), col("bucket"))
+      .orderBy("doc_id"),
+    Some(bigramLmCtes + """,
+            cuts AS (SELECT quantile_cont(lm_score, 0.3) AS c_lo,
+                            quantile_cont(lm_score, 0.7) AS c_hi
+                     FROM lmsc)
+            SELECT doc_id, lm_score,
+              CASE WHEN lm_score >= c_hi THEN 'head'
+                   WHEN lm_score >= c_lo THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM lmsc, cuts ORDER BY doc_id"""))
 
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
@@ -2473,5 +2507,5 @@ object PipelineQueries {
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, mm1, mm2, mm3, mm4, a7b, a8b)
+      tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, a7b, a8b)
 }

@@ -162,6 +162,32 @@ class TextPiiSpec extends SparkSpec {
     assert(bhj <= 2, s"count tables may broadcast only at toy scale:\n$plan")
   }
 
+  test("perplexityBuckets: tertile split is monotone and partitions the scored corpus") {
+    import spark.implicits._
+    // 10 docs sharing a vocabulary, increasingly atypical tails
+    val docs = (1L to 10L).map { i =>
+      val base = "the cat sat on the mat " * 3
+      val noise = (1L to i).map(j => s"zz${i}_$j").mkString(" ")
+      (i, s"$base $noise")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.length == 10, "every >=2-token doc gets a bucket")
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"), byBucket.keySet)
+    // p30/p70 cuts: ~3 tail, ~4 middle, ~3 head on 10 docs
+    assert(byBucket("head").size == 3 && byBucket("tail").size == 3, byBucket)
+    // monotone: min(head) >= max(middle) >= ... >= max(tail)
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // every scalar frame (two vocab counts — one per LM subtree —
+    // plus the cut row) attaches as a broadcast, never a corpus
+    // shuffle: all BNLJs are 1-row builds by construction
+    val plan = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 3, plan)
+  }
+
   test("lengthHistogram: bins partition the corpus, top bin open-ended, empty docs bin 0") {
     import spark.implicits._
     val docs = Seq(
