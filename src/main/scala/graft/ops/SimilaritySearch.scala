@@ -290,6 +290,180 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** PRODUCT QUANTIZATION: the deterministic PQ codebook — m
+    * sub-codebooks of ks centroids each, taken from the first `ks`
+    * corpus vectors by id (the [[Ivf.sampleCodebook]] sample
+    * discipline; k-means refinement plugs in at deployment).
+    * Shape: (j)(c)(d) = subspace j, centroid c, component d.
+    * ks·dim doubles to the driver — the documented small-codebook
+    * contract. */
+  def pqCodebook(candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, dim: Int, iters: Int = 0,
+      sampleN: Int = 4096): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    val take = math.max(ks, if (iters > 0) sampleN else ks)
+    val rows = candidates
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("v"))
+      .orderBy("cid").limit(take).collect()
+    require(rows.length >= ks, s"corpus has ${rows.length} < ks=$ks vectors")
+    val full = rows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val init = Array.tabulate(m, ks)((j, c) =>
+      full(c).slice(j * subDim, (j + 1) * subDim))
+    if (iters == 0) return init
+    // per-subspace Lloyd refinement on the driver over the bounded
+    // id-ordered sample (the standard PQ practice: codebooks train on
+    // a corpus sample, ~1e5 vectors in production — deterministic
+    // here: fixed point order, strict-< assignment ties to lower c,
+    // empty cells keep their previous centroid)
+    Array.tabulate(m) { j =>
+      val pts = full.map(_.slice(j * subDim, (j + 1) * subDim))
+      var cents = init(j)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ks, subDim)(0.0)
+        val counts = new Array[Long](ks)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var d = 0.0; var i = 0
+            while (i < subDim) { val x = p(i) - cents(c)(i); d += x * x; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ks) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(i => sums(c)(i) / counts(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** Squared L2 distance of a sub-slice of `vec` (0-based `start`,
+    * length = cvals.length) against a literal centroid — unrolled
+    * (element − lit)² terms summed LEFT TO RIGHT from 0.0, fully
+    * codegen'd. The oracle regenerates the identical fold with
+    * `list_reduce(list_prepend(0.0, …))`. */
+  private def l2sqLit(vec: org.apache.spark.sql.Column, start: Int,
+      cvals: Array[Double]): org.apache.spark.sql.Column =
+    cvals.zipWithIndex.map { case (cv, d) =>
+      val x = element_at(vec, start + d + 1).cast("double") - lit(cv)
+      x * x
+    }.foldLeft(lit(0.0))(_ + _)
+
+  /** PQ ENCODE as a pure per-row Project: codes(j) = argmin over c of
+    * the subspace-j squared L2, ties to the LOWER centroid id — the
+    * oracle's `ORDER BY dist, c` twin. Runs as the native
+    * [[graft.plans.PqKernels.PqEncode]] kernel (the unrolled literal
+    * expression form generates >64 KB methods at production codebook
+    * sizes and janino bails the stage to interpreted eval);
+    * [[pqEncodeUnrolled]] keeps the expression form as the kernel's
+    * bit-parity spec twin. Encoding rides the corpus scan with ZERO
+    * exchange, which is what makes PQ build-time linear. */
+  def pqEncodeExpr(vec: org.apache.spark.sql.Column,
+      cb: Array[Array[Array[Double]]]): org.apache.spark.sql.Column =
+    graft.plans.PqKernels.pqEncode(vec, cb)
+
+  /** The composed-expression twin of [[pqEncodeExpr]] — argmin via
+    * `array_position(darr, array_min(darr))` (first index of the
+    * minimum = lower centroid id on ties). Only for parity specs:
+    * at real codebook sizes this form breaks whole-stage codegen. */
+  private[graft] def pqEncodeUnrolled(vec: org.apache.spark.sql.Column,
+      cb: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    val subDim = cb(0)(0).length
+    val perJ = cb.zipWithIndex.map { case (cents, j) =>
+      val darr = array(cents.map(cv => l2sqLit(vec, j * subDim, cv))
+        .toIndexedSeq: _*)
+      (array_position(darr, array_min(darr)) - 1).cast("int")
+    }
+    array(perJ.toIndexedSeq: _*)
+  }
+
+  /** PQ ANN with asymmetric distance computation (ADC) — the 100 TB
+    * vector-MEMORY design: the corpus is carried as m small-int codes
+    * per vector (m bytes packed) instead of dim floats, and search
+    * never touches a corpus vector again.
+    *
+    *  - build: [[pqCodebook]] (ks·dim doubles) + [[pqEncodeExpr]]
+    *    (zero-exchange Project over the corpus scan).
+    *  - search: each query precomputes its m×ks table of subspace
+    *    distances to every centroid (one unrolled Project on the
+    *    |Q|-sized side), the query batch BROADCASTS against the
+    *    streaming code column, and a candidate's distance is the
+    *    j-ordered fold of m table lookups — per-row arithmetic, no
+    *    shuffle until the top-k window (rank ≤ k plans as
+    *    WindowGroupLimit).
+    *
+    * Approximation: distance error is bounded by the per-subspace
+    * quantization error (recall pinned empirically by the spec via
+    * [[recallAtK]]); determinism: every double op is an unrolled
+    * +,−,× in pinned order — no ln/sqrt — so the oracle reproduces
+    * `dist` BIT-exactly. |Q| small by contract (the [[bruteForceTopK]]
+    * broadcast-batch shape). */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, ks: Int,
+      dim: Int, iters: Int = 0): DataFrame = {
+    val cb = pqCodebook(candidates, idCol, vecCol, m, ks, dim, iters)
+    val subDim = dim / m
+    val codes = candidates
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        pqEncodeExpr(col(vecCol), cb).as("codes"))
+    // per-query ADC table, flattened to tbl[j*ks + c] (native kernel;
+    // see pqEncodeExpr for why the unrolled form can't ship)
+    val qt = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        graft.plans.PqKernels.pqAdcTable(col(vecCol), cb).as("__tbl"))
+    val dist = (0 until m).map { j =>
+      element_at(col("__tbl"),
+        lit(j * ks + 1) + element_at(col("codes"), j + 1))
+    }.foldLeft(lit(0.0))(_ + _)
+    val scored = codes.crossJoin(broadcast(qt))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
+  /** PQ SHORTLIST-AND-RERANK — how PQ actually deploys: [[pqTopK]]'s
+    * ADC pass generates a `shortlist`-sized candidate set per query
+    * from codes alone, then ONLY those `shortlist`·|Q| rows re-attach
+    * their raw vectors (the pinned SHUFFLE_HASH re-join, the
+    * [[quantizedIvfTopK]] discipline) for an exact squared-L2
+    * rerank. Recall becomes recall@shortlist of ADC — much higher
+    * than ADC@k — while the corpus itself is still never shuffled as
+    * floats. Exact L2 uses the dot identity a·a − 2a·b + b·b over the
+    * native codegen'd kernel, the form the oracle regenerates
+    * textually. */
+  def pqRerankTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      m: Int, ks: Int, dim: Int, iters: Int = 0): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val short = pqTopK(queries, candidates, idCol, vecCol, shortlist,
+      m, ks, dim, iters).select("query_id", "neighbor_id")
+    import graft.plans.VectorKernels.dotProduct
+    val scored = short
+      .join(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("q_vec")), "query_id")
+      .join(candidates.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("c_vec")).hint("shuffle_hash"), "neighbor_id")
+      .withColumn("l2", dotProduct(col("q_vec"), col("q_vec"))
+        - lit(2.0) * dotProduct(col("q_vec"), col("c_vec"))
+        + dotProduct(col("c_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "l2")
+  }
+
   /** Recall@k of an ANN result against exact ground truth: both
     * frames carry (query_id, neighbor_id) rows (any extra columns
     * ignored); returns one row per ground-truth query —

@@ -2503,9 +2503,102 @@ object PipelineQueries {
               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
             GROUP BY e.query_id ORDER BY e.query_id"""))
 
+  /** SS10: product-quantization ANN with asymmetric distance
+    * ([[SimilaritySearch.pqTopK]]) — the corpus carried as m=8
+    * 4-bit-range codes instead of 64 floats, searched via per-query
+    * distance-table lookups. The oracle rebuilds the whole model:
+    * the first-16-by-id sample codebook, per-subspace squared-L2
+    * argmin encode (`ORDER BY dist, c` = the engine's strict-<
+    * fold), the query's subspace distance tables, and the j-ORDERED
+    * fold of the m table lookups. Every double op is +,−,× in
+    * pinned order — no ln/sqrt anywhere — so `dist` compares
+    * BIT-exactly without rounding. */
+  /** The ss10 PQ model as a reusable WITH-chain ending in
+    * ranked(query_id, neighbor_id, dist, rank) — ss11's rerank
+    * shortlists from the same CTEs. */
+  private val pqAdcCtes: String =
+    """WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+                   embedding AS cv
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT 16)),
+            sub AS (SELECT s.c, js.j,
+                list_transform(generate_series(1, 8),
+                  d -> s.cv[js.j * 8 + d]::DOUBLE) AS cvec
+              FROM cb s, (SELECT unnest(range(0, 8)) AS j) js),
+            encd AS (SELECT e.vec_id AS id, s.j, s.c,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(generate_series(1, 8),
+                    d -> (e.embedding[s.j * 8 + d]::DOUBLE - s.cvec[d]) *
+                         (e.embedding[s.j * 8 + d]::DOUBLE - s.cvec[d]))),
+                  (x, y) -> x + y) AS dist
+              FROM embeddings e, sub s),
+            codes AS (SELECT id, j, c AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY id, j
+                    ORDER BY dist, c) AS rn
+                FROM encd) WHERE rn = 1),
+            paird AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                c.j, q.dist
+              FROM codes c JOIN encd q ON q.j = c.j AND q.c = c.code
+              WHERE q.id < 10 AND q.id != c.id),
+            summed AS (SELECT query_id, neighbor_id,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(dist ORDER BY j)), (x, y) -> x + y) AS dist
+              FROM paird GROUP BY query_id, neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY dist, neighbor_id) AS rank
+              FROM summed)"""
+
+  private val ss10 = QueryDef(
+    "ss10_pq_adc_topk",
+    "product-quantization ANN: codes + asymmetric distance tables",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      SimilaritySearch.pqTopK(e.filter(col("id") < 10), e,
+        "id", "embedding", k = 5, m = 8, ks = 16, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    Some(pqAdcCtes + """
+            SELECT query_id, rank, neighbor_id, dist
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
+  /** SS11: PQ shortlist-and-rerank ([[SimilaritySearch.pqRerankTopK]])
+    * — the deployment shape: ADC generates a 20-candidate shortlist
+    * per query from codes alone, then exact squared-L2 (the dot
+    * identity a·a − 2a·b + b·b, regenerated textually by the oracle)
+    * reranks only those rows. Bit-exact `l2` output — every double op
+    * is +,−,× in pinned fold order. */
+  private val ss11 = QueryDef(
+    "ss11_pq_rerank_topk",
+    "PQ ADC shortlist -> exact-L2 rerank (deployment shape)",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      SimilaritySearch.pqRerankTopK(e.filter(col("id") < 10), e,
+        "id", "embedding", k = 5, shortlist = 20, m = 8, ks = 16, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    Some(pqAdcCtes + s""",
+            short AS (SELECT query_id, neighbor_id FROM ranked
+                      WHERE rank <= 20),
+            rer AS (SELECT s.query_id, s.neighbor_id,
+                ${dotSql("eq.embedding", "eq.embedding")}
+                  - 2 * ${dotSql("eq.embedding", "ec.embedding")}
+                  + ${dotSql("ec.embedding", "ec.embedding")} AS l2
+              FROM short s
+              JOIN embeddings eq ON eq.vec_id = s.query_id
+              JOIN embeddings ec ON ec.vec_id = s.neighbor_id),
+            rranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY l2, neighbor_id) AS rank
+              FROM rer)
+            SELECT query_id, rank, neighbor_id, l2
+            FROM rranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, dc1, dc2, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, a7b, a8b)
 }

@@ -46,6 +46,17 @@ class BlockHygieneSpec extends SparkSpec {
       s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("PQ encode/ADC/rerank retain no blocks (codebook is driver arrays, not cached RDDs)") {
+    SimilaritySearch.pqTopK(
+      fixtureVecs.filter(col("id") < 5), fixtureVecs, "id", "vec",
+      k = 3, m = 2, ks = 4, dim = 8).count()
+    SimilaritySearch.pqRerankTopK(
+      fixtureVecs.filter(col("id") < 5), fixtureVecs, "id", "vec",
+      k = 3, shortlist = 6, m = 2, ks = 4, dim = 8, iters = 2).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("cluster-best keep retains no blocks (eager CC inside)") {
     val pairs = Dedup.minhashLshPairs(fixtureDocs, "id", "text")
       .select("id_a", "id_b")
