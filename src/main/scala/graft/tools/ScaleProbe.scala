@@ -59,7 +59,12 @@ object ScaleProbe {
         .reduce(_ unionByName _)
     }
 
+    // optional third arg: comma-separated name prefixes to probe
+    // (e.g. "ts12,ss10" re-probes just the new ops of a round)
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSeq) else None
     def probe(name: String, df: => DataFrame): Unit = {
+      if (only.exists(ps => !ps.exists(name.startsWith))) return
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"PROBE $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n%10d")
@@ -150,6 +155,27 @@ object ScaleProbe {
             regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text"))
         graft.ops.Decontamination.contaminationPairs(docs(m), "id", "text",
           bench, "bench_id", "text", n = 8, minShared = 2)
+      })
+      // bigram LM: the count tables grow sub-linearly (vocab), the
+      // scoring join mass ∝ total bigrams (scan-linear), the per-doc
+      // fold is one (id) exchange — the Zipf-skewed (w1,w2) join is
+      // the watched hazard (AQE skew split)
+      probe(s"ts12_bigram_lm_x$m", graft.ops.TextAnalysis.bigramLmScore(
+        docs(m), "id", "text"))
+      // PQ ADC: codebook and query batch FIXED, corpus grows m-fold —
+      // the cost model is the scan-linear ideal (codes never shuffle,
+      // the group-limit caps the exchange at k rows/query/partition);
+      // rerank adds one shortlist-sized SHUFFLE_HASH re-attach
+      probe(s"ss10_pq_adc_x$m", {
+        val v = vecs(m)
+        SimilaritySearch.pqTopK(v.filter(col("id") < 10), v,
+          "id", "embedding", k = 5, m = 8, ks = 16, dim = 64)
+      })
+      probe(s"ss11_pq_rerank_x$m", {
+        val v = vecs(m)
+        SimilaritySearch.pqRerankTopK(v.filter(col("id") < 10), v,
+          "id", "embedding", k = 5, shortlist = 20, m = 8, ks = 16,
+          dim = 64)
       })
       // chunk -> pack: both scan-rate; output rows grow linearly
       probe(s"sp1_chunk_pack_x$m", graft.ops.Packing.packSummary(
