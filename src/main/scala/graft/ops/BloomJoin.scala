@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Bloom-filter semi-join: the 100 TB scan-pruning technique. When
+  * the probe side is huge and the build side's KEY SET is too large
+  * to broadcast as an exact set (tens of millions of keys), a Bloom
+  * filter of fixed size (numBits/8 bytes, regardless of key count)
+  * broadcasts instead, the probe side drops non-members DURING THE
+  * SCAN, and only the survivors — true matches plus the p_fp
+  * false-positive tail — pay the exact semi-join shuffle. Spark's
+  * own runtime bloom pruning does this opportunistically; this
+  * operator is the explicit, deterministic form.
+  *
+  * Determinism: bit positions come from the portable 60-bit hash
+  * (`portableHash64(key || ":" || i) pmod numBits` for i < numHashes)
+  * — reproducible across engines and runs, so a spec can pin the
+  * exact survivor set, not just the final result.
+  *
+  * Correctness is UNCONDITIONAL on the bloom quality: no key in the
+  * build side can hash to an unset bit (no false negatives by
+  * construction), and the trailing exact semi-join removes every
+  * false positive — the filter only affects how many rows reach the
+  * shuffle. The gate therefore compares against a plain semi-join.
+  *
+  * Scale shape: the build side reduces to ≤ numBits distinct set-bit
+  * positions at the map-side combiners; only those positions (ints,
+  * bounded by numBits, NOT by key count) reach the driver — the
+  * ParquetTableStore ≤numBuckets collect discipline. The probe-side
+  * membership test is numHashes codegen'd md5s per row, evaluated
+  * in the scan stage before any exchange. */
+object BloomJoin {
+
+  /** Set-bit positions for one key (k hash functions). */
+  private def bitPositions(key: Column, numBits: Int,
+      numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      pmod(portableHash64(concat(key.cast("string"), lit(s":$i"))),
+        lit(numBits.toLong)).cast("long")
+    }
+
+  /** Build the filter: Array[Long] words (length numBits/64), bits
+    * set for every key in `keys`. Driver receives only the distinct
+    * positions (≤ numBits ints). */
+  def buildBloom(keys: DataFrame, keyCol: String, numBits: Int = 1 << 16,
+      numHashes: Int = 3): Array[Long] = {
+    require(numBits % 64 == 0 && numBits > 0, s"numBits $numBits % 64 != 0")
+    val pos = keys.select(explode(array(
+        bitPositions(col(keyCol), numBits, numHashes): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](numBits / 64)
+    pos.foreach(p => words((p / 64).toInt) |= (1L << (p % 64)))
+    words
+  }
+
+  /** Membership test column against a built filter (all k bits set). */
+  def mightContain(key: Column, words: Array[Long],
+      numHashes: Int = 3): Column = {
+    val numBits = words.length * 64
+    val wordsLit = array(words.toIndexedSeq.map(lit): _*)
+    bitPositions(key, numBits, numHashes).map { p =>
+      (element_at(wordsLit, (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 64).cast("int")))) =!= 0L
+    }.reduceLeft(_ && _)
+  }
+
+  /** big ⋉ small on bigKey = smallKey, bloom-pruned: scan-stage
+    * membership filter, then the exact LEFT SEMI join over the
+    * survivors only. */
+  def bloomSemiJoin(big: DataFrame, bigKey: String,
+      small: DataFrame, smallKey: String, numBits: Int = 1 << 16,
+      numHashes: Int = 3): DataFrame = {
+    val words = buildBloom(small.select(col(smallKey)), smallKey,
+      numBits, numHashes)
+    big.filter(mightContain(col(bigKey), words, numHashes))
+      .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
+  }
+}

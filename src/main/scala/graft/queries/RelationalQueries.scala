@@ -444,6 +444,33 @@ object RelationalQueries {
             FROM w JOIN events e ON e.ts >= w.lo AND e.ts <= w.hi
             GROUP BY day ORDER BY day"""))
 
+  /** J12: Bloom-pruned semi-join ([[graft.ops.BloomJoin]]) — the
+    * big-probe-side scan-pruning technique: a fixed-size bit array
+    * built from the (too-big-to-broadcast-exactly) build-side key
+    * set drops probe rows during the scan; the exact semi-join then
+    * removes the false-positive tail, so the result EQUALS the plain
+    * semi-join — which is precisely what the oracle states. The
+    * bloom arithmetic itself is spec-pinned (deterministic portable
+    * hash positions); the gate pins the end-to-end contract. */
+  private val j12 = QueryDef(
+    "j12_bloom_semi_join",
+    "bloom-filter-pruned semi-join (result == exact semi-join)",
+    (s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val small = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 150000.0)
+        .select("o_orderkey")
+      graft.ops.BloomJoin.bloomSemiJoin(big, "l_orderkey",
+        small, "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 150000.0)
+            ORDER BY l_orderkey, l_linenumber"""))
+
   // ---------------------------------------------------------------- A
 
   /** A1 (display.py:153-160): dashboard table totals, one row per
@@ -838,7 +865,7 @@ object RelationalQueries {
 
   def defs: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p9,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
     a1, a2, a3, a4, a5, a6, a7, a8,
     w1, w2, w3, w4,
     o1, o2, o3, o4, o5, o6, o7, o8)

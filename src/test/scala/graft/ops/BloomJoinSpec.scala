@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def big = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "payload")
+  private def small = (1L to 2000L by 40).map(i => i).toDF("sk") // 50 keys
+
+  test("no false negatives: every build key passes the membership test") {
+    val words = BloomJoin.buildBloom(small, "sk", numBits = 1 << 10)
+    val passed = small.filter(BloomJoin.mightContain(col("sk"), words)).count()
+    assert(passed == small.count())
+  }
+
+  test("bloom prunes the probe side and the semi-join removes the fp tail") {
+    val words = BloomJoin.buildBloom(small, "sk", numBits = 1 << 10)
+    val survivors = big.filter(BloomJoin.mightContain(col("k"), words)).count()
+    // 50 true members of 2000; a 1024-bit/3-hash filter at 50 keys has
+    // p_fp ~ (1-e^(-150/1024))^3 ~ 0.25% — survivors must sit between
+    // the true-match floor and a loose fp ceiling, i.e. the filter
+    // genuinely prunes the scan
+    assert(survivors >= 50 && survivors < 400, s"survivors=$survivors")
+
+    val bloomed = BloomJoin.bloomSemiJoin(big, "k", small, "sk",
+      numBits = 1 << 10)
+      .select("k").as[Long].collect().toSet
+    val exact = big.join(small.select(col("sk").as("k")), Seq("k"),
+      "left_semi").select("k").as[Long].collect().toSet
+    assert(bloomed == exact, "bloom semi-join must equal the exact semi-join")
+  }
+
+  test("membership filter evaluates in the scan stage, below the join exchange") {
+    // parquet-backed fixture: with a local relation the optimizer
+    // constant-folds the whole membership test away at plan time,
+    // which hides the shape this test pins
+    val tmp = java.nio.file.Files.createTempDirectory("bloomspec").toString
+    big.write.mode("overwrite").parquet(s"$tmp/big")
+    val bigP = spark.read.parquet(s"$tmp/big")
+    val plan = BloomJoin.bloomSemiJoin(bigP, "k", small, "sk",
+      numBits = 1 << 10).queryExecution.executedPlan.toString
+    // the pruning filter (md5-hash membership) must appear under the
+    // probe side's scan, BELOW the join node in the tree (printed
+    // after it), i.e. survivors — not the full probe side — pay the
+    // join
+    val filterIdx = plan.indexOf("md5")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"filter must sit below (print after) the join:\n$plan")
+    assert(plan.contains("LeftSemi"), plan)
+  }
+}
