@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Byte-pair-encoding merge induction (Sennrich et al. 2016) — the
+  * tokenizer-training step of a corpus pipeline, distributed the way
+  * it should be: ONE corpus scan reduces the text to the word
+  * frequency table, and every merge iteration after that touches only
+  * the VOCABULARY-sized frame (pair counts are a combinable
+  * aggregation over it; the argmax is a 1-row collect; the merge is a
+  * per-word fold). The corpus is never read again.
+  *
+  * Merge semantics (pinned for the oracle): pair occurrences count
+  * with overlap via the adjacent zip (so "aaa" contributes (a,a)
+  * twice), weighted by word frequency; the winning pair is
+  * max count, ties broken (lhs, rhs) lexicographic; application is
+  * GREEDY LEFT-TO-RIGHT — "aaa" under (a,a) becomes [aa, a], never
+  * [a, aa]. The engine applies merges with a position-ordered fold;
+  * the oracle replicates it with the equivalent run-parity
+  * formulation (within each maximal run of consecutive matching
+  * positions, the 1st, 3rd, … merge).
+  *
+  * Iterations chain lazily (each merge is one Project over the
+  * previous vocab); `stagingDir` cuts the O(iters²) recompute by
+  * staging the vocab to parquet per iteration — the
+  * [[ConnectedComponents]] fixpoint discipline, which is the shape a
+  * 10M-word production vocabulary needs. Results are identical
+  * (spec-pinned). */
+object Bpe {
+
+  /** (word, freq) from lowercased whitespace tokens — map-side
+    * combinable; the single corpus-scale stage. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Greedy left-to-right merge of (a,b) → a+b over a symbol array,
+    * as a single position-ordered fold: state = (rebuilt array,
+    * last-element-was-just-merged). A merged element never merges
+    * again in the same pass. */
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column = {
+    val init = struct(array().cast("array<string>").as("out"),
+      lit(false).as("m"))
+    aggregate(syms, init,
+      (acc, s) => {
+        val out = acc.getField("out")
+        val canMerge = !acc.getField("m") && size(out) > 0 &&
+          element_at(out, -1) === lit(a) && (s === lit(b))
+        when(canMerge,
+          struct(concat(slice(out, lit(1), size(out) - 1),
+            array(lit(a + b))).as("out"), lit(true).as("m")))
+          .otherwise(
+            struct(concat(out, array(s)).as("out"), lit(false).as("m")))
+      },
+      acc => acc.getField("out"))
+  }
+
+  /** Initial character symbolization (1-char substrings in position
+    * order — the oracle's `w[i:i]` twin). */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => substring_index0(word, i))
+
+  // substring(word, i, 1) with a Column start — the functions API
+  // overload takes Int positions only
+  private def substring_index0(word: Column, i: Column): Column =
+    word.substr(i, lit(1))
+
+  /** Learn `numMerges` merges; returns (iter, lhs, rhs, pair_freq),
+    * fewer rows if the vocabulary runs out of pairs first. */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      stagingDir: Option[String] = None): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = wordFreq(docs, textCol)
+      .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var it = 1
+    var exhausted = false
+    while (it <= numMerges && !exhausted) {
+      stagingDir.foreach { dir =>
+        vocab.write.mode("overwrite").parquet(s"$dir/bpe_iter_$it")
+        vocab = spark.read.parquet(s"$dir/bpe_iter_$it")
+      }
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1)," +
+            " slice(syms, 2, size(syms) - 1)," +
+            " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((it, a, b, c))
+        vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
+        it += 1
+      }
+    }
+    merges.toSeq.toDF("iter", "lhs", "rhs", "pair_freq")
+  }
+}

@@ -2421,6 +2421,77 @@ object PipelineQueries {
                    ELSE 'tail' END AS bucket
             FROM lmsc, cuts ORDER BY doc_id"""))
 
+  /** The ts13 oracle, generated per iteration count: base = word
+    * frequencies + char symbolization; each iteration = pair count →
+    * argmax (cnt DESC, lhs, rhs) → merge application via the
+    * RUN-PARITY formulation (within each maximal run of consecutive
+    * matching positions, the 1st, 3rd, … merge — provably identical
+    * to the engine's greedy left-to-right fold, spec-pinned in
+    * BpeSpec). */
+  private def bpeOracleSql(iters: Int): String = {
+    val base =
+      """WITH w0 AS (SELECT word, count(*)::BIGINT AS freq FROM (
+              SELECT unnest(CASE WHEN length(trim(lower(text))) = 0
+                            THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                            END) AS word
+              FROM documents) GROUP BY word),
+            s0 AS MATERIALIZED (SELECT word, freq,
+              list_transform(generate_series(1, length(word)),
+                i -> word[i:i]) AS syms FROM w0)"""
+    val its = (1 to iters).map { k =>
+      val p = k - 1
+      s""",
+            p$k AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+                sum(freq)::BIGINT AS cnt
+              FROM s$p, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+              WHERE len(syms) >= 2 GROUP BY 1, 2),
+            b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k
+                    ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+            m$k AS MATERIALIZED (SELECT word, freq, syms, i, syms[i] AS sym,
+                CASE WHEN i < len(syms)
+                      AND syms[i] = (SELECT lhs FROM b$k)
+                      AND syms[i + 1] = (SELECT rhs FROM b$k)
+                     THEN 1 ELSE 0 END AS mt
+              FROM s$p, unnest(generate_series(1, len(syms))) AS u(i)),
+            g$k AS (SELECT *, CASE WHEN mt = 1 THEN i - row_number()
+                OVER (PARTITION BY word, mt ORDER BY i) END AS isl
+              FROM m$k),
+            h$k AS (SELECT *, CASE WHEN mt = 1 AND row_number()
+                OVER (PARTITION BY word, isl ORDER BY i) % 2 = 1
+                THEN 1 ELSE 0 END AS mg FROM g$k),
+            s$k AS MATERIALIZED (SELECT word, freq,
+                list(CASE WHEN mg = 1
+                     THEN (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k)
+                     ELSE sym END ORDER BY i) AS syms
+              FROM (SELECT *, lag(mg, 1, 0)
+                      OVER (PARTITION BY word ORDER BY i) AS pmg FROM h$k)
+              WHERE pmg = 0
+              GROUP BY word, freq)"""
+    }.mkString
+    val sel = (1 to iters).map(k =>
+      s"SELECT $k AS iter, lhs, rhs, cnt AS pair_freq FROM b$k")
+      .mkString("\nUNION ALL ")
+    base + its + "\n" + sel + "\nORDER BY iter"
+  }
+
+  /** TS13: BPE merge induction ([[graft.ops.Bpe.learnMerges]]) — the
+    * tokenizer-training step. One corpus scan builds the word
+    * frequency table; every one of the 6 merge iterations then runs
+    * on the VOCABULARY-sized frame only (combinable pair counts,
+    * 1-row argmax collect, per-word fold). Integer/string output —
+    * no float discipline needed at all; the determinism pins are the
+    * overlap-counting zip, the (cnt DESC, lhs, rhs) argmax and the
+    * greedy left-to-right merge, each replicated in the generated
+    * oracle. */
+  private val ts13 = QueryDef(
+    "ts13_bpe_merges",
+    "byte-pair-encoding merge induction (6 iterations)",
+    (s, dir) => graft.ops.Bpe.learnMerges(
+      Tables.documents(s, dir), "text", numMerges = 6)
+      .orderBy("iter"),
+    Some(bpeOracleSql(6)))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -2599,6 +2670,6 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, a7b, a8b)
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergePair is greedy left-to-right and never re-merges a fresh symbol") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"),
+      Seq("b"), Seq.empty[String]).toDF("syms")
+    val aa = df.select(Bpe.mergePair(col("syms"), "a", "a"))
+      .collect().map(_.getSeq[String](0))
+    assert(aa(0) == Seq("aa", "a"), aa(0)) // NOT [a, aa]
+    val ab = df.select(Bpe.mergePair(col("syms"), "a", "b"))
+      .collect().map(_.getSeq[String](0))
+    assert(ab(1) == Seq("ab", "ab"))
+    assert(ab(2) == Seq("b") && ab(3) == Seq.empty)
+  }
+
+  test("learnMerges: counts, lexicographic tie-break, early termination") {
+    val docs = Seq("aaa aa", "ab").toDF("text")
+    // iter1: (a,a)=3 (overlap counts) beats (a,b)=1
+    // iter2: (aa,a)=1 ties (a,b)=1 -> lex: lhs 'a' < 'aa' -> (a,b)
+    // iter3: (aa,a)=1
+    // iter4: vocabulary has no pairs left -> stops at 3 rows
+    val m = Bpe.learnMerges(docs, "text", numMerges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "a", 3L), (2, "a", "b", 1L),
+      (3, "aa", "a", 1L)), m.toSeq)
+  }
+
+  test("staged iterations produce the identical merge table") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val plain = Bpe.learnMerges(docs, "text", numMerges = 4).collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("bpespec").toString
+    val staged = Bpe.learnMerges(docs, "text", numMerges = 4,
+      stagingDir = Some(tmp)).collect().toSeq
+    assert(plain == staged)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "staging must not pin blocks")
+  }
+
+  test("pair counting reduces at the combiners (vocab-sized aggregation)") {
+    val docs = Seq("the quick brown fox", "the quick fox").toDF("text")
+    val vocab = Bpe.wordFreq(docs, "text")
+    assert(vocab.queryExecution.executedPlan.toString
+      .contains("partial_count"), "word count must map-side combine")
+    // 4 distinct words; the/quick/fox appear twice, brown once
+    val f = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("the") == 2 && f("brown") == 1 && f.size == 4)
+  }
+}
