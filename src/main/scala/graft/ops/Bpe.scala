@@ -68,13 +68,13 @@ object Bpe {
   private def substring_index0(word: Column, i: Column): Column =
     word.substr(i, lit(1))
 
-  /** Learn `numMerges` merges; returns (iter, lhs, rhs, pair_freq),
-    * fewer rows if the vocabulary runs out of pairs first. */
-  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      stagingDir: Option[String] = None): DataFrame = {
+  /** The training loop: final vocabulary (word, freq, syms) plus the
+    * ordered merge list. */
+  private def train(docs: DataFrame, textCol: String, numMerges: Int,
+      stagingDir: Option[String])
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
     val spark = docs.sparkSession
-    import spark.implicits._
     var vocab = wordFreq(docs, textCol)
       .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -104,6 +104,36 @@ object Bpe {
         it += 1
       }
     }
-    merges.toSeq.toDF("iter", "lhs", "rhs", "pair_freq")
+    (vocab, merges.toSeq)
+  }
+
+  /** Learn `numMerges` merges; returns (iter, lhs, rhs, pair_freq),
+    * fewer rows if the vocabulary runs out of pairs first. */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      stagingDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, textCol, numMerges, stagingDir)._2
+      .toDF("iter", "lhs", "rhs", "pair_freq")
+  }
+
+  /** Apply the trained tokenizer back to the corpus: per document,
+    * the BPE token count and word count. The corpus-scale step is
+    * ONE (word)-keyed join of the exploded document words against
+    * the trained vocabulary's symbolization — the vocabulary is the
+    * smaller side (AQE broadcasts it when it fits, shuffles
+    * otherwise); the per-doc rollup is one combinable aggregation.
+    * Every corpus word is in the vocabulary by construction (same
+    * corpus, same tokenization), so the join is inner with no loss
+    * — spec-asserted via n_words reconciliation. */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int, stagingDir: Option[String] = None): DataFrame = {
+    val (vocab, _) = train(docs, textCol, numMerges, stagingDir)
+    val words = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("word"))
+    words.join(vocab.select(col("word"), size(col("syms")).as("n_syms")),
+        Seq("word"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
   }
 }

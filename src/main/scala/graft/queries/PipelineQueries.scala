@@ -2475,6 +2475,39 @@ object PipelineQueries {
     base + its + "\n" + sel + "\nORDER BY iter"
   }
 
+  /** The ts13 CTE chain with a custom final select over s`iters`
+    * (the trained vocabulary) — ts14 joins the corpus back against
+    * it. */
+  private def bpeVocabSql(iters: Int, finalSelect: String): String = {
+    val full = bpeOracleSql(iters)
+    full.substring(0, full.lastIndexOf("\nSELECT 1 AS iter")) +
+      "\n" + finalSelect
+  }
+
+  /** TS14: the trained tokenizer APPLIED ([[graft.ops.Bpe.tokenize]])
+    * — per-document BPE token counts. The corpus-scale step is one
+    * (word)-keyed join of exploded document words against the
+    * trained vocabulary's symbol counts; the rollup is combinable.
+    * Integer-only output. */
+  private val ts14 = QueryDef(
+    "ts14_bpe_tokenize",
+    "per-doc BPE token counts from the trained vocabulary",
+    (s, dir) => graft.ops.Bpe.tokenize(
+      Tables.documents(s, dir), "doc_id", "text", numMerges = 6)
+      .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      .orderBy("doc_id"),
+    Some(bpeVocabSql(6,
+      """, dw AS (SELECT doc_id,
+             unnest(CASE WHEN length(trim(lower(text))) = 0
+                    THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                    END) AS word
+           FROM documents)
+         SELECT d.doc_id, count(*)::BIGINT AS n_words,
+                sum(len(s.syms))::BIGINT AS n_bpe_tokens
+         FROM dw d JOIN s6 s USING (word)
+         GROUP BY d.doc_id ORDER BY d.doc_id""")))
+
   /** TS13: BPE merge induction ([[graft.ops.Bpe.learnMerges]]) — the
     * tokenizer-training step. One corpus scan builds the word
     * frequency table; every one of the 6 merge iterations then runs
@@ -2670,6 +2703,6 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, a7b, a8b)
 }

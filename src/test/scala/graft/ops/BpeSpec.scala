@@ -45,6 +45,28 @@ class BpeSpec extends SparkSpec {
       "staging must not pin blocks")
   }
 
+  test("tokenize: counts reconcile — words covered, merges only shrink token counts") {
+    val docs = Seq((1L, "aaa aa"), (2L, "ab"), (3L, "aaa ab"))
+      .toDF("doc_id", "text")
+    val out = Bpe.tokenize(docs, "doc_id", "text", numMerges = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // merges (from the learnMerges spec): (a,a)@1, (a,b)@2, (aa,a)@3
+    // final syms: aaa->[aaa], aa->[aa], ab->[ab]
+    assert(out(1L) == ((2L, 2L)), out(1L)) // aaa + aa -> 1 + 1
+    assert(out(2L) == ((1L, 1L)))
+    assert(out(3L) == ((2L, 2L)))
+    // every corpus word is in the trained vocabulary: n_words must
+    // equal the raw whitespace token count (no join loss)
+    val raw = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(lower(col("text")))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(out.forall { case (id, (w, _)) => w == raw(id) })
+    // with zero merges applied... numMerges >= 1, so assert the
+    // monotone bound instead: BPE tokens never exceed characters and
+    // never undercut words
+    assert(out.forall { case (_, (w, t)) => t >= w })
+  }
+
   test("pair counting reduces at the combiners (vocab-sized aggregation)") {
     val docs = Seq("the quick brown fox", "the quick fox").toDF("text")
     val vocab = Bpe.wordFreq(docs, "text")
