@@ -44,6 +44,46 @@ object Sessions {
       .drop("__prev_ts")
   }
 
+  /** FUNNEL progression: per key, the furthest `steps` stage reached
+    * by time order — an event advances the stage only when its type
+    * is the NEXT step (a purchase before any view advances nothing:
+    * the classic ordered-funnel semantics). Returns
+    * (stage, n_users): stage 0 = keys in the universe (`universe`
+    * frame if given, else `df`) that never reached step 1 — pass a
+    * universe when `df` is a qualifying-events slice of a larger
+    * population.
+    *
+    * The per-key computation is the position-ordered integer fold
+    * (the ss6/ts12 discipline — step codes sort by (ts, tie) and
+    * fold left; the oracle replicates the same `list_reduce`), so it
+    * costs ONE key exchange; non-step events drop before the
+    * aggregation so the collected lists hold only funnel-relevant
+    * rows; the stage-0 reconciliation joins the distinct-key frame
+    * on the same key (reused partitioning). */
+  def funnelStages(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, tieCol: String, steps: Seq[String],
+      universe: Option[DataFrame] = None): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct, got $steps")
+    val stepCode = steps.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
+    }
+    val perKey = df
+      .select(col(keyCol).as("user_id"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), stepCode.as("__sc"))
+      .filter(col("__sc") > 0)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("__ts"), col("__tie"), col("__sc")))).as("__evs"))
+      .select(col("user_id"),
+        expr("aggregate(__evs, 0, (acc, e) ->" +
+          " IF(e.__sc = acc + 1, acc + 1, acc))").as("stage"))
+    universe.getOrElse(df).select(col(keyCol).as("user_id")).distinct()
+      .join(perKey, Seq("user_id"), "left")
+      .select(coalesce(col("stage"), lit(0)).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
   /** One row per (key, session): event count, start/end ts, span in
     * milliseconds. The aggregation keys on (key, session_no), which
     * is a refinement of the window partitioning — AQE reuses the

@@ -723,6 +723,39 @@ object RelationalQueries {
             FROM a GROUP BY user_id, session_no
             ORDER BY user_id, session_no"""))
 
+  /** W5: ordered-funnel progression ([[Sessions.funnelStages]]) —
+    * per user, the furthest view→click→purchase stage reached in
+    * time order (a purchase before any view advances nothing). The
+    * per-user fold is the position-ordered integer fold both engines
+    * replicate exactly; integer-only output. */
+  private val w5 = QueryDef(
+    "w5_funnel_stages",
+    "ordered funnel progression (signup -> view -> click -> purchase)",
+    (s, dir) => {
+      // high-value events only — the full stream is dense enough at
+      // sf0.01 that every user completes, which would gate nothing;
+      // the >100 slice populates all five stages (29/44/41/19/17)
+      val hv = Tables.events(s, dir).filter(col("value") > 100.0)
+      Sessions.funnelStages(hv,
+        "user_id", "ts", "event_type", "event_id",
+        Seq("signup", "view", "click", "purchase"),
+        universe = Some(Tables.events(s, dir)))
+        .orderBy("stage")
+    },
+    Some("""WITH sc AS (SELECT user_id, ts, event_id,
+              CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+                   WHEN 'click' THEN 3 WHEN 'purchase' THEN 4
+                   ELSE 0 END AS sc
+              FROM events WHERE value > 100.0),
+            st AS (SELECT user_id,
+              list_reduce(list_prepend(0, list(sc ORDER BY ts, event_id)),
+                (a, x) -> CASE WHEN x = a + 1 THEN a + 1 ELSE a END) AS stage
+              FROM sc WHERE sc > 0 GROUP BY user_id),
+            au AS (SELECT DISTINCT user_id FROM events)
+            SELECT coalesce(st.stage, 0) AS stage, count(*) AS n_users
+            FROM au LEFT JOIN st USING (user_id)
+            GROUP BY 1 ORDER BY stage"""))
+
   // ---------------------------------------------------------------- O
 
   /** O1 (main_scraper.py:98): COLLATE NOCASE ordering → sort by
@@ -867,6 +900,6 @@ object RelationalQueries {
     p1, p2, p3, p4, p5, p6, p7, p9,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
     a1, a2, a3, a4, a5, a6, a7, a8,
-    w1, w2, w3, w4,
+    w1, w2, w3, w4, w5,
     o1, o2, o3, o4, o5, o6, o7, o8)
 }

@@ -53,6 +53,27 @@ class SessionsSpec extends SparkSpec {
     assert(u2s1.getAs[Long]("span_ms") == 30 * 60 * 1000L)
   }
 
+  test("funnelStages: order matters, non-step noise ignored, universe fills stage 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: A then B then C in order -> stage 3
+      (1L, t(1), "A", 1L), (1L, t(2), "B", 2L), (1L, t(3), "C", 3L),
+      // user 2: B before A -> only the later A counts -> stage 1
+      (2L, t(1), "B", 4L), (2L, t(2), "A", 5L),
+      // user 3: A then C (skips B) -> stage 1, noise ignored
+      (3L, t(1), "A", 6L), (3L, t(2), "noise", 7L), (3L, t(3), "C", 8L),
+      // user 4: same-ts tie broken by event id: A(id 9) before B(id 10)
+      (4L, t(1), "A", 9L), (4L, t(1), "B", 10L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val uni = (1L to 6L).toDF("user_id") // 5,6 never act -> stage 0
+    val got = Sessions.funnelStages(ev, "user_id", "ts", "event_type",
+        "event_id", Seq("A", "B", "C"), universe = Some(uni))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 2L, 1 -> 2L, 2 -> 1L, 3 -> 1L), got)
+  }
+
   test("one exchange feeds both window passes (no extra shuffle)") {
     val plan = Sessions.assignSessions(fixture, "user_id", "ts",
         gapSeconds = 1800, tieBreak = "event_id")
