@@ -1789,6 +1789,44 @@ object PipelineQueries {
               md5(substr(text, lo::INT + 1, 64)) AS frame_digest
             FROM cut ORDER BY media_id, frame_idx"""))
 
+  /** MM5: the multimodal pipeline COMPOSED with vector search —
+    * codec featurize (mm2's per-partition open/close SPI path, the
+    * deterministic stub codec) feeding exact cosine top-k (ss1's
+    * engine): "find media that looks like this". The float feature
+    * arithmetic and the cosine fold are both already oracle-pinned;
+    * this gate pins their composition end-to-end. */
+  private val mm5 = QueryDef(
+    "mm5_visual_search",
+    "codec featurize -> cosine top-k over feature vectors",
+    (s, dir) => {
+      import s.implicits._
+      val items = graft.multimodal.Multimodal
+        .syntheticMedia(Tables.documents(s, dir))
+        .as[graft.multimodal.Multimodal.MediaItem]
+      val feats = graft.multimodal.Multimodal
+        .decodeAndFeaturize(items, dim = 8).toDF()
+        .select(col("media_id").as("id"), col("features").as("embedding"))
+      SimilaritySearch.bruteForceTopK(
+        feats.filter(col("id") < 5), feats, "id", "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH f AS (SELECT doc_id AS id,
+              list_transform(generate_series(0, 7), i ->
+                ((ord(substr(md5(text), (i % 32)::INT + 1, 1)) * 31
+                  + i * 7) % 997)::FLOAT / 997.0::FLOAT) AS emb
+              FROM documents),
+            q AS (SELECT id AS query_id, emb AS qv FROM f WHERE id < 5),
+            c AS (SELECT id AS neighbor_id, emb AS cv FROM f),
+            scored AS (SELECT query_id, neighbor_id,
+                ${cosSql("qv", "cv")} AS cos
+              FROM q, c WHERE query_id != neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, rank, neighbor_id, cos
+            FROM ranked WHERE rank <= 3
+            ORDER BY query_id, rank"""))
+
   /** A7 scale path: approx_count_distinct sketch. The sketch value
     * itself has no exact SQL oracle by design — but its ERROR BAND
     * does: the query emits the exact count plus a boolean asserting
@@ -2704,5 +2742,5 @@ object PipelineQueries {
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, a7b, a8b)
+      tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, mm5, a7b, a8b)
 }
