@@ -304,6 +304,42 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** TF-IDF top-k terms per document — the classic keyword
+    * extraction / relevance signal. tf = in-doc term count,
+    * idf = ln(N / df) with N = docs with ≥1 token and df = docs
+    * containing the term; score = tf·idf, top `k` per doc by
+    * (score DESC, term ASC).
+    *
+    * Determinism: tf/df/N are exact integers; idf's ln sees the same
+    * double quotient in both engines, score = int·double — every
+    * ranking compare is over bit-identical doubles (the output
+    * rounds to 6 dp for display only).
+    *
+    * Scale shape: ONE (doc, term) aggregation builds tf; df and N
+    * derive from tf (term-keyed combinable count + a 1-row scalar —
+    * no second corpus scan); the tf⋈df join keys on term
+    * (vocabulary-sized build side); rank ≤ k plans as
+    * WindowGroupLimit so no doc's term list fully sorts. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val tf = df.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col("id")).as("n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"),
+        round(col("tfidf"), 6).as("tfidf_r"))
+  }
+
   /** Fixed-width TOKEN-LENGTH HISTOGRAM: per-doc whitespace token
     * counts binned at `binWidth`, the last bin open-ended (the
     * corpus-QA length distribution every curation report starts

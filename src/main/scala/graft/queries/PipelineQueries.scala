@@ -2563,6 +2563,40 @@ object PipelineQueries {
       .orderBy("iter"),
     Some(bpeOracleSql(6)))
 
+  /** TS15: TF-IDF keyword extraction ([[TextAnalysis.tfidfTopK]]) —
+    * top-5 terms per doc. Ranking compares bit-identical doubles
+    * (exact integer counts through one shared ln quotient); the
+    * 6-dp round is display-only. */
+  private val ts15 = QueryDef(
+    "ts15_tfidf_topk",
+    "top-5 TF-IDF terms per document",
+    (s, dir) => TextAnalysis.tfidfTopK(
+      Tables.documents(s, dir), "doc_id", "text", k = 5)
+      .select(col("id").as("doc_id"), col("rank"), col("term"),
+        col("tfidf_r"))
+      .orderBy("doc_id", "rank"),
+    Some("""WITH tf AS (SELECT doc_id AS id, word AS term,
+              count(*)::BIGINT AS tf
+              FROM (SELECT doc_id,
+                unnest(CASE WHEN length(trim(lower(text))) = 0
+                       THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                       END) AS word
+                FROM documents)
+              GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                      GROUP BY term),
+            n AS (SELECT count(DISTINCT id)::BIGINT AS n FROM tf),
+            scored AS (SELECT tf.id, tf.term,
+                tf.tf * ln(n.n::DOUBLE / dfreq.df::DOUBLE) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY id
+                ORDER BY tfidf DESC, term) AS rank
+              FROM scored)
+            SELECT id AS doc_id, rank, term, round(tfidf, 6) AS tfidf_r
+            FROM ranked WHERE rank <= 5
+            ORDER BY doc_id, rank"""))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -2741,6 +2775,6 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts14, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, mm5, a7b, a8b)
 }

@@ -188,6 +188,31 @@ class TextPiiSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 3, plan)
   }
 
+  test("tfidfTopK: hand-computed scores, zero-idf floor, group-limit plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple banana cherry cherry")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=3; df(apple)=2, df(banana)=3, df(cherry)=2
+    assert(out((1L, 1)) == (("apple", r6(2 * math.log(1.5)))), out((1L, 1)))
+    assert(out((1L, 2))._1 == "banana" && out((1L, 2))._2 == 0.0)
+    assert(out((2L, 1)) == (("cherry", r6(math.log(1.5)))))
+    assert(out((3L, 1)) == (("cherry", r6(2 * math.log(1.5)))))
+    assert(out((3L, 2)) == (("apple", r6(math.log(1.5)))))
+    // rank<=k must plan as a group-limit (no full per-doc sort at scale)
+    val plan = TextAnalysis.tfidfTopK(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("lengthHistogram: bins partition the corpus, top bin open-ended, empty docs bin 0") {
     import spark.implicits._
     val docs = Seq(
