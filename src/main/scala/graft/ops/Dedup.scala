@@ -518,4 +518,29 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** REPEATED n-GRAM AUDIT (the Lee et al. 2021 exact-substring
+    * memorization signal): every length-`n` token window occurring in
+    * at least `minDocs` DISTINCT documents, with its document and
+    * occurrence counts — the spans a decontamination or
+    * memorization-risk review reads before choosing what to cut.
+    *
+    * Scale shape: the window explode rides the scan
+    * (sliding-window `transform`); ONE gram-keyed combinable
+    * aggregation does everything (count_distinct partials for
+    * n_docs, plain count for n_occ); the ≥ minDocs filter drops the
+    * singleton long tail — which is almost all of the gram mass —
+    * before any downstream consumer. The gram TEXT is the shuffle
+    * key here (exact semantics, what the oracle states); at 100 TB
+    * you'd key the exchange on `portableHash64(gram)` and carry one
+    * exemplar via `min(gram)` — same plan shape, 8-byte keys. */
+  def repeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    require(n >= 2 && minDocs >= 2, s"need n >= 2, minDocs >= 2; got $n/$minDocs")
+    df.select(col(idCol).as("id"),
+        explode(wordShingles(tokens(lower(col(textCol))), n)).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

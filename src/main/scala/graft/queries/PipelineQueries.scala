@@ -2563,6 +2563,30 @@ object PipelineQueries {
       .orderBy("iter"),
     Some(bpeOracleSql(6)))
 
+  /** D13: repeated n-gram audit ([[Dedup.repeatedNgramSpans]]) — the
+    * Lee et al. exact-substring memorization signal: 12-token
+    * windows in ≥ 2 distinct docs with doc/occurrence counts.
+    * Integer-only output over exact string keys. */
+  private val d13 = QueryDef(
+    "d13_repeated_ngram_spans",
+    "12-gram windows shared across documents (memorization audit)",
+    (s, dir) => Dedup.repeatedNgramSpans(
+      Tables.documents(s, dir), "doc_id", "text", n = 12, minDocs = 2)
+      .orderBy("gram"),
+    Some("""WITH t AS (SELECT doc_id,
+              CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END
+                AS toks
+              FROM documents),
+            g AS (SELECT doc_id,
+                array_to_string(toks[i:i+11], ' ') AS gram
+              FROM t, unnest(generate_series(1, len(toks) - 11)) AS u(i)
+              WHERE len(toks) >= 12)
+            SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs,
+              count(*)::BIGINT AS n_occ
+            FROM g GROUP BY gram HAVING n_docs >= 2
+            ORDER BY gram"""))
+
   /** TS15: TF-IDF keyword extraction ([[TextAnalysis.tfidfTopK]]) —
     * top-5 terms per doc. Ranking compares bit-identical doubles
     * (exact integer counts through one shared ln quotient); the
@@ -2773,7 +2797,7 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, mm5, a7b, a8b)

@@ -96,6 +96,35 @@ class PipelineSpec extends SparkSpec {
       s"multi-table recall $recall < single-table $recallSingle")
   }
 
+  test("repeatedNgramSpans: cross-doc windows only, counts include within-doc repeats") {
+    import spark.implicits._
+    val shared = "one two three four"
+    val docs = Seq(
+      (1L, s"$shared alpha $shared"), // the shared 4-gram occurs twice here
+      (2L, s"beta $shared gamma"),
+      (3L, "nothing in common at all here")
+    ).toDF("id", "text")
+    val out = Dedup.repeatedNgramSpans(docs, "id", "text",
+        n = 4, minDocs = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.contains(shared), out.keySet)
+    assert(out(shared) == ((2L, 3L)), out(shared)) // 2 docs, 3 occurrences
+    // no gram unique to one doc survives, even the within-doc repeat
+    // "three four one" (doc 1 only, via the self-concatenation)
+    assert(out.keySet.forall(g => g.contains("one two") ||
+      g.contains("two three") || g.contains("three four") ||
+      g.contains("four alpha") || g.contains("beta one") ||
+      g.contains("four gamma") || g.contains("alpha one")),
+      out.keySet)
+    val crossDocOnly = out.forall { case (_, (nd, _)) => nd >= 2 }
+    assert(crossDocOnly)
+    // one combinable aggregation: partial count_distinct at the map side
+    val plan = Dedup.repeatedNgramSpans(docs, "id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("pq encode: argmin per subspace, tie keeps lower centroid, zero-exchange plan") {
     val vecs = Seq(
       (0L, Seq(0f, 0f, 0f, 0f)),
