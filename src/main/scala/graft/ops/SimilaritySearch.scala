@@ -464,6 +464,28 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "l2")
   }
 
+  /** METADATA-FILTERED ANN — "nearest neighbors WHERE label = x".
+    * This is the pre-filter form: the predicate restricts the corpus
+    * BEFORE indexing/probing, so top-k is exact over the qualifying
+    * set (post-filtering an unfiltered ANN top-k under-returns when
+    * the predicate is selective — the classic filtered-ANN trap,
+    * spec-pinned). The predicate pushes into the candidate scan;
+    * with IVF the index is built per filtered corpus — at 100 TB a
+    * deployment keeps one stored index per hot partition-predicate
+    * (the ss9 stored-index frames are the building block) and falls
+    * back to pre-filter + brute force for rare predicates when the
+    * qualifying set is small. */
+  def filteredTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      predicate: org.apache.spark.sql.Column,
+      numCentroids: Int = 0, probes: Int = 4,
+      cellCap: Int = 10000): DataFrame = {
+    val qualifying = candidates.filter(predicate)
+    if (numCentroids <= 0) bruteForceTopK(queries, qualifying, idCol, vecCol, k)
+    else ivfTopK(queries, qualifying, idCol, vecCol, k, numCentroids,
+      probes, cellCap)
+  }
+
   /** Recall@k of an ANN result against exact ground truth: both
     * frames carry (query_id, neighbor_id) rows (any extra columns
     * ignored); returns one row per ground-truth query —

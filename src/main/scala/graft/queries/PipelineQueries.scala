@@ -2563,6 +2563,37 @@ object PipelineQueries {
       .orderBy("iter"),
     Some(bpeOracleSql(6)))
 
+  /** SS12: metadata-filtered ANN ([[SimilaritySearch.filteredTopK]])
+    * — top-5 neighbors WHERE label = 1, the PRE-filter semantics
+    * (exact over the qualifying set; post-filtering an unfiltered
+    * top-k would under-return). Brute-force engine over the
+    * filtered corpus; the predicate reaches the parquet scan. */
+  private val ss12 = QueryDef(
+    "ss12_filtered_ann",
+    "metadata-filtered ANN (pre-filter semantics, label = 1)",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilaritySearch.filteredTopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("id"),
+          col("embedding")),
+        e.select(col("vec_id").as("id"), col("embedding"), col("label")),
+        "id", "embedding", k = 5, predicate = col("label") === 1)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                        FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                  FROM embeddings WHERE label = 1),
+            scored AS (SELECT query_id, neighbor_id,
+                ${cosSql("qv", "cv")} AS cos
+              FROM q, c WHERE query_id != neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, rank, neighbor_id, cos
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   /** D13: repeated n-gram audit ([[Dedup.repeatedNgramSpans]]) — the
     * Lee et al. exact-substring memorization signal: 12-token
     * windows in ≥ 2 distinct docs with doc/occurrence counts.
@@ -2798,7 +2829,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, dc1, dc2, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, mm5, a7b, a8b)
 }

@@ -96,6 +96,33 @@ class PipelineSpec extends SparkSpec {
       s"multi-table recall $recall < single-table $recallSingle")
   }
 
+  test("filteredTopK: pre-filter returns k qualifying; post-filtering under-returns") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"), col("label"))
+    val q = e.filter(col("id") < 5).select("id", "embedding")
+    val pre = SimilaritySearch.filteredTopK(q, e, "id", "embedding",
+      k = 5, predicate = col("label") === 1)
+    // every result qualifies, every query fills its k
+    val labels = e.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val preRows = pre.collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(preRows.forall { case (_, nb) => labels(nb) == 1 })
+    assert(preRows.groupBy(_._1).forall(_._2.length == 5))
+    // the trap this operator exists to avoid: filtering an
+    // UNFILTERED top-5 afterwards keeps only the qualifying subset
+    // of 5 — strictly fewer when the predicate is selective
+    val post = SimilaritySearch.bruteForceTopK(q, e, "id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .filter { case (_, nb) => labels(nb) == 1 }
+    assert(post.length < preRows.length,
+      s"post-filter kept ${post.length}, pre-filter ${preRows.length}")
+    // IVF engine variant agrees with brute force at full probing
+    val ivf = SimilaritySearch.filteredTopK(q, e, "id", "embedding",
+      k = 5, predicate = col("label") === 1, numCentroids = 4, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf == preRows.toSet)
+  }
+
   test("repeatedNgramSpans: cross-doc windows only, counts include within-doc repeats") {
     import spark.implicits._
     val shared = "one two three four"
