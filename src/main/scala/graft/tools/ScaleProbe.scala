@@ -177,6 +177,39 @@ object ScaleProbe {
           "id", "embedding", k = 5, shortlist = 20, m = 8, ks = 16,
           dim = 64)
       })
+      // BPE: the vocabulary is FIXED under replication (same words,
+      // 10x the frequency) — training cost should be flat; the one
+      // corpus-scale stage is the word count
+      probe(s"ts13_bpe_x$m", {
+        import spark.implicits._
+        graft.ops.Bpe.learnMerges(docs(m), "text", numMerges = 6)
+          .toDF()
+      })
+      // TF-IDF: tf rows x m, vocab fixed; the term join build side
+      // stays vocabulary-sized
+      probe(s"ts15_tfidf_x$m", graft.ops.TextAnalysis.tfidfTopK(
+        docs(m), "id", "text", k = 5))
+      // repeated n-grams, dup-heavy worst case: replication makes
+      // EVERY gram cross-doc, so the >=minDocs filter keeps the
+      // whole gram mass instead of killing the singleton tail — the
+      // honest adversarial input for this audit
+      probe(s"d13_ngram_audit_x$m", Dedup.repeatedNgramSpans(
+        docs(m), "id", "text", n = 12, minDocs = 2))
+      // funnel: key space grows with m, per-key history fixed
+      probe(s"w5_funnel_x$m", {
+        val e = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+        val rep = (0 until m).map(i => e.select(
+            (col("user_id") + i * 10000000L).as("user_id"),
+            (col("event_id") + i * 10000000L).as("event_id"),
+            col("ts"), col("event_type"), col("value")))
+          .reduce(_ unionByName _)
+        Sessions.funnelStages(rep.filter(col("value") > 100.0),
+          "user_id", "ts", "event_type", "event_id",
+          Seq("signup", "view", "click", "purchase"),
+          universe = Some(rep))
+      })
       // chunk -> pack: both scan-rate; output rows grow linearly
       probe(s"sp1_chunk_pack_x$m", graft.ops.Packing.packSummary(
         graft.ops.TextAnalysis.chunk(docs(m), "id", "text", 64, 48)
