@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.IntegerType
   * users get the same codegen'd hot paths the Column API uses:
   * highlight_context, hashed_word_shingles, hashed_char_ngrams,
   * simhash, pack_int8, dequantize_q8, dot_product, cosine_sim,
-  * repetition_stats. Planner strategies/rules would be injected here
+  * repetition_stats, lsh_plane_buckets, pq_encode, pq_adc_table.
+  * Planner strategies/rules would be injected here
   * too if an operator ever needs them (the reference's surface
   * doesn't — SURVEY §4.2).
   */
@@ -76,6 +77,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("repetition_stats", classOf[RepetitionStats], exprs => {
       arity("repetition_stats", exprs, 1)
       RepetitionStats(exprs(0))
+    })
+    inject("lsh_plane_buckets", classOf[LshPlaneBuckets], exprs => {
+      arity("lsh_plane_buckets", exprs, 4)
+      LshPlaneBuckets(exprs(0),
+        intArg(exprs(1), "lsh_plane_buckets", "planes"),
+        intArg(exprs(2), "lsh_plane_buckets", "tables"),
+        intArg(exprs(3), "lsh_plane_buckets", "dim"))
+    })
+    // pq_encode(vec, codebook_array, m, ks) / pq_adc_table(...):
+    // the codebook is a plan-time constant (array<double> literal,
+    // length m·ks·subDim) — it bakes into the generated code as a
+    // reference object, same as the Column API path
+    def cbArg(e: Expression, fn: String): IndexedSeq[Double] = {
+      require(e.foldable, s"$fn: codebook must be a constant array")
+      e.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toDoubleArray().toIndexedSeq
+        case other => throw new IllegalArgumentException(
+          s"$fn: codebook must be array<double>, got $other")
+      }
+    }
+    def pqDims(fn: String, cb: IndexedSeq[Double], m: Int, ks: Int): Int = {
+      require(m > 0 && ks > 0 && cb.length % (m * ks) == 0,
+        s"$fn: codebook length ${cb.length} must be m*ks*subDim")
+      cb.length / (m * ks)
+    }
+    inject("pq_encode", classOf[PqKernels.PqEncode], exprs => {
+      arity("pq_encode", exprs, 4)
+      val cb = cbArg(exprs(1), "pq_encode")
+      val (m, ks) = (intArg(exprs(2), "pq_encode", "m"),
+        intArg(exprs(3), "pq_encode", "ks"))
+      PqKernels.PqEncode(exprs(0), cb, m, ks, pqDims("pq_encode", cb, m, ks))
+    })
+    inject("pq_adc_table", classOf[PqKernels.PqAdcTable], exprs => {
+      arity("pq_adc_table", exprs, 4)
+      val cb = cbArg(exprs(1), "pq_adc_table")
+      val (m, ks) = (intArg(exprs(2), "pq_adc_table", "m"),
+        intArg(exprs(3), "pq_adc_table", "ks"))
+      PqKernels.PqAdcTable(exprs(0), cb, m, ks,
+        pqDims("pq_adc_table", cb, m, ks))
     })
   }
 }

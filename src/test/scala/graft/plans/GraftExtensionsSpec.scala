@@ -43,6 +43,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "FROM range(1)").collect()
       }
       assert(err.getMessage != null)
+
+      // PQ kernels through SQL: dim 4, m=2, ks=2, codebook =
+      // [j0: c0=(0,0) c1=(1,1) | j1: c0=(0,0) c1=(2,2)] — the
+      // PipelineSpec hand case; vec (0.9,0.9,0.1,0.1)
+      // encodes [1, 0], and its ADC table has m*ks = 4 entries
+      val pq = spark.sql(
+        """SELECT
+             pq_encode(array(0.9D, 0.9D, 0.1D, 0.1D),
+               array(0D,0D, 1D,1D, 0D,0D, 2D,2D), 2, 2) AS codes,
+             size(pq_adc_table(array(0.9D, 0.9D, 0.1D, 0.1D),
+               array(0D,0D, 1D,1D, 0D,0D, 2D,2D), 2, 2)) AS tbl_n""")
+        .head
+      assert(pq.getSeq[Int](0) == Seq(1, 0), pq.getSeq[Int](0))
+      assert(pq.getInt(1) == 4)
+      // lsh_plane_buckets resolves with literal config
+      val lsh = spark.sql(
+        "SELECT lsh_plane_buckets(array(1.0D, -1.0D), 2, 2, 2) AS b")
+        .head.getSeq[Long](0)
+      assert(lsh.length == 2)
     } finally spark.stop()
   }
 }
