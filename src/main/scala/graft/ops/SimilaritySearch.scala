@@ -464,6 +464,61 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "l2")
   }
 
+  /** IVF-PQ — the production vector index (coarse cells prune the
+    * corpus, PQ codes rank inside the probed cells): candidate
+    * generation is [[ivfTopK]]'s cell machinery (sample codebook,
+    * pinned cosine affinity, cellCap), but the scoring re-attach
+    * carries m PQ CODES per candidate instead of dim floats, and
+    * ranking is the ADC table-lookup fold. Non-residual variant
+    * (codes quantize the raw vectors, not cell residuals) — the
+    * residual refinement is a codebook-training concern the same
+    * plumbing serves. At 100 TB: the cell index prunes the scan to
+    * probes/numCentroids of the corpus, and what's left shuffles at
+    * m bytes per vector. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, numCentroids: Int,
+      probes: Int, m: Int, ks: Int, dim: Int,
+      cellCap: Int = 10000): DataFrame = {
+    val codebook = Ivf.sampleCodebook(candidates, idCol, vecCol, numCentroids)
+    val corpusAssign = Ivf.assignmentsWithCodebook(candidates, idCol, vecCol,
+      codebook, probes = 1)
+      .select(col("id").as("neighbor_id"), col("centroid_id"))
+    val wc = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("neighbor_id").asc)
+    val capped = corpusAssign
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") <= cellCap)
+      .drop("__rn")
+    val queryAssign = Ivf.assignmentsWithCodebook(queries, idCol, vecCol,
+      codebook, probes)
+      .select(col("id").as("query_id"), col("centroid_id"))
+    val cand = queryAssign.join(capped, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    // PQ scoring: candidates re-attach m CODES (not vectors)...
+    val pqCb = pqCodebook(candidates, idCol, vecCol, m, ks, dim)
+    val codes = candidates
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        pqEncodeExpr(col(vecCol), pqCb).as("__codes"))
+    // ...and the |Q|-sized table side broadcasts
+    val qt = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        graft.plans.PqKernels.pqAdcTable(col(vecCol), pqCb).as("__tbl"))
+    val dist = (0 until m).map { j =>
+      element_at(col("__tbl"),
+        lit(j * ks + 1) + element_at(col("__codes"), j + 1))
+    }.foldLeft(lit(0.0))(_ + _)
+    val scored = cand
+      .join(codes.hint("shuffle_hash"), "neighbor_id")
+      .join(broadcast(qt), "query_id")
+      .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
   /** METADATA-FILTERED ANN — "nearest neighbors WHERE label = x".
     * This is the pre-filter form: the predicate restricts the corpus
     * BEFORE indexing/probing, so top-k is exact over the qualifying

@@ -2563,6 +2563,61 @@ object PipelineQueries {
       .orderBy("iter"),
     Some(bpeOracleSql(6)))
 
+  /** SS13: IVF-PQ ([[SimilaritySearch.ivfPqTopK]]) — the production
+    * vector index: the ss3/ss8 coarse-cell machinery generates
+    * candidates (32 sample anchors, pinned cosine affinity,
+    * probes = 4, cellCap), and ADC over ss10's PQ codes ranks them
+    * — the corpus re-attaches as m codes, never as floats. The
+    * oracle composes BOTH pinned models: the affinity CTEs and the
+    * code chain, with the j-ordered ADC fold over exactly the
+    * candidate pairs. */
+  private val ss13 = QueryDef(
+    "ss13_ivfpq_topk",
+    "IVF cells prune, PQ codes rank (the production index shape)",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      SimilaritySearch.ivfPqTopK(e.filter(col("id") < 10), e,
+        "id", "embedding", k = 5, numCentroids = 32, probes = 4,
+        m = 8, ks = 16, dim = 64, cellCap = 1000)
+        .orderBy("query_id", "rank")
+    },
+    Some(pqCodesCtes + s""",
+            anchors AS (SELECT vec_id AS cid, embedding AS avec
+                        FROM embeddings ORDER BY vec_id LIMIT 32),
+            aff AS (SELECT e.vec_id AS id, a.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${cosSql("e.embedding", "a.avec")} DESC,
+                    a.cid) AS rn
+              FROM embeddings e, anchors a),
+            cassign AS (SELECT id AS neighbor_id, cid FROM aff
+                        WHERE rn <= 1),
+            qassign AS (SELECT id AS query_id, cid FROM aff
+                        WHERE id < 10 AND rn <= 4),
+            cappedv AS (SELECT neighbor_id, cid,
+                row_number() OVER (PARTITION BY cid
+                  ORDER BY neighbor_id) AS crn
+              FROM cassign),
+            cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+              FROM qassign q JOIN cappedv c ON q.cid = c.cid
+              WHERE c.crn <= 1000 AND q.query_id != c.neighbor_id),
+            paird AS (SELECT cand.query_id, cand.neighbor_id,
+                cd.j, q.dist
+              FROM cand
+              JOIN codes cd ON cd.id = cand.neighbor_id
+              JOIN encd q ON q.id = cand.query_id AND q.j = cd.j
+                AND q.c = cd.code),
+            summed AS (SELECT query_id, neighbor_id,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(dist ORDER BY j)), (x, y) -> x + y) AS dist
+              FROM paird GROUP BY query_id, neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY dist, neighbor_id) AS rank
+              FROM summed)
+            SELECT query_id, rank, neighbor_id, dist
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   /** SS12: metadata-filtered ANN ([[SimilaritySearch.filteredTopK]])
     * — top-5 neighbors WHERE label = 1, the PRE-filter semantics
     * (exact over the qualifying set; post-filtering an unfiltered
@@ -2744,10 +2799,11 @@ object PipelineQueries {
     * fold of the m table lookups. Every double op is +,−,× in
     * pinned order — no ln/sqrt anywhere — so `dist` compares
     * BIT-exactly without rounding. */
-  /** The ss10 PQ model as a reusable WITH-chain ending in
-    * ranked(query_id, neighbor_id, dist, rank) — ss11's rerank
-    * shortlists from the same CTEs. */
-  private val pqAdcCtes: String =
+  /** The ss10 PQ model's code chain: WITH cb..codes(id, j, code),
+    * encd holding every (id, subspace, centroid) sub-distance —
+    * shared by ss10/ss11 (ADC over all pairs) and ss13 (ADC over
+    * IVF candidates). */
+  private lazy val pqCodesCtes: String =
     """WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
                    embedding AS cv
                  FROM (SELECT vec_id, embedding FROM embeddings
@@ -2766,7 +2822,13 @@ object PipelineQueries {
             codes AS (SELECT id, j, c AS code FROM (
                 SELECT *, row_number() OVER (PARTITION BY id, j
                     ORDER BY dist, c) AS rn
-                FROM encd) WHERE rn = 1),
+                FROM encd) WHERE rn = 1)"""
+
+  /** The ss10 PQ model as a reusable WITH-chain ending in
+    * ranked(query_id, neighbor_id, dist, rank) — ss11's rerank
+    * shortlists from the same CTEs. */
+  private lazy val pqAdcCtes: String = pqCodesCtes +
+    """,
             paird AS (SELECT q.id AS query_id, c.id AS neighbor_id,
                 c.j, q.dist
               FROM codes c JOIN encd q ON q.j = c.j AND q.c = c.code
@@ -2829,7 +2891,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, dc1, dc2, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, mm5, a7b, a8b)
 }

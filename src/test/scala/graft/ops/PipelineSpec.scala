@@ -96,6 +96,28 @@ class PipelineSpec extends SparkSpec {
       s"multi-table recall $recall < single-table $recallSingle")
   }
 
+  test("ivfPqTopK: full probing recovers plain ADC; starved probing stays within cells") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 5)
+    // probes == numCentroids => candidate set is the whole corpus
+    // (minus self), so IVF-PQ must EQUAL the plain ADC ranking
+    val full = SimilaritySearch.ivfPqTopK(q, e, "id", "embedding",
+      k = 5, numCentroids = 8, probes = 8, m = 8, ks = 16, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val adc = SimilaritySearch.pqTopK(q, e, "id", "embedding",
+      k = 5, m = 8, ks = 16, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(full.toSeq == adc.toSeq)
+    // starved probing returns only candidates from probed cells —
+    // a subset of the ADC universe, k rows max per query
+    val starved = SimilaritySearch.ivfPqTopK(q, e, "id", "embedding",
+      k = 5, numCentroids = 8, probes = 1, m = 8, ks = 16, dim = 64)
+      .collect()
+    assert(starved.groupBy(_.getLong(0)).forall(_._2.length <= 5))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("filteredTopK: pre-filter returns k qualifying; post-filtering under-returns") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"), col("label"))
