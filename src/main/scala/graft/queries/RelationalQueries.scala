@@ -626,6 +626,34 @@ object RelationalQueries {
               round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** A9: hierarchical rollup — per-(status, year) counts and totals
+    * plus per-status subtotals and the grand total in one pass.
+    * Spark plans this as one Expand (3 grouping sets) feeding ONE
+    * hash aggregate + one shuffle — at 100 TB that beats three
+    * separate aggregations by reading the scan once; the Expand's
+    * 3× row inflation happens AFTER partial aggregation collapses
+    * each map partition. Money is summed as decimal(18,2) — exact,
+    * so the sum is order-independent and the double conversion at
+    * the output edge is deterministic; the grouping keys are never
+    * null in the base data, so null unambiguously marks subtotal
+    * rows (no grouping_id needed in the gate). */
+  private val a9 = QueryDef(
+    "a9_rollup_totals",
+    "ROLLUP subtotals: (status, year), (status), grand total",
+    (s, dir) => Tables.orders(s, dir)
+      .rollup(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double"), 2).as("sum_price"))
+      .orderBy(col("status").asc_nulls_first, col("yr").asc_nulls_first),
+    Some("""SELECT o_orderstatus AS status, year(o_orderdate) AS yr,
+              count(*) AS n_orders,
+              round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, year(o_orderdate))
+            ORDER BY status NULLS FIRST, yr NULLS FIRST"""))
+
   // ---------------------------------------------------------------- W
 
   /** W1 (scrape_my_channel.py:457): 1-based position assignment per
@@ -755,6 +783,42 @@ object RelationalQueries {
             SELECT coalesce(st.stage, 0) AS stage, count(*) AS n_users
             FROM au LEFT JOIN st USING (user_id)
             GROUP BY 1 ORDER BY stage"""))
+
+  /** W6: frame-based running metrics — cumulative sum and a 3-row
+    * moving average per user in event-time order, the signal-
+    * smoothing shape every monitoring/curation dashboard computes.
+    * Both frames ride ONE (user_id) exchange + one sort — Spark
+    * evaluates all window functions over the same (partition, order)
+    * spec in a single Window operator, so adding the second frame is
+    * free. Running frames stream in O(1) memory per partition (no
+    * full-partition buffering like unbounded-following would need);
+    * round(6) guards the last ulp of the double fold, which both
+    * engines accumulate in identical (ts, event_id) order. */
+  private val w6 = QueryDef(
+    "w6_running_metrics",
+    "running sum + 3-row moving average per user",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(cum), 6).as("cum_value"),
+          round(avg(col("value")).over(mov), 6).as("mov_avg3"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+              round(sum(value) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                AS cum_value,
+              round(avg(value) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+            FROM events WHERE user_id < 100
+            ORDER BY user_id, event_id"""))
 
   // ---------------------------------------------------------------- O
 
@@ -899,7 +963,7 @@ object RelationalQueries {
   def defs: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p9,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
-    a1, a2, a3, a4, a5, a6, a7, a8,
-    w1, w2, w3, w4, w5,
+    a1, a2, a3, a4, a5, a6, a7, a8, a9,
+    w1, w2, w3, w4, w5, w6,
     o1, o2, o3, o4, o5, o6, o7, o8)
 }
