@@ -377,6 +377,60 @@ object Dedup {
           graft.plans.HashKernels.hashedCharNgrams(col("__text"), n).as("hs")),
       numHashes, bands, threshold, bucketCap)
 
+  /** Blocked fuzzy (edit-distance) near-dup pairs — the typo-class
+    * match the hash families cannot see: two keys within `maxDist`
+    * single-character edits collide on NO shingle/simhash bucket
+    * reliably, but levenshtein finds them. All-pairs levenshtein is
+    * O(n²·L²) and never survives scale, so this is the standard
+    * entity-resolution shape: a normalized comparison key (lower,
+    * whitespace-collapsed, first `keyLen` chars), BLOCKING on
+    * (2-char prefix, length band of width maxDist+1), per-block cap,
+    * capped in-block self-join (ids only), then levenshtein verify
+    * on the re-attached keys.
+    *
+    * Recall contract (documented, unlike the pigeonhole engines):
+    * blocking bounds recall — a pair that disagrees in the first two
+    * key chars, or straddles a length-band boundary, is not
+    * generated. That is the accepted trade of blocking-based ER;
+    * widen blocks (more bands, multi-pass blocking) to buy recall
+    * with candidate mass. Verify distance is measured on the KEYS
+    * (the operator's contract), not the full text — L is bounded by
+    * `keyLen`, so the per-pair cost is constant.
+    *
+    * Same engine discipline as the LSH family: one repartition(id)
+    * barrier under key derivation shared by blocking and both verify
+    * sides, WindowGroupLimit cap before the MERGE-pinned self-join,
+    * SHUFFLE_HASH key re-attach carrying `keyLen` chars per row. */
+  def blockedFuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+      keyLen: Int = 40, maxDist: Int = 5,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(keyLen >= 3, "keyLen must cover the blocking prefix")
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(bucketCap >= 2, "bucketCap must admit at least one pair")
+    val keyed = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        substring(regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+          1, keyLen).as("k"))
+    val blocked = keyed.select(col("id"),
+      substring(col("k"), 1, 2).as("b_pre"),
+      (length(col("k")) / lit(maxDist + 1)).cast("int").as("b_len"))
+    val wb = Window.partitionBy(col("b_pre"), col("b_len"))
+      .orderBy(col("id").asc)
+    val capped = blocked
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= bucketCap)
+      .select("b_pre", "b_len", "id")
+    val cand = cappedPairs(capped, Seq("b_pre", "b_len"))
+    val verify = keyed.hint("shuffle_hash")
+    cand
+      .join(verify.as("ka"), col("id_a") === col("ka.id"))
+      .join(verify.as("kb"), col("id_b") === col("kb.id"))
+      .withColumn("dist", levenshtein(col("ka.k"), col("kb.k")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** APPLY a near-dup pair list: survivors = every row whose id never
     * appears as the LARGER member of a pair — the standard greedy
     * smaller-id-wins drop. Greedy, not transitive-closure: in a chain

@@ -2673,6 +2673,38 @@ object PipelineQueries {
             FROM g GROUP BY gram HAVING n_docs >= 2
             ORDER BY gram"""))
 
+  /** D14: blocked fuzzy pairs ([[Dedup.blockedFuzzyPairs]]) — the
+    * edit-distance (typo-class) near-dup family member. The oracle
+    * replicates the whole chain: normalized 40-char key, (prefix,
+    * length-band) blocking, the id-ordered per-block cap, and the
+    * levenshtein verify — both engines implement the same standard
+    * edit distance, so `dist` matches exactly. */
+  private val d14 = QueryDef(
+    "d14_blocked_fuzzy_pairs",
+    "blocked edit-distance near-dup pairs (entity-resolution shape)",
+    (s, dir) => Dedup.blockedFuzzyPairs(
+      Tables.documents(s, dir), "doc_id", "text",
+      keyLen = 40, maxDist = 5)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH k AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                1, 40) AS k
+              FROM documents),
+            b AS (SELECT id, substr(k, 1, 2) AS b_pre,
+              (length(k) // 6)::INT AS b_len FROM k),
+            c AS (SELECT *, row_number() OVER (PARTITION BY b_pre, b_len
+                ORDER BY id) AS rn FROM b),
+            cp AS (SELECT * FROM c WHERE rn <= 10000),
+            p AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+                  FROM cp a JOIN cp b2
+                  ON a.b_pre = b2.b_pre AND a.b_len = b2.b_len
+                     AND a.id < b2.id),
+            v AS (SELECT p.id_a, p.id_b, levenshtein(ka.k, kb.k) AS dist
+                  FROM p JOIN k ka ON ka.id = p.id_a
+                         JOIN k kb ON kb.id = p.id_b)
+            SELECT id_a, id_b, dist FROM v WHERE dist <= 5
+            ORDER BY id_a, id_b"""))
+
   /** TS15: TF-IDF keyword extraction ([[TextAnalysis.tfidfTopK]]) —
     * top-5 terms per doc. Ranking compares bit-identical doubles
     * (exact integer counts through one shared ln quotient); the
@@ -2890,7 +2922,7 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, mm5, a7b, a8b)

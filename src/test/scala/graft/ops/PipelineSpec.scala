@@ -311,6 +311,46 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set(10L, 12L), s"got $got")
   }
 
+  test("blockedFuzzyPairs: typo pairs found, blocking bounds recall, cap holds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma one"),
+      (2L, "alpha beta gamma two"),  // 3 edits vs 1, same block
+      (3L, "blpha beta gamma one"),  // 1 edit vs 1 but first-char edit
+      (4L, "zzz completely different here"),
+      (5L, "alpha beta gamma o")     // 2 deletions vs 1; len 18 → same band
+    ).toDF("doc_id", "text")
+    val got = Dedup.blockedFuzzyPairs(docs, "doc_id", "text",
+        keyLen = 20, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1,3) is MISSED by contract: dist 1, but the prefix block differs —
+    // the documented recall bound of blocking-based ER
+    assert(got == Set((1L, 2L, 3), (1L, 5L, 2), (2L, 5L, 2)), got)
+
+    // per-block cap: three identical keys, cap 2 → one pair, min ids
+    val caps = Seq((10L, "same text here"), (11L, "same text here"),
+      (12L, "same text here")).toDF("doc_id", "text")
+    val capped = Dedup.blockedFuzzyPairs(caps, "doc_id", "text",
+        keyLen = 20, maxDist = 5, bucketCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)), capped)
+  }
+
+  test("blockedFuzzyPairs plan: merge self-join, shuffle-hash verify, no broadcast") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.blockedFuzzyPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the in-block self-join must stay MERGE (broadcast would defeat
+    // block-key exchange reuse); key re-attach is SHUFFLE_HASH over
+    // the keyed barrier; nothing corpus-sized broadcasts
+    assert("SortMergeJoin".r.findAllMatchIn(plan).length == 1, plan)
+    assert("ShuffledHashJoin".r.findAllMatchIn(plan).length == 2, plan)
+    assert(!plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("keepBestPerCluster: score argmax wins, singletons survive, sizes exact") {
     import spark.implicits._
     // chain 1~2, 2~3 = one cluster {1,2,3}; pair 5~6; singleton 4
