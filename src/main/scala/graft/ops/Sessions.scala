@@ -84,6 +84,43 @@ object Sessions {
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
+  /** SCD2 state intervals: collapse a per-key state-change log into
+    * validity intervals — one row per consecutive run of the same
+    * state, [valid_from, valid_to), valid_to null on the current
+    * (open) interval. The type-2 slowly-changing-dimension history
+    * every warehouse maintains, derived from the raw log in one
+    * pass.
+    *
+    * Scale shape: the run detection (lag), run numbering (running
+    * sum), and the post-rollup valid_to (lead over run starts) all
+    * partition by the key, so everything rides ONE
+    * hashpartitioning(key) exchange — the run rollup keys on
+    * (key, run_no), a refinement of that partitioning, and the lead
+    * pass over the (already tiny) one-row-per-run frame re-uses it.
+    * Same discipline as [[assignSessions]]; `tieCol` totalizes
+    * within-key order so run boundaries are deterministic. */
+  def stateIntervals(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCol: String): DataFrame = {
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val newRun = when(col("__prev").isNull ||
+      col("__prev") =!= col(stateCol), 1L).otherwise(0L)
+    val runs = df
+      .withColumn("__prev", lag(col(stateCol), 1).over(order))
+      .withColumn("__run",
+        sum(newRun).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__run"))
+      .agg(first(col(stateCol)).as("state"),
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col(keyCol)).orderBy(col("__run").asc)
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .select(col(keyCol), col("__run").as("run_no"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
+
   /** One row per (key, session): event count, start/end ts, span in
     * milliseconds. The aggregation keys on (key, session_no), which
     * is a refinement of the window partitioning — AQE reuses the

@@ -820,6 +820,82 @@ object RelationalQueries {
             FROM events WHERE user_id < 100
             ORDER BY user_id, event_id"""))
 
+  /** W7: cohort retention — users bucketed by first-activity week
+    * (both engines truncate weeks to Monday), counted distinct in
+    * each subsequent week. The analytics shape every engagement
+    * dashboard runs, and a deliberate three-narrow-shuffle plan:
+    * (1) distinct (user, week) collapses the raw event mass FIRST
+    * (the only corpus-sized exchange — everything after moves
+    * ≤ |users|·|weeks| rows), (2) min-week per user, (3) the
+    * (cohort, offset) count. Week offsets are day-diffs of
+    * week-truncated dates — exact multiples of 7, so the division
+    * is exact in both engines. */
+  private val w7 = QueryDef(
+    "w7_cohort_retention",
+    "weekly cohort retention matrix",
+    (s, dir) => {
+      // qualifying activity = high-value events; the full stream is
+      // dense enough that every user "retains" trivially (w5's trick)
+      val um = Tables.events(s, dir)
+        .filter(col("value") > 160.0)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("m"))
+        .distinct()
+      val cohort = um.groupBy("user_id").agg(min(col("m")).as("c"))
+      um.join(cohort, "user_id")
+        .groupBy(date_format(col("c"), "yyyy-MM-dd").as("cohort"),
+          (datediff(col("m"), col("c")) / 7).cast("long").as("k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort", "k")
+    },
+    Some("""WITH um AS (SELECT DISTINCT user_id,
+              date_trunc('week', ts) AS m FROM events
+              WHERE value > 160.0),
+            c AS (SELECT user_id, min(m) AS c FROM um GROUP BY user_id)
+            SELECT strftime(c.c, '%Y-%m-%d') AS cohort,
+              (date_diff('day', c.c, m) // 7)::BIGINT AS k,
+              count(DISTINCT um.user_id) AS n_active
+            FROM um JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY cohort, k"""))
+
+  /** W8: SCD2 validity intervals ([[Sessions.stateIntervals]]) —
+    * the type-2 slowly-changing-dimension history derived from the
+    * raw state-change log: one row per consecutive same-state run,
+    * [valid_from, valid_to), open interval's valid_to null. The
+    * whole chain (lag run detection, running-sum run numbering, run
+    * rollup, lead valid_to) rides one (user_id) exchange. */
+  private val w8 = QueryDef(
+    "w8_scd2_intervals",
+    "SCD2 validity intervals from a state-change log",
+    (s, dir) => Sessions.stateIntervals(
+        Tables.events(s, dir).filter(col("user_id") < 200),
+        "user_id", "ts", "event_type", "event_id")
+      .select(col("user_id"), col("run_no"), col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("from_s"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("to_s"),
+        col("n_events"))
+      .orderBy("user_id", "run_no"),
+    Some("""WITH g AS (SELECT user_id, event_id, ts, event_type,
+              CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type
+                   THEN 1 ELSE 0 END AS nr
+              FROM events WHERE user_id < 200
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (SELECT user_id, ts, event_type,
+              (sum(nr) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                 AS run_no
+              FROM g),
+            a AS (SELECT user_id, run_no,
+              any_value(event_type) AS state,
+              min(ts) AS valid_from, count(*) AS n_events
+              FROM r GROUP BY user_id, run_no)
+            SELECT user_id, run_no, state,
+              strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS from_s,
+              strftime(lead(valid_from) OVER (PARTITION BY user_id
+                ORDER BY run_no), '%Y-%m-%d %H:%M:%S') AS to_s,
+              n_events
+            FROM a ORDER BY user_id, run_no"""))
+
   // ---------------------------------------------------------------- O
 
   /** O1 (main_scraper.py:98): COLLATE NOCASE ordering → sort by
@@ -964,6 +1040,6 @@ object RelationalQueries {
     p1, p2, p3, p4, p5, p6, p7, p9,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
     a1, a2, a3, a4, a5, a6, a7, a8, a9,
-    w1, w2, w3, w4, w5, w6,
+    w1, w2, w3, w4, w5, w6, w7, w8,
     o1, o2, o3, o4, o5, o6, o7, o8)
 }

@@ -74,6 +74,46 @@ class SessionsSpec extends SparkSpec {
     assert(got == Map(0 -> 2L, 1 -> 2L, 2 -> 1L, 3 -> 1L), got)
   }
 
+  test("stateIntervals: runs collapse, open interval has null valid_to") {
+    val df = {
+      import spark.implicits._
+      Seq(
+        (1L, 1L, ts("2024-01-01 10:00:00"), "trial"),
+        (1L, 2L, ts("2024-01-02 10:00:00"), "trial"),   // same run
+        (1L, 3L, ts("2024-01-05 10:00:00"), "paid"),    // run 2
+        (1L, 4L, ts("2024-01-09 10:00:00"), "trial"),   // back → run 3
+        (2L, 5L, ts("2024-02-01 09:00:00"), "paid")
+      ).toDF("user_id", "event_id", "ts", "state")
+    }
+    val got = Sessions.stateIntervals(df, "user_id", "ts", "state",
+        "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).toString, Option(r.getTimestamp(4)).map(_.toString),
+        r.getLong(5)))
+      .toSet
+    val want = Set(
+      (1L, 1L, "trial", "2024-01-01 10:00:00.0",
+        Some("2024-01-05 10:00:00.0"), 2L),
+      (1L, 2L, "paid", "2024-01-05 10:00:00.0",
+        Some("2024-01-09 10:00:00.0"), 1L),
+      (1L, 3L, "trial", "2024-01-09 10:00:00.0", None, 1L),
+      (2L, 1L, "paid", "2024-02-01 09:00:00.0", None, 1L))
+    assert(got == want, got)
+  }
+
+  test("stateIntervals plan: run detect, rollup, and valid_to share one key exchange") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, ts("2024-01-01 10:00:00"), "a"))
+      .toDF("user_id", "event_id", "ts", "state")
+    val plan = Sessions.stateIntervals(df, "user_id", "ts", "state",
+        "event_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1, s"expected one exchange, plan:\n$plan")
+  }
+
   test("one exchange feeds both window passes (no extra shuffle)") {
     val plan = Sessions.assignSessions(fixture, "user_id", "ts",
         gapSeconds = 1800, tieBreak = "event_id")
