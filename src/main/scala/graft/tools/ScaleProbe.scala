@@ -59,6 +59,17 @@ object ScaleProbe {
         .reduce(_ unionByName _)
     }
 
+    // events with the state column (w8's shape)
+    def evtsT(m: Int): DataFrame = {
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      (0 until m).map(i => e.select(
+          (col("user_id") + i * 10000000L).as("user_id"),
+          (col("event_id") + i * 10000000L).as("event_id"), col("ts"),
+          col("event_type")))
+        .reduce(_ unionByName _)
+    }
+
     // optional third arg: comma-separated name prefixes to probe
     // (e.g. "ts12,ss10" re-probes just the new ops of a round)
     val only: Option[Seq[String]] =
@@ -125,8 +136,30 @@ object ScaleProbe {
             bucketCap = 1000).select("id_a", "id_b"),
           col("q9"))
       })
+      // fuzzy blocking under replication is the adversarial case:
+      // every replica shares its original's normalized key, so block
+      // population ×m and in-block pair mass ×m² — the cap is what
+      // holds the line (the same economics as d4; production order is
+      // exact-dedup first, fuzzy on survivors)
+      probe(s"d14_fuzzy_x$m", Dedup.blockedFuzzyPairs(docs(m), "id", "text",
+        keyLen = 40, maxDist = 5, bucketCap = 1000))
       probe(s"w4_sessionize_x$m", Sessions.sessionSummary(evts(m),
         "user_id", "ts", gapSeconds = 1800, tieBreak = "event_id"))
+      // SCD2 intervals: same one-key-exchange discipline as w4 — key
+      // space ×m, per-key run history fixed
+      probe(s"w8_scd2_x$m", Sessions.stateIntervals(
+        evtsT(m), "user_id", "ts", "event_type", "event_id"))
+      // cohort retention: the distinct (user, week) collapse is the
+      // only corpus-sized exchange; everything after is user-count
+      probe(s"w7_cohort_x$m", {
+        val um = evtsT(m).select(col("user_id"),
+          date_trunc("week", col("ts")).as("m0")).distinct()
+        val ch = um.groupBy("user_id").agg(min(col("m0")).as("c"))
+        um.join(ch, "user_id")
+          .groupBy(col("c"),
+            (datediff(col("m0"), col("c")) / 7).cast("long").as("k"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      })
       probe(s"sm2_stratified_x$m", Sampling.stratifiedSample(docsS(m),
         "source", "id", 20))
       // mixture weights: corpus reduces to #strata rows at the
