@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{ConnectedComponents, Decontamination, Dedup, Ivf, Sampling, SimilaritySearch, TextAnalysis, VectorAggregates, VectorCompression}
+import graft.ops.{ConnectedComponents, Decontamination, Dedup, Ivf, PageRank, Sampling, SimilaritySearch, TextAnalysis, VectorAggregates, VectorCompression}
 
 /** LLM-training-data pipeline operators over documents/embeddings —
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -2705,6 +2705,62 @@ object PipelineQueries {
             SELECT id_a, id_b, dist FROM v WHERE dist <= 5
             ORDER BY id_a, id_b"""))
 
+  /** G1: PageRank over the co-order part graph ([[PageRank]]) —
+    * 3 damped iterations of the pinned recurrence, oracle-unrolled
+    * CTE-per-iteration. Both engines evaluate the same terms:
+    * (1.0 - 0.85) is computed IN ENGINE on both sides (the two
+    * literals round to the same doubles, so the subtraction is the
+    * same IEEE op), r₀ = 1/N, contributions summed per dst. The
+    * ×1000 on output keeps 6-7 significant digits under the 6-dp
+    * round (ranks are ~1/N ≈ 5e-4 here). */
+  private val g1 = QueryDef(
+    "g1_pagerank_coorder",
+    "3-iteration PageRank over the co-order part graph",
+    (s, dir) => PageRank.pageRank(
+        PageRank.coOrderEdges(Tables.lineitem(s, dir)),
+        "src", "dst", iterations = 3)
+      .select(col("id").as("p_partkey"),
+        round(col("r") * 1000.0, 6).as("pr_k"))
+      .orderBy("p_partkey"),
+    Some("""WITH le AS (SELECT l_partkey,
+              lead(l_partkey) OVER (PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_partkey) AS nxt
+              FROM lineitem),
+            e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM le
+                  WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e
+                    GROUP BY src),
+            r0 AS (SELECT id, 1.0::DOUBLE / nn.n AS r
+                   FROM nodes CROSS JOIN nn),
+            i1 AS (SELECT v.id,
+                (1.0::DOUBLE - 0.85::DOUBLE) / v.n + 0.85::DOUBLE *
+                  coalesce(sum(p.r / deg.outdeg), 0.0::DOUBLE) AS r
+              FROM (SELECT nodes.id, nn.n FROM nodes CROSS JOIN nn) v
+              LEFT JOIN e ON e.dst = v.id
+              LEFT JOIN deg ON deg.src = e.src
+              LEFT JOIN r0 p ON p.id = e.src
+              GROUP BY v.id, v.n),
+            i2 AS (SELECT v.id,
+                (1.0::DOUBLE - 0.85::DOUBLE) / v.n + 0.85::DOUBLE *
+                  coalesce(sum(p.r / deg.outdeg), 0.0::DOUBLE) AS r
+              FROM (SELECT nodes.id, nn.n FROM nodes CROSS JOIN nn) v
+              LEFT JOIN e ON e.dst = v.id
+              LEFT JOIN deg ON deg.src = e.src
+              LEFT JOIN i1 p ON p.id = e.src
+              GROUP BY v.id, v.n),
+            i3 AS (SELECT v.id,
+                (1.0::DOUBLE - 0.85::DOUBLE) / v.n + 0.85::DOUBLE *
+                  coalesce(sum(p.r / deg.outdeg), 0.0::DOUBLE) AS r
+              FROM (SELECT nodes.id, nn.n FROM nodes CROSS JOIN nn) v
+              LEFT JOIN e ON e.dst = v.id
+              LEFT JOIN deg ON deg.src = e.src
+              LEFT JOIN i2 p ON p.id = e.src
+              GROUP BY v.id, v.n)
+            SELECT id AS p_partkey, round(r * 1000.0::DOUBLE, 6) AS pr_k
+            FROM i3 ORDER BY p_partkey"""))
+
   /** TS15: TF-IDF keyword extraction ([[TextAnalysis.tfidfTopK]]) —
     * top-5 terms per doc. Ranking compares bit-identical doubles
     * (exact integer counts through one shared ln quotient); the
@@ -2922,7 +2978,7 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, g1, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, mm5, a7b, a8b)

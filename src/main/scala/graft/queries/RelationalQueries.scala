@@ -1036,10 +1036,37 @@ object RelationalQueries {
                SELECT o_custkey FROM done_c)
             ORDER BY tag, o_custkey"""))
 
+  /** O9: pivot / cross-tab — one row per user, one column per event
+    * type. The values list is EXPLICIT, which matters twice: Spark
+    * skips the extra distinct-values pass (one scan, one aggregate),
+    * and the output schema is static — the 100 TB contract, since a
+    * data-dependent column set can't be planned, only discovered.
+    * Catalyst compiles pivot to exactly the oracle's shape: one
+    * hash aggregate of count-FILTER branches, no extra shuffle over
+    * the plain groupBy. Absent combinations are 0, not null (both
+    * engines pinned). */
+  private val o9 = QueryDef(
+    "o9_pivot",
+    "pivot event types to per-user count columns",
+    (s, dir) => Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("signup", "view", "click", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+              count(*) FILTER (WHERE event_type = 'signup') AS signup,
+              count(*) FILTER (WHERE event_type = 'view') AS view,
+              count(*) FILTER (WHERE event_type = 'click') AS click,
+              count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+            FROM events WHERE user_id < 50
+            GROUP BY user_id ORDER BY user_id"""))
+
   def defs: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p9,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
     a1, a2, a3, a4, a5, a6, a7, a8, a9,
     w1, w2, w3, w4, w5, w6, w7, w8,
-    o1, o2, o3, o4, o5, o6, o7, o8)
+    o1, o2, o3, o4, o5, o6, o7, o8, o9)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{ConnectedComponents, Dedup, Sampling, Sessions, SimilaritySearch}
+import graft.ops.{ConnectedComponents, Dedup, PageRank, Sampling, Sessions, SimilaritySearch}
 
 /** Scale probe for the dedup/ANN family: replicate the sf corpus
   * `mult`× (id-offset copies — a duplicate-HEAVY corpus, the worst
@@ -135,6 +135,19 @@ object ScaleProbe {
             shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.6,
             bucketCap = 1000).select("id_a", "id_b"),
           col("q9"))
+      })
+      // PageRank: m disjoint copies of the co-order graph — node and
+      // edge space ×m, per-iteration cost two edge-sized key shuffles
+      probe(s"g1_pagerank_x$m", {
+        val l = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val li = (0 until m).map(i => l.select(
+            (col("l_orderkey") + i * 10000000L).as("l_orderkey"),
+            col("l_linenumber"),
+            (col("l_partkey") + i * 10000000L).as("l_partkey")))
+          .reduce(_ unionByName _)
+        PageRank.pageRank(PageRank.coOrderEdges(li), "src", "dst",
+          iterations = 3)
       })
       // fuzzy blocking under replication is the adversarial case:
       // every replica shares its original's normalized key, so block

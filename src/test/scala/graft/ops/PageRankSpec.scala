@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[PageRank]]: the pinned recurrence on a hand graph (replicated in
+  * plain Scala), dangling semantics, edge-derivation determinism, and
+  * the CC-style materialization hygiene. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ranks match the recurrence computed in plain Scala") {
+    // star into b plus a back-edge: a→b, c→b, b→a (c dangling-free,
+    // b's mass cycles back to a, c never receives — every term of the
+    // recurrence is exercised, including the dangling loss via c)
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("s", "d")
+    val got = PageRank.pageRank(edges, "s", "d", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // plain-Scala replica of the same recurrence
+    val n = 3.0
+    val dmp = 0.85
+    var r = Map(1L -> 1 / n, 2L -> 1 / n, 3L -> 1 / n)
+    for (_ <- 1 to 4) {
+      val inc = Map(
+        1L -> r(2L) / 1.0,            // b→a, outdeg(b)=1
+        2L -> (r(1L) / 1.0 + r(3L) / 1.0)) // a→b, c→b
+      r = Seq(1L, 2L, 3L).map(id =>
+        id -> ((1.0 - dmp) / n + dmp * inc.getOrElse(id, 0.0))).toMap
+    }
+    assert(got.keySet == Set(1L, 2L, 3L), got)
+    got.foreach { case (id, v) =>
+      assert(math.abs(v - r(id)) < 1e-12, s"node $id: got $v want ${r(id)}")
+    }
+    // c is a pure source: floor rank only
+    assert(math.abs(got(3L) - 0.15 / 3) < 1e-12, got)
+  }
+
+  test("coOrderEdges: deterministic under duplicate line numbers, no self-loops") {
+    val li = Seq(
+      // order 1: duplicate linenumber 1 — the fixture's real hazard;
+      // (linenumber, partkey) order makes the sequence 5,7,9
+      (1L, 1, 7L), (1L, 1, 5L), (1L, 2, 9L),
+      // order 2: consecutive same part → self-loop, dropped
+      (2L, 1, 4L), (2L, 2, 4L)
+    ).toDF("l_orderkey", "l_linenumber", "l_partkey")
+    val got = PageRank.coOrderEdges(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((5L, 7L), (7L, 9L)), got)
+  }
+
+  test("pageRank retains no blocks and returns a re-joinable scan") {
+    val edges = (1L to 30L).map(i => (i, i % 30 + 1)).toDF("s", "d")
+    val ranks = PageRank.pageRank(edges, "s", "d", iterations = 3)
+    assert(ranks.count() == 30)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+    // 30-cycle is rank-uniform: every node exactly 1/30
+    val vals = ranks.select("r").collect().map(_.getDouble(0))
+    vals.foreach(v => assert(math.abs(v - 1.0 / 30) < 1e-12, v))
+  }
+}
