@@ -377,6 +377,47 @@ object Dedup {
           graft.plans.HashKernels.hashedCharNgrams(col("__text"), n).as("hs")),
       numHashes, bands, threshold, bucketCap)
 
+  /** Containment near-dup pairs — the ASYMMETRIC membership metric:
+    * |A∩B| / min(|A|, |B|) over distinct hashed shingle sets. Catches
+    * what Jaccard structurally cannot: a short document quoted whole
+    * inside a long one has tiny Jaccard (the union is long-doc-sized)
+    * but containment ≈ 1. Training pipelines run this after plain
+    * near-dup to catch quote-inclusion/boilerplate-wrapping
+    * duplication.
+    *
+    * Same candidate engine as [[minhashLshPairs]] (signatures, band
+    * buckets, cap, one reused exchange — recall note: MinHash bands
+    * collide ∝ Jaccard, so an extreme length-skew containment pair
+    * can evade banding; the standard mitigation at scale is chunking
+    * the long side first, which [[graft.ops.TextAnalysis]] ts7
+    * provides). Verify is codegen'd set arithmetic on the re-attached
+    * hashed sets through the pinned SHUFFLE_HASH joins. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(bucketCap >= 2, "bucketCap must admit at least one pair")
+    val hashed = lshSignatures(df, idCol, textCol, shingleLen)
+    val banded = bandKeys(hashed, numHashes, bands)
+    val wb = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(col("id").asc)
+    val capped = banded
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= bucketCap)
+      .select("band", "band_hash", "id")
+    val cand = cappedPairs(capped, Seq("band", "band_hash"))
+    val verify = hashed.hint("shuffle_hash")
+    cand
+      .join(verify.as("ha"), col("id_a") === col("ha.id"))
+      .join(verify.as("hb"), col("id_b") === col("hb.id"))
+      .withColumn("containment",
+        size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("double") /
+          least(size(array_distinct(col("ha.hs"))),
+            size(array_distinct(col("hb.hs")))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Blocked fuzzy (edit-distance) near-dup pairs — the typo-class
     * match the hash families cannot see: two keys within `maxDist`
     * single-character edits collide on NO shingle/simhash bucket

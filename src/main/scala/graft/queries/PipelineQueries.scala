@@ -109,10 +109,17 @@ object PipelineQueries {
                         ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
                       FROM ${p}it)"""
 
-  /** Shared LSH-candidates + exact-Jaccard oracle tail; `itemsCte`
-    * must define `it(id, items)`. Mirrors Dedup.lshJaccardPairs,
-    * including the per-(band, bucket) first-`cap`-by-id rule. */
-  private def lshOracleSql(itemsCte: String, threshold: Double): String = {
+  /** Shared LSH-candidates oracle tail; `itemsCte` must define
+    * `it(id, items)`. Mirrors Dedup.lshJaccardPairs, including the
+    * per-(band, bucket) first-`cap`-by-id rule. The verify measure is
+    * parametric (default exact Jaccard; d15 swaps in containment)
+    * over the SAME candidate chain — exactly how the engine side
+    * shares its geometry. */
+  private def lshOracleSql(itemsCte: String, threshold: Double,
+      measureName: String = "jaccard",
+      measureSql: String =
+        """len(list_intersect(x.hs, y.hs))::DOUBLE /
+                   len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE"""): String = {
     s"""$itemsCte,
        based AS (SELECT id, list_transform(items, g ->
                    ('0x' || substr(md5(g), 1, 15))::BIGINT
@@ -135,13 +142,12 @@ object PipelineQueries {
                     ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
                   FROM it),
        verif AS (SELECT id_a, id_b,
-                   len(list_intersect(x.hs, y.hs))::DOUBLE /
-                   len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE
-                     AS jaccard
+                   $measureSql
+                     AS $measureName
                  FROM cand JOIN hashed x ON x.id = cand.id_a
                            JOIN hashed y ON y.id = cand.id_b)
-       SELECT id_a, id_b, jaccard FROM verif
-       WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+       SELECT id_a, id_b, $measureName FROM verif
+       WHERE $measureName >= $threshold ORDER BY id_a, id_b"""
   }
 
   /** D2: MinHash+LSH near-dup pairs — shingle → signature → band
@@ -2761,6 +2767,33 @@ object PipelineQueries {
             SELECT id AS p_partkey, round(r * 1000.0::DOUBLE, 6) AS pr_k
             FROM i3 ORDER BY p_partkey"""))
 
+  /** D15: containment near-dup pairs ([[Dedup.containmentPairs]]) —
+    * the asymmetric |A∩B|/min(|A|,|B|) metric over the same LSH
+    * candidate chain as d2 (the oracle swaps only the verify measure
+    * into the shared chain, exactly like the engine). On the dup
+    * corpus the prefix-perturbed pairs score containment ≈ 0.93+
+    * where Jaccard saw 0.875 — the asymmetry the metric exists for;
+    * full quote-in-document capture at low Jaccard needs ts7
+    * chunking first (banding recall ∝ Jaccard — documented in the
+    * operator's Scaladoc and spec'd with a hand case). */
+  private val d15 = QueryDef(
+    "d15_containment_pairs",
+    "asymmetric containment near-dup pairs (quote/inclusion metric)",
+    (s, dir) => Dedup.containmentPairs(dupCorpus(s, dir), "id", "text",
+      shingleLen = 3, numHashes = NumHashes, bands = Bands,
+      threshold = 0.9, bucketCap = CatalogCap)
+      .orderBy("id_a", "id_b"),
+    Some("WITH " + dupCorpusSql + ",\n" + lshOracleSql(
+      """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM corpus),
+         it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                FROM tok WHERE len(t) >= 3)""", 0.9,
+      measureName = "containment",
+      measureSql = """len(list_intersect(x.hs, y.hs))::DOUBLE /
+                   least(len(list_distinct(x.hs)),
+                         len(list_distinct(y.hs)))::DOUBLE""")))
+
   /** TS15: TF-IDF keyword extraction ([[TextAnalysis.tfidfTopK]]) —
     * top-5 terms per doc. Ranking compares bit-identical doubles
     * (exact integer counts through one shared ln quotient); the
@@ -2978,7 +3011,7 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, g1, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, g1, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, mm5, a7b, a8b)

@@ -351,6 +351,32 @@ class PipelineSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("containmentPairs: quote-in-document scores ~1 where jaccard fails") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = quote + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, long),
+      (2L, quote),                              // wholly contained in 1
+      (3L, "an unrelated document about nothing shared at all here")
+    ).toDF("id", "text")
+    // 1-row bands (bands = numHashes) so candidate recall is ~1 even
+    // at the pair's low jaccard — the geometry a containment deploy
+    // uses (or ts7-chunk the long side under the default bands)
+    val got = Dedup.containmentPairs(docs, "id", "text",
+        numHashes = 32, bands = 32, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L,
+      got.toSeq)
+    assert(got.head._3 == 1.0, s"quote fully contained, got ${got.head._3}")
+    // the symmetric engine at its default threshold cannot see it:
+    // jaccard = 6/(6+40) ≈ 0.13
+    val jac = Dedup.minhashLshPairs(docs, "id", "text",
+        numHashes = 32, bands = 32, threshold = 0.6)
+      .collect()
+    assert(jac.isEmpty, jac.toSeq)
+  }
+
   test("keepBestPerCluster: score argmax wins, singletons survive, sizes exact") {
     import spark.implicits._
     // chain 1~2, 2~3 = one cluster {1,2,3}; pair 5~6; singleton 4
