@@ -60,11 +60,29 @@ object BloomJoin {
     words
   }
 
-  /** Membership test column against a built filter (all k bits set). */
+  /** Bits for an expected build-side key count at `bitsPerKey` bits
+    * each (~10 bits/key ≈ 1% fp with 3 hashes), rounded up to a
+    * 64-bit word boundary: the sizing rule that keeps the filter
+    * USEFUL at its advertised scale — the old fixed 2^16 default
+    * saturates (all bits set, zero pruning) past ~20k keys. */
+  def bitsFor(expectedKeys: Long, bitsPerKey: Int = 10): Int = {
+    require(expectedKeys > 0 && bitsPerKey > 0)
+    val raw = math.min(expectedKeys * bitsPerKey.toLong, 1L << 30)
+    (((raw + 63) / 64) * 64).toInt
+  }
+
+  /** Membership test column against a built filter (all k bits set).
+    * The words ship as ONE typed array literal (a single
+    * ArrayType(LongType) Literal in the plan — numBits/8 bytes,
+    * serialized once with the task binary), NOT as numBits/64
+    * per-element literal expressions: at the 2^27-bit size tens of
+    * millions of keys need, element-wise literals would be ~2M
+    * Catalyst expressions and break codegen, while one typed literal
+    * behaves like a broadcast scalar. */
   def mightContain(key: Column, words: Array[Long],
       numHashes: Int = 3): Column = {
     val numBits = words.length * 64
-    val wordsLit = array(words.toIndexedSeq.map(lit): _*)
+    val wordsLit = typedLit(words.toIndexedSeq)
     bitPositions(key, numBits, numHashes).map { p =>
       (element_at(wordsLit, (p / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L),
@@ -83,4 +101,14 @@ object BloomJoin {
     big.filter(mightContain(col(bigKey), words, numHashes))
       .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
   }
+
+  /** [[bloomSemiJoin]] with the filter sized from the caller's
+    * expected build-side key count ([[bitsFor]], ~10 bits/key) —
+    * the form a deployment should use, since a fixed bit budget
+    * either wastes memory or saturates as the build side grows. */
+  def bloomSemiJoinSized(big: DataFrame, bigKey: String,
+      small: DataFrame, smallKey: String, expectedKeys: Long,
+      numHashes: Int = 3): DataFrame =
+    bloomSemiJoin(big, bigKey, small, smallKey,
+      bitsFor(expectedKeys), numHashes)
 }

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -86,8 +84,9 @@ object ConnectedComponents {
       val labels = e.select(col("hi").as("id"), col("lo").as("cluster_id"))
         .unionByName(e.select(col("lo").as("id"), col("lo").as("cluster_id")))
         .distinct()
-      val dir = scratchDir.getOrElse(
-        Files.createTempDirectory("graft-cc-").toString)
+      // default scratch is JVM-exit-cleaned (Scratch); long-running
+      // callers pass scratchDir and reuse it per batch
+      val dir = scratchDir.getOrElse(Scratch.tempDir("graft-cc-"))
       labels.write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
     } finally freeAll()
@@ -114,7 +113,8 @@ object ConnectedComponents {
     * keyed by id to rewrite endpoints + one join to relabel the
     * stored map; the EAGER fixpoint (the only iterative part)
     * touches only the delta's rep edges. */
-  def mergeClusters(stored: DataFrame, newPairs: DataFrame): DataFrame = {
+  def mergeClusters(stored: DataFrame, newPairs: DataFrame,
+      scratchDir: Option[String] = None): DataFrame = {
     val lbl = stored.select(col(stored.columns(0)).cast("long").as("__id"),
       col(stored.columns(1)).cast("long").as("__rep"))
     val p = newPairs.select(
@@ -133,7 +133,7 @@ object ConnectedComponents {
     val merges =
       if (repEdges.isEmpty) repEdges.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit(0L).as("cluster_id")).limit(0)
-      else duplicateClusters(repEdges)
+      else duplicateClusters(repEdges, scratchDir = scratchDir)
     val m = merges.select(col("id").as("__m_id"),
       col("cluster_id").as("__m_rep"))
     // every id we must label: the stored corpus plus the batch's ids

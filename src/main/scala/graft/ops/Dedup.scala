@@ -302,18 +302,21 @@ object Dedup {
     * the cheapest near-dup shuffle in the library); verify is
     * popcount(xor) on the re-attached sketches.
     *
-    * Scale note: each band gets width/(maxDist+1) bits of
-    * selectivity, so at the 32-bit default the band buckets saturate
-    * as the corpus grows and the candidate mass trends quadratic —
-    * `bucketCap` bounds it, at the price of radius recall past the
-    * cap. A 100 TB deployment runs `width = 60` (2^9–2^10 more
-    * selective per band at maxDist ≤ 2; the d7b gate pins its
-    * semantics and the round-5 scale probe measures the saturation
-    * gap). 32 remains the default because it is the reference's
-    * sketch width and the d3/d7 oracles replicate it bit-for-bit. */
+    * WIDTH CONTRACT — never run `width` < 60 beyond gate scale. Each
+    * band gets width/(maxDist+1) bits of selectivity, so narrow
+    * sketches saturate their band buckets as the corpus grows and the
+    * candidate mass trends quadratic: at 32 bits the round-5 scale
+    * probe measured 1.6M collision-dominated pairs at 10× gate scale
+    * vs 245k true pairs at width 60 — and `bucketCap` then silently
+    * trades away the within-radius completeness that is this
+    * operator's contract. The default is therefore 60 (every portable
+    * bit of the md5-prefix token hash; 2^9–2^10 more selective per
+    * band at maxDist ≤ 2). Width 32 exists ONLY as the reference's
+    * sketch width for the d3/d7 oracle pins — the d7 gate passes it
+    * explicitly, at gate scale, where saturation cannot bind. */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, bucketCap: Int = DefaultBucketCap,
-      width: Int = 32): DataFrame = {
+      width: Int = 60): DataFrame = {
     require(width >= 1 && width <= 64, "width must be in [1, 64]")
     require(maxDist >= 0 && maxDist < width, "maxDist must be in [0, width)")
     require(bucketCap >= 2, "bucketCap must admit at least one pair")
@@ -416,6 +419,52 @@ object Dedup {
             size(array_distinct(col("hb.hs")))).cast("double"))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
+  }
+
+  /** CHUNKED containment pairs — closes [[containmentPairs]]'s
+    * documented recall gap for extreme length skew (full quote /
+    * boilerplate capture): MinHash bands collide ∝ JACCARD, so a
+    * short document quoted whole inside a 6×-longer one (containment
+    * ≈ 1, jaccard ≈ 0.15) evades direct banding. The standard
+    * mitigation, composed here as one operator: chunk EVERY document
+    * into `windowTokens`-token windows with `stride` overlap
+    * ([[TextAnalysis.chunk]] — a short doc is its own single chunk),
+    * mine containment on the CHUNKS (quote-vs-matching-window pairs
+    * have high jaccard, so banding recovers them), then aggregate
+    * chunk pairs to doc-level pairs (max chunk containment + the
+    * matching-chunk-pair count as evidence mass). Any quote of ≥
+    * windowTokens+stride−1 tokens contains a stride-ALIGNED full
+    * window of the long side, so its chunk pair reaches jaccard ≈ 1
+    * regardless of the length ratio; shorter quotes degrade
+    * gracefully toward d15's direct recall.
+    *
+    * Scale shape: chunking is scan-rate (zero shuffle, output ∝
+    * corpus/stride); the mine is the audited LSH chain over
+    * chunk-sized texts (chunk ids are `id·chunkIdFactor + chunk_no`
+    * — `chunk_no` < chunkIdFactor by contract); the doc-level rollup
+    * is one combinable aggregation on (id_a, id_b). Same-doc chunk
+    * pairs (trivially overlapping windows) drop before the rollup. */
+  def chunkedContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 16, stride: Int = 8, shingleLen: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
+      bucketCap: Int = DefaultBucketCap,
+      chunkIdFactor: Long = 1000000L): DataFrame = {
+    require(chunkIdFactor >= 2, "chunkIdFactor must exceed any chunk_no")
+    val chunks = TextAnalysis.chunk(
+      df.select(col(idCol), col(textCol)), idCol, textCol,
+      windowTokens, stride)
+      .select((col(idCol) * chunkIdFactor + col("chunk_no")).as("cid"),
+        col("chunk_text"))
+    containmentPairs(chunks, "cid", "chunk_text", shingleLen,
+      numHashes, bands, threshold, bucketCap)
+      .select(expr(s"id_a div $chunkIdFactor").as("da"),
+        expr(s"id_b div $chunkIdFactor").as("db"), col("containment"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("containment"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("containment")).as("containment"),
+        count(lit(1)).as("n_chunk_pairs"))
   }
 
   /** Blocked fuzzy (edit-distance) near-dup pairs — the typo-class
@@ -521,11 +570,25 @@ object Dedup {
     * boilerplate cluster in the window operator and defeat the group
     * limit. Nothing corpus-sized broadcasts. */
   def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
-      score: Column): DataFrame = {
-    val clusters = ConnectedComponents.duplicateClusters(pairs)
-      .select(col("id").as("__cc_id"), col("cluster_id").as("__rep"))
+      score: Column): DataFrame =
+    keepBestWithClusters(df, idCol,
+      ConnectedComponents.duplicateClusters(pairs), score)
+
+  /** [[keepBestPerCluster]] consuming a PRECOMPUTED (id, cluster_id)
+    * label map — the stored-artifact form a deployment actually runs:
+    * the pair mine + CC fixpoint happen once and persist (e.g. via
+    * [[ParquetTableStore]]); every curation pass after that attaches
+    * the committed labels with one join instead of re-mining (the
+    * d10/ss9 build-once discipline — tp6 gates this composition).
+    * `clusters`' first two columns must be (id, cluster_id); rows
+    * absent from it are singletons and always survive. */
+  def keepBestWithClusters(df: DataFrame, idCol: String,
+      clusters: DataFrame, score: Column): DataFrame = {
+    val cl = clusters.select(
+      col(clusters.columns(0)).as("__cc_id"),
+      col(clusters.columns(1)).as("__rep"))
     val withCluster = df
-      .join(clusters, df(idCol) === col("__cc_id"), "left")
+      .join(cl, df(idCol) === col("__cc_id"), "left")
       .withColumn("cluster_id", coalesce(col("__rep"), col(idCol)))
       .drop("__cc_id", "__rep")
     val w = Window.partitionBy(col("cluster_id"))

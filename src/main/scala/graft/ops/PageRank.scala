@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -92,8 +90,9 @@ object PageRank {
             (lit((1.0 - damping) / n) +
               lit(damping) * coalesce(col("inc"), lit(0.0))).as("r")))
       }
-      val dir = scratchDir.getOrElse(
-        Files.createTempDirectory("graft-pr-").toString)
+      // default scratch is JVM-exit-cleaned (Scratch); long-running
+      // callers pass scratchDir and reuse it per batch
+      val dir = scratchDir.getOrElse(Scratch.tempDir("graft-pr-"))
       ranks.write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
     } finally freeAll()

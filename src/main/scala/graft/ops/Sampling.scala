@@ -133,32 +133,40 @@ object Sampling {
 
   /** TEMPERATURE-BALANCED mixture MATERIALIZATION: the composition a
     * pretraining pipeline actually runs — [[temperatureWeights]]
-    * turned into per-stratum keep percentages and applied as the
-    * [[mixByHash]] per-row hash draw. Each stratum's target share of
-    * `targetRows` is weight·targetRows documents; its keep pct is
-    * round(100 · weight · targetRows / n_s), capped at 100 (a tail
-    * stratum asked for more than it has keeps everything — temperature
-    * sampling can only lift a low-resource stratum to full
-    * representation, it cannot invent documents; deployments
+    * turned into per-stratum keep rates and applied as the
+    * [[mixByHash]]-style per-row hash draw, in BASIS POINTS
+    * (0..10000, [[weightedKeep]]'s resolution — integer-percent
+    * quantization dropped any stratum whose target share rounded
+    * below 0.5% of its size and missed targetRows by up to ~0.5% of
+    * the corpus). Each stratum's target share of `targetRows` is
+    * weight·targetRows documents; its keep rate is
+    * round(10000 · weight · targetRows / n_s), capped at 10000 (a
+    * tail stratum asked for more than it has keeps everything —
+    * temperature sampling can only lift a low-resource stratum to
+    * full representation, it cannot invent documents; deployments
     * compensate with epoch repetition, which is [[seededShuffle]]'s
     * job).
     *
-    * The pct derives from the 1e-9-rounded weight so the derivation
+    * The rate derives from the 1e-9-rounded weight so the derivation
     * is engine-portable (same discipline as the sm6 gate).
     *
-    * Scale shape: the weights frame is #strata rows and broadcasts
-    * through [[mixByHash]]; the draw itself is a pure per-row hash
-    * predicate — ZERO corpus shuffle at any size. */
+    * Scale shape: the weights frame is #strata rows and broadcasts;
+    * the draw itself is a pure per-row hash predicate — ZERO corpus
+    * shuffle at any size. */
   def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
       tau: Double, targetRows: Long, salt: String = ""): DataFrame = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val mix = temperatureWeights(df, strataCol, tau)
       .select(col(strataCol),
-        least(lit(100L),
-          round(round(col("weight"), 9) * (targetRows * 100.0) /
+        least(lit(10000L),
+          round(round(col("weight"), 9) * (targetRows * 10000.0) /
             col("n_docs").cast("double"))
-            .cast("long")).as("__mix_pct"))
-    mixByHash(df, strataCol, keyCol, mix, strataCol, "__mix_pct", salt)
+            .cast("long")).as("__mix_bps"))
+    df.join(broadcast(mix), Seq(strataCol))
+      .filter(pmod(TextFunctions.portableHash64(
+        concat(lit(salt), col(keyCol).cast("string"))), lit(10000L)) <
+        col("__mix_bps"))
+      .drop("__mix_bps")
   }
 
   /** Per-ROW importance-weighted keep: a row survives iff its hash
@@ -256,11 +264,23 @@ object Sampling {
     * broadcasts it when small, shuffles both sides when not. The
     * assignment itself stays a pure per-row expression. */
   def leakageSafeSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
-      trainPct: Int, salt: String = ""): DataFrame = {
+      trainPct: Int, salt: String = ""): DataFrame =
+    leakageSafeSplitWithClusters(df, keyCol,
+      ConnectedComponents.duplicateClusters(pairs), trainPct, salt)
+
+  /** [[leakageSafeSplit]] consuming a PRECOMPUTED (id, cluster_id)
+    * label map — the stored-artifact form (the mine + CC fixpoint
+    * persist once, e.g. via [[graft.ops.ParquetTableStore]]; every
+    * split after that is one join + a per-row hash — the d10/ss9
+    * build-once discipline, gated by tp6). `clusters`' first two
+    * columns must be (id, cluster_id); absent ids are singletons. */
+  def leakageSafeSplitWithClusters(df: DataFrame, keyCol: String,
+      clusters: DataFrame, trainPct: Int, salt: String = ""): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100)
-    val clusters = ConnectedComponents.duplicateClusters(pairs)
-      .select(col("id").as("__cc_id"), col("cluster_id").as("__rep"))
-    df.join(clusters, df(keyCol) === col("__cc_id"), "left")
+    val cl = clusters.select(
+      col(clusters.columns(0)).as("__cc_id"),
+      col(clusters.columns(1)).as("__rep"))
+    df.join(cl, df(keyCol) === col("__cc_id"), "left")
       .withColumn("split",
         when(splitBucket(coalesce(col("__rep"), col(keyCol)), salt)
           < trainPct, "train").otherwise("test"))

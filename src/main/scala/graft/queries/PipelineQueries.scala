@@ -178,7 +178,7 @@ object PipelineQueries {
     "d7_simhash_hamming_pairs",
     "SimHash pairs within hamming distance 2 (pigeonhole bands)",
     (s, dir) => Dedup.simhashHammingPairs(dupCorpus(s, dir), "id", "text",
-      maxDist = 2, bucketCap = CatalogCap)
+      maxDist = 2, bucketCap = CatalogCap, width = 32)
       .orderBy("id_a", "id_b"),
     Some(s"""WITH $dupCorpusSql,
             tok AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -2066,12 +2066,13 @@ object PipelineQueries {
 
   /** TP3: temperature-balanced mixture MATERIALIZED
     * ([[Sampling.temperatureMix]]) — sm6's weights composed into
-    * per-stratum keep percentages and applied as sm3's per-row hash
-    * draw: the "rebalance the corpus toward τ-tempered language
-    * shares" job. The oracle replicates the whole derivation chain
-    * (ordered-fold weights → pct → md5 bucket predicate), so the
-    * gate checks the COMPOSITION, not just the pieces. Full
-    * membership compared. */
+    * per-stratum keep rates in BASIS POINTS (sm9's 10000-bucket
+    * resolution; integer percent dropped sub-0.5%-share strata
+    * entirely) and applied as the per-row hash draw: the "rebalance
+    * the corpus toward τ-tempered language shares" job. The oracle
+    * replicates the whole derivation chain (ordered-fold weights →
+    * bps → md5 bucket predicate), so the gate checks the
+    * COMPOSITION, not just the pieces. Full membership compared. */
   private val tp3 = QueryDef(
     "tp3_temperature_mix",
     "temperature-rebalanced corpus draw (tau=2, full membership)",
@@ -2088,13 +2089,13 @@ object PipelineQueries {
                   FROM g),
             t AS (SELECT *, max(run) OVER () AS tot FROM r),
             p AS (SELECT lang,
-                    least(100, round(round(rootn / tot, 9) * 25000.0
-                                     / n_docs::DOUBLE)::BIGINT) AS pct
+                    least(10000, round(round(rootn / tot, 9) * 2500000.0
+                                     / n_docs::DOUBLE)::BIGINT) AS bps
                   FROM t)
             SELECT d.lang, d.doc_id
             FROM documents d JOIN p ON p.lang = d.lang
             WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
-                    % 100 < p.pct
+                    % 10000 < p.bps
             ORDER BY d.lang, d.doc_id"""))
 
   /** SM8: deterministic global k-sample ([[Sampling.hashTopKSample]])
@@ -2341,6 +2342,121 @@ object PipelineQueries {
         |SELECT lang, id, tok, cum_tokens FROM rr
         |WHERE cum_tokens - tok < 1500 ORDER BY lang, id""".stripMargin))
 
+  /** TP6: curation v3 — tp4's composition in PRODUCTION shape (the
+    * round-5 verdict's top item): the d2 pair mine + d9 cluster
+    * fixpoint run ONCE and COMMIT through the versioned
+    * [[graft.ops.ParquetTableStore]]; the consuming pipeline
+    * (gopher filter → cluster-best keep → token budget →
+    * leakage-safe split) attaches the committed label map by plain
+    * joins — ZERO mine subtrees in the consuming plan
+    * (StoredArtifactSpec asserts no band_hash machinery below the
+    * final frame), the d10/ss9 build-once discipline applied to the
+    * composed pipelines. Both consumers (keep-best AND split) read
+    * the same stored artifact, which is why the mine amortizes. The
+    * oracle replicates the full derivation — the committed artifacts
+    * EQUAL the mine they persist, so correctness covers the store
+    * round-trip too. tp4 stays the self-contained twin. */
+  private val tp6 = QueryDef(
+    "tp6_curation_v3",
+    "stored-artifact curation: mine+cluster once, consume from the store",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"), col("lang"))
+      val pert = base.filter(col("id") % 4 === 0)
+        .select((col("id") + 10000).as("id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"),
+          col("lang"))
+      val corpus = base.unionByName(pert)
+      val filtered = TextAnalysis.gopherFilter(corpus, "text",
+        maxDupTokenPct = 75, maxTopBigramPct = 10,
+        minTokens = 10, maxTokens = 120)
+      val scored = filtered.withColumn("q9",
+        round(TextAnalysis.qualityScore(col("text")), 9))
+      val store = new graft.ops.ParquetTableStore(
+        graft.ops.Scratch.tempDir("graft-tp6-"))
+      val storedPairs = store.commit(s, "dup_pairs",
+        Dedup.minhashLshPairs(scored, "id", "text",
+          shingleLen = 3, numHashes = NumHashes, bands = Bands,
+          threshold = 0.6, bucketCap = CatalogCap)
+          .select("id_a", "id_b"))
+      val storedClusters = store.commit(s, "dup_clusters",
+        ConnectedComponents.duplicateClusters(storedPairs))
+      val kept = Dedup.keepBestWithClusters(scored, "id", storedClusters,
+        col("q9"))
+        .withColumn("tok", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      val budgeted = Sampling.tokenBudgetCap(kept, "lang", col("tok"),
+        budget = 1500L, Seq(col("q9").desc, col("id").asc))
+      Sampling.leakageSafeSplitWithClusters(budgeted, "id",
+        storedClusters, 70)
+        .select(col("lang"), col("id"), col("tok"), col("cum_tokens"),
+          col("split"))
+        .orderBy("lang", "id")
+    },
+    Some("WITH RECURSIVE corpus AS (\n" +
+      """  SELECT doc_id AS id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS id,
+        |         regexp_replace(text, '^\S+\s+', '') AS text, lang
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |gt AS (SELECT id, lang, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |       FROM corpus),
+        |gb AS (SELECT id, lang, text, len(toks) AS n_tokens,
+        |         len(list_distinct(toks)) AS n_distinct,
+        |         list_transform(range(1, len(toks)),
+        |           i -> toks[i] || chr(1) || toks[i+1]) AS bg
+        |       FROM gt),
+        |gm AS (SELECT id, max(cnt) AS top_n
+        |       FROM (SELECT id, g, count(*) AS cnt
+        |             FROM (SELECT id, unnest(bg) AS g FROM gb)
+        |             GROUP BY id, g)
+        |       GROUP BY id),
+        |fcorpus AS (SELECT gb.id, gb.lang, gb.text
+        |            FROM gb LEFT JOIN gm ON gb.id = gm.id
+        |            WHERE n_tokens >= 10 AND n_tokens <= 120
+        |              AND (n_tokens - n_distinct) * 100 <= n_tokens * 75
+        |              AND coalesce(top_n, 0) * 100 <= len(bg) * 10),
+        |""".stripMargin +
+      "pairs AS (WITH " + lshOracleSql(
+        """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM fcorpus),
+           it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                  FROM tok WHERE len(t) >= 3)""", 0.6) + "),\n" +
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |cc(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach),
+        |clus AS (SELECT node AS id, min(reach) AS cluster_id FROM cc
+        |         GROUP BY node),
+        |withc AS (SELECT f.id, coalesce(cl.cluster_id, f.id) AS cluster_id,
+        |            f.lang, f.text
+        |          FROM fcorpus f LEFT JOIN clus cl ON cl.id = f.id),
+        |""".stripMargin +
+      qualityFeatureSql("withc", "id", "cluster_id, lang") + ",\n" +
+      s"""sc AS (SELECT id, cluster_id, lang, n_tokens::BIGINT AS tok,
+         ${qualitySql("n_tokens", "stops", "digits", "n_chars", 9)} AS q9
+           FROM qf),\n""" +
+      """r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |                           ORDER BY q9 DESC, id) AS rn
+        |      FROM sc),
+        |kept AS (SELECT id, cluster_id, lang, q9, tok FROM r WHERE rn = 1),
+        |rr AS (SELECT *,
+        |         sum(tok) OVER (PARTITION BY lang
+        |                        ORDER BY q9 DESC, id
+        |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |       FROM kept)
+        |SELECT lang, id, tok, cum_tokens,
+        |       CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR),
+        |                                 1, 15))::BIGINT % 100 < 70
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM rr WHERE cum_tokens - tok < 1500
+        |ORDER BY lang, id""".stripMargin))
+
   /** TS11: the corpus QA REPORT — language distribution, token-length
     * histogram, and quality-score deciles in ONE long-format
     * integer-only frame (section, key, n_docs): the report card a
@@ -2472,51 +2588,108 @@ object PipelineQueries {
     * matching positions, the 1st, 3rd, … merge — provably identical
     * to the engine's greedy left-to-right fold, spec-pinned in
     * BpeSpec). */
-  private def bpeOracleSql(iters: Int): String = {
-    val base =
-      """WITH w0 AS (SELECT word, count(*)::BIGINT AS freq FROM (
-              SELECT unnest(CASE WHEN length(trim(lower(text))) = 0
-                            THEN []::VARCHAR[]
-                            ELSE regexp_split_to_array(trim(lower(text)), '\s+')
-                            END) AS word
-              FROM documents) GROUP BY word),
-            s0 AS MATERIALIZED (SELECT word, freq,
-              list_transform(generate_series(1, length(word)),
-                i -> word[i:i]) AS syms FROM w0)"""
-    val its = (1 to iters).map { k =>
-      val p = k - 1
-      s""",
-            p$k AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+  private val bpeBaseSql: String =
+    """WITH w0 AS (SELECT word, count(*)::BIGINT AS freq FROM (
+            SELECT unnest(CASE WHEN length(trim(lower(text))) = 0
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                          END) AS word
+            FROM documents) GROUP BY word),
+          s0 AS MATERIALIZED (SELECT word, freq,
+            list_transform(generate_series(1, length(word)),
+              i -> word[i:i]) AS syms FROM w0)"""
+
+  /** Adjacent-pair counts CTE `p` over vocab stage `src` (the engine's
+    * pinned overlap-counting zip, freq-weighted). */
+  private def bpePairsSql(p: String, src: String): String =
+    s""",
+            $p AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
                 sum(freq)::BIGINT AS cnt
-              FROM s$p, unnest(generate_series(1, len(syms) - 1)) AS u(i)
-              WHERE len(syms) >= 2 GROUP BY 1, 2),
-            b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k
-                    ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-            m$k AS MATERIALIZED (SELECT word, freq, syms, i, syms[i] AS sym,
+              FROM $src, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+              WHERE len(syms) >= 2 GROUP BY 1, 2)"""
+
+  /** One merge application (the RUN-PARITY formulation — provably
+    * identical to the engine's greedy left-to-right fold, BpeSpec):
+    * stage `src` + 1-row merge CTE `b` → stage `out`, intermediate
+    * CTEs suffixed `suf`. An EMPTY `b` applies as the identity (the
+    * scalar subqueries go NULL, no position matches). */
+  private def bpeApplySql(suf: String, src: String, b: String,
+      out: String): String =
+    s""",
+            m$suf AS (SELECT word, freq, syms, i, syms[i] AS sym,
                 CASE WHEN i < len(syms)
-                      AND syms[i] = (SELECT lhs FROM b$k)
-                      AND syms[i + 1] = (SELECT rhs FROM b$k)
+                      AND syms[i] = (SELECT lhs FROM $b)
+                      AND syms[i + 1] = (SELECT rhs FROM $b)
                      THEN 1 ELSE 0 END AS mt
-              FROM s$p, unnest(generate_series(1, len(syms))) AS u(i)),
-            g$k AS (SELECT *, CASE WHEN mt = 1 THEN i - row_number()
+              FROM $src, unnest(generate_series(1, len(syms))) AS u(i)),
+            g$suf AS (SELECT *, CASE WHEN mt = 1 THEN i - row_number()
                 OVER (PARTITION BY word, mt ORDER BY i) END AS isl
-              FROM m$k),
-            h$k AS (SELECT *, CASE WHEN mt = 1 AND row_number()
+              FROM m$suf),
+            h$suf AS (SELECT *, CASE WHEN mt = 1 AND row_number()
                 OVER (PARTITION BY word, isl ORDER BY i) % 2 = 1
-                THEN 1 ELSE 0 END AS mg FROM g$k),
-            s$k AS MATERIALIZED (SELECT word, freq,
+                THEN 1 ELSE 0 END AS mg FROM g$suf),
+            $out AS MATERIALIZED (SELECT word, freq,
                 list(CASE WHEN mg = 1
-                     THEN (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k)
+                     THEN (SELECT lhs FROM $b) || (SELECT rhs FROM $b)
                      ELSE sym END ORDER BY i) AS syms
               FROM (SELECT *, lag(mg, 1, 0)
-                      OVER (PARTITION BY word ORDER BY i) AS pmg FROM h$k)
+                      OVER (PARTITION BY word ORDER BY i) AS pmg FROM h$suf)
               WHERE pmg = 0
               GROUP BY word, freq)"""
+
+  private def bpeOracleSql(iters: Int): String = {
+    val its = (1 to iters).map { k =>
+      bpePairsSql(s"p$k", s"s${k - 1}") +
+        s""",
+            b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k
+                    ORDER BY cnt DESC, lhs, rhs LIMIT 1)""" +
+        bpeApplySql(s"$k", s"s${k - 1}", s"b$k", s"s$k")
     }.mkString
     val sel = (1 to iters).map(k =>
       s"SELECT $k AS iter, lhs, rhs, cnt AS pair_freq FROM b$k")
       .mkString("\nUNION ALL ")
-    base + its + "\n" + sel + "\nORDER BY iter"
+    bpeBaseSql + its + "\n" + sel + "\nORDER BY iter"
+  }
+
+  /** The ts13b oracle: `rounds` rounds, each counting pairs ONCE over
+    * the round's entry stage, then greedily selecting up to
+    * `batchSize` merges in (cnt DESC, lhs, rhs) order whose symbols
+    * are pairwise disjoint (b_j = first pair sharing no symbol with
+    * b_1..b_{j-1} — exactly the engine's single ordered scan, since
+    * a row it skipped for slot j stays excluded for every later
+    * slot), applying them sequentially via the run-parity machinery.
+    * Empty selections (pairs exhausted / all conflicting) apply as
+    * identities and emit no row — matching the engine's
+    * accept-fewer behavior. */
+  private def bpeBatchedOracleSql(rounds: Int, batchSize: Int): String = {
+    val its = (1 to rounds).map { k =>
+      val src0 = if (k == 1) "s0" else s"s${k - 1}_$batchSize"
+      val sels = (1 to batchSize).map { j =>
+        val prior = (1 until j).map(i => s"b${k}_$i")
+        val disjoint =
+          if (prior.isEmpty) ""
+          else {
+            val symSet = prior.map(b =>
+              s"SELECT lhs FROM $b UNION SELECT rhs FROM $b")
+              .mkString(" UNION ")
+            s"""
+                    WHERE lhs NOT IN ($symSet)
+                      AND rhs NOT IN ($symSet)"""
+          }
+        s""",
+            b${k}_$j AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k$disjoint
+                    ORDER BY cnt DESC, lhs, rhs LIMIT 1)""" +
+          bpeApplySql(s"${k}_$j",
+            if (j == 1) src0 else s"s${k}_${j - 1}",
+            s"b${k}_$j", s"s${k}_$j")
+      }.mkString
+      bpePairsSql(s"p$k", src0) + sels
+    }.mkString
+    val sel = (for { k <- 1 to rounds; j <- 1 to batchSize } yield
+      s"SELECT $k AS iter, $j AS rank, lhs, rhs, cnt AS pair_freq" +
+        s" FROM b${k}_$j")
+      .mkString("\nUNION ALL ")
+    bpeBaseSql + its + "\n" + sel + "\nORDER BY iter, rank"
   }
 
   /** The ts13 CTE chain with a custom final select over s`iters`
@@ -2568,6 +2741,27 @@ object PipelineQueries {
       Tables.documents(s, dir), "text", numMerges = 6)
       .orderBy("iter"),
     Some(bpeOracleSql(6)))
+
+  /** TS13B: BATCHED BPE merge induction
+    * ([[graft.ops.Bpe.learnMergesBatched]]) — the production-vocab
+    * scale dial: each round runs ONE pair-count job and accepts up
+    * to `batchSize` pairwise-symbol-disjoint merges from the
+    * (cnt DESC, lhs, rhs) order, cutting driver round-trips from
+    * O(vocab) to O(vocab/batch) (a 50k-merge vocabulary stops being
+    * 50k sequential collects). Disjointness makes the batch
+    * order-independent, so the recorded pre-merge counts stay exact;
+    * conflicting pairs resurface next round with fresh counts. The
+    * oracle replicates the full batched schedule — greedy disjoint
+    * selection AND per-round application; ts13 remains the classic
+    * 1-per-iteration semantics pin. The round-6 scale probe measures
+    * the job-count/wall win at a production merge count. */
+  private val ts13b = QueryDef(
+    "ts13b_bpe_merges_batched",
+    "batched BPE merge induction (3 rounds × ≤2 disjoint merges)",
+    (s, dir) => graft.ops.Bpe.learnMergesBatched(
+      Tables.documents(s, dir), "text", rounds = 3, batchSize = 2)
+      .orderBy("iter", "rank"),
+    Some(bpeBatchedOracleSql(3, 2)))
 
   /** SS13: IVF-PQ ([[SimilaritySearch.ivfPqTopK]]) — the production
     * vector index: the ss3/ss8 coarse-cell machinery generates
@@ -2794,6 +2988,73 @@ object PipelineQueries {
                    least(len(list_distinct(x.hs)),
                          len(list_distinct(y.hs)))::DOUBLE""")))
 
+  /** D16: CHUNKED containment pairs
+    * ([[Dedup.chunkedContainmentPairs]]) — closes the banding-recall
+    * gap d15 documents: a short quote inside a much longer document
+    * (containment ≈ 1, jaccard ≈ 1/length-ratio) evades direct
+    * MinHash banding, so the corpus is CHUNKED first (ts7's window
+    * machinery, 16-token windows / stride 8) and containment is
+    * mined chunk-vs-chunk, then rolled up to doc pairs. The fixture
+    * manufactures the exact failure mode: every 6th doc contributes
+    * a 16-token prefix quote as a new doc — the quote's whole-doc
+    * chunk meets the original's first window at jaccard ≈ 1
+    * regardless of the original's length. The oracle replicates the
+    * full composition: chunk derivation (ids = id·10⁶ + chunk_no),
+    * the shared LSH chain over chunks with the containment verify,
+    * same-doc drop, and the doc-level max/count rollup. */
+  private val d16 = QueryDef(
+    "d16_chunked_containment_pairs",
+    "quote-in-document capture: chunk → containment mine → doc rollup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      val quotes = d.filter(col("id") % 6 === 0)
+        .select((col("id") + 40000).as("id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 16), " ")
+            .as("text"))
+      Dedup.chunkedContainmentPairs(d.unionByName(quotes), "id", "text",
+        windowTokens = 16, stride = 8, shingleLen = 3,
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        bucketCap = CatalogCap)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id AS id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 40000 AS id,
+                     array_to_string(
+                       (CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(text), '\s+')
+                        END)[1:16], ' ') AS text
+              FROM documents WHERE doc_id % 6 = 0),
+            ctok AS (SELECT id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS t
+                     FROM corpus),
+            chunks AS (SELECT id * 1000000 + cn AS id,
+                         array_to_string(t[cn*8+1 : cn*8+16], ' ') AS text
+                       FROM ctok,
+                         unnest(generate_series(0, (len(t)-1)//8)) AS u(cn)
+                       WHERE len(t) > 0),
+            cp AS (WITH """ + lshOracleSql(
+      """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM chunks),
+         it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                FROM tok WHERE len(t) >= 3)""", 0.8,
+      measureName = "containment",
+      measureSql = """len(list_intersect(x.hs, y.hs))::DOUBLE /
+                   least(len(list_distinct(x.hs)),
+                         len(list_distinct(y.hs)))::DOUBLE""") + """),
+            dmap AS (SELECT id_a // 1000000 AS da, id_b // 1000000 AS db,
+                            containment
+                     FROM cp WHERE id_a // 1000000 <> id_b // 1000000)
+            SELECT least(da, db) AS id_a, greatest(da, db) AS id_b,
+                   max(containment) AS containment,
+                   count(*)::BIGINT AS n_chunk_pairs
+            FROM dmap GROUP BY 1, 2 ORDER BY id_a, id_b"""))
+
   /** TS15: TF-IDF keyword extraction ([[TextAnalysis.tfidfTopK]]) —
     * top-5 terms per doc. Ranking compares bit-identical doubles
     * (exact integer counts through one shared ln quotient); the
@@ -3011,8 +3272,8 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, g1, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, g1, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, mm1, mm2, mm3, mm4, mm5, a7b, a8b)
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, a7b, a8b)
 }

@@ -471,6 +471,40 @@ object RelationalQueries {
                                  WHERE o_totalprice > 150000.0)
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** J13: SALTED hot-key join ([[graft.ops.Skew.saltedJoin]]) — the
+    * pathological-skew case AQE's partition splitting doesn't fully
+    * fix (one key carrying ~half the probe rows: the viral-video
+    * transcript, the boilerplate bucket). The gate manufactures that
+    * key (every even order's lineitem collapses onto part 1) and
+    * verifies the operator's entire contract: salting splits rows of
+    * the SAME key across partitions without changing the join result,
+    * so the oracle is the PLAIN join + rollup. The wall-time win at
+    * scale is measured by the round-6 skew probe, not gated here. */
+  private val j13 = QueryDef(
+    "j13_salted_skew_join",
+    "salted hot-key join result == plain join (half the rows on one key)",
+    (s, dir) => {
+      val skewed = Tables.lineitem(s, dir)
+        .select(
+          when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+            .otherwise(col("l_partkey")).as("p_partkey"),
+          col("l_linenumber"))
+      val small = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+      graft.ops.Skew.saltedJoin(skewed, small, "p_partkey", parts = 16)
+        .groupBy("p_partkey", "p_name")
+        .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("sum_ln"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH li AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+                               ELSE l_partkey END AS p_partkey,
+                               l_linenumber
+                        FROM lineitem)
+            SELECT li.p_partkey, p.p_name, count(*)::BIGINT AS n,
+                   sum(l_linenumber)::BIGINT AS sum_ln
+            FROM li JOIN part p USING (p_partkey)
+            GROUP BY li.p_partkey, p.p_name
+            ORDER BY p_partkey"""))
+
   // ---------------------------------------------------------------- A
 
   /** A1 (display.py:153-160): dashboard table totals, one row per
@@ -1065,7 +1099,7 @@ object RelationalQueries {
 
   def defs: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p9,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a8, a9,
     w1, w2, w3, w4, w5, w6, w7, w8,
     o1, o2, o3, o4, o5, o6, o7, o8, o9)

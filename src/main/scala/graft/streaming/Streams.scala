@@ -337,14 +337,26 @@ object Streams {
                 store.read(spark, indexTable),
                 store.read(spark, signatureTable), threshold = threshold)
                 .select(col("corpus_id").as("u"), col("new_id").as("v"))
-            val stored =
-              if (store.exists(clusterTable)) store.read(spark, clusterTable)
-              else spark.range(0).select(col("id"), col("id").as("cluster_id"))
-            val merged = graft.ops.ConnectedComponents.mergeClusters(
-              stored, inPairs.unionByName(crossPairs))
-            if (merged.limit(1).count() > 0)
-              store.withCommitRetries()(
-                store.upsert(spark, clusterTable, merged, Seq("id")))
+            val allPairs = inPairs.unionByName(crossPairs)
+            // the WHOLE read-merge-upsert derivation sits inside the
+            // retried op: store.read resolves the pointer at
+            // plan-build time, so a lost CAS must re-read the
+            // WINNER's snapshot and re-merge — re-applying labels
+            // computed from the stale snapshot via LWW could regress
+            // a concurrently-coarsened cluster label and break the
+            // min-id rep invariant. CC scratch reuses one dir under
+            // the checkpoint (overwritten per batch, never leaked).
+            store.withCommitRetries() {
+              val stored =
+                if (store.exists(clusterTable)) store.read(spark, clusterTable)
+                else spark.range(0)
+                  .select(col("id"), col("id").as("cluster_id"))
+              val merged = graft.ops.ConnectedComponents.mergeClusters(
+                stored, allPairs,
+                scratchDir = Some(s"$checkpointDir/cc-scratch"))
+              if (merged.limit(1).count() > 0)
+                store.upsert(spark, clusterTable, merged, Seq("id"))
+            }
             val sigs = graft.ops.Dedup.lshSignatures(b, "id", "text")
             store.withCommitRetries()(
               store.upsertBucketed(spark, corpusTable, b, Seq("id"),

@@ -156,6 +156,32 @@ object ScaleProbe {
       // exact-dedup first, fuzzy on survivors)
       probe(s"d14_fuzzy_x$m", Dedup.blockedFuzzyPairs(docs(m), "id", "text",
         keyLen = 40, maxDist = 5, bucketCap = 1000))
+      // HOT-KEY join (the viral-video shape): one key carries ~half
+      // the probe rows. Plain join leaves the hot key to AQE's skew
+      // split; the salted variant splits it up front — the pair of
+      // rows is the AQE-vs-salting measurement SURVEY §7.4 calls for
+      // (j13 gates the salted join's correctness).
+      locally {
+        def hotLineitem: DataFrame = {
+          val l = Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+          val rep = (0 until m).map(i => l.select(
+              (col("l_orderkey") + i * 10000000L).as("l_orderkey"),
+              col("l_partkey"), col("l_linenumber")))
+            .reduce(_ unionByName _)
+          rep.select(
+            when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+              .otherwise(col("l_partkey")).as("p_partkey"),
+            col("l_linenumber"))
+        }
+        val small = Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_name"))
+        probe(s"skew_plain_hotjoin_x$m",
+          hotLineitem.join(small, Seq("p_partkey")))
+        probe(s"skew_salted_hotjoin_x$m",
+          graft.ops.Skew.saltedJoin(hotLineitem, small, "p_partkey",
+            parts = 32))
+      }
       probe(s"w4_sessionize_x$m", Sessions.sessionSummary(evts(m),
         "user_id", "ts", gapSeconds = 1800, tieBreak = "event_id"))
       // SCD2 intervals: same one-key-exchange discipline as w4 — key
@@ -231,6 +257,16 @@ object ScaleProbe {
         graft.ops.Bpe.learnMerges(docs(m), "text", numMerges = 6)
           .toDF()
       })
+      // production merge count: 224 merges as 224 sequential driver
+      // round-trips (classic) vs 7 batched rounds — the scale dial
+      // the ts13b gate pins; run once, the vocab is m-independent
+      if (m == 1) {
+        probe(s"ts13_bpe_224merges_x$m",
+          graft.ops.Bpe.learnMerges(docs(1), "text", numMerges = 224))
+        probe(s"ts13b_bpe_7x32batched_x$m",
+          graft.ops.Bpe.learnMergesBatched(docs(1), "text", rounds = 7,
+            batchSize = 32))
+      }
       // TF-IDF: tf rows x m, vocab fixed; the term join build side
       // stays vocabulary-sized
       probe(s"ts15_tfidf_x$m", graft.ops.TextAnalysis.tfidfTopK(

@@ -52,4 +52,39 @@ class BloomJoinSpec extends SparkSpec {
       s"filter must sit below (print after) the join:\n$plan")
     assert(plan.contains("LeftSemi"), plan)
   }
+
+  test("bitsFor sizes ~bitsPerKey/key word-aligned; sized join stays exact") {
+    assert(BloomJoin.bitsFor(1) == 64)
+    assert(BloomJoin.bitsFor(100) == 1024)        // 1000 → next 64-mult
+    assert(BloomJoin.bitsFor(20000) == 200000)    // exact 64-multiple
+    assert(BloomJoin.bitsFor(1L << 40) == (1 << 30), "capped at 2^30 bits")
+    val sized = BloomJoin.bloomSemiJoinSized(big, "k", small, "sk",
+      expectedKeys = 50)
+      .select("k").as[Long].collect().toSet
+    val exact = big.join(small.select(col("sk").as("k")), Seq("k"),
+      "left_semi").select("k").as[Long].collect().toSet
+    assert(sized == exact)
+  }
+
+  test("the filter words ship as ONE typed array literal, not per-word literals") {
+    // 2^16 bits = 1024 words: element-wise literals would put 1024
+    // Literal expressions in the plan; the typed literal is one.
+    val words = BloomJoin.buildBloom(small, "sk", numBits = 1 << 16)
+    val cond = BloomJoin.mightContain(col("k"), words)
+    val exprs = big.select(cond.as("c")).queryExecution.analyzed.expressions
+    val refs = exprs.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        => l
+    })
+    // 3 hash probes reference the same array literal value; each is a
+    // single ArrayType literal (with 1024 elements INSIDE it, not 1024
+    // Literal nodes)
+    assert(refs.nonEmpty && refs.size <= 3, s"array literals: ${refs.size}")
+    val allLiterals = exprs.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+    })
+    assert(allLiterals.size < 50,
+      s"plan carries ${allLiterals.size} literal nodes — words must not unroll")
+  }
 }

@@ -76,4 +76,45 @@ class BpeSpec extends SparkSpec {
     val f = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(f("the") == 2 && f("brown") == 1 && f.size == 4)
   }
+
+  test("learnMergesBatched: batchSize 1 reproduces the classic schedule") {
+    val docs = Seq("aaa aa", "ab").toDF("text")
+    val classic = Bpe.learnMerges(docs, "text", numMerges = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val batched = Bpe.learnMergesBatched(docs, "text", rounds = 3,
+        batchSize = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(batched ==
+      classic.map { case (i, a, b, c) => (i, 1, a, b, c) }, batched)
+  }
+
+  test("learnMergesBatched skips conflicting pairs; they resurface next round") {
+    // round 1 counts: (a,b)=2 > (a,c)=1, but (a,c) shares symbol 'a'
+    // with the accepted (a,b) — so round 1 accepts ONLY (a,b) and
+    // round 2 picks (a,c) up with fresh (identical) counts
+    val docs = Seq("ab ab ac").toDF("text")
+    val got = Bpe.learnMergesBatched(docs, "text", rounds = 2,
+        batchSize = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1, 1, "a", "b", 2L), (2, 1, "a", "c", 1L)), got)
+  }
+
+  test("tokenizeWithMerges applies a stored merge list without re-training") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 4)
+      .orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val trained = Bpe.tokenize(docs, "doc_id", "text", numMerges = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val applied = Bpe.tokenizeWithMerges(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(applied == trained)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "apply path must not pin blocks")
+  }
 }

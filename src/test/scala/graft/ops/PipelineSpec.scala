@@ -377,6 +377,53 @@ class PipelineSpec extends SparkSpec {
     assert(jac.isEmpty, jac.toSeq)
   }
 
+  test("chunkedContainmentPairs: 6x-length quote found where direct banding misses") {
+    import spark.implicits._
+    // quote = 16 tokens sitting at a stride-aligned offset of a
+    // 96-token (6x longer) document — containment 1, jaccard ≈ 0.15
+    val quoteToks = (1 to 16).map(i => s"q$i")
+    val longToks = (1 to 16).map(i => s"pre$i") ++ quoteToks ++
+      (1 to 64).map(i => s"post$i")
+    val docs = Seq(
+      (1L, longToks.mkString(" ")),
+      (2L, quoteToks.mkString(" ")),
+      (3L, "an unrelated document about nothing shared at all in any way")
+    ).toDF("id", "text")
+    // direct containment at the DEFAULT 4-row bands: banding recall
+    // ∝ jaccard, so the pair is not generated — the documented gap
+    val direct = Dedup.containmentPairs(docs, "id", "text",
+        threshold = 0.8).collect()
+    assert(direct.isEmpty, direct.toSeq)
+    // chunked: doc 2's whole-doc chunk equals doc 1's window at start
+    // 16 (alignment guaranteed for quotes >= window+stride-1) →
+    // chunk-level jaccard 1, banding certain, containment 1.0
+    val got = Dedup.chunkedContainmentPairs(docs, "id", "text",
+        windowTokens = 16, stride = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L,
+      got.toSeq)
+    assert(got.head._3 == 1.0, got.toSeq)
+  }
+
+  test("keepBestWithClusters over a stored label map equals the self-mining form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 0.2), (2L, "b", 0.9), (3L, "c", 0.5),
+      (4L, "d", 0.1), (5L, "e", 0.7), (6L, "f", 0.7)
+    ).toDF("id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val mined = Dedup.keepBestPerCluster(docs, "id", pairs, col("q"))
+      .select("cluster_id", "id", "n_members").collect().toSet
+    // persist the label map through the store, consume the committed
+    // frame — the tp6 discipline
+    val store = new ParquetTableStore(tmpDir("keepbest-store"))
+    val stored = store.commit(spark, "clusters",
+      ConnectedComponents.duplicateClusters(pairs))
+    val viaStore = Dedup.keepBestWithClusters(docs, "id", stored, col("q"))
+      .select("cluster_id", "id", "n_members").collect().toSet
+    assert(viaStore == mined, viaStore)
+  }
+
   test("keepBestPerCluster: score argmax wins, singletons survive, sizes exact") {
     import spark.implicits._
     // chain 1~2, 2~3 = one cluster {1,2,3}; pair 5~6; singleton 4
@@ -480,12 +527,14 @@ class PipelineSpec extends SparkSpec {
       a <- sh.keys; b <- sh.keys if a < b
       if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 8
     } yield (a, b)).toSet
-    val got = Dedup.simhashHammingPairs(docs, "id", "text", maxDist = 8)
+    val got = Dedup.simhashHammingPairs(docs, "id", "text", maxDist = 8,
+        width = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect, s"got $got expect $expect")
     assert(got.contains((1L, 2L)), "identical docs must pair at distance 0")
     // radius 0 degenerates to equal-sketch pairs exactly
-    val eq0 = Dedup.simhashHammingPairs(docs, "id", "text", maxDist = 0)
+    val eq0 = Dedup.simhashHammingPairs(docs, "id", "text", maxDist = 0,
+      width = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(eq0 == Set((1L, 2L, 0)) || eq0.forall(_._3 == 0))
   }
