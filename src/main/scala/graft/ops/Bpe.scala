@@ -83,21 +83,33 @@ object Bpe {
     * production vocabulary build would version in the store). */
   /** Per-iteration staging (parquet round-trip or persisted
     * LogicalRDD leaf) shared by the 1-per-iteration and batched
-    * training loops; `freeAll` releases every persisted leaf. */
+    * training loops; `freeAll` releases every persisted leaf.
+    *
+    * Lineage cap: each persisted leaf still CHAINS to the previous
+    * one in the RDD dependency graph, and task (de)serialization
+    * walks that graph recursively — ~200 chained leaves measured a
+    * StackOverflowError in the executor. Every 64th iteration
+    * therefore stages through parquet (an exit-cleaned scratch dir
+    * unless the caller gave a durable `stagingDir`), resetting the
+    * graph to a file scan; production merge counts are expected to
+    * pass a real stagingDir anyway (the durable form the Scaladoc
+    * prescribes). */
   private final class Stager(spark: org.apache.spark.sql.SparkSession,
       stagingDir: Option[String]) {
     private val staged = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
-    def apply(df: DataFrame, it: Int): DataFrame = stagingDir match {
-      case Some(dir) =>
-        df.write.mode("overwrite").parquet(s"$dir/bpe_iter_$it")
-        spark.read.parquet(s"$dir/bpe_iter_$it")
-      case None =>
+    private lazy val spillDir =
+      stagingDir.getOrElse(Scratch.tempDir("graft-bpe-"))
+    def apply(df: DataFrame, it: Int): DataFrame =
+      if (stagingDir.isDefined || it % 64 == 0) {
+        df.write.mode("overwrite").parquet(s"$spillDir/bpe_iter_$it")
+        spark.read.parquet(s"$spillDir/bpe_iter_$it")
+      } else {
         val rdd = df.rdd.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         staged += rdd
         spark.createDataFrame(rdd, df.schema)
-    }
+      }
     def freeAll(): Unit = staged.foreach(_.unpersist(blocking = false))
   }
 

@@ -74,8 +74,14 @@ object ScaleProbe {
     // (e.g. "ts12,ss10" re-probes just the new ops of a round)
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(',').toSeq) else None
+    // whether any requested prefix selects `name` — probe() uses it to
+    // skip timing, and the incremental blocks use it to skip their
+    // UNTIMED index builds too (a targeted re-probe of one family must
+    // not pay another family's setup)
+    def selected(name: String): Boolean =
+      !only.exists(ps => !ps.exists(name.startsWith))
     def probe(name: String, df: => DataFrame): Unit = {
-      if (only.exists(ps => !ps.exists(name.startsWith))) return
+      if (!selected(name)) return
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"PROBE $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n%10d")
@@ -157,10 +163,16 @@ object ScaleProbe {
       probe(s"d14_fuzzy_x$m", Dedup.blockedFuzzyPairs(docs(m), "id", "text",
         keyLen = 40, maxDist = 5, bucketCap = 1000))
       // HOT-KEY join (the viral-video shape): one key carries ~half
-      // the probe rows. Plain join leaves the hot key to AQE's skew
-      // split; the salted variant splits it up front — the pair of
-      // rows is the AQE-vs-salting measurement SURVEY §7.4 calls for
-      // (j13 gates the salted join's correctness).
+      // the probe rows — the AQE-vs-salting measurement SURVEY §7.4
+      // calls for (j13 gates the salted join's correctness). Four
+      // rows tell the whole story: (1) with a broadcastABLE dim the
+      // hot key is a non-problem (no probe-side shuffle exists) —
+      // the first-choice fix; when the dim CANNOT broadcast
+      // (threshold forced off, modeling a big dim), (2) the raw
+      // shuffle join with AQE's skewedJoin split, (3) the same with
+      // AQE's split disabled (the unmitigated hot reducer), and
+      // (4) explicit salting, which pre-splits the hot key without
+      // relying on runtime stats.
       locally {
         def hotLineitem: DataFrame = {
           val l = Tables.lineitem(spark, dir)
@@ -176,11 +188,23 @@ object ScaleProbe {
         }
         val small = Tables.part(spark, dir)
           .select(col("p_partkey"), col("p_name"))
-        probe(s"skew_plain_hotjoin_x$m",
+        probe(s"skew_broadcast_hotjoin_x$m",
           hotLineitem.join(small, Seq("p_partkey")))
-        probe(s"skew_salted_hotjoin_x$m",
-          graft.ops.Skew.saltedJoin(hotLineitem, small, "p_partkey",
-            parts = 32))
+        val bcast = "spark.sql.autoBroadcastJoinThreshold"
+        val skewFix = "spark.sql.adaptive.skewJoin.enabled"
+        val prev = spark.conf.get(bcast)
+        spark.conf.set(bcast, "-1")
+        try {
+          probe(s"skew_shuffle_aqe_hotjoin_x$m",
+            hotLineitem.join(small, Seq("p_partkey")))
+          spark.conf.set(skewFix, "false")
+          probe(s"skew_shuffle_noaqe_hotjoin_x$m",
+            hotLineitem.join(small, Seq("p_partkey")))
+          spark.conf.set(skewFix, "true")
+          probe(s"skew_salted_hotjoin_x$m",
+            graft.ops.Skew.saltedJoin(hotLineitem, small, "p_partkey",
+              parts = 32))
+        } finally { spark.conf.set(bcast, prev); spark.conf.set(skewFix, "true") }
       }
       probe(s"w4_sessionize_x$m", Sessions.sessionSummary(evts(m),
         "user_id", "ts", gapSeconds = 1800, tieBreak = "event_id"))
@@ -304,7 +328,7 @@ object ScaleProbe {
       // re-mine the probe replaces. Candidate mass still grows ∝ m
       // here because the replicated corpus makes every batch doc
       // near-dup to m copies — the honest dup-heavy worst case.
-      locally {
+      if (selected(s"d10_incremental_x$m")) {
         val tmp = java.nio.file.Files
           .createTempDirectory(s"probe-d10-x$m").toString
         try {
@@ -326,7 +350,7 @@ object ScaleProbe {
       // (amortized over every batch); timed = one fixed batch's
       // probe + rep-graph merge. Read against d9_clusters_x$m: that
       // is the full re-cluster this replaces.
-      locally {
+      if (selected(s"d12_incr_clusters_x$m")) {
         val tmp = java.nio.file.Files
           .createTempDirectory(s"probe-d12-x$m").toString
         try {
@@ -355,7 +379,7 @@ object ScaleProbe {
       }
       // stored IVF probe: index built untimed; the timed probe
       // assigns only the 10-query batch and joins the stored members
-      locally {
+      if (selected(s"ss9_stored_probe_x$m")) {
         val tmp = java.nio.file.Files
           .createTempDirectory(s"probe-ss9-x$m").toString
         try {
