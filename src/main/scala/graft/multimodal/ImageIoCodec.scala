@@ -33,72 +33,81 @@ object ImageIoCodecProvider extends MediaCodecProvider {
   override def open(): MediaCodec = new MediaCodec {
     private val stub = DigestStubCodecProvider.open()
 
-    private def decode(bytes: Array[Byte]): Option[BufferedImage] =
-      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-      catch { case _: Exception => None }
-
-    /** Mean luminance (0..1) pooled over a g×g grid, g=ceil(sqrt(dim)),
-      * first `dim` cells in row-major order. */
-    private def pool(img: BufferedImage, dim: Int): Array[Float] = {
-      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
-      val out = new Array[Float](dim)
-      val counts = new Array[Int](dim)
-      val w = img.getWidth
-      val h = img.getHeight
-      var y = 0
-      while (y < h) {
-        val gy = y * g / h
-        var x = 0
-        while (x < w) {
-          val cell = gy * g + x * g / w
-          if (cell < dim) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 +
-              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            out(cell) += lum / 255.0f
-            counts(cell) += 1
-          }
-          x += 1
-        }
-        y += 1
-      }
-      var i = 0
-      while (i < dim) {
-        if (counts(i) > 0) out(i) /= counts(i)
-        i += 1
-      }
-      out
-    }
-
     override def featurize(item: MediaItem, dim: Int): Array[Float] =
-      decode(item.bytes) match {
+      Luma.decode(item.bytes) match {
         case Some(img) if img.getWidth > 0 && img.getHeight > 0 =>
-          pool(img, dim)
+          Luma.pool(img, dim)
         case _ => stub.featurize(item, dim)
       }
 
     override def decodeFrame(item: MediaItem, frameIdx: Int): Array[Byte] =
-      if (frameIdx == 0) decode(item.bytes) match {
-        case Some(img) =>
-          val w = img.getWidth
-          val h = img.getHeight
-          val out = new Array[Byte](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              out(y * w + x) = ((((rgb >> 16) & 0xff) * 299 +
-                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000).toByte
-              x += 1
-            }
-            y += 1
-          }
-          out
+      if (frameIdx == 0) Luma.decode(item.bytes) match {
+        case Some(img) => Luma.plane(img)
         case None => stub.decodeFrame(item, frameIdx)
       }
       else stub.decodeFrame(item, frameIdx)
 
     override def close(): Unit = stub.close()
+  }
+}
+
+/** Shared luminance helpers for the image-backed codecs
+  * ([[ImageIoCodecProvider]] stills, [[AviMjpegCodecProvider]]
+  * frames): ITU-R 601 integer luma, grid pooling, plane export. */
+private[multimodal] object Luma {
+
+  def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  private def lum(rgb: Int): Int =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+      (rgb & 0xff) * 114) / 1000
+
+  /** Mean luminance (0..1) pooled over a g×g grid, g=ceil(sqrt(dim)),
+    * first `dim` cells in row-major order. */
+  def pool(img: BufferedImage, dim: Int): Array[Float] = {
+    val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val out = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val gy = y * g / h
+      var x = 0
+      while (x < w) {
+        val cell = gy * g + x * g / w
+        if (cell < dim) {
+          out(cell) += lum(img.getRGB(x, y)) / 255.0f
+          counts(cell) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < dim) {
+      if (counts(i) > 0) out(i) /= counts(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Row-major luminance plane (one byte per pixel). */
+  def plane(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = lum(img.getRGB(x, y)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 }
