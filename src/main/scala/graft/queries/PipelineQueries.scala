@@ -1833,6 +1833,49 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 3
             ORDER BY query_id, rank"""))
 
+  /** MM6: the PER-MODALITY CODEC REGISTRY, oracle-checked — mm2's
+    * featurize path driven through [[graft.multimodal
+    * .ModalityCodecProvider]] instead of the bare stub: every row
+    * dispatches on `kind` to a REAL decoder (image → ImageIO, audio →
+    * javax.sound WAV, video → RIFF/AVI MJPEG), which attempts a real
+    * decode of the payload, rejects it (the synthetic payloads are
+    * text bytes, not media containers), and falls back to the digest
+    * stub — whose features the mm2 SQL replicates exactly. The gate
+    * therefore pins the full production dispatch chain (lazy per-kind
+    * codec open inside a real task, real-decoder rejection, stub
+    * fallback, task-completion close of every opened sub-codec) to
+    * the same integer-numerator oracle as mm2; decodable payloads
+    * change only what the codec returns, never the plumbing. */
+  private val mm6 = QueryDef(
+    "mm6_registry_dispatch",
+    "kind-dispatched codec registry featurize (real decoders, stub fallback)",
+    (s, dir) => {
+      import s.implicits._
+      val items = graft.multimodal.Multimodal
+        .syntheticMedia(Tables.documents(s, dir))
+        .as[graft.multimodal.Multimodal.MediaItem]
+      graft.multimodal.Multimodal.decodeAndFeaturize(items, dim = 8,
+          provider = graft.multimodal.ModalityCodecProvider)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"), col("digest"),
+          posexplode(col("features")).as(Seq("pos", "f")))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("digest"), col("pos").cast("long").as("pos"),
+          round(col("f") * 997.0, 0).cast("long").as("f_num"))
+        .orderBy("media_id", "pos")
+    },
+    Some("""WITH f AS (SELECT doc_id AS media_id,
+              (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
+              octet_length(text::BLOB)::BIGINT AS n_bytes,
+              md5(text) AS digest
+            FROM documents)
+            SELECT media_id, kind, n_bytes, digest, i AS pos,
+              ((ord(substr(digest, (i % 32)::INT + 1, 1)) * 31 + i * 7)
+                % 997)::BIGINT AS f_num
+            FROM f, generate_series(0, 7) AS gs(i)
+            ORDER BY media_id, pos"""))
+
   /** A7 scale path: approx_count_distinct sketch. The sketch value
     * itself has no exact SQL oracle by design — but its ERROR BAND
     * does: the query emits the exact count plus a boolean asserting
@@ -3275,5 +3318,5 @@ object PipelineQueries {
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, g1, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, a7b, a8b)
+      tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b)
 }
