@@ -1876,6 +1876,169 @@ object PipelineQueries {
             FROM f, generate_series(0, 7) AS gs(i)
             ORDER BY media_id, pos"""))
 
+  /** ST1: STREAMING ↔ BATCH PARITY for the near-dup ingest loop —
+    * the spec-only streaming boundary goes oracle-gated. Two
+    * sequential Trigger.AvailableNow runs of
+    * [[graft.streaming.Streams.nearDupIngest]] drive a corpus
+    * through the versioned store: phase 1 ingests the documents
+    * table (in-batch greedy LSH dedup seeds the corpus + signature
+    * + band-index artifacts), phase 2 appends a perturbed batch
+    * that must dedup in-batch AND probe the STORED index (the d10
+    * path), committing rejects with best-match provenance. The
+    * result unions kept corpus rows with the reject ledger; the
+    * oracle replicates the two-phase schedule in SQL (greedy drop =
+    * d8's rule per phase; cross-probe = d10's asymmetric chain
+    * against phase-1 SURVIVORS only; best match = max jaccard, ties
+    * to min corpus id). What no batch gate pins: checkpointed
+    * file-source resume (run 2 sees only the appended file),
+    * foreachBatch commit ordering (rejects before artifacts
+    * advance), and store round-trips BETWEEN micro-batches. The
+    * loop's contract is that arrival-ordered streaming equals the
+    * sequential batch computation — the hash check enforces it. */
+  private val st1 = QueryDef(
+    "st1_stream_batch_parity",
+    "two-phase AvailableNow near-dup ingest ≡ sequential greedy dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      val pert = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 10000).as("id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      val root = graft.ops.Scratch.tempDir("graft-st1-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      docs.coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.nearDupIngest(s, inDir, ck, store)
+        .awaitTermination()
+      pert.coalesce(1).write.mode("append").parquet(inDir)
+      graft.streaming.Streams.nearDupIngest(s, inDir, ck, store)
+        .awaitTermination()
+      val kept = store.read(s, "corpus")
+        .select(col("id"), lit("kept").as("status"),
+          lit(null).cast("long").as("matched_id"),
+          lit(null).cast("double").as("jaccard"))
+      val rejected = store.read(s, "near_dup_rejects")
+        .select(col("id"), lit("rejected").as("status"),
+          col("matched_id"), col("jaccard"))
+      kept.unionByName(rejected).orderBy("id")
+    },
+    Some("""WITH b1 AS (SELECT doc_id AS id, text FROM documents),
+            b2 AS (SELECT doc_id + 10000 AS id,
+                     regexp_replace(text, '^\S+\s+', '') AS text
+                   FROM documents WHERE doc_id % 4 = 0),
+            p1 AS (WITH """ + lshOracleSql(
+      """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM b1),
+         it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                FROM tok WHERE len(t) >= 3)""", 0.6) + """),
+            acc1 AS (SELECT b1.id, b1.text FROM b1
+                     LEFT JOIN (SELECT DISTINCT id_b FROM p1) d
+                       ON b1.id = d.id_b
+                     WHERE d.id_b IS NULL),
+            p2 AS (WITH """ + lshOracleSql(
+      """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM b2),
+         it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                FROM tok WHERE len(t) >= 3)""", 0.6) + s"""),
+            b2s AS (SELECT b2.id, b2.text FROM b2
+                    LEFT JOIN (SELECT DISTINCT id_b FROM p2) d
+                      ON b2.id = d.id_b
+                    WHERE d.id_b IS NULL),
+            ${lshSideSql("o", "acc1")},
+            ${lshSideSql("n", "b2s")},
+            ocapped AS (SELECT id, b, band_hash,
+                          row_number() OVER (PARTITION BY b, band_hash
+                                             ORDER BY id) AS rn
+                        FROM obands),
+            xcand AS (SELECT DISTINCT o.id AS corpus_id, n.id AS new_id
+                      FROM ocapped o JOIN nbands n
+                        ON o.b = n.b AND o.band_hash = n.band_hash
+                           AND o.id <> n.id
+                      WHERE o.rn <= ${Dedup.DefaultBucketCap}),
+            xp AS (SELECT corpus_id, new_id, jaccard
+                   FROM (SELECT corpus_id, new_id,
+                           len(list_intersect(x.hs, y.hs))::DOUBLE /
+                           len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE
+                             AS jaccard
+                         FROM xcand
+                         JOIN ohashed x ON x.id = xcand.corpus_id
+                         JOIN nhashed y ON y.id = xcand.new_id)
+                   WHERE jaccard >= 0.6),
+            acc2 AS (SELECT b2s.id FROM b2s
+                     LEFT JOIN (SELECT DISTINCT new_id FROM xp) d
+                       ON b2s.id = d.new_id
+                     WHERE d.new_id IS NULL),
+            rej AS (SELECT new_id AS id, corpus_id AS matched_id, jaccard,
+                      row_number() OVER (PARTITION BY new_id
+                                         ORDER BY jaccard DESC, corpus_id)
+                        AS rn
+                    FROM xp)
+            SELECT id, 'kept' AS status, NULL::BIGINT AS matched_id,
+                   NULL::DOUBLE AS jaccard FROM acc1
+            UNION ALL
+            SELECT id, 'kept', NULL, NULL FROM acc2
+            UNION ALL
+            SELECT id, 'rejected', matched_id, jaccard FROM rej WHERE rn = 1
+            ORDER BY id"""))
+
+  /** ST2: STREAMING CLUSTER MAINTENANCE ≡ FROM-SCRATCH — the
+    * keep-and-label twin of [[st1]], pinning the d12 identity
+    * through the streaming loop itself. The same two-phase
+    * AvailableNow schedule drives
+    * [[graft.streaming.Streams.clusterIngest]]: phase 1 mines
+    * in-batch pairs and seeds the artifacts; phase 2's batch folds
+    * its in-batch pairs ∪ stored-index cross pairs into the
+    * committed cluster table via
+    * [[graft.ops.ConnectedComponents.mergeClusters]] — the fixpoint
+    * touches only the delta's rep graph. Banding is per-document,
+    * so the union of {phase-1 in-batch, phase-2 in-batch, cross
+    * probe} candidate pairs IS the one-shot mine's pair set (caps
+    * never bind at gate scale), and the incremental fold must land
+    * on the min-id labels of the full transitive closure: the
+    * oracle is d9's from-scratch recursive-CC SQL over the combined
+    * corpus, VERBATIM. Arrival order, checkpoint resume, and the
+    * retried read-merge-upsert commit discipline all collapse away
+    * — exactly the loop's contract. */
+  private val st2 = QueryDef(
+    "st2_stream_cluster_parity",
+    "two-phase AvailableNow cluster ingest ≡ from-scratch min-id clusters",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      val pert = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 10000).as("id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      val root = graft.ops.Scratch.tempDir("graft-st2-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      docs.coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.clusterIngest(s, inDir, ck, store)
+        .awaitTermination()
+      pert.coalesce(1).write.mode("append").parquet(inDir)
+      graft.streaming.Streams.clusterIngest(s, inDir, ck, store)
+        .awaitTermination()
+      store.read(s, "dup_clusters").select("id", "cluster_id").orderBy("id")
+    },
+    Some("WITH RECURSIVE " + dupCorpusSql + ",\n" +
+      "pairs AS (WITH " + lshOracleSql(
+        """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM corpus),
+           it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                  FROM tok WHERE len(t) >= 3)""", 0.6) + "),\n" +
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |cc(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach)
+        |SELECT node AS id, min(reach) AS cluster_id FROM cc
+        |GROUP BY node ORDER BY id""".stripMargin))
+
   /** A7 scale path: approx_count_distinct sketch. The sketch value
     * itself has no exact SQL oracle by design — but its ERROR BAND
     * does: the query emits the exact count plus a boolean asserting
@@ -3318,5 +3481,6 @@ object PipelineQueries {
     Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, g1, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b)
+      tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b,
+      st1, st2)
 }
