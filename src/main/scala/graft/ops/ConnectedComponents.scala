@@ -114,7 +114,8 @@ object ConnectedComponents {
     * stored map; the EAGER fixpoint (the only iterative part)
     * touches only the delta's rep edges. */
   def mergeClusters(stored: DataFrame, newPairs: DataFrame,
-      scratchDir: Option[String] = None): DataFrame = {
+      scratchDir: Option[String] = None,
+      driverMaxEdges: Int = 0): DataFrame = {
     val lbl = stored.select(col(stored.columns(0)).cast("long").as("__id"),
       col(stored.columns(1)).cast("long").as("__rep"))
     val p = newPairs.select(
@@ -128,10 +129,30 @@ object ConnectedComponents {
         .drop(s"__r_$side")
     val repEdges = rewrite("v")(rewrite("u")(p))
       .where(col("u") =!= col("v"))
-    // the fixpoint runs on rep-graph edges only (delta-sized);
-    // an empty rep graph (batch connects nothing) skips it entirely
+    // The fixpoint runs on rep-graph edges only (delta-sized); an
+    // empty rep graph (batch connects nothing) skips it entirely.
+    // With driverMaxEdges > 0, a rep graph at or under the bound is
+    // labeled by a driver-side union-find instead: the rep graph is
+    // bounded by the batch's pair count — ingest-batch-sized BY THE
+    // SAME CONTRACT that lets the incremental probe broadcast the
+    // batch side — and the distributed fixpoint costs tens of fixed-
+    // overhead stages per round, which dominates per-batch latency
+    // at exactly the delta sizes streaming ingest produces. One
+    // limit-collect decides: if it returns ≤ driverMaxEdges rows it
+    // IS the whole rep graph (labeled exactly, min-id invariant
+    // preserved); one extra row falls back to the staged
+    // large/small-star fixpoint unchanged.
     val merges =
-      if (repEdges.isEmpty) repEdges.sparkSession.emptyDataFrame
+      if (driverMaxEdges > 0) {
+        val sample = repEdges.select(col("u"), col("v"))
+          .limit(driverMaxEdges + 1).collect()
+        if (sample.length <= driverMaxEdges) {
+          val spark = repEdges.sparkSession
+          import spark.implicits._
+          driverLabels(sample.iterator.map(r => (r.getLong(0), r.getLong(1))))
+            .toDF("id", "cluster_id")
+        } else duplicateClusters(repEdges, scratchDir = scratchDir)
+      } else if (repEdges.isEmpty) repEdges.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit(0L).as("cluster_id")).limit(0)
       else duplicateClusters(repEdges, scratchDir = scratchDir)
     val m = merges.select(col("id").as("__m_id"),
@@ -145,6 +166,34 @@ object ConnectedComponents {
       .join(m, col("__rep") === col("__m_id"), "left")
       .select(col("__id").as("id"),
         coalesce(col("__m_rep"), col("__rep")).as("cluster_id"))
+  }
+
+  /** Exact min-id component labels for a small edge list, computed
+    * with a union-find that always attaches the larger root under
+    * the smaller — so every root IS its component's minimum id and
+    * the output matches [[duplicateClusters]] row for row. Returns
+    * one (node, minId) per distinct node in `edges`. */
+  private def driverLabels(edges: Iterator[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val nodes = scala.collection.mutable.HashSet.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      if (u != v) {
+        nodes += u; nodes += v
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          val (lo, hi) = if (ru < rv) (ru, rv) else (rv, ru)
+          parent(hi) = lo
+        }
+      }
+    }
+    nodes.iterator.map(n => (n, find(n))).toSeq.sorted
   }
 
   /** Undirected edge in canonical (lo < hi) form, self-loops dropped. */

@@ -167,6 +167,16 @@ object Dedup {
     lshJaccardPairs(lshSignatures(df, idCol, textCol, shingleLen),
       numHashes, bands, threshold, bucketCap)
 
+  /** [[minhashLshPairs]] from an already-computed signature table
+    * (id, hs) — for callers that hold [[lshSignatures]] output (a
+    * persisted per-batch frame in the streaming loops, or the stored
+    * signature table): the mine then derives from the signatures
+    * alone and never re-reads or re-hashes text. */
+  def minhashLshPairsFromSigs(sigs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.6,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    lshJaccardPairs(sigs, numHashes, bands, threshold, bucketCap)
+
   /** The per-doc hashed word-shingle sets (id, hs: array<long>) — the
     * signature table an incremental dedup deployment persists once
     * per corpus (ONE text pass ever; the band index and every later
@@ -243,8 +253,23 @@ object Dedup {
   def incrementalLshPairs(newDocs: DataFrame, idCol: String,
       textCol: String, corpusBands: DataFrame, corpusHashes: DataFrame,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame =
+    incrementalLshPairsFromSigs(
+      lshSignatures(newDocs, idCol, textCol, shingleLen),
+      corpusBands, corpusHashes, numHashes, bands, threshold)
+
+  /** [[incrementalLshPairs]] from an already-computed batch signature
+    * table (id, hs) — the one-text-pass discipline for callers that
+    * signature the batch once and reuse it for the in-batch mine,
+    * the cross-corpus probe, AND the store commit (the streaming
+    * ingest loops). Probe shape identical: batch bands broadcast
+    * into one scan-rate pass over the stored index, candidates
+    * broadcast into one scan-rate pass over the stored signatures. */
+  def incrementalLshPairsFromSigs(batchSigs: DataFrame,
+      corpusBands: DataFrame, corpusHashes: DataFrame,
+      numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.6): DataFrame = {
-    val batch = lshSignatures(newDocs, idCol, textCol, shingleLen)
+    val batch = batchSigs
     val batchBands = bandKeys(batch, numHashes, bands)
     // Candidate generation: ONE scan-rate pass over the stored index,
     // batch band keys on the broadcast side.

@@ -233,15 +233,39 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val inBatch = graft.ops.Dedup.dropNearDuplicates(batch, "id",
-          "text", threshold = threshold)
+        // ONE text pass per micro-batch: signature the batch once,
+        // pin it, and derive the in-batch mine, the cross-corpus
+        // probe, AND the store commit from the pinned frame (a
+        // signature row depends only on its own (id, text), so any
+        // id-subset of the batch's signatures ≡ re-signaturing that
+        // subset). The previous shape re-hashed the text 3× per
+        // batch — at deployment scale the raw-text pass is the
+        // dominant per-batch cost, so this is the difference between
+        // O(batch) and O(3·batch) text I/O per commit.
+        val sigs = graft.ops.Dedup.lshSignatures(batch, "id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val inPairs = graft.ops.Dedup.minhashLshPairsFromSigs(sigs,
+          threshold = threshold)
+        // the in-batch survivor set feeds the probe, the accept
+        // anti-join, and the corpus commit — pin it so the in-batch
+        // mine runs ONCE per batch
+        val inBatch = graft.ops.Dedup.dropPairedDuplicates(batch, "id",
+          inPairs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var pinnedPairs: Option[DataFrame] = None
         val (accepted, rejects) =
           if (!store.exists(signatureTable) || !store.exists(indexTable))
             (inBatch, None)
           else {
-            val pairs = graft.ops.Dedup.incrementalLshPairs(inBatch, "id",
-              "text", store.read(spark, indexTable),
+            val survivorSigs = sigs.join(inBatch.select("id"),
+              Seq("id"), "left_semi")
+            // both the reject ledger and the accept anti-join consume
+            // the probe result — pin it so the probe runs ONCE
+            val pairs = graft.ops.Dedup.incrementalLshPairsFromSigs(
+              survivorSigs, store.read(spark, indexTable),
               store.read(spark, signatureTable), threshold = threshold)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            pinnedPairs = Some(pairs)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("new_id")
               .orderBy(col("jaccard").desc, col("corpus_id").asc)
@@ -269,21 +293,24 @@ object Streams {
                 store.upsert(spark, rejectTable, r, Seq("id")))
           }
           if (acc.limit(1).count() > 0) {
-            val sigs = graft.ops.Dedup.lshSignatures(acc, "id", "text")
+            val accSigs = sigs.join(acc.select("id"), Seq("id"), "left_semi")
             store.withCommitRetries()(
               store.upsertBucketed(spark, corpusTable, acc, Seq("id"),
                 numBuckets))
             store.withCommitRetries()(
-              store.upsertBucketed(spark, signatureTable, sigs, Seq("id"),
+              store.upsertBucketed(spark, signatureTable, accSigs, Seq("id"),
                 numBuckets))
             store.withCommitRetries()(
               store.upsertBucketed(spark, indexTable,
-                graft.ops.Dedup.lshBandIndex(sigs), Seq("id", "band"),
+                graft.ops.Dedup.lshBandIndex(accSigs), Seq("id", "band"),
                 numBuckets))
           }
         } finally {
           acc.unpersist(false)
           rej.foreach(_.unpersist(false))
+          sigs.unpersist(false)
+          inBatch.unpersist(false)
+          pinnedPairs.foreach(_.unpersist(false))
         }
         ()
       }
@@ -325,19 +352,30 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // one text pass per micro-batch (see nearDupIngest): the
+        // pinned signature frame feeds the in-batch mine, the
+        // cross-corpus probe, and the signature/index commits.
+        val sigs = graft.ops.Dedup.lshSignatures(b, "id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var pinnedPairs: Option[DataFrame] = None
         try {
           if (b.limit(1).count() > 0) {
-            val inPairs = graft.ops.Dedup.minhashLshPairs(b, "id", "text",
+            val inPairs = graft.ops.Dedup.minhashLshPairsFromSigs(sigs,
               threshold = threshold)
               .select(col("id_a").as("u"), col("id_b").as("v"))
             val crossPairs =
               if (!store.exists(signatureTable) || !store.exists(indexTable))
                 inPairs.limit(0)
-              else graft.ops.Dedup.incrementalLshPairs(b, "id", "text",
+              else graft.ops.Dedup.incrementalLshPairsFromSigs(sigs,
                 store.read(spark, indexTable),
                 store.read(spark, signatureTable), threshold = threshold)
                 .select(col("corpus_id").as("u"), col("new_id").as("v"))
+            // the merge consumes the pair set several times (the
+            // rep-graph collect, the non-empty guard, the commit
+            // write) — pin it so the mine+probe run ONCE per batch
             val allPairs = inPairs.unionByName(crossPairs)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            pinnedPairs = Some(allPairs)
             // the WHOLE read-merge-upsert derivation sits inside the
             // retried op: store.read resolves the pointer at
             // plan-build time, so a lost CAS must re-read the
@@ -351,13 +389,16 @@ object Streams {
                 if (store.exists(clusterTable)) store.read(spark, clusterTable)
                 else spark.range(0)
                   .select(col("id"), col("id").as("cluster_id"))
+              // delta CC: rep graphs at ingest-batch size label on
+              // the driver (one collect, zero fixpoint stages);
+              // oversized deltas fall back to the staged fixpoint
               val merged = graft.ops.ConnectedComponents.mergeClusters(
                 stored, allPairs,
-                scratchDir = Some(s"$checkpointDir/cc-scratch"))
+                scratchDir = Some(s"$checkpointDir/cc-scratch"),
+                driverMaxEdges = 1 << 20)
               if (merged.limit(1).count() > 0)
                 store.upsert(spark, clusterTable, merged, Seq("id"))
             }
-            val sigs = graft.ops.Dedup.lshSignatures(b, "id", "text")
             store.withCommitRetries()(
               store.upsertBucketed(spark, corpusTable, b, Seq("id"),
                 numBuckets))
@@ -369,7 +410,11 @@ object Streams {
                 graft.ops.Dedup.lshBandIndex(sigs), Seq("id", "band"),
                 numBuckets))
           }
-        } finally b.unpersist(false)
+        } finally {
+          b.unpersist(false)
+          sigs.unpersist(false)
+          pinnedPairs.foreach(_.unpersist(false))
+        }
         ()
       }
       .start()
