@@ -29,13 +29,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively; with spark.sql.legacy.parquet.nanosAsLong=true (set
-    * by every graft session) it arrives as nanos-since-epoch LongType.
-    * Convert with integer `div` — double division would lose precision
-    * above 2^53 (~9e15, vs ~1.7e18 ns here). */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events.ts normalized to TimestampType regardless of the fixture's
+    * physical encoding — the driver has regenerated events.parquet with
+    * different parquet types across rounds, so the loader branches on
+    * what actually loaded instead of assuming one encoding:
+    *   - TIMESTAMP(NANOS): Spark 4 refuses it natively; with
+    *     spark.sql.legacy.parquet.nanosAsLong=true (set by every graft
+    *     session) it arrives as nanos-since-epoch LongType. Convert with
+    *     integer `div` — double division would lose precision above
+    *     2^53 (~9e15, vs ~1.7e18 ns here). A raw int64 micros column
+    *     would also land here; nanos is the only long encoding the
+    *     driver has shipped, so that's the conversion applied.
+    *   - timestamp[us] without UTC adjustment: loads as TimestampNTZType
+    *     (inferTimestampNTZ default-on). Cast to TimestampType — the
+    *     session TZ is pinned UTC, so the instant is unchanged.
+    *   - timestamp[us/ms] UTC-adjusted: already TimestampType, as-is. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
