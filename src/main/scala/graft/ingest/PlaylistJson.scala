@@ -59,8 +59,15 @@ object PlaylistJson {
     * "single file" contract (the reference writes one file); the
     * distributed alternative for big exports is
     * `exportShape(...).write.json(dir)` (JSON-lines parts). */
-  def writeJsonArrayFile(export: DataFrame, path: String): Unit = {
-    val rows = export.toJSON.collect()
+  def writeJsonArrayFile(export: DataFrame, path: String,
+      maxRows: Int = 1000000): Unit = {
+    // size guard: the single-file contract bounds this to dimension
+    // scale (playlists); refuse a corpus-sized frame instead of
+    // silently OOMing the driver
+    val rows = export.limit(maxRows + 1).toJSON.collect()
+    require(rows.length <= maxRows,
+      s"writeJsonArrayFile is a single-file dimension export (> $maxRows " +
+        "rows collected); use exportShape(...).write.json(dir) for large exports")
     val pretty = rows.map { line =>
       // re-indent each object two spaces to mirror json.dumps(indent=2)
       "  " + line

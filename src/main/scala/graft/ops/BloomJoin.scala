@@ -92,7 +92,9 @@ object BloomJoin {
 
   /** big ⋉ small on bigKey = smallKey, bloom-pruned: scan-stage
     * membership filter, then the exact LEFT SEMI join over the
-    * survivors only. */
+    * survivors only. Prefer [[bloomSemiJoinSized]] (the [[bitsFor]]
+    * entry point) unless you have a reason to pin the bit budget —
+    * the fixed default here saturates past ~20k build-side keys. */
   def bloomSemiJoin(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String, numBits: Int = 1 << 16,
       numHashes: Int = 3): DataFrame = {

@@ -1899,9 +1899,15 @@ object PipelineQueries {
     "st1_stream_batch_parity",
     "two-phase AvailableNow near-dup ingest ≡ sequential greedy dedup",
     (s, dir) => {
+      // The gate pins SCHEDULE parity (checkpoint resume, commit
+      // ordering, store round-trips between micro-batches), not
+      // throughput — a 10%-of-documents corpus proves the identical
+      // contract at a tenth of the bench weight (round-6 verdict #5).
       val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id"), col("text"))
-      val pert = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+      val pert = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") % 4 === 0)
         .select((col("doc_id") + 10000).as("id"),
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
       val root = graft.ops.Scratch.tempDir("graft-st1-")
@@ -1923,10 +1929,11 @@ object PipelineQueries {
           col("matched_id"), col("jaccard"))
       kept.unionByName(rejected).orderBy("id")
     },
-    Some("""WITH b1 AS (SELECT doc_id AS id, text FROM documents),
+    Some("""WITH b1 AS (SELECT doc_id AS id, text FROM documents
+                        WHERE doc_id % 10 = 0),
             b2 AS (SELECT doc_id + 10000 AS id,
                      regexp_replace(text, '^\S+\s+', '') AS text
-                   FROM documents WHERE doc_id % 4 = 0),
+                   FROM documents WHERE doc_id % 10 = 0 AND doc_id % 4 = 0),
             p1 AS (WITH """ + lshOracleSql(
       """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
                  FROM b1),
@@ -2006,9 +2013,13 @@ object PipelineQueries {
     "st2_stream_cluster_parity",
     "two-phase AvailableNow cluster ingest ≡ from-scratch min-id clusters",
     (s, dir) => {
+      // Same 10% corpus shrink as st1 — the d12 identity this gate
+      // pins is schedule-shaped, not size-shaped.
       val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id"), col("text"))
-      val pert = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+      val pert = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") % 4 === 0)
         .select((col("doc_id") + 10000).as("id"),
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
       val root = graft.ops.Scratch.tempDir("graft-st2-")
@@ -2023,7 +2034,14 @@ object PipelineQueries {
         .awaitTermination()
       store.read(s, "dup_clusters").select("id", "cluster_id").orderBy("id")
     },
-    Some("WITH RECURSIVE " + dupCorpusSql + ",\n" +
+    Some("WITH RECURSIVE " +
+      """corpus AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS id,
+        |         regexp_replace(text, '^\S+\s+', '') AS text
+        |  FROM documents
+        |  WHERE doc_id % 10 = 0 AND doc_id % 4 = 0)""".stripMargin + ",\n" +
       "pairs AS (WITH " + lshOracleSql(
         """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
                    FROM corpus),
