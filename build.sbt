@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // replication probes (ScaleProbe x10+) overflow the default thread
+  // stack during recursive task deserialization; executors on real
+  // clusters run with widened stacks for the same reason
+  "-Xss8m",
 )
