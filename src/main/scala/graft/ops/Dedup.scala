@@ -680,6 +680,24 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** [[embeddingNearDupPairsIvf]] with the cell count AUTO-SIZED to
+    * ~sqrt(n) from one cheap corpus count — the knob rule the scale
+    * probes measure (x10 replication: fixed 64 cells 48.4 s vs
+    * sqrt(n) cells 19.0 s, because per-cell population — and the
+    * quadratic in-cell term — stays FLAT as the corpus grows instead
+    * of growing linearly). The count is one columnar-scan job over
+    * the id column; at any scale that is noise next to the n·k
+    * assignment pass it sizes. Use the explicit-knob variant when the
+    * corpus count is already known (don't pay the count twice). */
+  def embeddingNearDupPairsIvfAuto(df: DataFrame, idCol: String,
+      vecCol: String, probes: Int = 2, threshold: Double = 0.9,
+      cellCap: Int = DefaultCellCap): DataFrame = {
+    val n = df.select(col(idCol)).count()
+    val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+    embeddingNearDupPairsIvf(df, idCol, vecCol, numCentroids = cells,
+      probes = probes, threshold = threshold, cellCap = cellCap)
+  }
+
   /** Embedding near-dup pairs: exact cosine within caller-provided
     * coarse blocks (any cheap cluster id — for the self-deriving
     * variant use [[embeddingNearDupPairsIvf]]). Returns

@@ -663,6 +663,20 @@ class PipelineSpec extends SparkSpec {
     assert(full == 10L * 9 / 2)
   }
 
+  test("embeddingNearDupPairsIvfAuto sizes cells to sqrt(n) and matches explicit") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val n = e.count()
+    val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+    val auto = Dedup.embeddingNearDupPairsIvfAuto(e, "id", "embedding",
+      probes = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Dedup.embeddingNearDupPairsIvf(e, "id", "embedding",
+      numCentroids = cells, probes = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit)
+  }
+
   test("langId picks the stopword-dominant language") {
     val df = Seq(
       "the cat is on the mat and it is happy",
