@@ -633,6 +633,23 @@ object Dedup {
     * go quadratic. */
   val DefaultCellCap: Int = 10000
 
+  /** CAP-SATURATION diagnostic: for the block structure `keys` over
+    * `df` (LSH band buckets, IVF cells, fuzzy blocks — anything the
+    * miners window-cap), one row reporting how many blocks exist, how
+    * many are AT OR OVER `cap`, and the hottest block's population.
+    * A bound cap is a silent recall loss — the x30 scale probe
+    * measured fixed-knob IVF dropping 2/3 of true pairs exactly this
+    * way (PLANS.md round 7) — so deployments should alarm on
+    * `n_at_cap > 0` and either raise the knob (more cells/bands) or
+    * accept the documented truncation. Cost: one combinable
+    * block-keyed aggregation, the same shuffle the miner itself pays.
+    */
+  def blockSaturation(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("population"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("population") >= cap, 1L).otherwise(0L)).as("n_at_cap"),
+        max(col("population")).as("max_population"))
+
   /** Embedding near-dup pairs blocked by IVF coarse-centroid cells
     * ([[Ivf.assignments]]): candidate pairs are same-cell collisions
     * (ids only — vectors re-attach through SHUFFLE_HASH joins, same

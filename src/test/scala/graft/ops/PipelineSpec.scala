@@ -663,6 +663,17 @@ class PipelineSpec extends SparkSpec {
     assert(full == 10L * 9 / 2)
   }
 
+  test("blockSaturation reports bound caps on the hot block") {
+    val rows = ((1L to 10L).map(i => (i, "hot")) ++
+      Seq((11L, "a"), (12L, "a"), (13L, "b"))).toDF("id", "block")
+    val r = Dedup.blockSaturation(rows, Seq("block"), cap = 5).head
+    assert(r.getLong(0) == 3)   // blocks: hot, a, b
+    assert(r.getLong(1) == 1)   // only "hot" is at/over the cap
+    assert(r.getLong(2) == 10)  // hottest population
+    val none = Dedup.blockSaturation(rows, Seq("block"), cap = 11).head
+    assert(none.getLong(1) == 0)
+  }
+
   test("embeddingNearDupPairsIvfAuto sizes cells to sqrt(n) and matches explicit") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
