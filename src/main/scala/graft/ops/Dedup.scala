@@ -167,6 +167,80 @@ object Dedup {
     lshJaccardPairs(lshSignatures(df, idCol, textCol, shingleLen),
       numHashes, bands, threshold, bucketCap)
 
+  /** AUTO band geometry: (numHashes, bands) derived from the corpus
+    * count — the band-miner analogue of
+    * [[embeddingNearDupPairsIvfAuto]]'s sqrt(n) cell rule, closing
+    * the fixed-knob hazard the x30 scale probe measured (d4 at 4-row
+    * bands: 495 s vs 32.4 s at 8-row bands, identical output — the
+    * shallow bands admit ~j₀^r of ALL pairs as candidates and the
+    * verify stage swamps everything once n² grows past the band
+    * selectivity).
+    *
+    * Derivation (both knobs from first principles, no magic pairs):
+    *  - `rowsPerBand` r = the smallest depth at which expected NOISE
+    *    collision mass is sublinear in the corpus: a random pair
+    *    collides in one band w.p. ~noiseSim^r, so candidate mass
+    *    ~bands·n²·noiseSim^r stays O(bands·n) when noiseSim^r ≤ 1/n,
+    *    i.e. r = ⌈ln n / ln(1/noiseSim)⌉ (floor 4 — the reference
+    *    geometry's depth). noiseSim defaults to 0.3, the measured
+    *    between-unrelated-docs similarity of shingle/char-gram sets
+    *    on real corpora (vocabulary overlap).
+    *  - `bands` b = the count that keeps RECALL at the verify
+    *    threshold despite the deeper bands: a true pair at jaccard t
+    *    survives banding w.p. 1-(1-t^r)^b ≥ 1-missRate when
+    *    b = ⌈ln(1/missRate)/t^r⌉ (capped at maxBands — past that the
+    *    signature pass, not the miner, would dominate; the cap binding
+    *    means the requested (threshold, missRate) pair is not
+    *    affordable at this n and recall degrades, documented here).
+    *
+    * numHashes = b·r grows with the corpus (e.g. n=500 → 54 hashes in
+    * 9×6 bands; n≈2·10⁵ → ~300 in 27×11) — exactly the published
+    * large-corpus practice (hundreds of permutations), and the
+    * signature cost it adds is linear while the candidate mass it
+    * removes is quadratic. */
+  def autoBandGeometry(n: Long, threshold: Double,
+      noiseSim: Double = 0.3, missRate: Double = 0.1,
+      maxBands: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(noiseSim > 0 && noiseSim < 1, "noiseSim must be in (0, 1)")
+    require(missRate > 0 && missRate < 1, "missRate must be in (0, 1)")
+    val r = math.max(4, math.ceil(
+      math.log(math.max(2L, n).toDouble) / math.log(1.0 / noiseSim)).toInt)
+    val bWant = math.ceil(math.log(1.0 / missRate) / math.pow(threshold, r))
+    val b = math.min(maxBands, math.max(2, bWant.toInt))
+    (b * r, b)
+  }
+
+  /** [[minhashLshPairs]] with the band geometry AUTO-SIZED from one
+    * cheap corpus count via [[autoBandGeometry]] — the variant a
+    * deployment that does not know its corpus size ahead of time
+    * should call (the explicit-knob form remains for callers that do,
+    * and for oracle pins at a fixed geometry). The count is one
+    * columnar-scan job over the id column — noise next to the
+    * signature pass it sizes. */
+  def minhashLshPairsAuto(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, threshold: Double = 0.8,
+      noiseSim: Double = 0.3, missRate: Double = 0.1,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val n = df.select(col(idCol)).count()
+    val (numHashes, bands) = autoBandGeometry(n, threshold, noiseSim, missRate)
+    minhashLshPairs(df, idCol, textCol, shingleLen, numHashes, bands,
+      threshold, bucketCap)
+  }
+
+  /** [[ngramJaccardPairs]] with auto-sized band geometry — see
+    * [[minhashLshPairsAuto]]; this is the miner whose fixed default
+    * knob the x30 probe measured at 15× wall-time. */
+  def ngramJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.8,
+      noiseSim: Double = 0.3, missRate: Double = 0.1,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val corpusN = df.select(col(idCol)).count()
+    val (numHashes, bands) = autoBandGeometry(corpusN, threshold, noiseSim, missRate)
+    ngramJaccardPairs(df, idCol, textCol, n, numHashes, bands,
+      threshold, bucketCap)
+  }
+
   /** [[minhashLshPairs]] from an already-computed signature table
     * (id, hs) — for callers that hold [[lshSignatures]] output (a
     * persisted per-batch frame in the streaming loops, or the stored
@@ -643,11 +717,17 @@ object Dedup {
     * `n_at_cap > 0` and either raise the knob (more cells/bands) or
     * accept the documented truncation. Cost: one combinable
     * block-keyed aggregation, the same shuffle the miner itself pays.
-    */
+    *
+    * `n_at_cap` counts blocks STRICTLY over the cap: the miners'
+    * window rule (`__rn <= cap`) keeps every member of an
+    * exactly-full block, so population == cap truncates nothing and
+    * must not alarm. On an empty frame the row is (0, 0, null) —
+    * max has no identity, but the counts are real zeros. */
   def blockSaturation(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("population"))
       .agg(count(lit(1)).as("n_blocks"),
-        sum(when(col("population") >= cap, 1L).otherwise(0L)).as("n_at_cap"),
+        coalesce(sum(when(col("population") > cap, 1L).otherwise(0L)),
+          lit(0L)).as("n_at_cap"),
         max(col("population")).as("max_population"))
 
   /** Embedding near-dup pairs blocked by IVF coarse-centroid cells

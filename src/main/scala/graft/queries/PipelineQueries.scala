@@ -69,11 +69,15 @@ object PipelineQueries {
   private val RowsPerBand = NumHashes / Bands
 
   /** The affine slot expressions for the oracle, generated from the
-    * SAME constants the engine bakes into its plan. */
-  private val minhashSlotsSql: String =
-    TextFunctions.minhashCoeffs(NumHashes).map { case (a, b) =>
+    * SAME coefficient sequence the engine bakes into its plan
+    * (minhashCoeffs is a fixed-seed stream, so the first k entries
+    * agree for every k). */
+  private def minhashSlotsSqlFor(k: Int): String =
+    TextFunctions.minhashCoeffs(k).map { case (a, b) =>
       s"list_min(list_transform(base, h -> (h * $a + $b) % ${TextFunctions.MinhashP}))"
     }.mkString("[", ",\n                        ", "]")
+
+  private val minhashSlotsSql: String = minhashSlotsSqlFor(NumHashes)
 
   /** Per-bucket / per-cell candidate cap for the catalog queries —
     * explicit (not the library default) and replicated in the oracle's
@@ -81,9 +85,11 @@ object PipelineQueries {
     * any bucket size at gate scale, so recall is unaffected there. */
   private val CatalogCap = 1000
 
-  private val bandConcat = (1 to RowsPerBand)
-    .map(r => s"sig[b*$RowsPerBand+$r]::VARCHAR")
+  private def bandConcatFor(rows: Int): String = (1 to rows)
+    .map(r => s"sig[b*$rows+$r]::VARCHAR")
     .mkString(" || ',' || ")
+
+  private val bandConcat = bandConcatFor(RowsPerBand)
 
   /** One side of the LSH oracle — tokenization through band keys,
     * every CTE name prefixed `p` so the incremental oracle can stand
@@ -119,17 +125,18 @@ object PipelineQueries {
       measureName: String = "jaccard",
       measureSql: String =
         """len(list_intersect(x.hs, y.hs))::DOUBLE /
-                   len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE"""): String = {
+                   len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE""",
+      numHashes: Int = NumHashes, bands: Int = Bands): String = {
     s"""$itemsCte,
        based AS (SELECT id, list_transform(items, g ->
                    ('0x' || substr(md5(g), 1, 15))::BIGINT
                      % ${TextFunctions.MinhashP}) AS base
                  FROM it WHERE len(items) > 0),
-       sig AS (SELECT id, $minhashSlotsSql AS sig FROM based),
+       sig AS (SELECT id, ${minhashSlotsSqlFor(numHashes)} AS sig FROM based),
        bands AS (SELECT id, b,
-                   ('0x' || substr(md5($bandConcat), 1, 15))::BIGINT
+                   ('0x' || substr(md5(${bandConcatFor(numHashes / bands)}), 1, 15))::BIGINT
                      AS band_hash
-                 FROM sig, generate_series(0, ${Bands - 1}) AS gs(b)),
+                 FROM sig, generate_series(0, ${bands - 1}) AS gs(b)),
        capped AS (SELECT id, b, band_hash,
                     row_number() OVER (PARTITION BY b, band_hash
                                        ORDER BY id) AS rn
@@ -527,6 +534,54 @@ object PipelineQueries {
                   generate_series(1, length(text) - 4),
                   i -> substr(text, i, 5))) AS items
                 FROM corpus WHERE length(text) >= 5)""", 0.7)))
+
+  /** The geometry the AUTO band miners derive for the verify-time
+    * corpus: sf0.01 documents (500 rows) + every-4th near-dup copy =
+    * 625 ids → rowsPerBand 6, 9 bands, 54 hashes
+    * ([[Dedup.autoBandGeometry]]). The oracle must bake SOME count
+    * (static SQL), and 625 holds for any fixture regeneration whose
+    * documents count stays in (330, 1094] — r=6 is stable across that
+    * whole window and b depends only on (threshold, r). The auto ≡
+    * explicit contract itself is pinned scale-independently in
+    * PipelineSpec. */
+  private val AutoGateGeometry: (Int, Int) = Dedup.autoBandGeometry(625L, 0.8)
+
+  /** D2B: the AUTO-GEOMETRY MinHash+LSH miner — d2's engine with
+    * (numHashes, bands) derived from one corpus count instead of the
+    * fixed reference knob (the x30 probe's 495 s vs 32.4 s lesson:
+    * band depth must grow with n or noise collisions swamp verify).
+    * The oracle replicates the derived 9×6 geometry; at bench scale
+    * (sf0.1, n=6250) the engine self-derives the deeper 14×8 form —
+    * the bench line therefore times the true auto path. */
+  private val d2b = QueryDef(
+    "d2b_minhash_lsh_auto",
+    "MinHash+LSH near-dup pairs, band geometry auto-sized from corpus count",
+    (s, dir) => Dedup.minhashLshPairsAuto(dupCorpus(s, dir), "id", "text",
+      shingleLen = 3, threshold = 0.8, bucketCap = CatalogCap)
+      .orderBy("id_a", "id_b"),
+    Some("WITH " + dupCorpusSql + ",\n" + lshOracleSql(
+      """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM corpus),
+         it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                FROM tok WHERE len(t) >= 3)""", 0.8,
+      numHashes = AutoGateGeometry._1, bands = AutoGateGeometry._2)))
+
+  /** D4B: the auto-geometry char-n-gram miner — the operator whose
+    * fixed knob the x30 probe actually measured at 15× wall-time.
+    * Same derived 9×6 geometry and oracle discipline as d2b. */
+  private val d4b = QueryDef(
+    "d4b_ngram_jaccard_auto",
+    "char-n-gram Jaccard near-dup pairs, band geometry auto-sized",
+    (s, dir) => Dedup.ngramJaccardPairsAuto(dupCorpus(s, dir), "id", "text",
+      n = 5, threshold = 0.8, bucketCap = CatalogCap)
+      .orderBy("id_a", "id_b"),
+    Some("WITH " + dupCorpusSql + ",\n" + lshOracleSql(
+      """it AS (SELECT id, list_distinct(list_transform(
+                  generate_series(1, length(text) - 4),
+                  i -> substr(text, i, 5))) AS items
+                FROM corpus WHERE length(text) >= 5)""", 0.8,
+      numHashes = AutoGateGeometry._1, bands = AutoGateGeometry._2)))
 
   /** D5: embedding near-dup pairs, blocked by IVF coarse-centroid
     * cells (64-anchor sample codebook, 2 probes), exact cosine ≥ 0.9.
@@ -3496,7 +3551,7 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, g1, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, g1, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b,

@@ -668,10 +668,18 @@ class PipelineSpec extends SparkSpec {
       Seq((11L, "a"), (12L, "a"), (13L, "b"))).toDF("id", "block")
     val r = Dedup.blockSaturation(rows, Seq("block"), cap = 5).head
     assert(r.getLong(0) == 3)   // blocks: hot, a, b
-    assert(r.getLong(1) == 1)   // only "hot" is at/over the cap
+    assert(r.getLong(1) == 1)   // only "hot" is over the cap
     assert(r.getLong(2) == 10)  // hottest population
+    // exactly-full block (population == cap): __rn <= cap keeps every
+    // member, so it must NOT alarm
+    val full = Dedup.blockSaturation(rows, Seq("block"), cap = 10).head
+    assert(full.getLong(1) == 0)
     val none = Dedup.blockSaturation(rows, Seq("block"), cap = 11).head
     assert(none.getLong(1) == 0)
+    // empty frame: counts are real zeros, not null
+    val empty = Dedup.blockSaturation(
+      rows.filter(col("id") > 100), Seq("block"), cap = 5).head
+    assert(empty.getLong(0) == 0 && empty.getLong(1) == 0)
   }
 
   test("embeddingNearDupPairsIvfAuto sizes cells to sqrt(n) and matches explicit") {
@@ -686,6 +694,60 @@ class PipelineSpec extends SparkSpec {
       numCentroids = cells, probes = 2, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(auto == explicit)
+  }
+
+  test("autoBandGeometry derives depth from n and width from recall") {
+    // n=500, t=0.8: r = ceil(ln 500 / ln(1/0.3)) = 6;
+    // b = ceil(ln 10 / 0.8^6) = 9
+    assert(Dedup.autoBandGeometry(500L, 0.8) == (54, 9))
+    // deeper bands at larger n (noise mass stays sublinear)...
+    val (k1, b1) = Dedup.autoBandGeometry(500L, 0.8)
+    val (k2, b2) = Dedup.autoBandGeometry(200000L, 0.8)
+    assert(k2 / b2 > k1 / b1)
+    // ...and more bands to hold the recall target at the deeper rows
+    assert(b2 > b1)
+    // floor: tiny corpora still get the reference depth of 4
+    assert(Dedup.autoBandGeometry(10L, 0.8)._1 % 4 == 0)
+    assert(Dedup.autoBandGeometry(10L, 0.8)._1 /
+      Dedup.autoBandGeometry(10L, 0.8)._2 == 4)
+  }
+
+  test("minhashLshPairsAuto matches explicit at the derived geometry") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val dup = docs.filter(col("id") % 4 === 0)
+      .select((col("id") + 10000).as("id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val corpus = docs.unionByName(dup)
+    val n = corpus.count()
+    val (numHashes, bands) = Dedup.autoBandGeometry(n, 0.8)
+    val auto = Dedup.minhashLshPairsAuto(corpus, "id", "text",
+      threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Dedup.minhashLshPairs(corpus, "id", "text",
+      shingleLen = 3, numHashes = numHashes, bands = bands, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit)
+    assert(auto.nonEmpty)
+  }
+
+  test("ngramJaccardPairsAuto matches explicit at the derived geometry") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val dup = docs.filter(col("id") % 4 === 0)
+      .select((col("id") + 10000).as("id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val corpus = docs.unionByName(dup)
+    val n = corpus.count()
+    val (numHashes, bands) = Dedup.autoBandGeometry(n, 0.8)
+    val auto = Dedup.ngramJaccardPairsAuto(corpus, "id", "text",
+      threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Dedup.ngramJaccardPairs(corpus, "id", "text",
+      n = 5, numHashes = numHashes, bands = bands, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit)
+    assert(auto.nonEmpty)
   }
 
   test("langId picks the stopword-dominant language") {
