@@ -155,8 +155,19 @@ object Main {
         show(exact.orderBy(desc("n_members"), col("rep_id")))
         val survivors = graft.ops.Dedup
           .dropExactDuplicates(tx, "video_id", "transcript")
-        val pairs = graft.ops.Dedup.minhashLshPairs(survivors,
-          "video_id", "transcript", threshold = threshold)
+        // one text pass: the signature table feeds the saturation
+        // audit AND the mine (minhashLshPairsFromSigs)
+        val sigs = graft.ops.Dedup
+          .lshSignatures(survivors, "video_id", "transcript")
+        val cap = graft.ops.Dedup.DefaultBucketCap
+        println(s"band-bucket saturation at cap=$cap " +
+          "(n_at_cap > 0 means the mine below silently truncates recall " +
+          "— raise the band geometry before trusting it):")
+        show(graft.ops.Dedup.blockSaturation(
+          graft.ops.Dedup.lshBandMembership(sigs),
+          Seq("band", "band_hash"), cap))
+        val pairs = graft.ops.Dedup
+          .minhashLshPairsFromSigs(sigs, threshold = threshold)
         println(s"near-duplicate transcript pairs (jaccard >= $threshold):")
         show(pairs.orderBy(desc("jaccard"), col("id_a"), col("id_b")))
 

@@ -282,6 +282,15 @@ object Dedup {
         col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
   }
 
+  /** UNCAPPED band membership (id, band, band_hash) from a signature
+    * table — the block structure [[blockSaturation]] audits BEFORE
+    * the miners' window cap is applied (the capped index can never
+    * show saturation, by construction). One narrow frame, ~bands rows
+    * per doc. */
+  def lshBandMembership(signatures: DataFrame, numHashes: Int = 32,
+      bands: Int = 8): DataFrame =
+    bandKeys(signatures, numHashes, bands)
+
   /** The LSH band INDEX of a corpus: (id, band, band_hash), capped at
     * `bucketCap` members per (band, band_hash) bucket (first-by-id,
     * the same cap rule as the batch engine). Built FROM the stored

@@ -583,6 +583,49 @@ object PipelineQueries {
                 FROM corpus WHERE length(text) >= 5)""", 0.8,
       numHashes = AutoGateGeometry._1, bands = AutoGateGeometry._2)))
 
+  /** D17: the CAP-SATURATION diagnostic wired to a real miner block
+    * structure — [[Dedup.blockSaturation]] over the UNCAPPED band
+    * membership of the d2 corpus at the catalog geometry. cap=1 so
+    * the manufactured duplicate families (which always co-bucket
+    * with their originals) are exactly the over-cap blocks: the gate
+    * checks all three aggregates (block count, truncating-block
+    * count, hottest population) against an oracle that rebuilds the
+    * band structure from scratch. This is the alarm a deployment
+    * reads BEFORE trusting a capped mine — n_at_cap > 0 at the real
+    * cap means silent recall loss (the x30 probe measured fixed-knob
+    * IVF dropping 2/3 of true pairs exactly this way). */
+  private val d17 = QueryDef(
+    "d17_block_saturation",
+    "cap-saturation audit of the LSH band-bucket structure",
+    (s, dir) => {
+      val sigs = Dedup.lshSignatures(dupCorpus(s, dir), "id", "text", 3)
+      Dedup.blockSaturation(
+        Dedup.lshBandMembership(sigs, NumHashes, Bands),
+        Seq("band", "band_hash"), cap = 1)
+    },
+    Some(s"""WITH $dupCorpusSql,
+            tok AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t
+                    FROM corpus),
+            it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                   FROM tok WHERE len(t) >= 3),
+            based AS (SELECT id, list_transform(items, g ->
+                        ('0x' || substr(md5(g), 1, 15))::BIGINT
+                          % ${TextFunctions.MinhashP}) AS base
+                      FROM it WHERE len(items) > 0),
+            sig AS (SELECT id, $minhashSlotsSql AS sig FROM based),
+            bands AS (SELECT id, b,
+                        ('0x' || substr(md5($bandConcat), 1, 15))::BIGINT
+                          AS band_hash
+                      FROM sig, generate_series(0, ${Bands - 1}) AS gs(b)),
+            pops AS (SELECT b, band_hash, count(*) AS population
+                     FROM bands GROUP BY 1, 2)
+            SELECT count(*) AS n_blocks,
+                   coalesce(sum(CASE WHEN population > 1 THEN 1 ELSE 0 END),
+                            0)::BIGINT AS n_at_cap,
+                   max(population) AS max_population
+            FROM pops"""))
+
   /** D5: embedding near-dup pairs, blocked by IVF coarse-centroid
     * cells (64-anchor sample codebook, 2 probes), exact cosine ≥ 0.9.
     * Natural cross-vector cosine tops out at 0.48; the perturbed
@@ -3551,7 +3594,7 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, g1, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, g1, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b,
