@@ -837,17 +837,36 @@ object Dedup {
     * aggregation does everything (count_distinct partials for
     * n_docs, plain count for n_occ); the ≥ minDocs filter drops the
     * singleton long tail — which is almost all of the gram mass —
-    * before any downstream consumer. The gram TEXT is the shuffle
-    * key here (exact semantics, what the oracle states); at 100 TB
-    * you'd key the exchange on `portableHash64(gram)` and carry one
-    * exemplar via `min(gram)` — same plan shape, 8-byte keys. */
+    * before any downstream consumer.
+    *
+    * The DEFAULT exchange key is `portableHash64(gram)` (8 bytes),
+    * carrying one exemplar text per group via `min(gram)` — at corpus
+    * scale the variable-length 12-gram text (~100 bytes) must not be
+    * the thing hundreds of terabytes of window mass hash, sort, and
+    * spill on. The output is identical to the exact-text key unless
+    * two distinct grams collide in the 60-bit hash (then their counts
+    * merge under the min exemplar — the standard accepted
+    * approximation; birthday bound ~10⁻⁹ at a billion distinct
+    * grams). `hashedKey = false` keeps the exact-text exchange as the
+    * oracle twin — same discipline as pqEncodeExpr/pqEncodeUnrolled.
+    */
   def repeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int): DataFrame = {
+      n: Int, minDocs: Int, hashedKey: Boolean = true): DataFrame = {
     require(n >= 2 && minDocs >= 2, s"need n >= 2, minDocs >= 2; got $n/$minDocs")
-    df.select(col(idCol).as("id"),
-        explode(wordShingles(tokens(lower(col(textCol))), n)).as("gram"))
-      .groupBy("gram")
-      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
-      .filter(col("n_docs") >= minDocs)
+    val grams = df.select(col(idCol).as("id"),
+      explode(wordShingles(tokens(lower(col(textCol))), n)).as("gram"))
+    if (hashedKey)
+      grams
+        .select(col("id"), portableHash64(col("gram")).as("__gk"), col("gram"))
+        .groupBy("__gk")
+        .agg(min(col("gram")).as("gram"),
+          countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= minDocs)
+        .select("gram", "n_docs", "n_occ")
+    else
+      grams
+        .groupBy("gram")
+        .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= minDocs)
   }
 }

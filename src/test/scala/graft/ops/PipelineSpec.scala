@@ -174,6 +174,22 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("repeatedNgramSpans: hashed-key exchange matches the exact-text twin") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    def rows(hashed: Boolean) =
+      Dedup.repeatedNgramSpans(docs, "id", "text", n = 12, minDocs = 2,
+          hashedKey = hashed)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val h = rows(true)
+    assert(h == rows(false))
+    assert(h.nonEmpty)
+    // the default's exchange key is the 8-byte hash, not the gram text
+    val plan = Dedup.repeatedNgramSpans(docs, "id", "text", 12, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__gk"), plan)
+  }
+
   test("pq encode: argmin per subspace, tie keeps lower centroid, zero-exchange plan") {
     val vecs = Seq(
       (0L, Seq(0f, 0f, 0f, 0f)),
