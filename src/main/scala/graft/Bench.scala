@@ -55,17 +55,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional args: query names to time (default: the whole catalog)
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+
     // untimed warmup (session init, codegen, parquet footer caches).
     // j1 covers the relational path; mm6 the codec-SPI/registry path
     // and ts12 the widest single codegen unit — the two whose first
     // pass otherwise runs 2-4x their warm time (JIT, not plan, cost).
+    // A warmup failure is only cleared when the timed pass will re-run
+    // the query (it re-adds itself there if still broken); with an
+    // explicit args subset that omits it, the failure must stay on the
+    // contract line instead of vanishing into stderr.
     Seq("j1_parent_child_counts", "mm6_registry_dispatch",
         "ts12_bigram_lm_score")
-      .foreach { w => materialize(w); failed -= w }
+      .foreach { w => materialize(w); if (names.contains(w)) failed -= w }
 
-    // optional args: query names to time (default: the whole catalog)
-    val names =
-      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val firstPass = names.map { n =>
       val t = materialize(n)
       // contamination guard (round-3 lesson): any RDD blocks still
@@ -82,10 +87,15 @@ object Bench {
     // times for the re-run set under "run1") so the drift itself
     // stays observable round over round.
     val rerun: Map[String, Double] = firstPass
-      .collect { case (n, t, _) if t >= 2.0 => n -> materialize(n) }
+      .collect { case (n, t, _) if t >= 2.0 && !failed.contains(n) =>
+        n -> materialize(n) }
       .toMap
+    // A failed query's partial elapsed time is NOT a measurement: its
+    // entry reports null and it is excluded from the headline total,
+    // so `value` only ever aggregates successful materializations
+    // (the failure itself stays visible in "failed").
     val results = firstPass.map { case (n, t, r) =>
-      (n, math.min(t, rerun.getOrElse(n, t)), r)
+      (n, math.min(t, rerun.getOrElse(n, t)), r, !failed.contains(n))
     }
     // The driver records only the LAST 2000 chars of stdout (measured:
     // every BENCH_r{1..4} tail is exactly 2000 chars and `parsed` was
@@ -102,9 +112,10 @@ object Bench {
         shortKey else identity
     def r2(v: Double): Double = math.round(v * 100).toDouble / 100
     System.err.println(results
-      .map { case (k, v, r) => s"""[bench] $k ${r2(v)}s retained=$r""" }
+      .map { case (k, v, r, ok) =>
+        s"""[bench] $k ${r2(v)}s retained=$r${if (ok) "" else " FAILED"}""" }
       .mkString("\n"))
-    val retained = results.collect { case (k, _, r) if r != 0 =>
+    val retained = results.collect { case (k, _, r, _) if r != 0 =>
       "\"" + keyOf(k) + "\":" + r }.mkString("{", ",", "}")
     // first-run times of the re-run (heavy) queries: both readings of
     // every best-of-2 row stay observable — but on STDERR, never on the
@@ -113,16 +124,20 @@ object Bench {
     val run1 = firstPass.collect { case (k, t, _) if rerun.contains(k) =>
       "\"" + keyOf(k) + "\":" + r2(t) }.mkString("{", ",", "}")
     System.err.println(s"[bench] run1=$run1")
-    val total = r2(results.map(_._2).sum)
+    val total = r2(results.collect { case (_, v, _, true) => v }.sum)
     val failedJson = failed.map("\"" + keyOf(_) + "\"").mkString("[", ",", "]")
     // The driver keeps only the LAST 2000 chars of stdout, so the final
     // line must fit that window whole. 2-decimal short-key entries for a
     // ~140-query catalog run ~1.7 KB; if a future catalog outgrows the
     // window, degrade per-query precision before sacrificing parseability.
+    // "hygiene" records whether the between-query cleanse ran, so
+    // cross-round totals are known-comparable (the cleanse adds fixed
+    // per-query overhead that a hygiene-off run does not pay).
     def contract(prec: Double => Double): String = {
-      val qs = results.map { case (k, v, _) =>
-        "\"" + keyOf(k) + "\":" + prec(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"retained_nonzero":$retained,"sf":"$sfDir"}"""
+      val qs = results.map { case (k, v, _, ok) =>
+        "\"" + keyOf(k) + "\":" + (if (ok) prec(v).toString else "null") }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"retained_nonzero":$retained,"hygiene":$hygiene,"sf":"$sfDir"}"""
     }
     def r1(v: Double): Double = math.round(v * 10).toDouble / 10
     val line = Seq(contract(r2), contract(r1))

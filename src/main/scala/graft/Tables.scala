@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-provided synthetic tables (TESTDATA.md).
   *
@@ -10,17 +11,133 @@ import org.apache.spark.sql.functions._
   * pushdown — callers `select`/`filter` and the scan narrows itself
   * (verify with `.explain`: `ReadSchema` / `PushedFilters`).
   *
-  * At 100 TB these would be partitioned/ bucketed tables in a catalog;
-  * the loader is the single seam where `spark.table(name)` would replace
-  * the path read, so nothing else in the engine changes.
+  * NORMALIZE-ON-LOAD: every column with a typed engine contract is
+  * coerced to that contract here, at the one seam the fixtures cross.
+  * The driver regenerates the parquet between rounds and has already
+  * changed physical encodings once (events.ts TIMESTAMP(NANOS) →
+  * timestamp[us] NTZ cost 16 gates in round 6), so the loaders branch
+  * on what actually loaded instead of assuming one encoding. The rule
+  * for what belongs here: a normalization must be a NO-OP on the
+  * current fixture encoding (the DuckDB oracle reads the same files,
+  * so gratuitous conversions would CREATE divergence) and must only
+  * convert encodings whose raw read would diverge from the oracle or
+  * break an engine kernel:
+  *   - timestamp contract (events.ts, orders.o_orderdate,
+  *     lineitem.l_shipdate): a nanos-as-long regeneration decodes to
+  *     TimestampType with a magnitude guard; events.ts additionally
+  *     normalizes NTZ → TimestampType for the streaming watermark
+  *     contract (see [[normalizeTimestamp]]);
+  *   - long-id contract (join/arithmetic keys): an int32 regeneration
+  *     would silently overflow id arithmetic (e.g. the chunk-id
+  *     encoding doc_id·10⁶+chunk_no) where DuckDB auto-promotes —
+  *     widened to long on load;
+  *   - embedding contract (array<float>): a float64 regeneration
+  *     would fail the native vector kernels' type check outright —
+  *     cast back to the float32 contract.
+  *
+  * At 100 TB these would be partitioned/bucketed tables in a catalog;
+  * the loader is the single seam where `spark.table(name)` would
+  * replace the path read, so nothing else in the engine changes.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Epoch-nanos floor for the int64 timestamp decode: ~1973 in
+    * nanos (1.0e17). Every plausible fixture instant is decades above
+    * it in nanos and ~60× BELOW it in raw micros (~1.7e15), so a
+    * fixture shipped as raw int64 micros fails loudly instead of
+    * being silently mis-scaled 1000×. */
+  private val PlausibleEpochNanosMin = 100000000000000000L
+
+  /** Timestamp-contract decode, branching on the loaded dtype:
+    *   - TIMESTAMP(NANOS): Spark 4 refuses it natively; with
+    *     spark.sql.legacy.parquet.nanosAsLong=true (set by every graft
+    *     session) it arrives as nanos-since-epoch LongType. Convert
+    *     with integer `div` — double division would lose precision
+    *     above 2^53 (~9e15, vs ~1.7e18 ns here). Values below
+    *     [[PlausibleEpochNanosMin]] raise instead of mis-decoding
+    *     (a raw-micros int64 regeneration must not scale 1000×).
+    *   - timestamp[us] without UTC adjustment: loads as
+    *     TimestampNTZType (inferTimestampNTZ default-on). For
+    *     `events.ts` ONLY, cast to TimestampType (the streaming gates
+    *     watermark on it, and NTZ has no watermark support) — the
+    *     session TZ is pinned UTC, so the instant is unchanged. The
+    *     orders/lineitem date columns deliberately KEEP the NTZ
+    *     pass-through (`castNtz = false`): it is today's green
+    *     behavior, both engines read it identically, and a cast above
+    *     the scan would break predicate pushdown on the date filters.
+    *   - timestamp[us/ms] UTC-adjusted: already TimestampType, as-is.
+    */
+  private def normalizeTimestamp(castNtz: Boolean)(
+      df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c,
+          when(col(c) < PlausibleEpochNanosMin,
+            raise_error(concat(
+              lit(s"Tables: int64 '$c' value "), col(c).cast("string"),
+              lit(" is below the plausible epoch-nanos floor — the fixture" +
+                " encoding changed (raw micros?); fix the decode, do not" +
+                " let it mis-scale 1000x"))).cast(TimestampType))
+            .otherwise(timestamp_micros(expr(s"`$c` div 1000"))))
+      case _: TimestampNTZType if castNtz =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+
+  /** Long-id contract: widen an integral regeneration to long (no-op
+    * on the current int64 fixtures). Only columns the engine does
+    * ARITHMETIC on are listed — pass-through columns keep whatever
+    * width the fixture ships (both engines read those identically). */
+  private def normalizeLong(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case IntegerType | ShortType => df.withColumn(c, col(c).cast(LongType))
+      case _ => df
+    }
+
+  /** Embedding contract: array<float>. A float64 regeneration casts
+    * back down (the native kernels type-check on FloatType); float32
+    * passes through untouched. */
+  private def normalizeFloatVec(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case ArrayType(DoubleType, n) =>
+        df.withColumn(c, col(c).cast(ArrayType(FloatType, n)))
+      case _ => df
+    }
+
+  /** (column, castNtz) — events.ts needs full TimestampType (the
+    * streaming watermark contract); the date columns only need the
+    * int64-nanos rescue. */
+  private val timestampCols: Map[String, Seq[(String, Boolean)]] = Map(
+    "events"   -> Seq(("ts", true)),
+    "orders"   -> Seq(("o_orderdate", false)),
+    "lineitem" -> Seq(("l_shipdate", false)))
+
+  private val longCols: Map[String, Seq[String]] = Map(
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id", "n_chars"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val floatVecCols: Map[String, Seq[String]] = Map(
+    "embeddings" -> Seq("embedding"))
+
+  private def normalize(name: String, raw: DataFrame): DataFrame = {
+    def applyAll(df: DataFrame, cols: Map[String, Seq[String]],
+        f: (DataFrame, String) => DataFrame): DataFrame =
+      cols.getOrElse(name, Nil).filter(df.columns.contains)
+        .foldLeft(df)(f)
+    val ts = timestampCols.getOrElse(name, Nil)
+      .filter { case (c, _) => raw.columns.contains(c) }
+      .foldLeft(raw) { case (df, (c, castNtz)) =>
+        normalizeTimestamp(castNtz)(df, c) }
+    applyAll(applyAll(ts, longCols, normalizeLong),
+      floatVecCols, normalizeFloatVec)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalize(name, spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -29,47 +146,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts normalized to TimestampType regardless of the fixture's
-    * physical encoding — the driver has regenerated events.parquet with
-    * different parquet types across rounds, so the loader branches on
-    * what actually loaded instead of assuming one encoding:
-    *   - TIMESTAMP(NANOS): Spark 4 refuses it natively; with
-    *     spark.sql.legacy.parquet.nanosAsLong=true (set by every graft
-    *     session) it arrives as nanos-since-epoch LongType. Convert with
-    *     integer `div` — double division would lose precision above
-    *     2^53 (~9e15, vs ~1.7e18 ns here). A raw int64 micros column
-    *     would also land here; nanos is the only long encoding the
-    *     driver has shipped, so that's the conversion applied.
-    *   - timestamp[us] without UTC adjustment: loads as TimestampNTZType
-    *     (inferTimestampNTZ default-on). Cast to TimestampType — the
-    *     session TZ is pinned UTC, so the instant is unchanged.
-    *   - timestamp[us/ms] UTC-adjusted: already TimestampType, as-is. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _: org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** The catalog seam, exercised: register every table under its name
     * so `spark.table(name)` / `spark.sql` serve the same frames the
-    * path loaders do (events keeps its nanos→timestamp conversion).
+    * path loaders do (each keeps its normalize-on-load conversions).
     * In a metastore deployment the views become real catalog tables
     * and [[fromCatalog]] is the only loader the queries need —
     * partition pruning and pushdown work identically through either
     * path (CatalogSeamSpec compares the plans). */
   def registerViews(s: SparkSession, dir: String): Unit =
-    all.foreach {
-      case "events" => events(s, dir).createOrReplaceTempView("events")
-      case n        => load(s, dir, n).createOrReplaceTempView(n)
-    }
+    all.foreach(n => load(s, dir, n).createOrReplaceTempView(n))
 
   /** Catalog-backed loader — the drop-in replacement for the path
     * loaders once tables live in a metastore. */
