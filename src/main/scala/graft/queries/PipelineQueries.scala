@@ -1649,7 +1649,18 @@ object PipelineQueries {
     * cluster can never straddle train/test — the eval-contamination
     * mode a per-doc split cannot prevent. Oracle: d9's recursive-CTE
     * components feeding sm1's hash rule on coalesce(cluster, id).
-    * Full membership compared (every doc, both sides). */
+    * Full membership compared (every doc, both sides).
+    *
+    * DELIBERATELY SELF-MINING (settled round 8; do not re-litigate):
+    * this gate embeds the pair mine + CC so the one-call convenience
+    * form — what a user reaches for first — is itself oracle-pinned
+    * end to end. The stored-artifact twin a deployment runs at scale
+    * (mine once, commit clusters, split from the committed labels via
+    * [[Sampling.leakageSafeSplitWithClusters]]) is gated separately
+    * by tp6, which proves zero mine subtrees in consumer plans. Two
+    * gates, two contracts: sm5 = composition correctness, tp6 =
+    * production artifact discipline; at ~4 s in-catalog the embedded
+    * mine is an acceptable gate cost. */
   private val sm5 = QueryDef(
     "sm5_leakage_safe_split",
     "cluster-aware 70/30 split: near-dup clusters never straddle",
@@ -1993,6 +2004,19 @@ object PipelineQueries {
     * advance), and store round-trips BETWEEN micro-batches. The
     * loop's contract is that arrival-ordered streaming equals the
     * sequential batch computation — the hash check enforces it. */
+  /** The streaming-parity gates' corpus slice: st1/st2 stream only
+    * docs with doc_id % [[StreamGateSliceMod]] == 0 (10% of
+    * documents) — they pin SCHEDULE parity (checkpoint resume,
+    * commit ordering, store round-trips), not throughput, and the
+    * identical contract holds at a tenth of the bench weight
+    * (round-6 verdict #5). ONE definition site: the engine filters
+    * and the oracle SQL both derive from it, so engine and oracle
+    * cannot silently drift apart. Do NOT "fix" this filter away. */
+  private val StreamGateSliceMod = 10
+  private def streamGateSlice(c: Column): Column =
+    c % StreamGateSliceMod === 0
+  private val streamGateSliceSql = s"doc_id % $StreamGateSliceMod = 0"
+
   private val st1 = QueryDef(
     "st1_stream_batch_parity",
     "two-phase AvailableNow near-dup ingest ≡ sequential greedy dedup",
@@ -2002,10 +2026,10 @@ object PipelineQueries {
       // throughput — a 10%-of-documents corpus proves the identical
       // contract at a tenth of the bench weight (round-6 verdict #5).
       val docs = Tables.documents(s, dir)
-        .filter(col("doc_id") % 10 === 0)
+        .filter(streamGateSlice(col("doc_id")))
         .select(col("doc_id").as("id"), col("text"))
       val pert = Tables.documents(s, dir)
-        .filter(col("doc_id") % 10 === 0 && col("doc_id") % 4 === 0)
+        .filter(streamGateSlice(col("doc_id")) && col("doc_id") % 4 === 0)
         .select((col("doc_id") + 10000).as("id"),
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
       val root = graft.ops.Scratch.tempDir("graft-st1-")
@@ -2027,11 +2051,11 @@ object PipelineQueries {
           col("matched_id"), col("jaccard"))
       kept.unionByName(rejected).orderBy("id")
     },
-    Some("""WITH b1 AS (SELECT doc_id AS id, text FROM documents
-                        WHERE doc_id % 10 = 0),
+    Some(s"""WITH b1 AS (SELECT doc_id AS id, text FROM documents
+                        WHERE $streamGateSliceSql),
             b2 AS (SELECT doc_id + 10000 AS id,
-                     regexp_replace(text, '^\S+\s+', '') AS text
-                   FROM documents WHERE doc_id % 10 = 0 AND doc_id % 4 = 0),
+                     regexp_replace(text, '^\\S+\\s+', '') AS text
+                   FROM documents WHERE $streamGateSliceSql AND doc_id % 4 = 0),
             p1 AS (WITH """ + lshOracleSql(
       """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
                  FROM b1),
@@ -2114,10 +2138,10 @@ object PipelineQueries {
       // Same 10% corpus shrink as st1 — the d12 identity this gate
       // pins is schedule-shaped, not size-shaped.
       val docs = Tables.documents(s, dir)
-        .filter(col("doc_id") % 10 === 0)
+        .filter(streamGateSlice(col("doc_id")))
         .select(col("doc_id").as("id"), col("text"))
       val pert = Tables.documents(s, dir)
-        .filter(col("doc_id") % 10 === 0 && col("doc_id") % 4 === 0)
+        .filter(streamGateSlice(col("doc_id")) && col("doc_id") % 4 === 0)
         .select((col("doc_id") + 10000).as("id"),
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
       val root = graft.ops.Scratch.tempDir("graft-st2-")
@@ -2133,13 +2157,13 @@ object PipelineQueries {
       store.read(s, "dup_clusters").select("id", "cluster_id").orderBy("id")
     },
     Some("WITH RECURSIVE " +
-      """corpus AS (
-        |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
+      s"""corpus AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE $streamGateSliceSql
         |  UNION ALL
         |  SELECT doc_id + 10000 AS id,
-        |         regexp_replace(text, '^\S+\s+', '') AS text
+        |         regexp_replace(text, '^\\S+\\s+', '') AS text
         |  FROM documents
-        |  WHERE doc_id % 10 = 0 AND doc_id % 4 = 0)""".stripMargin + ",\n" +
+        |  WHERE $streamGateSliceSql AND doc_id % 4 = 0)""".stripMargin + ",\n" +
       "pairs AS (WITH " + lshOracleSql(
         """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
                    FROM corpus),
