@@ -290,6 +290,29 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** AUTO PQ geometry from corpus stats — the band-miner/IVF
+    * auto-sizing discipline applied to the remaining fixed vector
+    * knobs (round-7 verdict item 8). Returns (m, ks):
+    *  - m (subspace count): dim split into the widest subspaces of
+    *    4-8 components that divide it evenly (the published PQ
+    *    practice — narrower subspaces quantize finer but cost more
+    *    code bytes and table lookups; degrade toward narrower
+    *    divisors only for odd dims).
+    *  - ks (per-subspace centroids): ~sqrt(n) rounded up to a power
+    *    of two, clamped to [16, 256] — the codebook trains on an
+    *    id-ordered corpus sample, so centroids beyond sample support
+    *    overfit, and 256 keeps codes one byte (standard 8-bit PQ) —
+    *    the cap binding at large n is the design, not a loss.
+    * Pure arithmetic (no job): callers that already know n pass it;
+    * [[pqAutoParams]] of a DataFrame is one columnar count away. */
+  def pqAutoParams(n: Long, dim: Int): (Int, Int) = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val subDim = (8 to 2 by -1).find(d => d <= dim && dim % d == 0).getOrElse(1)
+    val sq = math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt
+    val pow2 = if (sq <= 1) 1 else Integer.highestOneBit(sq - 1) << 1
+    (dim / subDim, math.min(256, math.max(16, pow2)))
+  }
+
   /** PRODUCT QUANTIZATION: the deterministic PQ codebook — m
     * sub-codebooks of ks centroids each, taken from the first `ks`
     * corpus vectors by id (the [[Ivf.sampleCodebook]] sample

@@ -80,11 +80,28 @@ object ScaleProbe {
     // not pay another family's setup)
     def selected(name: String): Boolean =
       !only.exists(ps => !ps.exists(name.startsWith))
+    // cumulative shuffle-write bytes, fed by stage-completion events —
+    // probes report the per-probe delta so exchange-size disciplines
+    // (e.g. d13's 8-byte hashed gram key) carry measured bytes, not
+    // just wall time. Listener delivery is async; the short drain
+    // sleep is plenty at probe granularity (MB-scale deltas).
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleWrite.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def drainedShuffleWrite(): Long = { Thread.sleep(300); shuffleWrite.get }
     def probe(name: String, df: => DataFrame): Unit = {
       if (!selected(name)) return
+      val s0 = drainedShuffleWrite()
       val t0 = System.nanoTime()
       val n = df.count()
-      println(f"PROBE $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n%10d")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mb = (drainedShuffleWrite() - s0) / 1e6
+      println(f"PROBE $name%-34s $secs%8.2f s  rows=$n%10d  shuffleMB=$mb%9.1f")
     }
 
     // warmup
@@ -103,6 +120,39 @@ object ScaleProbe {
       if (m > 1)
         probe(s"d4_ngram_x${m}_rpb8", Dedup.ngramJaccardPairs(docs(m), "id", "text",
           n = 5, numHashes = 32, bands = 4, threshold = 0.7, bucketCap = 1000))
+      // AUTO band geometry (round 8): the derived (numHashes, bands)
+      // vs the fixed reference knob at the same verify threshold. The
+      // saturation rows report the band structure's own aggregates —
+      // per-block mass staying flat under auto while the fixed knob's
+      // hottest buckets crowd with m IS the auto rule working.
+      val (autoK, autoB) = Dedup.autoBandGeometry(nDocs, 0.8)
+      probe(s"d2_minhash_x${m}_t08_32x8", Dedup.minhashLshPairs(docs(m),
+        "id", "text", shingleLen = 3, numHashes = 32, bands = 8,
+        threshold = 0.8, bucketCap = 1000))
+      probe(s"d2_minhash_x${m}_auto${autoB}x${autoK / autoB}",
+        Dedup.minhashLshPairsAuto(docs(m), "id", "text",
+          threshold = 0.8, bucketCap = 1000))
+      def satRow(name: String, k: Int, b: Int): Unit = {
+        if (!selected(name)) return
+        val sigs = Dedup.lshSignatures(docs(m), "id", "text", 3)
+        val r = Dedup.blockSaturation(Dedup.lshBandMembership(sigs, k, b),
+          Seq("band", "band_hash"), cap = 1000).head
+        println(f"PROBE $name%-34s blocks=${r.getLong(0)}%9d at_cap=${r.getLong(1)}%5d max_pop=${r.getLong(2)}%8d")
+      }
+      satRow(s"d2_bandsat_x${m}_8x4", 32, 8)
+      satRow(s"d2_bandsat_x${m}_auto${autoB}x${autoK / autoB}", autoK, autoB)
+      // the x30 headline case (d4 at the fixed 4-row default measured
+      // 495 s in round 7): the auto rule derives the deeper geometry
+      // from the same count — at t=0.7 the recall target costs a wide
+      // hash pool (maxBands cap binding is visible in the label), and
+      // the wall-time delta vs d4_ngram_x$m is the knob's price paid
+      // in linear signature work instead of quadratic candidates
+      if (m > 1) {
+        val (k7, b7) = Dedup.autoBandGeometry(nDocs, 0.7)
+        probe(s"d4_ngram_x${m}_auto${b7}x${k7 / b7}",
+          Dedup.ngramJaccardPairsAuto(docs(m), "id", "text",
+            threshold = 0.7, bucketCap = 1000))
+      }
       // fixed knobs: cell population grows linearly with m (the trap)
       probe(s"d5_ivf_x${m}_cells64", Dedup.embeddingNearDupPairsIvf(vecs(m),
         "id", "embedding", numCentroids = 64, probes = 2, threshold = 0.9,
@@ -120,7 +170,7 @@ object ScaleProbe {
       // band buckets saturate as m grows — the wide sketch's relative
       // cost/row advantage at mult× IS the saturation measurement.
       probe(s"d7_hamming32_x$m", Dedup.simhashHammingPairs(docs(m), "id", "text",
-        maxDist = 2, bucketCap = 1000))
+        maxDist = 2, bucketCap = 1000, width = 32))
       probe(s"d7b_hamming60_x$m", Dedup.simhashHammingPairs(docs(m), "id", "text",
         maxDist = 2, bucketCap = 1000, width = 60))
       // CC clusters over the LSH pair graph: dup-heavy replication
@@ -301,6 +351,11 @@ object ScaleProbe {
       // honest adversarial input for this audit
       probe(s"d13_ngram_audit_x$m", Dedup.repeatedNgramSpans(
         docs(m), "id", "text", n = 12, minDocs = 2))
+      // the exact-text-key twin: same plan shape, variable-length gram
+      // strings as the exchange key — the shuffleMB delta vs the
+      // hashed default is the 100 TB argument in bytes
+      probe(s"d13_ngram_textkey_x$m", Dedup.repeatedNgramSpans(
+        docs(m), "id", "text", n = 12, minDocs = 2, hashedKey = false))
       // funnel: key space grows with m, per-key history fixed
       probe(s"w5_funnel_x$m", {
         val e = Tables.events(spark, dir)

@@ -190,6 +190,23 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("__gk"), plan)
   }
 
+  test("pqAutoParams: 4-8 wide subspaces, sqrt(n) pow2 centroids in [16,256]") {
+    assert(SimilaritySearch.pqAutoParams(2000L, 64) == (8, 64))
+    assert(SimilaritySearch.pqAutoParams(100L, 64) == (8, 16))     // floor
+    assert(SimilaritySearch.pqAutoParams(1000000L, 64) == (8, 256)) // one-byte cap
+    assert(SimilaritySearch.pqAutoParams(2000L, 60) == (10, 64))   // odd dim: 6-wide
+    assert(SimilaritySearch.pqAutoParams(2000L, 7) == (1, 64))     // prime dim
+    // auto params drive the real chain end to end
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val n = e.count()
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val (m, ks) = SimilaritySearch.pqAutoParams(n, dim)
+    val got = SimilaritySearch.pqTopK(e.limit(3), e, "id", "embedding",
+      k = 3, m = m, ks = ks, dim = dim)
+    assert(got.count() == 9)
+  }
+
   test("pq encode: argmin per subspace, tie keeps lower centroid, zero-exchange plan") {
     val vecs = Seq(
       (0L, Seq(0f, 0f, 0f, 0f)),
