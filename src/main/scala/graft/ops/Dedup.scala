@@ -850,6 +850,66 @@ object Dedup {
     * grams). `hashedKey = false` keeps the exact-text exchange as the
     * oracle twin — same discipline as pqEncodeExpr/pqEncodeUnrolled.
     */
+  /** APPLY the repeated-span signal: CUT every duplicated length-`n`
+    * token window from the corpus, keeping only its globally-first
+    * occurrence — the exact-substring deduplication step (Lee et al.
+    * 2021) that [[repeatedNgramSpans]] only audits. A window is
+    * duplicated when it occurs ≥ `minOcc` times corpus-wide (within-
+    * doc repeats count: a boilerplate block pasted twice into one doc
+    * is still memorization mass); the canonical survivor is the
+    * (id, pos)-minimum occurrence; every other occurrence's token
+    * range [pos, pos+n) is removed, overlapping ranges merging
+    * naturally through the per-token mask. Returns
+    * (id, text, n_removed) with the surviving tokens re-joined by
+    * single spaces (whitespace normalizes — the same contract as
+    * [[exactDuplicates]]' fingerprint).
+    *
+    * Scale shape (the d13 discipline applied end to end): window
+    * hashes ride the scan (one kernel pass, `pos` = array index);
+    * the duplicate decision is ONE combinable 8-byte-keyed
+    * aggregation (min(struct(id,pos)) + count partials — never a
+    * window over the gram partition, which would buffer a
+    * boilerplate gram's million occurrences); cut positions come
+    * back as one hash-keyed join of occurrence-mass rows; the mask
+    * is a per-doc HOF (O(tokens·spans_in_doc), bounded by doc
+    * length, zero extra exchange). Gram text never shuffles — only
+    * 60-bit hashes and integer positions (a collision merges two
+    * windows' dedup classes: the documented d13 approximation).
+    * Docs shorter than `n` tokens pass through (normalized). */
+  def cutRepeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minOcc: Int = 2): DataFrame = {
+    require(n >= 2 && minOcc >= 2, s"need n >= 2, minOcc >= 2; got $n/$minOcc")
+    val toks = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("__toks"))
+    // positional windows (NOT hashedWordShingles — that kernel emits
+    // the sorted DISTINCT set for LSH signatures; here pos must map
+    // back to the token index). The gram text exists only between
+    // the shingle HOF and the per-row hash — it never shuffles.
+    val occ = toks
+      .select(col("id"), posexplode(
+        wordShingles(transform(col("__toks"), tk => lower(tk)), n)))
+      .select(col("id"), col("pos"), portableHash64(col("col")).as("gh"))
+    val rep = occ.groupBy("gh")
+      .agg(min(struct(col("id"), col("pos"))).as("first_occ"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+    val cuts = occ.join(rep.hint("shuffle_hash"), Seq("gh"))
+      .filter(!(col("id") === col("first_occ.id") &&
+        col("pos") === col("first_occ.pos")))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("__ss"))
+    // cuts is cut-doc-count-sized (corpus-order worst case) — the
+    // attach must never broadcast; SHUFFLE_HASH keys both sides by id
+    toks.join(cuts.hint("shuffle_hash"), Seq("id"), "left")
+      .withColumn("__ss", coalesce(col("__ss"),
+        lit(Array.empty[Int]).cast("array<int>")))
+      .withColumn("__kept", expr(
+        s"filter(__toks, (tk, i) -> NOT exists(__ss, s -> s <= i AND i < s + $n))"))
+      .select(col("id"),
+        concat_ws(" ", col("__kept")).as("text"),
+        (size(col("__toks")) - size(col("__kept"))).as("n_removed"))
+  }
+
   def repeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int, hashedKey: Boolean = true): DataFrame = {
     require(n >= 2 && minDocs >= 2, s"need n >= 2, minDocs >= 2; got $n/$minDocs")

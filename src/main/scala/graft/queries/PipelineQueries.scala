@@ -3219,6 +3219,54 @@ object PipelineQueries {
             FROM g GROUP BY gram HAVING n_docs >= 2
             ORDER BY gram"""))
 
+  /** D18: repeated-span CUT ([[Dedup.cutRepeatedNgramSpans]]) — the
+    * APPLY to d13's audit: exact-substring deduplication, every
+    * duplicated 12-token window removed except its globally-first
+    * (id, pos) occurrence; within-doc repeats count as duplicates.
+    * The oracle replicates the whole chain — positional windows,
+    * portable hash, window-partitioned canonical pick (the engine's
+    * combinable min(struct)+count form computes the same relation),
+    * per-token mask with overlap merge, whitespace-normalized
+    * rejoin. */
+  private val d18 = QueryDef(
+    "d18_repeated_span_cut",
+    "exact-substring dedup: cut duplicated 12-gram windows, keep first",
+    (s, dir) => Dedup.cutRepeatedNgramSpans(
+      Tables.documents(s, dir), "doc_id", "text", n = 12)
+      .orderBy("id"),
+    Some("""WITH toks AS (SELECT doc_id AS id,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+              FROM documents),
+            occ AS (SELECT id, i - 1 AS pos,
+                      ('0x' || substr(md5(lower(
+                        array_to_string(t[i:i+11], ' '))), 1, 15))::BIGINT
+                        AS gh
+                    FROM toks, unnest(generate_series(1, len(t) - 11)) AS u(i)
+                    WHERE len(t) >= 12),
+            marked AS (SELECT id, pos,
+                         row_number() OVER (PARTITION BY gh
+                                            ORDER BY id, pos) AS rn,
+                         count(*) OVER (PARTITION BY gh) AS cnt
+                       FROM occ),
+            cuts AS (SELECT id, list(pos ORDER BY pos) AS ss
+                     FROM marked WHERE cnt >= 2 AND rn > 1 GROUP BY id),
+            outp AS (SELECT tk.id, tk.t,
+                       list_transform(
+                         list_filter(generate_series(1, len(tk.t)),
+                           i -> len(list_filter(
+                                  coalesce(c.ss, []::BIGINT[]),
+                                  s -> s <= i - 1 AND i - 1 < s + 12)) = 0),
+                         i -> tk.t[i]) AS kept
+                     FROM toks tk LEFT JOIN cuts c ON tk.id = c.id)
+            SELECT id,
+                   -- DuckDB's array_to_string is NULL on an empty
+                   -- list; a fully-cut doc's text is '' (Spark
+                   -- concat_ws semantics)
+                   coalesce(array_to_string(kept, ' '), '') AS text,
+                   (len(t) - len(kept)) AS n_removed
+            FROM outp ORDER BY id"""))
+
   /** D14: blocked fuzzy pairs ([[Dedup.blockedFuzzyPairs]]) — the
     * edit-distance (typo-class) near-dup family member. The oracle
     * replicates the whole chain: normalized 40-char key, (prefix,
@@ -3618,7 +3666,7 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, g1, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, g1, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b,

@@ -174,6 +174,48 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("cutRepeatedNgramSpans: first occurrence survives, later and within-doc repeats cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four alpha"),          // canonical holder
+      (2L, "beta one two three four gamma"),     // later occurrence -> cut
+      (3L, "one two three four one two three four"), // first occ is doc1's; both cut
+      (4L, "nothing shared here at all")
+    ).toDF("id", "text")
+    val out = Dedup.cutRepeatedNgramSpans(docs, "id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // doc1 holds the (id,pos)-minimum occurrence: untouched
+    assert(out(1L) == (("one two three four alpha", 0)))
+    // doc2 loses exactly the 4-token window, neighbors survive
+    assert(out(2L) == (("beta gamma", 4)))
+    // doc3: both its occurrences are non-canonical; overlapping cut
+    // windows merge (positions 1..4 also form repeated windows with
+    // doc3's self-concatenation — everything duplicated goes)
+    assert(out(3L)._1 == "" || out(3L)._2 >= 8, out(3L))
+    // untouched doc passes through (whitespace-normalized)
+    assert(out(4L) == (("nothing shared here at all", 0)))
+  }
+
+  test("cutRepeatedNgramSpans: cleaned corpus has no repeated grams left except survivors") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val cleaned = Dedup.cutRepeatedNgramSpans(docs, "id", "text", n = 12)
+    val removed = cleaned.agg(sum(col("n_removed"))).head.getLong(0)
+    assert(removed > 0, "fixture corpus has cross-doc 12-grams; some must cut")
+    // idempotence-ish check: every 12-gram in the cleaned corpus is
+    // now unique EXCEPT windows newly formed by token rejoining
+    // across cut boundaries — so re-running must remove strictly less
+    val second = Dedup.cutRepeatedNgramSpans(cleaned, "id", "text", n = 12)
+      .agg(sum(col("n_removed"))).head.getLong(0)
+    assert(second < removed, s"second pass $second vs first $removed")
+    // scale hygiene: nothing corpus-sized broadcasts — the cuts map
+    // and the duplicate relation both attach via shuffle joins
+    val plan = Dedup.cutRepeatedNgramSpans(docs, "id", "text", n = 12)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("repeatedNgramSpans: hashed-key exchange matches the exact-text twin") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id").as("id"), col("text"))
