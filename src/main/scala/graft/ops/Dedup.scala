@@ -879,16 +879,33 @@ object Dedup {
   def cutRepeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minOcc: Int = 2): DataFrame = {
     require(n >= 2 && minOcc >= 2, s"need n >= 2, minOcc >= 2; got $n/$minOcc")
+    // Two token arrays per doc: the original (reconstruction) and the
+    // lowercased (matching, d13's gram semantics). Lowercasing the RAW
+    // STRING once is deliberate — `transform(__toks, lower)` inlined
+    // into the shingle HOF re-lowercases the whole array inside the
+    // per-window slice lambda (CollapseProject re-inlines the alias),
+    // turning the window pass O(L²) per doc (measured ~2x the whole
+    // operator at sf0.1). Whitespace is case-invariant, so the arrays
+    // align index-for-index.
     val toks = df.select(col(idCol).as("id"),
-      tokens(col(textCol)).as("__toks"))
+      tokens(col(textCol)).as("__toks"),
+      tokens(lower(col(textCol))).as("__lc"))
     // positional windows (NOT hashedWordShingles — that kernel emits
     // the sorted DISTINCT set for LSH signatures; here pos must map
     // back to the token index). The gram text exists only between
-    // the shingle HOF and the per-row hash — it never shuffles.
+    // the shingle HOF and the per-row hash — it never shuffles. The
+    // repartition(gh) barrier is the lshJaccardPairs discipline: the
+    // duplicate-decision aggregation AND the occurrence join both
+    // need a gh exchange, and above the shared barrier the expensive
+    // tokenize+shingle+hash pass evaluates ONCE (ReuseExchange; the
+    // isNotNull pre-filter keeps both consumers' scan subtrees
+    // canonically identical — the outer-join side would otherwise
+    // infer a join-key null filter the aggregation side lacks).
     val occ = toks
-      .select(col("id"), posexplode(
-        wordShingles(transform(col("__toks"), tk => lower(tk)), n)))
+      .filter(col("id").isNotNull)
+      .select(col("id"), posexplode(wordShingles(col("__lc"), n)))
       .select(col("id"), col("pos"), portableHash64(col("col")).as("gh"))
+      .repartition(col("gh"))
     val rep = occ.groupBy("gh")
       .agg(min(struct(col("id"), col("pos"))).as("first_occ"),
         count(lit(1)).as("n_occ"))

@@ -103,6 +103,18 @@ object ScaleProbe {
       val mb = (drainedShuffleWrite() - s0) / 1e6
       println(f"PROBE $name%-34s $secs%8.2f s  rows=$n%10d  shuffleMB=$mb%9.1f")
     }
+    // noop-write materialization for frames whose count() prunes the
+    // interesting subtree (e.g. a unique-keyed outer join + projection:
+    // cardinality is provable, so count() computes nothing)
+    def probeNoop(name: String, df: => DataFrame): Unit = {
+      if (!selected(name)) return
+      val s0 = drainedShuffleWrite()
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mb = (drainedShuffleWrite() - s0) / 1e6
+      println(f"PROBE $name%-34s $secs%8.2f s  rows=     (noop)  shuffleMB=$mb%9.1f")
+    }
 
     // warmup
     docs(1).write.mode("overwrite").format("noop").save()
@@ -356,6 +368,13 @@ object ScaleProbe {
       // hashed default is the 100 TB argument in bytes
       probe(s"d13_ngram_textkey_x$m", Dedup.repeatedNgramSpans(
         docs(m), "id", "text", n = 12, minDocs = 2, hashedKey = false))
+      // the span CUT (d18): dup-heavy replication makes every window
+      // of every copy a duplicate — the worst-case cut mass (every
+      // doc but the first copy empties). noop-materialized: count()
+      // would prune the whole cut subtree (unique-keyed outer join
+      // cannot change cardinality)
+      probeNoop(s"d18_span_cut_x$m", Dedup.cutRepeatedNgramSpans(
+        docs(m), "id", "text", n = 12))
       // funnel: key space grows with m, per-key history fixed
       probe(s"w5_funnel_x$m", {
         val e = Tables.events(spark, dir)
