@@ -826,6 +826,67 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): collapse documents
+    * whose EMBEDDINGS are near-identical — paraphrases, templated
+    * rewrites, machine translations of the same content — down to one
+    * representative per semantic cluster. Pipeline: IVF-blocked
+    * cosine pair mining ([[embeddingNearDupPairsIvf]]) → exact
+    * transitive closure over the pair graph
+    * ([[ConnectedComponents.duplicateClusters]]) → the min-id member
+    * of every component survives; rows absent from the pair graph are
+    * singletons and always survive. Returns (id, cluster_id) for the
+    * SURVIVORS only (cluster_id = the component representative = the
+    * survivor's own id, kept as an explicit column so consumers can
+    * re-attach dropped members' metadata by cluster).
+    *
+    * Cluster semantics deliberately differ from the greedy pairwise
+    * [[dropPairedDuplicates]]: with pairs (1,3),(2,3) the greedy rule
+    * keeps {1,2} (only ids seen as id_b drop) while the component
+    * {1,2,3} keeps just 1 — SemDeDup's contract is one survivor per
+    * semantic equivalence class, which needs the closure.
+    *
+    * Scale shape: every stage is already 100 TB-disciplined — the
+    * miner's quadratic term is bounded per IVF cell (pick
+    * numCentroids ~ sqrt(n) or use [[semanticDedupAuto]]), the CC
+    * fixpoint is pair-graph-sized with staged O(log n) rounds, and
+    * the final survivor selection is one pair-graph-sized left
+    * anti-join against the corpus ids (nothing corpus-sized
+    * broadcasts or collects). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, probes: Int = 2, threshold: Double = 0.9,
+      cellCap: Int = DefaultCellCap): DataFrame =
+    semanticDedupFromPairs(df, idCol,
+      embeddingNearDupPairsIvf(df, idCol, vecCol, numCentroids, probes,
+        threshold, cellCap))
+
+  /** [[semanticDedup]] with the IVF cell count auto-sized to ~sqrt(n)
+    * — the knob rule the scale probes measured (fixed 64 cells at x30:
+    * 16× slower AND silent pair loss once cellCap binds). */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+      probes: Int = 2, threshold: Double = 0.9,
+      cellCap: Int = DefaultCellCap): DataFrame =
+    semanticDedupFromPairs(df, idCol,
+      embeddingNearDupPairsIvfAuto(df, idCol, vecCol, probes, threshold,
+        cellCap))
+
+  /** The survivor-selection stage of [[semanticDedup]], reusable over
+    * any mined pair set (e.g. a STORED pair artifact — the d10/tp6
+    * build-once discipline applies unchanged). */
+  def semanticDedupFromPairs(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val clusters = ConnectedComponents.duplicateClusters(
+      pairs.select("id_a", "id_b"))
+    // survivors: cluster members whose label IS their own id, plus
+    // every corpus id absent from the pair graph (singletons). One
+    // left join against the pair-graph-sized label map.
+    val labels = clusters.select(col("id").as("__cc_id"),
+      col("cluster_id").as("__rep"))
+    df.select(col(idCol).as("id"))
+      .join(labels, col("id") === col("__cc_id"), "left")
+      .filter(col("__rep").isNull || col("__rep") === col("id"))
+      .select(col("id"), coalesce(col("__rep"), col("id")).as("cluster_id"))
+  }
+
   /** REPEATED n-GRAM AUDIT (the Lee et al. 2021 exact-substring
     * memorization signal): every length-`n` token window occurring in
     * at least `minDocs` DISTINCT documents, with its document and

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{ConnectedComponents, Decontamination, Dedup, Ivf, PageRank, Sampling, SimilaritySearch, TextAnalysis, VectorAggregates, VectorCompression}
+import graft.ops.{ConnectedComponents, Decontamination, Dedup, Ivf, PageRank, Sampling, SimilaritySearch, Sketches, TextAnalysis, VectorAggregates, VectorCompression}
 
 /** LLM-training-data pipeline operators over documents/embeddings —
   * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -626,37 +626,16 @@ object PipelineQueries {
                    max(population) AS max_population
             FROM pops"""))
 
-  /** D5: embedding near-dup pairs, blocked by IVF coarse-centroid
-    * cells (64-anchor sample codebook, 2 probes), exact cosine ≥ 0.9.
-    * Natural cross-vector cosine tops out at 0.48; the perturbed
-    * copies (one component bumped) sit ≈ 0.99. The oracle replicates
-    * the whole pipeline: codebook = 64 lowest-id corpus vectors,
-    * assignment = top-2 anchors by (cos DESC, cid), candidates =
-    * same-cell collisions, verify = precomputed-norm cosine. */
-  private val d5 = QueryDef(
-    "d5_embedding_near_dup",
-    "embedding-cosine near-dup pairs (IVF centroid-blocked)",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("id"), col("embedding"))
-      val perturbed = e.filter(col("id") % 5 === 0)
-        .select((col("id") + 10000).as("id"),
-          concat(
-            array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
-            slice(col("embedding"), 2, 63)).as("embedding"))
-      Dedup.embeddingNearDupPairsIvf(e.unionByName(perturbed),
-        "id", "embedding", numCentroids = 64, probes = 2, threshold = 0.9,
-        cellCap = CatalogCap)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
-        .orderBy("id_a", "id_b")
-    },
-    Some("""WITH corpus AS (
-              SELECT vec_id AS id, embedding FROM embeddings
-              UNION ALL
-              SELECT vec_id + 10000 AS id,
-                list_concat([(embedding[1] + 0.25)::FLOAT], embedding[2:64])
-              FROM embeddings WHERE vec_id % 5 = 0),
-            anchors AS (SELECT id AS cid, embedding AS avec
+  /** The IVF pair-mining oracle chain over a `corpus(id, embedding)`
+    * CTE — replicates [[Dedup.embeddingNearDupPairsIvf]] at the
+    * catalog knobs (64-anchor lowest-id codebook, 2 probes, cellCap
+    * [[CatalogCap]]): assignment = top-2 anchors by (cos DESC, cid),
+    * candidates = same-cell collisions under the id-ordered cap,
+    * verify = precomputed-norm cosine. Emits the CTE list
+    * `anchors .. scored`; consumers filter `scored` at their
+    * threshold (d5 emits the pairs, d19 closes them transitively). */
+  private val ivfPairChainSql: String =
+    s"""anchors AS (SELECT id AS cid, embedding AS avec
                         FROM corpus ORDER BY id LIMIT 64),
             -- anchor affinity mirrors the engine's cosineSim shape:
             -- dot / sqrt(aa * bb) (single sqrt of the product)
@@ -702,9 +681,100 @@ object PipelineQueries {
                          (x.norm * y.norm) AS cos
                        FROM cand
                        JOIN normed x ON x.id = cand.id_a
-                       JOIN normed y ON y.id = cand.id_b)
+                       JOIN normed y ON y.id = cand.id_b)"""
+
+  /** The d5 gate corpus: embeddings plus perturbed near-copies (one
+    * component bumped +0.25 — cosine vs the original ≈ 0.99 where
+    * natural cross-vector cosine tops out at 0.48). */
+  private val d5CorpusSql: String =
+    """corpus AS (
+              SELECT vec_id AS id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000 AS id,
+                list_concat([(embedding[1] + 0.25)::FLOAT], embedding[2:64])
+              FROM embeddings WHERE vec_id % 5 = 0)"""
+
+  /** D5: embedding near-dup pairs, blocked by IVF coarse-centroid
+    * cells (64-anchor sample codebook, 2 probes), exact cosine ≥ 0.9.
+    * The oracle replicates the whole pipeline via [[ivfPairChainSql]]. */
+  private val d5 = QueryDef(
+    "d5_embedding_near_dup",
+    "embedding-cosine near-dup pairs (IVF centroid-blocked)",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val perturbed = e.filter(col("id") % 5 === 0)
+        .select((col("id") + 10000).as("id"),
+          concat(
+            array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      Dedup.embeddingNearDupPairsIvf(e.unionByName(perturbed),
+        "id", "embedding", numCentroids = 64, probes = 2, threshold = 0.9,
+        cellCap = CatalogCap)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH $d5CorpusSql,
+            $ivfPairChainSql
             SELECT id_a, id_b, round(cos, 6) AS cos_r
             FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b"""))
+
+  /** D19: SEMANTIC dedup (SemDeDup, Abbas et al. 2023) — one survivor
+    * per embedding-cosine component ([[Dedup.semanticDedup]]): the d5
+    * pair mine, transitively CLOSED into clusters, min-id member
+    * kept. The gate corpus adds a SECOND perturbation family
+    * (id+20000, component 2 bumped) so real multi-member components
+    * exist: {v, v′, v″} must collapse to one survivor even when the
+    * blocking misses the (v′, v″) pair — the closure through v is
+    * what the greedy pairwise drop (d8) cannot express. Oracle: the
+    * shared [[ivfPairChainSql]] mine, a recursive reachability CTE
+    * labeling every node with its component min, then the survivor
+    * filter (label = own id; absent = singleton survives). */
+  private val d19 = QueryDef(
+    "d19_semantic_dedup",
+    "semantic dedup: one survivor per embedding-cosine cluster",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val p1 = e.filter(col("id") % 5 === 0)
+        .select((col("id") + 10000).as("id"),
+          concat(
+            array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val p2 = e.filter(col("id") % 10 === 0)
+        .select((col("id") + 20000).as("id"),
+          concat(
+            slice(col("embedding"), 1, 1),
+            array((element_at(col("embedding"), 2) + lit(0.25f)).cast("float")),
+            slice(col("embedding"), 3, 62)).as("embedding"))
+      Dedup.semanticDedup(e.unionByName(p1).unionByName(p2),
+        "id", "embedding", numCentroids = 64, probes = 2, threshold = 0.9,
+        cellCap = CatalogCap)
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+              SELECT vec_id AS id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000 AS id,
+                list_concat([(embedding[1] + 0.25)::FLOAT], embedding[2:64])
+              FROM embeddings WHERE vec_id % 5 = 0
+              UNION ALL
+              SELECT vec_id + 20000 AS id,
+                list_concat([embedding[1], (embedding[2] + 0.25)::FLOAT],
+                            embedding[3:64])
+              FROM embeddings WHERE vec_id % 10 = 0),
+            $ivfPairChainSql,
+            pairs AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.9),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            cc(node, reach) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach),
+            labels AS (SELECT node, min(reach) AS rep FROM cc GROUP BY node)
+            SELECT c.id, coalesce(l.rep, c.id) AS cluster_id
+            FROM corpus c LEFT JOIN labels l ON l.node = c.id
+            WHERE coalesce(l.rep, c.id) = c.id ORDER BY c.id"""))
 
   /** SS1: brute-force exact cosine top-5 per query vector — the ANN
     * baseline/recall oracle. Rank key rounded at 1e-12 so a 1-ulp
@@ -3483,6 +3553,33 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank"""))
 
+  /** TS16: heavy-hitter tokens with a count-min error-band canary
+    * ([[Sketches.cmsHeavyHitters]]) — the third sketch discipline
+    * (after a7b's HLL cardinality and a8b's approximate quantiles):
+    * frequency estimation from ONE constant-state combinable pass.
+    * The exact top-20 side is the oracle-checkable truth (and at
+    * 100 TB the expensive one); the boolean pins each sketch
+    * estimate inside its published guarantee (exact ≤ est ≤ exact +
+    * eps·N), so a seed/merge/width regression turns the row red
+    * instead of hiding in an approximation. */
+  private val ts16 = QueryDef(
+    "ts16_heavy_hitters_sketch",
+    "top-20 tokens with count-min frequency band canary",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("item"))
+        .filter(col("item") =!= "")
+      Sketches.cmsHeavyHitters(toks, "item", k = 20)
+    },
+    Some("""WITH toks AS (SELECT unnest(
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END) AS item
+              FROM documents),
+            counts AS (SELECT item, count(*)::BIGINT AS exact_n
+                       FROM toks GROUP BY item)
+            SELECT item, exact_n, true AS within_band
+            FROM counts ORDER BY exact_n DESC, item LIMIT 20"""))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -3666,9 +3763,9 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, g1, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b,
       st1, st2)
 }

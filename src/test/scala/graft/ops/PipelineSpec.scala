@@ -771,6 +771,36 @@ class PipelineSpec extends SparkSpec {
     assert(auto == explicit)
   }
 
+  test("semanticDedup keeps one survivor per embedding component") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val perturbed = e.filter(col("id") % 5 === 0)
+      .select((col("id") + 10000).as("id"),
+        concat(array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = e.unionByName(perturbed)
+    val survivors = Dedup.semanticDedup(corpus, "id", "embedding",
+      numCentroids = 16, probes = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every perturbed copy collapses onto its original (natural
+    // cross-vector cosine tops out well below 0.9): the survivors are
+    // exactly the natural ids, each its own cluster representative
+    val naturals = e.select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors.map(_._1).toSet == naturals)
+    assert(survivors.forall { case (id, c) => c == id })
+  }
+
+  test("semanticDedupFromPairs closes transitively (cluster, not greedy, semantics)") {
+    val corpus = (1L to 5L).map(i => (i, Seq(1.0f))).toDF("id", "embedding")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.semanticDedupFromPairs(corpus, "id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // component {1,2,3} keeps only its min member — the greedy
+    // pairwise rule (drop ids seen as id_b) would keep BOTH 1 and 2;
+    // 4 and 5 are singletons and survive as their own clusters
+    assert(out == Set((1L, 1L), (4L, 4L), (5L, 5L)))
+  }
+
   test("autoBandGeometry derives depth from n and width from recall") {
     // n=500, t=0.8: r = ceil(ln 500 / ln(1/0.3)) = 6;
     // b = ceil(ln 10 / 0.8^6) = 9
