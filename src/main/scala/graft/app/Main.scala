@@ -22,6 +22,7 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main export-playlists <storeDir> <out.json>
   *   runMain graft.app.Main ingest-inbox <storeDir> <inboxDir>
   *   runMain graft.app.Main dedup-transcripts <storeDir> [threshold]
+  *   runMain graft.app.Main hot-terms <storeDir> [k]
   *   runMain graft.app.Main pack-transcripts <storeDir> [window] [budget]
   *   runMain graft.app.Main ingest-docs <storeDir> <inboxDir> [threshold]
   *   runMain graft.app.Main compact <storeDir> <table> [maxFilesPerBucket]
@@ -170,6 +171,21 @@ object Main {
           .minhashLshPairsFromSigs(sigs, threshold = threshold)
         println(s"near-duplicate transcript pairs (jaccard >= $threshold):")
         show(pairs.orderBy(desc("jaccard"), col("id_a"), col("id_b")))
+
+      case "hot-terms" =>
+        // corpus hot-token report ([[graft.ops.Sketches.cmsHeavyHitters]]):
+        // exact top-k transcript tokens, each carrying the count-min
+        // band canary — the within_band column going false is the
+        // alarm that the sketch (the thing a 100 TB deployment would
+        // probe INSTEAD of exact counts) has drifted from truth
+        val k = if (args.length > 2) args(2).toInt else 20
+        val toks = t("transcripts")
+          .filter(col("transcript").isNotNull)
+          .select(explode(split(trim(lower(col("transcript"))), "\\s+"))
+            .as("item"))
+          .filter(col("item") =!= "")
+        println(s"top-$k transcript tokens (count-min canary):")
+        show(graft.ops.Sketches.cmsHeavyHitters(toks, "item", k = k), k)
 
       case "pack-transcripts" =>
         // training-prep over the stored corpus: exact-dedup survivors

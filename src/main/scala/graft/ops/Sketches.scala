@@ -91,4 +91,64 @@ object Sketches {
       .head.getAs[Array[Byte]]("sk")
     CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
   }
+
+  /** Merge the per-batch sketch rows maintained by
+    * [[graft.streaming.Streams.sketchIngest]] into ONE queryable
+    * sketch. Counter addition commutes, so the merged sketch is
+    * EXACTLY the sketch of the concatenated stream regardless of
+    * batch boundaries or merge order. The collect is one
+    * counter-matrix-sized row per micro-batch — bounded by ingest
+    * cadence, and [[compactSketchRows]] keeps it flat. */
+  def mergedFromStore(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore,
+      sketchTable: String = "token_cms"): CountMinSketch = {
+    val rows = store.read(spark, sketchTable)
+      .select("sketch").collect()
+    require(rows.nonEmpty, s"$sketchTable has no sketch rows")
+    rows.map(r => CountMinSketch.readFrom(
+        new ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+  }
+
+  /** Fold all per-batch sketch rows EXCEPT the latest into one base
+    * row (batch_id = the largest compacted id), keeping the row count
+    * flat as the stream runs. Estimates are unchanged — the fold is
+    * the same counter addition the read-path merge does.
+    *
+    * The latest row is deliberately left alone: Structured Streaming
+    * replays at most the last uncommitted batch, whose re-upsert must
+    * land on its OWN key (replacing identical bytes) — folding it
+    * into the base would turn that idempotent replay into a double
+    * count. Rows strictly below the latest are checkpoint-committed
+    * and can never replay. The read-fold-replace runs INSIDE the
+    * store's CAS retry so a concurrent batch upsert is never lost
+    * (the retry re-reads and re-folds against the winner's rows —
+    * unlike compactBuckets this rewrite is only a semantic no-op when
+    * derived from the CURRENT row set). Returns the net row-count
+    * reduction. */
+  def compactSketchRows(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore,
+      sketchTable: String = "token_cms"): Int = {
+    import spark.implicits._
+    store.withCommitRetries() {
+      val rows = store.read(spark, sketchTable)
+        .select("batch_id", "sketch")
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1)
+      if (rows.length <= 2) 0
+      else {
+        val (fold, keep) = (rows.dropRight(1), rows.last)
+        val base = fold.map(_._2)
+          .map(b => CountMinSketch.readFrom(new ByteArrayInputStream(b)))
+          .reduce { (a, b) => a.mergeInPlace(b); a }
+        val out = new java.io.ByteArrayOutputStream()
+        base.writeTo(out)
+        store.commit(spark, sketchTable,
+          Seq((fold.last._1, out.toByteArray), keep)
+            .toDF("batch_id", "sketch"))
+        fold.length - 1
+      }
+    }
+  }
 }

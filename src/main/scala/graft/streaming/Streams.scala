@@ -521,4 +521,53 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** Streaming hot-token SKETCH maintenance — the count-min
+    * discipline ([[graft.ops.Sketches]]) kept current over an
+    * append-only document inbox. Per micro-batch: ONE combinable
+    * constant-state pass builds the batch's sketch, which commits to
+    * the store as a row KEYED BY batchId. Nothing corpus-sized is
+    * ever re-read: the stored table holds one ~counter-matrix-sized
+    * row per micro-batch, and the queryable sketch is their merge
+    * ([[graft.ops.Sketches.mergedFromStore]]) — counter addition is
+    * associative and commutative, so merge-of-batches is EXACTLY the
+    * sketch of the concatenated stream, not an approximation of one.
+    *
+    * Crash-replay contract (the nearDupIngest discipline, adapted to
+    * non-idempotent merge): a sketch MERGE replayed would double
+    * count, so the loop never merges in place — it upserts the
+    * batch's own row. Structured Streaming replays at most the last
+    * uncommitted batch; the replay recomputes byte-identical sketch
+    * bytes (deterministic seed, deterministic batch contents from the
+    * checkpointed file list) and the keyed upsert replaces the same
+    * row — a no-op. [[graft.ops.Sketches.compactSketchRows]] bounds
+    * the row count. */
+  def sketchIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      sketchTable: String = "token_cms",
+      eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 42): StreamingQuery = {
+    val in = spark.readStream.schema("id BIGINT, text STRING")
+      .parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import spark.implicits._
+        val toks = batch
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
+          .filter(col("item") =!= "")
+        val sk = toks
+          .agg(count_min_sketch(col("item"), lit(eps), lit(confidence),
+            lit(seed)).as("sk"))
+          .head.getAs[Array[Byte]]("sk")
+        store.withCommitRetries()(
+          store.upsert(spark, sketchTable,
+            Seq((batchId, sk)).toDF("batch_id", "sketch"),
+            Seq("batch_id")))
+        ()
+      }
+      .start()
+  }
 }

@@ -176,6 +176,11 @@ object ScaleProbe {
           "id", "embedding", numCentroids = cells, probes = 2, threshold = 0.9,
           cellCap = 1000))
       }
+      // semantic dedup (d19): the d5 auto mine + CC closure + survivor
+      // anti-join on top — the delta vs the d5 auto row is the closure
+      // + apply cost, which is pair-graph-sized, not corpus-sized
+      probe(s"d19_semantic_x$m", Dedup.semanticDedupAuto(vecs(m),
+        "id", "embedding", probes = 2, threshold = 0.9, cellCap = 1000))
       // 32- vs 60-bit sketch: same radius, same cap. The 32-bit rows
       // count INCLUDES false sketch collisions (unrelated docs within
       // hamming 2 of each other purely from 32-bit crowding) and its
@@ -357,6 +362,25 @@ object ScaleProbe {
       // stays vocabulary-sized
       probe(s"ts15_tfidf_x$m", graft.ops.TextAnalysis.tfidfTopK(
         docs(m), "id", "text", k = 5))
+      // count-min build vs exact token top-k over the same stream:
+      // the sketch pass carries constant-size state through the agg
+      // (shuffleMB ≈ 0) where the exact side pays the token exchange —
+      // the measured bytes ARE the 100 TB argument for sketching
+      probe(s"ts16_cms_build_x$m", {
+        import spark.implicits._
+        val toks = docs(m).select(
+          explode(split(trim(col("text")), "\\s+")).as("item"))
+          .filter(col("item") =!= "")
+        val sk = graft.ops.Sketches.cmsBuild(toks, "item")
+        Seq(sk.totalCount()).toDF("total")
+      })
+      probe(s"ts16_exact_topk_x$m", {
+        val toks = docs(m).select(
+          explode(split(trim(col("text")), "\\s+")).as("item"))
+          .filter(col("item") =!= "")
+        toks.groupBy("item").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("item")).limit(20)
+      })
       // repeated n-grams, dup-heavy worst case: replication makes
       // EVERY gram cross-doc, so the >=minDocs filter keeps the
       // whole gram mass instead of killing the singleton tail — the

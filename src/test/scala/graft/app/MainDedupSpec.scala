@@ -41,4 +41,25 @@ class MainDedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs == Set(("vid_aaa", "vid_ccc")), s"got $pairs")
   }
+
+  test("hot-terms reports the corpus top tokens with the sketch canary") {
+    val root = tmpDir("mainhot")
+    val store = new ParquetTableStore(root)
+    store.commit(spark, "transcripts", Seq(
+      ("vid_a", "spark spark spark spark engine engine catalyst"),
+      ("vid_b", "spark engine ENGINE Spark"),   // case-folds into the counts
+      ("vid_c", null)                           // must be ignored
+    ).toDF("video_id", "transcript"))
+    // the CLI command must run clean over the store
+    Main.run(spark, Array("hot-terms", root, "3"))
+    // and the composition it wires must rank (spark 6, engine 4, catalyst 1)
+    val toks = store.read(spark, "transcripts")
+      .filter(col("transcript").isNotNull)
+      .select(explode(split(trim(lower(col("transcript"))), "\\s+")).as("item"))
+      .filter(col("item") =!= "")
+    val out = graft.ops.Sketches.cmsHeavyHitters(toks, "item", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(("spark", 6L, true), ("engine", 4L, true),
+      ("catalyst", 1L, true)))
+  }
 }
