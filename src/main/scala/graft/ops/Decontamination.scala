@@ -60,4 +60,48 @@ object Decontamination {
         n, minShared)
         .select(col("doc_id").as(docId)).distinct(),
       Seq(docId), "left_anti")
+
+  /** FUZZY decontamination: training docs whose MinHash-LSH Jaccard
+    * similarity to an eval doc reaches `threshold` — the paraphrase
+    * net behind [[contaminationPairs]]'s exact window: a leak that
+    * rewords every 8th token shares NO exact 8-gram but still sits at
+    * high shingle Jaccard, and n-gram-overlap decontamination
+    * (dc1/dc2) misses it entirely.
+    *
+    * Scale shape — the dc1 asymmetry carried into the LSH machinery
+    * ([[Dedup.incrementalLshPairsFromSigs]] with the SIDES CHOSEN so
+    * the small side broadcasts): the corpus is signatured in ONE text
+    * pass and its band table probed at scan rate by the BENCH's
+    * broadcast band keys; candidates (≈ the contamination mass)
+    * broadcast back into one scan-rate pass over the corpus
+    * signatures; only candidate-mass-sized data ever exchanges. The
+    * corpus band table is deliberately UNCAPPED — a capped index
+    * here would silently KEEP contaminated docs, the one failure
+    * mode a decontamination pass must not have (audit hot bands with
+    * [[Dedup.blockSaturation]] instead). */
+  def fuzzyContaminationPairs(docs: DataFrame, docId: String,
+      docText: String, bench: DataFrame, benchId: String,
+      benchText: String, shingleLen: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val dsigs = Dedup.lshSignatures(docs, docId, docText, shingleLen)
+    val dbands = Dedup.lshBandMembership(dsigs, numHashes, bands)
+    val bsigs = Dedup.lshSignatures(bench, benchId, benchText, shingleLen)
+    Dedup.incrementalLshPairsFromSigs(bsigs, dbands, dsigs,
+      numHashes, bands, threshold)
+      .select(col("corpus_id").as("doc_id"), col("new_id").as("bench_id"),
+        col("jaccard"))
+  }
+
+  /** The fuzzy apply step: training rows below `threshold` Jaccard
+    * against every benchmark doc (ids-only anti-join, like
+    * [[dropContaminated]]). */
+  def dropFuzzyContaminated(docs: DataFrame, docId: String,
+      docText: String, bench: DataFrame, benchId: String,
+      benchText: String, shingleLen: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame =
+    docs.join(
+      fuzzyContaminationPairs(docs, docId, docText, bench, benchId,
+        benchText, shingleLen, numHashes, bands, threshold)
+        .select(col("doc_id").as(docId)).distinct(),
+      Seq(docId), "left_anti")
 }

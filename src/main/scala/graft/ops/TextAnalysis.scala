@@ -340,6 +340,61 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf_r"))
   }
 
+  /** BM25 RANKED RETRIEVAL (Robertson–Spärck Jones weighting): score
+    * every document against a fixed bag-of-words query, return the
+    * global top-`k` — the lexical-retrieval primitive a curation
+    * pipeline uses to pull topic-relevant slices (and the exact-BM25
+    * baseline an embedding retriever is recall-checked against).
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Scale shape: the corpus-sized token stream reduces IMMEDIATELY
+    * to query-term postings (the `isin` filter rides the scan, so
+    * only matching (doc, term) rows reach the aggregation); doc
+    * lengths are one combinable (id)-keyed count; N/avgdl/df are
+    * scalar-or-query-sized broadcast frames. Every ranking compare is
+    * over bit-identical doubles: integer tf/dl/df/N feed a shared
+    * operator tree (constants combined IN ENGINE on both sides, the
+    * g1 discipline), and the per-doc sum folds its ≤|query| term
+    * contributions in TERM order (the ss6/ts12 ordered-fold rule) so
+    * partitioning never moves a double. The global top-k plans as
+    * TakeOrderedAndProject; the rank window runs on the k-row
+    * result. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(query.nonEmpty, "query must carry at least one term")
+    val q = query.map(_.toLowerCase).distinct
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(q: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val contrib = tf
+      .join(dl, Seq("id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl").cast("double") / avgdl)))
+    val scored = contrib.groupBy("id").agg(
+      aggregate(sort_array(collect_list(struct(col("term"), col("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+    val top = scored.orderBy(col("score").desc, col("id").asc).limit(k)
+    val w = Window.orderBy(col("score").desc, col("id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("id"), round(col("score"), 6).as("score_r"))
+  }
+
   /** Fixed-width TOKEN-LENGTH HISTOGRAM: per-doc whitespace token
     * counts binned at `binWidth`, the last bin open-ended (the
     * corpus-QA length distribution every curation report starts

@@ -1360,6 +1360,45 @@ object PipelineQueries {
             WHERE b.doc_id IS NULL
             ORDER BY d.doc_id"""))
 
+  /** DC3: FUZZY decontamination pairs
+    * ([[Decontamination.fuzzyContaminationPairs]]) — the paraphrase
+    * net behind dc1's exact 8-gram window: train×eval pairs at
+    * shingle-Jaccard ≥ 0.5 through the MinHash-LSH machinery with
+    * the SIDES CHOSEN for the dc asymmetry (bench band keys
+    * broadcast, corpus probed at scan rate, corpus bands uncapped —
+    * a capped index would silently KEEP contaminated docs).
+    * PipelineSpec proves the case dc1 structurally misses: a leak
+    * reworded every 8th token shares zero exact 8-grams but stays
+    * far above the Jaccard threshold. Oracle: two [[lshSideSql]]
+    * sides (uncapped candidate rule, mirroring the engine's
+    * incremental probe) + the d10 verify arithmetic. */
+  private val dc3 = QueryDef(
+    "dc3_fuzzy_decontamination",
+    "train×eval docs at LSH Jaccard >= 0.5 (paraphrase leaks)",
+    (s, dir) => Decontamination.fuzzyContaminationPairs(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", benchDf(s, dir), "bench_id", "text",
+      threshold = 0.5)
+      .orderBy("doc_id", "bench_id"),
+    Some(s"""WITH docsrc AS (SELECT doc_id AS id, text FROM documents),
+            benchsrc AS (SELECT doc_id + 50000 AS id,
+                regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text
+              FROM documents WHERE doc_id % 10 = 0),
+            ${lshSideSql("d", "docsrc")},
+            ${lshSideSql("b", "benchsrc")},
+            cand AS (SELECT DISTINCT d.id AS doc_id, n.id AS bench_id
+                     FROM dbands d JOIN bbands n
+                       ON d.b = n.b AND d.band_hash = n.band_hash
+                          AND d.id <> n.id),
+            verif AS (SELECT doc_id, bench_id,
+                        len(list_intersect(x.hs, y.hs))::DOUBLE /
+                        len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE
+                          AS jaccard
+                      FROM cand JOIN dhashed x ON x.id = cand.doc_id
+                                JOIN bhashed y ON y.id = cand.bench_id)
+            SELECT doc_id, bench_id, jaccard FROM verif
+            WHERE jaccard >= 0.5 ORDER BY doc_id, bench_id"""))
+
   /** TP2: the TRAINING-PREP pipeline END-TO-END — what a pretraining
     * data job actually runs, as ONE verified composition:
     * decontaminate (dc2) → exact-dedup survivors (d1) → domain mix
@@ -3580,6 +3619,51 @@ object PipelineQueries {
             SELECT item, exact_n, true AS within_band
             FROM counts ORDER BY exact_n DESC, item LIMIT 20"""))
 
+  /** TS17: BM25 ranked retrieval ([[TextAnalysis.bm25TopK]]) — the
+    * global top-10 documents for a 3-term query. Fully replicable:
+    * integer tf/dl/df/N feed a shared operator tree (constants
+    * combined IN ENGINE on both sides — `(1.2 + 1.0)` is an engine
+    * addition in both, the g1 literal discipline) and the per-doc
+    * score folds its term contributions in TERM order, so every
+    * ranking compare is over bit-identical doubles. */
+  private val ts17 = QueryDef(
+    "ts17_bm25_topk",
+    "BM25 top-10 documents for a bag-of-words query",
+    (s, dir) => TextAnalysis.bm25TopK(
+      Tables.documents(s, dir), "doc_id", "text",
+      query = Seq("hash", "join", "vector"), k = 10)
+      .orderBy("rank"),
+    Some("""WITH toks AS (SELECT doc_id AS id,
+              unnest(CASE WHEN length(trim(lower(text))) = 0
+                     THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END) AS term
+              FROM documents),
+            dl AS (SELECT id, count(*)::BIGINT AS dl FROM toks GROUP BY id),
+            stats AS (SELECT count(*)::BIGINT AS n,
+                             sum(dl)::BIGINT AS total_dl FROM dl),
+            tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM toks
+                   WHERE term IN ('hash', 'join', 'vector')
+                   GROUP BY id, term),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                      GROUP BY term),
+            contrib AS (SELECT tf.id, tf.term,
+                ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) /
+                         (df::DOUBLE + 0.5)) *
+                  (tf::DOUBLE * (1.2 + 1.0)) /
+                  (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE /
+                    (total_dl::DOUBLE / n::DOUBLE))) AS c
+              FROM tf JOIN dl USING (id) JOIN dfreq USING (term)
+              CROSS JOIN stats),
+            scored AS (SELECT id,
+                list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+                  (x, y) -> x + y) AS score
+              FROM contrib GROUP BY id),
+            ranked AS (SELECT *, row_number() OVER
+                (ORDER BY score DESC, id) AS rank FROM scored)
+            SELECT rank, id, round(score, 6) AS score_r
+            FROM ranked WHERE rank <= 10 ORDER BY rank"""))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -3763,9 +3847,9 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, ss1, ss2,
+    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b,
       st1, st2)
 }

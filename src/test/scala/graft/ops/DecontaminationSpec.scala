@@ -45,6 +45,40 @@ class DecontaminationSpec extends SparkSpec {
     assert(loose == Set((3L, 1L)), s"got $loose")
   }
 
+  test("fuzzy decontamination catches the paraphrase exact 8-grams miss") {
+    // the leak: bench doc 30 rewords EVERY 8th token of doc 5 — the
+    // tightest spacing that breaks every exact 8-gram. Each of the 10
+    // replacements kills its 3 covering shingles, so 3-shingle
+    // jaccard lands at 48/108 ≈ 0.44: the fuzzy pass needs BOTH a
+    // lower threshold and a finer band geometry (16 bands × 2 rows —
+    // the autoBandGeometry direction for low-t mining; the default
+    // 8×4 bands collide with probability j⁴ per band, near-blind at
+    // j 0.44)
+    val base = (1 to 80).map(i => s"w$i")
+    val reworded = base.zipWithIndex
+      .map { case (w, i) => if (i % 8 == 7) s"x$i" else w }
+    val train = docs.union(
+      Seq((5L, base.mkString(" "))).toDF("doc_id", "text"))
+    val evalSet = bench.union(
+      Seq((30L, reworded.mkString(" "))).toDF("bench_id", "text"))
+    // exact-window decontamination is structurally blind to it
+    val exact = Decontamination.contaminationPairs(train, "doc_id", "text",
+      evalSet, "bench_id", "text", n = 8, minShared = 1)
+      .filter(col("bench_id") === 30).count()
+    assert(exact == 0, "a per-8-token rewording must break every 8-gram")
+    // the fuzzy net finds it (and doc 1's verbatim leak too)
+    val fuzzy = Decontamination.fuzzyContaminationPairs(train, "doc_id",
+      "text", evalSet, "bench_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fuzzy.contains((5L, 30L)), s"got $fuzzy")
+    val survivors = Decontamination.dropFuzzyContaminated(train, "doc_id",
+      "text", evalSet, "bench_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(5L))
+  }
+
   test("no retained blocks after materialization") {
     Decontamination.dropContaminated(docs, "doc_id", "text",
       bench, "bench_id", "text").count()

@@ -236,4 +236,36 @@ class TextPiiSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("bm25TopK: hand-computed scores, ranking, and partition invariance") {
+    import spark.implicits._
+    // corpus: N=3, dl = (4, 3, 3), avgdl = 10/3
+    val docs = Seq(
+      (1L, "hash join hash scan"),
+      (2L, "join merge sort"),
+      (3L, "vector scan filter")).toDF("id", "text")
+    val q = Seq("hash", "join")
+    def bm25(tf: Long, dl: Long, df_ : Long): Double = {
+      val n = 3.0; val avgdl = 10.0 / 3.0
+      math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5)) *
+        (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    }
+    val expected = Map(
+      1L -> (bm25(2, 4, 1) + bm25(1, 4, 2)), // hash(df=1) + join(df=2)
+      2L -> bm25(1, 3, 2))                   // join only
+    val out = TextAnalysis.bm25TopK(docs, "id", "text", q, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // doc 3 matches no query term and must not appear
+    assert(out.map(_._2).toSet == Set(1L, 2L))
+    out.foreach { case (_, id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-6, s"doc $id: $s vs ${expected(id)}")
+    }
+    // rank 1 = the doc with the rare term at tf 2
+    assert(out.find(_._1 == 1).get._2 == 1L)
+    // the term-ordered fold makes the score partition-independent
+    val p13 = TextAnalysis.bm25TopK(docs.repartition(13), "id", "text", q,
+      k = 10).collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    out.foreach { case (_, id, s) => assert(p13(id) == s) }
+  }
 }
