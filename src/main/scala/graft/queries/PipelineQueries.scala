@@ -3592,6 +3592,81 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank"""))
 
+  /** TP7: the ROUND-8 curation composition — fuzzy decontamination
+    * (dc3's apply) feeding SEMANTIC dedup (d19) as one verified
+    * query: drop every training doc at LSH Jaccard ≥ 0.5 against the
+    * eval set, then collapse the surviving docs' EMBEDDINGS (plus the
+    * d5 perturbation twins of the survivors — the manufactured
+    * semantic dups) to one representative per cosine component. The
+    * oracle stands the whole chain up: two [[lshSideSql]] sides +
+    * uncapped candidate rule (dc3, CTEs prefixed `dc`), the clean-id
+    * semi-join, the shared [[ivfPairChainSql]] mine over the
+    * restricted corpus, and the recursive-CC survivor filter (d19).
+    * Composition cost at scale is the sum of the stages' — both
+    * already individually disciplined. */
+  private val tp7 = QueryDef(
+    "tp7_curation_v4",
+    "fuzzy-decontaminate then semantic-dedup, end to end",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val clean = Decontamination.dropFuzzyContaminated(docs, "doc_id",
+        "text", benchDf(s, dir), "bench_id", "text", threshold = 0.5)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+        .join(clean.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      val perturbed = e.filter(col("id") % 5 === 0)
+        .select((col("id") + 10000).as("id"),
+          concat(
+            array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      Dedup.semanticDedup(e.unionByName(perturbed),
+        "id", "embedding", numCentroids = 64, probes = 2, threshold = 0.9,
+        cellCap = CatalogCap)
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE
+            docsrc AS (SELECT doc_id AS id, text FROM documents),
+            benchsrc AS (SELECT doc_id + 50000 AS id,
+                regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text
+              FROM documents WHERE doc_id % 10 = 0),
+            ${lshSideSql("d", "docsrc")},
+            ${lshSideSql("b", "benchsrc")},
+            dccand AS (SELECT DISTINCT d.id AS doc_id, n.id AS bench_id
+                       FROM dbands d JOIN bbands n
+                         ON d.b = n.b AND d.band_hash = n.band_hash
+                            AND d.id <> n.id),
+            dcverif AS (SELECT doc_id, bench_id,
+                          len(list_intersect(x.hs, y.hs))::DOUBLE /
+                          len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE
+                            AS jaccard
+                        FROM dccand JOIN dhashed x ON x.id = dccand.doc_id
+                                    JOIN bhashed y ON y.id = dccand.bench_id),
+            cleanids AS (SELECT doc_id FROM documents
+                         WHERE doc_id NOT IN
+                           (SELECT DISTINCT doc_id FROM dcverif
+                            WHERE jaccard >= 0.5)),
+            corpus AS (
+              SELECT e.vec_id AS id, e.embedding
+              FROM embeddings e JOIN cleanids c ON e.vec_id = c.doc_id
+              UNION ALL
+              SELECT e.vec_id + 10000 AS id,
+                list_concat([(e.embedding[1] + 0.25)::FLOAT],
+                            e.embedding[2:64])
+              FROM embeddings e JOIN cleanids c ON e.vec_id = c.doc_id
+              WHERE e.vec_id % 5 = 0),
+            $ivfPairChainSql,
+            pairs AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.9),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            cc(node, reach) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach),
+            labels AS (SELECT node, min(reach) AS rep FROM cc GROUP BY node)
+            SELECT c.id, coalesce(l.rep, c.id) AS cluster_id
+            FROM corpus c LEFT JOIN labels l ON l.node = c.id
+            WHERE coalesce(l.rep, c.id) = c.id ORDER BY c.id"""))
+
   /** TS16: heavy-hitter tokens with a count-min error-band canary
     * ([[Sketches.cmsHeavyHitters]]) — the third sketch discipline
     * (after a7b's HLL cardinality and a8b's approximate quantiles):
@@ -3850,6 +3925,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b,
       st1, st2)
 }

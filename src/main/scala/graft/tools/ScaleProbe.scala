@@ -181,6 +181,18 @@ object ScaleProbe {
       // + apply cost, which is pair-graph-sized, not corpus-sized
       probe(s"d19_semantic_x$m", Dedup.semanticDedupAuto(vecs(m),
         "id", "embedding", probes = 2, threshold = 0.9, cellCap = 1000))
+      // fuzzy decontamination (dc3): corpus grows m×, the eval set
+      // stays FIXED (small by contract) — the pass must stay scan-rate
+      // because only bench-band collisions ever exchange
+      probe(s"dc3_fuzzy_decon_x$m", {
+        val bench = Tables.documents(spark, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 50000000L).as("bench_id"),
+            regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text"))
+        graft.ops.Decontamination.fuzzyContaminationPairs(
+          docs(m), "id", "text", bench, "bench_id", "text",
+          threshold = 0.5)
+      })
       // 32- vs 60-bit sketch: same radius, same cap. The 32-bit rows
       // count INCLUDES false sketch collisions (unrelated docs within
       // hamming 2 of each other purely from 32-bit crowding) and its
