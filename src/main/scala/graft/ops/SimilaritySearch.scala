@@ -587,4 +587,43 @@ object SimilaritySearch {
       .select(col("query_id"),
         coalesce(col("hits"), lit(0L)).as("hits"), lit(k).as("k"))
   }
+
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-search combiner: each input ranking contributes
+    * 1/(c + rank) per item, items missing from a list contribute 0,
+    * and the fused top-`k` orders by (total score desc, id). The
+    * modern retrieval stack is exactly this: a lexical ranking
+    * ([[graft.ops.TextAnalysis.bm25TopK]]) fused with an embedding
+    * ranking (any of the ANN engines here) — RRF needs no score
+    * calibration between the two, only ranks.
+    *
+    * Each input's FIRST two columns must be (id, rank). Determinism:
+    * every contribution is the same double on any engine
+    * (1.0/(c + integer rank)), and the score sums the inputs in
+    * ARGUMENT order as a plan-time expression (coalesce chain, no
+    * runtime fold) — partitioning cannot move it.
+    *
+    * Scale shape: inputs are top-N ranking lists (k·|lists|-sized) —
+    * the fusion itself never touches a corpus; the heavy lifting
+    * stays in the input rankings, each already disciplined. The
+    * full-outer join chain and the final window run on list-sized
+    * frames. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"k must be positive, got $k")
+    val sides = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(r.columns(0)).as("id"),
+        (lit(1.0) / (lit(c.toDouble) + col(r.columns(1)).cast("double")))
+          .as(s"__c$i"))
+    }
+    val joined = sides.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val score = sides.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.orderBy(col("score").desc, col("id").asc)
+    joined.withColumn("score", score)
+      .orderBy(col("score").desc, col("id").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("id"), round(col("score"), 6).as("score_r"))
+  }
 }

@@ -3592,6 +3592,48 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank"""))
 
+  /** SS14: HYBRID retrieval — the modern search stack as one verified
+    * query: the ts17 BM25 lexical ranking and an embedding cosine
+    * ranking (ss1's engine, query = vec 0 — doc ids and vec ids
+    * align in the fixture) fused by RECIPROCAL-RANK fusion
+    * ([[SimilaritySearch.rrfFuse]]): score = Σ 1/(60 + rank), missing
+    * side contributes 0, no score calibration needed. Both input
+    * rankings are already pinned bit-exact (ts17 / ss1 disciplines),
+    * and every fused score is 1/(60+int) arithmetic — the oracle
+    * replicates the whole thing including both top-20 cuts. */
+  private val ss14 = QueryDef(
+    "ss14_hybrid_rrf",
+    "hybrid BM25 + embedding retrieval, reciprocal-rank fused",
+    (s, dir) => {
+      val bm = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id",
+        "text", query = Seq("hash", "join", "vector"), k = 20)
+        .select(col("id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val ann = SimilaritySearch.bruteForceTopK(e.filter(col("id") === 0),
+        e, "id", "embedding", k = 20)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      SimilaritySearch.rrfFuse(Seq(bm, ann), k = 10).orderBy("rank")
+    },
+    Some(s"""WITH $bm25ChainSql,
+            anq AS (SELECT embedding AS qv FROM embeddings
+                    WHERE vec_id = 0),
+            anscored AS (SELECT e.vec_id AS id,
+                           ${cosSql("qv", "e.embedding")} AS cos
+                         FROM embeddings e, anq WHERE e.vec_id != 0),
+            anranked AS (SELECT id, row_number() OVER
+                (ORDER BY cos DESC, id) AS rank FROM anscored),
+            b20 AS (SELECT id, rank FROM bmranked WHERE rank <= 20),
+            a20 AS (SELECT id, rank FROM anranked WHERE rank <= 20),
+            fused AS (SELECT coalesce(b.id, a.id) AS id,
+                coalesce(1.0 / (60.0 + b.rank::DOUBLE), 0.0) +
+                coalesce(1.0 / (60.0 + a.rank::DOUBLE), 0.0) AS score
+              FROM b20 b FULL OUTER JOIN a20 a ON b.id = a.id),
+            franked AS (SELECT id, score, row_number() OVER
+                (ORDER BY score DESC, id) AS rank FROM fused)
+            SELECT rank, id, round(score, 6) AS score_r
+            FROM franked WHERE rank <= 10 ORDER BY rank"""))
+
   /** TP7: the ROUND-8 curation composition — fuzzy decontamination
     * (dc3's apply) feeding SEMANTIC dedup (d19) as one verified
     * query: drop every training doc at LSH Jaccard ≥ 0.5 against the
@@ -3701,6 +3743,42 @@ object PipelineQueries {
     * addition in both, the g1 literal discipline) and the per-doc
     * score folds its term contributions in TERM order, so every
     * ranking compare is over bit-identical doubles. */
+  /** The ts17 BM25 oracle chain over `documents`, CTEs prefixed `bm`
+    * so the hybrid-fusion oracle (ss14) can stand it up next to the
+    * ANN side: tokenize → dl/N/avgdl/df stats → per-term contribution
+    * (constants combined in-engine, the g1 literal discipline) →
+    * term-ordered fold → `bmranked(id, score, rank)`. */
+  private def bm25ChainSql: String =
+    """bmtoks AS (SELECT doc_id AS id,
+              unnest(CASE WHEN length(trim(lower(text))) = 0
+                     THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END) AS term
+              FROM documents),
+            bmdl AS (SELECT id, count(*)::BIGINT AS dl FROM bmtoks
+                     GROUP BY id),
+            bmstats AS (SELECT count(*)::BIGINT AS n,
+                               sum(dl)::BIGINT AS total_dl FROM bmdl),
+            bmtf AS (SELECT id, term, count(*)::BIGINT AS tf FROM bmtoks
+                     WHERE term IN ('hash', 'join', 'vector')
+                     GROUP BY id, term),
+            bmdfreq AS (SELECT term, count(*)::BIGINT AS df FROM bmtf
+                        GROUP BY term),
+            bmcontrib AS (SELECT bmtf.id, bmtf.term,
+                ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) /
+                         (df::DOUBLE + 0.5)) *
+                  (tf::DOUBLE * (1.2 + 1.0)) /
+                  (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE /
+                    (total_dl::DOUBLE / n::DOUBLE))) AS c
+              FROM bmtf JOIN bmdl USING (id) JOIN bmdfreq USING (term)
+              CROSS JOIN bmstats),
+            bmscored AS (SELECT id,
+                list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+                  (x, y) -> x + y) AS score
+              FROM bmcontrib GROUP BY id),
+            bmranked AS (SELECT *, row_number() OVER
+                (ORDER BY score DESC, id) AS rank FROM bmscored)"""
+
   private val ts17 = QueryDef(
     "ts17_bm25_topk",
     "BM25 top-10 documents for a bag-of-words query",
@@ -3708,36 +3786,9 @@ object PipelineQueries {
       Tables.documents(s, dir), "doc_id", "text",
       query = Seq("hash", "join", "vector"), k = 10)
       .orderBy("rank"),
-    Some("""WITH toks AS (SELECT doc_id AS id,
-              unnest(CASE WHEN length(trim(lower(text))) = 0
-                     THEN []::VARCHAR[]
-                     ELSE regexp_split_to_array(trim(lower(text)), '\s+')
-                     END) AS term
-              FROM documents),
-            dl AS (SELECT id, count(*)::BIGINT AS dl FROM toks GROUP BY id),
-            stats AS (SELECT count(*)::BIGINT AS n,
-                             sum(dl)::BIGINT AS total_dl FROM dl),
-            tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM toks
-                   WHERE term IN ('hash', 'join', 'vector')
-                   GROUP BY id, term),
-            dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
-                      GROUP BY term),
-            contrib AS (SELECT tf.id, tf.term,
-                ln(1.0 + (n::DOUBLE - df::DOUBLE + 0.5) /
-                         (df::DOUBLE + 0.5)) *
-                  (tf::DOUBLE * (1.2 + 1.0)) /
-                  (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE /
-                    (total_dl::DOUBLE / n::DOUBLE))) AS c
-              FROM tf JOIN dl USING (id) JOIN dfreq USING (term)
-              CROSS JOIN stats),
-            scored AS (SELECT id,
-                list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
-                  (x, y) -> x + y) AS score
-              FROM contrib GROUP BY id),
-            ranked AS (SELECT *, row_number() OVER
-                (ORDER BY score DESC, id) AS rank FROM scored)
+    Some(s"""WITH $bm25ChainSql
             SELECT rank, id, round(score, 6) AS score_r
-            FROM ranked WHERE rank <= 10 ORDER BY rank"""))
+            FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
 
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
@@ -3923,7 +3974,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, dc3, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b,
       st1, st2)

@@ -801,6 +801,28 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((1L, 1L), (4L, 4L), (5L, 5L)))
   }
 
+  test("rrfFuse: contributions sum, missing lists contribute 0, ties break on id") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = SimilaritySearch.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // 20 leads: 1/62 + 1/61 > any single-list contribution
+    assert(out.head._2 == 20L)
+    val expect = Map(
+      10L -> 1.0 / 61, 20L -> (1.0 / 62 + 1.0 / 61),
+      30L -> 1.0 / 63, 40L -> 1.0 / 62)
+    out.foreach { case (_, id, s) =>
+      assert(math.abs(s - expect(id)) < 1e-6, s"$id: $s") }
+    // 10 (1/61 from list a only) vs 40 (1/62): 10 outranks 40
+    assert(out.map(_._2).indexOf(10L) < out.map(_._2).indexOf(40L))
+    // identical scores tie-break on id: two singletons at equal rank
+    val t1 = Seq((5L, 1)).toDF("id", "rank")
+    val t2 = Seq((3L, 1)).toDF("id", "rank")
+    val tied = SimilaritySearch.rrfFuse(Seq(t1, t2), k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(tied.toSeq == Seq((1, 3L), (2, 5L)))
+  }
+
   test("autoBandGeometry derives depth from n and width from recall") {
     // n=500, t=0.8: r = ceil(ln 500 / ln(1/0.3)) = 6;
     // b = ceil(ln 10 / 0.8^6) = 9
