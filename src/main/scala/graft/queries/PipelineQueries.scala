@@ -2051,6 +2051,48 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 3
             ORDER BY query_id, rank"""))
 
+  /** MM7: MULTIMODAL NEAR-DUP — re-uploaded/re-encoded media
+    * detection as the dedup matrix's multimodal row: the codec-SPI
+    * featurize path (mm5's, decode-per-partition through the real
+    * Dataset plumbing) feeding the IVF cosine pair miner (d5's, via
+    * the shared [[ivfPairChainSql]] oracle chain). Duplicate media
+    * is manufactured by re-keying every 4th item's features
+    * (id+10000 — a byte-identical re-upload decodes to identical
+    * features, cosine exactly 1); the 0.999 threshold also admits
+    * whatever near-collisions the 8-dim positive feature space
+    * produces, which the oracle reproduces identically. */
+  private val mm7 = QueryDef(
+    "mm7_visual_near_dup",
+    "multimodal near-dup: codec featurize -> IVF cosine pairs",
+    (s, dir) => {
+      import s.implicits._
+      val items = graft.multimodal.Multimodal
+        .syntheticMedia(Tables.documents(s, dir))
+        .as[graft.multimodal.Multimodal.MediaItem]
+      val feats = graft.multimodal.Multimodal
+        .decodeAndFeaturize(items, dim = 8).toDF()
+        .select(col("media_id").as("id"), col("features").as("embedding"))
+      val copies = feats.filter(col("id") % 4 === 0)
+        .select((col("id") + 10000).as("id"), col("embedding"))
+      Dedup.embeddingNearDupPairsIvf(feats.unionByName(copies),
+        "id", "embedding", numCentroids = 64, probes = 2,
+        threshold = 0.999, cellCap = CatalogCap)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH base AS (SELECT doc_id AS id,
+              list_transform(generate_series(0, 7), i ->
+                ((ord(substr(md5(text), (i % 32)::INT + 1, 1)) * 31
+                  + i * 7) % 997)::FLOAT / 997.0::FLOAT) AS embedding
+              FROM documents),
+            corpus AS (SELECT id, embedding FROM base
+                       UNION ALL
+                       SELECT id + 10000 AS id, embedding FROM base
+                       WHERE id % 4 = 0),
+            $ivfPairChainSql
+            SELECT id_a, id_b, round(cos, 6) AS cos_r
+            FROM scored WHERE cos >= 0.999 ORDER BY id_a, id_b"""))
+
   /** MM6: the PER-MODALITY CODEC REGISTRY, oracle-checked — mm2's
     * featurize path driven through [[graft.multimodal
     * .ModalityCodecProvider]] instead of the bare stub: every row
@@ -3976,6 +4018,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, mm1, mm2, mm3, mm4, mm5, mm6, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
       st1, st2)
 }
