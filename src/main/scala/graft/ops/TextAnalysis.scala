@@ -275,6 +275,73 @@ object TextAnalysis {
           col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** TRAINABLE QUALITY CLASSIFIER — multinomial naive Bayes with
+    * add-one smoothing, the fastText-style supervised filter a
+    * curation pipeline trains on a labeled slice and applies to the
+    * corpus (CCNet's companion to the LM scorer; here train =
+    * score corpus, the ts12 self-train discipline). `labelCol` is
+    * any boolean truth column (the gate derives it from
+    * [[gopherFilter]] survival). Output per doc:
+    * (id, predicted 0/1, margin_r = round(s1 − s0, 6)) where
+    * s_y = ln(docs_y / n) + Σ_positions ln((c(w,y)+1)/(tot_y+V)).
+    *
+    * Fully engine-portable BY CONSTRUCTION, like the ts12 bigram LM:
+    * every model parameter is an integer count (word×label counts,
+    * label totals, vocabulary size, doc counts), the per-token
+    * log-probs are single ln calls over integer quotients, and each
+    * document folds its token contributions in POSITION order (the
+    * ss6 ordered-fold rule), so both the margin and the argmax are
+    * bit-identical on any engine/partitioning. The prediction tie
+    * (s1 = s0, e.g. an empty doc under equal priors) resolves to 0.
+    *
+    * Scale shape: training is two combinable aggregations (word×label
+    * counts → label totals), all model scalars live in 1-row
+    * broadcast frames, the word-model join keys on the token (AQE
+    * handles Zipf skew, as in ts12), and the only corpus-sized
+    * exchanges are the (id)-keyed fold and the token-keyed count —
+    * both unavoidable and both single. */
+  def nbQualityScores(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val labeled = df.select(col(idCol).as("id"),
+      col(labelCol).cast("boolean").cast("int").as("y"),
+      tokens(col(textCol)).as("t"))
+    val x = labeled.select(col("id"), col("y"), posexplode(col("t")))
+      .select(col("id"), col("y"), col("pos"), col("col").as("w"))
+    val wm = x.groupBy("w").agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+    val stats = wm.agg(sum(col("c1")).as("tot1"), sum(col("c0")).as("tot0"),
+      count(lit(1)).as("v"))
+    val priors = labeled.agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("nd1"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("nd0"),
+      count(lit(1)).as("n"))
+    val lp = x.join(wm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("pos"),
+        log((col("c1") + lit(1L)).cast("double") /
+          (col("tot1") + col("v")).cast("double")).as("lp1"),
+        log((col("c0") + lit(1L)).cast("double") /
+          (col("tot0") + col("v")).cast("double")).as("lp0"))
+    val folded = lp.groupBy("id").agg(
+      sort_array(collect_list(struct(col("pos"), col("lp1"), col("lp0"))))
+        .as("__arr"))
+      .select(col("id"),
+        expr("aggregate(__arr, 0D, (acc, s) -> acc + s.lp1)").as("w1"),
+        expr("aggregate(__arr, 0D, (acc, s) -> acc + s.lp0)").as("w0"))
+    labeled.select(col("id"))
+      .join(folded, Seq("id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("id"),
+        (log(col("nd1").cast("double") / col("n").cast("double")) +
+          coalesce(col("w1"), lit(0.0))).as("s1"),
+        (log(col("nd0").cast("double") / col("n").cast("double")) +
+          coalesce(col("w0"), lit(0.0))).as("s0"))
+      .select(col("id"),
+        when(col("s1") > col("s0"), 1).otherwise(0).as("predicted"),
+        round(col("s1") - col("s0"), 6).as("margin_r"))
+  }
+
   /** CCNet-style PERPLEXITY BUCKETING: documents labeled head /
     * middle / tail by corpus-quantile cuts over the bigram-LM mean
     * log-prob ([[bigramLmScore]]) — the standard downstream use of a

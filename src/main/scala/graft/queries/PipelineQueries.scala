@@ -3832,6 +3832,82 @@ object PipelineQueries {
             SELECT rank, id, round(score, 6) AS score_r
             FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
 
+  /** TS18: TRAINABLE QUALITY CLASSIFIER
+    * ([[TextAnalysis.nbQualityScores]]) — multinomial naive Bayes
+    * with add-one smoothing, self-trained on gopher-filter survival
+    * (ts10's exact thresholds) as the label. Every model parameter
+    * is an integer count and every per-token log-prob folds in
+    * position order, so predicted label AND margin are bit-exact
+    * cross-engine (the ts12 discipline applied to a trained
+    * classifier). The oracle replicates label derivation, training
+    * counts, smoothing, priors, and both folds. */
+  private val ts18 = QueryDef(
+    "ts18_nb_quality_classifier",
+    "naive-Bayes quality classifier, self-trained on gopher labels",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pass = TextAnalysis.gopherFilter(docs, "text",
+        maxDupTokenPct = 60, maxTopBigramPct = 5,
+        minTokens = 25, maxTokens = 100)
+        .select(col("doc_id")).withColumn("__q", lit(true))
+      val labeled = docs.join(pass, Seq("doc_id"), "left")
+        .withColumn("quality", coalesce(col("__q"), lit(false)))
+      TextAnalysis.nbQualityScores(labeled, "doc_id", "text", "quality")
+        .orderBy("id")
+    },
+    Some("""WITH t AS (SELECT doc_id AS id,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents),
+            gb AS (SELECT id, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct,
+                     list_transform(range(1, len(toks)),
+                       i -> toks[i] || chr(1) || toks[i+1]) AS bg
+                   FROM t),
+            gm AS (SELECT id, max(cnt) AS top_n FROM (
+                     SELECT id, g, count(*) AS cnt
+                     FROM (SELECT id, unnest(bg) AS g FROM gb)
+                     GROUP BY id, g) GROUP BY id),
+            lab AS (SELECT gb.id,
+                      CASE WHEN n_tokens >= 25 AND n_tokens <= 100
+                            AND (n_tokens - n_distinct) * 100 <= n_tokens * 60
+                            AND coalesce(top_n, 0) * 100 <= len(bg) * 5
+                           THEN 1 ELSE 0 END AS y
+                    FROM gb LEFT JOIN gm ON gb.id = gm.id),
+            x AS (SELECT t.id, lab.y, i AS pos, toks[i] AS w
+                  FROM t JOIN lab ON t.id = lab.id,
+                    unnest(generate_series(1, len(toks))) AS u(i)),
+            wm AS (SELECT w,
+                     sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+                     sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS c0
+                   FROM x GROUP BY w),
+            stats AS (SELECT sum(c1)::BIGINT AS tot1,
+                        sum(c0)::BIGINT AS tot0,
+                        count(*)::BIGINT AS v FROM wm),
+            priors AS (SELECT
+                sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS nd1,
+                sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS nd0,
+                count(*)::BIGINT AS n
+              FROM lab),
+            lpx AS (SELECT x.id, x.pos,
+                      ln((c1 + 1)::DOUBLE / (tot1 + v)::DOUBLE) AS lp1,
+                      ln((c0 + 1)::DOUBLE / (tot0 + v)::DOUBLE) AS lp0
+                    FROM x JOIN wm USING (w) CROSS JOIN stats),
+            folded AS (SELECT id,
+                list_reduce(list_prepend(0.0::DOUBLE, list(lp1 ORDER BY pos)),
+                  (a, b) -> a + b) AS w1,
+                list_reduce(list_prepend(0.0::DOUBLE, list(lp0 ORDER BY pos)),
+                  (a, b) -> a + b) AS w0
+              FROM lpx GROUP BY id),
+            sc AS (SELECT l.id,
+                     ln(nd1::DOUBLE / n::DOUBLE) + coalesce(w1, 0.0) AS s1,
+                     ln(nd0::DOUBLE / n::DOUBLE) + coalesce(w0, 0.0) AS s0
+                   FROM lab l LEFT JOIN folded f ON l.id = f.id
+                   CROSS JOIN priors)
+            SELECT id, CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS predicted,
+                   round(s1 - s0, 6) AS margin_r
+            FROM sc ORDER BY id"""))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -4017,7 +4093,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
       st1, st2)
 }

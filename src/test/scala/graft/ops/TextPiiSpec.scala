@@ -237,6 +237,37 @@ class TextPiiSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("nbQualityScores: hand-computed posteriors, tie rule, partition invariance") {
+    import spark.implicits._
+    // vocab is class-separable: "good"-docs say good, "bad"-docs say bad
+    val docs = Seq(
+      (1L, "good good clean", true),
+      (2L, "good clean", true),
+      (3L, "bad noisy bad", false),
+      (4L, "", false)                 // empty doc: priors only
+    ).toDF("id", "text", "quality")
+    val byId = TextAnalysis.nbQualityScores(docs, "id", "text", "quality")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // model: V=5 (good clean bad noisy + ""), wait — "" splits to [] so
+    // vocab = {good, clean, bad, noisy}; tot1 = 5, tot0 = 3;
+    // priors = 2/4 each
+    def lp1(c: Long) = math.log((c + 1.0) / (5 + 4.0))
+    def lp0(c: Long) = math.log((c + 1.0) / (3 + 4.0))
+    // doc 1 ("good good clean"): c1(good)=3, c1(clean)=2, c0 both 0
+    val s1 = math.log(0.5) + lp1(3) + lp1(3) + lp1(2)
+    val s0 = math.log(0.5) + lp0(0) + lp0(0) + lp0(0)
+    assert(byId(1L)._1 == 1)
+    assert(math.abs(byId(1L)._2 - math.rint((s1 - s0) * 1e6) / 1e6) < 1e-9)
+    // class recovery on the separable vocab
+    assert(byId(2L)._1 == 1 && byId(3L)._1 == 0)
+    // empty doc: equal priors, zero token mass -> s1 = s0, tie -> 0
+    assert(byId(4L)._1 == 0 && byId(4L)._2 == 0.0)
+    // margins are partition-independent (position-ordered folds)
+    val p7 = TextAnalysis.nbQualityScores(docs.repartition(7), "id", "text",
+      "quality").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    byId.foreach { case (id, (_, m)) => assert(p7(id) == m) }
+  }
+
   test("bm25TopK: hand-computed scores, ranking, and partition invariance") {
     import spark.implicits._
     // corpus: N=3, dl = (4, 3, 3), avgdl = 10/3
