@@ -386,6 +386,20 @@ object ScaleProbe {
         val sk = graft.ops.Sketches.cmsBuild(toks, "item")
         Seq(sk.totalCount()).toDF("total")
       })
+      // NB classifier train+score at m×: two combinable aggregations
+      // (token×label counts) + the position-ordered fold — must track
+      // the corpus linearly like the ts12 LM it shares disciplines with
+      probe(s"ts18_nb_classifier_x$m", {
+        val d = docs(m)
+        val pass = graft.ops.TextAnalysis.gopherFilter(d, "text",
+          maxDupTokenPct = 60, maxTopBigramPct = 5,
+          minTokens = 25, maxTokens = 100)
+          .select(col("id")).withColumn("__q", lit(true))
+        val labeled = d.join(pass, Seq("id"), "left")
+          .withColumn("quality", coalesce(col("__q"), lit(false)))
+        graft.ops.TextAnalysis.nbQualityScores(labeled, "id", "text",
+          "quality")
+      })
       probe(s"ts16_exact_topk_x$m", {
         val toks = docs(m).select(
           explode(split(trim(col("text")), "\\s+")).as("item"))
