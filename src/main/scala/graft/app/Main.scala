@@ -23,6 +23,7 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main ingest-inbox <storeDir> <inboxDir>
   *   runMain graft.app.Main dedup-transcripts <storeDir> [threshold]
   *   runMain graft.app.Main hot-terms <storeDir> [k]
+  *   runMain graft.app.Main search-ranked <storeDir> "<terms>" [k]
   *   runMain graft.app.Main pack-transcripts <storeDir> [window] [budget]
   *   runMain graft.app.Main ingest-docs <storeDir> <inboxDir> [threshold]
   *   runMain graft.app.Main compact <storeDir> <table> [maxFilesPerBucket]
@@ -171,6 +172,23 @@ object Main {
           .minhashLshPairsFromSigs(sigs, threshold = threshold)
         println(s"near-duplicate transcript pairs (jaccard >= $threshold):")
         show(pairs.orderBy(desc("jaccard"), col("id_a"), col("id_b")))
+
+      case "search-ranked" =>
+        // BM25-ranked transcript search ([[graft.ops.TextAnalysis
+        // .bm25TopK]]) — the relevance-ordered upgrade of
+        // search-transcripts' substring match: ranks every transcript
+        // against the bag of query words and prints the top k with
+        // their video titles
+        val terms = args(2).split("\\s+").toSeq
+        val k = if (args.length > 3) args(3).toInt else 10
+        val tx = t("transcripts").filter(col("transcript").isNotNull)
+        val ranked = graft.ops.TextAnalysis.bm25TopK(tx, "video_id",
+          "transcript", terms, k)
+        show(ranked.join(
+            t("videos").select(col("video_id").as("id"), col("title")),
+            Seq("id"), "left")
+          .select(col("rank"), col("id"), col("title"), col("score_r"))
+          .orderBy("rank"), k)
 
       case "hot-terms" =>
         // corpus hot-token report ([[graft.ops.Sketches.cmsHeavyHitters]]):

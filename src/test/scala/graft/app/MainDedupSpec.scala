@@ -42,6 +42,28 @@ class MainDedupSpec extends SparkSpec {
     assert(pairs == Set(("vid_aaa", "vid_ccc")), s"got $pairs")
   }
 
+  test("search-ranked orders transcripts by BM25 relevance") {
+    val root = tmpDir("mainrank")
+    val store = new ParquetTableStore(root)
+    store.commit(spark, "transcripts", Seq(
+      ("vid_x", "spark shuffle spark shuffle partitions exchange"),
+      ("vid_y", "spark appears once amid entirely unrelated prose here"),
+      ("vid_z", "gardening compost tomatoes rainfall harvest pruning")
+    ).toDF("video_id", "transcript"))
+    store.commit(spark, "videos", Seq(
+      ("vid_x", "Shuffle deep dive"), ("vid_y", "Misc"), ("vid_z", "Garden"))
+      .toDF("video_id", "title"))
+    // the CLI command must run clean over the store
+    Main.run(spark, Array("search-ranked", root, "spark shuffle", "2"))
+    // and the ranking it wires must put the term-dense doc first and
+    // exclude the no-match doc
+    val out = graft.ops.TextAnalysis.bm25TopK(
+      store.read(spark, "transcripts"), "video_id", "transcript",
+      Seq("spark", "shuffle"), k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.map(_._2).toSeq == Seq("vid_x", "vid_y"))
+  }
+
   test("hot-terms reports the corpus top tokens with the sketch canary") {
     val root = tmpDir("mainhot")
     val store = new ParquetTableStore(root)
