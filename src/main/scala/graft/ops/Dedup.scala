@@ -854,28 +854,57 @@ object Dedup {
     * broadcasts or collects). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, probes: Int = 2, threshold: Double = 0.9,
-      cellCap: Int = DefaultCellCap): DataFrame =
+      cellCap: Int = DefaultCellCap, driverMaxEdges: Int = 0): DataFrame =
     semanticDedupFromPairs(df, idCol,
       embeddingNearDupPairsIvf(df, idCol, vecCol, numCentroids, probes,
-        threshold, cellCap))
+        threshold, cellCap), driverMaxEdges)
 
   /** [[semanticDedup]] with the IVF cell count auto-sized to ~sqrt(n)
     * — the knob rule the scale probes measured (fixed 64 cells at x30:
     * 16× slower AND silent pair loss once cellCap binds). */
   def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
       probes: Int = 2, threshold: Double = 0.9,
-      cellCap: Int = DefaultCellCap): DataFrame =
+      cellCap: Int = DefaultCellCap, driverMaxEdges: Int = 0): DataFrame =
     semanticDedupFromPairs(df, idCol,
       embeddingNearDupPairsIvfAuto(df, idCol, vecCol, probes, threshold,
-        cellCap))
+        cellCap), driverMaxEdges)
 
   /** The survivor-selection stage of [[semanticDedup]], reusable over
     * any mined pair set (e.g. a STORED pair artifact — the d10/tp6
-    * build-once discipline applies unchanged). */
+    * build-once discipline applies unchanged).
+    *
+    * `driverMaxEdges` is [[ConnectedComponents.mergeClusters]]'s
+    * adaptive escape hatch, applied from-scratch: with a bound > 0, a
+    * pair graph at or under it labels via the driver union-find
+    * (exact, min-id invariant preserved — the same one limit-collect
+    * decides safely), one extra row falls back to the staged
+    * distributed fixpoint. The x30 probe measured why the knob
+    * matters in the dup-heaviest shape (every vector in a 30-member
+    * clique, 870k pairs): the staged fixpoint's per-round overhead
+    * dominates there, while the pair graph itself is megabytes. The
+    * default (0) stays fully distributed — the only safe choice when
+    * the pair mass is unknown. */
   def semanticDedupFromPairs(df: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
-    val clusters = ConnectedComponents.duplicateClusters(
-      pairs.select("id_a", "id_b"))
+      pairs: DataFrame, driverMaxEdges: Int = 0): DataFrame = {
+    val p = pairs.select("id_a", "id_b")
+    val clusters =
+      if (driverMaxEdges > 0) {
+        val spark = p.sparkSession
+        // mergeClusters consults its pair frame several times (the
+        // limit-collect decision plus both endpoint-id unions); a
+        // LAZY mine would re-run per reference, so stage it to
+        // scratch parquet first — the same evaluate-exactly-once
+        // contract duplicateClusters applies internally (measured:
+        // the unstaged form re-mined 3x, 20 GB of shuffle for a
+        // 7 GB job).
+        val dir = Scratch.tempDir("graft-semdedup-pairs-")
+        p.write.mode("overwrite").parquet(dir)
+        val staged = spark.read.parquet(dir)
+        val emptyLabels = spark.emptyDataFrame
+          .select(lit(0L).as("id"), lit(0L).as("cluster_id")).limit(0)
+        ConnectedComponents.mergeClusters(emptyLabels, staged,
+          driverMaxEdges = driverMaxEdges)
+      } else ConnectedComponents.duplicateClusters(p)
     // survivors: cluster members whose label IS their own id, plus
     // every corpus id absent from the pair graph (singletons). One
     // left join against the pair-graph-sized label map.

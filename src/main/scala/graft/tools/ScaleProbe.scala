@@ -181,6 +181,13 @@ object ScaleProbe {
       // + apply cost, which is pair-graph-sized, not corpus-sized
       probe(s"d19_semantic_x$m", Dedup.semanticDedupAuto(vecs(m),
         "id", "embedding", probes = 2, threshold = 0.9, cellCap = 1000))
+      // the adaptive escape hatch: the dup-heavy pair graph is only
+      // megabytes, so the driver union-find (bounded, limit-collect
+      // decided) replaces the staged fixpoint's per-round overhead
+      if (m > 1)
+        probe(s"d19_semantic_x${m}_driver", Dedup.semanticDedupAuto(vecs(m),
+          "id", "embedding", probes = 2, threshold = 0.9, cellCap = 1000,
+          driverMaxEdges = 2000000))
       // fuzzy decontamination (dc3): corpus grows m×, the eval set
       // stays FIXED (small by contract) — the pass must stay scan-rate
       // because only bench-band collisions ever exchange
