@@ -36,6 +36,16 @@ class BlockHygieneSpec extends SparkSpec {
       s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("semantic dedup retains no blocks on either closure path (round-8)") {
+    Dedup.semanticDedup(fixtureVecs, "id", "vec",
+      numCentroids = 8, probes = 2, threshold = 0.5).count()
+    Dedup.semanticDedup(fixtureVecs, "id", "vec",
+      numCentroids = 8, probes = 2, threshold = 0.5,
+      driverMaxEdges = 100000).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"retained: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("wide simhash pairs and quantized ANN retain no blocks (round-5 ops)") {
     Dedup.simhashHammingPairs(fixtureDocs, "id", "text",
       maxDist = 2, width = 60).count()
