@@ -393,6 +393,12 @@ object ScaleProbe {
         val sk = graft.ops.Sketches.cmsBuild(toks, "item")
         Seq(sk.totalCount()).toDF("total")
       })
+      // BM25 at m×: the corpus token stream reduces AT THE SCAN to
+      // query-term postings, so the ranking must track the scan cost,
+      // not the token mass (doc-length stats are the only full-token
+      // aggregation and they combine map-side)
+      probe(s"ts17_bm25_x$m", graft.ops.TextAnalysis.bm25TopK(
+        docs(m), "id", "text", Seq("hash", "join", "vector"), k = 10))
       // NB classifier train+score at m×: two combinable aggregations
       // (token×label counts) + the position-ordered fold — must track
       // the corpus linearly like the ts12 LM it shares disciplines with
