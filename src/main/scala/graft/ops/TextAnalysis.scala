@@ -275,6 +275,31 @@ object TextAnalysis {
           col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** Control + zero-width strip class for [[cleanText]] — RE2-safe
+    * and shared VERBATIM with the oracle (the ts5 PII discipline).
+    * Tab/LF/CR are deliberately NOT stripped (the whitespace collapse
+    * owns them); VT/FF ARE stripped here because Java's `\s` includes
+    * VT while RE2's does not — removing them before the collapse is
+    * what keeps the two engines' `\s+` passes equivalent. */
+  val ControlAndZeroWidthClass: String =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+  /** CORPUS TEXT CLEANING — the normalization pass a crawl corpus
+    * runs before ANY hashing/shingling/tokenizing: (1) Unicode NFC
+    * canonical composition ([[graft.plans.TextNormalizeKernel]], a
+    * native codegen'd expression — a decomposed "é" and the composed
+    * one are different MinHash inputs but the same text, so
+    * un-normalized crawls silently lose near-dup recall), (2) strip
+    * control and zero-width characters, (3) collapse whitespace runs
+    * to single spaces, (4) trim. Pure per-row Column expression:
+    * rides the scan, no shuffle, stays inside whole-stage codegen. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.plans.TextNormalizeKernel.nfcNormalize(text),
+        ControlAndZeroWidthClass, ""),
+      "\\s+", " "))
+
   /** TRAINABLE QUALITY CLASSIFIER — multinomial naive Bayes with
     * add-one smoothing, the fastText-style supervised filter a
     * curation pipeline trains on a labeled slice and applies to the

@@ -3832,6 +3832,42 @@ object PipelineQueries {
             SELECT rank, id, round(score, 6) AS score_r
             FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
 
+  /** TS19: CORPUS TEXT CLEANING ([[TextAnalysis.cleanText]]) — NFC
+    * canonical composition (native codegen'd expression; DuckDB's
+    * `nfc_normalize` implements the same Unicode standard, which is
+    * what makes this oracle exact) → control/zero-width strip (class
+    * shared verbatim, the ts5 discipline) → whitespace collapse →
+    * trim. The gate manufactures the mess deterministically on every
+    * doc: a decomposed e+U+0301 (must compose), a zero-width space
+    * and a control byte (must strip — built via chr() on the oracle
+    * side so no raw control byte rides the SQL text), tab runs (must
+    * collapse). Output includes the char count so a silent
+    * normalization no-op cannot hash-pass. */
+  private val ts19 = QueryDef(
+    "ts19_text_clean",
+    "NFC + control-strip + whitespace-collapse text cleaning",
+    (s, dir) => {
+      val messy = concat(col("text"),
+        lit(" Cafe\u0301  du\u200B\u0001 Parc\t "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.cleanText(messy).as("clean"))
+        .withColumn("n_chars", length(col("clean")))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH messy AS (SELECT doc_id,
+              text || ' Cafe' || chr(769) || '  du' || chr(8203) ||
+                chr(1) || ' Parc' || chr(9) || ' ' AS text
+              FROM documents),
+            cleaned AS (SELECT doc_id,
+              trim(regexp_replace(regexp_replace(
+                nfc_normalize(text),
+                '${TextAnalysis.ControlAndZeroWidthClass}', '', 'g'),
+                '\\s+', ' ', 'g')) AS clean
+              FROM messy)
+            SELECT doc_id, clean, length(clean) AS n_chars
+            FROM cleaned ORDER BY doc_id"""))
+
   /** TS18: TRAINABLE QUALITY CLASSIFIER
     * ([[TextAnalysis.nbQualityScores]]) — multinomial naive Bayes
     * with add-one smoothing, self-trained on gopher-filter survival
@@ -4093,7 +4129,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
       st1, st2)
 }

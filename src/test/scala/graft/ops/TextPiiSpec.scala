@@ -237,6 +237,30 @@ class TextPiiSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("cleanText: NFC composes, controls/zero-widths strip, whitespace collapses") {
+    import spark.implicits._
+    val rows = Seq(
+      "Cafe\u0301 au lait",       // decomposed -> composed
+      "Caf\u00e9 au lait",        // already NFC: identical output
+      "a\u0001b\u200Bcd",        // control + zero-width strip
+      "  x \t\u000B\n  y z  ",  // collapse (VT stripped pre-collapse)
+      "").toDF("text")
+    val out = rows.select(TextAnalysis.cleanText(col("text")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "Caf\u00e9 au lait")
+    assert(out(1) == out(0))
+    assert(out(2) == "abcd")
+    assert(out(3) == "x y z")
+    assert(out(4) == "")
+    // the kernel's fast path: NFC input returns the same value; the
+    // plain-Scala eval agrees with the codegen'd DF path above
+    import org.apache.spark.unsafe.types.UTF8String
+    val composed = UTF8String.fromString("Caf\u00e9")
+    assert(graft.plans.TextNormalizeKernel.nfc(composed) eq composed)
+    assert(graft.plans.TextNormalizeKernel
+      .nfc(UTF8String.fromString("Cafe\u0301")).toString == "Caf\u00e9")
+  }
+
   test("nbQualityScores: hand-computed posteriors, tie rule, partition invariance") {
     import spark.implicits._
     // vocab is class-separable: "good"-docs say good, "bad"-docs say bad
