@@ -300,6 +300,34 @@ object TextAnalysis {
         ControlAndZeroWidthClass, ""),
       "\\s+", " "))
 
+  /** PER-DOMAIN URL ANALYTICS — the domain-curation signal the
+    * C4/RefinedWeb-style pipelines act on (blocklists, per-domain
+    * caps, boilerplate sources): extract every `http(s)://host` from
+    * the text, lowercase the host, and report integer-only stats per
+    * domain — URL occurrences, distinct documents, and the token sum
+    * of those documents. Integer-only by design: per-domain QUALITY
+    * summaries compose downstream from these ids without a float
+    * ordering question ever entering the gate.
+    *
+    * The host class is written explicitly (`[^/ \t\n\r]+`) rather
+    * than `\S` because Java's and RE2's whitespace classes differ on
+    * VT — the ts5/ts19 shared-verbatim discipline. Scale shape: URL
+    * rows ≈ the corpus link mass; both aggregations are combinable
+    * (count / count-distinct-by-pre-distinct / sum) and the final
+    * join is domain-cardinality-sized. */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hosts = df.select(col(idCol).as("id"),
+        tokenCountWs(col(textCol)).cast("long").as("n_tokens"),
+        explode(regexp_extract_all(col(textCol),
+          lit("https?://([^/ \\t\\n\\r]+)"), lit(1))).as("host"))
+      .select(col("id"), col("n_tokens"), lower(col("host")).as("domain"))
+    val urls = hosts.groupBy("domain").agg(count(lit(1)).as("n_urls"))
+    val docs = hosts.select("domain", "id", "n_tokens").distinct()
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"))
+    urls.join(docs, Seq("domain"))
+  }
+
   /** TRAINABLE QUALITY CLASSIFIER — multinomial naive Bayes with
     * add-one smoothing, the fastText-style supervised filter a
     * curation pipeline trains on a labeled slice and applies to the

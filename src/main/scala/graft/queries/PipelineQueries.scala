@@ -3868,6 +3868,50 @@ object PipelineQueries {
             SELECT doc_id, clean, length(clean) AS n_chars
             FROM cleaned ORDER BY doc_id"""))
 
+  /** TS20: PER-DOMAIN URL ANALYTICS ([[TextAnalysis.domainStats]]) —
+    * the domain-curation signal (blocklists, per-domain caps). The
+    * gate plants TWO deterministic URLs per doc (one mixed-case host,
+    * pinning the lowercase rule; domains recur across docs via the
+    * mod classes, pinning the distinct-doc vs occurrence split).
+    * Integer-only output; the host regex class is shared verbatim. */
+  private val ts20 = QueryDef(
+    "ts20_domain_stats",
+    "per-domain URL occurrences, distinct docs, token mass",
+    (s, dir) => {
+      val withUrl = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" http://site"), col("doc_id") % 23,
+          lit(".example.com/p"), col("doc_id"),
+          lit(" and https://MIRROR"), col("doc_id") % 7,
+          lit(".example.org/x")).as("text"))
+      TextAnalysis.domainStats(withUrl, "doc_id", "text")
+        .orderBy("domain")
+    },
+    Some("""WITH withurl AS (SELECT doc_id,
+              text || ' http://site' || (doc_id % 23) ||
+                '.example.com/p' || doc_id ||
+                ' and https://MIRROR' || (doc_id % 7) ||
+                '.example.org/x' AS text
+              FROM documents),
+            toks AS (SELECT doc_id, text,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END::BIGINT AS n_tokens
+              FROM withurl),
+            hosts AS (SELECT doc_id, n_tokens,
+              lower(unnest(regexp_extract_all(text,
+                'https?://([^/ \t\n\r]+)', 1))) AS domain
+              FROM toks),
+            u AS (SELECT domain, count(*)::BIGINT AS n_urls
+                  FROM hosts GROUP BY domain),
+            d AS (SELECT domain, count(*)::BIGINT AS n_docs,
+                    sum(n_tokens)::BIGINT AS tok_sum
+                  FROM (SELECT DISTINCT domain, doc_id, n_tokens
+                        FROM hosts)
+                  GROUP BY domain)
+            SELECT u.domain, n_urls, n_docs, tok_sum
+            FROM u JOIN d USING (domain) ORDER BY domain"""))
+
   /** TS18: TRAINABLE QUALITY CLASSIFIER
     * ([[TextAnalysis.nbQualityScores]]) — multinomial naive Bayes
     * with add-one smoothing, self-trained on gopher-filter survival
@@ -4129,7 +4173,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
       st1, st2)
 }

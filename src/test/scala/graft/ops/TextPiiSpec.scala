@@ -237,6 +237,27 @@ class TextPiiSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("domainStats: lowercased hosts, occurrence vs distinct-doc split") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see http://A.example.com/x and http://a.example.com/y ok"),
+      (2L, "ref https://b.example.org/z plus http://a.example.com/q"),
+      (3L, "no links here at all")
+    ).toDF("id", "text")
+    val out = TextAnalysis.domainStats(docs, "id", "text")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1 hits a.example.com twice (case-folded) but is ONE doc
+    assert(out("a.example.com")._1 == 3)   // 2 from doc 1 + 1 from doc 2
+    assert(out("a.example.com")._2 == 2)   // docs 1 and 2
+    assert(out("b.example.org") == ((1L, 1L, 4L)))  // doc 2 has 4 ws-tokens
+    // tok_sum sums each contributing doc's token count once
+    assert(out("a.example.com")._3 == 5 + 4)
+    // the linkless doc appears under no domain
+    assert(out.keySet == Set("a.example.com", "b.example.org"))
+  }
+
   test("cleanText: NFC composes, controls/zero-widths strip, whitespace collapses") {
     import spark.implicits._
     val rows = Seq(
