@@ -2330,6 +2330,61 @@ object PipelineQueries {
         |SELECT node AS id, min(reach) AS cluster_id FROM cc
         |GROUP BY node ORDER BY id""".stripMargin))
 
+  /** ST3: STREAMING SKETCH PARITY — the
+    * [[graft.streaming.Streams.sketchIngest]] loop oracle-gated: two
+    * AvailableNow phases maintain one CMS row per micro-batch over
+    * the st slice, then the MERGED stored sketch is probed for the
+    * slice's exact top-10 tokens, each estimate pinned inside the
+    * published band (the ts16 canary pushed through the STREAMING
+    * maintenance path — counter addition commutes, so batch
+    * boundaries cannot move a counter and merged ≡ one-shot is the
+    * loop's whole contract; a replay/merge regression breaks the
+    * band or the counts and turns the row red). */
+  private val st3 = QueryDef(
+    "st3_stream_sketch_parity",
+    "streaming CMS maintenance: merged sketch in-band on exact top-10",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(streamGateSlice(col("doc_id")))
+        .select(col("doc_id").as("id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-st3-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      docs.filter(col("id") % 20 === 0).coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.sketchIngest(s, inDir, ck, store)
+        .awaitTermination()
+      docs.filter(col("id") % 20 =!= 0).coalesce(1).write.mode("append")
+        .parquet(inDir)
+      graft.streaming.Streams.sketchIngest(s, inDir, ck, store)
+        .awaitTermination()
+      val merged = graft.ops.Sketches.mergedFromStore(s, store)
+      val slack = math.ceil(1e-4 * merged.totalCount()).toLong
+      val exact = docs
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
+        .filter(col("item") =!= "")
+        .groupBy("item").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("item")).limit(10)
+        .collect()
+      import s.implicits._
+      exact.toSeq.map { r =>
+        val item = r.getString(0)
+        val n = r.getLong(1)
+        val est = merged.estimateCount(item)
+        (item, n, est >= n && est <= n + slack)
+      }.toDF("item", "exact_n", "within_band")
+        .orderBy(col("exact_n").desc, col("item"))
+    },
+    Some(s"""WITH toks AS (SELECT unnest(
+              CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END) AS item
+              FROM documents WHERE $streamGateSliceSql),
+            counts AS (SELECT item, count(*)::BIGINT AS exact_n
+                       FROM toks GROUP BY item)
+            SELECT item, exact_n, true AS within_band
+            FROM counts ORDER BY exact_n DESC, item LIMIT 10"""))
+
   /** A7 scale path: approx_count_distinct sketch. The sketch value
     * itself has no exact SQL oracle by design — but its ERROR BAND
     * does: the query emits the exact count plus a boolean asserting
@@ -4175,5 +4230,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
-      st1, st2)
+      st1, st2, st3)
 }
