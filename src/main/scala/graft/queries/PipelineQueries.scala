@@ -3976,24 +3976,17 @@ object PipelineQueries {
     * cross-engine (the ts12 discipline applied to a trained
     * classifier). The oracle replicates label derivation, training
     * counts, smoothing, priors, and both folds. */
-  private val ts18 = QueryDef(
-    "ts18_nb_quality_classifier",
-    "naive-Bayes quality classifier, self-trained on gopher labels",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val pass = TextAnalysis.gopherFilter(docs, "text",
-        maxDupTokenPct = 60, maxTopBigramPct = 5,
-        minTokens = 25, maxTokens = 100)
-        .select(col("doc_id")).withColumn("__q", lit(true))
-      val labeled = docs.join(pass, Seq("doc_id"), "left")
-        .withColumn("quality", coalesce(col("__q"), lit(false)))
-      TextAnalysis.nbQualityScores(labeled, "doc_id", "text", "quality")
-        .orderBy("id")
-    },
-    Some("""WITH t AS (SELECT doc_id AS id,
+  /** The ts18 naive-Bayes oracle chain over an `nbsrc(id, text)` CTE
+    * — gopher labels at the given thresholds, add-one-smoothed
+    * word×label counts, priors, and the two position-ordered folds;
+    * emits CTEs `t .. sc(id, s1, s0)` for consumers to select from
+    * (ts18 emits predicted+margin, tp8 feeds the survivors into the
+    * token-budget stage). */
+  private def nbChainSql(minTokens: Int, maxTokens: Int): String =
+    s"""t AS (SELECT id,
               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-              FROM documents),
+                   ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM nbsrc),
             gb AS (SELECT id, len(toks) AS n_tokens,
                      len(list_distinct(toks)) AS n_distinct,
                      list_transform(range(1, len(toks)),
@@ -4004,7 +3997,8 @@ object PipelineQueries {
                      FROM (SELECT id, unnest(bg) AS g FROM gb)
                      GROUP BY id, g) GROUP BY id),
             lab AS (SELECT gb.id,
-                      CASE WHEN n_tokens >= 25 AND n_tokens <= 100
+                      CASE WHEN n_tokens >= $minTokens
+                            AND n_tokens <= $maxTokens
                             AND (n_tokens - n_distinct) * 100 <= n_tokens * 60
                             AND coalesce(top_n, 0) * 100 <= len(bg) * 5
                            THEN 1 ELSE 0 END AS y
@@ -4038,10 +4032,86 @@ object PipelineQueries {
                      ln(nd1::DOUBLE / n::DOUBLE) + coalesce(w1, 0.0) AS s1,
                      ln(nd0::DOUBLE / n::DOUBLE) + coalesce(w0, 0.0) AS s0
                    FROM lab l LEFT JOIN folded f ON l.id = f.id
-                   CROSS JOIN priors)
+                   CROSS JOIN priors)"""
+
+  private val ts18 = QueryDef(
+    "ts18_nb_quality_classifier",
+    "naive-Bayes quality classifier, self-trained on gopher labels",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pass = TextAnalysis.gopherFilter(docs, "text",
+        maxDupTokenPct = 60, maxTopBigramPct = 5,
+        minTokens = 25, maxTokens = 100)
+        .select(col("doc_id")).withColumn("__q", lit(true))
+      val labeled = docs.join(pass, Seq("doc_id"), "left")
+        .withColumn("quality", coalesce(col("__q"), lit(false)))
+      TextAnalysis.nbQualityScores(labeled, "doc_id", "text", "quality")
+        .orderBy("id")
+    },
+    Some(s"""WITH nbsrc AS (SELECT doc_id AS id, text FROM documents),
+            ${nbChainSql(25, 100)}
             SELECT id, CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS predicted,
                    round(s1 - s0, 6) AS margin_r
             FROM sc ORDER BY id"""))
+
+  /** TP8: the QUALITY-PIPELINE composition over this round's text
+    * ops — clean (ts19, with the manufactured mess so the stage
+    * provably does work) → gopher-labeled NB classifier (ts18, over
+    * the CLEANED text) → keep predicted-quality docs → per-language
+    * token budget in margin order (sm7's rule). One oracle stands up
+    * all four stages from the shared builders; every ordering key is
+    * either integer or a 6-dp-rounded margin with an id tiebreak. */
+  private val tp8 = QueryDef(
+    "tp8_curation_v5",
+    "clean -> NB-classify -> per-lang token budget, end to end",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val cleaned = docs.withColumn("text", TextAnalysis.cleanText(
+        concat(col("text"), lit(" Cafe\u0301  du\u200B\u0001 Parc\t "))))
+      val pass = TextAnalysis.gopherFilter(cleaned, "text",
+        maxDupTokenPct = 60, maxTopBigramPct = 5,
+        minTokens = 25, maxTokens = 110)
+        .select(col("doc_id")).withColumn("__q", lit(true))
+      val labeled = cleaned.join(pass, Seq("doc_id"), "left")
+        .withColumn("quality", coalesce(col("__q"), lit(false)))
+      val scored = TextAnalysis.nbQualityScores(labeled, "doc_id", "text",
+        "quality")
+        .filter(col("predicted") === 1)
+      val kept = cleaned
+        .join(scored.select(col("id").as("doc_id"), col("margin_r")),
+          Seq("doc_id"))
+        .withColumn("tok", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      Sampling.tokenBudgetCap(kept, "lang", col("tok"), budget = 2000L,
+        Seq(col("margin_r").desc, col("doc_id").asc))
+        .select(col("lang"), col("doc_id"), col("tok"), col("cum_tokens"))
+        .orderBy("lang", "doc_id")
+    },
+    Some(s"""WITH messy AS (SELECT doc_id, lang,
+              text || ' Cafe' || chr(769) || '  du' || chr(8203) ||
+                chr(1) || ' Parc' || chr(9) || ' ' AS text
+              FROM documents),
+            nbsrc AS (SELECT doc_id AS id, lang,
+              trim(regexp_replace(regexp_replace(
+                nfc_normalize(text),
+                '${TextAnalysis.ControlAndZeroWidthClass}', '', 'g'),
+                '\\s+', ' ', 'g')) AS text
+              FROM messy),
+            ${nbChainSql(25, 110)},
+            kept AS (SELECT sc.id, nbsrc.lang,
+                       len(t.toks)::BIGINT AS tok,
+                       round(s1 - s0, 6) AS margin_r
+                     FROM sc JOIN t ON sc.id = t.id
+                          JOIN nbsrc ON nbsrc.id = sc.id
+                     WHERE s1 > s0),
+            r AS (SELECT *,
+                    sum(tok) OVER (PARTITION BY lang
+                                   ORDER BY margin_r DESC, id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT
+                      AS cum_tokens
+                  FROM kept)
+            SELECT lang, id AS doc_id, tok, cum_tokens FROM r
+            WHERE cum_tokens - tok < 2000 ORDER BY lang, doc_id"""))
 
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
@@ -4229,6 +4299,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
       st1, st2, st3)
 }

@@ -188,6 +188,24 @@ object ScaleProbe {
         probe(s"d19_semantic_x${m}_driver", Dedup.semanticDedupAuto(vecs(m),
           "id", "embedding", probes = 2, threshold = 0.9, cellCap = 1000,
           driverMaxEdges = 2000000))
+      // multimodal near-dup (mm7): the decode-per-partition featurize
+      // path must scale linearly with the media mass, and the m-clique
+      // replication stresses the miner exactly like d19's worst case
+      probe(s"mm7_visual_neardup_x$m", {
+        import spark.implicits._
+        val d = Tables.documents(spark, dir)
+        val rep = (0 until m).map(i => d.select(
+            (col("doc_id") + i * 10000000L).as("doc_id"),
+            col("text"), col("n_chars")))
+          .reduce(_ unionByName _)
+        val items = graft.multimodal.Multimodal.syntheticMedia(rep)
+          .as[graft.multimodal.Multimodal.MediaItem]
+        val feats = graft.multimodal.Multimodal
+          .decodeAndFeaturize(items, dim = 8).toDF()
+          .select(col("media_id").as("id"), col("features").as("embedding"))
+        Dedup.embeddingNearDupPairsIvfAuto(feats, "id", "embedding",
+          probes = 2, threshold = 0.999, cellCap = 1000)
+      })
       // fuzzy decontamination (dc3): corpus grows m×, the eval set
       // stays FIXED (small by contract) — the pass must stay scan-rate
       // because only bench-band collisions ever exchange
