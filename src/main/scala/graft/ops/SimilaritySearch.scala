@@ -588,6 +588,84 @@ object SimilaritySearch {
         coalesce(col("hits"), lit(0L)).as("hits"), lit(k).as("k"))
   }
 
+  /** MAXIMAL-MARGINAL-RELEVANCE rerank (Carbonell & Goldstein 1998)
+    * — the diversification stage of a retrieval stack: greedily pick
+    * `k` of each query's candidates maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_selected`, so near-duplicate
+    * hits stop crowding the result list (for training-data work: the
+    * anti-redundancy pass when retrieving context or few-shot pools).
+    *
+    * `candidates` carries (query_id, neighbor_id, cos) — any ANN
+    * engine's output; `vectors` re-attaches candidate embeddings by
+    * one k·|Q|-sized join. The greedy loop runs per query inside
+    * `mapGroups`: distributed ACROSS queries, sequential (bounded by
+    * the candidate-list length) within one — the per-group arithmetic
+    * is plain Scala over the SAME double shapes the oracles pin
+    * (ascending-index dot folds, `dot/sqrt(dot·dot)` cosine,
+    * `λ·rel − (1−λ)·maxSim` with `1−λ` computed in-engine), so the
+    * selection and scores are bit-identical to the unrolled SQL
+    * replica. Ties break on (score desc, id asc); the first pick's
+    * diversity term is 0 by definition. */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambdaRel: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val withVec = candidates
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cos").cast("double"))
+      .join(vectors.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__v")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("__v"))
+      .as[(Long, Long, Double, Seq[Float])]
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dab += a(i).toDouble * b(i).toDouble
+        daa += a(i).toDouble * a(i).toDouble
+        dbb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dab / math.sqrt(daa * dbb)
+    }
+    withVec.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cands = it.toArray
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      var rank = 1
+      while (rank <= math.min(k, cands.length)) {
+        var bestIdx = -1
+        var bestScore = Double.NegativeInfinity
+        var bestId = Long.MaxValue
+        var i = 0
+        while (i < cands.length) {
+          if (!chosen.contains(i)) {
+            val c = cands(i)
+            var maxSim = 0.0
+            if (chosen.nonEmpty) {
+              maxSim = Double.NegativeInfinity
+              chosen.foreach { j =>
+                val s = cosine(c._4, cands(j)._4)
+                if (s > maxSim) maxSim = s
+              }
+            }
+            val score = lambdaRel * c._3 - (1.0 - lambdaRel) * maxSim
+            if (score > bestScore ||
+                (score == bestScore && c._2 < bestId)) {
+              bestScore = score; bestIdx = i; bestId = c._2
+            }
+          }
+          i += 1
+        }
+        chosen += bestIdx
+        out += ((q, rank, bestId, bestScore))
+        rank += 1
+      }
+      out.iterator
+    }.toDF("query_id", "mmr_rank", "neighbor_id", "score")
+  }
+
   /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Büttcher 2009) — the
     * standard hybrid-search combiner: each input ranking contributes
     * 1/(c + rank) per item, items missing from a list contribute 0,

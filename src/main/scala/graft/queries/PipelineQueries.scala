@@ -3731,6 +3731,87 @@ object PipelineQueries {
             SELECT rank, id, round(score, 6) AS score_r
             FROM franked WHERE rank <= 10 ORDER BY rank"""))
 
+  /** The ss15 MMR oracle, GENERATED per iteration (the bpe-oracle
+    * discipline): candidates = the ss1 chain's per-query top-20
+    * carrying vectors, then k unrolled greedy steps — each scores
+    * every unselected candidate `λ·rel − (1−λ)·max_sim_to_selected`
+    * (constants as `::DOUBLE` so DuckDB's decimal literals can't
+    * sneak an exact 0.3 where the engine computes 1.0−0.7 in IEEE —
+    * the g1 literal discipline) and takes the per-query
+    * (score desc, id) argmax. */
+  private def mmrOracleSql(k: Int): String = {
+    val lam = "0.7::DOUBLE"
+    val oneMinus = "(1.0::DOUBLE - 0.7::DOUBLE)"
+    val base = s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 3),
+                 c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                       FROM embeddings),
+            scored AS (SELECT query_id, neighbor_id, cv,
+                         ${cosSql("qv", "cv")} AS cos
+                       FROM q, c WHERE query_id != neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+                       FROM scored),
+            c0 AS (SELECT query_id, neighbor_id AS id, cos AS rel, cv AS v
+                   FROM ranked WHERE rank <= 20),
+            p1 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY ($lam * rel - $oneMinus * 0.0::DOUBLE) DESC,
+                       id) AS rn
+                   FROM c0),
+            s1 AS (SELECT query_id, 1 AS mmr_rank, id,
+                     ($lam * rel - $oneMinus * 0.0::DOUBLE) AS score, v
+                   FROM p1 WHERE rn = 1)"""
+    val iters = (2 to k).map { i =>
+      val sel = s"selu${i - 1}"
+      val selUnion = (1 until i)
+        .map(j => s"SELECT query_id, id, v FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""$sel AS ($selUnion),
+            m$i AS (SELECT c.query_id, c.id, c.rel, c.v,
+                      ($lam * c.rel - $oneMinus *
+                        max(${cosSql("c.v", "s.v")})) AS score
+                    FROM c0 c JOIN $sel s ON c.query_id = s.query_id
+                    WHERE NOT EXISTS (SELECT 1 FROM $sel sx
+                      WHERE sx.query_id = c.query_id AND sx.id = c.id)
+                    GROUP BY c.query_id, c.id, c.rel, c.v),
+            p$i AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, id) AS rn FROM m$i),
+            s$i AS (SELECT query_id, $i AS mmr_rank, id, score, v
+                    FROM p$i WHERE rn = 1)"""
+    }.mkString(",\n            ")
+    val all = (1 to k)
+      .map(j => s"SELECT query_id, mmr_rank, id, score FROM s$j")
+      .mkString(" UNION ALL ")
+    s"""$base,
+            $iters,
+            allsel AS ($all)
+            SELECT query_id, mmr_rank, id AS neighbor_id,
+                   round(score, 6) AS score_r
+            FROM allsel ORDER BY query_id, mmr_rank"""
+  }
+
+  /** SS15: MMR-DIVERSIFIED retrieval
+    * ([[SimilaritySearch.mmrRerank]]) — the anti-redundancy stage
+    * completing the retrieval family (exact → ANN → hybrid →
+    * diverse): greedy λ-tradeoff between relevance and similarity to
+    * the already-selected set, per query. The engine's per-group
+    * greedy and the generated unrolled SQL compute the same IEEE
+    * doubles, so selection, order, AND scores hash-match. */
+  private val ss15 = QueryDef(
+    "ss15_mmr_rerank",
+    "MMR-diversified top-5 from exact top-20 candidates",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cand = SimilaritySearch.bruteForceTopK(e.filter(col("id") < 3),
+        e, "id", "embedding", k = 20)
+      SimilaritySearch.mmrRerank(cand, e, "id", "embedding", k = 5)
+        .select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score_r"))
+        .orderBy("query_id", "mmr_rank")
+    },
+    Some(mmrOracleSql(5)))
+
   /** TP7: the ROUND-8 curation composition — fuzzy decontamination
     * (dc3's apply) feeding SEMANTIC dedup (d19) as one verified
     * query: drop every training doc at LSH Jaccard ≥ 0.5 against the
@@ -4297,7 +4378,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, dc3, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
       st1, st2, st3)

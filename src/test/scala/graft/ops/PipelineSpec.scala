@@ -819,6 +819,33 @@ class PipelineSpec extends SparkSpec {
     assert(fallback == dist)
   }
 
+  test("mmrRerank: near-duplicate hits stop crowding the list") {
+    // query q; candidates: a and b are near-identical high-relevance
+    // vectors, c is dissimilar with lower relevance. Plain ranking
+    // returns {a, b}; MMR's second pick must be c.
+    val qv = Seq(1.0f, 0.0f, 0.0f)
+    val a = Seq(0.92f, 0.39f, 0.0f)
+    val b = Seq(0.90f, 0.43f, 0.0f)
+    val cc = Seq(0.88f, 0.0f, 0.44f)
+    val vecs = Seq((100L, qv), (1L, a), (2L, b), (3L, cc))
+      .toDF("id", "embedding")
+    val cand = SimilaritySearch.bruteForceTopK(
+      vecs.filter(col("id") === 100), vecs.filter(col("id") =!= 100),
+      "id", "embedding", k = 3)
+    // sanity: plain rank-2 is the near-dup
+    val plain = cand.orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(plain.take(2).toSet == Set(1L, 2L))
+    val mmr = SimilaritySearch.mmrRerank(cand, vecs, "id", "embedding",
+      k = 3, lambdaRel = 0.7)
+      .orderBy("mmr_rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(mmr.map(_._2).toSeq == Seq(1L, 3L, 2L), s"got ${mmr.toSeq}")
+    // partitioning cannot move the greedy (per-group sequential)
+    val mmr7 = SimilaritySearch.mmrRerank(
+      cand.repartition(7), vecs, "id", "embedding", k = 3)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(mmr7 == mmr.map(_._2).toSeq)
+  }
+
   test("rrfFuse: contributions sum, missing lists contribute 0, ties break on id") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
