@@ -916,6 +916,56 @@ object Dedup {
       .select(col("id"), coalesce(col("__rep"), col("id")).as("cluster_id"))
   }
 
+  /** INCREMENTAL semantic-dedup PROBE — the d10 discipline for the
+    * embedding family: a new ingest batch probed against a STORED
+    * IVF index ([[SimilaritySearch.ivfIndexFrames]], round-tripped
+    * through any table store) instead of re-mining the corpus.
+    * Assignment happens ONLY for the batch (against the stored
+    * k·dim driver codebook); candidates come from joining the stored
+    * member list; the exact-cosine verify re-attaches vectors through
+    * the pinned SHUFFLE_HASH joins. Nothing corpus-sized is
+    * re-assigned, broadcast, or collected. Returns
+    * (corpus_id, new_id, cos) at `threshold` — feed
+    * [[ConnectedComponents.mergeClusters]] with the stored cluster
+    * map to fold the batch in (gate d20 pins incremental ≡
+    * from-scratch over the union, the d12 identity). */
+  def incrementalSemanticPairs(batch: DataFrame, idCol: String,
+      vecCol: String, codebookDf: DataFrame, members: DataFrame,
+      corpus: DataFrame, probes: Int = 2,
+      threshold: Double = 0.9): DataFrame = {
+    val codebook: Ivf.Codebook = codebookDf
+      .select(col("cid"), col("cvec"))
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toIndexedSeq))
+      .toIndexedSeq
+    val batchAssign = Ivf.assignmentsWithCodebook(batch, idCol, vecCol,
+      codebook, probes)
+      .select(col("id").as("new_id"), col("centroid_id"))
+    val cand = batchAssign
+      .join(members.select(col("centroid_id"), col("neighbor_id")),
+        Seq("centroid_id"))
+      .filter(col("new_id") =!= col("neighbor_id"))
+      .select(col("neighbor_id").as("corpus_id"), col("new_id"))
+      .distinct()
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn",
+        sqrt(graft.plans.VectorKernels.dotProduct(col("__cv"), col("__cv"))))
+      .hint("shuffle_hash")
+    val bv = batch.select(col(idCol).as("new_id"), col(vecCol).as("__bv"))
+      .withColumn("__bn",
+        sqrt(graft.plans.VectorKernels.dotProduct(col("__bv"), col("__bv"))))
+      .hint("shuffle_hash")
+    cand
+      .join(cv, Seq("corpus_id"))
+      .join(bv, Seq("new_id"))
+      .withColumn("cos",
+        graft.plans.VectorKernels.dotProduct(col("__cv"), col("__bv")) /
+          (col("__cn") * col("__bn")))
+      .filter(col("cos") >= threshold)
+      .select("corpus_id", "new_id", "cos")
+  }
+
   /** REPEATED n-GRAM AUDIT (the Lee et al. 2021 exact-substring
     * memorization signal): every length-`n` token window occurring in
     * at least `minDocs` DISTINCT documents, with its document and

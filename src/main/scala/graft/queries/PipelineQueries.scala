@@ -776,6 +776,95 @@ object PipelineQueries {
             FROM corpus c LEFT JOIN labels l ON l.node = c.id
             WHERE coalesce(l.rep, c.id) = c.id ORDER BY c.id"""))
 
+  /** D20: INCREMENTAL semantic dedup — the d10/d12 discipline closed
+    * for the embedding family: the corpus (embeddings + its first
+    * perturbation family) is mined and clustered ONCE and its IVF
+    * index committed as frames ([[SimilaritySearch.ivfIndexFrames]]);
+    * a NEW batch (the second perturbation family) then probes the
+    * STORED index ([[Dedup.incrementalSemanticPairs]] — batch-only
+    * assignment, stored member join, SHUFFLE_HASH verify) and folds
+    * into the stored cluster map via
+    * [[ConnectedComponents.mergeClusters]]. The oracle is the d12
+    * identity: recursive CC over the UNION of in-corpus and cross
+    * pairs from scratch — incremental ≡ full, through the stored
+    * artifacts. Members use the index's probes=1 top-1 cells; the
+    * batch probes 2; both replicated exactly. */
+  private val d20 = QueryDef(
+    "d20_incremental_semantic",
+    "new-batch semantic dedup against stored IVF index + cluster map",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val p1 = e.filter(col("id") % 5 === 0)
+        .select((col("id") + 10000).as("id"),
+          concat(
+            array((element_at(col("embedding"), 1) + lit(0.25f)).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val corpus = e.unionByName(p1)
+      val batch = e.filter(col("id") % 10 === 0)
+        .select((col("id") + 20000).as("id"),
+          concat(
+            slice(col("embedding"), 1, 1),
+            array((element_at(col("embedding"), 2) + lit(0.25f)).cast("float")),
+            slice(col("embedding"), 3, 62)).as("embedding"))
+      val (cb, members) = SimilaritySearch.ivfIndexFrames(corpus,
+        "id", "embedding", numCentroids = 64, cellCap = CatalogCap)
+      val inPairs = Dedup.embeddingNearDupPairsIvf(corpus, "id", "embedding",
+        numCentroids = 64, probes = 2, threshold = 0.9,
+        cellCap = CatalogCap).select("id_a", "id_b")
+      val stored = ConnectedComponents.duplicateClusters(inPairs)
+      val cross = Dedup.incrementalSemanticPairs(batch, "id", "embedding",
+        cb, members, corpus, probes = 2, threshold = 0.9)
+      ConnectedComponents.mergeClusters(stored,
+        cross.select("corpus_id", "new_id"))
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE $d5CorpusSql,
+            $ivfPairChainSql,
+            inpairs AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.9),
+            mem AS (SELECT id AS neighbor_id, cid AS centroid_id
+                    FROM ranked_a WHERE rn <= 1),
+            mcap AS (SELECT neighbor_id, centroid_id,
+                       row_number() OVER (PARTITION BY centroid_id
+                                          ORDER BY neighbor_id) AS mrn
+                     FROM mem),
+            batchsrc AS (SELECT vec_id + 20000 AS id,
+                list_concat([embedding[1], (embedding[2] + 0.25)::FLOAT],
+                            embedding[3:64]) AS embedding
+              FROM embeddings WHERE vec_id % 10 = 0),
+            branked AS (SELECT b.id, a.cid,
+                          row_number() OVER (PARTITION BY b.id ORDER BY
+                            ${cosSql("b.embedding", "a.avec")} DESC,
+                            a.cid) AS rn
+                        FROM batchsrc b, anchors a),
+            bassign AS (SELECT id, cid FROM branked WHERE rn <= 2),
+            ccand AS (SELECT DISTINCT m.neighbor_id AS corpus_id,
+                        b.id AS new_id
+                      FROM mcap m JOIN bassign b ON m.centroid_id = b.cid
+                      WHERE m.mrn <= $CatalogCap
+                        AND m.neighbor_id <> b.id),
+            bnormed AS (SELECT id, embedding,
+                          sqrt(${dotSql("embedding", "embedding")}) AS norm
+                        FROM batchsrc),
+            cscored AS (SELECT ccand.corpus_id, ccand.new_id,
+                          ${dotSql("x.embedding", "y.embedding")} /
+                            (x.norm * y.norm) AS cos
+                        FROM ccand JOIN normed x ON x.id = ccand.corpus_id
+                                   JOIN bnormed y ON y.id = ccand.new_id),
+            crosspairs AS (SELECT corpus_id, new_id FROM cscored
+                           WHERE cos >= 0.9),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM inpairs
+                      UNION SELECT id_b, id_a FROM inpairs
+                      UNION SELECT corpus_id, new_id FROM crosspairs
+                      UNION SELECT new_id, corpus_id FROM crosspairs),
+            cc(node, reach) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach),
+            labels AS (SELECT node, min(reach) AS rep FROM cc GROUP BY node)
+            SELECT node AS id, rep AS cluster_id FROM labels
+            ORDER BY id"""))
+
   /** SS1: brute-force exact cosine top-5 per query vector — the ANN
     * baseline/recall oracle. Rank key rounded at 1e-12 so a 1-ulp
     * cross-engine wiggle can't flip an order; ties break on id. */
@@ -4377,7 +4466,7 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, g1, dc1, dc2, dc3, ss1, ss2,
+    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,

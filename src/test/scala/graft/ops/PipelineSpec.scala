@@ -819,6 +819,37 @@ class PipelineSpec extends SparkSpec {
     assert(fallback == dist)
   }
 
+  test("incrementalSemanticPairs probes a parquet round-tripped index identically") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val batch = e.filter(col("id") % 10 === 0)
+      .select((col("id") + 20000).as("id"),
+        concat(slice(col("embedding"), 1, 1),
+          array((element_at(col("embedding"), 2) + lit(0.25f)).cast("float")),
+          slice(col("embedding"), 3, 62)).as("embedding"))
+    val (cb, members) = SimilaritySearch.ivfIndexFrames(e, "id", "embedding",
+      numCentroids = 16, cellCap = 1000)
+    val dir = tmpDir("isem")
+    cb.write.parquet(s"$dir/cb")
+    members.write.parquet(s"$dir/mem")
+    // probes=4 against the top-1 member list: the batch side owns the
+    // boundary-recall knob (the stored index is probes=1 by design —
+    // at probes=2 exactly one fixture pair straddles a cell boundary)
+    def pairs(c: org.apache.spark.sql.DataFrame,
+        m: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalSemanticPairs(batch, "id", "embedding", c, m, e,
+        probes = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairs(cb, members)
+    val stored = pairs(spark.read.parquet(s"$dir/cb"),
+      spark.read.parquet(s"$dir/mem"))
+    assert(stored == direct)
+    // every perturbed copy finds its original through the stored index
+    val expected = e.filter(col("id") % 10 === 0).select("id")
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 20000)).toSet
+    assert(expected.subsetOf(direct), s"missed ${expected -- direct}")
+  }
+
   test("mmrRerank: near-duplicate hits stop crowding the list") {
     // query q; candidates: a and b are near-identical high-relevance
     // vectors, c is dissimilar with lower relevance. Plain ranking
