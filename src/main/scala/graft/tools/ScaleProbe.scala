@@ -206,6 +206,36 @@ object ScaleProbe {
         Dedup.embeddingNearDupPairsIvfAuto(feats, "id", "embedding",
           probes = 2, threshold = 0.999, cellCap = 1000)
       })
+      // incremental semantic dedup (d20): the IVF index is built
+      // UNTIMED (amortized over batches); the timed part is one
+      // fixed-size batch probe + verify. Read against
+      // d19_semantic_x$m: that is the full re-mine + re-closure the
+      // probe replaces.
+      if (selected(s"d20_incremental_x$m")) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"probe-d20-x$m").toString
+        try {
+          val corpus = vecs(m)
+          val (cb, mem) = SimilaritySearch.ivfIndexFrames(corpus,
+            "id", "embedding",
+            numCentroids = math.max(64, math.sqrt(2000.0 * m).toInt),
+            cellCap = 1000)
+          cb.write.mode("overwrite").parquet(s"$tmp/cb")
+          mem.write.mode("overwrite").parquet(s"$tmp/mem")
+          val batch = Tables.embeddings(spark, dir)
+            .filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 90000000L).as("id"),
+              concat(array((element_at(col("embedding"), 1) + lit(0.25f))
+                .cast("float")),
+                slice(col("embedding"), 2, 63)).as("embedding"))
+          probe(s"d20_incremental_x$m", Dedup.incrementalSemanticPairs(
+            batch, "id", "embedding",
+            spark.read.parquet(s"$tmp/cb"),
+            spark.read.parquet(s"$tmp/mem"), corpus,
+            probes = 2, threshold = 0.9))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+      }
       // fuzzy decontamination (dc3): corpus grows m×, the eval set
       // stays FIXED (small by contract) — the pass must stay scan-rate
       // because only bench-band collisions ever exchange
