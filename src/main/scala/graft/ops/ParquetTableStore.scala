@@ -74,6 +74,14 @@ import org.apache.spark.sql.functions._
   * an orphan child, only a parent whose child has not landed yet —
   * StoreCasSpec's two-table race pins exactly this contract.
   */
+/** Opaque token pairing a table with the pointer a
+  * [[ParquetTableStore.readPinned]] resolved — the CAS expectation a
+  * later [[ParquetTableStore.commitPinned]] publishes against.
+  * Constructed only by the store (the pointer representation is
+  * private to the commit protocol). */
+final case class CommitPin private[ops] (table: String,
+    private[ops] val pointer: Option[String])
+
 final class ParquetTableStore(root: String, keepVersions: Int = 2,
     io: StoreIo = PosixStoreIo) {
   require(keepVersions >= 1)
@@ -193,9 +201,38 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * subsequent commits until its version is pruned — with the
     * default keepVersions=2 that means "reuse after the next commit"
     * is always safe, which is the exact sharp edge the old
-    * commit-then-re-read discipline existed to avoid. */
+    * commit-then-re-read discipline existed to avoid.
+    *
+    * CAS caveat: the expectation is the pointer AS OF THIS CALL. A
+    * caller whose `df` was DERIVED from an earlier read of the table
+    * must not use this path — a competitor landing between the read
+    * and this commit would be silently overwritten. Derive-then-
+    * replace flows go through [[readPinned]] + [[commitPinned]]. */
   def commit(spark: SparkSession, table: String, df: DataFrame): DataFrame =
     commitExpecting(spark, table, df, currentPointer(table))
+
+  /** Read the live snapshot AND capture the pointer it came from, as
+    * one token for [[commitPinned]]. This is the read half of the
+    * read-derive-replace discipline: any rewrite computed from the
+    * returned frame publishes with its CAS pinned to exactly this
+    * pointer, so a competing commit landing in between raises
+    * [[ConcurrentCommitException]] (→ [[withCommitRetries]] re-reads
+    * and re-derives) instead of being silently overwritten. */
+  def readPinned(spark: SparkSession, table: String): (DataFrame, CommitPin) = {
+    val p = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    (readDir(spark, table, dirNameOf(p)), CommitPin(table, Some(p)))
+  }
+
+  /** Commit `df` with the CAS expectation pinned to the pointer a
+    * prior [[readPinned]] captured — the publish fails (and the
+    * staged dir is dropped) if ANY commit landed since that read. */
+  def commitPinned(spark: SparkSession, table: String, df: DataFrame,
+      pin: CommitPin): DataFrame = {
+    require(pin.table == table,
+      s"pin for table ${pin.table} used to commit table $table")
+    commitExpecting(spark, table, df, pin.pointer)
+  }
 
   /** Commit `df` with the CAS expectation pinned to `expected` — the
     * pointer the CALLER's computation was based on. Every merge path

@@ -120,18 +120,24 @@ object Sketches {
     * land on its OWN key (replacing identical bytes) — folding it
     * into the base would turn that idempotent replay into a double
     * count. Rows strictly below the latest are checkpoint-committed
-    * and can never replay. The read-fold-replace runs INSIDE the
-    * store's CAS retry so a concurrent batch upsert is never lost
-    * (the retry re-reads and re-folds against the winner's rows —
-    * unlike compactBuckets this rewrite is only a semantic no-op when
-    * derived from the CURRENT row set). Returns the net row-count
+    * and can never replay. The read-fold-replace publishes through
+    * [[ParquetTableStore.readPinned]]/[[ParquetTableStore.commitPinned]]
+    * INSIDE the store's CAS retry, so the publish CAS is pinned to
+    * the exact pointer the rows were read from: a concurrent batch
+    * upsert landing between the read and the publish makes the CAS
+    * throw, and the retry re-reads and re-folds against the winner's
+    * rows instead of silently dropping its batch (unlike
+    * compactBuckets this rewrite is only a semantic no-op when
+    * derived from the CURRENT row set, so a publish-time pointer
+    * re-read would be a lost update). Returns the net row-count
     * reduction. */
   def compactSketchRows(spark: org.apache.spark.sql.SparkSession,
       store: ParquetTableStore,
       sketchTable: String = "token_cms"): Int = {
     import spark.implicits._
     store.withCommitRetries() {
-      val rows = store.read(spark, sketchTable)
+      val (snapshot, pin) = store.readPinned(spark, sketchTable)
+      val rows = snapshot
         .select("batch_id", "sketch")
         .collect()
         .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
@@ -144,9 +150,9 @@ object Sketches {
           .reduce { (a, b) => a.mergeInPlace(b); a }
         val out = new java.io.ByteArrayOutputStream()
         base.writeTo(out)
-        store.commit(spark, sketchTable,
+        store.commitPinned(spark, sketchTable,
           Seq((fold.last._1, out.toByteArray), keep)
-            .toDF("batch_id", "sketch"))
+            .toDF("batch_id", "sketch"), pin)
         fold.length - 1
       }
     }

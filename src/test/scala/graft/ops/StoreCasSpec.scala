@@ -87,6 +87,33 @@ class StoreCasSpec extends SparkSpec {
     assert(seed.read(spark, "t").count() == 3) // ids 1, 2, 3 — no lost merge
   }
 
+  test("readPinned/commitPinned: a commit landing after the pinned read fails the publish") {
+    val root = tmpDir("cas-pinned")
+    val store = new ParquetTableStore(root)
+    store.commit(spark, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    // derive-then-replace: the rewrite is computed from THIS snapshot
+    val (snapshot, pin) = store.readPinned(spark, "t")
+    val derived = snapshot.filter(col("id") =!= 2L)
+    // a competitor lands between the read and the publish
+    store.upsert(spark, "t", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    intercept[ConcurrentCommitException] {
+      store.commitPinned(spark, "t", derived, pin)
+    }
+    // nothing lost: the competitor's merge survives intact
+    assert(store.read(spark, "t").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // the retry shape: re-read pinned (now over the winner) and publish
+    val (snap2, pin2) = store.readPinned(spark, "t")
+    store.commitPinned(spark, "t", snap2.filter(col("id") =!= 2L), pin2)
+    assert(store.read(spark, "t").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // a pin never commits a different table
+    intercept[IllegalArgumentException] {
+      store.commitPinned(spark, "other", snap2, pin2)
+    }
+  }
+
   test("two-table racing writers: per-table atomicity, parents-first reads never torn") {
     // The SyncPipeline shape: each writer lands one (video, transcript)
     // pair — two SEPARATE commits, parents first. The store's contract

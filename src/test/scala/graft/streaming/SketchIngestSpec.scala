@@ -1,9 +1,11 @@
 package graft.streaming
 
+import java.nio.file.Path
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.ops.{ParquetTableStore, Sketches}
+import graft.ops.{ParquetTableStore, PosixStoreIo, Sketches, StoreIo}
 
 /** The streaming sketch-maintenance loop ([[Streams.sketchIngest]]):
   * one count-min row per micro-batch keyed by batchId, the queryable
@@ -78,5 +80,53 @@ class SketchIngestSpec extends SparkSpec {
     assert(after.estimateCount("common") == 6L)
     // nothing left to fold below the latest
     assert(Sketches.compactSketchRows(spark, store) == 0)
+  }
+
+  private def sketchBytes(tokens: Seq[String]): Array[Byte] = {
+    val sk = Sketches.cmsBuild(tokens.toDF("item"), "item")
+    val out = new java.io.ByteArrayOutputStream()
+    sk.writeTo(out)
+    out.toByteArray
+  }
+
+  test("compactSketchRows racing a concurrent batch upsert never drops the batch") {
+    // The lost-update the pinned commit exists to prevent: a
+    // sketchIngest batch landing between compaction's row read and its
+    // publish. The racing StoreIo lets a REAL competing upsert publish
+    // first at exactly the CAS instant — the pinned publish must fail
+    // cleanly and the retry must re-fold INCLUDING the winner's row.
+    val root = tmpDir("skr-store")
+    val seed = new ParquetTableStore(root)
+    (0 to 3).foreach { b =>
+      seed.upsert(spark, "token_cms",
+        Seq((b.toLong, sketchBytes(Seq(s"tok$b", "common"))))
+          .toDF("batch_id", "sketch"), Seq("batch_id"))
+    }
+    var raced = false
+    val racingIo: StoreIo = new StoreIo {
+      override def swapPointer(p: Path, c: String): Unit =
+        PosixStoreIo.swapPointer(p, c)
+      override def shareFile(s: Path, d: Path): Unit =
+        PosixStoreIo.shareFile(s, d)
+      override def swapPointerIfCurrent(p: Path, c: String,
+          exp: Option[String]): Unit = {
+        if (!raced && exp.isDefined) {
+          raced = true
+          seed.upsert(spark, "token_cms",
+            Seq((4L, sketchBytes(Seq("late", "common"))))
+              .toDF("batch_id", "sketch"), Seq("batch_id"))
+        }
+        PosixStoreIo.swapPointerIfCurrent(p, c, exp)
+      }
+    }
+    val store = new ParquetTableStore(root, io = racingIo)
+    Sketches.compactSketchRows(spark, store)
+    assert(raced, "the race never fired — the harness is broken")
+    // the winner's batch row survived the compaction rewrite
+    val merged = Sketches.mergedFromStore(spark, store)
+    assert(merged.estimateCount("late") == 1L,
+      "concurrently-landed batch was silently dropped by compaction")
+    assert(merged.estimateCount("common") == 5L)
+    (0 to 3).foreach(b => assert(merged.estimateCount(s"tok$b") == 1L))
   }
 }
