@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * corpus) reach the (doc, bench) aggregation. The apply step is one
   * ids-only anti-join, like the near-dup drop.
   *
+  * Recall contract of the fuzzy pass: a decontamination MISS is the
+  * one failure mode the pass must not have, so the fuzzy band
+  * geometry defaults to [[Dedup.recallBandGeometry]] — derived from
+  * the threshold to guarantee ≥ 0.9 candidate recall AT the
+  * threshold (and higher above it), not from a fixed knob pair.
+  * Explicit (numHashes, bands) remain for oracle pins at a fixed
+  * geometry; a caller pinning its own knobs owns the recall math
+  * 1-(1-t^r)^b.
+  *
   * Hashing is the portable 60-bit md5 prefix
   * ([[graft.plans.HashKernels]]), so the DuckDB oracle replicates the
   * whole pipeline bit-for-bit (gate dc1/dc2). Overlap counts DISTINCT
@@ -78,27 +87,41 @@ object Decontamination {
     * corpus band table is deliberately UNCAPPED — a capped index
     * here would silently KEEP contaminated docs, the one failure
     * mode a decontamination pass must not have (audit hot bands with
-    * [[Dedup.blockSaturation]] instead). */
+    * [[Dedup.blockSaturation]] instead).
+    *
+    * Band geometry: `numHashes`/`bands` ≤ 0 (the default) derives a
+    * recall-first geometry from `threshold` via
+    * [[Dedup.recallBandGeometry]] — candidate recall ≥ 0.9 at the
+    * threshold by construction (at the default t=0.5: 37 bands of 4,
+    * recall 0.91, vs 0.40 for the historical fixed (32, 8)). Pass
+    * both knobs explicitly to pin a fixed geometry (the oracle-gate
+    * form); passing only one is a contract error. */
   def fuzzyContaminationPairs(docs: DataFrame, docId: String,
       docText: String, bench: DataFrame, benchId: String,
-      benchText: String, shingleLen: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      benchText: String, shingleLen: Int = 3, numHashes: Int = 0,
+      bands: Int = 0, threshold: Double = 0.5): DataFrame = {
+    require((numHashes > 0) == (bands > 0),
+      "pin numHashes and bands together, or neither (auto geometry)")
+    val (nh, b) =
+      if (numHashes > 0) (numHashes, bands)
+      else Dedup.recallBandGeometry(threshold)
     val dsigs = Dedup.lshSignatures(docs, docId, docText, shingleLen)
-    val dbands = Dedup.lshBandMembership(dsigs, numHashes, bands)
+    val dbands = Dedup.lshBandMembership(dsigs, nh, b)
     val bsigs = Dedup.lshSignatures(bench, benchId, benchText, shingleLen)
     Dedup.incrementalLshPairsFromSigs(bsigs, dbands, dsigs,
-      numHashes, bands, threshold)
+      nh, b, threshold)
       .select(col("corpus_id").as("doc_id"), col("new_id").as("bench_id"),
         col("jaccard"))
   }
 
   /** The fuzzy apply step: training rows below `threshold` Jaccard
     * against every benchmark doc (ids-only anti-join, like
-    * [[dropContaminated]]). */
+    * [[dropContaminated]]). Geometry defaults follow
+    * [[fuzzyContaminationPairs]] (recall-first from the threshold). */
   def dropFuzzyContaminated(docs: DataFrame, docId: String,
       docText: String, bench: DataFrame, benchId: String,
-      benchText: String, shingleLen: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame =
+      benchText: String, shingleLen: Int = 3, numHashes: Int = 0,
+      bands: Int = 0, threshold: Double = 0.5): DataFrame =
     docs.join(
       fuzzyContaminationPairs(docs, docId, docText, bench, benchId,
         benchText, shingleLen, numHashes, bands, threshold)

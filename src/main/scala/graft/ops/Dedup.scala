@@ -211,6 +211,45 @@ object Dedup {
     (b * r, b)
   }
 
+  /** RECALL-FIRST band geometry: (numHashes, bands) derived from the
+    * verify threshold alone, for the passes where a MISS is the
+    * failure mode that must not happen (decontamination: a missed
+    * candidate silently KEEPS a contaminated doc — there is no verify
+    * stage downstream to save it). [[autoBandGeometry]] optimizes the
+    * dual problem (bound noise-candidate mass, given a corpus count);
+    * this one guarantees recall: a true pair AT the threshold t
+    * survives (b, r) banding w.p. 1-(1-t^r)^b, so b = ⌈ln(1/missRate)
+    * / t^r⌉ pins recall ≥ 1-missRate, and r is then the LARGEST depth
+    * whose recall-sufficient band count is still affordable
+    * (b ≤ maxBands and b·r ≤ maxHashes) — deeper bands cut noise
+    * collisions ~noiseSim^r, so maximizing r under the recall
+    * constraint is the best noise control recall allows. At the
+    * decontamination default t=0.5 this yields r=4, b=37 (148 hashes,
+    * recall 0.91 at the threshold and higher above it) — versus the
+    * old fixed (32, 8) geometry's 0.40. If even r=1 cannot afford the
+    * recall target (threshold very low), the geometry degrades to
+    * (maxBands, maxBands·1) and recall at the threshold is
+    * 1-(1-t)^maxBands — document the miss risk or raise the caps. */
+  def recallBandGeometry(threshold: Double, missRate: Double = 0.1,
+      maxBands: Int = 64, maxHashes: Int = 256): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(missRate > 0 && missRate < 1, "missRate must be in (0, 1)")
+    require(maxBands >= 2 && maxHashes >= maxBands,
+      "need maxBands >= 2 and maxHashes >= maxBands")
+    def bandsFor(r: Int): Double =
+      math.ceil(math.log(1.0 / missRate) / math.pow(threshold, r))
+    // bandsFor grows with depth, so affordable depths are a prefix
+    val affordable = (1 to 32).takeWhile { r =>
+      val b = bandsFor(r); b <= maxBands && b * r <= maxHashes
+    }
+    affordable.lastOption match {
+      case Some(r) =>
+        val b = math.max(2, bandsFor(r).toInt)
+        (b * r, b)
+      case None => (maxBands, maxBands) // r=1, recall-degraded (see doc)
+    }
+  }
+
   /** [[minhashLshPairs]] with the band geometry AUTO-SIZED from one
     * cheap corpus count via [[autoBandGeometry]] — the variant a
     * deployment that does not know its corpus size ahead of time

@@ -1467,6 +1467,9 @@ object PipelineQueries {
     (s, dir) => Decontamination.fuzzyContaminationPairs(
       Tables.documents(s, dir).select(col("doc_id"), col("text")),
       "doc_id", "text", benchDf(s, dir), "bench_id", "text",
+      // fixed oracle-pin geometry (the lshSideSql constants); the
+      // DEFAULT now derives a recall-0.9 geometry from the threshold
+      numHashes = NumHashes, bands = Bands,
       threshold = 0.5)
       .orderBy("doc_id", "bench_id"),
     Some(s"""WITH docsrc AS (SELECT doc_id AS id, text FROM documents),
@@ -3919,7 +3922,9 @@ object PipelineQueries {
     (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val clean = Decontamination.dropFuzzyContaminated(docs, "doc_id",
-        "text", benchDf(s, dir), "bench_id", "text", threshold = 0.5)
+        "text", benchDf(s, dir), "bench_id", "text",
+        // fixed oracle-pin geometry, mirrored by the dc CTEs below
+        numHashes = NumHashes, bands = Bands, threshold = 0.5)
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding"))
         .join(clean.select(col("doc_id").as("id")), Seq("id"), "left_semi")

@@ -246,7 +246,9 @@ object ScaleProbe {
             regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text"))
         graft.ops.Decontamination.fuzzyContaminationPairs(
           docs(m), "id", "text", bench, "bench_id", "text",
-          threshold = 0.5)
+          // the dc3 gate's pinned geometry, so probe rows stay
+          // comparable across rounds (default is now recall-derived)
+          numHashes = 32, bands = 8, threshold = 0.5)
       })
       // 32- vs 60-bit sketch: same radius, same cap. The 32-bit rows
       // count INCLUDES false sketch collisions (unrelated docs within

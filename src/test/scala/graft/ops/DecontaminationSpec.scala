@@ -49,11 +49,11 @@ class DecontaminationSpec extends SparkSpec {
     // the leak: bench doc 30 rewords EVERY 8th token of doc 5 — the
     // tightest spacing that breaks every exact 8-gram. Each of the 10
     // replacements kills its 3 covering shingles, so 3-shingle
-    // jaccard lands at 48/108 ≈ 0.44: the fuzzy pass needs BOTH a
-    // lower threshold and a finer band geometry (16 bands × 2 rows —
-    // the autoBandGeometry direction for low-t mining; the default
-    // 8×4 bands collide with probability j⁴ per band, near-blind at
-    // j 0.44)
+    // jaccard lands at 48/108 ≈ 0.44: at threshold 0.4 the DEFAULT
+    // recall-first geometry (recallBandGeometry: 36 bands × 3 rows)
+    // must catch it with NO knob override — the historical fixed
+    // (32, 8) default collided with probability j⁴ per band and was
+    // near-blind at j 0.44 (recall ~0.4 even at its own threshold)
     val base = (1 to 80).map(i => s"w$i")
     val reworded = base.zipWithIndex
       .map { case (w, i) => if (i % 8 == 7) s"x$i" else w }
@@ -66,17 +66,38 @@ class DecontaminationSpec extends SparkSpec {
       evalSet, "bench_id", "text", n = 8, minShared = 1)
       .filter(col("bench_id") === 30).count()
     assert(exact == 0, "a per-8-token rewording must break every 8-gram")
-    // the fuzzy net finds it (and doc 1's verbatim leak too)
+    // the fuzzy net finds it (and doc 1's verbatim leak too) with
+    // the threshold as the ONLY knob — geometry derives from it
     val fuzzy = Decontamination.fuzzyContaminationPairs(train, "doc_id",
-      "text", evalSet, "bench_id", "text",
-      numHashes = 32, bands = 16, threshold = 0.4)
+      "text", evalSet, "bench_id", "text", threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fuzzy.contains((5L, 30L)), s"got $fuzzy")
     val survivors = Decontamination.dropFuzzyContaminated(train, "doc_id",
-      "text", evalSet, "bench_id", "text",
-      numHashes = 32, bands = 16, threshold = 0.4)
+      "text", evalSet, "bench_id", "text", threshold = 0.4)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!survivors.contains(5L))
+    // pinning one knob without the other is a contract error
+    intercept[IllegalArgumentException] {
+      Decontamination.fuzzyContaminationPairs(train, "doc_id", "text",
+        evalSet, "bench_id", "text", numHashes = 32, threshold = 0.4)
+    }
+  }
+
+  test("recallBandGeometry guarantees recall at the threshold within the caps") {
+    for (t <- Seq(0.3, 0.4, 0.5, 0.6, 0.8); miss <- Seq(0.1, 0.05)) {
+      val (numHashes, bands) = Dedup.recallBandGeometry(t, miss)
+      val r = numHashes / bands
+      assert(numHashes == bands * r, s"t=$t: hashes must fill bands")
+      assert(bands <= 64 && numHashes <= 256, s"t=$t: caps violated")
+      val recall = 1.0 - math.pow(1.0 - math.pow(t, r), bands)
+      assert(recall >= 1.0 - miss,
+        s"t=$t miss=$miss: recall $recall below target with $bands×$r")
+    }
+    // depth maximizes under the caps: the t=0.5 default is 37×4, the
+    // geometry the Decontamination docstring promises
+    assert(Dedup.recallBandGeometry(0.5) == (148, 37))
+    // a threshold too low for the caps degrades to 1-row bands
+    assert(Dedup.recallBandGeometry(0.02) == (64, 64))
   }
 
   test("no retained blocks after materialization") {
