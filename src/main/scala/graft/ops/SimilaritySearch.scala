@@ -597,7 +597,16 @@ object SimilaritySearch {
     *
     * `candidates` carries (query_id, neighbor_id, cos) — any ANN
     * engine's output; `vectors` re-attaches candidate embeddings by
-    * one k·|Q|-sized join. The greedy loop runs per query inside
+    * one k·|Q|-sized INNER join — a candidate whose id is absent
+    * from `vectors` has no embedding to diversify against and is
+    * DROPPED from the rerank (rerank against the same vector frame
+    * the candidates were mined from, where the join is total by
+    * construction). The vector column is cast to array<float>, so
+    * float and double embeddings both work. Degenerate inputs never
+    * stall the greedy argmax: a zero-norm vector's cosine (0/0)
+    * counts as 0 similarity, and a NaN relevance score is skipped —
+    * if only NaN-scored candidates remain, the list ends early
+    * rather than emitting a bogus pick. The greedy loop runs per query inside
     * `mapGroups`: distributed ACROSS queries, sequential (bounded by
     * the candidate-list length) within one — the per-group arithmetic
     * is plain Scala over the SAME double shapes the oracles pin
@@ -615,7 +624,7 @@ object SimilaritySearch {
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
         col("cos").cast("double"))
       .join(vectors.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("__v")), Seq("neighbor_id"))
+        col(vecCol).cast("array<float>").as("__v")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("__v"))
       .as[(Long, Long, Double, Seq[Float])]
     def cosine(a: Seq[Float], b: Seq[Float]): Double = {
@@ -627,14 +636,19 @@ object SimilaritySearch {
         dbb += b(i).toDouble * b(i).toDouble
         i += 1
       }
-      dab / math.sqrt(daa * dbb)
+      // zero-norm vector: cosine is undefined (0/0) — treat as 0
+      // similarity so a degenerate candidate can never poison the
+      // greedy argmax with NaN (NaN fails > and ==, leaving no pick)
+      val denom = math.sqrt(daa * dbb)
+      if (denom == 0.0) 0.0 else dab / denom
     }
     withVec.groupByKey(_._1).flatMapGroups { (q, it) =>
       val cands = it.toArray
       val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
       var rank = 1
-      while (rank <= math.min(k, cands.length)) {
+      var exhausted = false
+      while (!exhausted && rank <= math.min(k, cands.length)) {
         var bestIdx = -1
         var bestScore = Double.NegativeInfinity
         var bestId = Long.MaxValue
@@ -651,16 +665,21 @@ object SimilaritySearch {
               }
             }
             val score = lambdaRel * c._3 - (1.0 - lambdaRel) * maxSim
-            if (score > bestScore ||
-                (score == bestScore && c._2 < bestId)) {
+            // a NaN score (NaN relevance in the input) is never a
+            // valid pick — skip it rather than let it stall the argmax
+            if (!score.isNaN && (score > bestScore ||
+                (score == bestScore && c._2 < bestId))) {
               bestScore = score; bestIdx = i; bestId = c._2
             }
           }
           i += 1
         }
-        chosen += bestIdx
-        out += ((q, rank, bestId, bestScore))
-        rank += 1
+        if (bestIdx < 0) exhausted = true // only NaN-scored candidates remain
+        else {
+          chosen += bestIdx
+          out += ((q, rank, bestId, bestScore))
+          rank += 1
+        }
       }
       out.iterator
     }.toDF("query_id", "mmr_rank", "neighbor_id", "score")

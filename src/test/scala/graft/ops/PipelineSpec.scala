@@ -875,6 +875,37 @@ class PipelineSpec extends SparkSpec {
       cand.repartition(7), vecs, "id", "embedding", k = 3)
       .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
     assert(mmr7 == mmr.map(_._2).toSeq)
+    // an array<double> vector frame works (cast, not hard-cast crash)
+    val dvecs = vecs.select(col("id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val mmrD = SimilaritySearch.mmrRerank(cand, dvecs, "id", "embedding",
+      k = 3, lambdaRel = 0.7)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(mmrD == mmr.map(_._2).toSeq)
+  }
+
+  test("mmrRerank: degenerate inputs never stall or emit bogus picks") {
+    // zero-norm vectors make cosine 0/0 — without the guard the
+    // diversity scan turns every score NaN after the first pick and
+    // the argmax finds nothing (crash on cands(-1) or a
+    // neighbor_id=Long.MaxValue row)
+    val z = Seq(0.0f, 0.0f)
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, z), (3L, z))
+      .toDF("id", "embedding")
+    val cand = Seq((9L, 1L, 1.0, 1), (9L, 2L, 0.5, 2), (9L, 3L, 0.4, 3))
+      .toDF("query_id", "neighbor_id", "cos", "rank")
+    val picks = SimilaritySearch.mmrRerank(cand, vecs, "id", "embedding",
+      k = 3).orderBy("mmr_rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    // zero-norm candidates count as 0 similarity: all three rank,
+    // in relevance order, none with a sentinel id
+    assert(picks.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)), s"got ${picks.toSeq}")
+    // NaN relevance: never a valid pick; the list ends early instead
+    val nanCand = Seq((9L, 1L, 1.0, 1), (9L, 2L, Double.NaN, 2),
+      (9L, 3L, Double.NaN, 3)).toDF("query_id", "neighbor_id", "cos", "rank")
+    val nanPicks = SimilaritySearch.mmrRerank(nanCand, vecs, "id",
+      "embedding", k = 3).collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(nanPicks.toSeq == Seq((1, 1L)), s"got ${nanPicks.toSeq}")
   }
 
   test("rrfFuse: contributions sum, missing lists contribute 0, ties break on id") {
