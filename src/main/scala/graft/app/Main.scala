@@ -24,6 +24,8 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main dedup-transcripts <storeDir> [threshold]
   *   runMain graft.app.Main hot-terms <storeDir> [k]
   *   runMain graft.app.Main search-ranked <storeDir> "<terms>" [k]
+  *   runMain graft.app.Main index-search <storeDir> [dim]
+  *   runMain graft.app.Main search-hybrid <storeDir> "<terms>" [k]
   *   runMain graft.app.Main pack-transcripts <storeDir> [window] [budget]
   *   runMain graft.app.Main ingest-docs <storeDir> <inboxDir> [threshold]
   *   runMain graft.app.Main compact <storeDir> <table> [maxFilesPerBucket]
@@ -174,17 +176,91 @@ object Main {
         show(pairs.orderBy(desc("jaccard"), col("id_a"), col("id_b")))
 
       case "search-ranked" =>
-        // BM25-ranked transcript search ([[graft.ops.TextAnalysis
-        // .bm25TopK]]) — the relevance-ordered upgrade of
-        // search-transcripts' substring match: ranks every transcript
-        // against the bag of query words and prints the top k with
-        // their video titles
+        // BM25-ranked transcript search — the relevance-ordered
+        // upgrade of search-transcripts' substring match. When
+        // `index-search` has committed the stored inverted index,
+        // the query PROBES it ([[graft.ops.TextAnalysis
+        // .bm25TopKStored]]: postings pruned to the query terms, no
+        // corpus re-scan); otherwise it falls back to the
+        // from-scratch [[graft.ops.TextAnalysis.bm25TopK]] — results
+        // are bit-identical either way (ts21 gate).
         val terms = args(2).split("\\s+").toSeq
         val k = if (args.length > 3) args(3).toInt else 10
-        val tx = t("transcripts").filter(col("transcript").isNotNull)
-        val ranked = graft.ops.TextAnalysis.bm25TopK(tx, "video_id",
-          "transcript", terms, k)
+        val ranked =
+          if (store.exists("bm25_postings")) {
+            println("(probing stored BM25 index)")
+            graft.ops.TextAnalysis.bm25TopKStored(spark, store, terms, k)
+          } else {
+            val tx = t("transcripts").filter(col("transcript").isNotNull)
+            graft.ops.TextAnalysis.bm25TopK(tx, "video_id",
+              "transcript", terms, k)
+          }
         show(ranked.join(
+            t("videos").select(col("video_id").as("id"), col("title")),
+            Seq("id"), "left")
+          .select(col("rank"), col("id"), col("title"), col("score_r"))
+          .orderBy("rank"), k)
+
+      case "index-search" =>
+        // Build the store's SEARCH ARTIFACTS once, probe them on
+        // every later query (the build-once/probe-many discipline):
+        //  - the BM25 inverted index (term-sorted postings +
+        //    vocabulary stats) for search-ranked / search-hybrid's
+        //    lexical side;
+        //  - hashed-TF vectors ([[graft.ops.TextAnalysis
+        //    .hashedTfVector]] — model-free feature hashing) plus an
+        //    IVF index over them for search-hybrid's vector side.
+        val dim = if (args.length > 2) args(2).toInt else 64
+        val tx = t("transcripts").filter(col("transcript").isNotNull)
+        graft.ops.TextAnalysis.bm25BuildIndex(tx, "video_id",
+          "transcript", store)
+        // the IVF machinery keys by LONG ids — derive a stable hash
+        // key per video and keep the (key -> video_id) map in the
+        // vector table for the probe-side join back
+        val vecs = graft.ops.TextAnalysis.hashedTfVector(tx, "video_id",
+          "transcript", dim)
+          .select(xxhash64(col("id").cast("string")).as("id"),
+            col("id").as("video_id"), col("embedding"))
+        val stored = store.commit(spark, "tx_vectors", vecs)
+        val n = stored.count()
+        val (cb, members) = graft.ops.SimilaritySearch.ivfIndexFrames(
+          stored.select("id", "embedding"), "id", "embedding",
+          numCentroids = math.max(4, math.sqrt(n.toDouble).toInt))
+        store.commit(spark, "tx_ivf_codebook", cb)
+        store.commit(spark, "tx_ivf_members", members)
+        println(s"indexed $n transcripts: bm25_postings=" +
+          s"${t("bm25_postings").count()} rows, dim=$dim, " +
+          s"centroids=${t("tx_ivf_codebook").count()}")
+
+      case "search-hybrid" =>
+        // HYBRID retrieval over the stored artifacts (`index-search`
+        // first): BM25 probe (lexical) fused with a stored-IVF
+        // cosine probe over the hashed-TF vectors (vector) by
+        // reciprocal-rank fusion ([[graft.ops.SimilaritySearch
+        // .rrfFuse]]) — the ss14 chain, end to end on the CLI, with
+        // every corpus-sized computation paid at index time.
+        val terms = args(2).split("\\s+").toSeq
+        val k = if (args.length > 3) args(3).toInt else 10
+        require(store.exists("bm25_postings") && store.exists("tx_vectors"),
+          "no search artifacts — run index-search first")
+        import spark.implicits._
+        val lex = graft.ops.TextAnalysis
+          .bm25TopKStored(spark, store, terms, k)
+          .select(col("id"), col("rank"))
+        val dim = t("tx_vectors").select(size(col("embedding")))
+          .head.getInt(0)
+        val qvec = graft.ops.TextAnalysis.hashedTfVector(
+          Seq((-1L, terms.mkString(" "))).toDF("id", "text"), "id", "text",
+          dim)
+        val vec = graft.ops.SimilaritySearch.probeStoredIvf(
+          qvec, t("tx_vectors").select("id", "embedding"), "id", "embedding",
+          t("tx_ivf_codebook"), t("tx_ivf_members"), k)
+          .join(t("tx_vectors")
+            .select(col("id").as("neighbor_id"), col("video_id")),
+            Seq("neighbor_id"))
+          .select(col("video_id").as("id"), col("rank"))
+        val fused = graft.ops.SimilaritySearch.rrfFuse(Seq(lex, vec), k)
+        show(fused.join(
             t("videos").select(col("video_id").as("id"), col("title")),
             Seq("id"), "left")
           .select(col("rank"), col("id"), col("title"), col("score_r"))

@@ -493,14 +493,27 @@ object TextAnalysis {
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val joined = tf
+      .join(dl, Seq("id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+    bm25Rank(joined, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail: `joined` carries one row per
+    * (id, term) posting with the integer inputs
+    * (tf, dl, df, n, total_dl); the idf/contribution arithmetic and
+    * the term-ordered per-doc fold are ONE expression tree used by
+    * both [[bm25TopK]] and [[bm25TopKStored]] — which is what makes
+    * the stored probe bit-identical to the from-scratch computation
+    * (integer inputs equal by construction, double tree shared). */
+  private def bm25Rank(joined: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
     val avgdl = col("total_dl").cast("double") / col("n").cast("double")
     val idf = log(lit(1.0) +
       (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
-    val contrib = tf
-      .join(dl, Seq("id"))
-      .join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(stats))
+    val contrib = joined
       .withColumn("c",
         idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
           (col("tf").cast("double") +
@@ -513,6 +526,103 @@ object TextAnalysis {
     val w = Window.orderBy(col("score").desc, col("id").asc)
     top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("id"), round(col("score"), 6).as("score_r"))
+  }
+
+  /** Build the STORED lexical index — the ss9/d20 build-once/
+    * probe-many discipline for the BM25 family, closing the gap where
+    * [[bm25TopK]] re-tokenizes and re-aggregates the whole corpus on
+    * every query. ONE corpus text pass commits two versioned frames:
+    *
+    *  - `postingsTable` (term, id, tf, dl): the inverted index, doc
+    *    length DENORMALIZED onto each posting so a probe never joins
+    *    a corpus-sized doc-length table. Written term-partitioned and
+    *    term-sorted, so parquet row-group min/max stats prune a
+    *    probe's scan to the query terms' slices.
+    *  - `statsTable` (term, df, n, total_dl): vocabulary-sized term
+    *    stats with the two corpus scalars denormalized onto each row
+    *    — a probe filters it to its query terms and broadcasts.
+    *
+    * Index semantics match [[bm25TopK]] exactly: same tokenizer, n =
+    * docs with ≥1 token, df = docs containing the term. Re-index
+    * after corpus changes (the commit is atomic CAS-versioned like
+    * any store table); incremental posting maintenance is a
+    * deliberate non-goal — BM25's global stats (df, avgdl) shift
+    * with every corpus change, so a rebuild is the honest unit. */
+  def bm25BuildIndex(df: DataFrame, idCol: String, textCol: String,
+      store: ParquetTableStore,
+      postingsTable: String = "bm25_postings",
+      statsTable: String = "bm25_stats"): Unit = {
+    val spark = df.sparkSession
+    // id stays whatever type the caller keys by (string video ids and
+    // long doc ids both index — the MainDedupSpec genericity rule)
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val postings = tf.join(dl, Seq("id"))
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term", "id")
+    store.commit(spark, postingsTable, postings)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+    store.commit(spark, statsTable, dfreq.crossJoin(stats))
+  }
+
+  /** BM25 top-`k` against the STORED index — probe cost is
+    * independent of corpus size: the postings read is pruned to the
+    * query terms (predicate pushed to the term-sorted parquet scan),
+    * the stats read filters a vocabulary-sized frame to ≤|query| rows
+    * and broadcasts, and the scoring tail then runs on
+    * posting-list-sized data only. No corpus re-scan, no re-tokenize.
+    * Bit-identical to [[bm25TopK]] over the same corpus (shared
+    * [[bm25Rank]] tree; the ts21 gate pins it). */
+  def bm25TopKStored(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore, query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      postingsTable: String = "bm25_postings",
+      statsTable: String = "bm25_stats"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(query.nonEmpty, "query must carry at least one term")
+    val q = query.map(_.toLowerCase).distinct
+    val postings = store.read(spark, postingsTable)
+      .filter(col("term").isin(q: _*))
+    val stats = store.read(spark, statsTable)
+      .filter(col("term").isin(q: _*))
+    bm25Rank(postings.join(broadcast(stats), Seq("term")), k, k1, b)
+  }
+
+  /** FEATURE-HASHED term-frequency vectors (the "hashing trick",
+    * Weinberger et al. 2009): each doc becomes a dense `dim`-wide
+    * float vector of token counts bucketed by token hash — the
+    * deterministic, model-free text vectorization that lets every
+    * vector operator here (IVF/PQ/LSH ANN, semantic dedup, MMR) run
+    * over a text corpus with NO external embedding model. This is
+    * the classical baseline, not a learned embedding: cosine over
+    * hashed-TF vectors is bag-of-words similarity with hash-collision
+    * noise ~1/dim, which is exactly what a lexical-ish vector side of
+    * a hybrid (RRF) stack wants to contribute.
+    *
+    * Scale shape: one (id, slot)-keyed combinable count (map-side
+    * partials), then one id-keyed assembly of ≤ `dim` entries per doc
+    * — both exchanges carry integers, nothing is corpus-broadcast.
+    * Determinism: xxhash64 is a fixed function of the token bytes;
+    * counts are integers; the dense layout is index-ordered — the
+    * vectors are bit-identical on any partitioning. */
+  def hashedTfVector(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val slots = toks
+      .select(col("id"), pmod(xxhash64(col("term")), lit(dim.toLong)).as("slot"))
+      .groupBy("id", "slot").agg(count(lit(1)).as("cnt"))
+    slots.groupBy("id").agg(
+      map_from_entries(collect_list(struct(col("slot"), col("cnt")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("float"))
+          .as("embedding"))
   }
 
   /** Fixed-width TOKEN-LENGTH HISTOGRAM: per-doc whitespace token

@@ -3804,7 +3804,7 @@ object PipelineQueries {
         .select(col("neighbor_id").as("id"), col("rank"))
       SimilaritySearch.rrfFuse(Seq(bm, ann), k = 10).orderBy("rank")
     },
-    Some(s"""WITH $bm25ChainSql,
+    Some(s"""WITH ${bm25ChainSql()},
             anq AS (SELECT embedding AS qv FROM embeddings
                     WHERE vec_id = 0),
             anscored AS (SELECT e.vec_id AS id,
@@ -4019,12 +4019,15 @@ object PipelineQueries {
     * so the hybrid-fusion oracle (ss14) can stand it up next to the
     * ANN side: tokenize → dl/N/avgdl/df stats → per-term contribution
     * (constants combined in-engine, the g1 literal discipline) →
-    * term-ordered fold → `bmranked(id, score, rank)`. */
-  private def bm25ChainSql: String =
-    """bmtoks AS (SELECT doc_id AS id,
+    * term-ordered fold → `bmranked(id, score, rank)`. `terms`
+    * parameterizes the query bag (ts21 probes the stored index with
+    * a different query than ts17's from-scratch run). */
+  private def bm25ChainSql(
+      terms: Seq[String] = Seq("hash", "join", "vector")): String =
+    s"""bmtoks AS (SELECT doc_id AS id,
               unnest(CASE WHEN length(trim(lower(text))) = 0
                      THEN []::VARCHAR[]
-                     ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
                      END) AS term
               FROM documents),
             bmdl AS (SELECT id, count(*)::BIGINT AS dl FROM bmtoks
@@ -4032,7 +4035,7 @@ object PipelineQueries {
             bmstats AS (SELECT count(*)::BIGINT AS n,
                                sum(dl)::BIGINT AS total_dl FROM bmdl),
             bmtf AS (SELECT id, term, count(*)::BIGINT AS tf FROM bmtoks
-                     WHERE term IN ('hash', 'join', 'vector')
+                     WHERE term IN (${terms.map("'" + _ + "'").mkString(", ")})
                      GROUP BY id, term),
             bmdfreq AS (SELECT term, count(*)::BIGINT AS df FROM bmtf
                         GROUP BY term),
@@ -4058,7 +4061,37 @@ object PipelineQueries {
       Tables.documents(s, dir), "doc_id", "text",
       query = Seq("hash", "join", "vector"), k = 10)
       .orderBy("rank"),
-    Some(s"""WITH $bm25ChainSql
+    Some(s"""WITH ${bm25ChainSql()}
+            SELECT rank, id, round(score, 6) AS score_r
+            FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
+
+  /** TS21: STORED BM25 INDEX probe
+    * ([[TextAnalysis.bm25BuildIndex]] / [[TextAnalysis.bm25TopKStored]])
+    * — the ss9/d20 build-once/probe-many discipline for the LEXICAL
+    * family: ts17 re-tokenizes the corpus per query; this gate builds
+    * the inverted index (term-sorted postings with denormalized doc
+    * lengths + vocabulary stats) into a versioned store ONCE, then
+    * answers a DIFFERENT query than ts17's by probing it — postings
+    * scan pruned to the query terms, stats filtered and broadcast, no
+    * corpus re-scan. The oracle is the from-scratch BM25 chain over
+    * the same terms, so the gate pins stored-probe ≡ from-scratch
+    * bit-exactly (shared scoring tree over equal integer inputs).
+    * tp6 weight class: the index build runs INSIDE the gate; a
+    * deployment pays it once and probes many times (probe cost row in
+    * ScaleProbe). */
+  private val ts21 = QueryDef(
+    "ts21_stored_bm25_probe",
+    "BM25 top-10 via stored inverted index ≡ from-scratch chain",
+    (s, dir) => {
+      val root = graft.ops.Scratch.tempDir("graft-ts21-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      TextAnalysis.bm25BuildIndex(
+        Tables.documents(s, dir), "doc_id", "text", store)
+      TextAnalysis.bm25TopKStored(s, store,
+        query = Seq("scan", "filter", "merge"), k = 10)
+        .orderBy("rank")
+    },
+    Some(s"""WITH ${bm25ChainSql(Seq("scan", "filter", "merge"))}
             SELECT rank, id, round(score, 6) AS score_r
             FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
 
@@ -4473,7 +4506,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
       st1, st2, st3)
 }

@@ -449,6 +449,23 @@ object ScaleProbe {
       // aggregation and they combine map-side)
       probe(s"ts17_bm25_x$m", graft.ops.TextAnalysis.bm25TopK(
         docs(m), "id", "text", Seq("hash", "join", "vector"), k = 10))
+      // stored BM25 probe (ts21): the inverted index is built UNTIMED
+      // (amortized over queries, the d20 discipline); the timed part
+      // is one query probing term-pruned postings + broadcast stats.
+      // Read against ts17_bm25_x$m: that is the full corpus
+      // re-tokenize + re-aggregate the stored probe replaces.
+      if (selected(s"ts21_stored_bm25_x$m")) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"probe-ts21-x$m").toString
+        try {
+          val store = new graft.ops.ParquetTableStore(tmp)
+          graft.ops.TextAnalysis.bm25BuildIndex(docs(m), "id", "text", store)
+          probe(s"ts21_stored_bm25_x$m",
+            graft.ops.TextAnalysis.bm25TopKStored(spark, store,
+              Seq("hash", "join", "vector"), k = 10))
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+      }
       // NB classifier train+score at m×: two combinable aggregations
       // (token×label counts) + the position-ordered fold — must track
       // the corpus linearly like the ts12 LM it shares disciplines with

@@ -64,6 +64,39 @@ class MainDedupSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq("vid_x", "vid_y"))
   }
 
+  test("index-search artifacts: stored search-ranked and search-hybrid run the ss14 chain") {
+    val root = tmpDir("mainhybrid")
+    val store = new ParquetTableStore(root)
+    store.commit(spark, "transcripts", Seq(
+      ("vid_x", "spark shuffle spark shuffle partitions exchange"),
+      ("vid_y", "spark appears once amid entirely unrelated prose here"),
+      ("vid_z", "gardening compost tomatoes rainfall harvest pruning"),
+      ("vid_w", null) // must be ignored by the index build
+    ).toDF("video_id", "transcript"))
+    store.commit(spark, "videos", Seq(
+      ("vid_x", "Shuffle deep dive"), ("vid_y", "Misc"),
+      ("vid_z", "Garden"), ("vid_w", "Null"))
+      .toDF("video_id", "title"))
+    Main.run(spark, Array("index-search", root, "16"))
+    // the index is generic over STRING ids: stored lexical probe
+    // equals the from-scratch ranking
+    val scratch = graft.ops.TextAnalysis.bm25TopK(
+      store.read(spark, "transcripts").filter(col("transcript").isNotNull),
+      "video_id", "transcript", Seq("spark", "shuffle"), k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    val stored = graft.ops.TextAnalysis.bm25TopKStored(spark, store,
+      Seq("spark", "shuffle"), k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(stored == scratch, "stored probe drifted from from-scratch BM25")
+    assert(stored.map(_._2) == Seq("vid_x", "vid_y"))
+    // vector side round-trips: every indexed transcript has a hash
+    // key mapping back to its video_id
+    assert(store.read(spark, "tx_vectors").count() == 3)
+    // both CLI query paths must run clean over the artifacts
+    Main.run(spark, Array("search-ranked", root, "spark shuffle", "2"))
+    Main.run(spark, Array("search-hybrid", root, "spark shuffle", "2"))
+  }
+
   test("hot-terms reports the corpus top tokens with the sketch canary") {
     val root = tmpDir("mainhot")
     val store = new ParquetTableStore(root)

@@ -344,4 +344,37 @@ class TextPiiSpec extends SparkSpec {
       k = 10).collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     out.foreach { case (_, id, s) => assert(p13(id) == s) }
   }
+
+  test("stored BM25 index: probe bit-identical to from-scratch, build once probe many") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash scan"),
+      (2L, "join merge sort"),
+      (3L, "vector scan filter")).toDF("id", "text")
+    val store = new ParquetTableStore(tmpDir("bm25-idx"))
+    TextAnalysis.bm25BuildIndex(docs, "id", "text", store)
+    // two DIFFERENT queries against the one build — each bit-equal to
+    // the from-scratch run (shared scoring tree, equal integer inputs)
+    for (q <- Seq(Seq("hash", "join"), Seq("scan", "filter", "vector"))) {
+      val scratch = TextAnalysis.bm25TopK(docs, "id", "text", q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      val stored = TextAnalysis.bm25TopKStored(spark, store, q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(stored == scratch, s"query $q: stored probe drifted")
+    }
+    // the index carries the full vocabulary: postings have dl
+    // denormalized, stats carry df + the corpus scalars per term
+    val postings = store.read(spark, "bm25_postings")
+    assert(postings.columns.toSeq == Seq("term", "id", "tf", "dl"))
+    assert(postings.filter(col("term") === "hash")
+      .select("id", "tf", "dl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 2L, 4L)))
+    val stats = store.read(spark, "bm25_stats")
+      .filter(col("term") === "join").collect()
+    assert(stats.length == 1)
+    assert(stats(0).getAs[Long]("df") == 2L)
+    assert(stats(0).getAs[Long]("n") == 3L)
+    assert(stats(0).getAs[Long]("total_dl") == 10L)
+  }
 }
