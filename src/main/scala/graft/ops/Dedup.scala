@@ -755,6 +755,24 @@ object Dedup {
     * go quadratic. */
   val DefaultCellCap: Int = 10000
 
+  /** Sentinel for `driverMaxEdges` meaning "derive the bound from
+    * the driver's heap" ([[defaultDriverMaxEdges]]). */
+  val AutoDriverMaxEdges: Int = -1
+
+  /** Heap-derived default for the adaptive closure bound: how many
+    * pair-graph edges the driver may safely collect for the exact
+    * union-find path. Budget = 5% of max heap at ~128 bytes per
+    * collected edge (a 2-long Row plus union-find map entries),
+    * capped at 8M edges (a ~1 GB ceiling even on huge drivers —
+    * past that the distributed fixpoint's per-round overhead is
+    * amortized anyway). On a 4 GiB driver this resolves to ~1.5M
+    * edges; the limit-collect that consults it is bounded by the
+    * same number, so the decision itself can never blow the heap. */
+  def defaultDriverMaxEdges(): Int = {
+    val budget = Runtime.getRuntime.maxMemory() / 20
+    math.max(1 << 16, math.min(8L * 1000 * 1000, budget / 128)).toInt
+  }
+
   /** CAP-SATURATION diagnostic: for the block structure `keys` over
     * `df` (LSH band buckets, IVF cells, fuzzy blocks — anything the
     * miners window-cap), one row reporting how many blocks exist, how
@@ -893,7 +911,8 @@ object Dedup {
     * broadcasts or collects). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, probes: Int = 2, threshold: Double = 0.9,
-      cellCap: Int = DefaultCellCap, driverMaxEdges: Int = 0): DataFrame =
+      cellCap: Int = DefaultCellCap,
+      driverMaxEdges: Int = AutoDriverMaxEdges): DataFrame =
     semanticDedupFromPairs(df, idCol,
       embeddingNearDupPairsIvf(df, idCol, vecCol, numCentroids, probes,
         threshold, cellCap), driverMaxEdges)
@@ -903,7 +922,8 @@ object Dedup {
     * 16× slower AND silent pair loss once cellCap binds). */
   def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
       probes: Int = 2, threshold: Double = 0.9,
-      cellCap: Int = DefaultCellCap, driverMaxEdges: Int = 0): DataFrame =
+      cellCap: Int = DefaultCellCap,
+      driverMaxEdges: Int = AutoDriverMaxEdges): DataFrame =
     semanticDedupFromPairs(df, idCol,
       embeddingNearDupPairsIvfAuto(df, idCol, vecCol, probes, threshold,
         cellCap), driverMaxEdges)
@@ -920,14 +940,27 @@ object Dedup {
     * distributed fixpoint. The x30 probe measured why the knob
     * matters in the dup-heaviest shape (every vector in a 30-member
     * clique, 870k pairs): the staged fixpoint's per-round overhead
-    * dominates there, while the pair graph itself is megabytes. The
-    * default (0) stays fully distributed — the only safe choice when
-    * the pair mass is unknown. */
+    * dominates there, while the pair graph itself is megabytes.
+    *
+    * The default ([[AutoDriverMaxEdges]]) SELECTS THE PATH
+    * AUTOMATICALLY: the bound resolves to
+    * [[defaultDriverMaxEdges]] (a small fixed fraction of driver
+    * heap), one limit-collect decides whether the pair graph fits,
+    * and a graph one row over the bound falls back to the staged
+    * distributed fixpoint unchanged — both paths produce identical
+    * labels (min-id invariant; spec-pinned), so the choice is pure
+    * plan selection, exactly like AQE picking a broadcast join.
+    * Pass 0 to force the distributed fixpoint (the d12 gate's
+    * deliberate posture), or an explicit positive bound to override
+    * the heuristic. */
   def semanticDedupFromPairs(df: DataFrame, idCol: String,
-      pairs: DataFrame, driverMaxEdges: Int = 0): DataFrame = {
+      pairs: DataFrame, driverMaxEdges: Int = AutoDriverMaxEdges): DataFrame = {
     val p = pairs.select("id_a", "id_b")
+    val bound =
+      if (driverMaxEdges == AutoDriverMaxEdges) defaultDriverMaxEdges()
+      else driverMaxEdges
     val clusters =
-      if (driverMaxEdges > 0) {
+      if (bound > 0) {
         val spark = p.sparkSession
         // mergeClusters consults its pair frame several times (the
         // limit-collect decision plus both endpoint-id unions); a
@@ -942,7 +975,7 @@ object Dedup {
         val emptyLabels = spark.emptyDataFrame
           .select(lit(0L).as("id"), lit(0L).as("cluster_id")).limit(0)
         ConnectedComponents.mergeClusters(emptyLabels, staged,
-          driverMaxEdges = driverMaxEdges)
+          driverMaxEdges = bound)
       } else ConnectedComponents.duplicateClusters(p)
     // survivors: cluster members whose label IS their own id, plus
     // every corpus id absent from the pair graph (singletons). One

@@ -178,16 +178,18 @@ object ScaleProbe {
       }
       // semantic dedup (d19): the d5 auto mine + CC closure + survivor
       // anti-join on top — the delta vs the d5 auto row is the closure
-      // + apply cost, which is pair-graph-sized, not corpus-sized
+      // + apply cost, which is pair-graph-sized, not corpus-sized.
+      // DEFAULTS = adaptive closure (limit-collect picks the driver
+      // union-find when the pair graph fits the heap-derived bound)
       probe(s"d19_semantic_x$m", Dedup.semanticDedupAuto(vecs(m),
         "id", "embedding", probes = 2, threshold = 0.9, cellCap = 1000))
-      // the adaptive escape hatch: the dup-heavy pair graph is only
-      // megabytes, so the driver union-find (bounded, limit-collect
-      // decided) replaces the staged fixpoint's per-round overhead
+      // the forced distributed fixpoint — what the adaptive default
+      // replaces when the dup-heavy pair graph is only megabytes; the
+      // delta vs the row above IS the auto-selection win
       if (m > 1)
-        probe(s"d19_semantic_x${m}_driver", Dedup.semanticDedupAuto(vecs(m),
+        probe(s"d19_semantic_x${m}_fixpoint", Dedup.semanticDedupAuto(vecs(m),
           "id", "embedding", probes = 2, threshold = 0.9, cellCap = 1000,
-          driverMaxEdges = 2000000))
+          driverMaxEdges = 0))
       // multimodal near-dup (mm7): the decode-per-partition featurize
       // path must scale linearly with the media mass, and the m-clique
       // replication stresses the miner exactly like d19's worst case

@@ -38,7 +38,8 @@ class BlockHygieneSpec extends SparkSpec {
 
   test("semantic dedup retains no blocks on either closure path (round-8)") {
     Dedup.semanticDedup(fixtureVecs, "id", "vec",
-      numCentroids = 8, probes = 2, threshold = 0.5).count()
+      numCentroids = 8, probes = 2, threshold = 0.5,
+      driverMaxEdges = 0).count() // forced distributed fixpoint
     Dedup.semanticDedup(fixtureVecs, "id", "vec",
       numCentroids = 8, probes = 2, threshold = 0.5,
       driverMaxEdges = 100000).count()

@@ -801,17 +801,24 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((1L, 1L), (4L, 4L), (5L, 5L)))
   }
 
-  test("semanticDedupFromPairs: driver union-find path ≡ distributed fixpoint") {
+  test("semanticDedupFromPairs: auto ≡ driver union-find ≡ distributed fixpoint") {
     val corpus = (1L to 30L).map(i => (i, Seq(1.0f))).toDF("id", "embedding")
     // two chains + a clique + singletons
     val pairs = Seq((1L, 3L), (2L, 3L), (5L, 6L), (6L, 7L),
       (10L, 11L), (10L, 12L), (11L, 12L)).toDF("id_a", "id_b")
-    val dist = Dedup.semanticDedupFromPairs(corpus, "id", pairs)
+    val dist = Dedup.semanticDedupFromPairs(corpus, "id", pairs,
+      driverMaxEdges = 0) // forced distributed fixpoint
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val drv = Dedup.semanticDedupFromPairs(corpus, "id", pairs,
-      driverMaxEdges = 100)
+      driverMaxEdges = 100) // forced (bound comfortably holds)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(drv == dist)
+    // the DEFAULT auto-selects (heap-derived bound; this pair graph
+    // trivially fits, so it takes the driver path) — identical labels
+    val auto = Dedup.semanticDedupFromPairs(corpus, "id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == dist)
+    assert(Dedup.defaultDriverMaxEdges() >= (1 << 16))
     // a bound one edge too small falls back to the distributed path
     val fallback = Dedup.semanticDedupFromPairs(corpus, "id", pairs,
       driverMaxEdges = 6)
