@@ -2477,6 +2477,69 @@ object PipelineQueries {
             SELECT item, exact_n, true AS within_band
             FROM counts ORDER BY exact_n DESC, item LIMIT 10"""))
 
+  /** ST4: WATERMARKED EVENT-TIME AGGREGATION
+    * ([[graft.streaming.Streams.eventCounts]]) — the last spec-only
+    * streaming op promoted to an oracle gate (st3's AvailableNow
+    * phase template). Three checkpointed phases over a 10% event
+    * slice: (1) the early half streams in; (2) the late half PLUS a
+    * manufactured STRAGGLER whose ts sits below the checkpointed
+    * watermark — the late-row drop this gate exists to pin (distinct
+    * event_type, so a failed drop emits an extra output row, not a
+    * silently-changed count); (3) a sentinel 4 hours past the slice
+    * max advances the watermark past every slice window so append
+    * mode flushes them all (the sentinel's own window never closes
+    * and never emits). Output = tumbling 1-hour counts per type,
+    * window start as epoch seconds (both engines bucket against the
+    * epoch). Oracle: the plain windowed GROUP BY over the slice —
+    * equality holds precisely because the straggler was dropped and
+    * every slice window closed. */
+  private val st4 = QueryDef(
+    "st4_stream_event_counts",
+    "watermarked tumbling event counts; late straggler dropped",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter(col("event_id") % 10 === 0)
+        .select(col("ts"), col("event_type"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head
+      val tmin = bounds.getTimestamp(0)
+      val tmax = bounds.getTimestamp(1)
+      val split = new java.sql.Timestamp((tmin.getTime + tmax.getTime) / 2)
+      val root = graft.ops.Scratch.tempDir("graft-st4-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val outDir = s"$root/out"
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema("ts TIMESTAMP, event_type STRING")
+          .parquet(inDir)
+        graft.streaming.Streams.eventCounts(stream, "1 hour", "2 hours")
+          .select((col("w_start").cast("long")).as("w_start_s"),
+            col("event_type"), col("n"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", outDir)
+          .start().awaitTermination()
+      }
+      ev.filter(col("ts") < lit(split)).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      runOnce()
+      ev.filter(col("ts") >= lit(split))
+        .unionByName(Seq((tmin, "late_probe")).toDF("ts", "event_type"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      Seq((new java.sql.Timestamp(tmax.getTime + 4L * 3600 * 1000),
+        "sentinel")).toDF("ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      s.read.parquet(outDir).orderBy("w_start_s", "event_type")
+    },
+    Some("""WITH ev AS (SELECT ts, event_type FROM events
+                        WHERE event_id % 10 = 0)
+            SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+              AS w_start_s, event_type, count(*)::BIGINT AS n
+            FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** A7 scale path: approx_count_distinct sketch. The sketch value
     * itself has no exact SQL oracle by design — but its ERROR BAND
     * does: the query emits the exact count plus a boolean asserting
@@ -4508,5 +4571,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
-      st1, st2, st3)
+      st1, st2, st3, st4)
 }
