@@ -64,6 +64,81 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false)))
 
+  /** Deterministic synthetic REAL-WAV audio derived from the
+    * documents fixture — unlike [[syntheticMedia]]'s text-byte
+    * payloads (which real decoders reject into the stub fallback),
+    * these are VALID 16-bit PCM mono WAV files that
+    * [[WavCodecProvider]]'s javax.sound decode path actually decodes,
+    * so a gate over them exercises the real audio chain end to end.
+    *
+    * Construction (every choice serves exact oracle replication —
+    * the per-window RMS the codec computes must be a closed form
+    * both engines evaluate bit-identically):
+    *  - `dim` feature windows of 512 samples (two full periods of a
+    *    256-sample integer sawtooth `(j mod 256) − 128`);
+    *  - window w's amplitude = (hex digit w of md5(text)) + 1,
+    *    scaled by `gain` — samples are exact small integers, every
+    *    squared term is an exact dyadic double, the window sum is
+    *    exact (33 bits < 53), and the RMS is one correctly-rounded
+    *    sqrt: engine and DuckDB produce the same float.
+    *  - `gain` models a re-encode at different volume (the classic
+    *    audio near-dup): features scale exactly ×gain, so cosine
+    *    against the gain=1 original is exactly 1.
+    * Payload = 44-byte canonical WAV header + the amplitude-indexed
+    * PCM blocks, assembled as pure Column expressions (binary
+    * literals selected by digest — no UDFs). */
+  def syntheticWavMedia(documents: DataFrame, dim: Int = 8,
+      gain: Int = 1): DataFrame = {
+    require(dim >= 1 && dim <= 32, s"dim must be in [1, 32], got $dim")
+    require(gain >= 1 && gain <= 2, s"gain must be 1 or 2, got $gain")
+    val window = 512
+    val header = wavHeader(dim * window, sampleRate = 16000)
+    val blocks = array((1 to 32).map(a => lit(pcmBlock(a, window))): _*)
+    val hexCol = md5(col("text"))
+    val payload = concat(
+      lit(header) +: (0 until dim).map { w =>
+        val amp =
+          (conv(substring(hexCol, w + 1, 1), 16, 10).cast("int") + 1) * gain
+        element_at(blocks, amp)
+      }: _*)
+    documents.select(
+      col("doc_id").as("media_id"),
+      lit("audio").as("kind"),
+      payload.as("bytes"),
+      lit(0).as("width"),
+      lit(0).as("height"),
+      lit(16000).as("sample_rate"),
+      lit(dim).as("n_frames"))
+  }
+
+  /** One PCM window: `w` samples of the integer sawtooth scaled by
+    * `amp`, as little-endian int16 bytes. */
+  private def pcmBlock(amp: Int, w: Int): Array[Byte] = {
+    val out = new Array[Byte](w * 2)
+    var j = 0
+    while (j < w) {
+      val s = ((j % 256) - 128) * amp
+      out(2 * j) = (s & 0xff).toByte
+      out(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Canonical 44-byte PCM16-mono WAV header for `nSamples`. */
+  private def wavHeader(nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII")); bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    bb.array()
+  }
+
   /** Deterministic synthetic media table derived from the documents
     * fixture (no real media in the container): text bytes stand in for
     * the payload, metadata derived from doc stats. */

@@ -2185,6 +2185,62 @@ object PipelineQueries {
             SELECT id_a, id_b, round(cos, 6) AS cos_r
             FROM scored WHERE cos >= 0.999 ORDER BY id_a, id_b"""))
 
+  /** MM8: AUDIO NEAR-DUP through the REAL WAV decode path — mm7's
+    * discipline for the audio modality, with one decisive upgrade:
+    * the payloads are VALID PCM WAV files
+    * ([[graft.multimodal.Multimodal.syntheticWavMedia]]), so the
+    * registry dispatches to [[graft.multimodal.WavCodecProvider]]
+    * and the features come from an ACTUAL javax.sound decode +
+    * windowed RMS — not the digest stub fallback. Re-encoded
+    * duplicates are manufactured as every 4th track re-encoded at
+    * 2× gain (id+10000): RMS features scale exactly ×2 (integer
+    * sawtooth windows, exact dyadic sums, one correctly-rounded
+    * sqrt), so cosine against the original is exactly 1 and the IVF
+    * miner must find every planted pair. Oracle: the closed-form RMS
+    * per window (amplitude = md5 hex digit + 1, scaled by gain)
+    * through the shared [[ivfPairChainSql]] mine. */
+  private val mm8 = QueryDef(
+    "mm8_audio_near_dup",
+    "real WAV decode -> RMS features -> IVF cosine near-dup pairs",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+      val originals = graft.multimodal.Multimodal.syntheticWavMedia(docs)
+      val reencoded = graft.multimodal.Multimodal.syntheticWavMedia(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")),
+        gain = 2)
+      val items = originals.unionByName(reencoded)
+        .as[graft.multimodal.Multimodal.MediaItem]
+      val feats = graft.multimodal.Multimodal
+        .decodeAndFeaturize(items, dim = 8,
+          provider = graft.multimodal.ModalityCodecProvider)
+        .toDF()
+        .select(col("media_id").as("id"), col("features").as("embedding"))
+      Dedup.embeddingNearDupPairsIvf(feats, "id", "embedding",
+        numCentroids = 64, probes = 2, threshold = 0.999,
+        cellCap = CatalogCap)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH adocs AS (SELECT doc_id, md5(text) AS h FROM documents
+                            WHERE doc_id % 3 = 1),
+            tracks AS (SELECT doc_id AS id, h, 1 AS gain FROM adocs
+                       UNION ALL
+                       SELECT doc_id + 10000 AS id, h, 2 AS gain
+                       FROM adocs WHERE doc_id % 4 = 0),
+            corpus AS (SELECT id, list_transform(generate_series(1, 8), w ->
+                CAST(sqrt(
+                  ((('0x' || substr(h, w::INT, 1))::BIGINT + 1) * gain
+                   * (('0x' || substr(h, w::INT, 1))::BIGINT + 1) * gain)::DOUBLE
+                  * 2796288.0 / 549755813888.0) AS FLOAT)) AS embedding
+              FROM tracks),
+            $ivfPairChainSql
+            SELECT id_a, id_b, round(cos, 6) AS cos_r
+            FROM scored WHERE cos >= 0.999 ORDER BY id_a, id_b"""))
+
   /** MM6: the PER-MODALITY CODEC REGISTRY, oracle-checked — mm2's
     * featurize path driven through [[graft.multimodal
     * .ModalityCodecProvider]] instead of the bare stub: every row
@@ -4570,6 +4626,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, mm1, mm2, mm3, mm4, mm5, mm6, mm7, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, a7b, a8b,
       st1, st2, st3, st4)
 }

@@ -123,6 +123,38 @@ class MediaCodecsSpec extends SparkSpec {
     codec.close()
   }
 
+  test("syntheticWavMedia: real decode, closed-form RMS, gain doubles features exactly") {
+    import spark.implicits._
+    val fixture = Map(4L -> "some deterministic transcript text",
+      7L -> "another document entirely")
+    val docs = fixture.toSeq.toDF("doc_id", "text")
+    val rows = Multimodal.syntheticWavMedia(docs).as[MediaItem]
+      .collect().map(r => r.media_id -> r).toMap
+    val codec = WavCodecProvider.open()
+    // the payload is a VALID WAV: the real decode path runs (a stub
+    // fallback would produce digest features, not the closed form)
+    for ((id, it) <- rows) {
+      val f = codec.featurize(it, dim = 8)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(fixture(id).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = (0 until 8).map { w =>
+        val a = Integer.parseInt(h.substring(w, w + 1), 16) + 1
+        math.sqrt(a.toDouble * a * 2796288.0 / 549755813888.0).toFloat
+      }
+      assert(f.toSeq == expected, s"doc $id: ${f.toSeq} vs $expected")
+    }
+    // a 2x-gain re-encode scales every feature EXACTLY x2 (exact
+    // dyadic sums + correctly-rounded sqrt), so cosine is exactly 1
+    val loud = Multimodal.syntheticWavMedia(docs, gain = 2).as[MediaItem]
+      .collect().map(r => r.media_id -> r).toMap
+    for ((id, it) <- loud) {
+      val f1 = codec.featurize(rows(id), dim = 8)
+      val f2 = codec.featurize(it, dim = 8)
+      assert(f2.toSeq == f1.map(_ * 2).toSeq, s"doc $id gain drifted")
+    }
+    codec.close()
+  }
+
   test("AVI/MJPEG codec: demux + frame decode through a real container") {
     val payload = avi(Seq(jpeg(0x000000), jpeg(0xffffff)))
     val codec = AviMjpegCodecProvider.open()
