@@ -191,6 +191,32 @@ object Sampling {
         concat(lit(salt), col(keyCol).cast("string"))), lit(10000L)) <
         round(weight * 10000.0).cast("long"))
 
+  /** PER-DOMAIN CAP as a probabilistic keep — the C4/RefinedWeb
+    * domain-curation APPLY step: no domain may contribute more than
+    * ~`maxDocsPerDomain` documents in expectation, so boilerplate
+    * mills (one domain holding a third of the crawl) are downsampled
+    * while the long tail passes untouched. Each doc keeps with
+    * probability min(1, cap / n_docs(domain)) through the
+    * [[weightedKeep]] hash discipline — reproducible across
+    * runs/engines/cluster sizes, stable under corpus growth (a
+    * domain crossing the cap fades proportionally, no cliff).
+    * The weight is 1e-9-rounded (the sm9 portability rule).
+    *
+    * Scale shape: one domain-keyed combinable count-distinct
+    * (domain-cardinality-sized result), broadcast back, then the
+    * per-row keep predicate — the corpus itself never shuffles. */
+  def domainCappedKeep(df: DataFrame, keyCol: String, domainCol: String,
+      maxDocsPerDomain: Long, salt: String = ""): DataFrame = {
+    require(maxDocsPerDomain >= 1,
+      s"maxDocsPerDomain must be positive, got $maxDocsPerDomain")
+    val nd = df.groupBy(col(domainCol))
+      .agg(countDistinct(col(keyCol)).as("__nd"))
+    val w = least(lit(1.0),
+      round(lit(maxDocsPerDomain.toDouble) / col("__nd").cast("double"), 9))
+    weightedKeep(df.join(broadcast(nd), Seq(domainCol)), keyCol, w, salt)
+      .drop("__nd")
+  }
+
   /** Deterministic GLOBAL k-sample: the k rows with the smallest
     * portable hash of (salt + key) — a reproducible uniform draw
     * ("pull 100 random docs for QA") that never globally sorts.

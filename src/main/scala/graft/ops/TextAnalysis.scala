@@ -315,11 +315,18 @@ object TextAnalysis {
     * rows ≈ the corpus link mass; both aggregations are combinable
     * (count / count-distinct-by-pre-distinct / sum) and the final
     * join is domain-cardinality-sized. */
+  /** The URL-host extraction pattern — ONE definition site shared by
+    * [[domainStats]] and every apply-stage consumer (tp9), mirrored
+    * verbatim in the oracles. The host class is written explicitly
+    * (not \\S) because Java's and RE2's whitespace classes diverge on
+    * VT. */
+  val UrlHostPattern = "https?://([^/ \\t\\n\\r]+)"
+
   def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hosts = df.select(col(idCol).as("id"),
         tokenCountWs(col(textCol)).cast("long").as("n_tokens"),
         explode(regexp_extract_all(col(textCol),
-          lit("https?://([^/ \\t\\n\\r]+)"), lit(1))).as("host"))
+          lit(UrlHostPattern), lit(1))).as("host"))
       .select(col("id"), col("n_tokens"), lower(col("host")).as("domain"))
     val urls = hosts.groupBy("domain").agg(count(lit(1)).as("n_urls"))
     val docs = hosts.select("domain", "id", "n_tokens").distinct()

@@ -4440,6 +4440,59 @@ object PipelineQueries {
             SELECT lang, id AS doc_id, tok, cum_tokens FROM r
             WHERE cum_tokens - tok < 2000 ORDER BY lang, doc_id"""))
 
+  /** TP9: DOMAIN-CURATION APPLY — ts20's per-domain analytics turned
+    * into the keep decision ([[Sampling.domainCappedKeep]]): the
+    * C4/RefinedWeb rule "no domain may dominate the corpus". The
+    * fixture plants ONE deterministic URL per doc with a manufactured
+    * boilerplate mill (every 3rd doc hits spam.example.com, so one
+    * domain holds a third of the crawl) next to a 23-way long tail;
+    * the cap downsamples the mill to ~cap docs in expectation while
+    * the tail passes whole (cap 40 binds on the mill at every SF —
+    * sf0.01's 500-doc fixture puts ~167 docs on the mill). Host
+    * extraction shares
+    * [[TextAnalysis.UrlHostPattern]] verbatim; the keep is sm9's
+    * hash-bucket rule over the 1e-9-rounded weight min(1, cap/n_d) —
+    * every arithmetic step engine-portable, so FULL membership
+    * compares, not just counts. */
+  private val tp9 = QueryDef(
+    "tp9_domain_capped_keep",
+    "per-domain cap: stats -> weight -> hash keep (composed)",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" http://"),
+          when(col("doc_id") % 3 === 0, lit("spam.example.com"))
+            .otherwise(concat(lit("site"), col("doc_id") % 23,
+              lit(".example.org"))),
+          lit("/p"), col("doc_id")).as("text"))
+      val withDomain = docs.select(col("doc_id"),
+        lower(regexp_extract(col("text"),
+          TextAnalysis.UrlHostPattern, 1)).as("domain"))
+      Sampling.domainCappedKeep(withDomain, "doc_id", "domain",
+        maxDocsPerDomain = 40)
+        .select(col("doc_id"), col("domain"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id,
+              text || ' http://' ||
+                CASE WHEN doc_id % 3 = 0 THEN 'spam.example.com'
+                     ELSE 'site' || (doc_id % 23)::VARCHAR || '.example.org'
+                END || '/p' || doc_id::VARCHAR AS text
+              FROM documents),
+            hosts AS (SELECT doc_id,
+              lower(regexp_extract(text,
+                'https?://([^/ \t\n\r]+)', 1)) AS domain
+              FROM docs),
+            nd AS (SELECT domain, count(DISTINCT doc_id) AS n_docs
+                   FROM hosts GROUP BY domain),
+            w AS (SELECT domain,
+                    least(1.0, round(40.0 / n_docs, 9)) AS w
+                  FROM nd)
+            SELECT h.doc_id, h.domain
+            FROM hosts h JOIN w USING (domain)
+            WHERE ('0x' || substr(md5(h.doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 10000 < round(w.w * 10000.0)::BIGINT
+            ORDER BY h.doc_id"""))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -4626,6 +4679,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, a7b, a8b,
       st1, st2, st3, st4)
 }

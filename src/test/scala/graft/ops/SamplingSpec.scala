@@ -223,6 +223,28 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("domainCappedKeep: mills downsampled toward the cap, tail passes whole") {
+    import spark.implicits._
+    // mill: 3000 docs on one domain; tail: 3 domains of 80 docs each
+    val rows = (1L to 3000L).map(i => (i, "mill.example.com")) ++
+      (1L to 240L).map(i => (3000L + i, s"site${i % 3}.example.org"))
+    val df = rows.toDF("doc_id", "domain")
+    val kept = Sampling.domainCappedKeep(df, "doc_id", "domain",
+      maxDocsPerDomain = 300)
+    val byDomain = kept.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cap/n = 0.1 for the mill: expected 300 kept, hash-uniform
+    val mill = byDomain("mill.example.com")
+    assert(mill > 200 && mill < 400, s"mill kept $mill of 3000 (cap 300)")
+    // tail domains are under the cap: weight 1, kept EXACTLY whole
+    (0 to 2).foreach { s =>
+      assert(byDomain(s"site$s.example.org") == 80L, byDomain.toString) }
+    // deterministic
+    val again = Sampling.domainCappedKeep(df, "doc_id", "domain",
+      maxDocsPerDomain = 300).select("doc_id")
+    assert(kept.select("doc_id").except(again).count() == 0)
+  }
+
   test("hashTopKSample: k rows, reproducible, TakeOrdered plan with no exchange") {
     val s1 = Sampling.hashTopKSample(docs, "doc_id", k = 50)
     assert(s1.count() == 50)
