@@ -59,4 +59,29 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** MAINTENANCE/PUBLISH: commit `target` as the z-clustered snapshot
+    * of the live `source` table — the "publish a scan-optimized
+    * artifact" step a curation pipeline runs after its ingest loop:
+    * the ingest-side table stays bucketed-by-key for O(delta)
+    * upserts, while analytic consumers read the published layout
+    * whose parquet min/max stats prune on BOTH curve columns.
+    * Content is untouched (layout only — the u10 gate pins the
+    * semantic no-op through a DuckDB oracle); the commit is an
+    * ordinary CAS-versioned publish, and since the target derives
+    * from the SOURCE's snapshot (not from the target's own prior
+    * content) a lost pointer race needs no pin — the retry re-reads
+    * the source and re-publishes. */
+  def zorderPublish(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore, source: String, target: String,
+      cx: String, cy: String, numFiles: Int): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
+    store.withCommitRetries() {
+      store.commit(spark, target,
+        zValue(store.read(spark, source), cx, cy)
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z"))
+    }
+  }
 }

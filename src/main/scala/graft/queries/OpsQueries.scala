@@ -258,5 +258,48 @@ object OpsQueries {
             FROM latest l JOIN counts c ON l.user_id = c.user_id
             ORDER BY l.user_id"""))
 
-  def defs: Seq[QueryDef] = Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9)
+  /** U10: STORE MAINTENANCE IS A SEMANTIC NO-OP — the lakehouse
+    * OPTIMIZE pass composed end to end over the real versioned
+    * store: three sequential O(delta) bucketed LWW upserts (the
+    * streaming ingest loops' commit shape — each fragments the
+    * buckets it touches; batch 2 overwrites half of batch 1's keys,
+    * exercising the merge), then [[graft.ops.ParquetTableStore
+    * .compactBuckets]] (small-files compaction), then
+    * [[graft.ops.Layout.zorderPublish]] (the scan-optimized publish
+    * artifact, z-clustered on (n_chars, doc_id)). The gate reads the
+    * PUBLISHED table: its content must equal the plain LWW fold of
+    * the three batches — compaction and re-layout may touch every
+    * byte of the physical layout but not one row of the logical
+    * table. File-count/clustering effects are spec-pinned
+    * (StoreCompactionSpec / LayoutSpec); the oracle pins the
+    * no-op. */
+  private val u10 = QueryDef(
+    "u10_maintenance_noop",
+    "bucketed upserts -> compact -> z-order publish: content unchanged",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val root = graft.ops.Scratch.tempDir("graft-u10-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      val b1 = d.filter(col("doc_id") % 3 === 0)
+      val b2 = d.filter(col("doc_id") % 3 === 1)
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+            col("n_chars")))
+      val b3 = d.filter(col("doc_id") % 3 === 2)
+      Seq(b1, b2, b3).foreach(b =>
+        store.upsertBucketed(s, "corpus", b, Seq("doc_id"), numBuckets = 8))
+      store.compactBuckets(s, "corpus", maxFilesPerBucket = 1)
+      graft.ops.Layout.zorderPublish(s, store, "corpus", "corpus_pub",
+        "n_chars", "doc_id", numFiles = 4)
+      store.read(s, "corpus_pub")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CASE WHEN doc_id % 6 = 0 THEN text || ' v2' ELSE text END
+                AS text, n_chars
+            FROM documents ORDER BY doc_id"""))
+
+  def defs: Seq[QueryDef] = Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10)
 }

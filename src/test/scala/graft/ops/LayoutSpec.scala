@@ -62,6 +62,28 @@ class LayoutSpec extends SparkSpec {
     assert("rangepartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("zorderPublish: versioned scan-optimized artifact, content = source") {
+    val store = new ParquetTableStore(tmpDir("layout-pub"))
+    store.commit(spark, "src", fixture)
+    Layout.zorderPublish(spark, store, "src", "pub", "x", "y", numFiles = 16)
+    // layout only: the published table is the source, row for row
+    val a = store.read(spark, "pub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = fixture.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq)
+    // the artifact is genuinely clustered: both axes' per-file spans
+    // beat the source table's hash layout
+    val pubPath = java.nio.file.Paths
+      .get(new java.net.URI(store.read(spark, "pub").inputFiles.head))
+      .getParent.toString
+    assert(meanSpan(pubPath, "x") < 0.6 && meanSpan(pubPath, "y") < 0.6)
+    // re-publish lands a NEW version through the ordinary CAS commit
+    val v1 = store.currentVersion("pub").get
+    Layout.zorderPublish(spark, store, "src", "pub", "x", "y", numFiles = 16)
+    assert(store.currentVersion("pub").contains(v1 + 1))
+  }
+
   test("z-value: interleave puts x in even bits, constant column ranks zero") {
     val df = Seq((0L, 0L, 0L), (1L, 65535L, 0L), (2L, 0L, 65535L))
       .toDF("id", "x", "y")
