@@ -111,6 +111,73 @@ object Multimodal {
       lit(dim).as("n_frames"))
   }
 
+  /** Deterministic synthetic REAL-AVI video derived from the
+    * documents fixture — the video sibling of [[syntheticWavMedia]]:
+    * a valid RIFF/AVI container holding ONE uncompressed 4×4 gray
+    * BMP frame ('00db' — in-container DIB frames are part of the AVI
+    * spec and ImageIO decodes BMP, so [[AviMjpegCodecProvider]]'s
+    * real demux + real frame decode both run; no JPEG/DCT stands
+    * between the pixels and the features).
+    *
+    * Pixel (x, y) is the gray value (hex digit (4y+x) of md5(text))
+    * · 8 · `gain` — gray luma is the value itself ((299+587+114)/1000
+    * = 1 exactly), the 4×4 frame pools one pixel per feature cell,
+    * so feature i = pixel_i / 255.0f: one float division whose
+    * single- vs double-rounded results agree for every byte value
+    * (verified exhaustively), making the oracle exact. `gain` = 2
+    * models a re-encode at doubled brightness: features scale
+    * exactly ×2 (multiplication by 2 is exact), cosine exactly 1.
+    * Payload assembled as pure Column expressions (pixel literals
+    * selected by digest — no UDFs). */
+  def syntheticAviMedia(documents: DataFrame, dim: Int = 16,
+      gain: Int = 1): DataFrame = {
+    require(dim == 16, s"the 4x4 BMP frame pools to dim 16, got $dim")
+    require(gain >= 1 && gain <= 2, s"gain must be 1 or 2, got $gain")
+    val pixLits = array((0 to 15).map { d =>
+      val v = (d * 8 * gain).toByte
+      lit(Array[Byte](v, v, v)) // BGR, gray
+    }: _*)
+    val hexCol = md5(col("text"))
+    // BMP rows are stored bottom-up: row y=3 first; cell i = 4y + x
+    val pixels = for (y <- 3 to 0 by -1; x <- 0 to 3) yield {
+      val digit = conv(substring(hexCol, y * 4 + x + 1, 1), 16, 10)
+        .cast("int") + 1
+      element_at(pixLits, digit)
+    }
+    val payload = concat(lit(aviBmpPrefix) +: pixels: _*)
+    documents.select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      payload.as("bytes"),
+      lit(4).as("width"),
+      lit(4).as("height"),
+      lit(0).as("sample_rate"),
+      lit(1).as("n_frames"))
+  }
+
+  /** Everything before the BMP pixel data: RIFF/AVI + LIST movi +
+    * '00db' chunk headers and the 54-byte BMP header for a 4×4
+    * 24-bpp bottom-up bitmap (48 pixel bytes follow; rows are
+    * 12 bytes — already 4-byte aligned, no padding). */
+  private lazy val aviBmpPrefix: Array[Byte] = {
+    val bmpLen = 54 + 48
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + 8 + 4 + 8 + 54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def four(s: String) = bb.put(s.getBytes("US-ASCII"))
+    four("RIFF"); bb.putInt(4 + 8 + 4 + 8 + bmpLen) // 'AVI ' + LIST(movi)
+    four("AVI ")
+    four("LIST"); bb.putInt(4 + 8 + bmpLen); four("movi")
+    four("00db"); bb.putInt(bmpLen)
+    // BITMAPFILEHEADER
+    four("BM"); bb.putInt(bmpLen); bb.putShort(0); bb.putShort(0)
+    bb.putInt(54)
+    // BITMAPINFOHEADER: 4x4, 1 plane, 24 bpp, BI_RGB
+    bb.putInt(40); bb.putInt(4); bb.putInt(4); bb.putShort(1)
+    bb.putShort(24); bb.putInt(0); bb.putInt(48)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.array()
+  }
+
   /** One PCM window: `w` samples of the integer sawtooth scaled by
     * `amp`, as little-endian int16 bytes. */
   private def pcmBlock(amp: Int, w: Int): Array[Byte] = {

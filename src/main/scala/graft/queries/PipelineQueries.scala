@@ -2241,6 +2241,59 @@ object PipelineQueries {
             SELECT id_a, id_b, round(cos, 6) AS cos_r
             FROM scored WHERE cos >= 0.999 ORDER BY id_a, id_b"""))
 
+  /** MM9: VIDEO NEAR-DUP through the REAL container path — mm8's
+    * discipline for the video modality: valid RIFF/AVI payloads
+    * carrying an uncompressed 4×4 BMP frame
+    * ([[graft.multimodal.Multimodal.syntheticAviMedia]]), so the
+    * registry dispatches to [[graft.multimodal.AviMjpegCodecProvider]]
+    * and the features come from a REAL demux + ImageIO frame decode +
+    * luma pooling (no DCT between pixels and features — which is what
+    * keeps the oracle exact: feature i = pixel_i/255.0f, verified
+    * byte-exhaustively equal under single- and double-rounding).
+    * Re-encodes are every 4th clip at 2× brightness (id+10000):
+    * features scale exactly ×2, cosine exactly 1, and the IVF miner
+    * must find every planted pair through the shared
+    * [[ivfPairChainSql]] chain. */
+  private val mm9 = QueryDef(
+    "mm9_video_near_dup",
+    "real AVI demux+decode -> luma pools -> IVF cosine near-dup pairs",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"))
+      val originals = graft.multimodal.Multimodal.syntheticAviMedia(docs)
+      val reencoded = graft.multimodal.Multimodal.syntheticAviMedia(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")),
+        gain = 2)
+      val items = originals.unionByName(reencoded)
+        .as[graft.multimodal.Multimodal.MediaItem]
+      val feats = graft.multimodal.Multimodal
+        .decodeAndFeaturize(items, dim = 16,
+          provider = graft.multimodal.ModalityCodecProvider)
+        .toDF()
+        .select(col("media_id").as("id"), col("features").as("embedding"))
+      Dedup.embeddingNearDupPairsIvf(feats, "id", "embedding",
+        numCentroids = 64, probes = 2, threshold = 0.999,
+        cellCap = CatalogCap)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH vdocs AS (SELECT doc_id, md5(text) AS h FROM documents
+                            WHERE doc_id % 3 = 2),
+            clips AS (SELECT doc_id AS id, h, 1 AS gain FROM vdocs
+                      UNION ALL
+                      SELECT doc_id + 10000 AS id, h, 2 AS gain
+                      FROM vdocs WHERE doc_id % 4 = 0),
+            corpus AS (SELECT id, list_transform(generate_series(1, 16), i ->
+                CAST((('0x' || substr(h, i::INT, 1))::BIGINT * 8 * gain)::DOUBLE
+                  / 255.0 AS FLOAT)) AS embedding
+              FROM clips),
+            $ivfPairChainSql
+            SELECT id_a, id_b, round(cos, 6) AS cos_r
+            FROM scored WHERE cos >= 0.999 ORDER BY id_a, id_b"""))
+
   /** MM6: the PER-MODALITY CODEC REGISTRY, oracle-checked — mm2's
     * featurize path driven through [[graft.multimodal
     * .ModalityCodecProvider]] instead of the bare stub: every row
@@ -4679,6 +4732,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4)
 }

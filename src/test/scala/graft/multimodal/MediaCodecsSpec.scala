@@ -155,6 +155,34 @@ class MediaCodecsSpec extends SparkSpec {
     codec.close()
   }
 
+  test("syntheticAviMedia: real demux + BMP decode, closed-form pools, gain doubles exactly") {
+    import spark.implicits._
+    val fixture = Map(2L -> "video transcript body here",
+      8L -> "a different clip entirely")
+    val docs = fixture.toSeq.toDF("doc_id", "text")
+    val rows = Multimodal.syntheticAviMedia(docs).as[MediaItem]
+      .collect().map(r => r.media_id -> r).toMap
+    val codec = AviMjpegCodecProvider.open()
+    for ((id, it) <- rows) {
+      val f = codec.featurize(it, dim = 16)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(fixture(id).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = (0 until 16).map { i =>
+        (Integer.parseInt(h.substring(i, i + 1), 16) * 8) / 255.0f
+      }
+      assert(f.toSeq == expected, s"doc $id: ${f.toSeq} vs $expected")
+    }
+    // doubled-brightness re-encode: features scale exactly x2
+    val bright = Multimodal.syntheticAviMedia(docs, gain = 2).as[MediaItem]
+      .collect().map(r => r.media_id -> r).toMap
+    for ((id, it) <- bright) {
+      val f1 = codec.featurize(rows(id), dim = 16)
+      val f2 = codec.featurize(it, dim = 16)
+      assert(f2.toSeq == f1.map(_ * 2).toSeq, s"doc $id gain drifted")
+    }
+    codec.close()
+  }
+
   test("AVI/MJPEG codec: demux + frame decode through a real container") {
     val payload = avi(Seq(jpeg(0x000000), jpeg(0xffffff)))
     val codec = AviMjpegCodecProvider.open()
