@@ -2649,6 +2649,61 @@ object PipelineQueries {
               AS w_start_s, event_type, count(*)::BIGINT AS n
             FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** ST5: STREAMING EXACT DEDUP ([[graft.streaming.Streams
+    * .dedupDocStream]], dropDuplicatesWithinWatermark) — the
+    * checkpointed fingerprint-state contract goes oracle-gated. Two
+    * AvailableNow phases: phase 1 admits a unique slice; phase 2
+    * brings NEW unique docs (must pass) plus EXACT COPIES of phase-1
+    * docs under fresh ids, 30 minutes later in event time — inside
+    * the 1-hour watermark, so the fingerprints are still in state
+    * and the copies must drop ACROSS the phase/checkpoint boundary
+    * (the thing no batch dedup gate exercises). Every duplicate pair
+    * straddles the phases and the fixture has no intra-phase
+    * duplicates, so survivorship is deterministic — which is what
+    * makes the full-membership oracle possible. */
+  private val st5 = QueryDef(
+    "st5_stream_exact_dedup",
+    "cross-checkpoint streaming dedup: copies drop, new docs pass",
+    (s, dir) => {
+      val base = 1717200000L
+      def slice(m: Int) = Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === m)
+        .select(col("doc_id").as("id"), col("text"))
+      val p1 = slice(0)
+        .withColumn("ts", timestamp_seconds(lit(base) + col("id") % 100))
+      val p2 = slice(10)
+        .withColumn("ts",
+          timestamp_seconds(lit(base + 1800L) + col("id") % 100))
+        .unionByName(slice(0)
+          .select((col("id") + 10000).as("id"), col("text"))
+          .withColumn("ts",
+            timestamp_seconds(lit(base + 1800L) + col("id") % 100)))
+      val root = graft.ops.Scratch.tempDir("graft-st5-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val outDir = s"$root/out"
+      def runOnce(): Unit = {
+        val stream = s.readStream
+          .schema("id BIGINT, text STRING, ts TIMESTAMP").parquet(inDir)
+        graft.streaming.Streams.dedupDocStream(stream, "text", "ts", "1 hour")
+          .select("id")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", outDir)
+          .start().awaitTermination()
+      }
+      p1.coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      p2.coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      s.read.parquet(outDir).orderBy("id")
+    },
+    Some("""SELECT doc_id AS id FROM documents WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id AS id FROM documents WHERE doc_id % 20 = 10
+            ORDER BY id"""))
+
   /** A7 scale path: approx_count_distinct sketch. The sketch value
     * itself has no exact SQL oracle by design — but its ERROR BAND
     * does: the query emits the exact count plus a boolean asserting
@@ -4733,5 +4788,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4)
+      st1, st2, st3, st4, st5)
 }
