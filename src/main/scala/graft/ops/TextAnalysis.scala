@@ -300,6 +300,58 @@ object TextAnalysis {
         ControlAndZeroWidthClass, ""),
       "\\s+", " "))
 
+  /** INTRA-DOCUMENT LINE DEDUP (the Gopher/C4 repetition-removal
+    * TRANSFORM, not the ts10 filter): keep the FIRST occurrence of
+    * each distinct line of a document, preserving original order —
+    * the pass that strips scraped pages whose template repeats the
+    * same nav/footer block several times inside one page. Pure
+    * per-row Column expression (`array_distinct` preserves first
+    * occurrence; rides the scan, no shuffle, whole-stage codegen).
+    * Returns (id, clean) plus the removed-line count so a silent
+    * no-op cannot pass unnoticed. */
+  def dedupLinesWithin(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = array_distinct(lines)
+    df.select(col(idCol).as("id"),
+      array_join(kept, "\n").as("clean"),
+      (size(lines) - size(kept)).cast("long").as("n_removed"))
+  }
+
+  /** CROSS-DOCUMENT BOILERPLATE LINE REMOVAL — C4's famous line
+    * rule turned into the apply step: a line occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate (cookie banners,
+    * nav bars, licence footers — the repeated furniture of a crawl)
+    * and is cut from EVERY document; remaining lines keep their
+    * original order. Blank lines are never counted as boilerplate
+    * (they'd trivially cross any threshold).
+    *
+    * Scale shape: one posexplode (line mass ≈ corpus mass), a
+    * line-keyed combinable distinct-doc count, an anti-join of the
+    * line stream against the frequent set (boilerplate cardinality
+    * is SMALL by nature — AQE broadcasts it), and one id-keyed
+    * regroup that reassembles each doc with a position-ordered
+    * fold. Nothing corpus-sized broadcasts or collects. */
+  def stripBoilerplateLines(df: DataFrame, idCol: String,
+      textCol: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val frequent = lines
+      .filter(col("line") =!= "")
+      .groupBy("line").agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("line")
+    val kept = lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("line"))))
+        .getField("line"), "\n").as("clean"))
+    // a doc whose EVERY line was boilerplate still exists — empty
+    df.select(col(idCol).as("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean"), lit("")).as("clean"))
+  }
+
   /** PER-DOMAIN URL ANALYTICS — the domain-curation signal the
     * C4/RefinedWeb-style pipelines act on (blocklists, per-domain
     * caps, boilerplate sources): extract every `http(s)://host` from

@@ -4292,6 +4292,97 @@ object PipelineQueries {
             SELECT rank, id, round(score, 6) AS score_r
             FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
 
+  /** TS22: INTRA-DOC LINE DEDUP ([[TextAnalysis.dedupLinesWithin]])
+    * — the Gopher/C4 repetition-removal TRANSFORM: keep the first
+    * occurrence of each distinct line, order preserved. The gate
+    * manufactures a 5-line page per doc with two planted repeats
+    * (lines 3 and 4 duplicate lines 2 and 1); the oracle re-derives
+    * the dedup POSITIONALLY (min-index per distinct line,
+    * position-ordered string_agg) rather than asserting the expected
+    * string, so the first-occurrence-order contract itself is what's
+    * checked. n_removed rides along so a silent no-op cannot pass. */
+  private val ts22 = QueryDef(
+    "ts22_dedup_lines_within",
+    "first-occurrence line dedup inside each doc (order preserved)",
+    (s, dir) => {
+      val paged = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          substring(col("text"), 1, 15), substring(col("text"), 1, 15),
+          col("text"), concat(lit("tail "), col("doc_id"))).as("text"))
+      TextAnalysis.dedupLinesWithin(paged, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("clean"), col("n_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id,
+              text || chr(10) || substr(text, 1, 15) || chr(10) ||
+                substr(text, 1, 15) || chr(10) || text || chr(10) ||
+                'tail ' || doc_id AS t
+              FROM documents),
+            arr AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM src),
+            lns AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(a)),
+                        i -> {'i': i, 'l': a[i]})) AS s
+                    FROM arr),
+            ln AS (SELECT doc_id, s.i AS i, s.l AS l FROM lns),
+            firsts AS (SELECT doc_id, l, min(i) AS fi FROM ln
+                       GROUP BY doc_id, l),
+            recon AS (SELECT doc_id,
+                        string_agg(l, chr(10) ORDER BY fi) AS clean,
+                        count(*) AS n_distinct
+                      FROM firsts GROUP BY doc_id)
+            SELECT a.doc_id, r.clean,
+              (len(a.a) - r.n_distinct)::BIGINT AS n_removed
+            FROM arr a JOIN recon r USING (doc_id)
+            ORDER BY a.doc_id"""))
+
+  /** TS23: CROSS-DOC BOILERPLATE LINE REMOVAL
+    * ([[TextAnalysis.stripBoilerplateLines]]) — C4's line rule as
+    * the apply step: a line in ≥ minDocs DISTINCT docs (cookie
+    * banners, ad blocks — crawl furniture) is cut from EVERY doc,
+    * survivors keep original order. The fixture plants a banner on
+    * every page and an ad block on every 2nd page around the doc's
+    * own unique lines; at minDocs=10 both cut corpus-wide while the
+    * unique lines pass. The oracle re-derives the distinct-doc
+    * frequency, the cut, and the positional reassembly. */
+  private val ts23 = QueryDef(
+    "ts23_strip_boilerplate",
+    "corpus-frequent lines cut from every doc, order preserved",
+    (s, dir) => {
+      val paged = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("ACCEPT COOKIES TO CONTINUE"),
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit("SPONSORED CONTENT"))
+            .otherwise(concat(lit("only "), col("doc_id"))),
+          concat(lit("unique "), col("doc_id"))).as("text"))
+      TextAnalysis.stripBoilerplateLines(paged, "doc_id", "text",
+        minDocs = 10)
+        .select(col("id").as("doc_id"), col("clean"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id,
+              'ACCEPT COOKIES TO CONTINUE' || chr(10) || text || chr(10) ||
+                CASE WHEN doc_id % 2 = 0 THEN 'SPONSORED CONTENT'
+                     ELSE 'only ' || doc_id END || chr(10) ||
+                'unique ' || doc_id AS t
+              FROM documents),
+            arr AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM src),
+            lns AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(a)),
+                        i -> {'i': i, 'l': a[i]})) AS s
+                    FROM arr),
+            ln AS (SELECT doc_id, s.i AS i, s.l AS l FROM lns),
+            freq AS (SELECT l FROM ln WHERE l != ''
+                     GROUP BY l HAVING count(DISTINCT doc_id) >= 10),
+            kept AS (SELECT doc_id, i, l FROM ln
+                     WHERE l NOT IN (SELECT l FROM freq))
+            SELECT s.doc_id,
+              coalesce(k.clean, '') AS clean
+            FROM src s LEFT JOIN (
+              SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS clean
+              FROM kept GROUP BY doc_id) k USING (doc_id)
+            ORDER BY s.doc_id"""))
+
   /** TS21: STORED BM25 INDEX probe
     * ([[TextAnalysis.bm25BuildIndex]] / [[TextAnalysis.bm25TopKStored]])
     * — the ss9/d20 build-once/probe-many discipline for the LEXICAL
@@ -4786,7 +4877,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5)
 }

@@ -345,6 +345,40 @@ class TextPiiSpec extends SparkSpec {
     out.foreach { case (_, id, s) => assert(p13(id) == s) }
   }
 
+  test("dedupLinesWithin: first occurrence wins, order preserved, count honest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb\na"), // dups of a (x2) and b (x1)
+      (2L, "x\ny\nz"),          // already unique
+      (3L, "q")                 // single line
+    ).toDF("id", "text")
+    val out = TextAnalysis.dedupLinesWithin(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a\nb\nc", 3L))
+    assert(out(2L) == ("x\ny\nz", 0L))
+    assert(out(3L) == ("q", 0L))
+  }
+
+  test("stripBoilerplateLines: frequent lines cut everywhere, blanks and order safe") {
+    import spark.implicits._
+    // banner in all 12 docs, ad block in half, unique body each;
+    // doc 99 is ALL boilerplate and must survive as an empty doc
+    val docs = ((1L to 12L).map(i =>
+        (i, s"BANNER\nbody $i\n\n${if (i % 2 == 0) "AD" else s"solo $i"}")) :+
+      (99L, "BANNER\nBANNER"))
+      .toDF("id", "text")
+    val out = TextAnalysis.stripBoilerplateLines(docs, "id", "text",
+      minDocs = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // banner (13 docs) and AD (6 docs) cut; body/solo lines kept in
+    // order; the BLANK line is never boilerplate even though it is
+    // in every doc
+    assert(out(2L) == "body 2\n", s"got '${out(2L)}'")
+    assert(out(1L) == "body 1\n\nsolo 1", s"got '${out(1L)}'")
+    assert(out(99L) == "", "all-boilerplate doc must survive empty")
+    assert(out.size == 13)
+  }
+
   test("stored BM25 index: probe bit-identical to from-scratch, build once probe many") {
     import spark.implicits._
     val docs = Seq(
