@@ -238,6 +238,44 @@ object ScaleProbe {
         } finally org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(tmp))
       }
+      // audio near-dup (mm8): REAL WAV decode per item — the decode
+      // path must scale linearly with the media mass like mm7's, and
+      // the m-clique replication stresses the IVF miner identically
+      probe(s"mm8_audio_neardup_x$m", {
+        import spark.implicits._
+        val d = Tables.documents(spark, dir)
+        val rep = (0 until m).map(i => d.select(
+            (col("doc_id") + i * 10000000L).as("doc_id"), col("text")))
+          .reduce(_ unionByName _)
+        val items = graft.multimodal.Multimodal.syntheticWavMedia(rep)
+          .as[graft.multimodal.Multimodal.MediaItem]
+        val feats = graft.multimodal.Multimodal
+          .decodeAndFeaturize(items, dim = 8,
+            provider = graft.multimodal.ModalityCodecProvider).toDF()
+          .select(col("media_id").as("id"), col("features").as("embedding"))
+        Dedup.embeddingNearDupPairsIvfAuto(feats, "id", "embedding",
+          probes = 2, threshold = 0.999, cellCap = 1000)
+      })
+      // domain-capped keep (tp9): one domain-keyed count-distinct +
+      // a per-row hash predicate — must stay scan-rate at any m
+      probe(s"tp9_domain_cap_x$m", {
+        val withDomain = docs(m).select(col("id"),
+          concat(lit("site"), col("id") % 23, lit(".example.org"))
+            .as("domain"))
+        graft.ops.Sampling.domainCappedKeep(withDomain, "id", "domain",
+          maxDocsPerDomain = 40)
+      })
+      // boilerplate strip (ts23): line mass grows with the corpus but
+      // the frequent set stays boilerplate-sized (broadcast); the
+      // exchanges are the line-count aggregation and the per-doc
+      // positional reassembly — both linear in the line mass
+      probe(s"ts23_boilerplate_x$m", {
+        val paged = docs(m).select(col("id"),
+          concat_ws("\n", lit("ACCEPT COOKIES TO CONTINUE"), col("text"),
+            concat(lit("unique "), col("id"))).as("text"))
+        graft.ops.TextAnalysis.stripBoilerplateLines(paged, "id", "text",
+          minDocs = 10)
+      })
       // fuzzy decontamination (dc3): corpus grows m×, the eval set
       // stays FIXED (small by contract) — the pass must stay scan-rate
       // because only bench-band collisions ever exchange
@@ -251,6 +289,19 @@ object ScaleProbe {
           // the dc3 gate's pinned geometry, so probe rows stay
           // comparable across rounds (default is now recall-derived)
           numHashes = 32, bands = 8, threshold = 0.5)
+      })
+      // the recall-first DEFAULT geometry (37 bands × 4 rows at
+      // t=0.5, recall 0.91 vs the pinned pair's 0.40): the price of
+      // not silently keeping near-threshold contamination is ~4.6×
+      // signature+band work — this row keeps that cost measured
+      probe(s"dc3_fuzzy_recall_x$m", {
+        val bench = Tables.documents(spark, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 50000000L).as("bench_id"),
+            regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text"))
+        graft.ops.Decontamination.fuzzyContaminationPairs(
+          docs(m), "id", "text", bench, "bench_id", "text",
+          threshold = 0.5)
       })
       // 32- vs 60-bit sketch: same radius, same cap. The 32-bit rows
       // count INCLUDES false sketch collisions (unrelated docs within
