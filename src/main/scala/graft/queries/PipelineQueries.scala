@@ -2704,6 +2704,57 @@ object PipelineQueries {
             SELECT doc_id AS id FROM documents WHERE doc_id % 20 = 10
             ORDER BY id"""))
 
+  /** ST6: STREAMING INBOX CONDITIONAL UPSERT
+    * ([[graft.streaming.Streams.inboxStream]] — the add_transcripts
+    * inbox poll, the last spec-only streaming loop) ORACLE-GATED.
+    * Two query runs over a growing inbox of REAL transcript files
+    * (driver-written fixture; the operator itself never touches the
+    * driver): each id gets exactly ONE timestamped version (phase 1
+    * for even slots, phase 2 for odd) and one plain version. The
+    * fixture is designed ORDER-CONVERGENT: the timestamped text also
+    * wins the within-batch dedupKeepLast string order, so any
+    * micro-batch split, any file order, and any rerun of already-
+    * seen files converges to the same fixed point — the unique
+    * timestamped version per id. That convergence (U6 through
+    * arbitrary streaming schedules) is exactly the loop's contract,
+    * and it is what makes the oracle deterministic. */
+  private val st6 = QueryDef(
+    "st6_stream_inbox_upsert",
+    "inbox file stream: timestamped transcripts win across batches",
+    (s, dir) => {
+      val slice = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")).collect()
+      val root = graft.ops.Scratch.tempDir("graft-st6-")
+      val inbox = s"$root/inbox"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      def writeFiles(phase: Int): Unit = slice.foreach { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val timestamped = (id % 20 == 0) == (phase == 1)
+        val body =
+          if (timestamped) s"[0:0$phase] $text" else s"PLAIN V$phase $text"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$inbox/p${phase}_vid$id.txt"),
+          s"ID: vid$id\n\n$body".getBytes("UTF-8"))
+        ()
+      }
+      def runOnce(): Unit = {
+        val q = graft.streaming.Streams.inboxStream(s, inbox, store,
+          "transcripts")
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeFiles(1); runOnce()
+      writeFiles(2); runOnce()
+      store.read(s, "transcripts").orderBy("video_id")
+    },
+    Some("""SELECT 'vid' || doc_id AS video_id,
+              CASE WHEN doc_id % 20 = 0 THEN '[0:01] ' || text
+                   ELSE '[0:02] ' || text END AS transcript
+            FROM documents WHERE doc_id % 10 = 0
+            ORDER BY video_id"""))
+
   /** A7 scale path: approx_count_distinct sketch. The sketch value
     * itself has no exact SQL oracle by design — but its ERROR BAND
     * does: the query emits the exact count plus a boolean asserting
@@ -4879,5 +4930,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5)
+      st1, st2, st3, st4, st5, st6)
 }
