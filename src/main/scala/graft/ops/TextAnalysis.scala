@@ -275,6 +275,54 @@ object TextAnalysis {
           col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** CCNet-style CROSS-corpus LM scoring: the bigram model trains on
+    * a TRUSTED reference slice and scores a DIFFERENT corpus — the
+    * published CCNet recipe (train the LM on Wikipedia, score the
+    * crawl), which the self-trained [[bigramLmScore]] (ts12)
+    * structurally cannot express: a crawl full of boilerplate scores
+    * its own boilerplate as high-probability. The difference is the
+    * unseen mass: a bigram absent from the reference gets the
+    * add-one floor ln(1/(c1+V)), an unseen LEFT word the global
+    * floor ln(1/V) — LEFT joins + coalesce where the self-train
+    * variant uses INNER joins (there every bigram is its own
+    * training data). V is the REFERENCE vocabulary (the model's
+    * smoothing denominator is a model property, not a corpus one).
+    * Same determinism contract as ts12: integer counts, single-ln
+    * log-probs, position-ordered per-doc fold. Scale shape: the
+    * model tables are reference-vocabulary-sized; the scoring joins
+    * key on (w1, w2)/(w1) with AQE handling Zipf skew; one (id)
+    * exchange for the fold. */
+  def bigramLmScoreCross(ref: DataFrame, refTextCol: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val zipExpr = "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+      " (a, b) -> struct(a AS w1, b AS w2))"
+    val rtoks = ref.select(tokens(col(refTextCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val rx = rtoks.select(posexplode(expr(zipExpr)))
+      .select(col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val c2 = rx.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = rtoks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val x = toks.select(col("id"), posexplode(expr(zipExpr)))
+      .select(col("id"), col("pos"), col("col.w1").as("w1"),
+        col("col.w2").as("w2"))
+    val lp = x.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("id"), col("pos"),
+        log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")).as("lp"))
+    lp.groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("lp")))).as("__arr"))
+      .select(col("id"), col("n_bigrams"),
+        round(expr("aggregate(__arr, 0D, (acc, s) -> acc + s.lp)") /
+          col("n_bigrams"), 6).as("lm_score"))
+  }
+
   /** Control + zero-width strip class for [[cleanText]] — RE2-safe
     * and shared VERBATIM with the oracle (the ts5 PII discipline).
     * Tab/LF/CR are deliberately NOT stripped (the whitespace collapse

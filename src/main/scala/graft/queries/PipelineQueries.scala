@@ -3476,6 +3476,61 @@ object PipelineQueries {
     Some(bigramLmCtes +
       "\nSELECT doc_id, n_bigrams, lm_score FROM lmsc ORDER BY doc_id"))
 
+  /** TS24: CROSS-CORPUS LM FILTER
+    * ([[TextAnalysis.bigramLmScoreCross]]) — the actual CCNet shape
+    * ts12 cannot express: the bigram model trains on the TRUSTED
+    * slice (lang='en' documents) and scores EVERY document. The
+    * oracle mirrors the structural difference exactly: LEFT joins +
+    * coalesce for the unseen mass (absent bigram → add-one floor
+    * ln(1/(c1+V)); unseen left word → global floor ln(1/V)), V = the
+    * REFERENCE vocabulary. Non-English docs land near the floor —
+    * the reference-LM filter signal — and their scores are pinned
+    * just as exactly as the head's. */
+  private val ts24 = QueryDef(
+    "ts24_cross_lm_filter",
+    "bigram LM trained on the en slice scoring every document",
+    (s, dir) => TextAnalysis.bigramLmScoreCross(
+        Tables.documents(s, dir).filter(col("lang") === "en"), "text",
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"))
+      .orderBy("doc_id"),
+    Some("""WITH rt AS (SELECT
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents WHERE lang = 'en'),
+            rtt AS (SELECT toks FROM rt WHERE len(toks) >= 2),
+            rx AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+                   FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                         FROM rtt)),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM rx GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+            v AS (SELECT count(DISTINCT w) AS v
+                  FROM (SELECT unnest(toks) AS w FROM rtt)),
+            t AS (SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents),
+            tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+            x AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+                  FROM (SELECT doc_id, toks,
+                          unnest(range(1, len(toks))) AS i FROM tt)),
+            lp AS (SELECT x.doc_id, x.pos,
+                     ln((coalesce(c2.c2, 0) + 1)::DOUBLE /
+                        (coalesce(c1.c1, 0) + v.v)::DOUBLE) AS lp
+                   FROM x
+                   LEFT JOIN c2 ON x.w1 = c2.w1 AND x.w2 = c2.w2
+                   LEFT JOIN c1 ON x.w1 = c1.w1
+                   CROSS JOIN v),
+            agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                      list(lp ORDER BY pos) AS arr
+                    FROM lp GROUP BY doc_id),
+            lmsc AS (SELECT doc_id, n_bigrams,
+              round(list_reduce(list_prepend(0.0::DOUBLE, arr),
+                      (a, b) -> a + b) / n_bigrams, 6) AS lm_score
+              FROM agg)
+            SELECT doc_id, n_bigrams, lm_score FROM lmsc
+            ORDER BY doc_id"""))
+
   /** TP5: CCNet perplexity bucketing
     * ([[TextAnalysis.perplexityBuckets]]) — the ts12 signal put to
     * its standard use: head/middle/tail labels from exact corpus
@@ -4928,7 +4983,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6)
 }

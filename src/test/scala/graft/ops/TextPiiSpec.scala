@@ -379,6 +379,31 @@ class TextPiiSpec extends SparkSpec {
     assert(out.size == 13)
   }
 
+  test("bigramLmScoreCross: hand-computed model, unseen-mass floors, invariance") {
+    import spark.implicits._
+    val ref = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("id", "text")
+    val corpus = Seq((10L, "the cat sat"), (11L, "zzz qqq www"))
+      .toDF("id", "text")
+    val out = TextAnalysis.bigramLmScoreCross(ref, "text", corpus,
+      "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // reference model: V = 7 {the,cat,sat,on,mat,dog,rug};
+    // c2(the,cat)=1, c1(the)=4; c2(cat,sat)=1, c1(cat)=1
+    val d10 = (math.log(2.0 / 11.0) + math.log(2.0 / 8.0)) / 2
+    assert(out(10L)._1 == 2L)
+    assert(math.abs(out(10L)._2 - d10) < 1e-6, s"got ${out(10L)}")
+    // fully-unseen doc: every bigram AND left word unseen -> ln(1/V)
+    val floor = math.log(1.0 / 7.0)
+    assert(out(11L)._1 == 2L)
+    assert(math.abs(out(11L)._2 - floor) < 1e-6, s"got ${out(11L)}")
+    // the position-ordered fold keeps scores partition-independent
+    val p9 = TextAnalysis.bigramLmScoreCross(ref, "text",
+      corpus.repartition(9), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { case (id, (_, s)) => assert(p9(id) == s) }
+  }
+
   test("stored BM25 index: probe bit-identical to from-scratch, build once probe many") {
     import spark.implicits._
     val docs = Seq(
