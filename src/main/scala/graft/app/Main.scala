@@ -29,6 +29,7 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main pack-transcripts <storeDir> [window] [budget]
   *   runMain graft.app.Main ingest-docs <storeDir> <inboxDir> [threshold]
   *   runMain graft.app.Main compact <storeDir> <table> [maxFilesPerBucket]
+  *   runMain graft.app.Main decontaminate <storeDir> <benchDir> [exact|fuzzy] [minShared|threshold]
   *   runMain graft.app.Main cluster-docs <storeDir> <inboxDir> [threshold]
   * }}}
   *
@@ -340,6 +341,47 @@ object Main {
           println("duplicate clusters after ingest:")
           show(t("dup_clusters").orderBy("cluster_id", "id"))
         } else println("duplicate clusters after ingest: none found yet")
+
+      case "decontaminate" =>
+        // benchmark decontamination over the ingested corpus: report
+        // train×eval overlap pairs and commit the cleaned corpus as a
+        // separate table (the original stays untouched for audit).
+        // mode `exact` = shared 8-gram windows (dc1/dc2); `fuzzy` =
+        // MinHash-LSH Jaccard at the recall-derived band geometry
+        // (dc3 — a miss silently KEEPS contamination, so the default
+        // geometry guarantees >= 0.9 candidate recall at the
+        // threshold)
+        val benchDir = args(2)
+        val mode = if (args.length > 3) args(3) else "exact"
+        val corpus = t("corpus").select(col("id"), col("text"))
+        val bench = spark.read.parquet(benchDir)
+          .select(col("id").as("bench_id"), col("text"))
+        val clean = mode match {
+          case "exact" =>
+            val minShared = if (args.length > 4) args(4).toInt else 2
+            val pairs = graft.ops.Decontamination.contaminationPairs(
+              corpus, "id", "text", bench, "bench_id", "text",
+              minShared = minShared)
+            println("contaminated (shared 8-gram windows):")
+            show(pairs.orderBy(desc("n_shared"), col("doc_id")))
+            graft.ops.Decontamination.dropContaminated(
+              corpus, "id", "text", bench, "bench_id", "text",
+              minShared = minShared)
+          case "fuzzy" =>
+            val threshold = if (args.length > 4) args(4).toDouble else 0.5
+            val pairs = graft.ops.Decontamination.fuzzyContaminationPairs(
+              corpus, "id", "text", bench, "bench_id", "text",
+              threshold = threshold)
+            println(s"contaminated (LSH jaccard >= $threshold):")
+            show(pairs.orderBy(desc("jaccard"), col("doc_id")))
+            graft.ops.Decontamination.dropFuzzyContaminated(
+              corpus, "id", "text", bench, "bench_id", "text",
+              threshold = threshold)
+          case other => throw new IllegalArgumentException(
+            s"mode must be exact|fuzzy, got $other")
+        }
+        val kept = store.commit(spark, "corpus_clean", clean)
+        println(s"corpus_clean: ${kept.count()} of ${corpus.count()} docs kept")
 
       case "compact" =>
         // lakehouse maintenance: collapse fragmented buckets of a

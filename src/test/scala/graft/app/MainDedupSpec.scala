@@ -97,6 +97,33 @@ class MainDedupSpec extends SparkSpec {
     Main.run(spark, Array("search-hybrid", root, "spark shuffle", "2"))
   }
 
+  test("decontaminate drops benchmark leaks in both modes; original untouched") {
+    val root = tmpDir("maindecon")
+    val store = new ParquetTableStore(root)
+    val leak = (1 to 20).map(i => s"w$i").mkString(" ")
+    // the paraphrase: every 8th token reworded — zero shared 8-grams
+    val reworded = (1 to 20).map(i =>
+      if (i % 8 == 0) s"x$i" else s"w$i").mkString(" ")
+    store.commit(spark, "corpus", Seq(
+      (1L, leak),                                       // verbatim leak
+      (2L, reworded),                                   // paraphrase leak
+      (3L, "entirely unrelated prose about gardening and compost heaps today")
+    ).toDF("id", "text"))
+    val benchDir = tmpDir("maindecon-bench")
+    Seq((100L, leak)).toDF("id", "text").write.mode("overwrite").parquet(benchDir)
+
+    Main.run(spark, Array("decontaminate", root, benchDir, "exact", "2"))
+    val exact = store.read(spark, "corpus_clean")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(2L, 3L), s"exact mode kept $exact") // paraphrase slips
+    Main.run(spark, Array("decontaminate", root, benchDir, "fuzzy", "0.4"))
+    val fuzzy = store.read(spark, "corpus_clean")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(fuzzy == Set(3L), s"fuzzy mode kept $fuzzy")   // both leaks caught
+    // the audit copy stays intact
+    assert(store.read(spark, "corpus").count() == 3)
+  }
+
   test("hot-terms reports the corpus top tokens with the sketch canary") {
     val root = tmpDir("mainhot")
     val store = new ParquetTableStore(root)
