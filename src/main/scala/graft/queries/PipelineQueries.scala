@@ -4798,6 +4798,114 @@ object PipelineQueries {
                     % 10000 < round(w.w * 10000.0)::BIGINT
             ORDER BY h.doc_id"""))
 
+  /** TP10: CLEANING-PIPELINE COMPOSITION v6 — the round-9 operators
+    * chained the way a crawl build runs them: intra-doc line dedup
+    * (ts22) → cross-doc boilerplate strip (ts23) → per-domain cap
+    * (tp9) → cross-corpus LM scoring of the SURVIVORS' cleaned text
+    * against the trusted en slice (ts24). The fixture plants all
+    * three defects at once (a universal banner, a duplicated body
+    * line, a mill-vs-tail URL); each stage must remove exactly its
+    * own defect for the final scores to hash-match. The oracle
+    * replays the full chain: positional dedup → distinct-doc line
+    * frequency cut → domain hash keep → left-join/coalesce LM. */
+  private val tp10 = QueryDef(
+    "tp10_cleaning_v6",
+    "line dedup -> boilerplate strip -> domain cap -> cross-LM (composed)",
+    (s, dir) => {
+      val paged = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("ACCEPT COOKIES TO CONTINUE"),
+          col("text"), col("text"),
+          concat(lit("visit http://"),
+            when(col("doc_id") % 3 === 0, lit("spam.example.com"))
+              .otherwise(concat(lit("site"), col("doc_id") % 23,
+                lit(".example.org"))),
+            lit("/p"), col("doc_id"))).as("text"))
+      val deduped = TextAnalysis.dedupLinesWithin(paged, "doc_id", "text")
+        .select(col("id"), col("clean").as("text"))
+      val stripped = TextAnalysis.stripBoilerplateLines(deduped, "id",
+        "text", minDocs = 10)
+      val withDomain = stripped.select(col("id"), col("clean"),
+        lower(regexp_extract(col("clean"),
+          TextAnalysis.UrlHostPattern, 1)).as("domain"))
+      val survivors = Sampling.domainCappedKeep(withDomain, "id", "domain",
+        maxDocsPerDomain = 40)
+      TextAnalysis.bigramLmScoreCross(
+        Tables.documents(s, dir).filter(col("lang") === "en"), "text",
+        survivors, "id", "clean")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id,
+              'ACCEPT COOKIES TO CONTINUE' || chr(10) || text || chr(10) ||
+                text || chr(10) || 'visit http://' ||
+                CASE WHEN doc_id % 3 = 0 THEN 'spam.example.com'
+                     ELSE 'site' || (doc_id % 23)::VARCHAR || '.example.org'
+                END || '/p' || doc_id::VARCHAR AS t
+              FROM documents),
+            arr AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM src),
+            lns0 AS (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(a)),
+                         i -> {'i': i, 'l': a[i]})) AS s
+                     FROM arr),
+            ln0 AS (SELECT doc_id, s.i AS i, s.l AS l FROM lns0),
+            firsts AS (SELECT doc_id, l, min(i) AS fi FROM ln0
+                       GROUP BY doc_id, l),
+            freq AS (SELECT l FROM firsts WHERE l != ''
+                     GROUP BY l HAVING count(DISTINCT doc_id) >= 10),
+            kept AS (SELECT doc_id, fi, l FROM firsts
+                     WHERE l NOT IN (SELECT l FROM freq)),
+            clean AS (SELECT doc_id,
+                        string_agg(l, chr(10) ORDER BY fi) AS ctext
+                      FROM kept GROUP BY doc_id),
+            hosts AS (SELECT doc_id, ctext,
+                        lower(regexp_extract(ctext,
+                          'https?://([^/ \t\n\r]+)', 1)) AS domain
+                      FROM clean),
+            ndom AS (SELECT domain, count(DISTINCT doc_id) AS n_docs
+                     FROM hosts GROUP BY domain),
+            w AS (SELECT domain, least(1.0, round(40.0 / n_docs, 9)) AS w
+                  FROM ndom),
+            surv AS (SELECT h.doc_id, h.ctext FROM hosts h JOIN w USING (domain)
+                     WHERE ('0x' || substr(md5(h.doc_id::VARCHAR), 1, 15))::BIGINT
+                             % 10000 < round(w.w * 10000.0)::BIGINT),
+            rt AS (SELECT
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents WHERE lang = 'en'),
+            rtt AS (SELECT toks FROM rt WHERE len(toks) >= 2),
+            rx AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+                   FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                         FROM rtt)),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM rx GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+            v AS (SELECT count(DISTINCT w) AS v
+                  FROM (SELECT unnest(toks) AS w FROM rtt)),
+            t2 AS (SELECT doc_id,
+              CASE WHEN length(trim(ctext)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(ctext), '\s+') END AS toks
+              FROM surv),
+            tt2 AS (SELECT doc_id, toks FROM t2 WHERE len(toks) >= 2),
+            x2 AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks))) AS i FROM tt2)),
+            lp2 AS (SELECT x2.doc_id, x2.pos,
+                      ln((coalesce(c2.c2, 0) + 1)::DOUBLE /
+                         (coalesce(c1.c1, 0) + v.v)::DOUBLE) AS lp
+                    FROM x2
+                    LEFT JOIN c2 ON x2.w1 = c2.w1 AND x2.w2 = c2.w2
+                    LEFT JOIN c1 ON x2.w1 = c1.w1
+                    CROSS JOIN v),
+            agg2 AS (SELECT doc_id, count(*) AS n_bigrams,
+                       list(lp ORDER BY pos) AS arr
+                     FROM lp2 GROUP BY doc_id),
+            lmsc2 AS (SELECT doc_id, n_bigrams,
+              round(list_reduce(list_prepend(0.0::DOUBLE, arr),
+                      (a, b) -> a + b) / n_bigrams, 6) AS lm_score
+              FROM agg2)
+            SELECT doc_id, n_bigrams, lm_score FROM lmsc2
+            ORDER BY doc_id"""))
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(
           generate_series(1, len($a)),
@@ -4984,6 +5092,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6)
 }
