@@ -38,18 +38,29 @@ object Streams {
     */
   def inboxStream(spark: SparkSession, inboxDir: String,
       store: ParquetTableStore, table: String,
-      deleteProcessed: Boolean = false): StreamingQuery = {
+      deleteProcessed: Boolean = false,
+      checkpointDir: Option[String] = None,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
     import spark.implicits._
     val files = spark.readStream
       .option("wholetext", "true")
-      .option("maxFilesPerTrigger", 16)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("cleanSource", if (deleteProcessed) "delete" else "off")
       .text(inboxDir)
       .select(input_file_name().as("path"), col("value").as("content"))
 
-    files.writeStream
+    // A checkpoint makes restarts INCREMENTAL (only files that
+    // appeared since the last run are re-read — the availableNow
+    // refresh discipline); without one, each invocation reprocesses
+    // the whole inbox, which stays CORRECT because the U6 merge is
+    // convergent (timestamped-wins is idempotent re-applied), but
+    // costs a full re-read per restart. Deployments that keep the
+    // inbox dir (deleteProcessed=false) should checkpoint.
+    val writer = files.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val parsed = batch.as[(String, String)]
           .map { case (p, c) => TranscriptFiles.parseContent(p, c) }
