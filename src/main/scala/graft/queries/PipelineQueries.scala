@@ -2594,10 +2594,15 @@ object PipelineQueries {
     * manufactured STRAGGLER whose ts sits below the checkpointed
     * watermark — the late-row drop this gate exists to pin (distinct
     * event_type, so a failed drop emits an extra output row, not a
-    * silently-changed count); (3) a sentinel 4 hours past the slice
-    * max advances the watermark past every slice window so append
-    * mode flushes them all (the sentinel's own window never closes
-    * and never emits). Output = tumbling 1-hour counts per type,
+    * silently-changed count) AND a sentinel 4 hours past the slice
+    * max. The straggler is judged against the CHECKPOINTED phase-1
+    * watermark at batch start (the cross-restart pin), while the
+    * sentinel advances the watermark past every slice window AFTER
+    * the batch — the run's no-data flush batch then emits them all
+    * in append mode (the sentinel's own window never closes and
+    * never emits). Two standups, not three: the sentinel needs to be
+    * in a later BATCH than phase 1, not a later RUN.
+    * Output = tumbling 1-hour counts per type,
     * window start as epoch seconds (both engines bucket against the
     * epoch). Oracle: the plain windowed GROUP BY over the slice —
     * equality holds precisely because the straggler was dropped and
@@ -2635,10 +2640,9 @@ object PipelineQueries {
       runOnce()
       ev.filter(col("ts") >= lit(split))
         .unionByName(Seq((tmin, "late_probe")).toDF("ts", "event_type"))
-        .coalesce(1).write.mode("append").parquet(inDir)
-      runOnce()
-      Seq((new java.sql.Timestamp(tmax.getTime + 4L * 3600 * 1000),
-        "sentinel")).toDF("ts", "event_type")
+        .unionByName(Seq((new java.sql.Timestamp(
+          tmax.getTime + 4L * 3600 * 1000), "sentinel"))
+          .toDF("ts", "event_type"))
         .coalesce(1).write.mode("append").parquet(inDir)
       runOnce()
       s.read.parquet(outDir).orderBy("w_start_s", "event_type")
