@@ -256,6 +256,33 @@ object ScaleProbe {
         Dedup.embeddingNearDupPairsIvfAuto(feats, "id", "embedding",
           probes = 2, threshold = 0.999, cellCap = 1000)
       })
+      // video near-dup (mm9): real AVI demux + BMP frame decode per
+      // item — linear in the media mass like mm8's WAV path
+      probe(s"mm9_video_neardup_x$m", {
+        import spark.implicits._
+        val d = Tables.documents(spark, dir)
+        val rep = (0 until m).map(i => d.select(
+            (col("doc_id") + i * 10000000L).as("doc_id"), col("text")))
+          .reduce(_ unionByName _)
+        val items = graft.multimodal.Multimodal.syntheticAviMedia(rep)
+          .as[graft.multimodal.Multimodal.MediaItem]
+        val feats = graft.multimodal.Multimodal
+          .decodeAndFeaturize(items, dim = 16,
+            provider = graft.multimodal.ModalityCodecProvider).toDF()
+          .select(col("media_id").as("id"), col("features").as("embedding"))
+        Dedup.embeddingNearDupPairsIvfAuto(feats, "id", "embedding",
+          probes = 2, threshold = 0.999, cellCap = 1000)
+      })
+      // cross-corpus LM (ts24): the model tables stay reference-sized
+      // while the corpus grows m× — the scoring joins (keyed w1/w2,
+      // Zipf-skewed, AQE-handled) and the per-doc fold must track the
+      // corpus token mass linearly
+      probe(s"ts24_cross_lm_x$m", {
+        val ref = Tables.documents(spark, dir)
+          .filter(col("lang") === "en").select(col("text"))
+        graft.ops.TextAnalysis.bigramLmScoreCross(ref, "text",
+          docs(m), "id", "text")
+      })
       // domain-capped keep (tp9): one domain-keyed count-distinct +
       // a per-row hash predicate — must stay scan-rate at any m
       probe(s"tp9_domain_cap_x$m", {
