@@ -58,6 +58,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("simhash", exprs, 2)
       SimhashWide(exprs(0), intArg(exprs(1), "simhash", "width"))
     })
+    inject("nfc_normalize", classOf[NfcNormalize], exprs => {
+      arity("nfc_normalize", exprs, 1)
+      NfcNormalize(exprs(0))
+    })
+    inject("minhash_slots", classOf[MinhashSlots], exprs => {
+      arity("minhash_slots", exprs, 2)
+      MinhashSlots(exprs(0), intArg(exprs(1), "minhash_slots", "numHashes"))
+    })
+    inject("minhash_slots_hashed", classOf[MinhashSlotsFromHashes], exprs => {
+      arity("minhash_slots_hashed", exprs, 2)
+      MinhashSlotsFromHashes(exprs(0),
+        intArg(exprs(1), "minhash_slots_hashed", "numHashes"))
+    })
+    inject("lsh_band_keys", classOf[LshBandKeys], exprs => {
+      arity("lsh_band_keys", exprs, 3)
+      LshBandKeys(exprs(0), intArg(exprs(1), "lsh_band_keys", "bands"),
+        intArg(exprs(2), "lsh_band_keys", "rowsPerBand"))
+    })
+    inject("hashed_jaccard", classOf[HashedJaccard], exprs => {
+      arity("hashed_jaccard", exprs, 2)
+      HashedJaccard(exprs(0), exprs(1))
+    })
+    inject("sorted_hashed_jaccard", classOf[SortedHashedJaccard], exprs => {
+      arity("sorted_hashed_jaccard", exprs, 2)
+      SortedHashedJaccard(exprs(0), exprs(1))
+    })
+    inject("ivf_top_cells", classOf[IvfTopCells], exprs => {
+      arity("ivf_top_cells", exprs, 3)
+      IvfTopCells(exprs(0), exprs(1), intArg(exprs(2), "ivf_top_cells", "probes"))
+    })
     inject("pack_int8", classOf[PackInt8], exprs => {
       arity("pack_int8", exprs, 1)
       PackInt8(exprs(0))

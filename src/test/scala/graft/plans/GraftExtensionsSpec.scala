@@ -62,6 +62,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT lsh_plane_buckets(array(1.0D, -1.0D), 2, 2, 2) AS b")
         .head.getSeq[Long](0)
       assert(lsh.length == 2)
+      // the text/LSH/IVF family registered round-9: nfc_normalize
+      // composes a decomposed accent; minhash signatures band into
+      // bands*1 keys; jaccard kernels agree on identical sets;
+      // ivf_top_cells ranks the nearest anchor first
+      val r9 = spark.sql(
+        """SELECT
+             nfc_normalize('Café') AS nfc,
+             size(lsh_band_keys(minhash_slots_hashed(
+               hashed_word_shingles('a b c d', 2), 8), 4, 2)) AS nbands,
+             hashed_jaccard(hashed_word_shingles('a b c', 1),
+               hashed_word_shingles('a b c', 1)) AS j,
+             sorted_hashed_jaccard(
+               array_sort(hashed_word_shingles('a b c', 1)),
+               array_sort(hashed_word_shingles('a b c', 1))) AS sj,
+             ivf_top_cells(array(1.0D, 0.0D),
+               array(struct(7L AS cid, array(1.0D, 0.0D) AS cvec),
+                     struct(9L AS cid, array(0.0D, 1.0D) AS cvec)),
+               1)[0] AS top""")
+        .head
+      assert(r9.getString(0) == "Café")
+      assert(r9.getInt(1) == 4)
+      assert(r9.getDouble(2) == 1.0)
+      assert(r9.getDouble(3) == 1.0)
+      assert(r9.getLong(4) == 7L)
     } finally spark.stop()
   }
 }
