@@ -187,8 +187,23 @@ object Main {
         // are bit-identical either way (ts21 gate).
         val terms = args(2).split("\\s+").toSeq
         val k = if (args.length > 3) args(3).toInt else 10
+        // stored path only when the artifact is COMPLETE (both tables
+        // — a build killed between its two commits must not wedge the
+        // command) and FRESH (built from the current transcripts
+        // version — a stale index would silently miss new documents)
+        val indexComplete = store.exists("bm25_postings") &&
+          store.exists("bm25_stats") && store.exists("bm25_meta")
+        val indexFresh = indexComplete && {
+          val meta = t("bm25_meta").head
+          val fresh = store.currentVersion("transcripts")
+            .contains(meta.getAs[Long]("src_version"))
+          if (!fresh) println("(stored BM25 index is stale — " +
+            "transcripts changed since index-search; falling back to " +
+            "from-scratch ranking, re-run index-search to refresh)")
+          fresh
+        }
         val ranked =
-          if (store.exists("bm25_postings")) {
+          if (indexFresh) {
             println("(probing stored BM25 index)")
             graft.ops.TextAnalysis.bm25TopKStored(spark, store, terms, k)
           } else {
@@ -211,6 +226,7 @@ object Main {
         //  - hashed-TF vectors ([[graft.ops.TextAnalysis
         //    .hashedTfVector]] — model-free feature hashing) plus an
         //    IVF index over them for search-hybrid's vector side.
+        import spark.implicits._
         val dim = if (args.length > 2) args(2).toInt else 64
         val tx = t("transcripts").filter(col("transcript").isNotNull)
         graft.ops.TextAnalysis.bm25BuildIndex(tx, "video_id",
@@ -229,6 +245,12 @@ object Main {
           numCentroids = math.max(4, math.sqrt(n.toDouble).toInt))
         store.commit(spark, "tx_ivf_codebook", cb)
         store.commit(spark, "tx_ivf_members", members)
+        // freshness marker: which transcripts version this index saw
+        // (committed LAST, so its presence implies a complete build)
+        store.commit(spark, "bm25_meta",
+          Seq(("transcripts",
+            store.currentVersion("transcripts").getOrElse(-1L)))
+            .toDF("src_table", "src_version"))
         println(s"indexed $n transcripts: bm25_postings=" +
           s"${t("bm25_postings").count()} rows, dim=$dim, " +
           s"centroids=${t("tx_ivf_codebook").count()}")
@@ -242,8 +264,10 @@ object Main {
         // every corpus-sized computation paid at index time.
         val terms = args(2).split("\\s+").toSeq
         val k = if (args.length > 3) args(3).toInt else 10
-        require(store.exists("bm25_postings") && store.exists("tx_vectors"),
-          "no search artifacts — run index-search first")
+        require(store.exists("bm25_postings") && store.exists("bm25_stats")
+            && store.exists("tx_vectors") && store.exists("tx_ivf_codebook")
+            && store.exists("tx_ivf_members") && store.exists("bm25_meta"),
+          "search artifacts missing or incomplete — run index-search first")
         import spark.implicits._
         val lex = graft.ops.TextAnalysis
           .bm25TopKStored(spark, store, terms, k)
@@ -356,30 +380,34 @@ object Main {
         val corpus = t("corpus").select(col("id"), col("text"))
         val bench = spark.read.parquet(benchDir)
           .select(col("id").as("bench_id"), col("text"))
-        val clean = mode match {
+        // mine ONCE, stage to scratch, then report AND apply from the
+        // staged pairs — calling the drop* helpers here would re-run
+        // the whole mine (the dominant cost) a second time
+        val minedPairs = mode match {
           case "exact" =>
             val minShared = if (args.length > 4) args(4).toInt else 2
-            val pairs = graft.ops.Decontamination.contaminationPairs(
-              corpus, "id", "text", bench, "bench_id", "text",
-              minShared = minShared)
             println("contaminated (shared 8-gram windows):")
-            show(pairs.orderBy(desc("n_shared"), col("doc_id")))
-            graft.ops.Decontamination.dropContaminated(
+            graft.ops.Decontamination.contaminationPairs(
               corpus, "id", "text", bench, "bench_id", "text",
               minShared = minShared)
+              .orderBy(desc("n_shared"), col("doc_id"))
           case "fuzzy" =>
             val threshold = if (args.length > 4) args(4).toDouble else 0.5
-            val pairs = graft.ops.Decontamination.fuzzyContaminationPairs(
-              corpus, "id", "text", bench, "bench_id", "text",
-              threshold = threshold)
             println(s"contaminated (LSH jaccard >= $threshold):")
-            show(pairs.orderBy(desc("jaccard"), col("doc_id")))
-            graft.ops.Decontamination.dropFuzzyContaminated(
+            graft.ops.Decontamination.fuzzyContaminationPairs(
               corpus, "id", "text", bench, "bench_id", "text",
               threshold = threshold)
+              .orderBy(desc("jaccard"), col("doc_id"))
           case other => throw new IllegalArgumentException(
             s"mode must be exact|fuzzy, got $other")
         }
+        val scratch = graft.ops.Scratch.tempDir("graft-decon-")
+        minedPairs.write.mode("overwrite").parquet(scratch)
+        val staged = spark.read.parquet(scratch)
+        show(staged)
+        val clean = corpus.join(
+          staged.select(col("doc_id").as("id")).distinct(),
+          Seq("id"), "left_anti")
         val kept = store.commit(spark, "corpus_clean", clean)
         println(s"corpus_clean: ${kept.count()} of ${corpus.count()} docs kept")
 

@@ -226,13 +226,13 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
 
   /** Commit `df` with the CAS expectation pinned to the pointer a
     * prior [[readPinned]] captured — the publish fails (and the
-    * staged dir is dropped) if ANY commit landed since that read. */
-  def commitPinned(spark: SparkSession, table: String, df: DataFrame,
-      pin: CommitPin): DataFrame = {
-    require(pin.table == table,
-      s"pin for table ${pin.table} used to commit table $table")
-    commitExpecting(spark, table, df, pin.pointer)
-  }
+    * staged dir is dropped) if ANY commit landed since that read.
+    * The target table is the one the pin was read from (carrying it
+    * in the pin makes a table mismatch unrepresentable rather than
+    * runtime-checked). */
+  def commitPinned(spark: SparkSession, df: DataFrame,
+      pin: CommitPin): DataFrame =
+    commitExpecting(spark, pin.table, df, pin.pointer)
 
   /** Commit `df` with the CAS expectation pinned to `expected` — the
     * pointer the CALLER's computation was based on. Every merge path

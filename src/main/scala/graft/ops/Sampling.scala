@@ -202,6 +202,12 @@ object Sampling {
     * domain crossing the cap fades proportionally, no cliff).
     * The weight is 1e-9-rounded (the sm9 portability rule).
     *
+    * Docs with NO domain (null or empty `domainCol` — e.g. a corpus
+    * row without a URL) are NOT a domain: they pass through
+    * untouched rather than being dropped by a null-key join or
+    * lumped into one "" pseudo-domain that the cap would then
+    * downsample like a boilerplate mill.
+    *
     * Scale shape: one domain-keyed combinable count-distinct
     * (domain-cardinality-sized result), broadcast back, then the
     * per-row keep predicate — the corpus itself never shuffles. */
@@ -209,12 +215,15 @@ object Sampling {
       maxDocsPerDomain: Long, salt: String = ""): DataFrame = {
     require(maxDocsPerDomain >= 1,
       s"maxDocsPerDomain must be positive, got $maxDocsPerDomain")
-    val nd = df.groupBy(col(domainCol))
+    val domainless = col(domainCol).isNull || col(domainCol) === ""
+    val domained = df.filter(!domainless)
+    val nd = domained.groupBy(col(domainCol))
       .agg(countDistinct(col(keyCol)).as("__nd"))
     val w = least(lit(1.0),
       round(lit(maxDocsPerDomain.toDouble) / col("__nd").cast("double"), 9))
-    weightedKeep(df.join(broadcast(nd), Seq(domainCol)), keyCol, w, salt)
+    weightedKeep(domained.join(broadcast(nd), Seq(domainCol)), keyCol, w, salt)
       .drop("__nd")
+      .unionByName(df.filter(domainless))
   }
 
   /** Deterministic GLOBAL k-sample: the k rows with the smallest

@@ -150,7 +150,7 @@ object Sketches {
           .reduce { (a, b) => a.mergeInPlace(b); a }
         val out = new java.io.ByteArrayOutputStream()
         base.writeTo(out)
-        store.commitPinned(spark, sketchTable,
+        store.commitPinned(spark,
           Seq((fold.last._1, out.toByteArray), keep)
             .toDF("batch_id", "sketch"), pin)
         fold.length - 1

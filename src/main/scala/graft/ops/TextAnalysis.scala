@@ -359,7 +359,10 @@ object TextAnalysis {
     * no-op cannot pass unnoticed. */
   def dedupLinesWithin(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val lines = split(col(textCol), "\n")
+    // null text reads as the empty doc (clean "", n_removed 0) —
+    // matching stripBoilerplateLines' empty-doc survival; a null
+    // n_removed would silently drop out of the honesty counter
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
     val kept = array_distinct(lines)
     df.select(col(idCol).as("id"),
       array_join(kept, "\n").as("clean"),
@@ -654,12 +657,20 @@ object TextAnalysis {
     * after corpus changes (the commit is atomic CAS-versioned like
     * any store table); incremental posting maintenance is a
     * deliberate non-goal — BM25's global stats (df, avgdl) shift
-    * with every corpus change, so a rebuild is the honest unit. */
+    * with every corpus change, so a rebuild is the honest unit.
+    *
+    * Cross-table consistency: the store's atomicity is per TABLE,
+    * and a probe must never mix a new postings snapshot with old
+    * stats (silently wrong scores). Both frames therefore carry a
+    * shared `build_id` column (one UUID per build — columnar-RLE,
+    * effectively free), and [[bm25TopKStored]] refuses a mismatched
+    * pair with a retryable error instead of answering wrong. */
   def bm25BuildIndex(df: DataFrame, idCol: String, textCol: String,
       store: ParquetTableStore,
       postingsTable: String = "bm25_postings",
       statsTable: String = "bm25_stats"): Unit = {
     val spark = df.sparkSession
+    val buildId = java.util.UUID.randomUUID.toString
     // id stays whatever type the caller keys by (string video ids and
     // long doc ids both index — the MainDedupSpec genericity rule)
     val toks = df.select(col(idCol).as("id"),
@@ -670,10 +681,12 @@ object TextAnalysis {
       .select(col("term"), col("id"), col("tf"), col("dl"))
       .repartition(col("term"))
       .sortWithinPartitions("term", "id")
+      .withColumn("build_id", lit(buildId))
     store.commit(spark, postingsTable, postings)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
-    store.commit(spark, statsTable, dfreq.crossJoin(stats))
+    store.commit(spark, statsTable,
+      dfreq.crossJoin(stats).withColumn("build_id", lit(buildId)))
   }
 
   /** BM25 top-`k` against the STORED index — probe cost is
@@ -692,10 +705,22 @@ object TextAnalysis {
     require(k >= 1, s"k must be positive, got $k")
     require(query.nonEmpty, "query must carry at least one term")
     val q = query.map(_.toLowerCase).distinct
-    val postings = store.read(spark, postingsTable)
-      .filter(col("term").isin(q: _*))
-    val stats = store.read(spark, statsTable)
-      .filter(col("term").isin(q: _*))
+    val postingsAll = store.read(spark, postingsTable)
+    val statsAll = store.read(spark, statsTable)
+    // the two tables commit independently; a probe landing between a
+    // rebuild's two publishes must fail retryably, never mix a new
+    // postings snapshot with old stats (two 1-row columnar scans)
+    val pBuild = postingsAll.select("build_id").limit(1).collect()
+      .headOption.map(_.getString(0))
+    val sBuild = statsAll.select("build_id").limit(1).collect()
+      .headOption.map(_.getString(0))
+    if (pBuild != sBuild)
+      throw new IllegalStateException(
+        s"bm25 index mid-rebuild: $postingsTable build $pBuild vs " +
+          s"$statsTable build $sBuild — retry after the rebuild completes")
+    val postings = postingsAll.filter(col("term").isin(q: _*))
+    val stats = statsAll.filter(col("term").isin(q: _*))
+      .drop("build_id")
     bm25Rank(postings.join(broadcast(stats), Seq("term")), k, k1, b)
   }
 

@@ -2618,6 +2618,13 @@ object PipelineQueries {
       val bounds = ev.agg(min(col("ts")), max(col("ts"))).head
       val tmin = bounds.getTimestamp(0)
       val tmax = bounds.getTimestamp(1)
+      // the straggler at tmin is below the checkpointed phase-1
+      // watermark (midpoint − 2h) only when the slice spans > 4h —
+      // pin the fixture assumption loudly instead of letting a
+      // compressed regeneration surface as an unexplained extra row
+      require(tmax.getTime - tmin.getTime > 4L * 3600 * 1000,
+        s"st4 fixture must span > 4h for the late-drop pin " +
+          s"(got ${tmax.getTime - tmin.getTime} ms)")
       val split = new java.sql.Timestamp((tmin.getTime + tmax.getTime) / 2)
       val root = graft.ops.Scratch.tempDir("graft-st4-")
       val inDir = s"$root/in"

@@ -225,9 +225,12 @@ class SamplingSpec extends SparkSpec {
 
   test("domainCappedKeep: mills downsampled toward the cap, tail passes whole") {
     import spark.implicits._
-    // mill: 3000 docs on one domain; tail: 3 domains of 80 docs each
+    // mill: 3000 docs on one domain; tail: 3 domains of 80 docs each;
+    // plus docs with NO domain (null and "") — not a domain, so the
+    // cap must never drop or downsample them even at mill volume
     val rows = (1L to 3000L).map(i => (i, "mill.example.com")) ++
-      (1L to 240L).map(i => (3000L + i, s"site${i % 3}.example.org"))
+      (1L to 240L).map(i => (3000L + i, s"site${i % 3}.example.org")) ++
+      (1L to 400L).map(i => (4000L + i, if (i % 2 == 0) null else ""))
     val df = rows.toDF("doc_id", "domain")
     val kept = Sampling.domainCappedKeep(df, "doc_id", "domain",
       maxDocsPerDomain = 300)
@@ -239,6 +242,10 @@ class SamplingSpec extends SparkSpec {
     // tail domains are under the cap: weight 1, kept EXACTLY whole
     (0 to 2).foreach { s =>
       assert(byDomain(s"site$s.example.org") == 80L, byDomain.toString) }
+    // domainless docs pass through untouched — all 400, exactly
+    val domainless = kept
+      .filter(col("domain").isNull || col("domain") === "").count()
+    assert(domainless == 400L, s"domainless kept $domainless of 400")
     // deterministic
     val again = Sampling.domainCappedKeep(df, "doc_id", "domain",
       maxDocsPerDomain = 300).select("doc_id")

@@ -98,20 +98,18 @@ class StoreCasSpec extends SparkSpec {
     // a competitor lands between the read and the publish
     store.upsert(spark, "t", Seq((3L, "c")).toDF("id", "v"), Seq("id"))
     intercept[ConcurrentCommitException] {
-      store.commitPinned(spark, "t", derived, pin)
+      store.commitPinned(spark, derived, pin)
     }
     // nothing lost: the competitor's merge survives intact
     assert(store.read(spark, "t").select("id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     // the retry shape: re-read pinned (now over the winner) and publish
     val (snap2, pin2) = store.readPinned(spark, "t")
-    store.commitPinned(spark, "t", snap2.filter(col("id") =!= 2L), pin2)
+    store.commitPinned(spark, snap2.filter(col("id") =!= 2L), pin2)
     assert(store.read(spark, "t").select("id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
-    // a pin never commits a different table
-    intercept[IllegalArgumentException] {
-      store.commitPinned(spark, "other", snap2, pin2)
-    }
+    // the pin itself names the target table — a mismatch is
+    // unrepresentable (no separate table argument to get wrong)
   }
 
   test("two-table racing writers: per-table atomicity, parents-first reads never torn") {

@@ -350,13 +350,15 @@ class TextPiiSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a\nb\na\nc\nb\na"), // dups of a (x2) and b (x1)
       (2L, "x\ny\nz"),          // already unique
-      (3L, "q")                 // single line
+      (3L, "q"),                // single line
+      (4L, null)                // null text -> empty doc, count 0
     ).toDF("id", "text")
     val out = TextAnalysis.dedupLinesWithin(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out(1L) == ("a\nb\nc", 3L))
     assert(out(2L) == ("x\ny\nz", 0L))
     assert(out(3L) == ("q", 0L))
+    assert(out(4L) == ("", 0L), "null text must not poison the counter")
   }
 
   test("stripBoilerplateLines: frequent lines cut everywhere, blanks and order safe") {
@@ -424,7 +426,11 @@ class TextPiiSpec extends SparkSpec {
     // the index carries the full vocabulary: postings have dl
     // denormalized, stats carry df + the corpus scalars per term
     val postings = store.read(spark, "bm25_postings")
-    assert(postings.columns.toSeq == Seq("term", "id", "tf", "dl"))
+    assert(postings.columns.toSeq == Seq("term", "id", "tf", "dl", "build_id"))
+    // both frames carry the SAME build tag (the mixed-version guard)
+    assert(postings.select("build_id").distinct().count() == 1)
+    assert(store.read(spark, "bm25_stats").select("build_id").head.getString(0)
+      == postings.select("build_id").head.getString(0))
     assert(postings.filter(col("term") === "hash")
       .select("id", "tf", "dl").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
@@ -435,5 +441,14 @@ class TextPiiSpec extends SparkSpec {
     assert(stats(0).getAs[Long]("df") == 2L)
     assert(stats(0).getAs[Long]("n") == 3L)
     assert(stats(0).getAs[Long]("total_dl") == 10L)
+    // a probe across a mid-rebuild pair fails retryably, never mixes:
+    // overwrite ONLY the stats table (a fresh build id)
+    TextAnalysis.bm25BuildIndex(docs, "id", "text", store,
+      postingsTable = "other_postings") // commits fresh bm25_stats too
+    // now bm25_postings carries build A, bm25_stats build B
+    val e = intercept[IllegalStateException] {
+      TextAnalysis.bm25TopKStored(spark, store, Seq("hash"), k = 5)
+    }
+    assert(e.getMessage.contains("mid-rebuild"), e.getMessage)
   }
 }
