@@ -108,8 +108,12 @@ object Decontamination {
     val dsigs = Dedup.lshSignatures(docs, docId, docText, shingleLen)
     val dbands = Dedup.lshBandMembership(dsigs, nh, b)
     val bsigs = Dedup.lshSignatures(bench, benchId, benchText, shingleLen)
+    // doc ids and bench ids are UNRELATED namespaces (both typically
+    // number 0..N): an equal id is a coincidence, not a self-pair —
+    // the d10-style self-pair skip would silently KEEP a contaminated
+    // doc whose id happens to collide with its bench twin's
     Dedup.incrementalLshPairsFromSigs(bsigs, dbands, dsigs,
-      nh, b, threshold)
+      nh, b, threshold, excludeSelfPairs = false)
       .select(col("corpus_id").as("doc_id"), col("new_id").as("bench_id"),
         col("jaccard"))
   }

@@ -387,19 +387,30 @@ object Dedup {
     * ingest loops). Probe shape identical: batch bands broadcast
     * into one scan-rate pass over the stored index, candidates
     * broadcast into one scan-rate pass over the stored signatures. */
+  /** `excludeSelfPairs`: with true (the d10 default) an equal id on
+    * both sides means THE SAME DOCUMENT (batch ∪ corpus share one id
+    * namespace) and the self-pair is skipped. Callers probing across
+    * two UNRELATED id namespaces (decontamination: doc ids vs bench
+    * ids, both typically numbered 0..N) must pass false — there an
+    * equal id is a coincidence, and skipping it would silently drop
+    * a genuine cross-corpus match. */
   def incrementalLshPairsFromSigs(batchSigs: DataFrame,
       corpusBands: DataFrame, corpusHashes: DataFrame,
       numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      excludeSelfPairs: Boolean = true): DataFrame = {
     val batch = batchSigs
     val batchBands = bandKeys(batch, numHashes, bands)
     // Candidate generation: ONE scan-rate pass over the stored index,
     // batch band keys on the broadcast side.
+    val joinCond = {
+      val onBand = col("ci.band") === col("nb.band") &&
+        col("ci.band_hash") === col("nb.band_hash")
+      if (excludeSelfPairs) onBand && col("ci.id") =!= col("nb.id")
+      else onBand
+    }
     val cand = corpusBands.as("ci")
-      .join(broadcast(batchBands.as("nb")),
-        col("ci.band") === col("nb.band") &&
-          col("ci.band_hash") === col("nb.band_hash") &&
-          col("ci.id") =!= col("nb.id"))
+      .join(broadcast(batchBands.as("nb")), joinCond)
       .select(col("ci.id").as("corpus_id"), col("nb.id").as("new_id"))
       .distinct()
     // Verify: attach corpus hashed sets by broadcasting the candidate

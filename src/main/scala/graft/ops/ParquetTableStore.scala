@@ -208,8 +208,21 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * must not use this path — a competitor landing between the read
     * and this commit would be silently overwritten. Derive-then-
     * replace flows go through [[readPinned]] + [[commitPinned]]. */
-  def commit(spark: SparkSession, table: String, df: DataFrame): DataFrame =
+  def commit(spark: SparkSession, table: String, df: DataFrame): DataFrame = {
+    requireSnapshot(table, "commit")
     commitExpecting(spark, table, df, currentPointer(table))
+  }
+
+  /** Bucketed tables must only ever publish through the bucketed
+    * path: a snapshot-style commit would write a version with no
+    * kb= partition dirs while _BUCKETS survives, wedging every later
+    * [[upsertBucketed]]/[[compactBuckets]] with an AnalysisException
+    * over the missing bucket column. Symmetric to upsertBucketed's
+    * refusal of snapshot tables. */
+  private def requireSnapshot(table: String, op: String): Unit =
+    require(numBuckets(table).isEmpty,
+      s"table $table is bucketed; $op would publish an unpartitioned " +
+        "version and wedge later bucketed upserts — use upsertBucketed")
 
   /** Read the live snapshot AND capture the pointer it came from, as
     * one token for [[commitPinned]]. This is the read half of the
@@ -231,8 +244,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * in the pin makes a table mismatch unrepresentable rather than
     * runtime-checked). */
   def commitPinned(spark: SparkSession, df: DataFrame,
-      pin: CommitPin): DataFrame =
+      pin: CommitPin): DataFrame = {
+    requireSnapshot(pin.table, "commitPinned")
     commitExpecting(spark, pin.table, df, pin.pointer)
+  }
 
   /** Commit `df` with the CAS expectation pinned to `expected` — the
     * pointer the CALLER's computation was based on. Every merge path
@@ -257,6 +272,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // so the publish must CAS against exactly this value — including
     // the None case (a competitor creating the table concurrently
     // must fail our create-commit, not be replaced by it)
+    requireSnapshot(table, "upsert")
     val prev = currentPointer(table)
     prev match {
       case None => commitExpecting(spark, table, incoming, None)
@@ -279,8 +295,17 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(n)))
     if (!exists(table)) {
       Files.createDirectories(tableDir(table))
-      Files.write(bucketsFile(table), numBuckets.toString.getBytes(StandardCharsets.UTF_8))
-      val staged = writeVersion(spark, table, bucketed(incoming, numBuckets),
+      // the FIRST _BUCKETS writer wins the bucket-count contract:
+      // racing creators with different numBuckets would otherwise
+      // overwrite each other and split the table across two bucket
+      // functions (duplicate keys in different kb= dirs); CREATE_NEW
+      // makes the losers adopt the winner's count before writing data
+      try Files.write(bucketsFile(table),
+        numBuckets.toString.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      val n = this.numBuckets(table).getOrElse(numBuckets)
+      val staged = writeVersion(spark, table, bucketed(incoming, n),
         None, partitioned = true)
       publish(table, staged, None)
       readDir(spark, table, staged)
@@ -318,10 +343,19 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * conflict it is, not a raw I/O error. (Deployments should size
     * keepVersions comfortably above the concurrent-writer count so
     * a merger's base version normally survives its operation.) */
+  /** Directory listing with the stream CLOSED — Files.list holds an
+    * open directory FD until closed, and a long-running streaming
+    * driver pruning 3-4 tables per micro-batch would otherwise leak
+    * FDs until the ulimit kills every commit. */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   private def shareUntouchedBuckets(curDir: Path, nextDir: Path,
       touched: Set[Int]): Unit = {
     try {
-      Files.list(curDir).iterator().asScala
+      listDir(curDir)
         .filter(p => Files.isDirectory(p))
         .filter(p => p.getFileName.toString.startsWith(s"$BucketCol="))
         .filterNot(p => touched.contains(
@@ -329,7 +363,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
         .foreach { src =>
           val dst = nextDir.resolve(src.getFileName.toString)
           Files.createDirectories(dst)
-          Files.list(src).iterator().asScala
+          listDir(src)
             .filter(f => Files.isRegularFile(f))
             .foreach(f => io.shareFile(f, dst.resolve(f.getFileName.toString)))
         }
@@ -373,12 +407,12 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val curDir = tableDir(table).resolve(dirNameOf(prev))
     // bucket -> parquet part-file count; a driver-side listing of
     // ≤ numBuckets dirs (same scale contract as the touched-set)
-    val counts: Map[Int, Int] = Files.list(curDir).iterator().asScala
+    val counts: Map[Int, Int] = listDir(curDir)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith(s"$BucketCol="))
       .map { p =>
         val b = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-        val n = Files.list(p).iterator().asScala.count(f =>
+        val n = listDir(p).count(f =>
           Files.isRegularFile(f) &&
             !f.getFileName.toString.startsWith("_") &&
             !f.getFileName.toString.startsWith("."))
@@ -476,7 +510,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   private def prune(table: String, current: Long): Unit = {
     val dir = tableDir(table)
     if (Files.exists(dir)) {
-      Files.list(dir).iterator().asScala
+      listDir(dir)
         .filter(p => p.getFileName.toString.startsWith("v="))
         .map(p => (p, versionOf(p.getFileName.toString)))
         .filter { case (_, v) => v <= current - keepVersions }
@@ -485,8 +519,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -1480,8 +1480,7 @@ object PipelineQueries {
             ${lshSideSql("b", "benchsrc")},
             cand AS (SELECT DISTINCT d.id AS doc_id, n.id AS bench_id
                      FROM dbands d JOIN bbands n
-                       ON d.b = n.b AND d.band_hash = n.band_hash
-                          AND d.id <> n.id),
+                       ON d.b = n.b AND d.band_hash = n.band_hash),
             verif AS (SELECT doc_id, bench_id,
                         len(list_intersect(x.hs, y.hs))::DOUBLE /
                         len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE
@@ -4298,8 +4297,7 @@ object PipelineQueries {
             ${lshSideSql("b", "benchsrc")},
             dccand AS (SELECT DISTINCT d.id AS doc_id, n.id AS bench_id
                        FROM dbands d JOIN bbands n
-                         ON d.b = n.b AND d.band_hash = n.band_hash
-                            AND d.id <> n.id),
+                         ON d.b = n.b AND d.band_hash = n.band_hash),
             dcverif AS (SELECT doc_id, bench_id,
                           len(list_intersect(x.hs, y.hs))::DOUBLE /
                           len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE

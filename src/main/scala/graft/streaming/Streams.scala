@@ -67,17 +67,33 @@ object Streams {
           .filter(col("valid"))
           // Option[String] fields encode as nullable string columns
           .select(col("video_id"), col("transcript"))
-        // batch-internal dedup then U6 against the stored table
+        // batch-internal dedup MUST apply the same preference as the
+        // cross-batch U6 merge: timestamped beats plain (then
+        // transcript text as the total tie-break) — ordering on text
+        // alone would let a plain transcript beat a timestamped one
+        // that happened to land in the same micro-batch, a permanent
+        // loss the per-batch schedule should never influence
         val incoming = Upserts.dedupKeepLast(parsed, Seq("video_id"),
-          Seq(col("transcript")))
-        val merged =
-          if (!store.exists(table)) incoming
-          else Upserts.conditionalUpsert(store.read(spark, table), incoming,
-            Seq("video_id")) { (inc, old) =>
-            YtFunctions.hasTimestamps(inc("transcript")) ||
-              !YtFunctions.hasTimestamps(old("transcript"))
+          Seq(YtFunctions.hasTimestamps(col("transcript")),
+            col("transcript")))
+        // read-derive-replace: the merge derives from the snapshot it
+        // read, so the publish pins to THAT pointer — a competing
+        // writer (second inbox stream, a backfill) landing in between
+        // raises ConcurrentCommitException and the retry re-reads the
+        // winner and re-merges, instead of silently overwriting it
+        store.withCommitRetries() {
+          if (!store.exists(table)) store.commit(spark, table, incoming)
+          else {
+            val (stored, pin) = store.readPinned(spark, table)
+            store.commitPinned(spark,
+              Upserts.conditionalUpsert(stored, incoming,
+                Seq("video_id")) { (inc, old) =>
+                YtFunctions.hasTimestamps(inc("transcript")) ||
+                  !YtFunctions.hasTimestamps(old("transcript"))
+              }, pin)
           }
-        store.commit(spark, table, merged)
+          ()
+        }
         ()
       }
       .start()
@@ -186,12 +202,17 @@ object Streams {
           fetched.count() // force the fetch exactly once, populate cache
           val ok = fetched.filter(col("error").isNull)
             .select(col("id"), col("payload"), now.cast("timestamp").as("scraped_at"))
-          store.upsertBucketed(spark, table, ok, Seq("id"))
+          // retried like every other ingest loop's commits: a lost
+          // pointer race (concurrent compactBuckets, a competing
+          // writer) is a retryable conflict, not a query killer
+          store.withCommitRetries()(
+            store.upsertBucketed(spark, table, ok, Seq("id")))
           val dead = fetched.filter(col("error").isNotNull)
             .select(col("id"), col("error"), col("attempts"),
               now.cast("timestamp").as("failed_at"))
           if (dead.limit(1).count() > 0)
-            store.upsert(spark, deadLetterTable, dead, Seq("id"))
+            store.withCommitRetries()(
+              store.upsert(spark, deadLetterTable, dead, Seq("id")))
         } finally fetched.unpersist(false)
         ()
       }
@@ -396,10 +417,19 @@ object Streams {
             // min-id rep invariant. CC scratch reuses one dir under
             // the checkpoint (overwritten per batch, never leaked).
             store.withCommitRetries() {
-              val stored =
-                if (store.exists(clusterTable)) store.read(spark, clusterTable)
-                else spark.range(0)
-                  .select(col("id"), col("id").as("cluster_id"))
+              // readPinned: the merge derives from THIS snapshot, and
+              // mergeClusters emits one row per id in stored ∪ batch,
+              // so the publish is a pinned full replace — an upsert
+              // here would CAS against the pointer at upsert time,
+              // letting a competitor landing between the read and the
+              // publish be LWW-overwritten with labels derived from
+              // the stale snapshot (min-id rep invariant regression)
+              val pinned =
+                if (store.exists(clusterTable))
+                  Some(store.readPinned(spark, clusterTable))
+                else None
+              val stored = pinned.map(_._1).getOrElse(spark.range(0)
+                .select(col("id"), col("id").as("cluster_id")))
               // delta CC: rep graphs at ingest-batch size label on
               // the driver (one collect, zero fixpoint stages);
               // oversized deltas fall back to the staged fixpoint
@@ -407,8 +437,13 @@ object Streams {
                 stored, allPairs,
                 scratchDir = Some(s"$checkpointDir/cc-scratch"),
                 driverMaxEdges = 1 << 20)
-              if (merged.limit(1).count() > 0)
-                store.upsert(spark, clusterTable, merged, Seq("id"))
+              if (merged.limit(1).count() > 0) {
+                pinned match {
+                  case Some((_, pin)) => store.commitPinned(spark, merged, pin)
+                  case None => store.commit(spark, clusterTable, merged)
+                }
+                ()
+              }
             }
             store.withCommitRetries()(
               store.upsertBucketed(spark, corpusTable, b, Seq("id"),
@@ -447,6 +482,12 @@ object Streams {
   def sessionize(events: Dataset[UserEvent], gapMinutes: Int = 30,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    // only the processing-time timer is implemented (setTimeoutDuration);
+    // EventTimeTimeout would need setTimeoutTimestamp + a watermark and
+    // silently accepting it would crash per key at runtime instead
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "sessionize supports NoTimeout and ProcessingTimeTimeout; " +
+        "EventTimeTimeout needs a watermark + setTimeoutTimestamp")
     val gapMs = gapMinutes * 60L * 1000L
     val timeoutEnabled = timeout != GroupStateTimeout.NoTimeout
 
@@ -465,7 +506,10 @@ object Streams {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.last <= gapMs =>
-            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+            // a late event merged into the session can predate its
+            // start — the reported session_start must cover it
+            cur = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1))
           case Some(s) =>
             closed ::= UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
             cur = Some(SessionState(t, t, 1))

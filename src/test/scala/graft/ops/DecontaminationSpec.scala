@@ -83,6 +83,24 @@ class DecontaminationSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy pass finds a leak whose doc id EQUALS its bench id") {
+    // doc ids and bench ids are unrelated namespaces that both
+    // typically number 0..N — an id collision is a coincidence, not a
+    // self-pair, and the d10-style self-pair skip would silently KEEP
+    // the contaminated doc (the one failure mode the pass must not
+    // have)
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val train = Seq((7L, long)).toDF("doc_id", "text")
+    val evalSet = Seq((7L, long)).toDF("bench_id", "text") // same id!
+    val pairs = Decontamination.fuzzyContaminationPairs(train, "doc_id",
+      "text", evalSet, "bench_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((7L, 7L)), s"id-colliding leak missed: $pairs")
+    val survivors = Decontamination.dropFuzzyContaminated(train, "doc_id",
+      "text", evalSet, "bench_id", "text", threshold = 0.8)
+    assert(survivors.count() == 0, "contaminated doc kept on id collision")
+  }
+
   test("recallBandGeometry guarantees recall at the threshold within the caps") {
     for (t <- Seq(0.3, 0.4, 0.5, 0.6, 0.8); miss <- Seq(0.1, 0.05)) {
       val (numHashes, bands) = Dedup.recallBandGeometry(t, miss)

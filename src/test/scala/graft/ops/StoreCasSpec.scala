@@ -112,6 +112,49 @@ class StoreCasSpec extends SparkSpec {
     // unrepresentable (no separate table argument to get wrong)
   }
 
+  test("snapshot-path writes on a bucketed table are refused symmetrically") {
+    val store = new ParquetTableStore(tmpDir("cas-buckguard"))
+    store.upsertBucketed(spark, "b", Seq((1L, "a")).toDF("id", "v"),
+      Seq("id"), numBuckets = 4)
+    // commit/upsert would publish a version with no kb= dirs and
+    // wedge every later bucketed upsert — refused up front
+    intercept[IllegalArgumentException] {
+      store.commit(spark, "b", Seq((2L, "b")).toDF("id", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      store.upsert(spark, "b", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      val (_, pin) = store.readPinned(spark, "b")
+      store.commitPinned(spark, Seq((2L, "b")).toDF("id", "v"), pin)
+    }
+    // the bucketed path still works and the table is intact
+    store.upsertBucketed(spark, "b", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(store.read(spark, "b").count() == 2)
+  }
+
+  test("racing creators of a bucketed table converge on ONE bucket count") {
+    // simulate losing the _BUCKETS create race: a competitor already
+    // wrote _BUCKETS=4 but has not published yet (no _CURRENT); our
+    // create with numBuckets=64 must ADOPT 4 instead of overwriting —
+    // two bucket functions on one table would put the same key in two
+    // kb= dirs (duplicate rows per key)
+    val root = tmpDir("cas-buckcreate")
+    val store = new ParquetTableStore(root, keepVersions = 100)
+    Files.createDirectories(Paths.get(root, "t"))
+    Files.write(Paths.get(root, "t", "_BUCKETS"), "4".getBytes)
+    store.upsertBucketed(spark, "t", Seq((1L, "a")).toDF("id", "v"),
+      Seq("id"), numBuckets = 64)
+    assert(store.numBuckets("t").contains(4))
+    // and the data really is bucketed with the adopted count: a
+    // later delta merges by key instead of duplicating it
+    store.upsertBucketed(spark, "t", Seq((1L, "a2")).toDF("id", "v"),
+      Seq("id"), numBuckets = 64)
+    val rows = store.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a2")), rows.toSeq.toString)
+  }
+
   test("two-table racing writers: per-table atomicity, parents-first reads never torn") {
     // The SyncPipeline shape: each writer lands one (video, transcript)
     // pair — two SEPARATE commits, parents first. The store's contract

@@ -37,6 +37,24 @@ class StreamsSpec extends SparkSpec {
       "ccccccccccc" -> "fresh insert"))     // unmatched inserted
   }
 
+  test("inbox stream: timestamped beats plain WITHIN one micro-batch") {
+    // both versions of one video land in the SAME batch: the in-batch
+    // dedup must apply the U6 preference (timestamped wins), not raw
+    // text order — 'zzz plain' > '[00:01] …' lexicographically, so a
+    // text-ordered dedup would permanently discard the timestamped one
+    val inbox = tmpDir("sinbox2")
+    val store = new ParquetTableStore(tmpDir("sstore2"))
+    Files.write(Paths.get(inbox, "a_plain.txt"),
+      "URL: https://youtu.be/ddddddddddd\n\nzzz plain version".getBytes)
+    Files.write(Paths.get(inbox, "b_timed.txt"),
+      "URL: https://youtu.be/ddddddddddd\n\n[00:01] timed version".getBytes)
+    val q = Streams.inboxStream(spark, inbox, store, "transcripts")
+    try q.processAllAvailable() finally q.stop()
+    val got = store.read(spark, "transcripts").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("ddddddddddd" -> "[00:01] timed version"), got.toString)
+  }
+
   test("streaming exact dedup: duplicate content across batches is dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
@@ -119,6 +137,44 @@ class StreamsSpec extends SparkSpec {
     val got = spark.table("sess").as[UserSession].collect()
       .map(s => (s.user_id, s.session_start.toString, s.n_events)).toSet
     assert(got == Set((1L, "2024-01-01 09:00:00.0", 2)))
+  }
+
+  test("sessionize: a merged late event extends session_start backwards") {
+    import spark.implicits._
+    import Streams.{UserEvent, UserSession}
+    val dir = tmpDir("sess-late")
+    def ev(u: Long, t: String) =
+      UserEvent(u, java.sql.Timestamp.valueOf(t), "e")
+    // batch 1 opens the session at 10:00; batch 2 delivers a LATE
+    // 09:59 (within gap, EARLIER than the recorded start — the
+    // in-batch sort cannot save it across batches) plus a 13:00 that
+    // closes the session: the closed session must report start 09:59,
+    // covering the merged late event
+    Seq(ev(9, "2024-01-01 10:00:00"))
+      .toDF().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema("user_id long, ts timestamp, event_type string")
+      .parquet(dir).as[UserEvent]
+    val q = Streams.sessionize(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesslate").start()
+    try {
+      q.processAllAvailable()
+      Seq(ev(9, "2024-01-01 09:59:00"), ev(9, "2024-01-01 13:00:00"))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sesslate").as[UserSession].collect()
+      .map(s => (s.session_start.toString, s.session_end.toString, s.n_events))
+      .toSet
+    assert(got == Set(("2024-01-01 09:59:00.0", "2024-01-01 10:00:00.0", 2)),
+      got.toString)
+    // the unimplemented event-time timer is rejected eagerly, not as
+    // a per-key runtime crash
+    intercept[IllegalArgumentException] {
+      Streams.sessionize(stream,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)
+    }
   }
 
   test("event windowed counts with watermark (memory sink)") {
