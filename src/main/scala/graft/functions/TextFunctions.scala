@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens; empty array for blank/null-ish input. */
+  /** Whitespace tokens; empty array for blank/null-ish input.
+    * The isNull arm is load-bearing: without it the when-condition
+    * evaluates NULL for null text and the otherwise branch returns
+    * split(NULL) = NULL — violating this contract and leaking
+    * NULL-binned rows into integer-only consumers (lengthHistogram's
+    * bin column was the observed casualty). */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
+    when(text.isNull || length(trim(text)) === 0,
+      array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
   /** Deterministic cross-engine 60-bit hash (see object doc). */

@@ -236,15 +236,19 @@ object Dedup {
     require(missRate > 0 && missRate < 1, "missRate must be in (0, 1)")
     require(maxBands >= 2 && maxHashes >= maxBands,
       "need maxBands >= 2 and maxHashes >= maxBands")
-    def bandsFor(r: Int): Double =
-      math.ceil(math.log(1.0 / missRate) / math.pow(threshold, r))
+    // the floor-of-2 bump applies BEFORE the affordability check, so
+    // the returned b*r can never exceed the maxHashes cap the caller
+    // sized its signature budget by
+    def bandsFor(r: Int): Int =
+      math.max(2, math.ceil(
+        math.log(1.0 / missRate) / math.pow(threshold, r)).toInt)
     // bandsFor grows with depth, so affordable depths are a prefix
     val affordable = (1 to 32).takeWhile { r =>
       val b = bandsFor(r); b <= maxBands && b * r <= maxHashes
     }
     affordable.lastOption match {
       case Some(r) =>
-        val b = math.max(2, bandsFor(r).toInt)
+        val b = bandsFor(r)
         (b * r, b)
       case None => (maxBands, maxBands) // r=1, recall-degraded (see doc)
     }
@@ -256,9 +260,11 @@ object Dedup {
     * should call (the explicit-knob form remains for callers that do,
     * and for oracle pins at a fixed geometry). The count is one
     * columnar-scan job over the id column — noise next to the
-    * signature pass it sizes. */
+    * signature pass it sizes. Defaults (threshold included) match the
+    * explicit-knob form exactly: auto changes the GEOMETRY, never the
+    * verify semantics. */
   def minhashLshPairsAuto(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, threshold: Double = 0.8,
+      shingleLen: Int = 3, threshold: Double = 0.6,
       noiseSim: Double = 0.3, missRate: Double = 0.1,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val n = df.select(col(idCol)).count()
@@ -271,7 +277,7 @@ object Dedup {
     * [[minhashLshPairsAuto]]; this is the miner whose fixed default
     * knob the x30 probe measured at 15× wall-time. */
   def ngramJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, threshold: Double = 0.8,
+      n: Int = 5, threshold: Double = 0.7,
       noiseSim: Double = 0.3, missRate: Double = 0.1,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val corpusN = df.select(col(idCol)).count()
@@ -608,11 +614,25 @@ object Dedup {
       bucketCap: Int = DefaultBucketCap,
       chunkIdFactor: Long = 1000000L): DataFrame = {
     require(chunkIdFactor >= 2, "chunkIdFactor must exceed any chunk_no")
+    // the packed cid is only decodable for 0 <= id <= Long.Max/factor
+    // and chunk_no < factor — outside that, a negative id would
+    // silently decode into ANOTHER doc's range (truncating div) and a
+    // giant id would overflow: fail the row loudly instead (callers
+    // with hash-derived ids must remap, e.g. pmod into a dense range)
+    val idOk = col(idCol) >= 0 &&
+      col(idCol) <= Long.MaxValue / chunkIdFactor - 1 &&
+      col("chunk_no") < chunkIdFactor
+    val packed = when(idOk,
+      col(idCol) * chunkIdFactor + col("chunk_no"))
+      .otherwise(raise_error(concat(
+        lit(s"chunkedContainmentPairs: id/chunk_no outside the packable " +
+          s"range for chunkIdFactor=$chunkIdFactor (id="),
+        col(idCol).cast("string"), lit(", chunk_no="),
+        col("chunk_no").cast("string"), lit(")"))).cast("long"))
     val chunks = TextAnalysis.chunk(
       df.select(col(idCol), col(textCol)), idCol, textCol,
       windowTokens, stride)
-      .select((col(idCol) * chunkIdFactor + col("chunk_no")).as("cid"),
-        col("chunk_text"))
+      .select(packed.as("cid"), col("chunk_text"))
     containmentPairs(chunks, "cid", "chunk_text", shingleLen,
       numHashes, bands, threshold, bucketCap)
       .select(expr(s"id_a div $chunkIdFactor").as("da"),
@@ -787,7 +807,8 @@ object Dedup {
   /** CAP-SATURATION diagnostic: for the block structure `keys` over
     * `df` (LSH band buckets, IVF cells, fuzzy blocks — anything the
     * miners window-cap), one row reporting how many blocks exist, how
-    * many are AT OR OVER `cap`, and the hottest block's population.
+    * many are STRICTLY OVER `cap` (an exactly-full block truncated
+    * nothing), and the hottest block's population.
     * A bound cap is a silent recall loss — the x30 scale probe
     * measured fixed-knob IVF dropping 2/3 of true pairs exactly this
     * way (PLANS.md round 7) — so deployments should alarm on

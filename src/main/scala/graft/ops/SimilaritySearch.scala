@@ -29,14 +29,28 @@ import graft.functions.TextFunctions._
   */
 object SimilaritySearch {
 
+  /** ID-NAMESPACE CONTRACT shared by every engine here: query ids
+    * and corpus ids are assumed to live in ONE namespace, so
+    * query_id = neighbor_id means "the same item" and the self-match
+    * is excluded before ranking. Callers whose queries come from an
+    * UNRELATED namespace (both numbered 0..N) must either remap
+    * query ids into a disjoint range (the d20/CLI practice: negative
+    * or offset ids) or pass excludeSelfPairs = false — otherwise an
+    * id-colliding true neighbor is silently dropped, and recallAtK
+    * cannot catch it because the exact baseline applies the same
+    * exclusion. */
+  private def dropSelfPairs(df: DataFrame, exclude: Boolean): DataFrame =
+    if (exclude) df.filter(col("query_id") =!= col("neighbor_id")) else df
+
   /** Exact top-k neighbors per query by cosine (desc), deterministic
     * tie-break on neighbor id. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      excludeSelfPairs: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
       .withColumn("cos", graft.plans.VectorKernels.cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -78,7 +92,7 @@ object SimilaritySearch {
   def lshTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8,
       tables: Int = 4, bucketCap: Int = 10000,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, excludeSelfPairs: Boolean = true): DataFrame = {
     def exploded(df: DataFrame, id: String) =
       df.select(col(idCol).as(id),
         posexplode(tableBuckets(col(vecCol), planes, tables, dim)))
@@ -95,7 +109,7 @@ object SimilaritySearch {
           .filter(col("__rn") <= bucketCap).drop("__rn")
       }
     val pairs = qb.join(cb, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
       .select("query_id", "neighbor_id").distinct()
     val scored = pairs
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
@@ -146,7 +160,8 @@ object SimilaritySearch {
     * quantized-recall spec pins top-k agreement empirically. */
   def quantizedIvfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, numCentroids: Int,
-      probes: Int = 4, cellCap: Int = 10000): DataFrame = {
+      probes: Int = 4, cellCap: Int = 10000,
+      excludeSelfPairs: Boolean = true): DataFrame = {
     import graft.plans.Q8Kernels
     val comp = candidates
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
@@ -171,7 +186,7 @@ object SimilaritySearch {
       codebook, probes)
       .select(col("id").as("query_id"), col("centroid_id"))
     val cand = queryAssign.join(capped, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
       .select("query_id", "neighbor_id").distinct()
     val scored = cand
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
@@ -188,7 +203,8 @@ object SimilaritySearch {
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, numCentroids: Int,
-      probes: Int = 4, cellCap: Int = 10000): DataFrame = {
+      probes: Int = 4, cellCap: Int = 10000,
+      excludeSelfPairs: Boolean = true): DataFrame = {
     // ONE codebook derivation (k·dim doubles to the driver — the
     // documented Ivf contract, numeric ids required), shared by both
     // assignment sides; deriving the corpus side in-plan as well
@@ -207,7 +223,7 @@ object SimilaritySearch {
       codebook, probes)
       .select(col("id").as("query_id"), col("centroid_id"))
     val cand = queryAssign.join(capped, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
       .select("query_id", "neighbor_id").distinct()
     val scored = cand
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
@@ -235,7 +251,14 @@ object SimilaritySearch {
     val codebookDf = candidates
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
       .orderBy("cid").limit(numCentroids)
-    val codebook = Ivf.sampleCodebook(candidates, idCol, vecCol, numCentroids)
+    // ONE codebook derivation: the driver copy comes from the SAME
+    // frame the store persists (probeStoredIvf's read shape), so the
+    // stored artifact and the member assignments can never silently
+    // desynchronize through a future edit to Ivf.sampleCodebook
+    val codebook: Ivf.Codebook = codebookDf.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toIndexedSeq))
+      .toIndexedSeq
     val corpusAssign = Ivf.assignmentsWithCodebook(candidates, idCol, vecCol,
       codebook, probes = 1)
       .select(col("id").as("neighbor_id"), col("centroid_id"))
@@ -260,7 +283,8 @@ object SimilaritySearch {
     * (spec-pinned). */
   def probeStoredIvf(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, codebookDf: DataFrame,
-      members: DataFrame, k: Int, probes: Int = 4): DataFrame = {
+      members: DataFrame, k: Int, probes: Int = 4,
+      excludeSelfPairs: Boolean = true): DataFrame = {
     val codebook: Ivf.Codebook = codebookDf
       .select(col("cid"), col("cvec"))
       .orderBy("cid").collect()
@@ -273,7 +297,7 @@ object SimilaritySearch {
     val cand = queryAssign
       .join(members.select(col("centroid_id"), col("neighbor_id")),
         Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
       .select("query_id", "neighbor_id").distinct()
     val scored = cand
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
@@ -430,7 +454,8 @@ object SimilaritySearch {
     * broadcast-batch shape). */
   def pqTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int, ks: Int,
-      dim: Int, iters: Int = 0): DataFrame = {
+      dim: Int, iters: Int = 0,
+      excludeSelfPairs: Boolean = true): DataFrame = {
     val cb = pqCodebook(candidates, idCol, vecCol, m, ks, dim, iters)
     val subDim = dim / m
     val codes = candidates
@@ -446,7 +471,7 @@ object SimilaritySearch {
         lit(j * ks + 1) + element_at(col("codes"), j + 1))
     }.foldLeft(lit(0.0))(_ + _)
     val scored = codes.crossJoin(broadcast(qt))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
       .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
@@ -501,7 +526,8 @@ object SimilaritySearch {
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, numCentroids: Int,
       probes: Int, m: Int, ks: Int, dim: Int,
-      cellCap: Int = 10000): DataFrame = {
+      cellCap: Int = 10000,
+      excludeSelfPairs: Boolean = true): DataFrame = {
     val codebook = Ivf.sampleCodebook(candidates, idCol, vecCol, numCentroids)
     val corpusAssign = Ivf.assignmentsWithCodebook(candidates, idCol, vecCol,
       codebook, probes = 1)
@@ -516,7 +542,7 @@ object SimilaritySearch {
       codebook, probes)
       .select(col("id").as("query_id"), col("centroid_id"))
     val cand = queryAssign.join(capped, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
       .select("query_id", "neighbor_id").distinct()
     // PQ scoring: candidates re-attach m CODES (not vectors)...
     val pqCb = pqCodebook(candidates, idCol, vecCol, m, ks, dim)

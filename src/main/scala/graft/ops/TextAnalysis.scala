@@ -520,6 +520,12 @@ object TextAnalysis {
     * Scale shape: the cut frame is ONE row (broadcast); bucketing is
     * then a per-row CASE — no shuffle beyond [[bigramLmScore]]'s own
     * exchanges. */
+  /** Coverage note: documents with fewer than 2 tokens have no
+    * bigram and therefore NO LM score — they are absent from the
+    * output entirely (neither head nor tail), and the quantile cuts
+    * are computed over the scoreable corpus only. Callers keeping
+    * head+middle must decide the sub-2-token docs' fate explicitly
+    * (an anti-join on the output finds them). */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       lo: Double = 0.3, hi: Double = 0.7): DataFrame = {
     require(lo > 0 && hi < 1 && lo < hi, s"need 0 < lo < hi < 1, got $lo/$hi")

@@ -116,6 +116,12 @@ class DecontaminationSpec extends SparkSpec {
     assert(Dedup.recallBandGeometry(0.5) == (148, 37))
     // a threshold too low for the caps degrades to 1-row bands
     assert(Dedup.recallBandGeometry(0.02) == (64, 64))
+    // the floor-of-2 band bump is applied BEFORE the affordability
+    // check: even in the b=1 corner (threshold ~1, lax missRate) the
+    // returned numHashes respects the maxHashes cap
+    val (nh, b) = Dedup.recallBandGeometry(0.99, missRate = 0.9,
+      maxBands = 40, maxHashes = 40)
+    assert(nh <= 40 && nh == b * (nh / b), s"got ($nh, $b)")
   }
 
   test("no retained blocks after materialization") {

@@ -96,6 +96,26 @@ class PipelineSpec extends SparkSpec {
       s"multi-table recall $recall < single-table $recallSingle")
   }
 
+  test("excludeSelfPairs=false keeps an id-colliding true neighbor") {
+    // queries from an UNRELATED namespace that happens to collide:
+    // query 1's genuinely nearest corpus vector also has id 1 — the
+    // default same-namespace rule drops it; the flag keeps it
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "embedding")
+    val dflt = SimilaritySearch.bruteForceTopK(q, corpus, "id",
+      "embedding", k = 1).collect().map(_.getLong(2)).toSeq
+    assert(dflt == Seq(2L), s"default must self-exclude, got $dflt")
+    val cross = SimilaritySearch.bruteForceTopK(q, corpus, "id",
+      "embedding", k = 1, excludeSelfPairs = false)
+      .collect().map(_.getLong(2)).toSeq
+    assert(cross == Seq(1L), s"cross-namespace must keep id 1, got $cross")
+    val ivf = SimilaritySearch.ivfTopK(q, corpus, "id", "embedding",
+      k = 1, numCentroids = 2, probes = 2, excludeSelfPairs = false)
+      .collect().map(_.getLong(2)).toSeq
+    assert(ivf == Seq(1L), s"ivf cross-namespace, got $ivf")
+  }
+
   test("ivfPqTopK: full probing recovers plain ADC; starved probing stays within cells") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
@@ -478,6 +498,18 @@ class PipelineSpec extends SparkSpec {
     assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L,
       got.toSeq)
     assert(got.head._3 == 1.0, got.toSeq)
+    // ids outside the packable range fail LOUDLY: a negative id would
+    // otherwise decode into another doc's cid range (truncating div)
+    // and surface as a bogus cross-doc pair
+    val bad = Seq((-1L, quoteToks.mkString(" ")),
+      (2L, quoteToks.mkString(" "))).toDF("id", "text")
+    val e = intercept[Exception] {
+      Dedup.chunkedContainmentPairs(bad, "id", "text",
+        windowTokens = 16, stride = 8, threshold = 0.8).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("packable") ||
+        e.getMessage.contains("USER_RAISED_EXCEPTION")), e.getMessage)
   }
 
   test("keepBestWithClusters over a stored label map equals the self-mining form") {

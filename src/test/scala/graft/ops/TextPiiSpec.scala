@@ -217,6 +217,7 @@ class TextPiiSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq(
       "",                                    // 1 token after split ("")
+      null,                                  // null text → 0 tokens, bin 0
       "one two three",                       // 3 → bin 0
       ("w " * 10).trim,                      // 10 → bin 2
       ("w " * 100).trim                      // 100 → capped at top bin
@@ -225,12 +226,14 @@ class TextPiiSpec extends SparkSpec {
       numBins = 4).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
-    // bins: 0 → ["" , "one two three"], 2 → [10-token], 3 (capped) → [100-token]
-    assert(h(0)._2 == 2 && h(2)._2 == 1 && h(3)._2 == 1, h)
+    // bins: 0 → ["", null, "one two three"], 2 → [10-token],
+    // 3 (capped) → [100-token]; null text counts as a 0-token doc in
+    // bin 0 (the tokens() null contract), never a NULL bin row
+    assert(h(0)._2 == 3 && h(2)._2 == 1 && h(3)._2 == 1, h)
     assert(h(0)._1 == 0 && h(2)._1 == 8 && h(3)._1 == 12) // lo_tokens
     // counts partition the corpus; cumulative reaches the total
-    assert(h.values.map(_._2).sum == 4)
-    assert(h(3)._3 == 4, "last cum_docs must equal the corpus size")
+    assert(h.values.map(_._2).sum == 5)
+    assert(h(3)._3 == 5, "last cum_docs must equal the corpus size")
     // plan: corpus reduces at the combiners before the tiny window
     val plan = TextAnalysis.lengthHistogram(docs, "text", 4, 4)
       .queryExecution.executedPlan.toString
