@@ -110,43 +110,58 @@ object Dedup {
     */
   private[ops] def lshJaccardPairs(withHashes: DataFrame, numHashes: Int,
       bands: Int, threshold: Double,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    lshVerifiedPairs(withHashes, numHashes, bands, threshold, bucketCap,
+      "jaccard",
+      (a, b) => graft.plans.LshKernels.sortedHashedJaccard(a, b))
+
+  /** The shared LSH mine: band keys → per-bucket cap → capped
+    * in-bucket self-join (ids only) → SHUFFLE_HASH re-attach of the
+    * hashed sets → `metric(ha.hs, hb.hs)` named `metricName`, kept at
+    * ≥ threshold. [[lshJaccardPairs]] and [[containmentPairs]] are
+    * this chain with different verify expressions — ONE definition of
+    * the cap rule, hint pinning, and exchange-reuse discipline.
+    *
+    * Per-bucket cap: row_number over the (band, band_hash) exchange
+    * streams through the sorted bucket — first `bucketCap` ids, a
+    * hot bucket is bounded at cap²/2 pairs. Verify joins are pinned
+    * SHUFFLE_HASH: with a broadcast join the metric condition would
+    * evaluate in an AQE-coalesced single-partition probe stage, and
+    * the corpus must never broadcast (round-1 scale-killer) — shuffle
+    * joins keyed by id stay disk-backed and partition-parallel at any
+    * scale, AQE skew-split still applies. Both sides alias the SAME
+    * un-renamed `withHashes` plan — already id-partitioned by the
+    * callers' barrier, so neither side shuffles again and both
+    * descend from the one reused exchange. */
+  private def lshVerifiedPairs(withHashes: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double, bucketCap: Int, metricName: String,
+      metric: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(bucketCap >= 2, "bucketCap must admit at least one pair")
     val hashed = withHashes
-    // Signature from the stored hashes (no digests), band keys via
-    // the native kernel — both codegen'd, evaluated once inside the
-    // single candidate-generation pass below.
     val banded = bandKeys(hashed, numHashes, bands)
-    // Per-bucket cap: row_number over the (band, band_hash) exchange
-    // streams through the sorted bucket — first `bucketCap` ids, a
-    // hot bucket is bounded at cap²/2 pairs. Candidates are then the
-    // capped in-bucket equi-self-join (ids only; one exchange, see
-    // [[cappedPairs]]).
-    val wb = Window.partitionBy(col("band"), col("band_hash"))
-      .orderBy(col("id").asc)
-    val capped = banded
-      .withColumn("__rn", row_number().over(wb))
-      .filter(col("__rn") <= bucketCap)
-      .select("band", "band_hash", "id")
+    val capped = capBlocks(banded, Seq("band", "band_hash"), bucketCap)
     val cand = cappedPairs(capped, Seq("band", "band_hash"))
-    // Exact verify. The joins are pinned SHUFFLE_HASH: with a
-    // broadcast join the Jaccard condition would evaluate in an
-    // AQE-coalesced single-partition probe stage, and the corpus must
-    // never broadcast (round-1 scale-killer) — shuffle joins keyed by
-    // id stay disk-backed and partition-parallel at any scale, AQE
-    // skew-split still applies. Both sides alias the SAME un-renamed
-    // `hashed` plan — already id-partitioned by the callers' barrier,
-    // so neither side shuffles again and both descend from the one
-    // reused exchange.
     val verify = hashed.hint("shuffle_hash")
     cand
       .join(verify.as("ha"), col("id_a") === col("ha.id"))
       .join(verify.as("hb"), col("id_b") === col("hb.id"))
-      .withColumn("jaccard",
-        graft.plans.LshKernels.sortedHashedJaccard(col("ha.hs"), col("hb.hs")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn(metricName, metric(col("ha.hs"), col("hb.hs")))
+      .filter(col(metricName) >= threshold)
+      .select("id_a", "id_b", metricName)
+  }
+
+  /** Deterministic per-block cap — the uniform rule every blocked
+    * miner shares: first `cap` ids per `keys` block (row_number over
+    * the block exchange), so a hot block is bounded at cap²/2 pairs.
+    * Returns (keys..., id). */
+  private def capBlocks(df: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id").asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .select((keys :+ "id").map(col): _*)
   }
 
   /** MinHash+LSH near-dup pairs over word shingles: shingle →
@@ -344,14 +359,10 @@ object Dedup {
     * in the table store next to the signatures: ~bands rows of three
     * narrow columns per doc, appended as batches commit. */
   def lshBandIndex(signatures: DataFrame, numHashes: Int = 32,
-      bands: Int = 8, bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val wb = Window.partitionBy(col("band"), col("band_hash"))
-      .orderBy(col("id").asc)
-    bandKeys(signatures, numHashes, bands)
-      .withColumn("__rn", row_number().over(wb))
-      .filter(col("__rn") <= bucketCap)
+      bands: Int = 8, bucketCap: Int = DefaultBucketCap): DataFrame =
+    capBlocks(bandKeys(signatures, numHashes, bands),
+      Seq("band", "band_hash"), bucketCap)
       .select("id", "band", "band_hash")
-  }
 
   /** Incremental near-dup probe: match a NEW ingest batch against an
     * already-indexed corpus without re-signaturing (or re-shuffling)
@@ -503,12 +514,7 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"),
         col("bk.band_bits").as("band_bits"))
-    val wb = Window.partitionBy(col("band"), col("band_bits"))
-      .orderBy(col("id").asc)
-    val capped = banded
-      .withColumn("__rn", row_number().over(wb))
-      .filter(col("__rn") <= bucketCap)
-      .select("band", "band_bits", "id")
+    val capped = capBlocks(banded, Seq("band", "band_bits"), bucketCap)
     val cand = cappedPairs(capped, Seq("band", "band_bits"))
     val verify = sh.hint("shuffle_hash")
     cand
@@ -561,29 +567,12 @@ object Dedup {
     * hashed sets through the pinned SHUFFLE_HASH joins. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    require(bucketCap >= 2, "bucketCap must admit at least one pair")
-    val hashed = lshSignatures(df, idCol, textCol, shingleLen)
-    val banded = bandKeys(hashed, numHashes, bands)
-    val wb = Window.partitionBy(col("band"), col("band_hash"))
-      .orderBy(col("id").asc)
-    val capped = banded
-      .withColumn("__rn", row_number().over(wb))
-      .filter(col("__rn") <= bucketCap)
-      .select("band", "band_hash", "id")
-    val cand = cappedPairs(capped, Seq("band", "band_hash"))
-    val verify = hashed.hint("shuffle_hash")
-    cand
-      .join(verify.as("ha"), col("id_a") === col("ha.id"))
-      .join(verify.as("hb"), col("id_b") === col("hb.id"))
-      .withColumn("containment",
-        size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("double") /
-          least(size(array_distinct(col("ha.hs"))),
-            size(array_distinct(col("hb.hs")))).cast("double"))
-      .filter(col("containment") >= threshold)
-      .select("id_a", "id_b", "containment")
-  }
+      threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame =
+    lshVerifiedPairs(lshSignatures(df, idCol, textCol, shingleLen),
+      numHashes, bands, threshold, bucketCap, "containment",
+      (a, b) => size(array_intersect(a, b)).cast("double") /
+        least(size(array_distinct(a)), size(array_distinct(b)))
+          .cast("double"))
 
   /** CHUNKED containment pairs — closes [[containmentPairs]]'s
     * documented recall gap for extreme length skew (full quote /
@@ -683,12 +672,7 @@ object Dedup {
     val blocked = keyed.select(col("id"),
       substring(col("k"), 1, 2).as("b_pre"),
       (length(col("k")) / lit(maxDist + 1)).cast("int").as("b_len"))
-    val wb = Window.partitionBy(col("b_pre"), col("b_len"))
-      .orderBy(col("id").asc)
-    val capped = blocked
-      .withColumn("__rn", row_number().over(wb))
-      .filter(col("__rn") <= bucketCap)
-      .select("b_pre", "b_len", "id")
+    val capped = capBlocks(blocked, Seq("b_pre", "b_len"), bucketCap)
     val cand = cappedPairs(capped, Seq("b_pre", "b_len"))
     val verify = keyed.hint("shuffle_hash")
     cand
@@ -856,11 +840,7 @@ object Dedup {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(col("id"))
     val assign = Ivf.assignments(v, "id", "vec", numCentroids, probes)
-    val wc = Window.partitionBy(col("centroid_id")).orderBy(col("id").asc)
-    val capped = assign
-      .withColumn("__rn", row_number().over(wc))
-      .filter(col("__rn") <= cellCap)
-      .select("centroid_id", "id")
+    val capped = capBlocks(assign, Seq("centroid_id"), cellCap)
     val cand = cappedPairs(capped, Seq("centroid_id"))
     val withNorm = v.withColumn("norm",
       sqrt(graft.plans.VectorKernels.dotProduct(col("vec"), col("vec"))))

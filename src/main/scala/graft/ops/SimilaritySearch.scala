@@ -42,6 +42,59 @@ object SimilaritySearch {
   private def dropSelfPairs(df: DataFrame, exclude: Boolean): DataFrame =
     if (exclude) df.filter(col("query_id") =!= col("neighbor_id")) else df
 
+  /** The shared top-k tail every engine ends in: rank per query by
+    * `scoreCol` (desc for similarities, asc for distances),
+    * deterministic tie-break on neighbor_id, keep rank ≤ k. rank ≤ k
+    * over row_number plans as WindowGroupLimit — no full sort of the
+    * scored frame. */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int,
+      asc: Boolean = false): DataFrame = {
+    val ord = if (asc) col(scoreCol).asc else col(scoreCol).desc
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(ord, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", scoreCol)
+  }
+
+  /** The shared verify side: candidate (query_id, neighbor_id) pairs
+    * re-attach vectors — the query side by a stats-driven join (query
+    * batches are small by contract → AQE broadcasts), the corpus side
+    * by a pinned SHUFFLE_HASH join (never a corpus broadcast) — then
+    * exact cosine. */
+  private def cosineScored(cand: DataFrame, queries: DataFrame,
+      candidates: DataFrame, idCol: String, vecCol: String): DataFrame =
+    cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        "query_id")
+      .join(candidates
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .hint("shuffle_hash"), "neighbor_id")
+      .withColumn("cos",
+        graft.plans.VectorKernels.cosineSim(col("q_vec"), col("c_vec")))
+
+  /** Deterministic per-key candidate cap: first `cap` rows per key by
+    * neighbor_id — bounds a hot cell/bucket (the classic skew
+    * failure) so one collision can't go quadratic. */
+  private def capPerKey(df: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("neighbor_id").asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
+  /** Corpus cell membership, cellCap-bounded: ONE probes=1 assignment
+    * pass against the shared codebook, then the per-cell cap — the
+    * index-build half every IVF variant shares. */
+  private def cappedMembers(corpus: DataFrame, idCol: String,
+      vecCol: String, codebook: Ivf.Codebook, cellCap: Int): DataFrame =
+    capPerKey(
+      Ivf.assignmentsWithCodebook(corpus, idCol, vecCol, codebook,
+        probes = 1)
+        .select(col("id").as("neighbor_id"), col("centroid_id")),
+      Seq("centroid_id"), cellCap)
+
   /** Exact top-k neighbors per query by cosine (desc), deterministic
     * tie-break on neighbor id. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
@@ -52,11 +105,7 @@ object SimilaritySearch {
     val scored = q.crossJoin(c)
       .transform(dropSelfPairs(_, excludeSelfPairs))
       .withColumn("cos", graft.plans.VectorKernels.cosineSim(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(scored, "cos", k)
   }
 
   /** One bucket long per table: table t's key packs the sign bits of
@@ -102,27 +151,12 @@ object SimilaritySearch {
     val cbAll = exploded(candidates, "neighbor_id")
     val cb =
       if (bucketCap == Int.MaxValue) cbAll
-      else {
-        val wb = Window.partitionBy(col("tbl"), col("bucket"))
-          .orderBy(col("neighbor_id").asc)
-        cbAll.withColumn("__rn", row_number().over(wb))
-          .filter(col("__rn") <= bucketCap).drop("__rn")
-      }
+      else capPerKey(cbAll, Seq("tbl", "bucket"), bucketCap)
     val pairs = qb.join(cb, Seq("tbl", "bucket"))
       .transform(dropSelfPairs(_, excludeSelfPairs))
       .select("query_id", "neighbor_id").distinct()
-    val scored = pairs
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-        "query_id")
-      .join(candidates
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-        .hint("shuffle_hash"), "neighbor_id")
-      .withColumn("cos", graft.plans.VectorKernels.cosineSim(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(cosineScored(pairs, queries, candidates, idCol, vecCol),
+      "cos", k)
   }
 
   /** IVF ANN top-k: corpus assigned once to its nearest coarse cell
@@ -173,32 +207,22 @@ object SimilaritySearch {
     val dq = comp.select(col("neighbor_id").as("id"),
       Q8Kernels.dequantizeQ8(col("__q8"), col("__scale")).as("vec"))
     val codebook = Ivf.sampleCodebook(dq, "id", "vec", numCentroids)
-    val corpusAssign = Ivf.assignmentsWithCodebook(dq, "id", "vec",
-      codebook, probes = 1)
-      .select(col("id").as("neighbor_id"), col("centroid_id"))
-    val wc = Window.partitionBy(col("centroid_id"))
-      .orderBy(col("neighbor_id").asc)
-    val capped = corpusAssign
-      .withColumn("__rn", row_number().over(wc))
-      .filter(col("__rn") <= cellCap)
-      .drop("__rn")
+    val capped = cappedMembers(dq, "id", "vec", codebook, cellCap)
     val queryAssign = Ivf.assignmentsWithCodebook(queries, idCol, vecCol,
       codebook, probes)
       .select(col("id").as("query_id"), col("centroid_id"))
     val cand = queryAssign.join(capped, Seq("centroid_id"))
       .transform(dropSelfPairs(_, excludeSelfPairs))
       .select("query_id", "neighbor_id").distinct()
+    // the verify re-attach carries (q8, scale) — 8× narrower than the
+    // float form cosineScored joins — and dequantizes in the score
     val scored = cand
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
         "query_id")
       .join(comp.hint("shuffle_hash"), "neighbor_id")
       .withColumn("cos", graft.plans.VectorKernels.cosineSim(col("q_vec"),
         Q8Kernels.dequantizeQ8(col("__q8"), col("__scale"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(scored, "cos", k)
   }
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
@@ -210,33 +234,15 @@ object SimilaritySearch {
     // assignment sides; deriving the corpus side in-plan as well
     // would re-run the orderBy+limit codebook subplan a second time
     val codebook = Ivf.sampleCodebook(candidates, idCol, vecCol, numCentroids)
-    val corpusAssign = Ivf.assignmentsWithCodebook(candidates, idCol, vecCol,
-      codebook, probes = 1)
-      .select(col("id").as("neighbor_id"), col("centroid_id"))
-    val wc = Window.partitionBy(col("centroid_id"))
-      .orderBy(col("neighbor_id").asc)
-    val capped = corpusAssign
-      .withColumn("__rn", row_number().over(wc))
-      .filter(col("__rn") <= cellCap)
-      .drop("__rn")
+    val capped = cappedMembers(candidates, idCol, vecCol, codebook, cellCap)
     val queryAssign = Ivf.assignmentsWithCodebook(queries, idCol, vecCol,
       codebook, probes)
       .select(col("id").as("query_id"), col("centroid_id"))
     val cand = queryAssign.join(capped, Seq("centroid_id"))
       .transform(dropSelfPairs(_, excludeSelfPairs))
       .select("query_id", "neighbor_id").distinct()
-    val scored = cand
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-        "query_id")
-      .join(candidates
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-        .hint("shuffle_hash"), "neighbor_id")
-      .withColumn("cos", graft.plans.VectorKernels.cosineSim(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(cosineScored(cand, queries, candidates, idCol, vecCol),
+      "cos", k)
   }
 
   /** PERSISTENT IVF index: build once, probe per batch — the
@@ -259,16 +265,8 @@ object SimilaritySearch {
       .map(r => (r.getLong(0),
         r.getSeq[Number](1).map(_.doubleValue()).toIndexedSeq))
       .toIndexedSeq
-    val corpusAssign = Ivf.assignmentsWithCodebook(candidates, idCol, vecCol,
-      codebook, probes = 1)
-      .select(col("id").as("neighbor_id"), col("centroid_id"))
-    val wc = Window.partitionBy(col("centroid_id"))
-      .orderBy(col("neighbor_id").asc)
-    val members = corpusAssign
-      .withColumn("__rn", row_number().over(wc))
-      .filter(col("__rn") <= cellCap)
-      .drop("__rn")
-    (codebookDf, members)
+    (codebookDf,
+      cappedMembers(candidates, idCol, vecCol, codebook, cellCap))
   }
 
   /** Probe a STORED IVF index ([[ivfIndexFrames]], round-tripped
@@ -299,19 +297,8 @@ object SimilaritySearch {
         Seq("centroid_id"))
       .transform(dropSelfPairs(_, excludeSelfPairs))
       .select("query_id", "neighbor_id").distinct()
-    val scored = cand
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-        "query_id")
-      .join(candidates
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-        .hint("shuffle_hash"), "neighbor_id")
-      .withColumn("cos",
-        graft.plans.VectorKernels.cosineSim(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankTopK(cosineScored(cand, queries, candidates, idCol, vecCol),
+      "cos", k)
   }
 
   /** AUTO PQ geometry from corpus stats — the band-miner/IVF
@@ -473,11 +460,7 @@ object SimilaritySearch {
     val scored = codes.crossJoin(broadcast(qt))
       .transform(dropSelfPairs(_, excludeSelfPairs))
       .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "dist")
+    rankTopK(scored, "dist", k, asc = true)
   }
 
   /** PQ SHORTLIST-AND-RERANK — how PQ actually deploys: [[pqTopK]]'s
@@ -505,11 +488,7 @@ object SimilaritySearch {
       .withColumn("l2", dotProduct(col("q_vec"), col("q_vec"))
         - lit(2.0) * dotProduct(col("q_vec"), col("c_vec"))
         + dotProduct(col("c_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("l2").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "l2")
+    rankTopK(scored, "l2", k, asc = true)
   }
 
   /** IVF-PQ — the production vector index (coarse cells prune the
@@ -529,15 +508,7 @@ object SimilaritySearch {
       cellCap: Int = 10000,
       excludeSelfPairs: Boolean = true): DataFrame = {
     val codebook = Ivf.sampleCodebook(candidates, idCol, vecCol, numCentroids)
-    val corpusAssign = Ivf.assignmentsWithCodebook(candidates, idCol, vecCol,
-      codebook, probes = 1)
-      .select(col("id").as("neighbor_id"), col("centroid_id"))
-    val wc = Window.partitionBy(col("centroid_id"))
-      .orderBy(col("neighbor_id").asc)
-    val capped = corpusAssign
-      .withColumn("__rn", row_number().over(wc))
-      .filter(col("__rn") <= cellCap)
-      .drop("__rn")
+    val capped = cappedMembers(candidates, idCol, vecCol, codebook, cellCap)
     val queryAssign = Ivf.assignmentsWithCodebook(queries, idCol, vecCol,
       codebook, probes)
       .select(col("id").as("query_id"), col("centroid_id"))
@@ -561,11 +532,7 @@ object SimilaritySearch {
       .join(codes.hint("shuffle_hash"), "neighbor_id")
       .join(broadcast(qt), "query_id")
       .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "dist")
+    rankTopK(scored, "dist", k, asc = true)
   }
 
   /** METADATA-FILTERED ANN — "nearest neighbors WHERE label = x".
