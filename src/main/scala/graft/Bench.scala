@@ -94,21 +94,28 @@ object Bench {
     // recorded 2.3× their same-session solo times even WITH best-of-2
     // — two consecutive slow readings happen. When the two readings
     // themselves disagree >1.4×, the measurement hasn't converged:
-    // take a THIRD run and keep the best. This only fires on unstable
-    // queries (a stable heavy gate costs nothing extra), and every
-    // reading stays observable on stderr, so the drift itself remains
-    // visible round over round while the recorded number tracks the
-    // floor regression detection needs.
+    // take a THIRD run and keep the best.
+    // Round-9 verdict item 1: the disagreement trigger is blind to a
+    // UNIFORMLY hot battery — r9 recorded st1 at 33.3 s (vs its
+    // 7.2-8.6 s same-session floor) because both readings were hot and
+    // agreed within 1.4×. Any query whose best-of-2 still exceeds 5 s
+    // now gets the third run UNCONDITIONALLY: the heavy tail is a
+    // handful of queries, so the extra cost is bounded, and the >2×
+    // cross-round regression check stops being blind on exactly the
+    // lines where it matters most. Every reading stays observable on
+    // stderr, so the drift itself remains visible round over round
+    // while the recorded number tracks the floor.
     val rerun3: Map[String, Double] = rerun
       .collect { case (n, t2) =>
         val t1 = firstPass.collectFirst { case (`n`, t, _) => t }.get
         (n, t1, t2)
       }
       .collect { case (n, t1, t2)
-          if math.max(t1, t2) / math.min(t1, t2) > 1.4 =>
+          if math.max(t1, t2) / math.min(t1, t2) > 1.4 ||
+             math.min(t1, t2) > 5.0 =>
         val t3 = materialize(n)
         System.err.println(
-          f"[bench] unstable $n runs=[$t1%.2f,$t2%.2f,$t3%.2f]s")
+          f"[bench] best-of-3 $n runs=[$t1%.2f,$t2%.2f,$t3%.2f]s")
         n -> t3
       }
       .toMap

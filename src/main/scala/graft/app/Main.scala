@@ -268,6 +268,19 @@ object Main {
             && store.exists("tx_vectors") && store.exists("tx_ivf_codebook")
             && store.exists("tx_ivf_members") && store.exists("bm25_meta"),
           "search artifacts missing or incomplete — run index-search first")
+        // the same freshness check search-ranked applies: a stale index
+        // (transcripts changed since index-search) silently answers
+        // with missing/outdated documents. Hybrid has no from-scratch
+        // fallback (both artifact families would need one), so warn
+        // loudly and proceed rather than refuse.
+        locally {
+          val meta = t("bm25_meta").head
+          if (!store.currentVersion("transcripts")
+              .contains(meta.getAs[Long]("src_version")))
+            println("(WARNING: stored search artifacts are stale — " +
+              "transcripts changed since index-search; results may miss " +
+              "or misrank recent documents, re-run index-search to refresh)")
+        }
         import spark.implicits._
         val lex = graft.ops.TextAnalysis
           .bm25TopKStored(spark, store, terms, k)

@@ -224,6 +224,34 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       s"table $table is bucketed; $op would publish an unpartitioned " +
         "version and wedge later bucketed upserts — use upsertBucketed")
 
+  /** Create-commit: publish `df` as the FIRST version of `table`,
+    * with the CAS expectation pinned to ABSENCE. If a competitor
+    * created the table between the caller's `exists()` check and this
+    * publish, the commit raises [[ConcurrentCommitException]] (and
+    * the retry re-reads the winner and merges) instead of silently
+    * replacing the competitor's rows — the lost-update class
+    * [[readPinned]]/[[commitPinned]] close for the UPDATE path,
+    * applied to create. Every exists()-guarded create branch must use
+    * this, never [[commit]] (which re-reads the pointer at commit
+    * time and would CAS against the competitor's publish). */
+  def commitNew(spark: SparkSession, table: String, df: DataFrame): DataFrame = {
+    requireSnapshot(table, "commitNew")
+    commitExpecting(spark, table, df, None)
+  }
+
+  /** The live snapshot plus the version NUMBER its pointer resolved —
+    * for cross-table consistency protocols: a table pair (A, B) where
+    * B's rows record the A-version they were derived from lets a
+    * consumer refuse a torn pair (read A, read B, check B's recorded
+    * version == A's resolved version) instead of silently answering
+    * from mixed snapshots. The stored BM25 index (postings + stats)
+    * is the shipped example. */
+  def readWithVersion(spark: SparkSession, table: String): (DataFrame, Long) = {
+    val p = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    (readDir(spark, table, dirNameOf(p)), versionOf(dirNameOf(p)))
+  }
+
   /** Read the live snapshot AND capture the pointer it came from, as
     * one token for [[commitPinned]]. This is the read half of the
     * read-derive-replace discipline: any rewrite computed from the
@@ -334,6 +362,148 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       publish(table, staged, prev)
       readDir(spark, table, staged)
     }
+  }
+
+  /** Deterministic write layout for a bucketed version: rows routed
+    * to their bucket (one exchange), optionally key-sorted within
+    * each written file so parquet row-group min/max stats prune later
+    * probes (the inverted-index discipline). */
+  private def layoutBuckets(df: DataFrame, n: Int, keys: Seq[String],
+      sortWithin: Seq[String]): DataFrame = {
+    val b = df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(n)))
+    val rep = b.repartition(col(BucketCol))
+    if (sortWithin.isEmpty) rep
+    else rep.sortWithinPartitions((BucketCol +: sortWithin).map(col): _*)
+  }
+
+  /** First-version create of a bucketed table (CAS pinned to absence;
+    * the first _BUCKETS writer wins the bucket-count contract — see
+    * [[upsertBucketed]]). */
+  private def createBucketed(spark: SparkSession, table: String,
+      incoming: DataFrame, keys: Seq[String], numBuckets: Int,
+      sortWithin: Seq[String]): DataFrame = {
+    Files.createDirectories(tableDir(table))
+    try Files.write(bucketsFile(table),
+      numBuckets.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val n = this.numBuckets(table).getOrElse(numBuckets)
+    val staged = writeVersion(spark, table,
+      layoutBuckets(incoming, n, keys, sortWithin), None, partitioned = true)
+    publish(table, staged, None)
+    readDir(spark, table, staged)
+  }
+
+  /** INSERT-ONLY O(delta) append into a key-bucketed table: the
+    * delta's rows are written as NEW part-files inside their bucket
+    * dirs and EVERY existing file is hard-linked into the next
+    * version — nothing stored is read or rewritten, so an append
+    * costs O(delta write + one link per existing file) regardless of
+    * table size. This is the log-structured counterpart of
+    * [[upsertBucketed]] for pure-insert deltas (an inverted index
+    * absorbing new documents, an append-only ledger): a merge-upsert
+    * must READ and REWRITE every touched bucket, which for a
+    * high-vocabulary delta (text postings touch every bucket)
+    * degrades to a full-table rewrite.
+    *
+    * Contract: the caller guarantees the incoming keys are NEW — no
+    * merge runs, so a re-appended key silently duplicates rows
+    * (at-least-once producers dedup upstream or use upsertBucketed).
+    * The incoming schema must equal the stored schema exactly (no
+    * evolution on this path — an evolving append would mix file
+    * schemas inside one version; evolve via upsertBucketed). File
+    * counts grow by up to `numBuckets` per append;
+    * [[compactBuckets]] re-bounds them periodically. `sortWithin`
+    * orders rows inside each new file (row-group stat quality for
+    * [[readBucketsOf]]-style probes). Publishes through the same CAS
+    * pointer swap as every commit; creates the table if absent. */
+  def appendBucketed(spark: SparkSession, table: String, incoming: DataFrame,
+      keys: Seq[String], numBuckets: Int = 32,
+      sortWithin: Seq[String] = Nil): DataFrame = {
+    require(numBuckets >= 1)
+    if (!exists(table))
+      createBucketed(spark, table, incoming, keys, numBuckets, sortWithin)
+    else {
+      val n = this.numBuckets(table).getOrElse(throw new IllegalStateException(
+        s"table $table was created as a snapshot table; use commit"))
+      val prev = currentPointer(table)
+      val curDir = tableDir(table).resolve(dirNameOf(prev.get))
+      val storedSchema = spark.read.parquet(curDir.toString)
+        .drop(BucketCol).schema
+      require(storedSchema.fields.map(f => (f.name, f.dataType)).toSet ==
+        incoming.schema.fields.map(f => (f.name, f.dataType)).toSet,
+        s"appendBucketed($table): incoming ${incoming.schema.simpleString} " +
+          s"must equal stored ${storedSchema.simpleString} — " +
+          "schema evolution goes through upsertBucketed")
+      val aligned = incoming.select(storedSchema.fieldNames.map(col): _*)
+      val staged = stagedDirName(versionOf(dirNameOf(prev.get)) + 1)
+      val nextDir = tableDir(table).resolve(tmpName(staged))
+      layoutBuckets(aligned, n, keys, sortWithin).write.mode("errorifexists")
+        .partitionBy(BucketCol).parquet(nextDir.toString)
+      // touched = none: every existing file links across (append-only
+      // — fresh part names are job-UUID-unique, so a bucket dir holds
+      // old links and new files side by side)
+      shareUntouchedBuckets(curDir, nextDir, Set.empty)
+      finalizeStaged(table, staged)
+      publish(table, staged, prev)
+      readDir(spark, table, staged)
+    }
+  }
+
+  /** FULL-SNAPSHOT publish of a key-bucketed table: every bucket is
+    * rewritten from `df` — the bucketed analog of [[commit]] (which
+    * refuses bucketed tables), and the REBUILD path for artifacts
+    * maintained by [[appendBucketed]]/[[upsertBucketed]] whose
+    * incremental discipline wants a periodic from-scratch base (index
+    * rebuilds after in-place corpus edits, bucket-count reshapes are
+    * NOT supported — the count binds at creation). Creates the table
+    * if absent; adopts an existing SNAPSHOT table as bucketed (safe —
+    * everything is rewritten; the conversion is one-way, later
+    * snapshot commits on it fail loudly). */
+  def replaceBucketed(spark: SparkSession, table: String, df: DataFrame,
+      keys: Seq[String], numBuckets: Int = 32,
+      sortWithin: Seq[String] = Nil): DataFrame = {
+    require(numBuckets >= 1)
+    if (!exists(table))
+      createBucketed(spark, table, df, keys, numBuckets, sortWithin)
+    else {
+      // adopt a pre-existing snapshot table: the rewrite replaces all
+      // content, so stamping _BUCKETS now is safe (first writer wins)
+      try Files.write(bucketsFile(table),
+        numBuckets.toString.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      val n = this.numBuckets(table).getOrElse(numBuckets)
+      val prev = currentPointer(table)
+      val staged = writeVersion(spark, table,
+        layoutBuckets(df, n, keys, sortWithin), prev, partitioned = true)
+      publish(table, staged, prev)
+      readDir(spark, table, staged)
+    }
+  }
+
+  /** PRUNED read of a bucketed table: scan only the bucket partitions
+    * that could hold the given key values — directory-level pruning,
+    * the stored-index probe discipline (a 3-term query against a
+    * 1000-bucket postings table opens ≤3 bucket dirs, not the lake).
+    * `keyValues` carries the bucket-key columns in the same order the
+    * table is written with; its rows are the lookup keys (small — the
+    * distinct bucket ids are collected to build the partition
+    * filter). Returns the pruned frame plus the resolved version
+    * (cross-table consistency, see [[readWithVersion]]). */
+  def readBucketsOf(spark: SparkSession, table: String,
+      keyValues: DataFrame): (DataFrame, Long) = {
+    val n = numBuckets(table).getOrElse(throw new IllegalStateException(
+      s"table $table is not bucketed — readBucketsOf needs bucket partitions"))
+    val p = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    val kbs = keyValues
+      .select(pmod(hash(keyValues.columns.map(col): _*), lit(n)).as("kb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val df = spark.read.parquet(
+      tableDir(table).resolve(dirNameOf(p)).toString)
+    (df.filter(col(BucketCol).isin(kbs: _*)).drop(BucketCol),
+      versionOf(dirNameOf(p)))
   }
 
   /** Share untouched bucket dirs from the previous version without

@@ -659,24 +659,30 @@ object TextAnalysis {
     *    — a probe filters it to its query terms and broadcasts.
     *
     * Index semantics match [[bm25TopK]] exactly: same tokenizer, n =
-    * docs with ≥1 token, df = docs containing the term. Re-index
-    * after corpus changes (the commit is atomic CAS-versioned like
-    * any store table); incremental posting maintenance is a
-    * deliberate non-goal — BM25's global stats (df, avgdl) shift
-    * with every corpus change, so a rebuild is the honest unit.
+    * docs with ≥1 token, df = docs containing the term. The postings
+    * commit is a TERM-BUCKETED store table (term-sorted within each
+    * bucket), so a probe opens only the query terms' bucket dirs
+    * ([[ParquetTableStore.readBucketsOf]]) and row-group min/max
+    * stats prune within them; NEW documents fold in incrementally via
+    * [[bm25AppendIndex]] (O(delta) — the d10 discipline for the
+    * lexical family); a rebuild replaces every bucket.
     *
     * Cross-table consistency: the store's atomicity is per TABLE,
     * and a probe must never mix a new postings snapshot with old
-    * stats (silently wrong scores). Both frames therefore carry a
-    * shared `build_id` column (one UUID per build — columnar-RLE,
-    * effectively free), and [[bm25TopKStored]] refuses a mismatched
-    * pair with a retryable error instead of answering wrong. */
+    * stats (silently wrong scores). The stats frame therefore records
+    * the postings VERSION it was derived from (`postings_version` —
+    * columnar-RLE, effectively free), stats commit LAST, and
+    * [[bm25TopKStored]] refuses a mismatched pair with a retryable
+    * error instead of answering wrong. Index MUTATIONS (build,
+    * append) on one index must be externally serialized — racing
+    * mutators trip the store's CAS, but the version the stats frame
+    * records is only exact when mutations don't interleave. */
   def bm25BuildIndex(df: DataFrame, idCol: String, textCol: String,
       store: ParquetTableStore,
       postingsTable: String = "bm25_postings",
-      statsTable: String = "bm25_stats"): Unit = {
+      statsTable: String = "bm25_stats",
+      numBuckets: Int = 32): Unit = {
     val spark = df.sparkSession
-    val buildId = java.util.UUID.randomUUID.toString
     // id stays whatever type the caller keys by (string video ids and
     // long doc ids both index — the MainDedupSpec genericity rule)
     val toks = df.select(col(idCol).as("id"),
@@ -685,24 +691,104 @@ object TextAnalysis {
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val postings = tf.join(dl, Seq("id"))
       .select(col("term"), col("id"), col("tf"), col("dl"))
-      .repartition(col("term"))
-      .sortWithinPartitions("term", "id")
-      .withColumn("build_id", lit(buildId))
-    store.commit(spark, postingsTable, postings)
+    store.replaceBucketed(spark, postingsTable, postings, Seq("term"),
+      numBuckets, sortWithin = Seq("term", "id"))
+    val pv = store.currentVersion(postingsTable).get
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
     store.commit(spark, statsTable,
-      dfreq.crossJoin(stats).withColumn("build_id", lit(buildId)))
+      dfreq.crossJoin(stats).withColumn("postings_version", lit(pv)))
+  }
+
+  /** INCREMENTAL index maintenance — fold NEW documents into the
+    * stored BM25 index without touching the existing postings: the
+    * ts25/d10 append discipline for the lexical family, matching the
+    * reference's incremental-sync signature (main_scraper.py:144-179)
+    * applied to retrieval. Because a document's (tf, dl) postings
+    * depend only on its OWN text and the corpus stats (df, n,
+    * total_dl) are additive, append ≡ rebuild bit-exactly:
+    *
+    *  - delta postings (one tokenize pass over `newDocs` ONLY) insert
+    *    via [[ParquetTableStore.appendBucketed]] — new part-files in
+    *    the touched term buckets, every existing file hard-linked;
+    *    nothing corpus-sized is read, shuffled, or rewritten;
+    *  - the stats frame is VOCABULARY-sized, so it rewrites whole:
+    *    per-term df adds (full-outer on term), the two corpus scalars
+    *    (n, total_dl) add, and the new `postings_version` pins the
+    *    pair consistency for [[bm25TopKStored]].
+    *
+    * Contract: `newDocs` ids must be NEW to the index (no merge runs
+    * on the append path — re-indexing a changed document requires
+    * [[bm25BuildIndex]]); `validateNewIds=true` (default) enforces it
+    * with one postings id-scan + an intra-delta uniqueness check and
+    * fails loudly, `false` skips the corpus-sized read for trusted
+    * feeds (an ingest loop that already exact-dedups by id). Docs
+    * whose text tokenizes empty add no postings and don't count into
+    * `n` — exactly [[bm25BuildIndex]]'s rule. */
+  def bm25AppendIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      store: ParquetTableStore,
+      postingsTable: String = "bm25_postings",
+      statsTable: String = "bm25_stats",
+      validateNewIds: Boolean = true): Unit = {
+    val spark = newDocs.sparkSession
+    val ids = newDocs.select(col(idCol).as("id"))
+    val nDup = ids.groupBy("id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(nDup == 0,
+      s"bm25AppendIndex: newDocs carries duplicate $idCol values — " +
+        "postings would double-count; dedup the delta first")
+    if (validateNewIds) {
+      val clash = store.read(spark, postingsTable).select("id").distinct()
+        .join(ids, Seq("id"), "left_semi").limit(1).count()
+      require(clash == 0,
+        s"bm25AppendIndex: newDocs contains ids already indexed in " +
+          s"$postingsTable — append is insert-only; rebuild to re-index")
+    }
+    val toks = newDocs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val postings = tf.join(dl, Seq("id"))
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+    store.appendBucketed(spark, postingsTable, postings, Seq("term"),
+      sortWithin = Seq("term", "id"))
+    val pv = store.currentVersion(postingsTable).get
+    // vocabulary-sized rewrite: per-term df adds; the denormalized
+    // corpus scalars (n, total_dl) shift on EVERY row, which is why
+    // the stats frame replaces whole — it is ≤|vocab| rows by
+    // construction, never corpus-sized
+    val old = store.read(spark, statsTable).drop("postings_version")
+    val oldScalars = old.select("n", "total_dl").limit(1).collect()
+      .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+    val deltaScalars = dl
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+      .collect()(0)
+    val n2 = oldScalars._1 + deltaScalars.getLong(0)
+    val totalDl2 = oldScalars._2 +
+      (if (deltaScalars.isNullAt(1)) 0L else deltaScalars.getLong(1))
+    val deltaDf = tf.groupBy("term").agg(count(lit(1)).as("df_delta"))
+    val merged = old.select(col("term"), col("df"))
+      .join(deltaDf, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) +
+          coalesce(col("df_delta"), lit(0L))).as("df"),
+        lit(n2).as("n"), lit(totalDl2).as("total_dl"),
+        lit(pv).as("postings_version"))
+    store.commit(spark, statsTable, merged)
   }
 
   /** BM25 top-`k` against the STORED index — probe cost is
-    * independent of corpus size: the postings read is pruned to the
-    * query terms (predicate pushed to the term-sorted parquet scan),
-    * the stats read filters a vocabulary-sized frame to ≤|query| rows
-    * and broadcasts, and the scoring tail then runs on
-    * posting-list-sized data only. No corpus re-scan, no re-tokenize.
-    * Bit-identical to [[bm25TopK]] over the same corpus (shared
-    * [[bm25Rank]] tree; the ts21 gate pins it). */
+    * independent of corpus size: the postings read opens ONLY the
+    * query terms' bucket dirs (directory-level pruning via
+    * [[ParquetTableStore.readBucketsOf]]) and the term filter then
+    * prunes row groups within them (term-sorted files), the stats
+    * read filters a vocabulary-sized frame to ≤|query| rows and
+    * broadcasts, and the scoring tail runs on posting-list-sized data
+    * only. No corpus re-scan, no re-tokenize. Bit-identical to
+    * [[bm25TopK]] over the same corpus — whether built in one shot or
+    * grown through [[bm25AppendIndex]] (shared [[bm25Rank]] tree over
+    * integer inputs that are equal by construction; the ts21/ts25
+    * gates pin both). */
   def bm25TopKStored(spark: org.apache.spark.sql.SparkSession,
       store: ParquetTableStore, query: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
@@ -710,23 +796,26 @@ object TextAnalysis {
       statsTable: String = "bm25_stats"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(query.nonEmpty, "query must carry at least one term")
+    import spark.implicits._
     val q = query.map(_.toLowerCase).distinct
-    val postingsAll = store.read(spark, postingsTable)
+    val (postingsPruned, pv) =
+      store.readBucketsOf(spark, postingsTable, q.toDF("term"))
     val statsAll = store.read(spark, statsTable)
-    // the two tables commit independently; a probe landing between a
-    // rebuild's two publishes must fail retryably, never mix a new
-    // postings snapshot with old stats (two 1-row columnar scans)
-    val pBuild = postingsAll.select("build_id").limit(1).collect()
-      .headOption.map(_.getString(0))
-    val sBuild = statsAll.select("build_id").limit(1).collect()
-      .headOption.map(_.getString(0))
-    if (pBuild != sBuild)
+    // the two tables commit independently; a probe landing between an
+    // index mutation's two publishes must fail retryably, never mix a
+    // new postings snapshot with old stats. Stats commit LAST and
+    // record the postings version they were derived from — exact
+    // match or refuse (one 1-row columnar scan).
+    val expected = statsAll.select("postings_version").limit(1).collect()
+      .headOption.map(_.getLong(0))
+    if (!expected.contains(pv))
       throw new IllegalStateException(
-        s"bm25 index mid-rebuild: $postingsTable build $pBuild vs " +
-          s"$statsTable build $sBuild — retry after the rebuild completes")
-    val postings = postingsAll.filter(col("term").isin(q: _*))
+        s"bm25 index mid-update: $statsTable derives from postings " +
+          s"v${expected.orNull} but $postingsTable resolved v$pv — " +
+          "retry after the index mutation completes")
+    val postings = postingsPruned.filter(col("term").isin(q: _*))
     val stats = statsAll.filter(col("term").isin(q: _*))
-      .drop("build_id")
+      .drop("postings_version")
     bm25Rank(postings.join(broadcast(stats), Seq("term")), k, k1, b)
   }
 
@@ -746,7 +835,15 @@ object TextAnalysis {
     * — both exchanges carry integers, nothing is corpus-broadcast.
     * Determinism: xxhash64 is a fixed function of the token bytes;
     * counts are integers; the dense layout is index-ordered — the
-    * vectors are bit-identical on any partitioning. */
+    * vectors are bit-identical on any partitioning.
+    *
+    * Coverage note (the perplexityBuckets rule): a doc whose text
+    * tokenizes EMPTY has no (id, slot) rows and therefore NO output
+    * row — deliberately, because its would-be all-zeros vector has no
+    * direction (cosine against it is 0/0) and would poison any
+    * downstream ANN/centroid math. Callers that must account for
+    * every doc (index completeness audits) left-join this result back
+    * to their corpus and decide those docs' fate explicitly. */
   def hashedTfVector(df: DataFrame, idCol: String, textCol: String,
       dim: Int = 64): DataFrame = {
     require(dim >= 1, s"dim must be positive, got $dim")

@@ -2772,6 +2772,87 @@ object PipelineQueries {
             FROM documents WHERE doc_id % 50 = 0
             ORDER BY video_id"""))
 
+  /** ST7: INCREMENTAL SCRAPE LOOP
+    * ([[graft.streaming.Streams.incrementalScrape]] — the reference's
+    * rate-limited refresh cron, main_scraper.py:342-377; the LAST
+    * spec-only streaming loop) ORACLE-GATED. Two AvailableNow phases
+    * over a growing work-item feed drive the whole chain — U7
+    * freshness gate against the stored table, the fan-out fetch with
+    * bounded retries, O(delta) bucketed commits for successes, LWW
+    * dead-letter for terminal failures:
+    *
+    *  - phase 1 submits the %10=0 ids with a fetch that FAILS every
+    *    %30=0 id (terminal after maxAttempts=2 → dead letter) and
+    *    pays P1 payloads for the rest;
+    *  - phase 2 submits new ids (%10=5), re-submits a FRESH subset
+    *    (%20=0 — scraped 2 days ago, inside the 7-day window, so the
+    *    freshness gate must DROP them before any fetch: their P1
+    *    payloads survive verbatim) and re-submits every dead-lettered
+    *    id (never scraped → due) with a now-healthy fetch → P2.
+    *
+    *  The oracle derives the fixed point per id class: which payload
+    *  generation each id carries, which scrape timestamp, and the
+    *  dead-letter ledger rows (error string, attempt count, failure
+    *  time) — full-outer joined so the retried-after-failure ids pin
+    *  BOTH their recovery row and their preserved failure row. */
+  private val st7 = QueryDef(
+    "st7_stream_scrape_loop",
+    "incremental scrape: freshness-gated refetch, dead-letter recovery",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val root = graft.ops.Scratch.tempDir("graft-st7-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      val t1 = to_timestamp(lit("2024-06-01 00:00:00"))
+      val t2 = to_timestamp(lit("2024-06-03 00:00:00"))
+      def runOnce(fetch: String => String,
+          now: org.apache.spark.sql.Column): Unit =
+        graft.streaming.Streams.incrementalScrape(s, inDir, ck, store,
+          "scraped", "scrape_dead", fetch, now, days = 7,
+          ratePerSecPerPartition = 0, maxAttempts = 2, backoffMs = 0,
+          sleeper = _ => ()).awaitTermination()
+      ids.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("string").as("id"))
+        .coalesce(1).write.parquet(inDir)
+      runOnce(id => if (id.toLong % 30 == 0)
+        throw new RuntimeException("boom") else s"P1:$id", t1)
+      ids.filter(col("doc_id") % 10 === 5 || col("doc_id") % 20 === 0 ||
+          col("doc_id") % 30 === 0)
+        .select(col("doc_id").cast("string").as("id"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      runOnce(id => s"P2:$id", t2)
+      store.read(s, "scraped")
+        .select(col("id"), col("payload"),
+          col("scraped_at").cast("long").as("scraped_at_s"))
+        .join(store.read(s, "scrape_dead")
+          .select(col("id"), col("error"),
+            col("attempts").cast("long").as("attempts"),
+            col("failed_at").cast("long").as("failed_at_s")),
+          Seq("id"), "full_outer")
+        .orderBy(col("id"))
+    },
+    Some("""WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id
+                       FROM documents),
+            ok AS (SELECT id,
+                     CASE WHEN doc_id % 30 = 0 OR doc_id % 10 = 5
+                          THEN 'P2:' || id ELSE 'P1:' || id END AS payload,
+                     CASE WHEN doc_id % 30 = 0 OR doc_id % 10 = 5
+                          THEN epoch('2024-06-03 00:00:00'::TIMESTAMP)
+                          ELSE epoch('2024-06-01 00:00:00'::TIMESTAMP)
+                     END::BIGINT AS scraped_at_s
+                   FROM w WHERE doc_id % 10 = 0 OR doc_id % 10 = 5),
+            dead AS (SELECT id, 'RuntimeException: boom' AS error,
+                       2::BIGINT AS attempts,
+                       epoch('2024-06-01 00:00:00'::TIMESTAMP)::BIGINT
+                         AS failed_at_s
+                     FROM w WHERE doc_id % 30 = 0)
+            SELECT coalesce(ok.id, dead.id) AS id, payload, scraped_at_s,
+                   error, attempts, failed_at_s
+            FROM ok FULL OUTER JOIN dead ON ok.id = dead.id
+            ORDER BY id"""))
+
   /** A7 scale path: approx_count_distinct sketch. The sketch value
     * itself has no exact SQL oracle by design — but its ERROR BAND
     * does: the query emits the exact count plus a boolean asserting
@@ -4535,6 +4616,37 @@ object PipelineQueries {
             SELECT rank, id, round(score, 6) AS score_r
             FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
 
+  /** TS25: INCREMENTAL BM25 INDEX MAINTENANCE
+    * ([[TextAnalysis.bm25AppendIndex]]) — the d10 append discipline
+    * for the lexical family: ts21 builds once and probes; this gate
+    * builds over HALF the corpus, folds the other half in as an
+    * O(delta) append (new postings land as insert-only bucket files —
+    * nothing stored is read or rewritten; the vocabulary-sized stats
+    * frame alone replaces), then probes the grown index. The oracle
+    * is the from-scratch BM25 chain over the FULL corpus, so the gate
+    * pins append ≡ rebuild bit-exactly: per-doc (tf, dl) depend only
+    * on the doc's own text and the corpus stats (df, n, total_dl) are
+    * additive, so the integer inputs are equal by construction and
+    * the shared scoring tree does the rest. */
+  private val ts25 = QueryDef(
+    "ts25_bm25_append_probe",
+    "BM25 probe after O(delta) index append ≡ from-scratch rebuild",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = graft.ops.Scratch.tempDir("graft-ts25-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      TextAnalysis.bm25BuildIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", store)
+      TextAnalysis.bm25AppendIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", store)
+      TextAnalysis.bm25TopKStored(s, store,
+        query = Seq("sort", "window", "stream"), k = 10)
+        .orderBy("rank")
+    },
+    Some(s"""WITH ${bm25ChainSql(Seq("sort", "window", "stream"))}
+            SELECT rank, id, round(score, 6) AS score_r
+            FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
+
   /** TS19: CORPUS TEXT CLEANING ([[TextAnalysis.cleanText]]) — NFC
     * canonical composition (native codegen'd expression; DuckDB's
     * `nfc_normalize` implements the same Unicode standard, which is
@@ -5107,7 +5219,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6)
+      st1, st2, st3, st4, st5, st6, st7)
 }

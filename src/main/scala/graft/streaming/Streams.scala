@@ -82,7 +82,11 @@ object Streams {
         // raises ConcurrentCommitException and the retry re-reads the
         // winner and re-merges, instead of silently overwriting it
         store.withCommitRetries() {
-          if (!store.exists(table)) store.commit(spark, table, incoming)
+          // create pins the CAS to ABSENCE (commitNew): a competitor
+          // creating the table between exists() and the publish raises
+          // ConcurrentCommitException and this retry re-reads + merges,
+          // instead of silently replacing the competitor's rows
+          if (!store.exists(table)) store.commitNew(spark, table, incoming)
           else {
             val (stored, pin) = store.readPinned(spark, table)
             store.commitPinned(spark,
@@ -440,7 +444,10 @@ object Streams {
               if (merged.limit(1).count() > 0) {
                 pinned match {
                   case Some((_, pin)) => store.commitPinned(spark, merged, pin)
-                  case None => store.commit(spark, clusterTable, merged)
+                  // absence-pinned create: a competing creator landing
+                  // between exists() and this publish must fail the CAS
+                  // (retry re-reads and merges), not be replaced
+                  case None => store.commitNew(spark, clusterTable, merged)
                 }
                 ()
               }

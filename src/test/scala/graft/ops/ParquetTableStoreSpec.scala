@@ -133,6 +133,100 @@ class ParquetTableStoreSpec extends SparkSpec {
       && finalGot("k3") == "v3-new")
   }
 
+  test("appendBucketed: every stored file hard-links, delta lands as new files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root)
+    val base = (1 to 100).map(i => (s"t${i % 7}", i.toLong)).toDF("term", "id")
+    store.appendBucketed(spark, "idx", base, Seq("term"), numBuckets = 8,
+      sortWithin = Seq("term", "id"))
+    val before = inodesUnder(verDir(root, "idx", 0))
+
+    val delta = Seq(("t1", 900L), ("zzz", 901L)).toDF("term", "id")
+    val out = store.appendBucketed(spark, "idx", delta, Seq("term"),
+      sortWithin = Seq("term", "id"))
+    val after = inodesUnder(verDir(root, "idx", 1))
+
+    // insert-only union: nothing merged away, nothing lost
+    assert(out.count() == 102)
+    assert(out.filter(col("term") === "t1").count() ==
+      base.filter(col("term") === "t1").count() + 1)
+    // EVERY pre-existing file must carry across as the SAME inode
+    // (O(delta): nothing stored was read or rewritten) ...
+    before.foreach { case (rel, ino) =>
+      assert(after.get(rel).contains(ino), s"$rel was rewritten, not linked")
+    }
+    // ... and the delta is new files beyond them
+    assert(after.size > before.size, "expected new delta part files")
+
+    // schema mismatch is refused (no evolution on the append path)
+    val e = intercept[IllegalArgumentException] {
+      store.appendBucketed(spark, "idx",
+        Seq(("x", 1L, "extra")).toDF("term", "id", "other"), Seq("term"))
+    }
+    assert(e.getMessage.contains("upsertBucketed"), e.getMessage)
+  }
+
+  test("replaceBucketed: full rewrite, adopts a snapshot table, keeps bucket count") {
+    import spark.implicits._
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root)
+    // adopt: starts life as a SNAPSHOT table ...
+    store.commit(spark, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(store.numBuckets("t").isEmpty)
+    // ... replaceBucketed rewrites everything and stamps _BUCKETS
+    store.replaceBucketed(spark, "t",
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"), numBuckets = 4)
+    assert(store.numBuckets("t").contains(4))
+    assert(store.read(spark, "t").count() == 50)
+    // a later replace honors the BOUND count (creation-time contract),
+    // and no file survives a replace (nothing links across)
+    val before = inodesUnder(verDir(root, "t", 1))
+    store.replaceBucketed(spark, "t",
+      (1 to 10).map(i => (i.toLong, s"w$i")).toDF("id", "v"),
+      Seq("id"), numBuckets = 16)
+    assert(store.numBuckets("t").contains(4))
+    val after = inodesUnder(verDir(root, "t", 2))
+    assert(store.read(spark, "t").count() == 10)
+    assert(after.forall { case (rel, ino) => !before.get(rel).contains(ino) })
+    // the converted table refuses the snapshot commit path loudly
+    val e = intercept[IllegalArgumentException] {
+      store.commit(spark, "t", Seq((1L, "x")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("bucketed"), e.getMessage)
+  }
+
+  test("readBucketsOf prunes to the key buckets; readWithVersion pins the resolved version") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root)
+    val rows = (1 to 64).map(i => (s"term$i", i.toLong)).toDF("term", "id")
+    store.appendBucketed(spark, "idx", rows, Seq("term"), numBuckets = 16)
+    val (pruned, v) = store.readBucketsOf(spark, "idx",
+      Seq("term3", "term17").toDF("term"))
+    assert(v == 0L)
+    // pruned read is a SUPERSET filter (bucket-level), never loses keys
+    val got = pruned.filter(col("term").isin("term3", "term17"))
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(3L, 17L))
+    // and it genuinely pruned: ≤ 2 of 16 buckets' rows (≈ 4/64 with
+    // this uniform fixture; assert well under half as the safe bound)
+    assert(pruned.count() < 32, s"bucket pruning read ${pruned.count()} rows")
+    // version advances with an append and readWithVersion tracks it
+    store.appendBucketed(spark, "idx",
+      Seq(("termX", 999L)).toDF("term", "id"), Seq("term"))
+    val (all, v1) = store.readWithVersion(spark, "idx")
+    assert(v1 == 1L && all.count() == 65)
+    // snapshot tables refuse the bucket-pruned path
+    store.commit(spark, "snap", Seq((1, "a")).toDF("k", "v"))
+    intercept[IllegalStateException] {
+      store.readBucketsOf(spark, "snap", Seq(1).toDF("k"))
+    }
+  }
+
   test("ObjectStoreIo profile: same semantics, copies instead of links") {
     import spark.implicits._
     val root = tmpDir("store")

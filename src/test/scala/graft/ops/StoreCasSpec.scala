@@ -112,6 +112,32 @@ class StoreCasSpec extends SparkSpec {
     // unrepresentable (no separate table argument to get wrong)
   }
 
+  test("commitNew: a competitor creating the table between exists() and publish loses") {
+    val root = tmpDir("cas-create-new")
+    val store = new ParquetTableStore(root)
+    // the exists()-guarded create shape: checked absent here ...
+    assert(!store.exists("t"))
+    // ... competitor creates in between ...
+    store.commitNew(spark, "t", Seq((1L, "winner")).toDF("id", "v"))
+    // ... and the guarded create must FAIL its CAS, not replace the
+    // winner (plain commit would CAS against the pointer read at
+    // commit time and silently overwrite — the lost-update this
+    // method exists to close)
+    intercept[ConcurrentCommitException] {
+      store.commitNew(spark, "t", Seq((2L, "loser")).toDF("id", "v"))
+    }
+    assert(store.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "winner")))
+    // the retry shape re-checks existence and merges instead
+    store.withCommitRetries() {
+      if (!store.exists("t"))
+        store.commitNew(spark, "t", Seq((2L, "late")).toDF("id", "v"))
+      else
+        store.upsert(spark, "t", Seq((2L, "late")).toDF("id", "v"), Seq("id"))
+    }
+    assert(store.read(spark, "t").count() == 2)
+  }
+
   test("snapshot-path writes on a bucketed table are refused symmetrically") {
     val store = new ParquetTableStore(tmpDir("cas-buckguard"))
     store.upsertBucketed(spark, "b", Seq((1L, "a")).toDF("id", "v"),

@@ -429,11 +429,12 @@ class TextPiiSpec extends SparkSpec {
     // the index carries the full vocabulary: postings have dl
     // denormalized, stats carry df + the corpus scalars per term
     val postings = store.read(spark, "bm25_postings")
-    assert(postings.columns.toSeq == Seq("term", "id", "tf", "dl", "build_id"))
-    // both frames carry the SAME build tag (the mixed-version guard)
-    assert(postings.select("build_id").distinct().count() == 1)
-    assert(store.read(spark, "bm25_stats").select("build_id").head.getString(0)
-      == postings.select("build_id").head.getString(0))
+    assert(postings.columns.toSeq == Seq("term", "id", "tf", "dl"))
+    // the stats frame records the postings version it derives from
+    // (the mixed-version guard)
+    assert(store.read(spark, "bm25_stats")
+      .select("postings_version").head.getLong(0)
+      == store.currentVersion("bm25_postings").get)
     assert(postings.filter(col("term") === "hash")
       .select("id", "tf", "dl").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
@@ -444,14 +445,65 @@ class TextPiiSpec extends SparkSpec {
     assert(stats(0).getAs[Long]("df") == 2L)
     assert(stats(0).getAs[Long]("n") == 3L)
     assert(stats(0).getAs[Long]("total_dl") == 10L)
-    // a probe across a mid-rebuild pair fails retryably, never mixes:
-    // overwrite ONLY the stats table (a fresh build id)
-    TextAnalysis.bm25BuildIndex(docs, "id", "text", store,
-      postingsTable = "other_postings") // commits fresh bm25_stats too
-    // now bm25_postings carries build A, bm25_stats build B
+    // a probe across a torn mutation fails retryably, never mixes:
+    // advance ONLY the postings table (the crashed-between-commits
+    // state an append that never published its stats leaves behind)
+    store.appendBucketed(spark, "bm25_postings",
+      Seq(("zzz", 99L, 1L, 1L)).toDF("term", "id", "tf", "dl"),
+      Seq("term"))
     val e = intercept[IllegalStateException] {
       TextAnalysis.bm25TopKStored(spark, store, Seq("hash"), k = 5)
     }
-    assert(e.getMessage.contains("mid-rebuild"), e.getMessage)
+    assert(e.getMessage.contains("mid-update"), e.getMessage)
+  }
+
+  test("bm25AppendIndex: append == rebuild bit-exactly, O(delta) insert-only") {
+    import spark.implicits._
+    val partA = Seq(
+      (1L, "hash join hash scan"),
+      (2L, "join merge sort"),
+      (3L, "vector scan filter")).toDF("id", "text")
+    val partB = Seq(
+      (4L, "hash vector probe"),
+      (5L, "merge scan scan join"),
+      (6L, "")).toDF("id", "text") // zero-token doc: no postings, no n
+    val grown = new ParquetTableStore(tmpDir("bm25-grow"))
+    TextAnalysis.bm25BuildIndex(partA, "id", "text", grown)
+    TextAnalysis.bm25AppendIndex(partB, "id", "text", grown)
+    val scratch = new ParquetTableStore(tmpDir("bm25-scratch"))
+    TextAnalysis.bm25BuildIndex(partA.unionByName(partB), "id", "text",
+      scratch)
+    // identical stats frames (df per term + corpus scalars) ...
+    def statsOf(s: ParquetTableStore) =
+      s.read(spark, "bm25_stats").drop("postings_version")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(statsOf(grown) == statsOf(scratch))
+    // ... identical postings multisets ...
+    def postingsOf(s: ParquetTableStore) =
+      s.read(spark, "bm25_postings").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(postingsOf(grown) == postingsOf(scratch))
+    // ... and bit-identical probe results (the ts25 contract)
+    for (q <- Seq(Seq("hash", "join"), Seq("scan", "merge"))) {
+      val a = TextAnalysis.bm25TopKStored(spark, grown, q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      val b = TextAnalysis.bm25TopKStored(spark, scratch, q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(a == b, s"query $q: appended index drifted from rebuild")
+    }
+    // the append is insert-only: re-appending an indexed id fails
+    // loudly (validateNewIds), as does an intra-delta duplicate
+    val eDup = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25AppendIndex(
+        Seq((4L, "hash again")).toDF("id", "text"), "id", "text", grown)
+    }
+    assert(eDup.getMessage.contains("already indexed"), eDup.getMessage)
+    val eIntra = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25AppendIndex(
+        Seq((7L, "a"), (7L, "b")).toDF("id", "text"), "id", "text", grown)
+    }
+    assert(eIntra.getMessage.contains("duplicate"), eIntra.getMessage)
   }
 }
