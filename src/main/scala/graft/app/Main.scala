@@ -441,6 +441,63 @@ object Main {
             s"(${rewritten.toSeq.sorted.mkString(",")}) -> " +
             s"v${store.currentVersion(table).getOrElse(-1L)}")
 
+      case "ann-recall" =>
+        // the ss8 recall gate's PRODUCTION twin: measure the stored
+        // IVF index's recall@k against the exact brute-force baseline
+        // over the LIVE artifacts — the canary a deployment runs after
+        // index-search (or on a schedule) to catch index drift; a
+        // recall drop means the codebook no longer matches the vector
+        // distribution and index-search should re-run
+        val k = if (args.length > 2) args(2).toInt else 10
+        val nq = if (args.length > 3) args(3).toInt else 10
+        require(store.exists("tx_vectors") && store.exists("tx_ivf_codebook")
+            && store.exists("tx_ivf_members"),
+          "vector artifacts missing — run index-search first")
+        val vecs = t("tx_vectors").select("id", "embedding")
+        // deterministic query sample: the nq smallest ids
+        val queries = vecs.orderBy("id").limit(nq)
+        val exact = graft.ops.SimilaritySearch.bruteForceTopK(
+          queries, vecs, "id", "embedding", k)
+        val approx = graft.ops.SimilaritySearch.probeStoredIvf(
+          queries, vecs, "id", "embedding",
+          t("tx_ivf_codebook"), t("tx_ivf_members"), k)
+        val recall = graft.ops.SimilaritySearch.recallAtK(exact, approx, k)
+        println(s"stored-IVF recall@$k over $nq queries:")
+        show(recall.orderBy("query_id"), nq)
+        val mean = recall
+          .agg(avg(col("hits").cast("double") / col("k").cast("double")))
+          .head.getDouble(0)
+        println(f"mean recall@$k = $mean%.4f")
+
+      case "gc" =>
+        // sweep crash orphans (tmp- stagings, above-pointer dirs) for
+        // one table or every table under the store root; age-gated so
+        // a live writer's staging is never touched
+        val hours = if (args.length > 3) args(3).toDouble else 24.0
+        val olderMs = (hours * 3600 * 1000).toLong
+        val tables =
+          if (args.length > 2 && args(2) != "all") Seq(args(2))
+          else {
+            val rootDir = java.nio.file.Paths.get(args(1))
+            if (!java.nio.file.Files.isDirectory(rootDir)) Seq.empty[String]
+            else {
+              val s = java.nio.file.Files.list(rootDir)
+              try {
+                import scala.jdk.CollectionConverters._
+                s.iterator().asScala
+                  .filter(p => java.nio.file.Files.isDirectory(p))
+                  .map(_.getFileName.toString).toList.sorted
+              } finally s.close()
+            }
+          }
+        tables.foreach { tbl =>
+          val swept = store.gc(tbl, olderMs)
+          if (swept.nonEmpty)
+            println(s"$tbl: swept ${swept.size} orphan dir(s): " +
+              swept.sorted.mkString(", "))
+        }
+        println(s"gc done (${tables.size} tables, ${hours}h age gate)")
+
       case other =>
         sys.error(s"unknown command '$other' — see graft.app.Main scaladoc")
     }

@@ -673,6 +673,42 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     prune(table, versionOf(staged))
   }
 
+  /** MAINTENANCE: sweep a table's CRASH ORPHANS — the two dir classes
+    * ordinary retention pruning deliberately never touches:
+    *
+    *  - `tmp-*` staging dirs (a writer that died mid-write);
+    *  - `v=` dirs ABOVE the published pointer (a writer that
+    *    finalized its staging but died before the CAS — never
+    *    committed, never readable, and the one thing that can make a
+    *    later [[readVersion]] refuse a number as ambiguous).
+    *
+    * Both classes are also what a LIVE writer looks like mid-commit,
+    * so the sweep is age-gated: only dirs whose last-modified time is
+    * older than `olderThanMs` are deleted (default 24 h — orders of
+    * magnitude beyond any commit's staging lifetime; deployments with
+    * slower writers raise it). Hard-link safety is structural: links
+    * are only ever taken FROM the committed previous version, never
+    * from tmp/above-pointer dirs, so sweeping an orphan can never
+    * strand a committed version's shared inodes. Returns the swept
+    * dir names. */
+  def gc(table: String, olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    require(olderThanMs >= 0)
+    val dir = tableDir(table)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val ceiling = currentVersion(table).getOrElse(-1L)
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      listDir(dir)
+        .filter { p =>
+          val n = p.getFileName.toString
+          val orphan = n.startsWith("tmp-") ||
+            (n.startsWith("v=") && versionOf(n) > ceiling)
+          orphan && Files.getLastModifiedTime(p).toMillis < cutoff
+        }
+        .map { p => deleteRecursively(p); p.getFileName.toString }
+    }
+  }
+
   /** Delete version dirs (winners and any lingering lost-race
     * stagings alike) whose version number fell out of the retention
     * window. Only the pointer defines liveness, so stale dirs are

@@ -42,6 +42,82 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Sliding character trigrams of the lowercased text — the
+    * classical language-ID feature (Cavnar & Trenkle 1994). Pure
+    * per-row expression (no shuffle): position i in 1..len-2 yields
+    * substr(i, 3), so spaces and accents carry signal. Texts shorter
+    * than 3 chars yield the empty array. */
+  def charTrigrams(text: Column): Column = {
+    val t = lower(text)
+    when(length(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - 2),
+        i => t.substr(i, lit(3))))
+  }
+
+  /** Trainable CHAR-TRIGRAM language classifier — the ts18
+    * naive-Bayes discipline (integer counts, add-one smoothing,
+    * ln-quotient log-probs, position-ordered folds ⇒ bit-exact
+    * cross-engine) generalized from a binary word model to an
+    * L-language character model: the real multilingual-corpus
+    * upgrade of the [[langId]] stopword heuristic (which stays as
+    * the cheap 4-language prefilter).
+    *
+    * Training (`train`: one text per row, labeled `langCol`): per
+    * (lang, trigram) occurrence counts, per-lang totals, the shared
+    * vocabulary size V (distinct trigrams across ALL languages), and
+    * document-count priors. Scoring (`test`): each doc's trigrams
+    * expand once per language (an |L|-row broadcast), each position
+    * contributes ln((c+1)/(tot_lang+V)) — c = 0 for grams the
+    * language (or the whole model) never saw — folded in POSITION
+    * order per (doc, lang), plus ln(nd_lang/n). Output per doc: the
+    * argmax language (ties broken lang-ASC — a doc with no trigrams
+    * scores priors only) and the 6-dp margin over the runner-up.
+    *
+    * Scale shape: the model is three broadcastable frames (model-
+    * sized — training corpora are curated, never the 100 TB corpus);
+    * the corpus-side cost is ONE trigram pass × |L| expansion, with
+    * combinable aggregation per (doc, lang). Nothing corpus-sized
+    * joins or collects. */
+  def trigramLangId(train: DataFrame, langCol: String, textCol: String,
+      test: DataFrame, idCol: String, testTextCol: String): DataFrame = {
+    val labeled = train.select(col(langCol).as("lang"),
+      charTrigrams(col(textCol)).as("t"))
+    val tx = labeled.select(col("lang"), explode(col("t")).as("g"))
+    val gm = tx.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    val langStats = gm.groupBy("lang").agg(sum(col("c")).as("tot"))
+      .join(labeled.groupBy("lang").agg(count(lit(1)).as("nd")), Seq("lang"))
+    val scalars = gm.agg(countDistinct(col("g")).as("v"))
+      .crossJoin(labeled.agg(count(lit(1)).as("n")))
+    val x = test.select(col(idCol).as("id"),
+      posexplode(charTrigrams(col(testTextCol))))
+      .select(col("id"), col("pos"), col("col").as("g"))
+    val lp = x.crossJoin(broadcast(langStats.select("lang", "tot")))
+      .join(broadcast(gm), Seq("lang", "g"), "left")
+      .crossJoin(broadcast(scalars.select("v")))
+      .select(col("id"), col("lang"), col("pos"),
+        log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tot") + col("v")).cast("double")).as("lp"))
+    val folded = lp.groupBy("id", "lang").agg(
+      sort_array(collect_list(struct(col("pos"), col("lp")))).as("__arr"))
+      .select(col("id"), col("lang"),
+        expr("aggregate(__arr, 0D, (acc, s) -> acc + s.lp)").as("w"))
+    val scored = test.select(col(idCol).as("id"))
+      .crossJoin(broadcast(langStats.select("lang", "nd")))
+      .join(folded, Seq("id", "lang"), "left")
+      .crossJoin(broadcast(scalars.select("n")))
+      .select(col("id"), col("lang"),
+        (log(col("nd").cast("double") / col("n").cast("double")) +
+          coalesce(col("w"), lit(0.0))).as("s"))
+    val w = Window.partitionBy("id").orderBy(col("s").desc, col("lang").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__next", lead(col("s"), 1).over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("lang"),
+        round(col("s") - coalesce(col("__next"), col("s")), 6)
+          .as("margin_r"))
+  }
+
   /** Quality components: every count exact-integer, every ratio a
     * single int/int double division — bit-identical across engines. */
   def qualityComponents(text: Column): Seq[(String, Column)] = {

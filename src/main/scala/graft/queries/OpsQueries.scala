@@ -301,5 +301,33 @@ object OpsQueries {
                 AS text, n_chars
             FROM documents ORDER BY doc_id"""))
 
-  def defs: Seq[QueryDef] = Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10)
+  /** U11: N-COLUMN Z-ORDER PUBLISH IS A SEMANTIC NO-OP — u10's
+    * maintenance pin extended to the multi-axis curve real lakehouse
+    * OPTIMIZE takes (3-4 columns): the fact-table shape, lineitem
+    * z-clustered on (l_orderkey, l_partkey, l_suppkey) so scans
+    * filtered by order, part, OR supplier all prune files. The gate
+    * reads the PUBLISHED artifact; its content must equal the source
+    * row for row (the oracle is a straight projection). The measured
+    * per-axis span shrink on all three axes is spec-pinned
+    * (LayoutSpec). */
+  private val u11 = QueryDef(
+    "u11_zorder3_publish",
+    "3-column z-order publish: clustered layout, content unchanged",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      val root = graft.ops.Scratch.tempDir("graft-u11-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.commit(s, "fact", li)
+      graft.ops.Layout.zorderPublish(s, store, "fact", "fact_pub",
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), numFiles = 8)
+      store.read(s, "fact_pub")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              l_quantity
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  def defs: Seq[QueryDef] = Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11)
 }

@@ -2759,7 +2759,7 @@ object PipelineQueries {
         // incremental-restart contract the operator now carries)
         val q = graft.streaming.Streams.inboxStream(s, inbox, store,
           "transcripts", checkpointDir = Some(s"$root/ck"),
-          maxFilesPerTrigger = 64)
+          maxFilesPerTrigger = Some(64))
         try q.processAllAvailable() finally q.stop()
       }
       writeFiles(1); runOnce()
@@ -4616,6 +4616,129 @@ object PipelineQueries {
             SELECT rank, id, round(score, 6) AS score_r
             FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
 
+  /** 8-language fixture for the trained language classifier (ts26):
+    * (lang, text, heldOut). Already-lowercase, apostrophe-free (the
+    * strings ride inside SQL literals verbatim); three training
+    * sentences per language plus one held-out scoring sentence. ONE
+    * constant feeds the Spark frame AND the oracle's VALUES list, so
+    * the two sides cannot drift. */
+  private val langFixture: Seq[(String, String, Boolean)] = Seq(
+    ("en", "the quick brown fox jumps over the lazy dog", false),
+    ("en", "a small boat sails across the quiet bay this morning", false),
+    ("en", "children play in the park and sing old songs together", false),
+    ("en", "we walk to the market and buy fresh bread every day", true),
+    ("de", "der schnelle braune fuchs springt über den faulen hund", false),
+    ("de", "ein kleines boot segelt am morgen über die stille bucht", false),
+    ("de", "die kinder spielen im park und singen alte lieder zusammen", false),
+    ("de", "wir gehen zum markt und kaufen jeden tag frisches brot", true),
+    ("fr", "le rapide renard brun saute par dessus le chien paresseux", false),
+    ("fr", "un petit bateau traverse la baie calme ce matin", false),
+    ("fr", "les enfants jouent dans le parc et chantent ensemble", false),
+    ("fr", "nous allons au marche et achetons du pain frais chaque jour", true),
+    ("es", "el rapido zorro marron salta sobre el perro perezoso", false),
+    ("es", "un pequeño barco cruza la bahia tranquila esta mañana", false),
+    ("es", "los niños juegan en el parque y cantan canciones juntos", false),
+    ("es", "vamos al mercado y compramos pan fresco todos los dias", true),
+    ("it", "la rapida volpe marrone salta sopra il cane pigro", false),
+    ("it", "una piccola barca attraversa la baia calma questa mattina", false),
+    ("it", "i bambini giocano nel parco e cantano vecchie canzoni insieme", false),
+    ("it", "andiamo al mercato e compriamo pane fresco ogni giorno", true),
+    ("pt", "a rapida raposa marrom salta sobre o cachorro preguiçoso", false),
+    ("pt", "um pequeno barco cruza a baia tranquila esta manha", false),
+    ("pt", "as crianças brincam no parque e cantam velhas canções juntas", false),
+    ("pt", "vamos ao mercado e compramos pao fresco todos os dias", true),
+    ("nl", "de snelle bruine vos springt over de luie hond", false),
+    ("nl", "een kleine boot vaart vanochtend over de stille baai", false),
+    ("nl", "de kinderen spelen in het park en zingen samen oude liedjes", false),
+    ("nl", "wij lopen naar de markt en kopen elke dag vers brood", true),
+    ("sv", "den snabba bruna räven hoppar över den lata hunden", false),
+    ("sv", "en liten bat seglar över den stilla viken i morse", false),
+    ("sv", "barnen leker i parken och sjunger gamla visor tillsammans", false),
+    ("sv", "vi gar till marknaden och köper färskt bröd varje dag", true))
+
+  /** TS26: TRAINED CHAR-TRIGRAM LANGUAGE CLASSIFIER
+    * ([[TextAnalysis.trigramLangId]]) — the multilingual upgrade of
+    * ts1's 4-language stopword heuristic, in the ts18 discipline
+    * (integer trigram counts, add-one smoothing, ln-quotient
+    * log-probs, position-ordered per-(doc, lang) folds ⇒ the argmax
+    * and margin are bit-exact cross-engine). Trains on the 8-language
+    * fixture, classifies the held-out sentence per language PLUS a
+    * corpus slice (integration shape: the model is broadcast-sized,
+    * the corpus pays one trigram pass × |L|). The oracle replicates
+    * training counts, smoothing, priors, both folds, and the
+    * ranked-argmax with its lang-ASC tie-break. */
+  private val ts26 = QueryDef(
+    "ts26_trigram_lang_id",
+    "char-trigram NB language classifier over an 8-language fixture",
+    (s, dir) => {
+      import s.implicits._
+      val train = langFixture.filter(!_._3).map(r => (r._1, r._2))
+        .toDF("lang", "text")
+      val held = langFixture.filter(_._3).zipWithIndex
+        .map { case ((_, t, _), i) => (-(i + 1).toLong, t) }
+        .toDF("id", "text")
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"), col("text"))
+      TextAnalysis.trigramLangId(train, "lang", "text",
+        held.unionByName(docs), "id", "text")
+        .orderBy("id")
+    },
+    Some {
+      val trainVals = langFixture.filter(!_._3)
+        .map(r => s"('${r._1}', '${r._2}')").mkString(", ")
+      val heldVals = langFixture.filter(_._3).zipWithIndex
+        .map { case ((_, t, _), i) => s"(${-(i + 1)}::BIGINT, '$t')" }
+        .mkString(", ")
+      s"""WITH train(lang, text) AS (VALUES $trainVals),
+            test AS (SELECT * FROM (VALUES $heldVals) AS h(id, text)
+                     UNION ALL
+                     SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+            tg AS (SELECT lang,
+                     unnest(list_transform(
+                       generate_series(1, greatest(length(lower(text)) - 2, 0)),
+                       i -> substr(lower(text), i, 3))) AS g
+                   FROM train),
+            gm AS (SELECT lang, g, count(*)::BIGINT AS c FROM tg
+                   GROUP BY lang, g),
+            ls AS (SELECT lang, sum(c)::BIGINT AS tot FROM gm GROUP BY lang),
+            nd AS (SELECT lang, count(*)::BIGINT AS nd FROM train
+                   GROUP BY lang),
+            sc0 AS (SELECT count(DISTINCT g)::BIGINT AS v FROM gm),
+            sc1 AS (SELECT count(*)::BIGINT AS n FROM train),
+            xs AS (SELECT id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(length(lower(text)) - 2, 0)),
+                       i -> {'i': i, 'g': substr(lower(text), i, 3)})) AS s
+                   FROM test),
+            x AS (SELECT id, s.i AS pos, s.g AS g FROM xs),
+            lp AS (SELECT x.id, l.lang, x.pos,
+                     ln((coalesce(gm.c, 0) + 1)::DOUBLE /
+                        (l.tot + sc0.v)::DOUBLE) AS lp
+                   FROM x CROSS JOIN ls l
+                   LEFT JOIN gm ON gm.lang = l.lang AND gm.g = x.g
+                   CROSS JOIN sc0),
+            folded AS (SELECT id, lang,
+                         list_reduce(list_prepend(0.0::DOUBLE,
+                           list(lp ORDER BY pos)), (a, b) -> a + b) AS w
+                       FROM lp GROUP BY id, lang),
+            scored AS (SELECT t.id, nd.lang,
+                         ln(nd.nd::DOUBLE / sc1.n::DOUBLE) +
+                           coalesce(f.w, 0.0) AS s
+                       FROM (SELECT id FROM test) t CROSS JOIN nd
+                       LEFT JOIN folded f
+                         ON f.id = t.id AND f.lang = nd.lang
+                       CROSS JOIN sc1),
+            ranked AS (SELECT id, lang, s,
+                         row_number() OVER (PARTITION BY id
+                           ORDER BY s DESC, lang) AS rn,
+                         lead(s) OVER (PARTITION BY id
+                           ORDER BY s DESC, lang) AS nxt
+                       FROM scored)
+            SELECT id, lang, round(s - coalesce(nxt, s), 6) AS margin_r
+            FROM ranked WHERE rn = 1 ORDER BY id"""
+    })
+
   /** TS25: INCREMENTAL BM25 INDEX MAINTENANCE
     * ([[TextAnalysis.bm25AppendIndex]]) — the d10 append discipline
     * for the lexical family: ts21 builds once and probes; this gate
@@ -5219,7 +5342,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7)
 }

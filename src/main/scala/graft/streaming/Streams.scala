@@ -31,20 +31,56 @@ object Streams {
   val inboxSchema: StructType = StructType(Seq(
     StructField("path", StringType), StructField("content", StringType)))
 
+  /** Derive an inbox micro-batch size from the dir's file-size stats
+    * — the autoBandGeometry discipline applied to stream batching: a
+    * fixed file count is wrong in both directions (thousands of tiny
+    * transcript files per batch barely amortize the per-batch
+    * full-table commit; a few huge exports per batch blow the batch
+    * memory budget). Targets `targetBatchBytes` of raw text per
+    * micro-batch from the MEAN file size of the files present when
+    * the stream starts (the inbox's file-size distribution is stable
+    * in steady state; the [1, 4096] clamp bounds the pathological
+    * tails). An empty or absent inbox has no stats — fall back to a
+    * conservative 16. */
+  def autoMaxFilesPerTrigger(inboxDir: String,
+      targetBatchBytes: Long = 32L << 20): Int = {
+    require(targetBatchBytes >= 1)
+    val dir = java.nio.file.Paths.get(inboxDir)
+    if (!java.nio.file.Files.isDirectory(dir)) 16
+    else {
+      val s = java.nio.file.Files.list(dir)
+      val sizes =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p))
+            .map(p => java.nio.file.Files.size(p)).toSeq
+        } finally s.close()
+      if (sizes.isEmpty) 16
+      else {
+        val mean = math.max(1L, sizes.sum / sizes.size)
+        math.max(1L, math.min(4096L, targetBatchBytes / mean)).toInt
+      }
+    }
+  }
+
   /** Start the streaming inbox: watch `inboxDir` for transcript
     * files, parse each, and conditionally-upsert valid ones into
     * `store`/`table` keyed by video_id. Returns the running query
     * (callers use processAllAvailable in tests, start/await in prod).
-    */
+    * `maxFilesPerTrigger` None derives the batch size from the
+    * inbox's file-size stats ([[autoMaxFilesPerTrigger]], computed
+    * ONCE at stream start); pass Some(n) to pin it. */
   def inboxStream(spark: SparkSession, inboxDir: String,
       store: ParquetTableStore, table: String,
       deleteProcessed: Boolean = false,
       checkpointDir: Option[String] = None,
-      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
     val files = spark.readStream
       .option("wholetext", "true")
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("maxFilesPerTrigger",
+        maxFilesPerTrigger.getOrElse(autoMaxFilesPerTrigger(inboxDir)))
       .option("cleanSource", if (deleteProcessed) "delete" else "off")
       .text(inboxDir)
       .select(input_file_name().as("path"), col("value").as("content"))

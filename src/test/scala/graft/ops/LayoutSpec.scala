@@ -84,6 +84,53 @@ class LayoutSpec extends SparkSpec {
     assert(store.currentVersion("pub").contains(v1 + 1))
   }
 
+  test("3-column z-order shrinks per-file spans on ALL axes; content untouched") {
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 4096).map(i =>
+      (i.toLong, rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong,
+        rnd.nextInt(100000).toLong))
+      .toDF("id", "x", "y", "w")
+    val tmp = java.nio.file.Files.createTempDirectory("layout3").toString
+    data.repartition(16).write.mode("overwrite").parquet(s"$tmp/plain")
+    Layout.zorderWrite(data, Seq("x", "y", "w"), s"$tmp/z", numFiles = 64)
+
+    val a = spark.read.parquet(s"$tmp/z").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    val b = data.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(a.toSeq == b.toSeq)
+
+    // 64 z-files pin the curve's top 6 bits = TWO high bits of each
+    // of the 3 interleaved ranks — every axis' per-file span must
+    // shrink well below the hash layout's ~1.0
+    for (c <- Seq("x", "y", "w")) {
+      val p = meanSpan(s"$tmp/plain", c)
+      val z = meanSpan(s"$tmp/z", c)
+      assert(z < p * 0.6, s"axis $c: z span $z must beat plain $p")
+    }
+  }
+
+  test("4-column curve stays in a signed long's non-negative range (15-bit ranks)") {
+    // all-max corners: every rank saturates, so __z is the curve's
+    // maximum — with 16-bit ranks this would overflow into the sign
+    // bit (4x16 = 64); the width derivation must cap at 15
+    val df = Seq((0L, 0L, 0L, 0L, 0L), (1L, 9L, 9L, 9L, 9L))
+      .toDF("id", "a", "b", "c", "d")
+    val z = Layout.zValue(df, Seq("a", "b", "c", "d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(z(0L) == 0L)
+    assert(z(1L) == (1L << 60) - 1, s"got ${z(1L).toHexString}")
+    assert(z.values.forall(_ >= 0L))
+    intercept[IllegalArgumentException] {
+      Layout.zValue(df, Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zValue(df, Seq("a", "a"))
+    }
+  }
+
   test("z-value: interleave puts x in even bits, constant column ranks zero") {
     val df = Seq((0L, 0L, 0L), (1L, 65535L, 0L), (2L, 0L, 65535L))
       .toDF("id", "x", "y")

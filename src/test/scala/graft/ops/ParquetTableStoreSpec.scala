@@ -227,6 +227,42 @@ class ParquetTableStoreSpec extends SparkSpec {
     }
   }
 
+  test("gc sweeps aged crash orphans only; live stagings and history survive") {
+    import spark.implicits._
+    val root = tmpDir("store-gc")
+    val store = new ParquetTableStore(root)
+    store.commit(spark, "t", Seq((1, "a")).toDF("k", "v"))
+    store.commit(spark, "t", Seq((2, "b")).toDF("k", "v")) // v0 retained, v1 live
+    val dir = Paths.get(root, "t")
+    // manufacture the two orphan classes: a crashed writer's tmp-
+    // staging and a finalized-but-never-published above-pointer dir
+    val tmpOrphan = dir.resolve("tmp-v=7-deadbeef")
+    val aboveOrphan = dir.resolve("v=7-deadbeef")
+    Seq(tmpOrphan, aboveOrphan).foreach { p =>
+      Files.createDirectories(p)
+      Files.write(p.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    }
+    val old = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000)
+    Files.setLastModifiedTime(tmpOrphan, old)
+    Files.setLastModifiedTime(aboveOrphan, old)
+    // a FRESH orphan (a possibly-live writer) must survive the sweep
+    val fresh = dir.resolve("tmp-v=8-cafecafe")
+    Files.createDirectories(fresh)
+
+    val swept = store.gc("t")
+    assert(swept.toSet == Set("tmp-v=7-deadbeef", "v=7-deadbeef"), swept)
+    assert(!Files.exists(tmpOrphan) && !Files.exists(aboveOrphan))
+    assert(Files.exists(fresh), "fresh staging must not be swept")
+    // committed history intact: live version reads, retained one too
+    assert(store.read(spark, "t").collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(store.readVersion(spark, "t", 0).collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    // after the sweep, version 7 is unambiguous again for a future
+    // writer; a second gc finds nothing
+    assert(store.gc("t").isEmpty)
+  }
+
   test("ObjectStoreIo profile: same semantics, copies instead of links") {
     import spark.implicits._
     val root = tmpDir("store")

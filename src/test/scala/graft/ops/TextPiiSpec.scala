@@ -506,4 +506,48 @@ class TextPiiSpec extends SparkSpec {
     }
     assert(eIntra.getMessage.contains("duplicate"), eIntra.getMessage)
   }
+
+  test("trigramLangId: held-out sentences classify to their language, ties break lang-asc") {
+    import spark.implicits._
+    val train = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", "a small boat sails across the quiet bay this morning"),
+      ("en", "children play in the park and sing old songs together"),
+      ("de", "der schnelle braune fuchs springt über den faulen hund"),
+      ("de", "ein kleines boot segelt am morgen über die stille bucht"),
+      ("de", "die kinder spielen im park und singen alte lieder zusammen"),
+      ("fr", "le rapide renard brun saute par dessus le chien paresseux"),
+      ("fr", "un petit bateau traverse la baie calme ce matin"),
+      ("fr", "les enfants jouent dans le parc et chantent ensemble"),
+      ("nl", "de snelle bruine vos springt over de luie hond"),
+      ("nl", "een kleine boot vaart vanochtend over de stille baai"),
+      ("nl", "de kinderen spelen in het park en zingen samen oude liedjes"))
+      .toDF("lang", "text")
+    val test = Seq(
+      (1L, "we walk to the market and buy fresh bread every day"),
+      (2L, "wir gehen zum markt und kaufen jeden tag frisches brot"),
+      (3L, "nous allons au marche et achetons du pain frais chaque jour"),
+      (4L, "wij lopen naar de markt en kopen elke dag vers brood"),
+      (5L, "xy")). // no trigram: priors only, equal -> first lang asc
+      toDF("id", "text")
+    val got = TextAnalysis.trigramLangId(train, "lang", "text",
+      test, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L)._1 == "en", s"got ${got(1L)}")
+    assert(got(2L)._1 == "de", s"got ${got(2L)}")
+    assert(got(3L)._1 == "fr", s"got ${got(3L)}")
+    assert(got(4L)._1 == "nl", s"got ${got(4L)}")
+    // real sentences separate with a clear margin
+    Seq(1L, 2L, 3L, 4L).foreach(i => assert(got(i)._2 > 0.5, s"$i: ${got(i)}"))
+    // no-trigram doc: every language scores its prior; equal priors
+    // here, so margin 0 and the lang-ASC tie-break picks "de"
+    assert(got(5L) == ("de", 0.0), s"got ${got(5L)}")
+    // position-ordered fold: partitioning cannot move the margin
+    val p9 = TextAnalysis.trigramLangId(train.repartition(9), "lang", "text",
+      test.repartition(7), "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(p9 == got)
+  }
 }

@@ -55,6 +55,22 @@ class StreamsSpec extends SparkSpec {
     assert(got == Map("ddddddddddd" -> "[00:01] timed version"), got.toString)
   }
 
+  test("autoMaxFilesPerTrigger derives the batch size from file-size stats") {
+    // empty / absent inbox: no stats -> conservative default
+    assert(Streams.autoMaxFilesPerTrigger(tmpDir("auto-empty")) == 16)
+    assert(Streams.autoMaxFilesPerTrigger("/nonexistent/inbox-dir") == 16)
+    // tiny files: target/mean blows past the ceiling -> clamp 4096
+    val tiny = tmpDir("auto-tiny")
+    (1 to 5).foreach(i => Files.write(Paths.get(tiny, s"t$i.txt"),
+      Array.fill(1024)('x'.toByte)))
+    assert(Streams.autoMaxFilesPerTrigger(tiny) == 4096)
+    // the derivation is exactly target / mean, clamped: 5 files of
+    // 1 KiB at a 4 KiB target -> 4 per batch
+    assert(Streams.autoMaxFilesPerTrigger(tiny, targetBatchBytes = 4096) == 4)
+    // huge files: mean above target -> floor clamps at 1, never 0
+    assert(Streams.autoMaxFilesPerTrigger(tiny, targetBatchBytes = 100) == 1)
+  }
+
   test("streaming exact dedup: duplicate content across batches is dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
