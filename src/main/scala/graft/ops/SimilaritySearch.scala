@@ -491,6 +491,44 @@ object SimilaritySearch {
     rankTopK(scored, "l2", k, asc = true)
   }
 
+  /** BINARY SHORTLIST-AND-RERANK — the 1-bit member of the
+    * quantization family deployed the way binary vectors actually
+    * deploy: sign-bit Hamming distance (an angular-distance proxy,
+    * see [[VectorCompression.binarize]]) generates a
+    * `shortlist`-sized candidate set per query from 8-bytes-per-
+    * 64-dims packed words alone, then ONLY those shortlist·|Q| pairs
+    * re-attach raw vectors (stats-driven broadcast on the query
+    * side, pinned SHUFFLE_HASH on the corpus side — the
+    * [[pqRerankTopK]] discipline) for an exact cosine rerank.
+    *
+    * Scale shape: the corpus-wide pass scans packed longs against a
+    * broadcast |Q|-row frame of query words — pure integer per-row
+    * arithmetic, no shuffle until the shortlist window (rank ≤
+    * shortlist plans as WindowGroupLimit); the float re-attach is
+    * shortlist-bounded. Determinism: Hamming is an exact integer
+    * (ties broken on neighbor_id), the rerank is the shared cosine
+    * kernel — the whole chain is oracle-replicable, no epsilon. */
+  def binaryRerankTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int, dim: Int,
+      excludeSelfPairs: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    import graft.ops.VectorCompression.{binarize, hamming}
+    val qbits = queries.select(col(idCol).as("query_id"),
+      binarize(col(vecCol), dim).as("q_bits"))
+    val cbits = candidates.select(col(idCol).as("neighbor_id"),
+      binarize(col(vecCol), dim).as("c_bits"))
+    val scored = cbits.crossJoin(broadcast(qbits))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
+      .select(col("query_id"), col("neighbor_id"),
+        hamming(col("q_bits"), col("c_bits")).as("ham"))
+    val short = rankTopK(scored, "ham", shortlist, asc = true)
+      .select("query_id", "neighbor_id")
+    rankTopK(
+      cosineScored(short, queries, candidates, idCol, vecCol),
+      "cos", k)
+  }
+
   /** IVF-PQ — the production vector index (coarse cells prune the
     * corpus, PQ codes rank inside the probed cells): candidate
     * generation is [[ivfTopK]]'s cell machinery (sample codebook,

@@ -807,6 +807,13 @@ object TextAnalysis {
       statsTable: String = "bm25_stats",
       validateNewIds: Boolean = true): Unit = {
     val spark = newDocs.sparkSession
+    // append maintains an EXISTING index: a missing half means there
+    // is nothing consistent to fold into (appending would create a
+    // postings table whose stats commit then fails, leaving a torn
+    // pair) — build first
+    require(store.exists(postingsTable) && store.exists(statsTable),
+      s"bm25AppendIndex: index ($postingsTable, $statsTable) not built — " +
+        "run bm25BuildIndex first")
     val ids = newDocs.select(col(idCol).as("id"))
     val nDup = ids.groupBy("id").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).limit(1).count()

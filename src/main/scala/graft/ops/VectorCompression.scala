@@ -46,4 +46,43 @@ object VectorCompression {
     when(scale === 0, lit(0.0))
       .otherwise(VectorKernels.cosineSim(
         transform(vec, x => x.cast("double")), dequantize(q, scale)))
+
+  /** BINARY (1-bit sign) quantization: component j contributes bit
+    * (j mod 64) of word (j div 64) iff v_j > 0, packed into
+    * ceil(dim/64) longs — 32× smaller than float32, the most
+    * aggressive member of the compression family (int8 → PQ → sign
+    * bits). Sign-bit Hamming distance is a monotone proxy for angular
+    * distance (Charikar 2002, the same hyperplane-LSH fact the
+    * SimHash family rides), which is what makes a Hamming SHORTLIST +
+    * exact-cosine rerank the standard deployment
+    * ([[SimilaritySearch.binaryRerankTopK]]).
+    *
+    * Determinism: the packing is pure integer arithmetic over the
+    * sign predicate (ties: exactly-0 packs as 0), so quantized words
+    * hash-compare across engines, and Hamming distances are exact
+    * integers — ranking needs no float discipline at all until the
+    * rerank. `dim` is declared by the caller (one scan does the
+    * packing; a shorter vector treats missing components as 0). */
+  def binarize(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val nWords = (dim + 63) / 64
+    val pow2 = array((0 until 64).map(j => lit(1L << j)): _*)
+    val words = (0 until nWords).map { w =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
+        acc + when(lit(w * 64) + j < lit(dim) &&
+            coalesce(element_at(vec, (lit(w * 64) + j + lit(1)).cast("int"))
+              .cast("double"), lit(0.0)) > 0,
+          element_at(pow2, (j + lit(1)).cast("int"))).otherwise(lit(0L)))
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two packed sign-bit arrays
+    * ([[binarize]] outputs): Σ popcount(a_w XOR b_w) — one integer
+    * fold per pair, the 8-bytes-per-64-dims scan that makes a binary
+    * shortlist pass affordable over a corpus no float scan could
+    * touch. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, d) => acc + d)
 }

@@ -2853,6 +2853,41 @@ object PipelineQueries {
             FROM ok FULL OUTER JOIN dead ON ok.id = dead.id
             ORDER BY id"""))
 
+  /** ST8: STREAMING LEXICAL-INDEX MAINTENANCE
+    * ([[graft.streaming.Streams.lexicalIndexIngest]]) — ts25's
+    * append discipline driven BY the ingest loop: two AvailableNow
+    * phases over a growing doc feed (first batch builds the stored
+    * BM25 index, the second folds in as an O(delta) append through
+    * the checkpointed restart), then the probe answers from the
+    * stored pair. The oracle is the from-scratch BM25 chain over the
+    * FULL corpus — the loop's whole contract is that the grown index
+    * is indistinguishable from a one-shot build, bit for bit, across
+    * the stream schedule. */
+  private val st8 = QueryDef(
+    "st8_stream_lexical_index",
+    "streaming BM25 index build+append across batches ≡ one-shot build",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-st8-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      docs.filter(col("id") % 2 === 0).coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.lexicalIndexIngest(s, inDir, ck, store)
+        .awaitTermination()
+      docs.filter(col("id") % 2 === 1).coalesce(1).write.mode("append")
+        .parquet(inDir)
+      graft.streaming.Streams.lexicalIndexIngest(s, inDir, ck, store)
+        .awaitTermination()
+      TextAnalysis.bm25TopKStored(s, store,
+        query = Seq("batch", "row", "column"), k = 10)
+        .orderBy("rank")
+    },
+    Some(s"""WITH ${bm25ChainSql(Seq("batch", "row", "column"))}
+            SELECT rank, id, round(score, 6) AS score_r
+            FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
+
   /** A7 scale path: approx_count_distinct sketch. The sketch value
     * itself has no exact SQL oracle by design — but its ERROR BAND
     * does: the query emits the exact count plus a boolean asserting
@@ -4221,6 +4256,72 @@ object PipelineQueries {
     * rankings are already pinned bit-exact (ts17 / ss1 disciplines),
     * and every fused score is 1/(60+int) arithmetic — the oracle
     * replicates the whole thing including both top-20 cuts. */
+  /** SS16: BINARY (sign-bit) SHORTLIST + EXACT RERANK
+    * ([[VectorCompression.binarize]] /
+    * [[SimilaritySearch.binaryRerankTopK]]) — the 1-bit member of
+    * the compression family (ss4 int8 → ss10 PQ → sign bits, 32×),
+    * deployed the way binary vectors deploy: packed-word Hamming
+    * (integer-exact, an angular proxy) shortlists 50 candidates per
+    * query from 8 bytes/vector, then only those pairs re-attach
+    * floats for the exact-cosine top-5. Deterministic end to end
+    * (integer Hamming with id tie-break; shared cosine tree), so the
+    * oracle replicates packing, popcount fold, shortlist window, and
+    * rerank. */
+  private val ss16 = QueryDef(
+    "ss16_binary_rerank_topk",
+    "sign-bit Hamming shortlist + exact cosine rerank top-k",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      SimilaritySearch.binaryRerankTopK(e.filter(col("id") < 10), e,
+        "id", "embedding", k = 5, shortlist = 50, dim = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      // bit 63's value is BIGINT MIN (two's complement): DuckDB's
+      // checked 1<<63 raises, so the top bit rides as the literal —
+      // the sum fold stays in range (acc >= 0 plus -2^63 >= -2^63),
+      // landing on the same wrapped word Spark's 1L<<63 packs
+      def bitsSql(v: String): String =
+        s"""list_transform(generate_series(0, 0), w ->
+              list_reduce(list_prepend(0::BIGINT,
+                list_transform(generate_series(0, 63),
+                  j -> CASE WHEN coalesce($v[w*64 + j + 1]::DOUBLE, 0.0) <= 0
+                       THEN 0::BIGINT
+                       WHEN j = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                       ELSE (1::BIGINT << j) END)),
+                (a, b) -> a + b))"""
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                  FROM embeddings),
+            qb AS (SELECT query_id, ${bitsSql("qv")} AS bits FROM q),
+            cb AS (SELECT neighbor_id, ${bitsSql("cv")} AS bits FROM c),
+            ham AS (SELECT query_id, neighbor_id,
+                      list_reduce(list_prepend(0::BIGINT,
+                        list_transform(generate_series(1, len(qb.bits)),
+                          w -> bit_count(xor(qb.bits[w], cb.bits[w]))::BIGINT)),
+                        (a, b) -> a + b) AS ham
+                    FROM qb, cb WHERE query_id != neighbor_id),
+            short AS (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY ham, neighbor_id) AS srn
+                      FROM ham),
+            rer AS (SELECT s.query_id, s.neighbor_id,
+                      ${cosSql("q.qv", "c.cv")} AS cos
+                    FROM short s
+                    JOIN q ON q.query_id = s.query_id
+                    JOIN c ON c.neighbor_id = s.neighbor_id
+                    WHERE s.srn <= 50),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+                       FROM rer)
+            SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
+
   private val ss14 = QueryDef(
     "ss14_hybrid_rrf",
     "hybrid BM25 + embedding retrieval, reciprocal-rank fused",
@@ -5341,8 +5442,8 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7)
+      st1, st2, st3, st4, st5, st6, st7, st8)
 }

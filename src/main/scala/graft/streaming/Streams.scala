@@ -620,6 +620,68 @@ object Streams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming LEXICAL-INDEX maintenance — the ts25 append
+    * discipline driven by the ingest loop itself (the "daily-ingest
+    * retrieval user" flow): one AvailableNow pass over a doc feed
+    * (`id BIGINT, text STRING` parquet files); the first non-empty
+    * batch BUILDS the stored BM25 index
+    * ([[graft.ops.TextAnalysis.bm25BuildIndex]]), every later batch
+    * FOLDS IN as an O(delta) append
+    * ([[graft.ops.TextAnalysis.bm25AppendIndex]] — new postings land
+    * as insert-only bucket files, the vocabulary-sized stats frame
+    * alone rewrites). Probes between runs see a consistent pair
+    * (stats pin the postings version) and append ≡ rebuild
+    * bit-exactly, so the stored index always answers as if built
+    * from scratch over everything ingested so far (gate st8).
+    *
+    * Crash-replay contract — WEAKER than the keyed-upsert loops and
+    * deliberately explicit about it: an append is NOT idempotent (a
+    * replayed batch would double postings), so a U8-style batch
+    * ledger row commits LAST, after both index halves, and a
+    * replayed batch whose ledger row landed is SKIPPED whole. A
+    * crash inside the fold (between the postings append and the
+    * stats/ledger commits) leaves the ledger unmarked; the replay
+    * re-runs the fold and the append's id-validation then fails
+    * LOUDLY on the half-applied state instead of double-counting —
+    * recovery is a rebuild (delete the index tables; the next batch
+    * rebuilds from the feed-so-far via the corpus table a real
+    * deployment co-maintains). Exactly-once effect on the happy
+    * path, fail-loud on the torn one — the honest contract for an
+    * append-structured artifact. Feed ids must be new (exact-dedup
+    * upstream, the [[nearDupIngest]] composition). */
+  def lexicalIndexIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      postingsTable: String = "bm25_postings",
+      statsTable: String = "bm25_stats",
+      ledgerTable: String = "bm25_ingest_ledger"): StreamingQuery = {
+    val in = spark.readStream.schema("id BIGINT, text STRING").parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import spark.implicits._
+        val alreadyFolded = store.exists(ledgerTable) &&
+          store.read(spark, ledgerTable)
+            .filter(col("batch_id") === batchId).limit(1).count() > 0
+        if (!alreadyFolded && batch.limit(1).count() > 0) {
+          if (!store.exists(postingsTable) || !store.exists(statsTable))
+            // build is a full replace, so a crash between its two
+            // commits replays idempotently (the rebuild overwrites)
+            graft.ops.TextAnalysis.bm25BuildIndex(batch, "id", "text",
+              store, postingsTable, statsTable)
+          else
+            graft.ops.TextAnalysis.bm25AppendIndex(batch, "id", "text",
+              store, postingsTable, statsTable)
+          store.withCommitRetries()(store.upsert(spark, ledgerTable,
+            Seq(batchId).toDF("batch_id"), Seq("batch_id")))
+          ()
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming hot-token SKETCH maintenance — the count-min
     * discipline ([[graft.ops.Sketches]]) kept current over an
     * append-only document inbox. Per micro-batch: ONE combinable

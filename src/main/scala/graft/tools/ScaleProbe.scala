@@ -734,6 +734,104 @@ object ScaleProbe {
       })
       val _ = nDocs
     }
+
+    // STREAMING-LOOP cost decomposition (round-10 item: the two
+    // heaviest bench lines had no probe curve). Three knobs isolated:
+    //  - PHASES at fixed doc mass (p1/p2/p4): each extra AvailableNow
+    //    invocation pays one standup + per-batch commit round — the
+    //    slope of total vs phases is the per-invocation fixed cost
+    //    (later phases also pay the cross-corpus probe, so the slope
+    //    reads as an UPPER bound on pure standup);
+    //  - STANDUP-ONLY (the `_empty` row): an invocation over an
+    //    already-checkpointed inbox with no new files — the floor
+    //    every scheduled run pays even when there is nothing to do;
+    //  - MASS (the x`mult` row, single phase): marginal per-doc cost
+    //    at 10× the corpus, dup-heavy like every probe here.
+    def stGrid(opName: String, mkRun: (String, String,
+        graft.ops.ParquetTableStore) =>
+        org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      if (!selected(opName)) return
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      def cell(label: String, phases: Int, mass: => Seq[DataFrame]): Unit = {
+        val root = graft.ops.Scratch.tempDir(s"probe-$opName-$label-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        val inDir = s"$root/in"
+        val ck = s"$root/ck"
+        val slices = mass
+        val s0 = drainedShuffleWrite()
+        val t0 = System.nanoTime()
+        slices.foreach { sl =>
+          sl.coalesce(1).write.mode("append").parquet(inDir)
+          mkRun(inDir, ck, store).awaitTermination()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val mb = (drainedShuffleWrite() - s0) / 1e6
+        val n1 = s"${opName}_$label"
+        println(f"PROBE $n1%-34s $secs%8.2f s  rows=  (phases=$phases)  shuffleMB=$mb%9.1f")
+        // standup-only: same checkpointed query, zero new files
+        val e0 = drainedShuffleWrite()
+        val t1 = System.nanoTime()
+        mkRun(inDir, ck, store).awaitTermination()
+        val esecs = (System.nanoTime() - t1) / 1e9
+        val emb = (drainedShuffleWrite() - e0) / 1e6
+        val n2 = s"${opName}_${label}_empty"
+        println(f"PROBE $n2%-34s $esecs%8.2f s  rows=  (standup)      shuffleMB=$emb%9.1f")
+      }
+      def phased(p: Int): Seq[DataFrame] =
+        (0 until p).map(i => base.filter(pmod(col("id"), lit(p)) === i))
+      // untimed warmup on a 2% slice: the first ingest pays the whole
+      // LSH/commit path's JIT+codegen (~4-5 s measured), which would
+      // otherwise land entirely on the p1 row and invert the grid
+      locally {
+        val root = graft.ops.Scratch.tempDir(s"probe-$opName-warm-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        base.filter(pmod(col("id"), lit(50)) === 0).coalesce(1)
+          .write.parquet(s"$root/in")
+        mkRun(s"$root/in", s"$root/ck", store).awaitTermination()
+      }
+      cell("p1", 1, phased(1))
+      cell("p2", 2, phased(2))
+      cell("p4", 4, phased(4))
+      cell(s"x$mult", 1, Seq(docs(mult)))
+    }
+    // ts25: lexical APPEND cost must track the DELTA, not the corpus
+    // (the d10 discipline measured for the BM25 index): build the
+    // index over the m× corpus, then fold in a FIXED 500-doc delta —
+    // the append row should stay ~flat across m while the rebuild row
+    // grows with it. The default id-validation scan (one postings
+    // id-column read) is included — it is part of the honest append
+    // cost; `validateNewIds=false` removes it for trusted feeds.
+    if (selected("ts25")) {
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      val delta = base.filter(col("id") % 10 === 0)
+        .select((col("id") + 990000000L).as("id"), col("text"))
+      for (m <- Seq(1, mult)) {
+        val root = graft.ops.Scratch.tempDir(s"probe-ts25-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        val s0 = drainedShuffleWrite()
+        val t0 = System.nanoTime()
+        graft.ops.TextAnalysis.bm25BuildIndex(docs(m), "id", "text", store)
+        val bsecs = (System.nanoTime() - t0) / 1e9
+        val bmb = (drainedShuffleWrite() - s0) / 1e6
+        val n1 = s"ts25_build_x$m"
+        println(f"PROBE $n1%-34s $bsecs%8.2f s  rows=  (rebuild)      shuffleMB=$bmb%9.1f")
+        val a0 = drainedShuffleWrite()
+        val t1 = System.nanoTime()
+        graft.ops.TextAnalysis.bm25AppendIndex(delta, "id", "text", store)
+        val asecs = (System.nanoTime() - t1) / 1e9
+        val amb = (drainedShuffleWrite() - a0) / 1e6
+        val n2 = s"ts25_append500_x$m"
+        println(f"PROBE $n2%-34s $asecs%8.2f s  rows=  (delta)        shuffleMB=$amb%9.1f")
+        probe(s"ts25_probe_x$m", graft.ops.TextAnalysis.bm25TopKStored(
+          spark, store, Seq("sort", "window", "stream"), k = 10))
+      }
+    }
+    stGrid("st1_neardup_ingest",
+      (in, ck, st) => graft.streaming.Streams.nearDupIngest(spark, in, ck, st))
+    stGrid("st2_cluster_ingest",
+      (in, ck, st) => graft.streaming.Streams.clusterIngest(spark, in, ck, st))
     spark.stop()
   }
 }

@@ -215,6 +215,12 @@ class ParquetTableStoreSpec extends SparkSpec {
     // and it genuinely pruned: ≤ 2 of 16 buckets' rows (≈ 4/64 with
     // this uniform fixture; assert well under half as the safe bound)
     assert(pruned.count() < 32, s"bucket pruning read ${pruned.count()} rows")
+    // DIRECTORY-level pruning, not a post-read row filter: the scan
+    // node itself must carry the bucket partition filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters", 2)(1).take(120).contains("__kb"),
+      s"expected a __kb partition filter on the scan:\n$plan")
     // version advances with an append and readWithVersion tracks it
     store.appendBucketed(spark, "idx",
       Seq(("termX", 999L)).toDF("term", "id"), Seq("term"))

@@ -101,4 +101,46 @@ class VectorCompressionSpec extends SparkSpec {
     assert(q(1) == -127)
     assert(q == Seq(32, -127, 64))
   }
+
+  test("binarize packs sign bits exactly; hamming is the packed popcount") {
+    import spark.implicits._
+    // dim 70 spans two words: word 0 bits 0..63, word 1 bits 0..5
+    val v = (0 until 70).map(j => if (j % 3 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, v)).toDF("id", "vec")
+      .select(col("id"), VectorCompression.binarize(col("vec"), 70).as("bits"))
+    val bits = df.head.getSeq[Long](1)
+    val expect0 = (0 until 64).filter(_ % 3 == 0).map(1L << _).sum
+    val expect1 = (64 until 70).filter(_ % 3 == 0).map(j => 1L << (j - 64)).sum
+    assert(bits == Seq(expect0, expect1), bits)
+    // exactly-zero components pack as 0 (the documented tie rule)
+    val z = Seq((1L, Array(0.0f, 1.0f, -2.0f, 0.5f))).toDF("id", "vec")
+      .select(VectorCompression.binarize(col("vec"), 4)).head.getSeq[Long](0)
+    assert(z == Seq((1L << 1) | (1L << 3)), z)
+    // hamming = popcount of the xor, summed across words
+    val pair = Seq((Seq(5L, 1L), Seq(6L, 1L))).toDF("a", "b")
+      .select(VectorCompression.hamming(col("a"), col("b")).as("h"))
+    assert(pair.head.getLong(0) == 2L) // 5 xor 6 = 3 -> 2 bits, word 2 equal
+  }
+
+  test("binary shortlist + cosine rerank: exact top-k recovered at full shortlist") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = e.filter(col("id") < 5)
+    val exact = SimilaritySearch.bruteForceTopK(q, e, "id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    // shortlist = corpus size: the Hamming pass prunes nothing, so the
+    // rerank must reproduce the exact baseline ranking bit for bit
+    val n = e.count().toInt
+    val full = SimilaritySearch.binaryRerankTopK(q, e, "id", "embedding",
+      k = 5, shortlist = n, dim = 64)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    assert(full == exact)
+    // at a realistic shortlist the Hamming proxy keeps useful recall
+    val hits = SimilaritySearch.recallAtK(
+      SimilaritySearch.bruteForceTopK(q, e, "id", "embedding", k = 5),
+      SimilaritySearch.binaryRerankTopK(q, e, "id", "embedding",
+        k = 5, shortlist = 25, dim = 64), k = 5)
+      .agg(sum("hits")).head.getLong(0)
+    assert(hits >= 13, s"binary shortlist recall too low: $hits/25")
+  }
 }

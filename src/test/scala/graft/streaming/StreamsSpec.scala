@@ -55,6 +55,40 @@ class StreamsSpec extends SparkSpec {
     assert(got == Map("ddddddddddd" -> "[00:01] timed version"), got.toString)
   }
 
+  test("lexicalIndexIngest: build then append across runs == one-shot index") {
+    import spark.implicits._
+    val root = tmpDir("lexingest")
+    val inDir = s"$root/in"
+    val ck = s"$root/ck"
+    val store = new ParquetTableStore(s"$root/store")
+    val p1 = Seq((1L, "hash join hash scan"), (2L, "join merge sort"))
+      .toDF("id", "text")
+    val p2 = Seq((3L, "vector scan filter"), (4L, "merge scan scan join"))
+      .toDF("id", "text")
+    p1.coalesce(1).write.parquet(inDir)
+    Streams.lexicalIndexIngest(spark, inDir, ck, store).awaitTermination()
+    p2.coalesce(1).write.mode("append").parquet(inDir)
+    Streams.lexicalIndexIngest(spark, inDir, ck, store).awaitTermination()
+    // the grown index answers exactly like a one-shot build
+    val scratch = new ParquetTableStore(tmpDir("lexingest-scratch"))
+    graft.ops.TextAnalysis.bm25BuildIndex(p1.unionByName(p2), "id", "text",
+      scratch)
+    for (q <- Seq(Seq("hash", "join"), Seq("scan", "merge"))) {
+      val a = graft.ops.TextAnalysis.bm25TopKStored(spark, store, q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      val b = graft.ops.TextAnalysis.bm25TopKStored(spark, scratch, q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(a == b, s"query $q drifted from the one-shot build")
+    }
+    // the ledger recorded both folded batches; a no-new-files run is
+    // a version no-op (nothing re-folds)
+    assert(store.read(spark, "bm25_ingest_ledger").collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L))
+    val v = store.currentVersion("bm25_postings")
+    Streams.lexicalIndexIngest(spark, inDir, ck, store).awaitTermination()
+    assert(store.currentVersion("bm25_postings") == v)
+  }
+
   test("autoMaxFilesPerTrigger derives the batch size from file-size stats") {
     // empty / absent inbox: no stats -> conservative default
     assert(Streams.autoMaxFilesPerTrigger(tmpDir("auto-empty")) == 16)
