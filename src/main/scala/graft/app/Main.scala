@@ -202,15 +202,26 @@ object Main {
             "from-scratch ranking, re-run index-search to refresh)")
           fresh
         }
+        def fromScratch() = {
+          val tx = t("transcripts").filter(col("transcript").isNotNull)
+          graft.ops.TextAnalysis.bm25TopK(tx, "video_id",
+            "transcript", terms, k)
+        }
         val ranked =
           if (indexFresh) {
             println("(probing stored BM25 index)")
-            graft.ops.TextAnalysis.bm25TopKStored(spark, store, terms, k)
-          } else {
-            val tx = t("transcripts").filter(col("transcript").isNotNull)
-            graft.ops.TextAnalysis.bm25TopK(tx, "video_id",
-              "transcript", terms, k)
-          }
+            // an index from an older layout (pre-bucketed postings /
+            // build_id stats) passes the completeness checks but the
+            // probe refuses it — take the designed fallback instead
+            // of dying, and say how to repair
+            try graft.ops.TextAnalysis.bm25TopKStored(spark, store, terms, k)
+            catch { case scala.util.control.NonFatal(e) =>
+              println(s"(stored index unreadable: ${e.getMessage} — " +
+                "falling back to from-scratch ranking; re-run " +
+                "index-search to rebuild it in the current layout)")
+              fromScratch()
+            }
+          } else fromScratch()
         show(ranked.join(
             t("videos").select(col("video_id").as("id"), col("title")),
             Seq("id"), "left")
@@ -282,9 +293,16 @@ object Main {
               "or misrank recent documents, re-run index-search to refresh)")
         }
         import spark.implicits._
-        val lex = graft.ops.TextAnalysis
-          .bm25TopKStored(spark, store, terms, k)
-          .select(col("id"), col("rank"))
+        // hybrid has no from-scratch path (two artifact families), so
+        // an unreadable index (older layout, torn pair) must fail with
+        // the repair instruction, not a raw store error
+        val lex =
+          try graft.ops.TextAnalysis.bm25TopKStored(spark, store, terms, k)
+            .select(col("id"), col("rank"))
+          catch { case scala.util.control.NonFatal(e) =>
+            sys.error(s"stored BM25 index unreadable (${e.getMessage}) — " +
+              "re-run index-search to rebuild the search artifacts")
+          }
         val dim = t("tx_vectors").select(size(col("embedding")))
           .head.getInt(0)
         val qvec = graft.ops.TextAnalysis.hashedTfVector(

@@ -321,23 +321,9 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     require(numBuckets >= 1)
     def bucketed(df: DataFrame, n: Int): DataFrame =
       df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(n)))
-    if (!exists(table)) {
-      Files.createDirectories(tableDir(table))
-      // the FIRST _BUCKETS writer wins the bucket-count contract:
-      // racing creators with different numBuckets would otherwise
-      // overwrite each other and split the table across two bucket
-      // functions (duplicate keys in different kb= dirs); CREATE_NEW
-      // makes the losers adopt the winner's count before writing data
-      try Files.write(bucketsFile(table),
-        numBuckets.toString.getBytes(StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      val n = this.numBuckets(table).getOrElse(numBuckets)
-      val staged = writeVersion(spark, table, bucketed(incoming, n),
-        None, partitioned = true)
-      publish(table, staged, None)
-      readDir(spark, table, staged)
-    } else {
+    if (!exists(table))
+      createBucketed(spark, table, incoming, keys, numBuckets, Nil)
+    else {
       val n = this.numBuckets(table).getOrElse(throw new IllegalStateException(
         s"table $table was created as a snapshot table; use upsert"))
       val prev = currentPointer(table)
@@ -376,20 +362,43 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     else rep.sortWithinPartitions((BucketCol +: sortWithin).map(col): _*)
   }
 
+  /** Stamp the table's bucket count, first writer wins (CREATE_NEW):
+    * racing creators with different counts would otherwise overwrite
+    * each other and split the table across two bucket functions —
+    * losers adopt the winner's count before writing data. */
+  private def stampBuckets(table: String, numBuckets: Int): Int = {
+    Files.createDirectories(tableDir(table))
+    try Files.write(bucketsFile(table),
+      numBuckets.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    this.numBuckets(table).getOrElse(numBuckets)
+  }
+
+  /** A ROWLESS frame written `partitionBy(kb)` produces no partition
+    * dirs and no part files — only _SUCCESS — and every later read of
+    * that version dies in schema inference, wedging the table. Empty
+    * bucketed versions therefore write UNPARTITIONED: one empty part
+    * file that carries the schema (bucket column included, as a plain
+    * column readDir still drops). A later non-empty version writes
+    * partition dirs as usual; the empty version's root file is never
+    * hard-linked forward (the sharing walk links bucket DIRS only),
+    * so layouts never mix within one version. */
+  private def writeBucketedVersion(spark: SparkSession, table: String,
+      df: DataFrame, prev: Option[String]): String = {
+    val empty = df.limit(1).count() == 0
+    writeVersion(spark, table, df, prev, partitioned = !empty)
+  }
+
   /** First-version create of a bucketed table (CAS pinned to absence;
     * the first _BUCKETS writer wins the bucket-count contract — see
     * [[upsertBucketed]]). */
   private def createBucketed(spark: SparkSession, table: String,
       incoming: DataFrame, keys: Seq[String], numBuckets: Int,
       sortWithin: Seq[String]): DataFrame = {
-    Files.createDirectories(tableDir(table))
-    try Files.write(bucketsFile(table),
-      numBuckets.toString.getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    val n = this.numBuckets(table).getOrElse(numBuckets)
-    val staged = writeVersion(spark, table,
-      layoutBuckets(incoming, n, keys, sortWithin), None, partitioned = true)
+    val n = stampBuckets(table, numBuckets)
+    val staged = writeBucketedVersion(spark, table,
+      layoutBuckets(incoming, n, keys, sortWithin), None)
     publish(table, staged, None)
     readDir(spark, table, staged)
   }
@@ -423,9 +432,15 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     require(numBuckets >= 1)
     if (!exists(table))
       createBucketed(spark, table, incoming, keys, numBuckets, sortWithin)
+    // an empty delta is a NO-OP, never a version churn: a staged
+    // append of zero rows would link every file into a new version
+    // (retention pressure) and, written unpartitioned per the empty
+    // rule, would MIX a root file into a partitioned layout
+    else if (incoming.limit(1).count() == 0) read(spark, table)
     else {
       val n = this.numBuckets(table).getOrElse(throw new IllegalStateException(
-        s"table $table was created as a snapshot table; use commit"))
+        s"table $table was created as a snapshot table; appends need " +
+          "bucket partitions — adopt it via replaceBucketed first"))
       val prev = currentPointer(table)
       val curDir = tableDir(table).resolve(dirNameOf(prev.get))
       val storedSchema = spark.read.parquet(curDir.toString)
@@ -469,14 +484,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     else {
       // adopt a pre-existing snapshot table: the rewrite replaces all
       // content, so stamping _BUCKETS now is safe (first writer wins)
-      try Files.write(bucketsFile(table),
-        numBuckets.toString.getBytes(StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      val n = this.numBuckets(table).getOrElse(numBuckets)
+      val n = stampBuckets(table, numBuckets)
       val prev = currentPointer(table)
-      val staged = writeVersion(spark, table,
-        layoutBuckets(df, n, keys, sortWithin), prev, partitioned = true)
+      val staged = writeBucketedVersion(spark, table,
+        layoutBuckets(df, n, keys, sortWithin), prev)
       publish(table, staged, prev)
       readDir(spark, table, staged)
     }
@@ -680,7 +691,14 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     *  - `v=` dirs ABOVE the published pointer (a writer that
     *    finalized its staging but died before the CAS — never
     *    committed, never readable, and the one thing that can make a
-    *    later [[readVersion]] refuse a number as ambiguous).
+    *    later [[readVersion]] refuse a number as ambiguous);
+    *  - non-pointed DUPLICATES of the CURRENT version number (an
+    *    above-pointer orphan whose number a later writer then
+    *    committed: the pointer names the sole winner, so the other
+    *    dirs of that number are sweepable — this un-ambiguates
+    *    [[readVersion]] for the number while it is still current;
+    *    duplicates of OLDER retained numbers have no winner record
+    *    and are left for retention pruning to clear).
     *
     * Both classes are also what a LIVE writer looks like mid-commit,
     * so the sweep is age-gated: only dirs whose last-modified time is
@@ -696,13 +714,16 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val dir = tableDir(table)
     if (!Files.exists(dir)) Seq.empty
     else {
-      val ceiling = currentVersion(table).getOrElse(-1L)
+      val pointed = currentPointer(table).map(dirNameOf)
+      val ceiling = pointed.map(versionOf).getOrElse(-1L)
       val cutoff = System.currentTimeMillis() - olderThanMs
       listDir(dir)
         .filter { p =>
           val n = p.getFileName.toString
           val orphan = n.startsWith("tmp-") ||
-            (n.startsWith("v=") && versionOf(n) > ceiling)
+            (n.startsWith("v=") && versionOf(n) > ceiling) ||
+            (n.startsWith("v=") && versionOf(n) == ceiling &&
+              !pointed.contains(n))
           orphan && Files.getLastModifiedTime(p).toMillis < cutoff
         }
         .map { p => deleteRecursively(p); p.getFileName.toString }

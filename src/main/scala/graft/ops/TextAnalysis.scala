@@ -84,8 +84,16 @@ object TextAnalysis {
       charTrigrams(col(textCol)).as("t"))
     val tx = labeled.select(col("lang"), explode(col("t")).as("g"))
     val gm = tx.groupBy("lang", "g").agg(count(lit(1)).as("c"))
-    val langStats = gm.groupBy("lang").agg(sum(col("c")).as("tot"))
-      .join(labeled.groupBy("lang").agg(count(lit(1)).as("nd")), Seq("lang"))
+    // every LABELED language scores, even one whose training texts
+    // produced zero trigrams (all < 3 chars): its tot is 0, so each
+    // test gram contributes the fully-smoothed ln(1/V) — deriving the
+    // frame from gm instead would silently drop the language from
+    // every ranking while its docs still count into n
+    val langStats = labeled.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .join(gm.groupBy("lang").agg(sum(col("c")).as("tot")),
+        Seq("lang"), "left")
+      .select(col("lang"), coalesce(col("tot"), lit(0L)).as("tot"),
+        col("nd"))
     val scalars = gm.agg(countDistinct(col("g")).as("v"))
       .crossJoin(labeled.agg(count(lit(1)).as("n")))
     val x = test.select(col(idCol).as("id"),

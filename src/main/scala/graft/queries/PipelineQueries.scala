@@ -4802,9 +4802,12 @@ object PipelineQueries {
                    FROM train),
             gm AS (SELECT lang, g, count(*)::BIGINT AS c FROM tg
                    GROUP BY lang, g),
-            ls AS (SELECT lang, sum(c)::BIGINT AS tot FROM gm GROUP BY lang),
             nd AS (SELECT lang, count(*)::BIGINT AS nd FROM train
                    GROUP BY lang),
+            ls AS (SELECT nd.lang, coalesce(t.tot, 0)::BIGINT AS tot
+                   FROM nd LEFT JOIN (SELECT lang, sum(c)::BIGINT AS tot
+                                      FROM gm GROUP BY lang) t
+                     ON nd.lang = t.lang),
             sc0 AS (SELECT count(DISTINCT g)::BIGINT AS v FROM gm),
             sc1 AS (SELECT count(*)::BIGINT AS n FROM train),
             xs AS (SELECT id,

@@ -54,6 +54,15 @@ object Streams {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala
             .filter(p => java.nio.file.Files.isRegularFile(p))
+            // the file source's own hidden-file rule: names starting
+            // with '.' or '_' (_SUCCESS, .part-*.crc, dotfiles) are
+            // never read, so they must not skew the mean — an inbox
+            // populated by a Spark write is >half metadata files and
+            // would otherwise clamp the derivation to the ceiling
+            .filter { p =>
+              val n = p.getFileName.toString
+              !n.startsWith(".") && !n.startsWith("_")
+            }
             .map(p => java.nio.file.Files.size(p)).toSeq
         } finally s.close()
       if (sizes.isEmpty) 16

@@ -233,6 +233,56 @@ class ParquetTableStoreSpec extends SparkSpec {
     }
   }
 
+  test("empty bucketed create stays readable; empty append is a version no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val store = new ParquetTableStore(tmpDir("store-empty"))
+    val none = Seq.empty[(String, Long)].toDF("term", "id")
+    // an empty create must not wedge the table (a rowless partitioned
+    // write has NO files, and schema inference dies forever after)
+    val created = store.appendBucketed(spark, "idx", none, Seq("term"))
+    assert(created.count() == 0)
+    assert(created.columns.toSeq == Seq("term", "id"))
+    assert(store.read(spark, "idx").count() == 0)
+    // appending an empty delta onto it churns NO version ...
+    store.appendBucketed(spark, "idx", none, Seq("term"))
+    assert(store.currentVersion("idx").contains(0L))
+    // ... and a real delta lands partitioned as usual, with the empty
+    // version's root file left behind (layouts never mix)
+    val grown = store.appendBucketed(spark, "idx",
+      Seq(("t1", 1L), ("t2", 2L)).toDF("term", "id"), Seq("term"))
+    assert(grown.collect().map(_.getLong(1)).toSet == Set(1L, 2L))
+    assert(store.currentVersion("idx").contains(1L))
+    val (pruned, _) = store.readBucketsOf(spark, "idx", Seq("t1").toDF("term"))
+    assert(pruned.filter(col("term") === "t1").count() == 1)
+    // replaceBucketed to empty keeps the table readable too
+    store.replaceBucketed(spark, "idx", none, Seq("term"))
+    assert(store.read(spark, "idx").count() == 0)
+  }
+
+  test("gc sweeps a non-pointed duplicate of the CURRENT version") {
+    import spark.implicits._
+    val root = tmpDir("store-gc-dup")
+    val store = new ParquetTableStore(root)
+    store.commit(spark, "t", Seq((1, "a")).toDF("k", "v")) // v0 live
+    // a crashed writer left v=1 staged-but-unpublished; a later
+    // writer then committed v1 — the number is now ambiguous
+    val orphan = Paths.get(root, "t", "v=1-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1))
+    store.commit(spark, "t", Seq((2, "b")).toDF("k", "v")) // v1 live
+    intercept[IllegalStateException] {
+      store.readVersion(spark, "t", 1)
+    }
+    Files.setLastModifiedTime(orphan, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000))
+    // the pointer names the sole winner: the duplicate sweeps and the
+    // number reads again
+    assert(store.gc("t") == Seq("v=1-deadbeef"))
+    assert(store.readVersion(spark, "t", 1).collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("gc sweeps aged crash orphans only; live stagings and history survive") {
     import spark.implicits._
     val root = tmpDir("store-gc")

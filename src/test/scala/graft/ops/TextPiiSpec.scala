@@ -549,5 +549,22 @@ class TextPiiSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
       .toMap
     assert(p9 == got)
+    // a labeled language whose training texts produce ZERO trigrams
+    // (all < 3 chars) must still score — prior + fully-smoothed
+    // ln(1/V) per gram — not silently vanish from every ranking
+    val trainZh = train.unionByName(
+      Seq(("zh", "好"), ("zh", "不"), ("zh", "是")).toDF("lang", "text"))
+    // a doc of grams NO language saw scores ln(1/(tot+V)) per gram
+    // everywhere — zh's tot=0 gives the least-negative contribution,
+    // so zh must WIN; it can only win if it was ranked at all (the
+    // inner-join shape this pins against dropped it entirely)
+    val gotZh = TextAnalysis.trigramLangId(trainZh, "lang", "text",
+      Seq((9L, "qqqqqq")).toDF("id", "text"), "id", "text").collect()
+    assert(gotZh.head.getString(1) == "zh", gotZh.mkString(","))
+    // and trained languages still outrank it on their own text
+    val scoredLangs = TextAnalysis.trigramLangId(trainZh, "lang", "text",
+      Seq((9L, "the market")).toDF("id", "text"), "id", "text")
+      .collect().head
+    assert(scoredLangs.getString(1) == "en")
   }
 }

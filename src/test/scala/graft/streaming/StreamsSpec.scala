@@ -103,6 +103,13 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.autoMaxFilesPerTrigger(tiny, targetBatchBytes = 4096) == 4)
     // huge files: mean above target -> floor clamps at 1, never 0
     assert(Streams.autoMaxFilesPerTrigger(tiny, targetBatchBytes = 100) == 1)
+    // hidden/metadata files (_SUCCESS, .crc — the file source never
+    // reads them) must not skew the mean: without the filter these
+    // 0-byte entries would halve it and double the derived count
+    Files.write(Paths.get(tiny, "_SUCCESS"), Array.empty[Byte])
+    (1 to 5).foreach(i =>
+      Files.write(Paths.get(tiny, s".t$i.txt.crc"), Array[Byte](1)))
+    assert(Streams.autoMaxFilesPerTrigger(tiny, targetBatchBytes = 4096) == 4)
   }
 
   test("streaming exact dedup: duplicate content across batches is dropped") {
