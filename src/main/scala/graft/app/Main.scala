@@ -382,6 +382,30 @@ object Main {
           show(t("near_dup_rejects").orderBy("id"))
         }
 
+      case "index-docs" =>
+        // streaming lexical-index maintenance: one AvailableNow pass
+        // over new doc files (id BIGINT, text STRING parquet) — the
+        // first batch builds the stored BM25 index, every later
+        // invocation folds only the new files in as an O(delta)
+        // append ([[graft.streaming.Streams.lexicalIndexIngest]]);
+        // probe with doc-search. Feed ids must be new (exact-dedup
+        // upstream — compose with ingest-docs).
+        val inbox = args(2)
+        graft.streaming.Streams.lexicalIndexIngest(spark, inbox,
+          args(1) + "/_index_checkpoint", store).awaitTermination()
+        println(s"lexical index now at postings v" +
+          s"${store.currentVersion("bm25_postings").getOrElse(-1L)}: " +
+          s"${t("bm25_postings").count()} postings, " +
+          s"${t("bm25_stats").count()} terms")
+
+      case "doc-search" =>
+        // BM25 probe of the index-docs artifacts (id BIGINT corpus —
+        // the doc-feed twin of search-ranked's video index)
+        val terms = args(2).split("\\s+").toSeq
+        val k = if (args.length > 3) args(3).toInt else 10
+        show(graft.ops.TextAnalysis.bm25TopKStored(spark, store, terms, k)
+          .orderBy("rank"), k)
+
       case "cluster-docs" =>
         // keep-and-label ingest: every doc is accepted, the store's
         // duplicate-cluster map is maintained incrementally

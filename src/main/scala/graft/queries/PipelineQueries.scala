@@ -4786,35 +4786,47 @@ object PipelineQueries {
         .orderBy("id")
     },
     Some {
-      val trainVals = langFixture.filter(!_._3)
-        .map(r => s"('${r._1}', '${r._2}')").mkString(", ")
       val heldVals = langFixture.filter(_._3).zipWithIndex
         .map { case ((_, t, _), i) => s"(${-(i + 1)}::BIGINT, '$t')" }
         .mkString(", ")
-      s"""WITH train(lang, text) AS (VALUES $trainVals),
-            test AS (SELECT * FROM (VALUES $heldVals) AS h(id, text)
+      s"""WITH ltest AS (SELECT * FROM (VALUES $heldVals) AS h(id, text)
                      UNION ALL
                      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+            $trigramLangSql
+            SELECT id, lang, round(s - coalesce(nxt, s), 6) AS margin_r
+            FROM lng WHERE rn = 1 ORDER BY id"""
+    })
+
+  /** The ts26 trigram-NB oracle chain over a prior `ltest(id, text)`
+    * CTE: fixture-trained counts, add-one smoothing, priors, the two
+    * position-ordered folds, and the per-id language ranking — emits
+    * CTEs up to `lng(id, lang, s, rn, nxt)`; consumers take the
+    * rn = 1 rows (ts26 emits prediction + margin; tp11 filters its
+    * corpus to one predicted language). */
+  private def trigramLangSql: String = {
+    val trainVals = langFixture.filter(!_._3)
+      .map(r => s"('${r._1}', '${r._2}')").mkString(", ")
+    s"""ltrain(lang, text) AS (VALUES $trainVals),
             tg AS (SELECT lang,
                      unnest(list_transform(
                        generate_series(1, greatest(length(lower(text)) - 2, 0)),
                        i -> substr(lower(text), i, 3))) AS g
-                   FROM train),
+                   FROM ltrain),
             gm AS (SELECT lang, g, count(*)::BIGINT AS c FROM tg
                    GROUP BY lang, g),
-            nd AS (SELECT lang, count(*)::BIGINT AS nd FROM train
+            nd AS (SELECT lang, count(*)::BIGINT AS nd FROM ltrain
                    GROUP BY lang),
             ls AS (SELECT nd.lang, coalesce(t.tot, 0)::BIGINT AS tot
                    FROM nd LEFT JOIN (SELECT lang, sum(c)::BIGINT AS tot
                                       FROM gm GROUP BY lang) t
                      ON nd.lang = t.lang),
             sc0 AS (SELECT count(DISTINCT g)::BIGINT AS v FROM gm),
-            sc1 AS (SELECT count(*)::BIGINT AS n FROM train),
+            sc1 AS (SELECT count(*)::BIGINT AS n FROM ltrain),
             xs AS (SELECT id,
                      unnest(list_transform(
                        generate_series(1, greatest(length(lower(text)) - 2, 0)),
                        i -> {'i': i, 'g': substr(lower(text), i, 3)})) AS s
-                   FROM test),
+                   FROM ltest),
             x AS (SELECT id, s.i AS pos, s.g AS g FROM xs),
             lp AS (SELECT x.id, l.lang, x.pos,
                      ln((coalesce(gm.c, 0) + 1)::DOUBLE /
@@ -4826,21 +4838,91 @@ object PipelineQueries {
                          list_reduce(list_prepend(0.0::DOUBLE,
                            list(lp ORDER BY pos)), (a, b) -> a + b) AS w
                        FROM lp GROUP BY id, lang),
-            scored AS (SELECT t.id, nd.lang,
+            lscored AS (SELECT t.id, nd.lang,
                          ln(nd.nd::DOUBLE / sc1.n::DOUBLE) +
                            coalesce(f.w, 0.0) AS s
-                       FROM (SELECT id FROM test) t CROSS JOIN nd
+                       FROM (SELECT id FROM ltest) t CROSS JOIN nd
                        LEFT JOIN folded f
                          ON f.id = t.id AND f.lang = nd.lang
                        CROSS JOIN sc1),
-            ranked AS (SELECT id, lang, s,
+            lng AS (SELECT id, lang, s,
                          row_number() OVER (PARTITION BY id
                            ORDER BY s DESC, lang) AS rn,
                          lead(s) OVER (PARTITION BY id
                            ORDER BY s DESC, lang) AS nxt
-                       FROM scored)
-            SELECT id, lang, round(s - coalesce(nxt, s), 6) AS margin_r
-            FROM ranked WHERE rn = 1 ORDER BY id"""
+                       FROM lscored)"""
+  }
+
+  /** TP11: MULTILINGUAL CURATION — the ts26 classifier deployed as a
+    * pipeline stage, the composition a multilingual corpus build
+    * actually runs: plant fixture-language documents into the corpus
+    * (one per 10th doc, phrase cycled by id), classify EVERY doc with
+    * the fixture-trained trigram model, keep the predicted-'en'
+    * slice, then apply the ts10 Gopher quality gate to the survivors.
+    * The oracle recomputes the full chain (trigram ranking → language
+    * filter → repetition/length algebra), so the stage seams — id
+    * semantics across the union, the rank-1 filter, the survivors'
+    * token counts — are all pinned, not just each stage alone. Note
+    * the classifier is deliberately weak on the synthetic DB-prose
+    * (3 training sentences/language): the en-filter is a REAL filter
+    * (~40% of docs survive it), which is exactly what makes the
+    * composition worth gating. */
+  private val tp11 = QueryDef(
+    "tp11_multilingual_curation",
+    "trigram language filter -> keep en -> gopher quality survivors",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      val phrases = array(langFixture.map(r => lit(r._2)): _*)
+      val noise = docs.filter(col("id") % 10 === 0)
+        .select((col("id") + 50000).as("id"),
+          element_at(phrases, (col("id") % 32 + 1).cast("int")).as("text"))
+      val corpus = docs.unionByName(noise)
+      val train = langFixture.filter(!_._3).map(r => (r._1, r._2))
+        .toDF("lang", "text")
+      val en = TextAnalysis.trigramLangId(train, "lang", "text",
+        corpus, "id", "text")
+        .filter(col("lang") === "en").select("id")
+      val kept = corpus.join(en, Seq("id"), "left_semi")
+      TextAnalysis.gopherFilter(kept, "text", maxDupTokenPct = 60,
+        maxTopBigramPct = 5, minTokens = 25, maxTokens = 100)
+        .select(col("id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        .orderBy("id")
+    },
+    Some {
+      val phraseList = langFixture.map(r => s"'${r._2}'").mkString("[", ", ", "]")
+      s"""WITH ltest AS (
+              SELECT doc_id AS id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 50000 AS id,
+                ($phraseList)[(doc_id % 32 + 1)::INT] AS text
+              FROM documents WHERE doc_id % 10 = 0),
+            $trigramLangSql,
+            en AS (SELECT id FROM lng WHERE rn = 1 AND lang = 'en'),
+            kept AS (SELECT id, text FROM ltest
+                     WHERE id IN (SELECT id FROM en)),
+            gt2 AS (SELECT id,
+                      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\\s+')
+                      END AS toks
+                    FROM kept),
+            gb2 AS (SELECT id, len(toks) AS n_tokens,
+                      len(list_distinct(toks)) AS n_distinct,
+                      list_transform(range(1, len(toks)),
+                        i -> toks[i] || chr(1) || toks[i+1]) AS bg
+                    FROM gt2),
+            gc2 AS (SELECT id, g, count(*) AS cnt
+                    FROM (SELECT id, unnest(bg) AS g FROM gb2)
+                    GROUP BY id, g),
+            gmx AS (SELECT id, max(cnt) AS top_n FROM gc2 GROUP BY id)
+            SELECT b.id, b.n_tokens::BIGINT AS n_tokens
+            FROM gb2 b LEFT JOIN gmx m ON b.id = m.id
+            WHERE n_tokens >= 25 AND n_tokens <= 100
+              AND (n_tokens - n_distinct) * 100 <= n_tokens * 60
+              AND coalesce(top_n, 0) * 100 <= len(bg) * 5
+            ORDER BY b.id"""
     })
 
   /** TS25: INCREMENTAL BM25 INDEX MAINTENANCE
@@ -5447,6 +5529,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8)
 }
