@@ -688,7 +688,13 @@ object TextAnalysis {
     val q = query.map(_.toLowerCase).distinct
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    // doc lengths as a PER-ROW size() — the same integers the
+    // explode+groupBy fold produced, without the one-row-per-TOKEN
+    // exchange that was this query's largest shuffle (the >0 filter
+    // keeps n = docs with ≥1 token, the empty-doc rule)
+    val dl = df.select(col(idCol).as("id"),
+      size(tokens(lower(col(textCol)))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val tf = toks.filter(col("term").isin(q: _*))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
@@ -768,11 +774,16 @@ object TextAnalysis {
       numBuckets: Int = 32): Unit = {
     val spark = df.sparkSession
     // id stays whatever type the caller keys by (string video ids and
-    // long doc ids both index — the MainDedupSpec genericity rule)
+    // long doc ids both index — the MainDedupSpec genericity rule).
+    // ONE tokenize pass: dl is the row-sum of tf (count of tokens =
+    // sum of per-term counts, exactly), so the doc-length aggregation
+    // runs over the (id, term)-reduced frame instead of re-exploding
+    // the corpus text — at deployment scale the raw-text pass is the
+    // build's dominant cost.
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
     val postings = tf.join(dl, Seq("id"))
       .select(col("term"), col("id"), col("tf"), col("dl"))
     store.replaceBucketed(spark, postingsTable, postings, Seq("term"),
@@ -835,10 +846,11 @@ object TextAnalysis {
         s"bm25AppendIndex: newDocs contains ids already indexed in " +
           s"$postingsTable — append is insert-only; rebuild to re-index")
     }
+    // one tokenize pass (dl = row-sum of tf — see bm25BuildIndex)
     val toks = newDocs.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
     val postings = tf.join(dl, Seq("id"))
       .select(col("term"), col("id"), col("tf"), col("dl"))
     store.appendBucketed(spark, postingsTable, postings, Seq("term"),
