@@ -31,6 +31,10 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main compact <storeDir> <table> [maxFilesPerBucket]
   *   runMain graft.app.Main decontaminate <storeDir> <benchDir> [exact|fuzzy] [minShared|threshold]
   *   runMain graft.app.Main cluster-docs <storeDir> <inboxDir> [threshold]
+  *   runMain graft.app.Main index-docs <storeDir> <inboxDir>
+  *   runMain graft.app.Main doc-search <storeDir> "<terms>" [k]
+  *   runMain graft.app.Main ann-recall <storeDir> [k] [nQueries]
+  *   runMain graft.app.Main gc <storeDir> [table|all] [hours]
   * }}}
   *
   * The sync uses the deterministic offline connector (this container
@@ -393,16 +397,21 @@ object Main {
         val inbox = args(2)
         graft.streaming.Streams.lexicalIndexIngest(spark, inbox,
           args(1) + "/_index_checkpoint", store).awaitTermination()
-        println(s"lexical index now at postings v" +
-          s"${store.currentVersion("bm25_postings").getOrElse(-1L)}: " +
-          s"${t("bm25_postings").count()} postings, " +
-          s"${t("bm25_stats").count()} terms")
+        // an empty first inbox is a clean no-op: nothing built yet
+        if (store.exists("bm25_postings") && store.exists("bm25_stats"))
+          println(s"lexical index now at postings v" +
+            s"${store.currentVersion("bm25_postings").getOrElse(-1L)}: " +
+            s"${t("bm25_postings").count()} postings, " +
+            s"${t("bm25_stats").count()} terms")
+        else println("no documents ingested yet — index not built")
 
       case "doc-search" =>
         // BM25 probe of the index-docs artifacts (id BIGINT corpus —
         // the doc-feed twin of search-ranked's video index)
         val terms = args(2).split("\\s+").toSeq
         val k = if (args.length > 3) args(3).toInt else 10
+        require(store.exists("bm25_postings") && store.exists("bm25_stats"),
+          "no lexical index in this store — run index-docs first")
         show(graft.ops.TextAnalysis.bm25TopKStored(spark, store, terms, k)
           .orderBy("rank"), k)
 

@@ -332,6 +332,11 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       val inc = bucketed(incoming, n)
       val touched = inc.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
+      // empty delta → version no-op (free — the touched set already
+      // told us): onto an EMPTY table, the merged partitionBy write
+      // would otherwise produce a fileless version and wedge every
+      // later read in schema inference
+      if (touched.isEmpty) return read(spark, table)
       // partition-pruned read of just the touched buckets
       val storedTouched = spark.read.parquet(curDir.toString)
         .filter(col(BucketCol).isin(touched.toSeq: _*))
@@ -378,16 +383,31 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   /** A ROWLESS frame written `partitionBy(kb)` produces no partition
     * dirs and no part files — only _SUCCESS — and every later read of
     * that version dies in schema inference, wedging the table. Empty
-    * bucketed versions therefore write UNPARTITIONED: one empty part
+    * bucketed versions therefore land UNPARTITIONED: one empty part
     * file that carries the schema (bucket column included, as a plain
     * column readDir still drops). A later non-empty version writes
     * partition dirs as usual; the empty version's root file is never
     * hard-linked forward (the sharing walk links bucket DIRS only),
-    * so layouts never mix within one version. */
+    * so layouts never mix within one version.
+    *
+    * Emptiness is detected AFTER the partitioned write (did any kb=
+    * dir appear? — a free driver listing) rather than probed up
+    * front: a limit(1) probe would evaluate the corpus-sized input
+    * plan twice per publish. Only the rare genuinely-empty frame pays
+    * a second (trivially cheap) write. */
   private def writeBucketedVersion(spark: SparkSession, table: String,
       df: DataFrame, prev: Option[String]): String = {
-    val empty = df.limit(1).count() == 0
-    writeVersion(spark, table, df, prev, partitioned = !empty)
+    val staged = stagedDirName(prev.map(p => versionOf(dirNameOf(p))).getOrElse(-1L) + 1)
+    val dir = tableDir(table).resolve(tmpName(staged))
+    df.write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
+    val hasData = listDir(dir).exists(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith(s"$BucketCol="))
+    if (!hasData) {
+      deleteRecursively(dir)
+      df.write.mode("errorifexists").parquet(dir.toString)
+    }
+    finalizeStaged(table, staged)
+    staged
   }
 
   /** First-version create of a bucketed table (CAS pinned to absence;

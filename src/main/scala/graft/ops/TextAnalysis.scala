@@ -688,12 +688,16 @@ object TextAnalysis {
     val q = query.map(_.toLowerCase).distinct
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
-    // doc lengths as a PER-ROW size() — the same integers the
-    // explode+groupBy fold produced, without the one-row-per-TOKEN
-    // exchange that was this query's largest shuffle (the >0 filter
-    // keeps n = docs with ≥1 token, the empty-doc rule)
+    // doc lengths from per-row size() aggregated per id — the same
+    // integers the old explode+groupBy fold produced (including for
+    // corpora where one id spans several rows: sizes SUM into the
+    // concatenated-doc length, matching tf's groupBy merge), but the
+    // exchange carries one row per input ROW, not one per TOKEN —
+    // this query's largest shuffle gone (the >0 filter keeps n =
+    // docs with ≥1 token, the empty-doc rule)
     val dl = df.select(col(idCol).as("id"),
-      size(tokens(lower(col(textCol)))).cast("long").as("dl"))
+      size(tokens(lower(col(textCol)))).cast("long").as("sz"))
+      .groupBy("id").agg(sum(col("sz")).as("dl"))
       .filter(col("dl") > 0)
     val tf = toks.filter(col("term").isin(q: _*))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))

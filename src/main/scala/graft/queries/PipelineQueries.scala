@@ -1174,20 +1174,7 @@ object PipelineQueries {
           .otherwise(col("r.top_bigram_n").cast("double") /
             col("r.n_bigrams").cast("double")), 6).as("top_bigram_frac"))
       .orderBy("doc_id"),
-    Some("""WITH t AS (SELECT doc_id,
-              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-              FROM documents),
-            b AS (SELECT doc_id,
-              len(toks) AS n_tokens,
-              len(list_distinct(toks)) AS n_distinct,
-              list_transform(range(1, len(toks)),
-                i -> toks[i] || chr(1) || toks[i+1]) AS bg
-              FROM t),
-            c AS (SELECT doc_id, g, count(*) AS cnt
-                  FROM (SELECT doc_id, unnest(bg) AS g FROM b)
-                  GROUP BY doc_id, g),
-            m AS (SELECT doc_id, max(cnt) AS top_n FROM c GROUP BY doc_id)
+    Some(s"""WITH ${gopherChainSql("", "documents", "doc_id")}
             SELECT b.doc_id, n_tokens, n_distinct,
               len(bg) AS n_bigrams,
               coalesce(top_n, 0) AS top_bigram_n,
@@ -3259,26 +3246,9 @@ object PipelineQueries {
       minTokens = 25, maxTokens = 100)
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id"),
-    Some("""WITH t AS (SELECT doc_id, lang,
-              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                   ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-              FROM documents),
-            b AS (SELECT doc_id, lang,
-              len(toks) AS n_tokens,
-              len(list_distinct(toks)) AS n_distinct,
-              list_transform(range(1, len(toks)),
-                i -> toks[i] || chr(1) || toks[i+1]) AS bg
-              FROM t),
-            c AS (SELECT doc_id, g, count(*) AS cnt
-                  FROM (SELECT doc_id, unnest(bg) AS g FROM b)
-                  GROUP BY doc_id, g),
-            m AS (SELECT doc_id, max(cnt) AS top_n FROM c GROUP BY doc_id)
-            SELECT b.doc_id, b.lang
-            FROM b LEFT JOIN m ON b.doc_id = m.doc_id
-            WHERE n_tokens >= 25 AND n_tokens <= 100
-              AND (n_tokens - n_distinct) * 100 <= n_tokens * 60
-              AND coalesce(top_n, 0) * 100 <= len(bg) * 5
-            ORDER BY b.doc_id"""))
+    Some(s"""WITH ${gopherChainSql("", "documents", "doc_id", Seq("lang"))},
+            ${gopherKeepSql("", "doc_id", 25, 100, 60, 5)}
+            SELECT doc_id, lang FROM keep ORDER BY doc_id"""))
 
   /** SM9: importance-weighted keep ([[Sampling.weightedKeep]]) —
     * each doc survives with probability equal to its ts2 quality
@@ -3342,26 +3312,10 @@ object PipelineQueries {
         |  SELECT doc_id + 10000 AS id,
         |         regexp_replace(text, '^\S+\s+', '') AS text, lang
         |  FROM documents WHERE doc_id % 4 = 0),
-        |gt AS (SELECT id, lang, text,
-        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-        |       FROM corpus),
-        |gb AS (SELECT id, lang, text, len(toks) AS n_tokens,
-        |         len(list_distinct(toks)) AS n_distinct,
-        |         list_transform(range(1, len(toks)),
-        |           i -> toks[i] || chr(1) || toks[i+1]) AS bg
-        |       FROM gt),
-        |gm AS (SELECT id, max(cnt) AS top_n
-        |       FROM (SELECT id, g, count(*) AS cnt
-        |             FROM (SELECT id, unnest(bg) AS g FROM gb)
-        |             GROUP BY id, g)
-        |       GROUP BY id),
-        |fcorpus AS (SELECT gb.id, gb.lang, gb.text
-        |            FROM gb LEFT JOIN gm ON gb.id = gm.id
-        |            WHERE n_tokens >= 10 AND n_tokens <= 120
-        |              AND (n_tokens - n_distinct) * 100 <= n_tokens * 75
-        |              AND coalesce(top_n, 0) * 100 <= len(bg) * 10),
         |""".stripMargin +
+      gopherChainSql("g", "corpus", "id", Seq("lang", "text")) + ",\n" +
+      gopherKeepSql("g", "id", 10, 120, 75, 10) + ",\n" +
+      "fcorpus AS (SELECT id, lang, text FROM gkeep),\n" +
       "pairs AS (WITH " + lshOracleSql(
         """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
                    FROM fcorpus),
@@ -3453,26 +3407,10 @@ object PipelineQueries {
         |  SELECT doc_id + 10000 AS id,
         |         regexp_replace(text, '^\S+\s+', '') AS text, lang
         |  FROM documents WHERE doc_id % 4 = 0),
-        |gt AS (SELECT id, lang, text,
-        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-        |       FROM corpus),
-        |gb AS (SELECT id, lang, text, len(toks) AS n_tokens,
-        |         len(list_distinct(toks)) AS n_distinct,
-        |         list_transform(range(1, len(toks)),
-        |           i -> toks[i] || chr(1) || toks[i+1]) AS bg
-        |       FROM gt),
-        |gm AS (SELECT id, max(cnt) AS top_n
-        |       FROM (SELECT id, g, count(*) AS cnt
-        |             FROM (SELECT id, unnest(bg) AS g FROM gb)
-        |             GROUP BY id, g)
-        |       GROUP BY id),
-        |fcorpus AS (SELECT gb.id, gb.lang, gb.text
-        |            FROM gb LEFT JOIN gm ON gb.id = gm.id
-        |            WHERE n_tokens >= 10 AND n_tokens <= 120
-        |              AND (n_tokens - n_distinct) * 100 <= n_tokens * 75
-        |              AND coalesce(top_n, 0) * 100 <= len(bg) * 10),
         |""".stripMargin +
+      gopherChainSql("g", "corpus", "id", Seq("lang", "text")) + ",\n" +
+      gopherKeepSql("g", "id", 10, 120, 75, 10) + ",\n" +
+      "fcorpus AS (SELECT id, lang, text FROM gkeep),\n" +
       "pairs AS (WITH " + lshOracleSql(
         """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
                    FROM fcorpus),
@@ -4797,6 +4735,43 @@ object PipelineQueries {
             FROM lng WHERE rn = 1 ORDER BY id"""
     })
 
+  /** The shared Gopher tokenize→bigram oracle chain over a prior
+    * `src(idCol, carry…, text)` relation: emits CTEs `<p>t` (token
+    * arrays), `<p>b` (counts + bigram list), `<p>m` (top bigram count
+    * per id); [[gopherKeepSql]] adds the threshold filter as
+    * `<p>keep`. ONE text keeps the five consuming oracles (ts6, ts10,
+    * tp4, tp6, tp11) in sync — a tokenizer or bigram-rule change now
+    * lands everywhere or nowhere. */
+  private def gopherChainSql(p: String, src: String, idCol: String,
+      carry: Seq[String] = Nil): String = {
+    val cols = (idCol +: carry).mkString(", ")
+    s"""${p}t AS (SELECT $cols,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\\s+')
+              END AS toks
+              FROM $src),
+            ${p}b AS (SELECT $cols, len(toks) AS n_tokens,
+              len(list_distinct(toks)) AS n_distinct,
+              list_transform(range(1, len(toks)),
+                i -> toks[i] || chr(1) || toks[i+1]) AS bg
+              FROM ${p}t),
+            ${p}m AS (SELECT $idCol, max(cnt) AS top_n
+              FROM (SELECT $idCol, g, count(*) AS cnt
+                    FROM (SELECT $idCol, unnest(bg) AS g FROM ${p}b)
+                    GROUP BY $idCol, g)
+              GROUP BY $idCol)"""
+  }
+
+  /** The ts10 threshold algebra over a [[gopherChainSql]] instance:
+    * `<p>keep` = the surviving `<p>b` rows. */
+  private def gopherKeepSql(p: String, idCol: String, minTokens: Int,
+      maxTokens: Int, maxDupPct: Int, maxTopBigramPct: Int): String =
+    s"""${p}keep AS (SELECT b.*
+              FROM ${p}b b LEFT JOIN ${p}m m ON b.$idCol = m.$idCol
+              WHERE n_tokens >= $minTokens AND n_tokens <= $maxTokens
+                AND (n_tokens - n_distinct) * 100 <= n_tokens * $maxDupPct
+                AND coalesce(top_n, 0) * 100 <= len(bg) * $maxTopBigramPct)"""
+
   /** The ts26 trigram-NB oracle chain over a prior `ltest(id, text)`
     * CTE: fixture-trained counts, add-one smoothing, priors, the two
     * position-ordered folds, and the per-id language ranking — emits
@@ -4903,26 +4878,10 @@ object PipelineQueries {
             en AS (SELECT id FROM lng WHERE rn = 1 AND lang = 'en'),
             kept AS (SELECT id, text FROM ltest
                      WHERE id IN (SELECT id FROM en)),
-            gt2 AS (SELECT id,
-                      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                           ELSE regexp_split_to_array(trim(text), '\\s+')
-                      END AS toks
-                    FROM kept),
-            gb2 AS (SELECT id, len(toks) AS n_tokens,
-                      len(list_distinct(toks)) AS n_distinct,
-                      list_transform(range(1, len(toks)),
-                        i -> toks[i] || chr(1) || toks[i+1]) AS bg
-                    FROM gt2),
-            gc2 AS (SELECT id, g, count(*) AS cnt
-                    FROM (SELECT id, unnest(bg) AS g FROM gb2)
-                    GROUP BY id, g),
-            gmx AS (SELECT id, max(cnt) AS top_n FROM gc2 GROUP BY id)
-            SELECT b.id, b.n_tokens::BIGINT AS n_tokens
-            FROM gb2 b LEFT JOIN gmx m ON b.id = m.id
-            WHERE n_tokens >= 25 AND n_tokens <= 100
-              AND (n_tokens - n_distinct) * 100 <= n_tokens * 60
-              AND coalesce(top_n, 0) * 100 <= len(bg) * 5
-            ORDER BY b.id"""
+            ${gopherChainSql("q", "kept", "id")},
+            ${gopherKeepSql("q", "id", 25, 100, 60, 5)}
+            SELECT id, n_tokens::BIGINT AS n_tokens
+            FROM qkeep ORDER BY id"""
     })
 
   /** TS25: INCREMENTAL BM25 INDEX MAINTENANCE
