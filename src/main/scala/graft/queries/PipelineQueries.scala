@@ -4847,7 +4847,12 @@ object PipelineQueries {
     "trigram language filter -> keep en -> gopher quality survivors",
     (s, dir) => {
       import s.implicits._
+      // 1/3 corpus slice: the classify stage pays gram-mass × |L|
+      // (the op's honest cost), and the composition pin is the stage
+      // SEAMS, not throughput — full-corpus tp11 was the battery's
+      // heaviest line (20 s at sf0.1) for no extra semantic coverage
       val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 0)
         .select(col("doc_id").as("id"), col("text"))
       val phrases = array(langFixture.map(r => lit(r._2)): _*)
       val noise = docs.filter(col("id") % 10 === 0)
@@ -4870,10 +4875,11 @@ object PipelineQueries {
       val phraseList = langFixture.map(r => s"'${r._2}'").mkString("[", ", ", "]")
       s"""WITH ltest AS (
               SELECT doc_id AS id, text FROM documents
+              WHERE doc_id % 3 = 0
               UNION ALL
               SELECT doc_id + 50000 AS id,
                 ($phraseList)[(doc_id % 32 + 1)::INT] AS text
-              FROM documents WHERE doc_id % 10 = 0),
+              FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 = 0),
             $trigramLangSql,
             en AS (SELECT id FROM lng WHERE rn = 1 AND lang = 'en'),
             kept AS (SELECT id, text FROM ltest
