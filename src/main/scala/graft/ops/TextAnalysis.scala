@@ -926,6 +926,80 @@ object TextAnalysis {
     bm25Rank(postings.join(broadcast(stats), Seq("term")), k, k1, b)
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): per-document log-likelihood ratio of a
+    * TARGET domain's hashed n-gram distribution against the raw
+    * corpus's own — the standard lever for "keep the corpus docs
+    * that look like the target domain" at pretraining scale.
+    * Features are word unigrams ∪ bigrams hashed into `buckets`
+    * slots (the hashing trick, portable-hashed so the oracle
+    * reproduces every slot); both distributions smooth add-one over
+    * the bucket space, and a doc's weight is
+    * Σ_slot count_doc(slot) · (ln p_target(slot) − ln p_corpus(slot))
+    * — positive = target-like. Selection composes downstream
+    * (top-k, threshold, or the sm-family samplers over the weight).
+    *
+    * Determinism (the ts12/ts18 discipline): all counts are exact
+    * integers, each slot's λ is a difference of ln's of integer
+    * quotients, per-doc contributions fold in SLOT order — weight_r
+    * is bit-exact cross-engine. Docs with no tokens carry weight 0
+    * (no evidence either way), kept via the id left-join so coverage
+    * is total.
+    *
+    * Scale shape: the λ model is ONE `buckets`-row frame (broadcast)
+    * built from two counting passes (target is small by definition;
+    * the corpus pass is a combinable slot count). The per-doc pass
+    * is one explode + (id, slot) count + broadcast join + ordered
+    * fold — the corpus never joins anything corpus-sized. */
+  def dsirWeights(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = corpus.sparkSession
+    def feats(text: Column): Column = {
+      val toks = tokens(lower(text))
+      concat(toks, wordShingles(toks, 2))
+    }
+    def slotCounts(df: DataFrame, textCol0: String): DataFrame =
+      df.select(explode(feats(col(textCol0))).as("f"))
+        .select(pmod(portableHash64(col("f")),
+          lit(buckets.toLong)).as("slot"))
+        .groupBy("slot").agg(count(lit(1)).as("c"))
+    val tc = slotCounts(target, targetTextCol)
+    val cc = slotCounts(corpus, textCol)
+    val tTot = tc.agg(coalesce(sum(col("c")), lit(0L)).as("tt"))
+    val cTot = cc.agg(coalesce(sum(col("c")), lit(0L)).as("ct"))
+    // λ over the FULL slot space (absent slots count 0 — smoothing
+    // still assigns them a ratio, and an unseen-in-target feature
+    // must penalize, not vanish)
+    val lambda = spark.range(buckets).select(col("id").as("slot"))
+      .join(tc.select(col("slot"), col("c").as("c_t")), Seq("slot"), "left")
+      .join(cc.select(col("slot"), col("c").as("c_c")), Seq("slot"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(cTot))
+      .select(col("slot"),
+        (log((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tt") + lit(buckets.toLong)).cast("double")) -
+         log((coalesce(col("c_c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("ct") + lit(buckets.toLong)).cast("double"))).as("lam"))
+    val docSlots = corpus.select(col(idCol).as("id"),
+      explode(feats(col(textCol))).as("f"))
+      .select(col("id"), pmod(portableHash64(col("f")),
+        lit(buckets.toLong)).as("slot"))
+      .groupBy("id", "slot").agg(count(lit(1)).as("cnt"))
+    val folded = docSlots.join(broadcast(lambda), Seq("slot"))
+      .select(col("id"), col("slot"),
+        (col("cnt").cast("double") * col("lam")).as("contrib"))
+      .groupBy("id").agg(
+        sort_array(collect_list(struct(col("slot"), col("contrib"))))
+          .as("__arr"))
+      .select(col("id"),
+        expr("aggregate(__arr, 0D, (acc, s) -> acc + s.contrib)").as("w"))
+    corpus.select(col(idCol).as("id"))
+      .join(folded, Seq("id"), "left")
+      .select(col("id"),
+        round(coalesce(col("w"), lit(0.0)), 6).as("weight_r"))
+  }
+
   /** FEATURE-HASHED term-frequency vectors (the "hashing trick",
     * Weinberger et al. 2009): each doc becomes a dense `dim`-wide
     * float vector of token counts bucketed by token hash — the

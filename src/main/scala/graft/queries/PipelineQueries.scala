@@ -4828,6 +4828,81 @@ object PipelineQueries {
                        FROM lscored)"""
   }
 
+  /** TS27: DSIR IMPORTANCE WEIGHTS ([[TextAnalysis.dsirWeights]],
+    * Xie et al. 2023) — hashed-n-gram log-likelihood ratio of a
+    * target domain vs the raw corpus, the modern data-SELECTION
+    * signal (ts24's cross-LM filter scores fluency under a reference
+    * model; this scores domain RESEMBLANCE). Target = the docs
+    * mentioning 'vector' (a deterministic in-corpus domain); every
+    * corpus doc gets a weight. The oracle replicates feature
+    * extraction (unigrams ∪ space-joined bigrams), the portable-hash
+    * slot assignment, both smoothed distributions over the full
+    * bucket space, and the slot-ordered per-doc fold — weight_r is
+    * bit-exact. */
+  private val ts27 = QueryDef(
+    "ts27_dsir_weights",
+    "DSIR hashed-ngram importance weights vs an in-corpus target",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("text").contains("vector")), "text",
+        buckets = 4096)
+        .orderBy("id")
+    },
+    Some("""WITH tsrc AS (SELECT text FROM documents
+                          WHERE contains(text, 'vector')),
+            ttok AS (SELECT CASE WHEN length(trim(lower(text))) = 0
+                              THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(
+                                trim(lower(text)), '\s+') END AS t
+                     FROM tsrc),
+            tfeat AS (SELECT unnest(list_concat(t,
+                        list_transform(
+                          generate_series(1, greatest(len(t) - 1, 0)),
+                          i -> t[i] || ' ' || t[i+1]))) AS f
+                      FROM ttok),
+            tslot AS (SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096
+                        AS slot, count(*)::BIGINT AS c
+                      FROM tfeat GROUP BY 1),
+            ctok AS (SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0
+                              THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(
+                                trim(lower(text)), '\s+') END AS t
+                     FROM documents),
+            cfeat AS (SELECT doc_id, unnest(list_concat(t,
+                        list_transform(
+                          generate_series(1, greatest(len(t) - 1, 0)),
+                          i -> t[i] || ' ' || t[i+1]))) AS f
+                      FROM ctok),
+            cslotd AS (SELECT doc_id,
+                         ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096
+                           AS slot
+                       FROM cfeat),
+            cslot AS (SELECT slot, count(*)::BIGINT AS c FROM cslotd
+                      GROUP BY slot),
+            ttot AS (SELECT coalesce(sum(c), 0)::BIGINT AS tt FROM tslot),
+            ctot AS (SELECT coalesce(sum(c), 0)::BIGINT AS ct FROM cslot),
+            lam AS (SELECT s.slot,
+                      ln((coalesce(t.c, 0) + 1)::DOUBLE /
+                         (tt + 4096)::DOUBLE) -
+                      ln((coalesce(c.c, 0) + 1)::DOUBLE /
+                         (ct + 4096)::DOUBLE) AS lam
+                    FROM (SELECT unnest(generate_series(0, 4095))::BIGINT
+                            AS slot) s
+                    LEFT JOIN tslot t ON t.slot = s.slot
+                    LEFT JOIN cslot c ON c.slot = s.slot
+                    CROSS JOIN ttot CROSS JOIN ctot),
+            dslot AS (SELECT doc_id AS id, slot, count(*)::BIGINT AS cnt
+                      FROM cslotd GROUP BY 1, 2),
+            fold AS (SELECT id,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list(cnt::DOUBLE * lam ORDER BY slot)),
+                         (a, b) -> a + b) AS w
+                     FROM dslot JOIN lam USING (slot) GROUP BY id)
+            SELECT d.doc_id AS id, round(coalesce(w, 0.0), 6) AS weight_r
+            FROM documents d LEFT JOIN fold ON fold.id = d.doc_id
+            ORDER BY id"""))
+
   /** TP11: MULTILINGUAL CURATION — the ts26 classifier deployed as a
     * pipeline stage, the composition a multilingual corpus build
     * actually runs: plant fixture-language documents into the corpus
@@ -5493,7 +5568,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8)
 }

@@ -828,6 +828,16 @@ object ScaleProbe {
           spark, store, Seq("sort", "window", "stream"), k = 10))
       }
     }
+    // ts27: DSIR weights — fixed target model, corpus at scan rate
+    // (the λ frame is bucket-sized and broadcast; shuffle should be
+    // the (id, slot) reduce, linear in corpus feature mass)
+    if (selected("ts27")) {
+      val target = Tables.documents(spark, dir)
+        .filter(col("text").contains("vector")).select("text")
+      for (m <- Seq(1, mult))
+        probe(s"ts27_dsir_x$m", graft.ops.TextAnalysis.dsirWeights(
+          docs(m), "id", "text", target, "text"))
+    }
     stGrid("st1_neardup_ingest",
       (in, ck, st) => graft.streaming.Streams.nearDupIngest(spark, in, ck, st))
     stGrid("st2_cluster_ingest",

@@ -567,4 +567,34 @@ class TextPiiSpec extends SparkSpec {
       .collect().head
     assert(scoredLangs.getString(1) == "en")
   }
+
+  test("dsirWeights: target-like docs weigh positive, off-domain negative, coverage total") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "contract clause liability court ruling appeal"),
+      (2L, "court ruling contract appeal liability judge"),
+      (3L, "pasta recipe tomato basil garlic dinner"),
+      (4L, "garlic dinner recipe pasta tomato sauce"),
+      (5L, "")).toDF("id", "text") // no tokens: weight exactly 0
+    // target = held-out legal text (shares features with docs 1-2)
+    val target = Seq(
+      "court contract ruling liability judgment",
+      "appeal court clause contract judge").toDF("text")
+    val w = TextAnalysis.dsirWeights(corpus, "id", "text", target, "text",
+      buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 5, "every corpus doc gets a weight")
+    assert(w(5L) == 0.0, s"empty doc must weigh 0, got ${w(5L)}")
+    // what DSIR guarantees is the ORDERING (resampling uses relative
+    // weights): target-like docs must outweigh off-domain ones — the
+    // absolute sign at toy counts is dominated by the +B smoothing
+    for (legal <- Seq(1L, 2L); recipe <- Seq(3L, 4L))
+      assert(w(legal) > w(recipe),
+        s"legal $legal (${w(legal)}) must outweigh recipe $recipe (${w(recipe)})")
+    // slot-ordered fold: partitioning cannot move a weight
+    val p7 = TextAnalysis.dsirWeights(corpus.repartition(7), "id", "text",
+      target.repartition(3), "text", buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p7 == w)
+  }
 }
