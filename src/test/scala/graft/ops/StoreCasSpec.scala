@@ -112,6 +112,48 @@ class StoreCasSpec extends SparkSpec {
     // unrepresentable (no separate table argument to get wrong)
   }
 
+  test("appendBucketed racing a competing publisher: clean conflict, retry lands the union") {
+    val root = tmpDir("cas-append")
+    val seed = new ParquetTableStore(root)
+    seed.appendBucketed(spark, "idx",
+      Seq(("t1", 1L)).toDF("term", "id"), Seq("term"), numBuckets = 4)
+    // a StoreIo whose first contested CAS lets a REAL competing
+    // append publish first — the loser must see a clean conflict,
+    // drop its staged dir, and land the UNION on retry (append is
+    // insert-only: no merge can silently eat either delta)
+    var raced = false
+    val racingIo: StoreIo = new StoreIo {
+      override def swapPointer(p: Path, c: String): Unit =
+        PosixStoreIo.swapPointer(p, c)
+      override def shareFile(s: Path, d: Path): Unit =
+        PosixStoreIo.shareFile(s, d)
+      override def swapPointerIfCurrent(p: Path, c: String,
+          exp: Option[String]): Unit = {
+        if (!raced && exp.isDefined) {
+          raced = true
+          seed.appendBucketed(spark, "idx",
+            Seq(("t2", 2L)).toDF("term", "id"), Seq("term"))
+        }
+        PosixStoreIo.swapPointerIfCurrent(p, c, exp)
+      }
+    }
+    val store = new ParquetTableStore(root, io = racingIo)
+    intercept[ConcurrentCommitException] {
+      store.appendBucketed(spark, "idx",
+        Seq(("t3", 3L)).toDF("term", "id"), Seq("term"))
+    }
+    // the competitor's append won and nothing was lost
+    assert(seed.read(spark, "idx").collect().map(_.getLong(1)).toSet
+      == Set(1L, 2L))
+    // the retry shape re-stages from the winner's base: all three land
+    store.withCommitRetries() {
+      store.appendBucketed(spark, "idx",
+        Seq(("t3", 3L)).toDF("term", "id"), Seq("term"))
+    }
+    assert(seed.read(spark, "idx").collect().map(_.getLong(1)).toSet
+      == Set(1L, 2L, 3L))
+  }
+
   test("commitNew: a competitor creating the table between exists() and publish loses") {
     val root = tmpDir("cas-create-new")
     val store = new ParquetTableStore(root)
