@@ -48,6 +48,57 @@ object PageRank {
       .distinct()
   }
 
+  /** PER-NODE TRIANGLE COUNTS over the undirected view of an edge
+    * list — the classic graph-cohesion signal (clustering
+    * coefficients, community density, link-spam detection on a web
+    * graph). Input edges may be directed/duplicated/self-looped; the
+    * op canonicalizes to distinct undirected (u < v) pairs first.
+    *
+    * Algorithm (Suri & Vassilvitskii 2011, the MapReduce standard):
+    * orient every undirected edge from its LOWER-(degree, id)
+    * endpoint to the higher; each triangle then has exactly ONE node
+    * with two outgoing edges, so the wedge self-join enumerates every
+    * triangle exactly once, and the orientation bounds any node's
+    * out-neighborhood by O(√m) on ANY graph — the wedge mass is
+    * O(m^1.5) worst case instead of Σ deg² (a single celebrity node
+    * can't go quadratic). Wedges close against the canonical edge
+    * set by one equi-join; per-node counts explode the three corners.
+    * Every exchange is an equi-join or combinable count — no
+    * cartesian anywhere. Output: (id, n_triangles) for EVERY node in
+    * the graph (zeros kept). */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = raw.select(least(col("u"), col("v")).as("u"),
+      greatest(col("u"), col("v")).as("v")).distinct()
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("a"), col("v").as("b")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = oriented.select(col("a"), col("b").as("x"))
+      .join(oriented.select(col("a"), col("b").as("y")), Seq("a"))
+      .filter(col("x") < col("y"))
+    // the wedge's open side is canonical (x < y), so it closes
+    // directly against the canonical undirected edge set
+    val tri = wedges.join(
+      und.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val corners = tri
+      .select(explode(array(col("a"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.select("id").join(corners, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** (id, r): damped PageRank after exactly `iterations` rounds. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,

@@ -930,6 +930,28 @@ object RelationalQueries {
               n_events
             FROM a ORDER BY user_id, run_no"""))
 
+  /** W9: HOPPING-WINDOW counts — the overlapping-window semantics
+    * neither tumbling (st4) nor row frames (w6) express: 2-hour
+    * windows advancing every hour, so each event counts in exactly
+    * window/slide = 2 of them (the smoothing view every ops
+    * dashboard wants). Spark's window(ts, '2 hours', '1 hour')
+    * replicates in the oracle as the event × slide-offsets expansion
+    * — both sides align window starts to epoch hour boundaries. */
+  private val w9 = QueryDef(
+    "w9_hopping_windows",
+    "2h windows hopping hourly: every event counted in both",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w_start_s"),
+        col("event_type"), col("n"))
+      .orderBy("w_start_s", "event_type"),
+    Some("""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)
+              - g.k * INTERVAL '1 hour') AS BIGINT) AS w_start_s,
+              event_type, count(*)::BIGINT AS n
+            FROM events, generate_series(0, 1) AS g(k)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ---------------------------------------------------------------- O
 
   /** O1 (main_scraper.py:98): COLLATE NOCASE ordering → sort by
@@ -1101,6 +1123,6 @@ object RelationalQueries {
     p1, p2, p3, p4, p5, p6, p7, p9,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a8, a9,
-    w1, w2, w3, w4, w5, w6, w7, w8,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9,
     o1, o2, o3, o4, o5, o6, o7, o8, o9)
 }

@@ -60,4 +60,22 @@ class PageRankSpec extends SparkSpec {
     val vals = ranks.select("r").collect().map(_.getDouble(0))
     vals.foreach(v => assert(math.abs(v - 1.0 / 30) < 1e-12, v))
   }
+
+  test("triangleCounts: K4 plus a tail, canonicalized from messy directed input") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + tail 4-5 (node
+    // 5 in none) — fed as DIRECTED edges with duplicates, reversed
+    // copies, and a self-loop, all of which must canonicalize away
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b) // both directions = built-in reversal/duplication
+    val messy = (k4 ++ Seq((4L, 5L), (5L, 4L), (4L, 5L), (3L, 3L)))
+      .toDF("s", "d")
+    val got = PageRank.triangleCounts(messy, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L),
+      got.toString)
+    // total triangles = sum(corners)/3 = 4
+    assert(got.values.sum == 12L)
+  }
 }
