@@ -4887,7 +4887,17 @@ object PipelineQueries {
         buckets = 4096)
         .orderBy("id")
     },
-    Some("""WITH tsrc AS (SELECT text FROM documents
+    Some(s"""WITH $dsirChainSql
+            SELECT id, weight_r FROM dwei ORDER BY id"""))
+
+  /** The ts27 DSIR oracle chain (target = the 'vector' docs, corpus
+    * = documents, 4096 buckets): feature extraction, portable-hash
+    * slots, both smoothed distributions over the full bucket space,
+    * the slot-ordered per-doc fold — emits `dwei(id, weight_r)` with
+    * total coverage (weightless docs at 0), for ts27 to select
+    * verbatim and tp12 to threshold. */
+  private def dsirChainSql: String =
+    """tsrc AS (SELECT text FROM documents
                           WHERE contains(text, 'vector')),
             ttok AS (SELECT CASE WHEN length(trim(lower(text))) = 0
                               THEN []::VARCHAR[]
@@ -4936,10 +4946,39 @@ object PipelineQueries {
                        list_reduce(list_prepend(0.0::DOUBLE,
                          list(cnt::DOUBLE * lam ORDER BY slot)),
                          (a, b) -> a + b) AS w
-                     FROM dslot JOIN lam USING (slot) GROUP BY id)
-            SELECT d.doc_id AS id, round(coalesce(w, 0.0), 6) AS weight_r
-            FROM documents d LEFT JOIN fold ON fold.id = d.doc_id
-            ORDER BY id"""))
+                     FROM dslot JOIN lam USING (slot) GROUP BY id),
+            dwei AS (SELECT d.doc_id AS id,
+                       round(coalesce(w, 0.0), 6) AS weight_r
+                     FROM documents d LEFT JOIN fold ON fold.id = d.doc_id)"""
+
+  /** TP12: DSIR-SELECTED CORPUS — ts27's weights deployed as the
+    * selection stage (the composition DSIR exists for): keep every
+    * doc at or above the corpus's 70th weight percentile. The cut is
+    * the EXACT interpolated percentile of the 6-dp-rounded weights
+    * (the tp5 discipline — 6-dp spacing keeps the >= boundary off an
+    * engine ulp), computed as a 1-row broadcast; selection is then a
+    * per-row compare. The oracle recomputes weights, cut, and
+    * membership, so the seam between the weight chain and the
+    * threshold — including the weightless-doc-at-0 rule — is what's
+    * pinned. */
+  private val tp12 = QueryDef(
+    "tp12_dsir_selection",
+    "keep docs at/above the 70th DSIR-weight percentile",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weights = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("text").contains("vector")), "text",
+        buckets = 4096)
+      val cut = weights.agg(percentile(col("weight_r"), lit(0.7)).as("c"))
+      weights.crossJoin(broadcast(cut))
+        .filter(col("weight_r") >= col("c"))
+        .select(col("id"), col("weight_r"))
+        .orderBy("id")
+    },
+    Some(s"""WITH $dsirChainSql,
+            cut AS (SELECT quantile_cont(weight_r, 0.7) AS c FROM dwei)
+            SELECT id, weight_r FROM dwei CROSS JOIN cut
+            WHERE weight_r >= c ORDER BY id"""))
 
   /** TP11: MULTILINGUAL CURATION — the ts26 classifier deployed as a
     * pipeline stage, the composition a multilingual corpus build
@@ -5607,6 +5646,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8)
 }
