@@ -951,22 +951,38 @@ object TextAnalysis {
     * the corpus pass is a combinable slot count). The per-doc pass
     * is one explode + (id, slot) count + broadcast join + ordered
     * fold — the corpus never joins anything corpus-sized. */
+  /** `portableHash=false` swaps the md5-prefix slot hash for
+    * xxhash64 — the same algorithm over a different hash family,
+    * measurably cheaper per feature (md5 exists for DuckDB-oracle
+    * parity, the TextFunctions rule); weights then differ from the
+    * gated values only through slot assignment, not semantics. */
   def dsirWeights(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096, portableHash: Boolean = true): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val spark = corpus.sparkSession
+    def slotOf(f: Column): Column =
+      pmod(if (portableHash) portableHash64(f) else xxhash64(f),
+        lit(buckets.toLong))
     def feats(text: Column): Column = {
       val toks = tokens(lower(text))
       concat(toks, wordShingles(toks, 2))
     }
     def slotCounts(df: DataFrame, textCol0: String): DataFrame =
       df.select(explode(feats(col(textCol0))).as("f"))
-        .select(pmod(portableHash64(col("f")),
-          lit(buckets.toLong)).as("slot"))
+        .select(slotOf(col("f")).as("slot"))
         .groupBy("slot").agg(count(lit(1)).as("c"))
     val tc = slotCounts(target, targetTextCol)
-    val cc = slotCounts(corpus, textCol)
+    // ONE corpus feature pass: the per-doc slot counts are computed
+    // first and the corpus-wide distribution is their slot-rollup
+    // (identical integers — Σ_doc count_doc(slot) = count(slot)); a
+    // second tokenize+hash pass over the raw text was the op's
+    // dominant redundant cost
+    val docSlots = corpus.select(col(idCol).as("id"),
+      explode(feats(col(textCol))).as("f"))
+      .select(col("id"), slotOf(col("f")).as("slot"))
+      .groupBy("id", "slot").agg(count(lit(1)).as("cnt"))
+    val cc = docSlots.groupBy("slot").agg(sum(col("cnt")).as("c"))
     val tTot = tc.agg(coalesce(sum(col("c")), lit(0L)).as("tt"))
     val cTot = cc.agg(coalesce(sum(col("c")), lit(0L)).as("ct"))
     // λ over the FULL slot space (absent slots count 0 — smoothing
@@ -981,11 +997,6 @@ object TextAnalysis {
           (col("tt") + lit(buckets.toLong)).cast("double")) -
          log((coalesce(col("c_c"), lit(0L)) + lit(1L)).cast("double") /
           (col("ct") + lit(buckets.toLong)).cast("double"))).as("lam"))
-    val docSlots = corpus.select(col(idCol).as("id"),
-      explode(feats(col(textCol))).as("f"))
-      .select(col("id"), pmod(portableHash64(col("f")),
-        lit(buckets.toLong)).as("slot"))
-      .groupBy("id", "slot").agg(count(lit(1)).as("cnt"))
     val folded = docSlots.join(broadcast(lambda), Seq("slot"))
       .select(col("id"), col("slot"),
         (col("cnt").cast("double") * col("lam")).as("contrib"))

@@ -834,8 +834,11 @@ object ScaleProbe {
     if (selected("ts27")) {
       val target = Tables.documents(spark, dir)
         .filter(col("text").contains("vector")).select("text")
+      // probeNoop, NOT count(): a count over the total-coverage left
+      // join is provably corpus-cardinality, so Catalyst prunes the
+      // whole weight subtree and the row times an empty plan
       for (m <- Seq(1, mult))
-        probe(s"ts27_dsir_x$m", graft.ops.TextAnalysis.dsirWeights(
+        probeNoop(s"ts27_dsir_x$m", graft.ops.TextAnalysis.dsirWeights(
           docs(m), "id", "text", target, "text"))
     }
     stGrid("st1_neardup_ingest",
