@@ -78,9 +78,11 @@ object PageRank {
     val withDeg = und
       .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    // (deg, id)-order orientation; und already guarantees u < v, so
+    // the id tie-break collapses into du <= dv (equal degrees keep
+    // the lower id as the source)
     val oriented = withDeg.select(
-      when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")),
+      when(col("du") <= col("dv"),
         struct(col("u").as("a"), col("v").as("b")))
         .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))

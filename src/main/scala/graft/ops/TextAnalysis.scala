@@ -950,8 +950,9 @@ object TextAnalysis {
     * built from two counting passes (target is small by definition;
     * the corpus pass is a combinable slot count). The per-doc pass
     * is one explode + (id, slot) count + broadcast join + ordered
-    * fold — the corpus never joins anything corpus-sized. */
-  /** `portableHash=false` swaps the md5-prefix slot hash for
+    * fold — the corpus never joins anything corpus-sized.
+    *
+    * `portableHash=false` swaps the md5-prefix slot hash for
     * xxhash64 — the same algorithm over a different hash family,
     * measurably cheaper per feature (md5 exists for DuckDB-oracle
     * parity, the TextFunctions rule); weights then differ from the

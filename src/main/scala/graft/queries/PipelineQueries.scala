@@ -4009,6 +4009,19 @@ object PipelineQueries {
     * same IEEE op), r₀ = 1/N, contributions summed per dst. The
     * ×1000 on output keeps 6-7 significant digits under the 6-dp
     * round (ranks are ~1/N ≈ 5e-4 here). */
+  /** The [[PageRank.coOrderEdges]] oracle twin, shared by g1 and g2:
+    * the (l_linenumber, l_partkey) window order is the determinism
+    * fix the op's scaladoc calls out (linenumber alone is not total
+    * under the fixture's duplicate pairs), so the fragment must not
+    * fork. Emits CTEs `le` and `e(src, dst)`. */
+  private val coOrderEdgesSql: String =
+    """le AS (SELECT l_partkey,
+              lead(l_partkey) OVER (PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_partkey) AS nxt
+              FROM lineitem),
+            e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM le
+                  WHERE nxt IS NOT NULL AND nxt <> l_partkey)"""
+
   private val g1 = QueryDef(
     "g1_pagerank_coorder",
     "3-iteration PageRank over the co-order part graph",
@@ -4018,12 +4031,7 @@ object PipelineQueries {
       .select(col("id").as("p_partkey"),
         round(col("r") * 1000.0, 6).as("pr_k"))
       .orderBy("p_partkey"),
-    Some("""WITH le AS (SELECT l_partkey,
-              lead(l_partkey) OVER (PARTITION BY l_orderkey
-                ORDER BY l_linenumber, l_partkey) AS nxt
-              FROM lineitem),
-            e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM le
-                  WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+    Some(s"""WITH $coOrderEdgesSql,
             nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
             nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
             deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e
@@ -4072,12 +4080,7 @@ object PipelineQueries {
         PageRank.coOrderEdges(Tables.lineitem(s, dir)), "src", "dst")
       .select(col("id").as("p_partkey"), col("n_triangles"))
       .orderBy("p_partkey"),
-    Some("""WITH le AS (SELECT l_partkey,
-              lead(l_partkey) OVER (PARTITION BY l_orderkey
-                ORDER BY l_linenumber, l_partkey) AS nxt
-              FROM lineitem),
-            e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM le
-                  WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+    Some(s"""WITH $coOrderEdgesSql,
             und AS (SELECT DISTINCT least(src, dst) AS u,
                       greatest(src, dst) AS v FROM e),
             tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c

@@ -596,5 +596,16 @@ class TextPiiSpec extends SparkSpec {
       target.repartition(3), "text", buckets = 512)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(p7 == w)
+    // the production hash path (portableHash=false → xxhash64): same
+    // semantics over a different slot family — ordering and coverage
+    // contracts must hold there too
+    val wx = TextAnalysis.dsirWeights(corpus, "id", "text", target,
+      "text", buckets = 512, portableHash = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wx.size == 5 && wx(5L) == 0.0)
+    for (legal <- Seq(1L, 2L); recipe <- Seq(3L, 4L))
+      assert(wx(legal) > wx(recipe),
+        s"xxhash path: legal $legal (${wx(legal)}) must outweigh " +
+          s"recipe $recipe (${wx(recipe)})")
   }
 }
