@@ -269,6 +269,17 @@ object Main {
         println(s"indexed $n transcripts: bm25_postings=" +
           s"${t("bm25_postings").count()} rows, dim=$dim, " +
           s"centroids=${t("tx_ivf_codebook").count()}")
+        // completeness honesty (the dedupLinesWithin rule): a doc
+        // whose text tokenizes EMPTY gets no vector row and no
+        // postings — by design (an all-zeros vector has no cosine
+        // direction), but silently, so the coverage gap must be
+        // REPORTED: these docs can never match any search until
+        // their text changes.
+        val txN = tx.count()
+        if (txN > n)
+          println(s"(note: ${txN - n} of $txN transcripts tokenized " +
+            "empty — not vectorized or indexed; they cannot match " +
+            "any search)")
 
       case "search-hybrid" =>
         // HYBRID retrieval over the stored artifacts (`index-search`
@@ -394,15 +405,23 @@ object Main {
         // append ([[graft.streaming.Streams.lexicalIndexIngest]]);
         // probe with doc-search. Feed ids must be new (exact-dedup
         // upstream — compose with ingest-docs).
+        // the doc-feed index lives under its OWN table names: sharing
+        // index-search's bm25_postings/bm25_stats in one store would
+        // route lexicalIndexIngest into bm25AppendIndex against the
+        // string-keyed transcript index and die on the id-type schema
+        // mismatch (loud, but a confusing collision to hand a user)
         val inbox = args(2)
         graft.streaming.Streams.lexicalIndexIngest(spark, inbox,
-          args(1) + "/_index_checkpoint", store).awaitTermination()
+          args(1) + "/_index_checkpoint", store,
+          postingsTable = "doc_bm25_postings",
+          statsTable = "doc_bm25_stats",
+          ledgerTable = "doc_bm25_ingest_ledger").awaitTermination()
         // an empty first inbox is a clean no-op: nothing built yet
-        if (store.exists("bm25_postings") && store.exists("bm25_stats"))
+        if (store.exists("doc_bm25_postings") && store.exists("doc_bm25_stats"))
           println(s"lexical index now at postings v" +
-            s"${store.currentVersion("bm25_postings").getOrElse(-1L)}: " +
-            s"${t("bm25_postings").count()} postings, " +
-            s"${t("bm25_stats").count()} terms")
+            s"${store.currentVersion("doc_bm25_postings").getOrElse(-1L)}: " +
+            s"${t("doc_bm25_postings").count()} postings, " +
+            s"${t("doc_bm25_stats").count()} terms")
         else println("no documents ingested yet — index not built")
 
       case "doc-search" =>
@@ -410,9 +429,12 @@ object Main {
         // the doc-feed twin of search-ranked's video index)
         val terms = args(2).split("\\s+").toSeq
         val k = if (args.length > 3) args(3).toInt else 10
-        require(store.exists("bm25_postings") && store.exists("bm25_stats"),
+        require(store.exists("doc_bm25_postings") &&
+            store.exists("doc_bm25_stats"),
           "no lexical index in this store — run index-docs first")
-        show(graft.ops.TextAnalysis.bm25TopKStored(spark, store, terms, k)
+        show(graft.ops.TextAnalysis.bm25TopKStored(spark, store, terms, k,
+            postingsTable = "doc_bm25_postings",
+            statsTable = "doc_bm25_stats")
           .orderBy("rank"), k)
 
       case "cluster-docs" =>

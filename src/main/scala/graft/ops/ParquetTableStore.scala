@@ -695,11 +695,45 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * (see [[withCommitRetries]]) instead of silently losing a merge. */
   private def publish(table: String, staged: String,
       expected: Option[String]): Unit = {
+    val stagedDir = tableDir(table).resolve(staged)
+    // gc-vs-stalled-writer guard, part 1: [[gc]]'s orphan sweep is
+    // age-gated on mtime, and a writer stalled past that gate between
+    // finalizeStaged and this CAS would otherwise win the swap AFTER
+    // its dir was swept — _CURRENT naming a deleted directory wedges
+    // every read until the next commit, a worse failure than the lost
+    // commit the age gate is sized for. Re-aging the dir immediately
+    // before the swap makes the realistic (hours-long stall)
+    // interleaving safe: gc's filter sees a fresh mtime and skips it.
+    // A touch that finds the dir ALREADY gone aborts before anything
+    // is published — cleanly retryable.
+    try Files.setLastModifiedTime(stagedDir,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException =>
+      throw new ConcurrentCommitException(
+        s"staged version $staged of $table disappeared before publish " +
+          "(gc swept a stalled writer's dir) — re-stage and retry")
+    }
     try io.swapPointerIfCurrent(currentFile(table), staged, expected)
     catch {
       case e: ConcurrentCommitException =>
-        deleteRecursively(tableDir(table).resolve(staged))
+        deleteRecursively(stagedDir)
         throw e
+    }
+    // part 2: the adversarial residue (gc read the pre-touch mtime,
+    // its delete landed after our swap). Detect the swept dir, undo
+    // the publish, and surface a retryable conflict. The undo is safe
+    // without re-taking the CAS lock: the pointer currently names
+    // `staged`, and every competing writer publishes through the CAS
+    // — to race us it would first have to READ the swept dir as its
+    // snapshot, which fails before it ever commits.
+    if (!Files.exists(stagedDir)) {
+      expected match {
+        case Some(prev) => io.swapPointer(currentFile(table), prev)
+        case None => Files.deleteIfExists(currentFile(table))
+      }
+      throw new ConcurrentCommitException(
+        s"staged version $staged of $table was swept by gc during " +
+          "publish — pointer restored; re-stage and retry")
     }
     prune(table, versionOf(staged))
   }

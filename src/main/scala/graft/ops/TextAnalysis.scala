@@ -865,14 +865,19 @@ object TextAnalysis {
     // the stats frame replaces whole — it is ≤|vocab| rows by
     // construction, never corpus-sized
     val old = store.read(spark, statsTable).drop("postings_version")
-    val oldScalars = old.select("n", "total_dl").limit(1).collect()
-      .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
-    val deltaScalars = dl
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
-      .collect()(0)
-    val n2 = oldScalars._1 + deltaScalars.getLong(0)
-    val totalDl2 = oldScalars._2 +
-      (if (deltaScalars.isNullAt(1)) 0L else deltaScalars.getLong(1))
+    // ONE job collects both scalar frames (stored corpus scalars +
+    // delta scalars): at streaming cadence every scheduled job round
+    // is a fixed per-batch cost, so the two tiny reads fold into one
+    val scalarRows = old.select(lit(0).as("side"), col("n"), col("total_dl"))
+      .limit(1)
+      .unionByName(dl.agg(lit(1).as("side"), count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
+      .collect()
+    val (oldN, oldTotalDl) = scalarRows.find(_.getInt(0) == 0)
+      .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+    val deltaRow = scalarRows.find(_.getInt(0) == 1).get
+    val n2 = oldN + deltaRow.getLong(1)
+    val totalDl2 = oldTotalDl + deltaRow.getLong(2)
     val deltaDf = tf.groupBy("term").agg(count(lit(1)).as("df_delta"))
     val merged = old.select(col("term"), col("df"))
       .join(deltaDf, Seq("term"), "full_outer")

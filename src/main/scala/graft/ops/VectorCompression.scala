@@ -68,8 +68,14 @@ object VectorCompression {
     val nWords = (dim + 63) / 64
     val pow2 = array((0 until 64).map(j => lit(1L << j)): _*)
     val words = (0 until nWords).map { w =>
+      // the when-guard must bound by size(vec) as well as dim: under
+      // ANSI mode (the 4.x default) element_at past the array end
+      // throws INVALID_ARRAY_INDEX rather than returning null, so a
+      // declared dim larger than an actual vector must short-circuit
+      // to the documented missing-components-are-0 behavior instead
+      // of erroring at runtime
       aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
-        acc + when(lit(w * 64) + j < lit(dim) &&
+        acc + when(lit(w * 64) + j < least(lit(dim), size(vec)) &&
             coalesce(element_at(vec, (lit(w * 64) + j + lit(1)).cast("int"))
               .cast("double"), lit(0.0)) > 0,
           element_at(pow2, (j + lit(1)).cast("int"))).otherwise(lit(0L)))

@@ -31,6 +31,29 @@ object Streams {
   val inboxSchema: StructType = StructType(Seq(
     StructField("path", StringType), StructField("content", StringType)))
 
+  /** Run independent-TABLE store commits concurrently and wait for
+    * all of them. The ingest loops' dominant fixed cost is the
+    * per-commit action round (touched-set collect + listing + CAS
+    * publish each schedule a full job round, ~mass-independent), and
+    * a micro-batch lands 3 artifact tables — serializing them pays
+    * that round 3×. The store's atomicity is per table (each
+    * pointer's CAS serializes its own publishes), so commits on
+    * DISTINCT tables are safe to overlap; callers keep any
+    * cross-table ORDERING constraint (rejects-before-artifacts,
+    * merge-before-append) by sequencing those commits outside this
+    * helper. All ops run to completion even when one fails (no
+    * straggler keeps writing while the batch unwinds), then the
+    * first failure is rethrown so foreachBatch aborts the batch. */
+  private def commitInParallel(ops: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val done = ops.map(op => Future(op()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    done.collectFirst { case scala.util.Failure(e) => throw e }
+      .getOrElse(())
+  }
+
   /** Derive an inbox micro-batch size from the dir's file-size stats
     * — the autoBandGeometry discipline applied to stream batching: a
     * fixed file count is wrong in both directions (thousands of tiny
@@ -63,7 +86,13 @@ object Streams {
               val n = p.getFileName.toString
               !n.startsWith(".") && !n.startsWith("_")
             }
-            .map(p => java.nio.file.Files.size(p)).toSeq
+            // a file can vanish between the listing and the stat (a
+            // concurrent cleanSource=delete consumer draining the
+            // inbox, a producer's write-then-rename) — skip it rather
+            // than abort stream startup on NoSuchFileException
+            .flatMap(p =>
+              scala.util.Try(java.nio.file.Files.size(p)).toOption)
+            .toSeq
         } finally s.close()
       if (sizes.isEmpty) 16
       else {
@@ -374,17 +403,27 @@ object Streams {
                 store.upsert(spark, rejectTable, r, Seq("id")))
           }
           if (acc.limit(1).count() > 0) {
+            // two of the three commits derive from accSigs — pin it
+            // so the semi-join runs once, not per commit thread
             val accSigs = sigs.join(acc.select("id"), Seq("id"), "left_semi")
-            store.withCommitRetries()(
-              store.upsertBucketed(spark, corpusTable, acc, Seq("id"),
-                numBuckets))
-            store.withCommitRetries()(
-              store.upsertBucketed(spark, signatureTable, accSigs, Seq("id"),
-                numBuckets))
-            store.withCommitRetries()(
-              store.upsertBucketed(spark, indexTable,
-                graft.ops.Dedup.lshBandIndex(accSigs), Seq("id", "band"),
-                numBuckets))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // three INDEPENDENT tables, no cross-order constraint
+            // (the probe gate requires BOTH artifact tables exist, so
+            // any crash-partial subset replays as a probe-less first
+            // batch exactly as before) — overlap them instead of
+            // paying the per-commit job round 3×
+            try commitInParallel(
+              () => store.withCommitRetries()(
+                store.upsertBucketed(spark, corpusTable, acc, Seq("id"),
+                  numBuckets)),
+              () => store.withCommitRetries()(
+                store.upsertBucketed(spark, signatureTable, accSigs, Seq("id"),
+                  numBuckets)),
+              () => store.withCommitRetries()(
+                store.upsertBucketed(spark, indexTable,
+                  graft.ops.Dedup.lshBandIndex(accSigs), Seq("id", "band"),
+                  numBuckets)))
+            finally accSigs.unpersist(false)
           }
         } finally {
           acc.unpersist(false)
@@ -497,16 +536,20 @@ object Streams {
                 ()
               }
             }
-            store.withCommitRetries()(
-              store.upsertBucketed(spark, corpusTable, b, Seq("id"),
-                numBuckets))
-            store.withCommitRetries()(
-              store.upsertBucketed(spark, signatureTable, sigs, Seq("id"),
-                numBuckets))
-            store.withCommitRetries()(
-              store.upsertBucketed(spark, indexTable,
-                graft.ops.Dedup.lshBandIndex(sigs), Seq("id", "band"),
-                numBuckets))
+            // the cluster merge above is ORDERED (pinned read-derive-
+            // replace); these three artifact tables are independent —
+            // overlap their commits (see commitInParallel)
+            commitInParallel(
+              () => store.withCommitRetries()(
+                store.upsertBucketed(spark, corpusTable, b, Seq("id"),
+                  numBuckets)),
+              () => store.withCommitRetries()(
+                store.upsertBucketed(spark, signatureTable, sigs, Seq("id"),
+                  numBuckets)),
+              () => store.withCommitRetries()(
+                store.upsertBucketed(spark, indexTable,
+                  graft.ops.Dedup.lshBandIndex(sigs), Seq("id", "band"),
+                  numBuckets)))
           }
         } finally {
           b.unpersist(false)

@@ -97,6 +97,52 @@ class MainDedupSpec extends SparkSpec {
     Main.run(spark, Array("search-hybrid", root, "spark shuffle", "2"))
   }
 
+  test("stale search artifacts: ranked falls back, hybrid warns loudly; coverage reported") {
+    val root = tmpDir("mainstale")
+    val store = new ParquetTableStore(root)
+    store.commit(spark, "transcripts", Seq(
+      ("vid_x", "spark shuffle spark shuffle partitions exchange"),
+      ("vid_y", "spark appears once amid entirely unrelated prose here"),
+      ("vid_z", "gardening compost tomatoes rainfall harvest pruning"),
+      ("vid_0", "   ") // whitespace-only: tokenizes EMPTY, never indexed
+    ).toDF("video_id", "transcript"))
+    store.commit(spark, "videos", Seq(
+      ("vid_x", "Shuffle deep dive"), ("vid_y", "Misc"),
+      ("vid_z", "Garden"), ("vid_0", "Blank"))
+      .toDF("video_id", "title"))
+    def captured(args: Array[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        Main.run(spark, args)
+      }
+      buf.toString("UTF-8")
+    }
+    // index-search must REPORT the zero-token doc it omitted — the
+    // completeness-honesty rule: a silently smaller tx_vectors table
+    // reads as full coverage when it isn't
+    val built = captured(Array("index-search", root, "16"))
+    assert(built.contains("1 of 4 transcripts tokenized empty"), built)
+    assert(store.read(spark, "tx_vectors").count() == 3)
+    // fresh index: ranked probes the stored index
+    assert(captured(Array("search-ranked", root, "spark shuffle", "2"))
+      .contains("probing stored BM25 index"))
+    // transcripts move on — the stored artifacts are now STALE
+    store.commit(spark, "transcripts", Seq(
+      ("vid_x", "spark shuffle spark shuffle partitions exchange"),
+      ("vid_n", "brand new spark shuffle document not in the index")
+    ).toDF("video_id", "transcript"))
+    // ranked detects staleness and falls back to from-scratch (which
+    // SEES the new doc); hybrid has no fallback, so it must warn
+    // loudly and still answer from the stored artifacts
+    val ranked = captured(Array("search-ranked", root, "spark shuffle", "3"))
+    assert(ranked.contains("stale"), ranked)
+    assert(ranked.contains("falling back"), ranked)
+    assert(ranked.contains("vid_n"), ranked)
+    val hybrid = captured(Array("search-hybrid", root, "spark shuffle", "2"))
+    assert(hybrid.contains("WARNING") && hybrid.contains("stale"), hybrid)
+    assert(hybrid.contains("vid_x"), hybrid) // still answers
+  }
+
   test("decontaminate drops benchmark leaks in both modes; original untouched") {
     val root = tmpDir("maindecon")
     val store = new ParquetTableStore(root)

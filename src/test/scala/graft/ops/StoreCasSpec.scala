@@ -87,6 +87,60 @@ class StoreCasSpec extends SparkSpec {
     assert(seed.read(spark, "t").count() == 3) // ids 1, 2, 3 — no lost merge
   }
 
+  test("publish whose staged dir gc swept: pointer restored (or removed), conflict retryable") {
+    val root = tmpDir("cas-gcsweep")
+    // A StoreIo that simulates gc's delete landing just AFTER the CAS
+    // (the adversarial interleaving: gc's age filter read the
+    // pre-touch mtime, its delete fires after the swap) — publish
+    // must detect the swept dir, undo the pointer move, and throw a
+    // retryable conflict instead of leaving _CURRENT naming a deleted
+    // directory (a wedged table).
+    var armSweep = false
+    def deleteRec(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try { s.iterator().forEachRemaining(deleteRec) } finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    val sweepIo: StoreIo = new StoreIo {
+      override def swapPointer(p: Path, c: String): Unit =
+        PosixStoreIo.swapPointer(p, c)
+      override def shareFile(s: Path, d: Path): Unit =
+        PosixStoreIo.shareFile(s, d)
+      override def swapPointerIfCurrent(p: Path, c: String,
+          exp: Option[String]): Unit = {
+        PosixStoreIo.swapPointerIfCurrent(p, c, exp)
+        if (armSweep) deleteRec(p.getParent.resolve(c))
+      }
+    }
+    val store = new ParquetTableStore(root, io = sweepIo)
+    val plain = new ParquetTableStore(root)
+    store.commit(spark, "t", Seq((1L, "a")).toDF("id", "v"))
+    armSweep = true
+    val e = intercept[ConcurrentCommitException] {
+      store.commit(spark, "t", Seq((2L, "b")).toDF("id", "v"))
+    }
+    armSweep = false
+    assert(e.getMessage.contains("swept"))
+    // the pointer was restored: the table still reads v1, not a
+    // deleted dir, and a retried commit lands normally
+    assert(plain.read(spark, "t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    store.commit(spark, "t", Seq((2L, "b")).toDF("id", "v"))
+    assert(plain.read(spark, "t").count() == 1)
+    assert(plain.read(spark, "t").head.getLong(0) == 2L)
+    // CREATE path: the undo removes the pointer entirely — the table
+    // reads as never-created, and a later create succeeds
+    armSweep = true
+    intercept[ConcurrentCommitException] {
+      store.commit(spark, "t2", Seq((1L, "a")).toDF("id", "v"))
+    }
+    armSweep = false
+    assert(!plain.exists("t2"))
+    store.commit(spark, "t2", Seq((1L, "a")).toDF("id", "v"))
+    assert(plain.read(spark, "t2").count() == 1)
+  }
+
   test("readPinned/commitPinned: a commit landing after the pinned read fails the publish") {
     val root = tmpDir("cas-pinned")
     val store = new ParquetTableStore(root)

@@ -120,6 +120,13 @@ class VectorCompressionSpec extends SparkSpec {
     val pair = Seq((Seq(5L, 1L), Seq(6L, 1L))).toDF("a", "b")
       .select(VectorCompression.hamming(col("a"), col("b")).as("h"))
     assert(pair.head.getLong(0) == 2L) // 5 xor 6 = 3 -> 2 bits, word 2 equal
+    // a vector SHORTER than the declared dim: missing components are
+    // 0 bits (the documented contract) — under ANSI mode an unguarded
+    // element_at past the array end would throw INVALID_ARRAY_INDEX
+    // instead
+    val short = Seq((1L, Array(1.0f, -1.0f))).toDF("id", "vec")
+      .select(VectorCompression.binarize(col("vec"), 70)).head.getSeq[Long](0)
+    assert(short == Seq(1L, 0L), short)
   }
 
   test("binary shortlist + cosine rerank: exact top-k recovered at full shortlist") {
