@@ -24,6 +24,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round-10 post-mortem: the stateful-streaming gates (st3/st4/st8)
+    // leave a StateStore maintenance timer that fires AFTER
+    // spark.stop() and logs a ~1 KB IllegalStateException stack trace.
+    // Under `run / outputStrategy := StdoutOutput` the fork's stderr is
+    // merged into stdout, so that trace landed INSIDE the driver's
+    // 2000-char stdout tail and displaced the contract line
+    // (BENCH_r10.parsed = null). The maintenance log carries zero
+    // information here (the store is being torn down on purpose), so
+    // the whole package is hard-off for the bench process.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state",
+      org.apache.logging.log4j.Level.OFF)
 
     // Round-6 lesson: swallowing exceptions here let 16 broken queries
     // masquerade as 0.1 s successes. Failures are now collected and
@@ -145,6 +157,10 @@ object Bench {
       .map { case (k, v, r, ok) =>
         s"""[bench] $k ${r2(v)}s retained=$r${if (ok) "" else " FAILED"}""" }
       .mkString("\n"))
+    // "rnz" (retained-RDDs-nonzero) and "hyg" were "retained_nonzero"/
+    // "hygiene" through r10; shortened per the round-10 verdict — at
+    // 185+ queries the r1-tier line had 24 chars of slack and these two
+    // keys were the cheapest 17 chars on it.
     val retained = results.collect { case (k, _, r, _) if r != 0 =>
       "\"" + keyOf(k) + "\":" + r }.mkString("{", ",", "}")
     // first-run times of the re-run (heavy) queries: both readings of
@@ -176,20 +192,40 @@ object Bench {
       val qs = results.map { case (k, v, _, ok) =>
         "\"" + keyOf(k) + "\":" + (if (ok) js(prec(v)) else "null") }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"retained_nonzero":$retained,"hygiene":$hygiene,"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rnz":$retained,"hyg":$hygiene,"sf":"$sfTag"}"""
     }
     def r1(v: Double): Double = math.round(v * 10).toDouble / 10
-    // budget: the driver keeps the LAST 2000 stdout chars and sbt
-    // appends a ~76-char success epilogue after the line (measured in
-    // BENCH_r09's recorded tail) — 1920 keeps the whole line inside
-    // the window with margin
-    val line = Seq(contract(r2), contract(r1))
-      .find(_.length <= 1920)
+    // Precision ladder (re-derived after BENCH_r10): degrade the SLOW
+    // queries to integer seconds first — a 7 s query at 1 s resolution
+    // still supports the driver's >2× regression check, while the
+    // sub-second majority (where 1 s resolution erases the signal
+    // entirely) keeps its decimal as long as possible.
+    def adaptive(cut: Double)(v: Double): Double =
+      if (v >= cut) math.round(v).toDouble else r1(v)
+    // Budget: the driver keeps the LAST 2000 stdout chars. With the
+    // state-store logger hard-off and the contract line printed as the
+    // process's final output (stop → println → flush → exit), the only
+    // post-line bytes are sbt's success epilogue — 74 chars in
+    // BENCH_r10's recorded tail ("[success] Total time: … completed
+    // <date>"), date-length jitter ±2. 1900 leaves ~25 chars of real
+    // margin; r10's "~76-char epilogue" assumption was right, its
+    // 1920 budget just had no room for the 1 KB of unexpected noise
+    // that the logger-off + exit ordering now makes impossible.
+    val line = Seq(contract(r2), contract(r1),
+        contract(adaptive(10.0)), contract(adaptive(3.0)))
+      .find(_.length <= 1900)
       .getOrElse(contract(v => math.round(v).toDouble))
-    println(line)
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: " +
         failed.mkString(", "))
+    // Contract line LAST, then exit before any async logger (state-store
+    // maintenance, shutdown hooks) can write after it: stop() first so
+    // Spark's own teardown noise precedes the line, flush because the
+    // forked JVM's stdout is pipe-buffered (not line-buffered) and
+    // System.exit would otherwise drop the unflushed tail.
     spark.stop()
+    println(line)
+    System.out.flush()
+    System.exit(0)
   }
 }
