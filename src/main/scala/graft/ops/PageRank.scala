@@ -68,10 +68,31 @@ object PageRank {
     * the graph (zeros kept). */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val corners = triangleTriples(und)
+      .select(explode(array(col("a"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id"))).distinct()
+      .join(corners, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Canonical distinct undirected (u < v) pairs of a raw edge frame
+    * — self-loops dropped, direction and duplicates collapsed. */
+  private def canonicalUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
-    val und = raw.select(least(col("u"), col("v")).as("u"),
-      greatest(col("u"), col("v")).as("v")).distinct()
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v")).distinct()
+
+  /** Every triangle of a canonical undirected edge set, exactly once,
+    * as (a, x, y) with x < y — the Suri–Vassilvitskii enumeration
+    * [[triangleCounts]] documents (degree-ordered orientation bounds
+    * wedge fan-out at O(√m)). */
+  private def triangleTriples(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("id"))
       .union(und.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -91,14 +112,158 @@ object PageRank {
       .filter(col("x") < col("y"))
     // the wedge's open side is canonical (x < y), so it closes
     // directly against the canonical undirected edge set
-    val tri = wedges.join(
-      und.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-    val corners = tri
-      .select(explode(array(col("a"), col("x"), col("y"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
-    deg.select("id").join(corners, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    wedges.join(und.select(col("u").as("x"), col("v").as("y")),
+      Seq("x", "y"))
+      .select(col("a"), col("x"), col("y"))
+  }
+
+  /** INCREMENTAL triangle maintenance under edge APPENDS — the
+    * d10/ts25 build-once/fold-delta discipline applied to the graph
+    * family (reference analog: the incremental-sync shape of
+    * main_scraper.py:144-179 — fold only what's new, keep the
+    * artifact current). The store holds three artifacts:
+    *
+    *  - `edgesTable` (u, v): the canonical undirected edge set,
+    *    key-bucketed — each fold appends its genuinely-new edges as
+    *    an O(delta) bucketed commit;
+    *  - `countsTable` (id, n_triangles): per-node counts for every
+    *    node seen so far, key-bucketed — each fold rewrites only the
+    *    touched ids' buckets;
+    *  - `metaTable` (edges_version): the edges version the counts
+    *    were derived from, committed LAST (the ts25/bm25_meta
+    *    cross-table consistency marker).
+    *
+    * Fold math — a triangle gained by the append has 1, 2, or 3 new
+    * edges, and each case enumerates EXACTLY once (never re-touching
+    * the stored wedge mass):
+    *
+    *  1. one new edge (x,y), two stored: common stored neighbors,
+    *     enumerated from the lower-(degree, id) endpoint — the
+    *     bounded-intersection shape, Σ min(deg x, deg y) work;
+    *  2. two new edges sharing center a, one stored closing edge:
+    *     wedges WITHIN the delta (delta-sized self-join) closed
+    *     against the stored set by one equi-join;
+    *  3. three new edges: the S-V enumeration over the delta alone.
+    *
+    * Per-fold cost: one scan of the stored edge set (adjacency +
+    * degrees + closing joins) plus delta-sized work — never the
+    * O(m^1.5) wedge mass a from-scratch rebuild pays. Counts are
+    * ADDITIVE, so replay safety comes from the edge anti-join: a
+    * replayed delta finds all its edges already stored, contributes
+    * zero increments, and the commits no-op — idempotent without a
+    * ledger. A crash BETWEEN commits leaves the version marker
+    * behind the edge table; the next fold detects the torn state and
+    * fails LOUDLY with a rebuild instruction (the st8 contract)
+    * instead of double-counting or silently under-counting.
+    *
+    * Returns the full (id, n_triangles) view after the fold —
+    * identical to [[triangleCounts]] over everything appended so far
+    * (gate g3 pins the identity). */
+  def triangleCountsAppend(newEdges: DataFrame, srcCol: String,
+      dstCol: String, store: ParquetTableStore,
+      edgesTable: String = "tri_edges",
+      countsTable: String = "tri_counts",
+      metaTable: String = "tri_meta",
+      numBuckets: Int = 32): DataFrame = {
+    val spark = newEdges.sparkSession
+    import spark.implicits._
+    val delta = canonicalUndirected(newEdges, srcCol, dstCol)
+    val have = Seq(edgesTable, countsTable, metaTable).map(store.exists)
+    if (have.exists(identity) && !have.forall(identity))
+      throw new IllegalStateException(
+        s"triangle artifacts are torn (present: " +
+          Seq(edgesTable, countsTable, metaTable).zip(have)
+            .collect { case (t, true) => t }.mkString(", ") +
+          ") — a build crashed between commits; delete the three " +
+          "tables and re-append the full edge history to rebuild")
+    if (!have.head) {
+      // first batch: full build (each commit creates its table; a
+      // crash mid-build is caught by the torn-state check above)
+      store.withCommitRetries()(store.upsertBucketed(spark, edgesTable,
+        delta, Seq("u", "v"), numBuckets))
+      store.withCommitRetries()(store.upsertBucketed(spark, countsTable,
+        triangleCounts(delta, "u", "v"), Seq("id"), numBuckets))
+      store.withCommitRetries()(store.commit(spark, metaTable,
+        Seq(store.currentVersion(edgesTable).get).toDF("edges_version")))
+      return store.read(spark, countsTable)
+    }
+    val metaV = store.read(spark, metaTable).head.getAs[Long]("edges_version")
+    val curV = store.currentVersion(edgesTable).get
+    if (metaV != curV)
+      throw new IllegalStateException(
+        s"triangle counts are stale: $metaTable records edges version " +
+          s"$metaV but $edgesTable is at $curV — a fold crashed between " +
+          "commits; delete the three tables and re-append the full edge " +
+          "history to rebuild")
+    val stored = store.read(spark, edgesTable).select("u", "v")
+    val deltaNew = delta.join(stored, Seq("u", "v"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (deltaNew.limit(1).count() == 0)
+        return store.read(spark, countsTable)
+      // stored adjacency + degrees: one scan of the edge artifact
+      val adj = stored.select(col("u").as("n1"), col("v").as("n2"))
+        .unionByName(stored.select(col("v").as("n1"), col("u").as("n2")))
+      val deg = adj.groupBy(col("n1").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      // case 1: one new edge, two stored — expand from the
+      // lower-(deg, id) endpoint (endpoints new to the graph have
+      // stored degree 0 and expand to nothing)
+      val dWithDeg = deltaNew
+        .join(deg.select(col("id").as("u"), col("deg").as("du")),
+          Seq("u"), "left")
+        .join(deg.select(col("id").as("v"), col("deg").as("dv")),
+          Seq("v"), "left")
+        .select(col("u"), col("v"), coalesce(col("du"), lit(0L)).as("du"),
+          coalesce(col("dv"), lit(0L)).as("dv"))
+      // u < v, so the equal-degree tie keeps u as the expansion side
+      val loHi = dWithDeg.select(
+        when(col("du") <= col("dv"),
+          struct(col("u").as("lo"), col("v").as("hi")))
+          .otherwise(struct(col("v").as("lo"), col("u").as("hi"))).as("e"))
+        .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      // a == hi is impossible: it would mean (lo, hi) is stored, and
+      // deltaNew was anti-joined against the stored set
+      val tri1 = loHi
+        .join(adj, loHi("lo") === adj("n1"))
+        .select(col("lo"), col("hi"), col("n2").as("a"))
+        .join(stored.select(col("u").as("cu"), col("v").as("cv")),
+          least(col("a"), col("hi")) === col("cu") &&
+            greatest(col("a"), col("hi")) === col("cv"))
+        .select(col("a"), col("lo").as("x"), col("hi").as("y"))
+      // case 2: two new edges wedge at c, stored edge closes (w < w2
+      // matches the stored canonical form directly)
+      val dAdj = deltaNew.select(col("u").as("c"), col("v").as("w"))
+        .unionByName(deltaNew.select(col("v").as("c"), col("u").as("w")))
+      val tri2 = dAdj
+        .join(dAdj.select(col("c"), col("w").as("w2")), Seq("c"))
+        .filter(col("w") < col("w2"))
+        .join(stored, col("w") === col("u") && col("w2") === col("v"))
+        .select(col("c").as("a"), col("w").as("x"), col("w2").as("y"))
+      // case 3: all three edges new — the S-V pass over the delta
+      val tri3 = triangleTriples(deltaNew)
+      val incr = tri1.unionByName(tri2).unionByName(tri3)
+        .select(explode(array(col("a"), col("x"), col("y"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("inc"))
+      // touched = every id whose count changes or newly exists
+      val deltaNodes = deltaNew.select(col("u").as("id"))
+        .unionByName(deltaNew.select(col("v").as("id"))).distinct()
+      val updated = incr.select("id").unionByName(deltaNodes).distinct()
+        .join(store.read(spark, countsTable), Seq("id"), "left")
+        .join(incr, Seq("id"), "left")
+        .select(col("id"),
+          (coalesce(col("n_triangles"), lit(0L)) +
+            coalesce(col("inc"), lit(0L))).as("n_triangles"))
+      // commit order IS the consistency protocol: edges, then the
+      // touched counts, then the version marker (see scaladoc)
+      store.withCommitRetries()(store.upsertBucketed(spark, edgesTable,
+        deltaNew, Seq("u", "v"), numBuckets))
+      store.withCommitRetries()(store.upsertBucketed(spark, countsTable,
+        updated, Seq("id"), numBuckets))
+      store.withCommitRetries()(store.commit(spark, metaTable,
+        Seq(store.currentVersion(edgesTable).get).toDF("edges_version")))
+      store.read(spark, countsTable)
+    } finally deltaNew.unpersist(false)
   }
 
   /** (id, r): damped PageRank after exactly `iterations` rounds. */

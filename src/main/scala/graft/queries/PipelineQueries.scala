@@ -4098,6 +4098,54 @@ object PipelineQueries {
             FROM nodes n LEFT JOIN cnt ON cnt.id = n.id
             ORDER BY p_partkey"""))
 
+  /** G3: INCREMENTAL triangle maintenance
+    * ([[PageRank.triangleCountsAppend]]) — the d12 identity applied
+    * to the graph family: the co-order edges split into two
+    * deterministic batches, the first BUILDS the stored edge/count
+    * artifacts, the second FOLDS in (new-edge triangles enumerated by
+    * their 1/2/3-new-edge case, O(delta + one edge-set scan) work),
+    * and the folded counts must equal [[PageRank.triangleCounts]]
+    * from scratch over everything — which is exactly g2's oracle.
+    * The split is on the DIRECTED edges, so a canonical pair can
+    * arrive in both batches via its two directions — the fold's
+    * anti-join must absorb it (the replay-idempotence path, exercised
+    * by real data rather than a crafted fixture). */
+  private val g3 = QueryDef(
+    "g3_incremental_triangles",
+    "edge-append triangle maintenance ≡ from-scratch counts",
+    (s, dir) => {
+      val edges = PageRank.coOrderEdges(Tables.lineitem(s, dir))
+      val root = graft.ops.Scratch.tempDir("graft-g3-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      PageRank.triangleCountsAppend(
+        edges.filter((col("src") + col("dst")) % 3 =!= 0),
+        "src", "dst", store)
+      PageRank.triangleCountsAppend(
+        edges.filter((col("src") + col("dst")) % 3 === 0),
+        "src", "dst", store)
+        .select(col("id").as("p_partkey"), col("n_triangles"))
+        .orderBy("p_partkey")
+    },
+    // from-scratch counts over ALL edges — byte-identical to g2's
+    // oracle, because that identity IS the gate's claim
+    Some(s"""WITH $coOrderEdgesSql,
+            und AS (SELECT DISTINCT least(src, dst) AS u,
+                      greatest(src, dst) AS v FROM e),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM und e1
+                    JOIN und e2 ON e2.u = e1.v
+                    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+            corners AS (SELECT a AS id FROM tri
+                        UNION ALL SELECT b FROM tri
+                        UNION ALL SELECT c FROM tri),
+            nodes AS (SELECT u AS id FROM und UNION SELECT v FROM und),
+            cnt AS (SELECT id, count(*)::BIGINT AS n FROM corners
+                    GROUP BY id)
+            SELECT n.id AS p_partkey,
+              coalesce(cnt.n, 0)::BIGINT AS n_triangles
+            FROM nodes n LEFT JOIN cnt ON cnt.id = n.id
+            ORDER BY p_partkey"""))
+
   /** D15: containment near-dup pairs ([[Dedup.containmentPairs]]) —
     * the asymmetric |A∩B|/min(|A|,|B|) metric over the same LSH
     * candidate chain as d2 (the oracle swaps only the verify measure
@@ -5646,7 +5694,7 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, dc1, dc2, dc3, ss1, ss2,
+    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,

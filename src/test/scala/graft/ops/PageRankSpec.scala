@@ -78,4 +78,42 @@ class PageRankSpec extends SparkSpec {
     // total triangles = sum(corners)/3 = 4
     assert(got.values.sum == 12L)
   }
+
+  test("triangleCountsAppend: fold ≡ from-scratch; replay no-ops; torn state fails loud") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("tri-append"))
+    // K4 on {1,2,3,4} + tail 4-5, split so the fold exercises all
+    // three cases: batch 1 = {1-2, 1-3, 2-3, 3-4} (one triangle);
+    // batch 2 = {1-4, 2-4, 4-5}: 1-4 closes {1,3,4} via two stored
+    // edges (case 1); {1,2,4} needs both new edges 1-4, 2-4 + stored
+    // 1-2 (case 2); 4-5 adds node 5 with no triangles. A reversed
+    // duplicate of a stored edge rides along — the anti-join must
+    // absorb it.
+    val b1 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val b2 = Seq((1L, 4L), (2L, 4L), (4L, 5L), (2L, 1L)).toDF("s", "d")
+    val first = PageRank.triangleCountsAppend(b1, "s", "d", store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L), first)
+    val folded = PageRank.triangleCountsAppend(b2, "s", "d", store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = PageRank.triangleCounts(
+      b1.unionByName(b2), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == scratch, s"folded=$folded scratch=$scratch")
+    assert(folded == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+    // a REPLAYED delta finds every edge already stored: zero
+    // increments, identical counts (the idempotence contract)
+    val replayed = PageRank.triangleCountsAppend(b2, "s", "d", store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == folded, replayed)
+    // torn state (a fold crashed between the edges and meta commits):
+    // the next fold must fail LOUDLY, not double-count
+    store.upsertBucketed(spark, "tri_edges",
+      Seq((9L, 10L)).toDF("u", "v"), Seq("u", "v"))
+    val e = intercept[IllegalStateException] {
+      PageRank.triangleCountsAppend(
+        Seq((5L, 6L)).toDF("s", "d"), "s", "d", store)
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+  }
 }
