@@ -434,7 +434,8 @@ object Main {
           "no lexical index in this store — run index-docs first")
         show(graft.ops.TextAnalysis.bm25TopKStored(spark, store, terms, k,
             postingsTable = "doc_bm25_postings",
-            statsTable = "doc_bm25_stats")
+            statsTable = "doc_bm25_stats",
+            tombstoneTable = "doc_bm25_tombstones")
           .orderBy("rank"), k)
 
       case "cluster-docs" =>

@@ -788,15 +788,19 @@ object TextAnalysis {
       explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+    // `gen` is the document GENERATION ([[bm25ReindexDocs]]'s
+    // tombstone epoch); a fresh build is generation 0 everywhere
     val postings = tf.join(dl, Seq("id"))
-      .select(col("term"), col("id"), col("tf"), col("dl"))
+      .select(col("term"), col("id"), col("tf"), col("dl"),
+        lit(0L).as("gen"))
     store.replaceBucketed(spark, postingsTable, postings, Seq("term"),
       numBuckets, sortWithin = Seq("term", "id"))
     val pv = store.currentVersion(postingsTable).get
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
     store.commit(spark, statsTable,
-      dfreq.crossJoin(stats).withColumn("postings_version", lit(pv)))
+      dfreq.crossJoin(stats).withColumn("postings_version", lit(pv))
+        .withColumn("tombstones_version", lit(-1L)))
   }
 
   /** INCREMENTAL index maintenance — fold NEW documents into the
@@ -855,8 +859,16 @@ object TextAnalysis {
       explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+    // new documents are generation 0 (never reindexed)
     val postings = tf.join(dl, Seq("id"))
-      .select(col("term"), col("id"), col("tf"), col("dl"))
+      .select(col("term"), col("id"), col("tf"), col("dl"),
+        lit(0L).as("gen"))
+    // a pre-generation-layout index would mix gen-less and gen-ful
+    // part files — refuse loudly with the standing repair instruction
+    val statsAll = store.read(spark, statsTable)
+    require(statsAll.columns.contains("tombstones_version"),
+      s"bm25AppendIndex: $statsTable predates the generation layout — " +
+        "rebuild the index (bm25BuildIndex) before appending")
     store.appendBucketed(spark, postingsTable, postings, Seq("term"),
       sortWithin = Seq("term", "id"))
     val pv = store.currentVersion(postingsTable).get
@@ -864,17 +876,22 @@ object TextAnalysis {
     // corpus scalars (n, total_dl) shift on EVERY row, which is why
     // the stats frame replaces whole — it is ≤|vocab| rows by
     // construction, never corpus-sized
-    val old = store.read(spark, statsTable).drop("postings_version")
+    val old = statsAll.drop("postings_version", "tombstones_version")
     // ONE job collects both scalar frames (stored corpus scalars +
     // delta scalars): at streaming cadence every scheduled job round
-    // is a fixed per-batch cost, so the two tiny reads fold into one
-    val scalarRows = old.select(lit(0).as("side"), col("n"), col("total_dl"))
-      .limit(1)
+    // is a fixed per-batch cost, so the two tiny reads fold into one.
+    // The tombstone pin rides the stored side (constant per row) so
+    // an append after a reindex carries it forward instead of
+    // silently un-pinning the tombstone state.
+    val scalarRows = statsAll.select(lit(0).as("side"), col("n"),
+        col("total_dl"), col("tombstones_version")).limit(1)
       .unionByName(dl.agg(lit(1).as("side"), count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl"),
+        lit(-1L).as("tombstones_version")))
       .collect()
-    val (oldN, oldTotalDl) = scalarRows.find(_.getInt(0) == 0)
-      .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+    val (oldN, oldTotalDl, tombV) = scalarRows.find(_.getInt(0) == 0)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .getOrElse((0L, 0L, -1L))
     val deltaRow = scalarRows.find(_.getInt(0) == 1).get
     val n2 = oldN + deltaRow.getLong(1)
     val totalDl2 = oldTotalDl + deltaRow.getLong(2)
@@ -885,8 +902,178 @@ object TextAnalysis {
         (coalesce(col("df"), lit(0L)) +
           coalesce(col("df_delta"), lit(0L))).as("df"),
         lit(n2).as("n"), lit(totalDl2).as("total_dl"),
-        lit(pv).as("postings_version"))
+        lit(pv).as("postings_version"),
+        lit(tombV).as("tombstones_version"))
     store.commit(spark, statsTable, merged)
+  }
+
+  /** REINDEX CHANGED DOCUMENTS in the stored BM25 index — the
+    * delete-and-re-append path that closes [[bm25AppendIndex]]'s
+    * insert-only gap. A changed doc's old postings live scattered
+    * across TERM buckets, so rewriting them in place would be a
+    * corpus-sized bucket rewrite; instead the mutation is
+    * LOG-STRUCTURED (the per-id tombstone + compaction shape):
+    *
+    *  - new postings append insert-only with a bumped per-doc
+    *    GENERATION (`gen` = live max + 1; brand-new ids start at 0 —
+    *    reindex therefore subsumes append as the general upsert);
+    *  - a tombstone row (id, dead_below) marks every PRIOR generation
+    *    of that id dead — the probe drops them with one
+    *    tombstone-sized broadcast join;
+    *  - the stats frame recomputes exactly as a from-scratch build
+    *    would see it: n and total_dl shift by (new − old live) and
+    *    per-term df by (docs gained − docs lost), zero-df terms
+    *    dropped — probe ≡ rebuild bit-exactly (gate ts28).
+    *
+    * Cost: ONE postings scan (the honest price of a doc-keyed lookup
+    * in a term-keyed artifact — churn-heavy deployments co-maintain a
+    * forward index), delta-sized tokenize + appends, vocabulary-sized
+    * stats rewrite. Consistency: commits order postings → tombstones
+    * → stats, and stats pins BOTH artifact versions
+    * (`postings_version`, `tombstones_version`), so a probe landing
+    * mid-mutation or after a crash between commits refuses retryably
+    * ([[bm25TopKStored]]) — a torn reindex can never answer wrong,
+    * and re-running the reindex CONVERGES (the dead generations it
+    * re-kills are already invisible; garbage accrues until
+    * [[bm25CompactIndex]]). Mutations on one index must be externally
+    * serialized, as with build/append. */
+  def bm25ReindexDocs(docs: DataFrame, idCol: String, textCol: String,
+      store: ParquetTableStore,
+      postingsTable: String = "bm25_postings",
+      statsTable: String = "bm25_stats",
+      tombstoneTable: String = "bm25_tombstones"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(store.exists(postingsTable) && store.exists(statsTable),
+      s"bm25ReindexDocs: index ($postingsTable, $statsTable) not built — " +
+        "run bm25BuildIndex first")
+    val ids = docs.select(col(idCol).as("id"))
+    val nDup = ids.groupBy("id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(nDup == 0,
+      s"bm25ReindexDocs: docs carries duplicate $idCol values — " +
+        "postings would double-count; dedup the delta first")
+    val statsAll = store.read(spark, statsTable)
+    require(statsAll.columns.contains("tombstones_version"),
+      s"bm25ReindexDocs: $statsTable predates the generation layout — " +
+        "rebuild the index (bm25BuildIndex) first")
+    val allPostings = store.read(spark, postingsTable)
+    val tomb =
+      if (store.exists(tombstoneTable))
+        Some(store.read(spark, tombstoneTable))
+      else None
+    // LIVE old rows of exactly the reindexed ids: one postings scan
+    val oldLive0 = allPostings
+      .join(ids, Seq("id"), "left_semi")
+    val oldLive = (tomb match {
+      case None => oldLive0
+      case Some(t) => oldLive0
+        .join(broadcast(t.select(col("id"), col("dead_below"))),
+          Seq("id"), "left")
+        .filter(col("dead_below").isNull ||
+          coalesce(col("gen"), lit(0L)) >= col("dead_below"))
+        .drop("dead_below")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-id next generation (ids new to the index start at 0)
+      val gens = oldLive.groupBy("id")
+        .agg((max(coalesce(col("gen"), lit(0L))) + 1L).as("gen"))
+      // one tokenize pass over the NEW text (the build shape)
+      val toks = docs.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+        val newPostings = tf.join(dl, Seq("id"))
+          .join(gens, Seq("id"), "left")
+          .select(col("term"), col("id"), col("tf"), col("dl"),
+            coalesce(col("gen"), lit(0L)).as("gen"))
+        // ONE job for all six scalars: stored (n, total_dl), dead
+        // (docs, dl mass), new (docs, dl mass)
+        val oldDl = oldLive.select("id", "dl").distinct()
+        val scalarRows = statsAll.select(lit(0).as("side"), col("n"),
+            col("total_dl")).limit(1)
+          .unionByName(oldDl.agg(lit(1).as("side"),
+            count(lit(1)).as("n"),
+            coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
+          .unionByName(dl.agg(lit(2).as("side"), count(lit(1)).as("n"),
+            coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
+          .collect()
+        def side(i: Int): (Long, Long) = scalarRows.find(_.getInt(0) == i)
+          .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+        val (n0, t0) = side(0); val (nDead, tDead) = side(1)
+        val (nNew, tNew) = side(2)
+        val n2 = n0 - nDead + nNew
+        val totalDl2 = t0 - tDead + tNew
+        // commits: postings first (insert-only; an all-empty new text
+        // batch appends nothing and the version no-ops), tombstones
+        // second, stats LAST pinning both versions
+        store.withCommitRetries()(store.appendBucketed(spark,
+          postingsTable, newPostings, Seq("term"),
+          sortWithin = Seq("term", "id")))
+        val deadMarks = gens.select(col("id"), col("gen").as("dead_below"))
+        if (deadMarks.limit(1).count() > 0)
+          store.withCommitRetries()(
+            store.upsert(spark, tombstoneTable, deadMarks, Seq("id")))
+        val pv = store.currentVersion(postingsTable).get
+        val tv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+        val dfDead = oldLive.groupBy("term")
+          .agg(count(lit(1)).as("df_dead"))
+        val dfNew = tf.groupBy("term").agg(count(lit(1)).as("df_new"))
+        val merged = statsAll
+          .drop("postings_version", "tombstones_version")
+          .select(col("term"), col("df"))
+          .join(dfDead, Seq("term"), "full_outer")
+          .join(dfNew, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df"), lit(0L)) - coalesce(col("df_dead"), lit(0L))
+              + coalesce(col("df_new"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+          .select(col("term"), col("df"), lit(n2).as("n"),
+            lit(totalDl2).as("total_dl"),
+            lit(pv).as("postings_version"),
+            lit(tv).as("tombstones_version"))
+        store.withCommitRetries()(store.commit(spark, statsTable, merged))
+        ()
+      } finally tf.unpersist(false)
+    } finally oldLive.unpersist(false)
+  }
+
+  /** COMPACT a reindexed BM25 index: rewrite the postings keeping
+    * only live generations (reset to 0), clear the tombstone table,
+    * and re-pin the stats frame — the periodic pass that bounds the
+    * probe's tombstone broadcast and reclaims dead-generation bytes
+    * (the log-structured discipline's merge step). Full bucketed
+    * rewrite by construction — run it at compaction cadence, not per
+    * reindex. */
+  def bm25CompactIndex(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore,
+      postingsTable: String = "bm25_postings",
+      statsTable: String = "bm25_stats",
+      tombstoneTable: String = "bm25_tombstones",
+      numBuckets: Int = 32): Unit = {
+    if (!store.exists(tombstoneTable)) return // nothing dead — no-op
+    val all = store.read(spark, postingsTable)
+    val t = store.read(spark, tombstoneTable)
+    val live = all
+      .join(broadcast(t.select(col("id"), col("dead_below"))),
+        Seq("id"), "left")
+      .filter(col("dead_below").isNull ||
+        coalesce(col("gen"), lit(0L)) >= col("dead_below"))
+      .select(col("term"), col("id"), col("tf"), col("dl"),
+        lit(0L).as("gen"))
+    store.withCommitRetries()(store.replaceBucketed(spark, postingsTable,
+      live, Seq("term"), numBuckets, sortWithin = Seq("term", "id")))
+    store.withCommitRetries()(
+      store.commit(spark, tombstoneTable, t.filter(lit(false))))
+    val pv = store.currentVersion(postingsTable).get
+    val tv = store.currentVersion(tombstoneTable).get
+    val statsAll = store.read(spark, statsTable)
+    store.withCommitRetries()(store.commit(spark, statsTable,
+      statsAll.drop("postings_version", "tombstones_version")
+        .withColumn("postings_version", lit(pv))
+        .withColumn("tombstones_version", lit(tv))))
   }
 
   /** BM25 top-`k` against the STORED index — probe cost is
@@ -905,7 +1092,8 @@ object TextAnalysis {
       store: ParquetTableStore, query: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       postingsTable: String = "bm25_postings",
-      statsTable: String = "bm25_stats"): DataFrame = {
+      statsTable: String = "bm25_stats",
+      tombstoneTable: String = "bm25_tombstones"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(query.nonEmpty, "query must carry at least one term")
     import spark.implicits._
@@ -913,22 +1101,45 @@ object TextAnalysis {
     val (postingsPruned, pv) =
       store.readBucketsOf(spark, postingsTable, q.toDF("term"))
     val statsAll = store.read(spark, statsTable)
-    // the two tables commit independently; a probe landing between an
-    // index mutation's two publishes must fail retryably, never mix a
-    // new postings snapshot with old stats. Stats commit LAST and
-    // record the postings version they were derived from — exact
-    // match or refuse (one 1-row columnar scan).
-    val expected = statsAll.select("postings_version").limit(1).collect()
-      .headOption.map(_.getLong(0))
-    if (!expected.contains(pv))
+    // the tables commit independently; a probe landing between an
+    // index mutation's publishes must fail retryably, never mix
+    // snapshots. Stats commit LAST and record the postings AND
+    // tombstone versions they were derived from — exact match or
+    // refuse (one 1-row columnar scan reads both pins; a legacy
+    // pre-generation stats frame pins tombstones at "absent").
+    val pins = statsAll.select(col("postings_version"),
+        (if (statsAll.columns.contains("tombstones_version"))
+          col("tombstones_version") else lit(-1L)).as("tv"))
+      .limit(1).collect().headOption
+    if (!pins.map(_.getLong(0)).contains(pv))
       throw new IllegalStateException(
         s"bm25 index mid-update: $statsTable derives from postings " +
-          s"v${expected.orNull} but $postingsTable resolved v$pv — " +
-          "retry after the index mutation completes")
-    val postings = postingsPruned.filter(col("term").isin(q: _*))
+          s"v${pins.map(_.getLong(0)).orNull} but $postingsTable " +
+          s"resolved v$pv — retry after the index mutation completes")
+    val tombPin = pins.map(_.getLong(1)).getOrElse(-1L)
+    val actualTomb = store.currentVersion(tombstoneTable).getOrElse(-1L)
+    if (tombPin != actualTomb)
+      throw new IllegalStateException(
+        s"bm25 index mid-update: $statsTable derives from tombstones " +
+          s"v$tombPin but $tombstoneTable resolved v$actualTomb — " +
+          "retry after the reindex completes (or rebuild if a legacy " +
+          "index shares the store with a tombstone table)")
+    val postings0 = postingsPruned.filter(col("term").isin(q: _*))
+    // drop reindexed-away generations: the tombstone frame is bounded
+    // by doc churn since the last compaction (broadcast-sized by the
+    // bm25CompactIndex contract)
+    val postings =
+      if (actualTomb < 0) postings0
+      else postings0
+        .join(broadcast(store.read(spark, tombstoneTable)
+          .select(col("id"), col("dead_below"))), Seq("id"), "left")
+        .filter(col("dead_below").isNull ||
+          coalesce(col("gen"), lit(0L)) >= col("dead_below"))
+        .drop("dead_below")
     val stats = statsAll.filter(col("term").isin(q: _*))
-      .drop("postings_version")
-    bm25Rank(postings.join(broadcast(stats), Seq("term")), k, k1, b)
+      .drop("postings_version", "tombstones_version")
+    bm25Rank(postings.drop("gen").join(broadcast(stats), Seq("term")),
+      k, k1, b)
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection via

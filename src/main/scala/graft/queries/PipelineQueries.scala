@@ -4581,13 +4581,14 @@ object PipelineQueries {
     * parameterizes the query bag (ts21 probes the stored index with
     * a different query than ts17's from-scratch run). */
   private def bm25ChainSql(
-      terms: Seq[String] = Seq("hash", "join", "vector")): String =
+      terms: Seq[String] = Seq("hash", "join", "vector"),
+      corpus: String = "documents"): String =
     s"""bmtoks AS (SELECT doc_id AS id,
               unnest(CASE WHEN length(trim(lower(text))) = 0
                      THEN []::VARCHAR[]
                      ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
                      END) AS term
-              FROM documents),
+              FROM $corpus),
             bmdl AS (SELECT id, count(*)::BIGINT AS dl FROM bmtoks
                      GROUP BY id),
             bmstats AS (SELECT count(*)::BIGINT AS n,
@@ -5121,6 +5122,47 @@ object PipelineQueries {
         .orderBy("rank")
     },
     Some(s"""WITH ${bm25ChainSql(Seq("sort", "window", "stream"))}
+            SELECT rank, id, round(score, 6) AS score_r
+            FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
+
+  /** TS28: BM25 REINDEX OF CHANGED DOCUMENTS
+    * ([[TextAnalysis.bm25ReindexDocs]]) — closes the lexical
+    * family's last maintenance gap (ts21 builds, ts25 appends; this
+    * gate MUTATES). The engine builds the stored index over the full
+    * corpus, then re-feeds every doc_id % 7 == 0 with its first
+    * token dropped: the changed docs' old postings die by per-id
+    * tombstone, the new text appends under a bumped generation, and
+    * the stats frame shifts by exactly the dead/new difference
+    * (df, n, total_dl) — so the probe over the mutated index must
+    * equal the from-scratch BM25 chain over the MUTATED corpus,
+    * which is the oracle (same chain as ts17/ts21/ts25 with the
+    * mutation CTE swapped in). Dropping the first token changes
+    * every mutated doc's dl and hence total_dl/avgdl, shifting ALL
+    * scores — a stale or double-counted stats frame cannot
+    * hash-pass. */
+  private val ts28 = QueryDef(
+    "ts28_bm25_reindex_probe",
+    "BM25 probe after tombstone reindex ≡ rebuild over mutated corpus",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = graft.ops.Scratch.tempDir("graft-ts28-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      TextAnalysis.bm25BuildIndex(docs, "doc_id", "text", store)
+      TextAnalysis.bm25ReindexDocs(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text")),
+        "doc_id", "text", store)
+      TextAnalysis.bm25TopKStored(s, store,
+        query = Seq("sort", "window", "stream"), k = 10)
+        .orderBy("rank")
+    },
+    Some(s"""WITH mutated AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0
+                   THEN regexp_replace(text, '^\\S+\\s+', '')
+                   ELSE text END AS text
+            FROM documents),
+            ${bm25ChainSql(Seq("sort", "window", "stream"), "mutated")}
             SELECT rank, id, round(score, 6) AS score_r
             FROM bmranked WHERE rank <= 10 ORDER BY rank"""))
 
@@ -5696,7 +5738,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8)
 }

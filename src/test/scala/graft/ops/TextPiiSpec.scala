@@ -429,7 +429,7 @@ class TextPiiSpec extends SparkSpec {
     // the index carries the full vocabulary: postings have dl
     // denormalized, stats carry df + the corpus scalars per term
     val postings = store.read(spark, "bm25_postings")
-    assert(postings.columns.toSeq == Seq("term", "id", "tf", "dl"))
+    assert(postings.columns.toSeq == Seq("term", "id", "tf", "dl", "gen"))
     // the stats frame records the postings version it derives from
     // (the mixed-version guard)
     assert(store.read(spark, "bm25_stats")
@@ -449,7 +449,7 @@ class TextPiiSpec extends SparkSpec {
     // advance ONLY the postings table (the crashed-between-commits
     // state an append that never published its stats leaves behind)
     store.appendBucketed(spark, "bm25_postings",
-      Seq(("zzz", 99L, 1L, 1L)).toDF("term", "id", "tf", "dl"),
+      Seq(("zzz", 99L, 1L, 1L, 0L)).toDF("term", "id", "tf", "dl", "gen"),
       Seq("term"))
     val e = intercept[IllegalStateException] {
       TextAnalysis.bm25TopKStored(spark, store, Seq("hash"), k = 5)
@@ -505,6 +505,63 @@ class TextPiiSpec extends SparkSpec {
         Seq((7L, "a"), (7L, "b")).toDF("id", "text"), "id", "text", grown)
     }
     assert(eIntra.getMessage.contains("duplicate"), eIntra.getMessage)
+  }
+
+  test("bm25ReindexDocs: probe == rebuild over mutated corpus; replay converges; compaction exact") {
+    import spark.implicits._
+    val orig = Seq(
+      (1L, "hash join hash scan"),
+      (2L, "join merge sort"),
+      (3L, "vector scan filter"),
+      (4L, "hash vector probe")).toDF("id", "text")
+    val store = new ParquetTableStore(tmpDir("bm25-reidx"))
+    TextAnalysis.bm25BuildIndex(orig, "id", "text", store)
+    // mutate doc 1 (text change), doc 2 (to ZERO tokens — must leave
+    // n and total_dl), and add brand-new doc 9 (reindex subsumes
+    // append: gen 0, no tombstone)
+    val changed = Seq(
+      (1L, "scan scan merge"),
+      (2L, "   "),
+      (9L, "probe filter join")).toDF("id", "text")
+    TextAnalysis.bm25ReindexDocs(changed, "id", "text", store)
+    val mutated = Seq(
+      (1L, "scan scan merge"),
+      (3L, "vector scan filter"),
+      (4L, "hash vector probe"),
+      (9L, "probe filter join")).toDF("id", "text")
+    def probe(q: Seq[String]) =
+      TextAnalysis.bm25TopKStored(spark, store, q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    def scratch(q: Seq[String]) =
+      TextAnalysis.bm25TopK(mutated, "id", "text", q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (q <- Seq(Seq("scan", "merge"), Seq("hash", "join"),
+        Seq("probe", "filter")))
+      assert(probe(q) == scratch(q), s"query $q drifted after reindex")
+    // dead generations are invisible but still on disk; the stats
+    // scalars match the mutated corpus exactly
+    val st = store.read(spark, "bm25_stats").limit(1).head
+    assert(st.getAs[Long]("n") == 4L)     // doc 2 left the corpus
+    assert(st.getAs[Long]("total_dl") == 12L) // 3+3+3+3
+    // REPLAY converges: same probe answers, no stats drift
+    TextAnalysis.bm25ReindexDocs(changed, "id", "text", store)
+    for (q <- Seq(Seq("scan", "merge"), Seq("probe", "filter")))
+      assert(probe(q) == scratch(q), s"query $q drifted after replay")
+    // compaction drops the dead generations and keeps answers exact
+    TextAnalysis.bm25CompactIndex(spark, store)
+    assert(store.read(spark, "bm25_postings")
+      .filter(col("gen") =!= 0L).count() == 0)
+    assert(store.read(spark, "bm25_tombstones").count() == 0)
+    for (q <- Seq(Seq("scan", "merge"), Seq("hash", "join")))
+      assert(probe(q) == scratch(q), s"query $q drifted after compaction")
+    // a probe landing between the tombstone and stats commits must
+    // refuse: advance ONLY the tombstone table
+    store.upsert(spark, "bm25_tombstones",
+      Seq((4L, 1L)).toDF("id", "dead_below"), Seq("id"))
+    val e = intercept[IllegalStateException] {
+      TextAnalysis.bm25TopKStored(spark, store, Seq("hash"), k = 5)
+    }
+    assert(e.getMessage.contains("mid-update"), e.getMessage)
   }
 
   test("trigramLangId: held-out sentences classify to their language, ties break lang-asc") {
