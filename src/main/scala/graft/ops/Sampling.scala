@@ -249,6 +249,41 @@ object Sampling {
       .limit(k)
   }
 
+  /** GUMBEL-TOP-K weighted sampling WITHOUT replacement: draw `k`
+    * rows with probability ∝ exp(weight/tau) — exactly the
+    * importance-RESAMPLING stage the DSIR paper pairs with its
+    * log-ratio weights (Xie et al. 2023 §2; a plain top-k keeps only
+    * the head and collapses diversity). The Gumbel-top-k identity
+    * (Vieira 2014; Kool et al. 2019): argtop-k(weight/tau + g_i) with
+    * g_i = −ln(−ln u_i) IS a without-replacement sample from the
+    * softmax — one per-row expression plus one global top-k, no
+    * sequential draws.
+    *
+    * Determinism (the sm-family seed rule): u_i derives from the
+    * portable hash of (seed : key) — (h mod 10^6 + 0.5) / 10^6, never
+    * rand() — so the same seed re-draws the same sample on any
+    * engine, partitioning, or corpus growth that keeps the key. The
+    * per-row key is ROUNDED to 6 dp before the top-k and ties break
+    * on the row key (the tp5 boundary discipline: membership can't
+    * flip on an engine ulp). Survivors carry `gumbel_key_r` for
+    * downstream accounting.
+    *
+    * Scale shape: a pure per-row expression then a global top-k —
+    * TakeOrdered (per-partition heads + driver merge of k·P rows),
+    * no full sort, no corpus-sized anything. */
+  def gumbelTopK(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, tau: Double = 1.0, seed: String = ""): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(tau > 0, s"tau must be positive, got $tau")
+    val u = (pmod(TextFunctions.portableHash64(
+        concat(lit(seed + ":"), col(keyCol).cast("string"))),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+    df.withColumn("gumbel_key_r",
+        round(col(weightCol) / lit(tau) - log(-log(u)), 6))
+      .orderBy(col("gumbel_key_r").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** TOKEN-BUDGETED per-stratum cap: keep rows in the caller's
     * preference `order` until the stratum's cumulative token count
     * reaches `budget`. Mixtures are specified in TOKENS, not rows

@@ -47,11 +47,20 @@ object TextAnalysis {
     * per-row expression (no shuffle): position i in 1..len-2 yields
     * substr(i, 3), so spaces and accents carry signal. Texts shorter
     * than 3 chars yield the empty array. */
-  def charTrigrams(text: Column): Column = {
+  def charTrigrams(text: Column): Column = charGrams(text, 3)
+
+  /** Sliding character n-grams of the lowercased text (spaces and
+    * accents carry signal; texts shorter than `n` yield the empty
+    * array) — [[charTrigrams]] generalized for the feature families
+    * that want other widths (DSIR's multilingual variant runs char
+    * 4-grams where whitespace tokenization would shred CJK and
+    * agglutinative scripts). Pure per-row expression, no shuffle. */
+  def charGrams(text: Column, n: Int): Column = {
+    require(n >= 2, s"char n-grams need n >= 2, got $n")
     val t = lower(text)
-    when(length(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(t) - 2),
-        i => t.substr(i, lit(3))))
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
   }
 
   /** Trainable CHAR-TRIGRAM language classifier — the ts18
@@ -1172,18 +1181,27 @@ object TextAnalysis {
     * xxhash64 — the same algorithm over a different hash family,
     * measurably cheaper per feature (md5 exists for DuckDB-oracle
     * parity, the TextFunctions rule); weights then differ from the
-    * gated values only through slot assignment, not semantics. */
+    * gated values only through slot assignment, not semantics.
+    *
+    * `charNgrams=Some(n)` swaps the word unigram∪bigram features for
+    * sliding character n-grams ([[charGrams]]) — the multilingual
+    * variant the DSIR paper runs where whitespace tokenization would
+    * shred the script (CJK, agglutinative languages); same hashing,
+    * smoothing, and fold. */
   def dsirWeights(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
-      buckets: Int = 4096, portableHash: Boolean = true): DataFrame = {
+      buckets: Int = 4096, portableHash: Boolean = true,
+      charNgrams: Option[Int] = None): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val spark = corpus.sparkSession
     def slotOf(f: Column): Column =
       pmod(if (portableHash) portableHash64(f) else xxhash64(f),
         lit(buckets.toLong))
-    def feats(text: Column): Column = {
-      val toks = tokens(lower(text))
-      concat(toks, wordShingles(toks, 2))
+    def feats(text: Column): Column = charNgrams match {
+      case Some(n) => charGrams(text, n)
+      case None =>
+        val toks = tokens(lower(text))
+        concat(toks, wordShingles(toks, 2))
     }
     def slotCounts(df: DataFrame, textCol0: String): DataFrame =
       df.select(explode(feats(col(textCol0))).as("f"))

@@ -4939,7 +4939,7 @@ object PipelineQueries {
         buckets = 4096)
         .orderBy("id")
     },
-    Some(s"""WITH $dsirChainSql
+    Some(s"""WITH ${dsirChainSql()}
             SELECT id, weight_r FROM dwei ORDER BY id"""))
 
   /** The ts27 DSIR oracle chain (target = the 'vector' docs, corpus
@@ -4948,10 +4948,25 @@ object PipelineQueries {
     * the slot-ordered per-doc fold — emits `dwei(id, weight_r)` with
     * total coverage (weightless docs at 0), for ts27 to select
     * verbatim and tp12 to threshold. */
-  private def dsirChainSql: String =
-    """tsrc AS (SELECT text FROM documents
-                          WHERE contains(text, 'vector')),
-            ttok AS (SELECT CASE WHEN length(trim(lower(text))) = 0
+  private def dsirChainSql(charN: Option[Int] = None): String = {
+    // feature CTEs: word unigrams ∪ bigrams (default) or sliding
+    // char n-grams of the lowercased text (the multilingual variant
+    // — engine twin [[TextAnalysis.charGrams]]: no trim, spaces
+    // carry signal, texts shorter than n yield nothing)
+    val featCtes = charN match {
+      case Some(n) =>
+        s"""tfeat AS (SELECT unnest(list_transform(
+                        generate_series(1,
+                          greatest(length(lower(text)) - ${n - 1}, 0)),
+                        i -> substr(lower(text), i, $n))) AS f
+                      FROM tsrc),
+            cfeat AS (SELECT doc_id, unnest(list_transform(
+                        generate_series(1,
+                          greatest(length(lower(text)) - ${n - 1}, 0)),
+                        i -> substr(lower(text), i, $n))) AS f
+                      FROM documents),"""
+      case None =>
+        """ttok AS (SELECT CASE WHEN length(trim(lower(text))) = 0
                               THEN []::VARCHAR[]
                               ELSE regexp_split_to_array(
                                 trim(lower(text)), '\s+') END AS t
@@ -4961,9 +4976,6 @@ object PipelineQueries {
                           generate_series(1, greatest(len(t) - 1, 0)),
                           i -> t[i] || ' ' || t[i+1]))) AS f
                       FROM ttok),
-            tslot AS (SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096
-                        AS slot, count(*)::BIGINT AS c
-                      FROM tfeat GROUP BY 1),
             ctok AS (SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0
                               THEN []::VARCHAR[]
                               ELSE regexp_split_to_array(
@@ -4973,7 +4985,14 @@ object PipelineQueries {
                         list_transform(
                           generate_series(1, greatest(len(t) - 1, 0)),
                           i -> t[i] || ' ' || t[i+1]))) AS f
-                      FROM ctok),
+                      FROM ctok),"""
+    }
+    s"""tsrc AS (SELECT text FROM documents
+                          WHERE contains(text, 'vector')),
+            $featCtes
+            tslot AS (SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096
+                        AS slot, count(*)::BIGINT AS c
+                      FROM tfeat GROUP BY 1),
             cslotd AS (SELECT doc_id,
                          ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096
                            AS slot
@@ -5002,6 +5021,62 @@ object PipelineQueries {
             dwei AS (SELECT d.doc_id AS id,
                        round(coalesce(w, 0.0), 6) AS weight_r
                      FROM documents d LEFT JOIN fold ON fold.id = d.doc_id)"""
+  }
+
+  /** TS29: DSIR CHAR-N-GRAM WEIGHTS — ts27's importance weights with
+    * the MULTILINGUAL feature family ([[TextAnalysis.charGrams]]):
+    * sliding character 4-grams of the lowercased raw text replace
+    * word unigrams∪bigrams (the variant the DSIR paper runs where
+    * whitespace tokenization shreds the script). Same portable-hash
+    * slots, smoothing, and slot-ordered fold; the oracle swaps only
+    * the feature CTEs — so what the gate pins is exactly the feature
+    * seam (no-trim lowercasing, the len−n+1 window arithmetic, empty
+    * short texts). */
+  private val ts29 = QueryDef(
+    "ts29_dsir_char_weights",
+    "DSIR char-4-gram importance weights (multilingual features)",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("text").contains("vector")), "text",
+        buckets = 4096, charNgrams = Some(4))
+        .orderBy("id")
+    },
+    Some(s"""WITH ${dsirChainSql(Some(4))}
+            SELECT id, weight_r FROM dwei ORDER BY id"""))
+
+  /** TP13: GUMBEL-TOP-K IMPORTANCE RESAMPLING
+    * ([[Sampling.gumbelTopK]]) — the DSIR paper's actual selection
+    * stage: sample without replacement ∝ exp(weight/τ) instead of
+    * tp12's hard percentile cut (which keeps only the head and
+    * collapses diversity). The Gumbel keys derive from the seeded
+    * portable hash (the sm-family rule), are rounded to 6 dp before
+    * the top-k with ties to the id (the tp5 boundary discipline), so
+    * membership is bit-stable cross-engine; the oracle recomputes
+    * weights, noise, keys, and the cut. */
+  private val tp13 = QueryDef(
+    "tp13_dsir_gumbel_resample",
+    "Gumbel-top-k resampling (∝ exp(weight/τ)) over DSIR weights",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weights = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("text").contains("vector")), "text",
+        buckets = 4096)
+      Sampling.gumbelTopK(weights, "id", "weight_r", k = 200,
+        tau = 0.5, seed = "tp13")
+        .select(col("id"), col("weight_r"), col("gumbel_key_r"))
+        .orderBy("id")
+    },
+    Some(s"""WITH ${dsirChainSql()},
+            gu AS (SELECT id, weight_r,
+                     round(weight_r / 0.5 -
+                       ln(-ln((('0x' || substr(md5('tp13:' || id::VARCHAR),
+                         1, 15))::BIGINT % 1000000 + 0.5) / 1000000.0)), 6)
+                       AS gumbel_key_r
+                   FROM dwei),
+            top AS (SELECT * FROM gu ORDER BY gumbel_key_r DESC, id
+                    LIMIT 200)
+            SELECT id, weight_r, gumbel_key_r FROM top ORDER BY id"""))
 
   /** TP12: DSIR-SELECTED CORPUS — ts27's weights deployed as the
     * selection stage (the composition DSIR exists for): keep every
@@ -5027,7 +5102,7 @@ object PipelineQueries {
         .select(col("id"), col("weight_r"))
         .orderBy("id")
     },
-    Some(s"""WITH $dsirChainSql,
+    Some(s"""WITH ${dsirChainSql()},
             cut AS (SELECT quantile_cont(weight_r, 0.7) AS c FROM dwei)
             SELECT id, weight_r FROM dwei CROSS JOIN cut
             WHERE weight_r >= c ORDER BY id"""))
@@ -5738,7 +5813,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8)
 }

@@ -293,4 +293,49 @@ class SamplingSpec extends SparkSpec {
       Seq(col("pref").desc, col("doc_id").asc)).select("doc_id")
     assert(kept.select("doc_id").except(again).count() == 0)
   }
+
+  test("gumbelTopK: k rows, seed-reproducible, weight-monotone in expectation, TakeOrdered") {
+    import spark.implicits._
+    // two weight classes far enough apart that the Gumbel noise
+    // (range ≈ [-2, 7] at these hash resolutions) cannot invert them:
+    // every top-k draw at tau=1 must come from the high class
+    val rows = (1L to 200L).map(i =>
+      (i, if (i <= 100) 100.0 else 0.0)).toDF("id", "w")
+    val top = Sampling.gumbelTopK(rows, "id", "w", k = 20, seed = "s1")
+    assert(top.count() == 20)
+    assert(top.filter(col("w") < 100.0).count() == 0,
+      "a low-weight row outdrew a +100 weight gap")
+    // same seed = same draw; new seed re-deals
+    val again = Sampling.gumbelTopK(rows, "id", "w", k = 20, seed = "s1")
+    assert(top.select("id").except(again.select("id")).count() == 0)
+    val other = Sampling.gumbelTopK(rows, "id", "w", k = 20, seed = "s2")
+    assert(other.select("id").except(top.select("id")).count() > 0)
+    // flat weights: the draw is the noise alone — a without-
+    // replacement uniform sample, still k distinct rows
+    val flat = Sampling.gumbelTopK(rows.withColumn("w", lit(1.0)),
+      "id", "w", k = 50, seed = "s1")
+    assert(flat.select("id").distinct().count() == 50)
+    // tau scales the weight's influence: at huge tau the +100 gap
+    // drowns in noise and some low-weight rows must appear
+    val hot = Sampling.gumbelTopK(rows, "id", "w", k = 50,
+      tau = 1e6, seed = "s1")
+    assert(hot.filter(col("w") < 100.0).count() > 0,
+      "tau=1e6 should reduce selection to the uniform draw")
+    // global top-k plan: TakeOrdered, no full-sort exchange
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("charGrams: window arithmetic, short and null texts, signal-bearing spaces") {
+    import spark.implicits._
+    val out = Seq((1L, "AbCd"), (2L, "ab"), (3L, null: String),
+      (4L, "a b")).toDF("id", "t")
+      .select(col("id"), TextAnalysis.charGrams(col("t"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1)))
+      .toMap
+    assert(out(1L).get == Seq("abc", "bcd")) // lowercased, len-n+1 windows
+    assert(out(2L).get == Seq.empty)         // shorter than n
+    assert(out(3L).isEmpty || out(3L).get == Seq.empty) // null-safe
+    assert(out(4L).get == Seq("a b"))        // spaces carry signal
+  }
 }
