@@ -795,21 +795,29 @@ object TextAnalysis {
     // build's dominant cost.
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
+    // tf is consumed by TWO actions (the postings write and the stats
+    // commit) — pin it so "one corpus text pass" holds ACROSS actions,
+    // not just within each plan (re-tokenizing per action was the
+    // build's dominant redundant cost at deployment scale)
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
-    // `gen` is the document GENERATION ([[bm25ReindexDocs]]'s
-    // tombstone epoch); a fresh build is generation 0 everywhere
-    val postings = tf.join(dl, Seq("id"))
-      .select(col("term"), col("id"), col("tf"), col("dl"),
-        lit(0L).as("gen"))
-    store.replaceBucketed(spark, postingsTable, postings, Seq("term"),
-      numBuckets, sortWithin = Seq("term", "id"))
-    val pv = store.currentVersion(postingsTable).get
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
-    store.commit(spark, statsTable,
-      dfreq.crossJoin(stats).withColumn("postings_version", lit(pv))
-        .withColumn("tombstones_version", lit(-1L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+      // `gen` is the document GENERATION ([[bm25ReindexDocs]]'s
+      // tombstone epoch); a fresh build is generation 0 everywhere
+      val postings = tf.join(dl, Seq("id"))
+        .select(col("term"), col("id"), col("tf"), col("dl"),
+          lit(0L).as("gen"))
+      store.replaceBucketed(spark, postingsTable, postings, Seq("term"),
+        numBuckets, sortWithin = Seq("term", "id"))
+      val pv = store.currentVersion(postingsTable).get
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+      store.commit(spark, statsTable,
+        dfreq.crossJoin(stats).withColumn("postings_version", lit(pv))
+          .withColumn("tombstones_version", lit(-1L)))
+      ()
+    } finally tf.unpersist(false)
   }
 
   /** INCREMENTAL index maintenance — fold NEW documents into the
@@ -863,10 +871,14 @@ object TextAnalysis {
         s"bm25AppendIndex: newDocs contains ids already indexed in " +
           s"$postingsTable — append is insert-only; rebuild to re-index")
     }
-    // one tokenize pass (dl = row-sum of tf — see bm25BuildIndex)
+    // one tokenize pass (dl = row-sum of tf — see bm25BuildIndex),
+    // PINNED across the fold's three actions (postings append, scalar
+    // collect, stats commit) so the delta text is read exactly once
     val toks = newDocs.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
     // new documents are generation 0 (never reindexed)
     val postings = tf.join(dl, Seq("id"))
@@ -914,6 +926,8 @@ object TextAnalysis {
         lit(pv).as("postings_version"),
         lit(tombV).as("tombstones_version"))
     store.commit(spark, statsTable, merged)
+    ()
+    } finally tf.unpersist(false)
   }
 
   /** REINDEX CHANGED DOCUMENTS in the stored BM25 index — the

@@ -722,9 +722,27 @@ object Streams {
             // commits replays idempotently (the rebuild overwrites)
             graft.ops.TextAnalysis.bm25BuildIndex(batch, "id", "text",
               store, postingsTable, statsTable)
-          else
+          else {
+            // O(1) torn-state check in place of the corpus-sized
+            // per-batch id validation: a fold that crashed between
+            // the postings append and the stats commit leaves the
+            // version pin behind, and folding on top would double
+            // count — refuse with the standing rebuild instruction.
+            // (The checkpoint + ledger make a COMPLETED batch
+            // unrepeatable, and the feed contract guarantees new ids,
+            // so the id-scan bought nothing else.)
+            val pinned = store.read(spark, statsTable)
+              .select("postings_version").limit(1).collect()
+              .headOption.map(_.getLong(0))
+            val cur = store.currentVersion(postingsTable)
+            if (pinned != cur) throw new IllegalStateException(
+              s"bm25 index torn: $statsTable pins postings " +
+                s"v${pinned.orNull} but $postingsTable is at " +
+                s"v${cur.orNull} — a fold crashed mid-apply; delete " +
+                "the index tables and re-run to rebuild from the feed")
             graft.ops.TextAnalysis.bm25AppendIndex(batch, "id", "text",
-              store, postingsTable, statsTable)
+              store, postingsTable, statsTable, validateNewIds = false)
+          }
           store.withCommitRetries()(store.upsert(spark, ledgerTable,
             Seq(batchId).toDF("batch_id"), Seq("batch_id")))
           ()
