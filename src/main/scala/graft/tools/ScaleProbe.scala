@@ -845,6 +845,45 @@ object ScaleProbe {
       (in, ck, st) => graft.streaming.Streams.nearDupIngest(spark, in, ck, st))
     stGrid("st2_cluster_ingest",
       (in, ck, st) => graft.streaming.Streams.clusterIngest(spark, in, ck, st))
+    // store: the two StoreIo profiles under the bucketed write paths.
+    // POSIX shares untouched bucket files by hard link (O(1)/file);
+    // the S3-style profile COPIES them (server-side COPY modeled as a
+    // file copy) — so the append/upsert rows should stay ~flat across
+    // m on posix and grow with TABLE size on object, while the
+    // replace rows (everything rewritten, nothing shared) track each
+    // other. That cost curve is what a deployment moving the store
+    // off POSIX signs up for, measured rather than asserted.
+    if (selected("store")) {
+      // inflate the payload ~20× (≈2 KB/row): the profiles differ in
+      // how untouched bucket FILES replicate across versions, so the
+      // table needs real byte mass for the curve to register — at the
+      // raw fixture size both profiles finish in filesystem-cache
+      // noise and the probe would "prove" copies are free
+      def fat(m: Int): DataFrame = docs(m).select(col("id"),
+        concat_ws(" ", array_repeat(col("text"), 20)).as("text"))
+      val delta = fat(1)
+        .filter(col("id") % 10 === 0)
+        .select((col("id") + 990000000L).as("id"), col("text"))
+      def timedStore(name: String)(op: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        op
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $name%-34s $secs%8.2f s  rows=  (commit)       shuffleMB=      n/a")
+      }
+      for ((ioName, io) <- Seq(("posix", graft.ops.PosixStoreIo),
+          ("object", graft.ops.ObjectStoreIo)); m <- Seq(1, mult)) {
+        val root = graft.ops.Scratch.tempDir(s"probe-store-$ioName-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store", io = io)
+        timedStore(s"store_${ioName}_create_x$m")(
+          store.replaceBucketed(spark, "t", fat(m), Seq("id")))
+        timedStore(s"store_${ioName}_append500_x$m")(
+          store.appendBucketed(spark, "t", delta, Seq("id")))
+        timedStore(s"store_${ioName}_upsert500_x$m")(
+          store.upsertBucketed(spark, "t", delta, Seq("id")))
+        timedStore(s"store_${ioName}_replace_x$m")(
+          store.replaceBucketed(spark, "t", fat(m), Seq("id")))
+      }
+    }
     spark.stop()
   }
 }
