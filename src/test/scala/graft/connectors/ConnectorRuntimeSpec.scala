@@ -103,4 +103,53 @@ class ConnectorRuntimeSpec extends SparkSpec {
       && failed(0).getInt(1) == 2)
     conn.releaseCache()
   }
+
+  test("cassette replay: recorded responses drive the live connector; a tape miss dead-letters") {
+    reset()
+    // The VCR pattern at the connector's fetcher seam: a recorded
+    // session is one response file per (endpoint, request id); replay
+    // reads the tape instead of the network, and a request with no
+    // recorded response fails EXACTLY like a network error (retries,
+    // then dead-letter) — so the replay test exercises the same
+    // policy machinery a live run does, hermetically. The replay
+    // closure captures only the tape dir string (executor-safe).
+    val tape = tmpDir("cassette")
+    def record(key: String, body: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tape, key + ".json"), body.getBytes("UTF-8"))
+    record("channel-chan",
+      """[{"playlist_id":"PLa","title":"A","url":"https://u/PLa"}]""")
+    record("playlist-PLa",
+      """[{"video_id":"v1","position":1},{"video_id":"v2","position":2}]""")
+    record("video-v1",
+      """{"title":"T v1","description":"D","channel":"c",
+        |"publish_date":"2024-05-01","duration_seconds":60,
+        |"view_count":1000,"author":"au","channel_id":"UC1",
+        |"thumbnail_url":"th","video_url":"https://w/v1",
+        |"language":"en","transcript":"[00:01] hi v1"}""".stripMargin)
+    // video-v2 deliberately unrecorded: the tape miss must surface
+    // as a dead-letter row, never a stage abort
+    def replay(endpoint: String)(id: String): String = {
+      val p = java.nio.file.Paths.get(tape, s"$endpoint-$id.json")
+      if (!java.nio.file.Files.exists(p))
+        throw new IllegalStateException(s"cassette miss: $endpoint-$id")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    }
+    val conn = new HttpJsonYouTubeConnector(replay("channel"),
+      replay("playlist"), replay("video"),
+      ratePerSecPerPartition = 0, maxAttempts = 2, backoffMs = 1,
+      sleeper = countingSleeper)
+    val store = new ParquetTableStore(tmpDir("cassette-store"))
+    val report = new SyncPipeline(store, conn)
+      .syncChannel(spark, "chan", to_timestamp(lit("2026-02-01 00:00:00")))
+    assert(report.playlists == 1 && report.added == 2 && report.scraped == 1)
+    val videos = store.read(spark, "videos").collect()
+    assert(videos.map(_.getString(0)).toSet == Set("v1"))
+    assert(videos.head.getAs[String]("title") == "T v1")
+    val failed = conn.lastFailures.get.collect()
+    assert(failed.length == 1 && failed(0).getString(0) == "v2"
+      && failed(0).getString(2).contains("cassette miss: video-v2"),
+      failed.mkString(","))
+    conn.releaseCache()
+  }
 }
