@@ -985,21 +985,27 @@ object TextAnalysis {
       if (store.exists(tombstoneTable))
         Some(store.read(spark, tombstoneTable))
       else None
-    // LIVE old rows of exactly the reindexed ids: one postings scan
-    val oldLive0 = allPostings
+    // ALL old rows of exactly the reindexed ids: one postings scan.
+    // Generations derive from every row (dead included) — a doc
+    // previously reindexed to zero tokens has only DEAD rows, and
+    // deriving its next generation from the live set alone would
+    // restart it at 0, below its standing tombstone, silently killing
+    // the resurrected text. Stats deltas use the LIVE subset only.
+    val oldAll = allPostings
       .join(ids, Seq("id"), "left_semi")
-    val oldLive = (tomb match {
-      case None => oldLive0
-      case Some(t) => oldLive0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldLive = tomb match {
+      case None => oldAll
+      case Some(t) => oldAll
         .join(broadcast(t.select(col("id"), col("dead_below"))),
           Seq("id"), "left")
         .filter(col("dead_below").isNull ||
           coalesce(col("gen"), lit(0L)) >= col("dead_below"))
         .drop("dead_below")
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     try {
       // per-id next generation (ids new to the index start at 0)
-      val gens = oldLive.groupBy("id")
+      val gens = oldAll.groupBy("id")
         .agg((max(coalesce(col("gen"), lit(0L))) + 1L).as("gen"))
       // one tokenize pass over the NEW text (the build shape)
       val toks = docs.select(col(idCol).as("id"),
@@ -1060,7 +1066,7 @@ object TextAnalysis {
         store.withCommitRetries()(store.commit(spark, statsTable, merged))
         ()
       } finally tf.unpersist(false)
-    } finally oldLive.unpersist(false)
+    } finally oldAll.unpersist(false)
   }
 
   /** COMPACT a reindexed BM25 index: rewrite the postings keeping

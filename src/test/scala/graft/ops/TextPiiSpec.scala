@@ -547,13 +547,34 @@ class TextPiiSpec extends SparkSpec {
     TextAnalysis.bm25ReindexDocs(changed, "id", "text", store)
     for (q <- Seq(Seq("scan", "merge"), Seq("probe", "filter")))
       assert(probe(q) == scratch(q), s"query $q drifted after replay")
+    // RESURRECT (before compaction, while the tombstone STANDS):
+    // doc 2 was reindexed to zero tokens, so every row it has is
+    // dead; reindexing it back to real text must bump the generation
+    // above the standing tombstone, not restart at 0 beneath it —
+    // the dead-rows-only corner the generation derivation must cover
+    TextAnalysis.bm25ReindexDocs(
+      Seq((2L, "join merge sort")).toDF("id", "text"), "id", "text", store)
+    val resurrected = Seq(
+      (1L, "scan scan merge"),
+      (2L, "join merge sort"),
+      (3L, "vector scan filter"),
+      (4L, "hash vector probe"),
+      (9L, "probe filter join")).toDF("id", "text")
+    def scratchR(q: Seq[String]) =
+      TextAnalysis.bm25TopK(resurrected, "id", "text", q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (q <- Seq(Seq("join", "merge"), Seq("scan", "merge"))) {
+      assert(probe(q) == scratchR(q), s"query $q drifted after resurrect")
+      if (q == Seq("join", "merge"))
+        assert(probe(q).map(_._2).contains(2L), "resurrected doc invisible")
+    }
     // compaction drops the dead generations and keeps answers exact
     TextAnalysis.bm25CompactIndex(spark, store)
     assert(store.read(spark, "bm25_postings")
       .filter(col("gen") =!= 0L).count() == 0)
     assert(store.read(spark, "bm25_tombstones").count() == 0)
     for (q <- Seq(Seq("scan", "merge"), Seq("hash", "join")))
-      assert(probe(q) == scratch(q), s"query $q drifted after compaction")
+      assert(probe(q) == scratchR(q), s"query $q drifted after compaction")
     // a probe landing between the tombstone and stats commits must
     // refuse: advance ONLY the tombstone table
     store.upsert(spark, "bm25_tombstones",
