@@ -20,6 +20,7 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main search-transcripts <storeDir> <query>
   *   runMain graft.app.Main import-playlists <storeDir> <file.json>
   *   runMain graft.app.Main export-playlists <storeDir> <out.json>
+  *   runMain graft.app.Main generate-playlists <storeDir> <csvUrl> <out.json>
   *   runMain graft.app.Main ingest-inbox <storeDir> <inboxDir>
   *   runMain graft.app.Main dedup-transcripts <storeDir> [threshold]
   *   runMain graft.app.Main hot-terms <storeDir> [k]
@@ -107,6 +108,15 @@ object Main {
         PlaylistJson.writeJsonArrayFile(
           PlaylistJson.exportShape(t("playlists"), t("playlist_videos")), args(2))
         println(s"exported to ${args(2)}")
+
+      case "generate-playlists" =>
+        // the Sheets round trip's WRITE side (generate_playlists.py):
+        // a link-shared sheet's CSV export (or any csv URL — file:
+        // works for offline runs) → normalized entries →
+        // playlists.json for import-playlists to read back
+        val src = new graft.ingest.SheetsSource.CsvExport(args(2))
+        val n = graft.ingest.SheetsSource.generatePlaylists(spark, src, args(3))
+        println(s"Wrote $n playlists to '${args(3)}'.")
 
       case "ingest-inbox" =>
         val parsed = spark.read.format("transcript-inbox").load(args(2))

@@ -90,6 +90,27 @@ object SheetsSource {
     rows.result()
   }
 
+  /** S4's WRITE side (generate_playlists.py:41-62): normalized sheet
+    * rows → the playlists.json file the S2 import reads back — the
+    * Sheets round trip the reference's tooling runs. Output objects
+    * carry the reference's exact keys ("id", "title", "url" — "id",
+    * not "playlist_id"; the variant coalescing and the url default
+    * happen in [[toPlaylists]]), in SHEET ROW ORDER, pretty-printed
+    * as one array file ([[PlaylistJson.writeJsonArrayFile]]). An
+    * empty result is an error in the reference (exit 1) and throws
+    * here; returns the entry count otherwise. */
+  def generatePlaylists(spark: SparkSession, source: SheetsSource,
+      path: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val entries = toPlaylists(spark, source)
+      .select(col("playlist_id").as("id"), col("title"), col("url"))
+    val n = entries.count()
+    require(n > 0,
+      "No valid playlist entries found") // generate_playlists.py:54-56
+    PlaylistJson.writeJsonArrayFile(entries, path)
+    n
+  }
+
   /** Normalize fetched rows into the playlists shape. */
   def toPlaylists(spark: SparkSession, source: SheetsSource): DataFrame = {
     import spark.implicits._

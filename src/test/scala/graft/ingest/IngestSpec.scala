@@ -181,4 +181,37 @@ class IngestSpec extends SparkSpec {
     assert(SheetsSource.csvExportUrl("SHEET", 7) ==
       "https://docs.google.com/spreadsheets/d/SHEET/export?format=csv&gid=7")
   }
+
+  test("S4 write side: sheet rows -> playlists.json in reference shape, S2 round trip") {
+    // generate_playlists.py's output: a pretty array of {"id", "title",
+    // "url"} objects ("id", not "playlist_id"), in sheet ROW order,
+    // with the url synthesized when the sheet omits it
+    val src = new SheetsSource.Static(Seq(
+      Map("playlist_id" -> "PLz", "title" -> "Zeta"),
+      Map("id" -> "PLa", "name" -> "Alpha", "url" -> "https://u/PLa"),
+      Map("title" -> "no id -> dropped")))
+    val out = Paths.get(tmpDir("gen"), "playlists.json")
+    val n = SheetsSource.generatePlaylists(spark, src, out.toString)
+    assert(n == 2)
+    val text = new String(Files.readAllBytes(out), "UTF-8")
+    // reference key names and row order, not the table's column names
+    assert(text.contains("\"id\":\"PLz\"") && !text.contains("playlist_id"),
+      text)
+    assert(text.indexOf("PLz") < text.indexOf("PLa")) // sheet order kept
+    // the file the write side produces is exactly what the S2 import
+    // reads back — the Sheets round trip
+    val back = PlaylistJson.importPlaylists(spark, out.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(back.toSeq == Seq(
+      ("PLa", "Alpha", "https://u/PLa"),
+      ("PLz", "Zeta", "https://www.youtube.com/playlist?list=PLz")))
+    // the reference exits 1 on an empty result; the engine throws
+    val e = intercept[IllegalArgumentException] {
+      SheetsSource.generatePlaylists(spark,
+        new SheetsSource.Static(Seq(Map("title" -> "no id"))),
+        Paths.get(tmpDir("gen2"), "none.json").toString)
+    }
+    assert(e.getMessage.contains("No valid playlist entries"), e.getMessage)
+  }
 }
