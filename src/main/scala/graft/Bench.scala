@@ -223,7 +223,9 @@ object Bench {
     // Spark's own teardown noise precedes the line, flush because the
     // forked JVM's stdout is pipe-buffered (not line-buffered) and
     // System.exit would otherwise drop the unflushed tail.
-    spark.stop()
+    // a failing stop() must not eat the record — the line is the
+    // product; teardown trouble is stderr's problem
+    scala.util.Try(spark.stop())
     println(line)
     System.out.flush()
     System.exit(0)

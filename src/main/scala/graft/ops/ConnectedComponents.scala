@@ -115,6 +115,27 @@ object ConnectedComponents {
     * touches only the delta's rep edges. */
   def mergeClusters(stored: DataFrame, newPairs: DataFrame,
       scratchDir: Option[String] = None,
+      driverMaxEdges: Int = 0): DataFrame =
+    mergedWithProvenance(stored, newPairs, scratchDir, driverMaxEdges)
+      .select("id", "cluster_id")
+
+  /** The CHANGED subset of [[mergeClusters]]'s output — ids whose
+    * label coarsened in this fold plus ids new to the table: exactly
+    * the rows an O(delta) keyed upsert must write (labels only move
+    * toward the component min, so the unchanged majority is
+    * byte-identical to the stored version and hard-links across).
+    * Same plan as [[mergeClusters]] — the relabel join already knows
+    * which reps moved — so this costs no extra pass over the stored
+    * table. */
+  def mergeClustersChanged(stored: DataFrame, newPairs: DataFrame,
+      scratchDir: Option[String] = None,
+      driverMaxEdges: Int = 0): DataFrame =
+    mergedWithProvenance(stored, newPairs, scratchDir, driverMaxEdges)
+      .filter(col("__changed"))
+      .select("id", "cluster_id")
+
+  private def mergedWithProvenance(stored: DataFrame, newPairs: DataFrame,
+      scratchDir: Option[String] = None,
       driverMaxEdges: Int = 0): DataFrame = {
     val lbl = stored.select(col(stored.columns(0)).cast("long").as("__id"),
       col(stored.columns(1)).cast("long").as("__rep"))
@@ -157,15 +178,22 @@ object ConnectedComponents {
       else duplicateClusters(repEdges, scratchDir = scratchDir)
     val m = merges.select(col("id").as("__m_id"),
       col("cluster_id").as("__m_rep"))
-    // every id we must label: the stored corpus plus the batch's ids
+    // every id we must label: the stored corpus plus the batch's ids.
+    // Provenance rides along (__new = id absent from the table;
+    // __m_rep hit + differs = label coarsened) so the CHANGED subset
+    // — exactly what an O(delta) keyed upsert must write — falls out
+    // of the SAME relabel join, no second pass over the stored table.
     val batchIds = p.select(col("u").as("__id"))
       .unionByName(p.select(col("v").as("__id"))).distinct()
       .join(lbl.select("__id"), Seq("__id"), "left_anti")
       .withColumn("__rep", col("__id"))
-    lbl.unionByName(batchIds)
+    lbl.withColumn("__new", lit(false))
+      .unionByName(batchIds.withColumn("__new", lit(true)))
       .join(m, col("__rep") === col("__m_id"), "left")
       .select(col("__id").as("id"),
-        coalesce(col("__m_rep"), col("__rep")).as("cluster_id"))
+        coalesce(col("__m_rep"), col("__rep")).as("cluster_id"),
+        (col("__new") || (col("__m_rep").isNotNull &&
+          col("__m_rep") =!= col("__rep"))).as("__changed"))
   }
 
   /** Exact min-id component labels for a small edge list, computed

@@ -145,9 +145,13 @@ object PageRank {
     *     against the stored set by one equi-join;
     *  3. three new edges: the S-V enumeration over the delta alone.
     *
-    * Per-fold cost: one scan of the stored edge set (adjacency +
-    * degrees + closing joins) plus delta-sized work — never the
-    * O(m^1.5) wedge mass a from-scratch rebuild pays. Counts are
+    * Per-fold cost: a handful of stored-edge-set SCANS (the
+    * anti-join, the adjacency/degree pass, and each case's closing
+    * join read the table independently — edge-mass-linear, and
+    * deliberately NOT persisted: pinning a deployment-scale edge set
+    * per fold would cost more than the re-reads) plus delta-sized
+    * work — never the O(m^1.5) wedge mass a from-scratch rebuild
+    * pays. Counts are
     * ADDITIVE, so replay safety comes from the edge anti-join: a
     * replayed delta finds all its edges already stored, contributes
     * zero increments, and the commits no-op — idempotent without a

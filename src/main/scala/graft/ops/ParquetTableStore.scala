@@ -265,6 +265,17 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     (readDir(spark, table, dirNameOf(p)), CommitPin(table, Some(p)))
   }
 
+  /** [[readPinned]] tolerating an ABSENT table: the pin then captures
+    * absence, so the later pinned publish fails if a competitor
+    * CREATES the table in between (the commitNew discipline for
+    * derive-then-replace flows whose first batch starts from
+    * nothing). */
+  def readPinnedOption(spark: SparkSession,
+      table: String): (Option[DataFrame], CommitPin) = {
+    val p = currentPointer(table)
+    (p.map(pp => readDir(spark, table, dirNameOf(pp))), CommitPin(table, p))
+  }
+
   /** Commit `df` with the CAS expectation pinned to the pointer a
     * prior [[readPinned]] captured — the publish fails (and the
     * staged dir is dropped) if ANY commit landed since that read.
@@ -317,16 +328,35 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * previous version (byte-identical, O(1) per file). `numBuckets`
     * binds at table creation and is ignored afterwards. */
   def upsertBucketed(spark: SparkSession, table: String, incoming: DataFrame,
-      keys: Seq[String], numBuckets: Int = 32): DataFrame = {
+      keys: Seq[String], numBuckets: Int = 32): DataFrame =
+    upsertBucketedExpecting(spark, table, incoming, keys, numBuckets,
+      currentPointer(table))
+
+  /** [[upsertBucketed]] with the publish CAS pinned to the pointer a
+    * prior [[readPinned]]/[[readPinnedOption]] captured — the
+    * O(delta) twin of [[commitPinned]] for DERIVED bucketed
+    * artifacts: the caller read a snapshot, computed `incoming` FROM
+    * it, and a competitor landing in between must fail the publish
+    * (re-read + re-derive via [[withCommitRetries]]) rather than be
+    * LWW-merged-over with rows derived from the stale snapshot. The
+    * merge reads the PIN's version; an absence pin takes the create
+    * path (CAS to absence — a racing creator loses cleanly). */
+  def upsertBucketedPinned(spark: SparkSession, incoming: DataFrame,
+      keys: Seq[String], pin: CommitPin, numBuckets: Int = 32): DataFrame =
+    upsertBucketedExpecting(spark, pin.table, incoming, keys, numBuckets,
+      pin.pointer)
+
+  private def upsertBucketedExpecting(spark: SparkSession, table: String,
+      incoming: DataFrame, keys: Seq[String], numBuckets: Int,
+      prev: Option[String]): DataFrame = {
     require(numBuckets >= 1)
     def bucketed(df: DataFrame, n: Int): DataFrame =
       df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(n)))
-    if (!exists(table))
+    if (prev.isEmpty)
       createBucketed(spark, table, incoming, keys, numBuckets, Nil)
     else {
       val n = this.numBuckets(table).getOrElse(throw new IllegalStateException(
         s"table $table was created as a snapshot table; use upsert"))
-      val prev = currentPointer(table)
       val curDir = tableDir(table).resolve(dirNameOf(prev.get))
       // which buckets does the delta touch? (≤ n ints — driver-safe)
       val inc = bucketed(incoming, n)

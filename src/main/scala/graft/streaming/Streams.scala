@@ -497,42 +497,40 @@ object Streams {
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             pinnedPairs = Some(allPairs)
             // the WHOLE read-merge-upsert derivation sits inside the
-            // retried op: store.read resolves the pointer at
-            // plan-build time, so a lost CAS must re-read the
-            // WINNER's snapshot and re-merge — re-applying labels
-            // computed from the stale snapshot via LWW could regress
-            // a concurrently-coarsened cluster label and break the
-            // min-id rep invariant. CC scratch reuses one dir under
-            // the checkpoint (overwritten per batch, never leaked).
+            // retried op: a lost CAS must re-read the WINNER's
+            // snapshot and re-merge — re-applying labels computed
+            // from the stale snapshot via an unpinned LWW upsert
+            // could regress a concurrently-coarsened cluster label
+            // and break the min-id rep invariant. CC scratch reuses
+            // one dir under the checkpoint (overwritten per batch,
+            // never leaked).
             store.withCommitRetries() {
-              // readPinned: the merge derives from THIS snapshot, and
-              // mergeClusters emits one row per id in stored ∪ batch,
-              // so the publish is a pinned full replace — an upsert
-              // here would CAS against the pointer at upsert time,
-              // letting a competitor landing between the read and the
-              // publish be LWW-overwritten with labels derived from
-              // the stale snapshot (min-id rep invariant regression)
-              val pinned =
-                if (store.exists(clusterTable))
-                  Some(store.readPinned(spark, clusterTable))
-                else None
-              val stored = pinned.map(_._1).getOrElse(spark.range(0)
+              // readPinnedOption + upsertBucketedPinned: the merge
+              // derives from THIS snapshot (absence pins the create,
+              // so a racing creator loses cleanly), and only the rows
+              // whose label CHANGED (or are new) commit — an O(delta)
+              // bucketed write where the pre-r11 full snapshot
+              // replace rewrote the node-sized table every batch.
+              // Labels only coarsen toward the component min, so the
+              // unchanged majority is byte-identical to the stored
+              // version — exactly what bucket hard-linking wants.
+              val (storedOpt, pin) =
+                store.readPinnedOption(spark, clusterTable)
+              val stored = storedOpt.getOrElse(spark.range(0)
                 .select(col("id"), col("id").as("cluster_id")))
               // delta CC: rep graphs at ingest-batch size label on
               // the driver (one collect, zero fixpoint stages);
-              // oversized deltas fall back to the staged fixpoint
-              val merged = graft.ops.ConnectedComponents.mergeClusters(
-                stored, allPairs,
-                scratchDir = Some(s"$checkpointDir/cc-scratch"),
-                driverMaxEdges = 1 << 20)
-              if (merged.limit(1).count() > 0) {
-                pinned match {
-                  case Some((_, pin)) => store.commitPinned(spark, merged, pin)
-                  // absence-pinned create: a competing creator landing
-                  // between exists() and this publish must fail the CAS
-                  // (retry re-reads and merges), not be replaced
-                  case None => store.commitNew(spark, clusterTable, merged)
-                }
+              // oversized deltas fall back to the staged fixpoint.
+              // mergeClustersChanged emits only the rows whose label
+              // moved (or are new) — same plan, delta-sized write.
+              val changed =
+                graft.ops.ConnectedComponents.mergeClustersChanged(
+                  stored, allPairs,
+                  scratchDir = Some(s"$checkpointDir/cc-scratch"),
+                  driverMaxEdges = 1 << 20)
+              if (changed.limit(1).count() > 0) {
+                store.upsertBucketedPinned(spark, changed, Seq("id"),
+                  pin, numBuckets)
                 ()
               }
             }

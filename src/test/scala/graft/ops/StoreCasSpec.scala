@@ -166,6 +166,38 @@ class StoreCasSpec extends SparkSpec {
     // unrepresentable (no separate table argument to get wrong)
   }
 
+  test("upsertBucketedPinned: a commit landing after the pinned read fails; absence pin guards create") {
+    val root = tmpDir("cas-bucketpin")
+    val store = new ParquetTableStore(root)
+    // CREATE path: pin absence, competitor creates in between → the
+    // pinned publish must lose (not merge over the competitor)
+    val (none, pinAbsent) = store.readPinnedOption(spark, "t")
+    assert(none.isEmpty)
+    store.upsertBucketed(spark, "t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    intercept[ConcurrentCommitException] {
+      store.upsertBucketedPinned(spark, Seq((9L, "z")).toDF("id", "v"),
+        Seq("id"), pinAbsent)
+    }
+    assert(store.read(spark, "t").count() == 1) // competitor intact
+    // UPDATE path: derive from a pinned read, competitor lands, the
+    // pinned O(delta) upsert must fail retryably; the retry re-reads
+    // and lands the merge over the winner
+    val (_, pin) = store.readPinnedOption(spark, "t")
+    store.upsertBucketed(spark, "t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    intercept[ConcurrentCommitException] {
+      store.upsertBucketedPinned(spark, Seq((3L, "c")).toDF("id", "v"),
+        Seq("id"), pin)
+    }
+    assert(store.read(spark, "t").count() == 2) // ids 1, 2 — nothing lost
+    store.withCommitRetries() {
+      val (_, p2) = store.readPinnedOption(spark, "t")
+      store.upsertBucketedPinned(spark, Seq((3L, "c")).toDF("id", "v"),
+        Seq("id"), p2)
+    }
+    assert(store.read(spark, "t").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+  }
+
   test("appendBucketed racing a competing publisher: clean conflict, retry lands the union") {
     val root = tmpDir("cas-append")
     val seed = new ParquetTableStore(root)
