@@ -182,13 +182,25 @@ object PageRank {
           "tables and re-append the full edge history to rebuild")
     if (!have.head) {
       // first batch: full build (each commit creates its table; a
-      // crash mid-build is caught by the torn-state check above)
-      store.withCommitRetries()(store.upsertBucketed(spark, edgesTable,
-        delta, Seq("u", "v"), numBuckets))
-      store.withCommitRetries()(store.upsertBucketed(spark, countsTable,
-        triangleCounts(delta, "u", "v"), Seq("id"), numBuckets))
-      store.withCommitRetries()(store.commit(spark, metaTable,
-        Seq(store.currentVersion(edgesTable).get).toDF("edges_version")))
+      // crash mid-build is caught by the torn-state check above).
+      // Pin the canonical set and the counts: each bucketed commit
+      // runs two actions (touched-set collect + write), and an
+      // unpinned frame would re-derive the whole canonicalization /
+      // wedge enumeration per action.
+      val d = delta.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = triangleCounts(d, "u", "v").persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          store.withCommitRetries()(store.upsertBucketed(spark, edgesTable,
+            d, Seq("u", "v"), numBuckets))
+          store.withCommitRetries()(store.upsertBucketed(spark, countsTable,
+            counts, Seq("id"), numBuckets))
+          store.withCommitRetries()(store.commit(spark, metaTable,
+            Seq(store.currentVersion(edgesTable).get).toDF("edges_version")))
+        } finally counts.unpersist(false)
+      } finally d.unpersist(false)
       return store.read(spark, countsTable)
     }
     val metaV = store.read(spark, metaTable).head.getAs[Long]("edges_version")
@@ -246,26 +258,34 @@ object PageRank {
         .select(col("c").as("a"), col("w").as("x"), col("w2").as("y"))
       // case 3: all three edges new — the S-V pass over the delta
       val tri3 = triangleTriples(deltaNew)
+      // incr feeds the touched-id set AND the fold AND the counts
+      // commit's two actions — unpinned, the whole three-case wedge
+      // enumeration (several stored-edge scans deep) would re-run
+      // per consumer (measured 27 s/fold at x1 before pinning; the
+      // enumeration itself is ~2 s)
       val incr = tri1.unionByName(tri2).unionByName(tri3)
         .select(explode(array(col("a"), col("x"), col("y"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("inc"))
-      // touched = every id whose count changes or newly exists
-      val deltaNodes = deltaNew.select(col("u").as("id"))
-        .unionByName(deltaNew.select(col("v").as("id"))).distinct()
-      val updated = incr.select("id").unionByName(deltaNodes).distinct()
-        .join(store.read(spark, countsTable), Seq("id"), "left")
-        .join(incr, Seq("id"), "left")
-        .select(col("id"),
-          (coalesce(col("n_triangles"), lit(0L)) +
-            coalesce(col("inc"), lit(0L))).as("n_triangles"))
-      // commit order IS the consistency protocol: edges, then the
-      // touched counts, then the version marker (see scaladoc)
-      store.withCommitRetries()(store.upsertBucketed(spark, edgesTable,
-        deltaNew, Seq("u", "v"), numBuckets))
-      store.withCommitRetries()(store.upsertBucketed(spark, countsTable,
-        updated, Seq("id"), numBuckets))
-      store.withCommitRetries()(store.commit(spark, metaTable,
-        Seq(store.currentVersion(edgesTable).get).toDF("edges_version")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // touched = every id whose count changes or newly exists
+        val deltaNodes = deltaNew.select(col("u").as("id"))
+          .unionByName(deltaNew.select(col("v").as("id"))).distinct()
+        val updated = incr.select("id").unionByName(deltaNodes).distinct()
+          .join(store.read(spark, countsTable), Seq("id"), "left")
+          .join(incr, Seq("id"), "left")
+          .select(col("id"),
+            (coalesce(col("n_triangles"), lit(0L)) +
+              coalesce(col("inc"), lit(0L))).as("n_triangles"))
+        // commit order IS the consistency protocol: edges, then the
+        // touched counts, then the version marker (see scaladoc)
+        store.withCommitRetries()(store.upsertBucketed(spark, edgesTable,
+          deltaNew, Seq("u", "v"), numBuckets))
+        store.withCommitRetries()(store.upsertBucketed(spark, countsTable,
+          updated, Seq("id"), numBuckets))
+        store.withCommitRetries()(store.commit(spark, metaTable,
+          Seq(store.currentVersion(edgesTable).get).toDF("edges_version")))
+      } finally incr.unpersist(false)
       store.read(spark, countsTable)
     } finally deltaNew.unpersist(false)
   }

@@ -828,6 +828,61 @@ object ScaleProbe {
           spark, store, Seq("sort", "window", "stream"), k = 10))
       }
     }
+    // g3: incremental triangles — build the artifacts over the m×
+    // graph, then fold a FIXED delta; the fold should track the edge
+    // SCAN rate (linear in m — anti-join + adjacency + closing joins
+    // read the stored set) while the rebuild pays the O(m^1.5) wedge
+    // mass, so the gap widens with m. Edges replicate by node offset
+    // (disjoint copies of the co-order graph: triangle structure
+    // preserved per copy, total mass ×m).
+    if (selected("g3")) {
+      def edges(m: Int): DataFrame = {
+        val e = graft.ops.PageRank.coOrderEdges(Tables.lineitem(spark, dir))
+        (0 until m).map(i => e.select(
+            (col("src") + i * 10000000L).as("src"),
+            (col("dst") + i * 10000000L).as("dst")))
+          .reduce(_ unionByName _)
+      }
+      for (m <- Seq(1, mult)) {
+        val root = graft.ops.Scratch.tempDir(s"probe-g3-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        val base = edges(m).filter((col("src") + col("dst")) % 17 =!= 0)
+        val delta = edges(1).filter((col("src") + col("dst")) % 17 === 0)
+        val t0 = System.nanoTime()
+        graft.ops.PageRank.triangleCountsAppend(base, "src", "dst", store)
+        println(f"PROBE g3_build_x$m%-27s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=  (build)        shuffleMB=      n/a")
+        val t1 = System.nanoTime()
+        graft.ops.PageRank.triangleCountsAppend(delta, "src", "dst", store)
+        println(f"PROBE g3_fold_x$m%-28s ${(System.nanoTime() - t1) / 1e9}%8.2f s  rows=  (fixed delta)  shuffleMB=      n/a")
+        // probeNoop, NOT count() (the ts27 lesson re-learned on this
+        // exact row): counts come from a unique-keyed left join, so a
+        // count() is provably node-cardinality and Catalyst prunes
+        // the ENTIRE triangle enumeration — the 2.4 s "rebuild" the
+        // first probe recorded was an empty plan; the real one is
+        // ~37 s at x10
+        probeNoop(s"g3_rebuild_x$m", graft.ops.PageRank.triangleCounts(
+          edges(m), "src", "dst"))
+      }
+    }
+    // ts28: tombstone reindex of a FIXED 500-doc slice against the m×
+    // index — one postings scan + delta work, vs the full rebuild row
+    // (ts25_build_xm) that re-tokenizes the whole corpus
+    if (selected("ts28")) {
+      for (m <- Seq(1, mult)) {
+        val root = graft.ops.Scratch.tempDir(s"probe-ts28-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        graft.ops.TextAnalysis.bm25BuildIndex(docs(m), "id", "text", store)
+        val changed = Tables.documents(spark, dir)
+          .select(col("doc_id").as("id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+          .filter(col("id") % 10 === 0)
+        val t0 = System.nanoTime()
+        graft.ops.TextAnalysis.bm25ReindexDocs(changed, "id", "text", store)
+        println(f"PROBE ts28_reindex500_x$m%-21s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=  (reindex)      shuffleMB=      n/a")
+        probe(s"ts28_probe_x$m", graft.ops.TextAnalysis.bm25TopKStored(
+          spark, store, Seq("sort", "window", "stream"), k = 10))
+      }
+    }
     // ts27: DSIR weights — fixed target model, corpus at scan rate
     // (the λ frame is bucket-sized and broadcast; shuffle should be
     // the (id, slot) reduce, linear in corpus feature mass)
