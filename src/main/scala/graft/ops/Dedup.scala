@@ -736,6 +736,36 @@ object Dedup {
     keepBestWithClusters(df, idCol,
       ConnectedComponents.duplicateClusters(pairs), score)
 
+  /** SOFT dedup (SemDeDup/D4-style): instead of hard-keeping one doc
+    * per duplicate cluster ([[keepBestPerCluster]]/[[dropNearDuplicates]]
+    * — exemplar CHOICE, mass collapse), every doc keeps a SAMPLING
+    * WEIGHT 1/|cluster| (singletons 1) and survives an independent
+    * seeded coin at that probability ([[Sampling.weightedKeep]]'s
+    * hash discipline) — expected mass exactly one doc per cluster, so
+    * duplicated content keeps its natural topical distribution and
+    * the weight column composes with the sm-family samplers
+    * downstream. `clusters` is a precomputed (id, cluster_id) label
+    * map (d9/d12 artifacts — the build-once discipline); ids absent
+    * from it are singletons. Output = `df`'s columns + `weight`
+    * (1e-9-rounded, the sm9 portability rule).
+    *
+    * Scale shape: cluster sizes are one combinable count on the
+    * pair-graph-sized label map; the weight attaches by one id-keyed
+    * join; the coin is a per-row expression. Nothing corpus-sized
+    * broadcasts or collects. */
+  def softDedupKeep(df: DataFrame, idCol: String, clusters: DataFrame,
+      seed: String = ""): DataFrame = {
+    val cl = clusters.select(col(clusters.columns(0)).as("__sd_id"),
+      col(clusters.columns(1)).as("__sd_c"))
+    val sizes = cl.groupBy("__sd_c").agg(count(lit(1)).as("__sd_n"))
+    val w = cl.join(sizes, Seq("__sd_c"))
+      .select(col("__sd_id"), round(lit(1.0) / col("__sd_n"), 9).as("weight"))
+    val joined = df.join(w, col(idCol) === col("__sd_id"), "left")
+      .drop("__sd_id")
+      .withColumn("weight", coalesce(col("weight"), lit(1.0)))
+    Sampling.weightedKeep(joined, idCol, col("weight"), seed)
+  }
+
   /** [[keepBestPerCluster]] consuming a PRECOMPUTED (id, cluster_id)
     * label map — the stored-artifact form a deployment actually runs:
     * the pair mine + CC fixpoint happen once and persist (e.g. via

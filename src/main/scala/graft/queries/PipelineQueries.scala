@@ -5088,6 +5088,56 @@ object PipelineQueries {
     * membership, so the seam between the weight chain and the
     * threshold — including the weightless-doc-at-0 rule — is what's
     * pinned. */
+  /** TP14: SOFT DEDUP ([[Dedup.softDedupKeep]]) — the SemDeDup/D4
+    * alternative to hard cluster dedup: every doc keeps weight
+    * 1/|cluster| (singletons 1) and survives an independent seeded
+    * coin at that probability, so duplicated content keeps its
+    * natural topical mass (expected one survivor per cluster)
+    * instead of collapsing to exemplar choice. The oracle recomputes
+    * the full chain — LSH pairs, recursive-CTE connected components
+    * (the d9 oracle), cluster sizes, 1e-9-rounded weights, and the
+    * 10^4-bucket hash coin — so the seam between the cluster
+    * artifact and the probabilistic keep is what's pinned. */
+  private val tp14 = QueryDef(
+    "tp14_soft_dedup",
+    "per-doc 1/|cluster| sampling weights + seeded probabilistic keep",
+    (s, dir) => {
+      val corpus = dupCorpus(s, dir)
+      val clusters = ConnectedComponents.duplicateClusters(
+        Dedup.minhashLshPairs(corpus, "id", "text",
+          shingleLen = 3, numHashes = NumHashes, bands = Bands,
+          threshold = 0.6, bucketCap = CatalogCap)
+          .select("id_a", "id_b"))
+      Dedup.softDedupKeep(corpus, "id", clusters, seed = "tp14:")
+        .select(col("id"), round(col("weight"), 6).as("weight_r"))
+        .orderBy("id")
+    },
+    Some("WITH RECURSIVE " + dupCorpusSql + ",\n" +
+      "pairs AS (WITH " + lshOracleSql(
+        """tok AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM corpus),
+           it AS (SELECT id, list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS items
+                  FROM tok WHERE len(t) >= 3)""", 0.6) + "),\n" +
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |cc(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT c.node, e.dst FROM cc c JOIN edges e ON e.src = c.reach),
+        |cl AS (SELECT node AS id, min(reach) AS cluster_id FROM cc
+        |       GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*)::BIGINT AS n FROM cl
+        |       GROUP BY cluster_id),
+        |wt AS (SELECT corpus.id,
+        |         coalesce(round(1.0 / n, 9), 1.0) AS weight
+        |       FROM corpus LEFT JOIN cl ON cl.id = corpus.id
+        |       LEFT JOIN sz ON sz.cluster_id = cl.cluster_id)
+        |SELECT id, round(weight, 6) AS weight_r FROM wt
+        |WHERE ('0x' || substr(md5('tp14:' || id::VARCHAR), 1, 15))::BIGINT
+        |        % 10000 < round(weight * 10000.0)::BIGINT
+        |ORDER BY id""".stripMargin))
+
   private val tp12 = QueryDef(
     "tp12_dsir_selection",
     "keep docs at/above the 70th DSIR-weight percentile",
@@ -5814,6 +5864,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8)
 }

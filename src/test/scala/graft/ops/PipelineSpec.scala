@@ -547,6 +547,39 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set((1L, 2L, 3L), (5L, 5L, 2L), (4L, 4L, 1L)), kept)
   }
 
+  test("softDedupKeep: 1/|cluster| weights, singletons pass whole, expected mass ~1/cluster") {
+    import spark.implicits._
+    // 100 clusters of 4 (ids 4k..4k+3) + 200 singletons: the keep is
+    // probabilistic, so the assertions are (a) exact weights, (b)
+    // singletons never dropped, (c) per-cluster survivor mass near
+    // the expected 1 in aggregate, (d) seed determinism
+    val n = 100
+    val clustered = (0 until 4 * n).map(_.toLong)
+    val singles = (1000L until 1200L)
+    val docs = (clustered ++ singles).toDF("id")
+    val pairs = (0 until n).flatMap { k =>
+      Seq((4L * k, 4L * k + 1), (4L * k + 1, 4L * k + 2),
+        (4L * k + 2, 4L * k + 3))
+    }.toDF("id_a", "id_b")
+    val clusters = ConnectedComponents.duplicateClusters(pairs)
+    val kept = Dedup.softDedupKeep(docs, "id", clusters, seed = "s:")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val (cKept, sKept) = kept.partition(_._1 < 1000L)
+    // every singleton survives at weight 1 (u < 1.0 always at the
+    // 10^4 bucket resolution since buckets are < 10000)
+    assert(sKept.length == 200 && sKept.forall(_._2 == 1.0), sKept.length)
+    assert(cKept.forall(_._2 == 0.25), cKept.take(3).toSeq)
+    // 400 docs at p=0.25 → expected 100 survivors; 3-sigma ≈ ±26
+    assert(cKept.length > 70 && cKept.length < 130, cKept.length)
+    // same seed, same draw; different seed re-deals
+    val again = Dedup.softDedupKeep(docs, "id", clusters, seed = "s:")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+    val other = Dedup.softDedupKeep(docs, "id", clusters, seed = "t:")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(other != again)
+  }
+
   test("keepBestPerCluster plan: rank capped by WindowGroupLimit, sizes by aggregate") {
     import spark.implicits._
     val docs = Seq((1L, "a", 0.2), (2L, "b", 0.9)).toDF("id", "text", "q")
