@@ -21,6 +21,7 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main import-playlists <storeDir> <file.json>
   *   runMain graft.app.Main export-playlists <storeDir> <out.json>
   *   runMain graft.app.Main generate-playlists <storeDir> <csvUrl> <out.json>
+  *   runMain graft.app.Main serve <storeDir> [port]
   *   runMain graft.app.Main ingest-inbox <storeDir> <inboxDir>
   *   runMain graft.app.Main dedup-transcripts <storeDir> [threshold]
   *   runMain graft.app.Main hot-terms <storeDir> [k]
@@ -108,6 +109,16 @@ object Main {
         PlaylistJson.writeJsonArrayFile(
           PlaylistJson.exportShape(t("playlists"), t("playlist_videos")), args(2))
         println(s"exported to ${args(2)}")
+
+      case "serve" =>
+        // the reference's Flask JSON surface (web_app.py) over the
+        // same store: /api/playlists, /api/playlists/<id>/videos,
+        // /api/videos/<id> — an inspection façade, not a data path
+        val port = if (args.length > 2) args(2).toInt else 8080
+        val api = new HttpApi(spark, store, port)
+        val bound = api.start()
+        println(s"serving on http://127.0.0.1:$bound (Ctrl-C to stop)")
+        Thread.currentThread().join() // serve until killed
 
       case "generate-playlists" =>
         // the Sheets round trip's WRITE side (generate_playlists.py):
