@@ -751,16 +751,24 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     }
     // part 2: the adversarial residue (gc read the pre-touch mtime,
     // its delete landed after our swap). Detect the swept dir, undo
-    // the publish, and surface a retryable conflict. The undo is safe
-    // without re-taking the CAS lock: the pointer currently names
-    // `staged`, and every competing writer publishes through the CAS
-    // — to race us it would first have to READ the swept dir as its
-    // snapshot, which fails before it ever commits.
+    // the publish, and surface a retryable conflict. The undo is
+    // itself a CAS (expected = `staged`): a REPLACE-style competitor
+    // (commit/replaceBucketed) CASes against the pointer without ever
+    // reading the previous data dir, so it can legitimately land
+    // CAS(expected = staged) inside this window — an unconditional
+    // restore would then silently revert its COMMITTED version to
+    // `prev`, a lost commit. If the undo-CAS loses, the competitor
+    // has already advanced past the swept version; leave the pointer
+    // alone and just surface our own retryable failure.
     if (!Files.exists(stagedDir)) {
-      expected match {
-        case Some(prev) => io.swapPointer(currentFile(table), prev)
-        case None => Files.deleteIfExists(currentFile(table))
-      }
+      try {
+        expected match {
+          case Some(prev) =>
+            io.swapPointerIfCurrent(currentFile(table), prev, Some(staged))
+          case None =>
+            io.deletePointerIfCurrent(currentFile(table), staged)
+        }
+      } catch { case _: ConcurrentCommitException => () }
       throw new ConcurrentCommitException(
         s"staged version $staged of $table was swept by gc during " +
           "publish — pointer restored; re-stage and retry")

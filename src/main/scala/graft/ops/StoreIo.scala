@@ -53,6 +53,14 @@ trait StoreIo {
   def swapPointerIfCurrent(pointer: Path, content: String,
       expectedPrevious: Option[String]): Unit
 
+  /** Compare-and-delete: remove the pointer only if its current
+    * content is `expected` — the undo half of a first-commit CAS
+    * whose staged data was swept out from under it. Throws
+    * [[ConcurrentCommitException]] when a competitor has already
+    * advanced the pointer (the undo must then NOT land: reverting a
+    * competitor's committed version is a lost commit). */
+  def deletePointerIfCurrent(pointer: Path, expected: String): Unit
+
   /** Replicate immutable `src` as `dst` without engine I/O. */
   def shareFile(src: Path, dst: Path): Unit
 }
@@ -71,28 +79,43 @@ private[ops] object LockedCas {
 
 private[ops] trait LockedCas { self: StoreIo =>
 
-  override def swapPointerIfCurrent(pointer: Path, content: String,
-      expectedPrevious: Option[String]): Unit = LockedCas.monitors
-    .computeIfAbsent(pointer.toAbsolutePath.toString, _ => new Object)
-    .synchronized {
-    val lock = pointer.resolveSibling(pointer.getFileName.toString + ".lock")
-    val ch = FileChannel.open(lock,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try {
-      val fl = ch.lock()
+  private def withPointerLock[A](pointer: Path)(body: Option[String] => A): A =
+    LockedCas.monitors
+      .computeIfAbsent(pointer.toAbsolutePath.toString, _ => new Object)
+      .synchronized {
+      val lock = pointer.resolveSibling(pointer.getFileName.toString + ".lock")
+      val ch = FileChannel.open(lock,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
-        val current =
-          if (Files.exists(pointer))
-            Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
-          else None
-        if (current != expectedPrevious)
-          throw new ConcurrentCommitException(
-            s"pointer $pointer moved: expected ${expectedPrevious.getOrElse("<absent>")}, " +
-              s"found ${current.getOrElse("<absent>")} — concurrent commit; re-read and retry")
-        swapPointer(pointer, content)
-      } finally fl.release()
-    } finally ch.close()
-  }
+        val fl = ch.lock()
+        try {
+          val current =
+            if (Files.exists(pointer))
+              Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
+            else None
+          body(current)
+        } finally fl.release()
+      } finally ch.close()
+    }
+
+  override def swapPointerIfCurrent(pointer: Path, content: String,
+      expectedPrevious: Option[String]): Unit =
+    withPointerLock(pointer) { current =>
+      if (current != expectedPrevious)
+        throw new ConcurrentCommitException(
+          s"pointer $pointer moved: expected ${expectedPrevious.getOrElse("<absent>")}, " +
+            s"found ${current.getOrElse("<absent>")} — concurrent commit; re-read and retry")
+      swapPointer(pointer, content)
+    }
+
+  override def deletePointerIfCurrent(pointer: Path, expected: String): Unit =
+    withPointerLock(pointer) { current =>
+      if (!current.contains(expected))
+        throw new ConcurrentCommitException(
+          s"pointer $pointer moved: expected $expected, " +
+            s"found ${current.getOrElse("<absent>")} — concurrent commit; undo skipped")
+      Files.delete(pointer)
+    }
 }
 
 /** POSIX/HDFS profile: tmp-write + ATOMIC_MOVE, hard links, CAS under

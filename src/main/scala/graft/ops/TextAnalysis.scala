@@ -955,11 +955,19 @@ object TextAnalysis {
     * → stats, and stats pins BOTH artifact versions
     * (`postings_version`, `tombstones_version`), so a probe landing
     * mid-mutation or after a crash between commits refuses retryably
-    * ([[bm25TopKStored]]) — a torn reindex can never answer wrong,
-    * and re-running the reindex CONVERGES (the dead generations it
-    * re-kills are already invisible; garbage accrues until
-    * [[bm25CompactIndex]]). Mutations on one index must be externally
-    * serialized, as with build/append. */
+    * ([[bm25TopKStored]]) — a torn reindex can never answer wrong.
+    * Re-running a COMPLETED reindex converges (the dead generations
+    * it re-kills are already invisible; garbage accrues until
+    * [[bm25CompactIndex]]); re-running over a CRASHED one does NOT —
+    * the re-run's oldLive/df_dead would see old plus half-applied
+    * generations and the stats deltas cancel or double-count, while
+    * this run's final stats commit would re-pin consistent versions
+    * and hide the corruption from the probe's refusal check. The
+    * entry guard therefore refuses a torn starting state loudly:
+    * run [[bm25CompactIndex]] to repair (it recomputes stats from
+    * the live postings and refuses the one unrepairable shape), or
+    * [[bm25BuildIndex]] to rebuild. Mutations on one index must be
+    * externally serialized, as with build/append. */
   def bm25ReindexDocs(docs: DataFrame, idCol: String, textCol: String,
       store: ParquetTableStore,
       postingsTable: String = "bm25_postings",
@@ -985,6 +993,25 @@ object TextAnalysis {
       if (store.exists(tombstoneTable))
         Some(store.read(spark, tombstoneTable))
       else None
+    // TORN-STATE ENTRY GUARD: stats commit LAST pinning both table
+    // versions, so pins behind the live versions mean a prior
+    // mutation crashed between its commits — folding deltas on top
+    // would not converge (see the scaladoc), and worse, this run's
+    // stats commit would re-pin a consistent-looking pair. Refuse
+    // loudly with the repair path. An EMPTY stats frame (all-empty
+    // corpus build) has no pin row and is compatible by convention.
+    statsAll.select(col("postings_version"), col("tombstones_version"))
+      .limit(1).collect().headOption.foreach { p =>
+      val curPv = store.currentVersion(postingsTable).getOrElse(-1L)
+      val curTv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+      if (p.getLong(0) != curPv || p.getLong(1) != curTv)
+        throw new IllegalStateException(
+          s"bm25ReindexDocs: index torn — $statsTable pins postings " +
+            s"v${p.getLong(0)}/tombstones v${p.getLong(1)} but the " +
+            s"tables are at v$curPv/v$curTv; a prior mutation crashed " +
+            "between commits. Run bm25CompactIndex to repair, or " +
+            "bm25BuildIndex to rebuild")
+    }
     // ALL old rows of exactly the reindexed ids: one postings scan.
     // Generations derive from every row (dead included) — a doc
     // previously reindexed to zero tokens has only DEAD rows, and
@@ -1070,39 +1097,93 @@ object TextAnalysis {
   }
 
   /** COMPACT a reindexed BM25 index: rewrite the postings keeping
-    * only live generations (reset to 0), clear the tombstone table,
-    * and re-pin the stats frame — the periodic pass that bounds the
-    * probe's tombstone broadcast and reclaims dead-generation bytes
-    * (the log-structured discipline's merge step). Full bucketed
-    * rewrite by construction — run it at compaction cadence, not per
-    * reindex. */
+    * only live generations, clear the tombstone table, and commit a
+    * stats frame RECOMPUTED from the surviving postings — the
+    * periodic pass that bounds the probe's tombstone broadcast and
+    * reclaims dead-generation bytes (the log-structured discipline's
+    * merge step), and the index family's REPAIR tool for states a
+    * crashed mutation left torn (stats pins behind the live table
+    * versions — [[bm25ReindexDocs]]'s entry guard sends callers
+    * here).
+    *
+    * Two properties make the repair claim sound:
+    *
+    *  - live generations are PRESERVED through the rewrite (not reset
+    *    to 0), so re-running a compaction that crashed between its
+    *    own commits is idempotent: the standing tombstones are no-ops
+    *    against the already-compacted rows instead of silently
+    *    filtering generation-0 survivors back out (the crash window
+    *    the reset-to-0 layout had);
+    *  - stats are REBUILT from the live postings (df = live docs per
+    *    term, n / total_dl from the distinct live (id, dl) pairs —
+    *    bit-identical to what [[bm25BuildIndex]] computes over the
+    *    live corpus), never carried forward, so stale stats VALUES
+    *    from a torn predecessor can't survive the pass.
+    *
+    * The one unrepairable shape is refused loudly: an id with MORE
+    * THAN ONE live generation (a reindex that crashed after its
+    * postings append but before its tombstone upsert). Every healthy
+    * state keeps ≤1 live generation per id (reindex tombstones all
+    * prior generations; append inserts only new ids), so the check
+    * is exact — those duplicates would double-count and only a
+    * rebuild knows which generation the caller meant.
+    *
+    * Commit order postings → tombstones → stats (stats last, pinning
+    * both versions) keeps every crash window either probe-refusable
+    * or already-consistent. Full bucketed rewrite plus one stats
+    * scan of the compacted postings by construction — run it at
+    * compaction cadence, not per reindex. */
   def bm25CompactIndex(spark: org.apache.spark.sql.SparkSession,
       store: ParquetTableStore,
       postingsTable: String = "bm25_postings",
       statsTable: String = "bm25_stats",
       tombstoneTable: String = "bm25_tombstones",
       numBuckets: Int = 32): Unit = {
-    if (!store.exists(tombstoneTable)) return // nothing dead — no-op
+    require(store.exists(postingsTable) && store.exists(statsTable),
+      s"bm25CompactIndex: index ($postingsTable, $statsTable) not built")
     val all = store.read(spark, postingsTable)
-    val t = store.read(spark, tombstoneTable)
-    val live = all
-      .join(broadcast(t.select(col("id"), col("dead_below"))),
-        Seq("id"), "left")
-      .filter(col("dead_below").isNull ||
-        coalesce(col("gen"), lit(0L)) >= col("dead_below"))
-      .select(col("term"), col("id"), col("tf"), col("dl"),
-        lit(0L).as("gen"))
-    store.withCommitRetries()(store.replaceBucketed(spark, postingsTable,
-      live, Seq("term"), numBuckets, sortWithin = Seq("term", "id")))
-    store.withCommitRetries()(
-      store.commit(spark, tombstoneTable, t.filter(lit(false))))
+    val tomb =
+      if (store.exists(tombstoneTable))
+        Some(store.read(spark, tombstoneTable)) else None
+    val live = tomb match {
+      case None => all
+      case Some(t) => all
+        .join(broadcast(t.select(col("id"), col("dead_below"))),
+          Seq("id"), "left")
+        .filter(col("dead_below").isNull ||
+          coalesce(col("gen"), lit(0L)) >= col("dead_below"))
+        .select(col("term"), col("id"), col("tf"), col("dl"), col("gen"))
+    }
+    val dupLiveGens = live.select(col("id"), coalesce(col("gen"), lit(0L)))
+      .distinct().groupBy("id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    if (dupLiveGens > 0)
+      throw new IllegalStateException(
+        s"bm25CompactIndex: $postingsTable carries more than one LIVE " +
+          "generation for some id — a reindex crashed between its " +
+          "postings append and its tombstone upsert, and which " +
+          "generation is current is unrecoverable from the index " +
+          "alone. Rebuild with bm25BuildIndex")
+    val hasDead = tomb.exists(_.limit(1).count() > 0)
+    if (hasDead)
+      store.withCommitRetries()(store.replaceBucketed(spark, postingsTable,
+        live, Seq("term"), numBuckets, sortWithin = Seq("term", "id")))
+    tomb.foreach { t =>
+      store.withCommitRetries()(
+        store.commit(spark, tombstoneTable, t.filter(lit(false))))
+    }
     val pv = store.currentVersion(postingsTable).get
-    val tv = store.currentVersion(tombstoneTable).get
-    val statsAll = store.read(spark, statsTable)
+    val tv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+    val compacted = store.read(spark, postingsTable)
+    val dfreq = compacted.groupBy("term").agg(count(lit(1)).as("df"))
+    val scalars = compacted.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
     store.withCommitRetries()(store.commit(spark, statsTable,
-      statsAll.drop("postings_version", "tombstones_version")
+      dfreq.crossJoin(scalars)
         .withColumn("postings_version", lit(pv))
         .withColumn("tombstones_version", lit(tv))))
+    ()
   }
 
   /** BM25 top-`k` against the STORED index — probe cost is

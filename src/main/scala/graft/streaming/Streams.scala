@@ -45,10 +45,14 @@ object Streams {
     * straggler keeps writing while the batch unwinds), then the
     * first failure is rethrown so foreachBatch aborts the batch. */
   private def commitInParallel(ops: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val done = ops.map(op => Future(op()))
+    // each op blocks on Spark job rounds + filesystem CAS, not CPU —
+    // the blocking{} marker lets the global fork-join pool grow past
+    // its parallelism so a caller landing MANY tables cannot starve
+    // the pool (ops deadlocking behind their own siblings)
+    val done = ops.map(op => Future(blocking(op())))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     done.collectFirst { case scala.util.Failure(e) => throw e }
       .getOrElse(())
@@ -729,11 +733,16 @@ object Streams {
             // (The checkpoint + ledger make a COMPLETED batch
             // unrepeatable, and the feed contract guarantees new ids,
             // so the id-scan bought nothing else.)
+            // an EMPTY stats frame has no pin row — that is the
+            // healthy result of a first batch whose docs ALL
+            // tokenized empty (build commits zero stats rows), not a
+            // torn fold; treat it as version-compatible, exactly as
+            // bm25AppendIndex's own empty-scalars path does
             val pinned = store.read(spark, statsTable)
               .select("postings_version").limit(1).collect()
               .headOption.map(_.getLong(0))
             val cur = store.currentVersion(postingsTable)
-            if (pinned != cur) throw new IllegalStateException(
+            if (pinned.nonEmpty && pinned != cur) throw new IllegalStateException(
               s"bm25 index torn: $statsTable pins postings " +
                 s"v${pinned.orNull} but $postingsTable is at " +
                 s"v${cur.orNull} — a fold crashed mid-apply; delete " +

@@ -61,6 +61,8 @@ class StoreCasSpec extends SparkSpec {
         PosixStoreIo.swapPointer(p, c)
       override def shareFile(s: Path, d: Path): Unit =
         PosixStoreIo.shareFile(s, d)
+      override def deletePointerIfCurrent(p: Path, e: String): Unit =
+        PosixStoreIo.deletePointerIfCurrent(p, e)
       override def swapPointerIfCurrent(p: Path, c: String,
           exp: Option[String]): Unit = {
         if (!raced && exp.isDefined) {
@@ -108,10 +110,15 @@ class StoreCasSpec extends SparkSpec {
         PosixStoreIo.swapPointer(p, c)
       override def shareFile(s: Path, d: Path): Unit =
         PosixStoreIo.shareFile(s, d)
+      override def deletePointerIfCurrent(p: Path, e: String): Unit =
+        PosixStoreIo.deletePointerIfCurrent(p, e)
       override def swapPointerIfCurrent(p: Path, c: String,
           exp: Option[String]): Unit = {
         PosixStoreIo.swapPointerIfCurrent(p, c, exp)
-        if (armSweep) deleteRec(p.getParent.resolve(c))
+        // one-shot: gc sweeps only tmp-/above-pointer orphans, so the
+        // staged dir is sweepable exactly once — the undo-CAS that
+        // follows restores a COMMITTED version gc never touches
+        if (armSweep) { armSweep = false; deleteRec(p.getParent.resolve(c)) }
       }
     }
     val store = new ParquetTableStore(root, io = sweepIo)
@@ -139,6 +146,58 @@ class StoreCasSpec extends SparkSpec {
     assert(!plain.exists("t2"))
     store.commit(spark, "t2", Seq((1L, "a")).toDF("id", "v"))
     assert(plain.read(spark, "t2").count() == 1)
+  }
+
+  test("gc-sweep undo racing a blind replace competitor: the competitor's commit survives") {
+    val root = tmpDir("cas-gcsweep-race")
+    // The adversarial interleaving the undo-CAS exists for: gc sweeps
+    // our freshly published staged dir, and BEFORE we notice, a
+    // replace-style competitor (commit never reads the previous data
+    // dir) lands CAS(expected = our staged). An unconditional undo
+    // would revert the competitor's COMMITTED version — a lost
+    // commit. The undo must be a CAS that loses gracefully, leaving
+    // the pointer at the competitor's version.
+    var arm = false
+    var competitorRan = false
+    def deleteRec(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try { s.iterator().forEachRemaining(deleteRec) } finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    lazy val plain = new ParquetTableStore(root)
+    val raceIo: StoreIo = new StoreIo {
+      override def swapPointer(p: Path, c: String): Unit =
+        PosixStoreIo.swapPointer(p, c)
+      override def shareFile(s: Path, d: Path): Unit =
+        PosixStoreIo.shareFile(s, d)
+      override def deletePointerIfCurrent(p: Path, e: String): Unit =
+        PosixStoreIo.deletePointerIfCurrent(p, e)
+      override def swapPointerIfCurrent(p: Path, c: String,
+          exp: Option[String]): Unit = {
+        PosixStoreIo.swapPointerIfCurrent(p, c, exp)
+        if (arm) {
+          arm = false
+          deleteRec(p.getParent.resolve(c)) // gc sweeps our staged dir
+          import spark.implicits._
+          // a REAL blind replace publishes on top (expected = c)
+          plain.commit(spark, "t", Seq((9L, "z")).toDF("id", "v"))
+          competitorRan = true
+        }
+      }
+    }
+    val store = new ParquetTableStore(root, io = raceIo)
+    store.commit(spark, "t", Seq((1L, "a")).toDF("id", "v"))
+    arm = true
+    val e = intercept[ConcurrentCommitException] {
+      store.commit(spark, "t", Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("swept"), e.getMessage)
+    assert(competitorRan)
+    // the competitor's version is the table — NOT our pre-sweep prev
+    assert(plain.read(spark, "t").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
   }
 
   test("readPinned/commitPinned: a commit landing after the pinned read fails the publish") {
@@ -213,6 +272,8 @@ class StoreCasSpec extends SparkSpec {
         PosixStoreIo.swapPointer(p, c)
       override def shareFile(s: Path, d: Path): Unit =
         PosixStoreIo.shareFile(s, d)
+      override def deletePointerIfCurrent(p: Path, e: String): Unit =
+        PosixStoreIo.deletePointerIfCurrent(p, e)
       override def swapPointerIfCurrent(p: Path, c: String,
           exp: Option[String]): Unit = {
         if (!raced && exp.isDefined) {

@@ -568,10 +568,22 @@ class TextPiiSpec extends SparkSpec {
       if (q == Seq("join", "merge"))
         assert(probe(q).map(_._2).contains(2L), "resurrected doc invisible")
     }
-    // compaction drops the dead generations and keeps answers exact
+    // compaction drops the dead generations (postings shrink to the
+    // from-scratch row count), PRESERVES live generations (the
+    // crash-idempotence invariant: re-filtering the compacted rows
+    // under the old tombstones must be a no-op, which a reset-to-0
+    // layout breaks), clears the tombstones, and keeps answers exact
     TextAnalysis.bm25CompactIndex(spark, store)
-    assert(store.read(spark, "bm25_postings")
-      .filter(col("gen") =!= 0L).count() == 0)
+    val scratchStore = new ParquetTableStore(tmpDir("bm25-reidx-scratch"))
+    TextAnalysis.bm25BuildIndex(resurrected, "id", "text", scratchStore)
+    assert(store.read(spark, "bm25_postings").count() ==
+      scratchStore.read(spark, "bm25_postings").count(),
+      "dead generations survived compaction")
+    // doc 1 was reindexed twice (replay) — its live generation is 2;
+    // a reset-to-0 compaction would have collapsed it
+    assert(store.read(spark, "bm25_postings").filter(col("id") === 1L)
+      .select("gen").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "live generation was not preserved through compaction")
     assert(store.read(spark, "bm25_tombstones").count() == 0)
     for (q <- Seq(Seq("scan", "merge"), Seq("hash", "join")))
       assert(probe(q) == scratchR(q), s"query $q drifted after compaction")
@@ -583,6 +595,110 @@ class TextPiiSpec extends SparkSpec {
       TextAnalysis.bm25TopKStored(spark, store, Seq("hash"), k = 5)
     }
     assert(e.getMessage.contains("mid-update"), e.getMessage)
+  }
+
+  test("bm25 torn states: reindex refuses, compaction repairs the safe shapes and refuses the unsafe one") {
+    import spark.implicits._
+    def probeOf(store: ParquetTableStore)(q: Seq[String]) =
+      TextAnalysis.bm25TopKStored(spark, store, q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    def scratchOf(corpus: org.apache.spark.sql.DataFrame)(q: Seq[String]) =
+      TextAnalysis.bm25TopK(corpus, "id", "text", q, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val orig = Seq(
+      (1L, "hash join hash scan"),
+      (2L, "join merge sort"),
+      (3L, "vector scan filter")).toDF("id", "text")
+
+    // SHAPE A — a reindex crashed AFTER its tombstone upsert, BEFORE
+    // its stats commit: the data tables hold the fully-applied new
+    // state but the stats values AND pins are pre-mutation. Simulate
+    // by completing a reindex, then restoring the pre-reindex stats.
+    val store = new ParquetTableStore(tmpDir("bm25-tornA"))
+    TextAnalysis.bm25BuildIndex(orig, "id", "text", store)
+    val statsSchema = store.read(spark, "bm25_stats").schema
+    val oldStats = store.read(spark, "bm25_stats").collect().toSeq
+    TextAnalysis.bm25ReindexDocs(
+      Seq((1L, "merge probe")).toDF("id", "text"), "id", "text", store)
+    store.commit(spark, "bm25_stats", spark.createDataFrame(
+      spark.sparkContext.parallelize(oldStats), statsSchema))
+    // the probe refuses the torn pair retryably
+    intercept[IllegalStateException](probeOf(store)(Seq("merge")))
+    // a further reindex must NOT fold on top (its stats deltas would
+    // cancel against the half-applied state and then re-pin
+    // consistent versions, hiding the corruption) — refuse loudly
+    val eReidx = intercept[IllegalStateException] {
+      TextAnalysis.bm25ReindexDocs(
+        Seq((2L, "probe sort")).toDF("id", "text"), "id", "text", store)
+    }
+    assert(eReidx.getMessage.contains("torn"), eReidx.getMessage)
+    // compaction REPAIRS it: stats rebuild from the live postings
+    TextAnalysis.bm25CompactIndex(spark, store)
+    val mutatedA = Seq(
+      (1L, "merge probe"),
+      (2L, "join merge sort"),
+      (3L, "vector scan filter")).toDF("id", "text")
+    for (q <- Seq(Seq("merge"), Seq("scan", "filter"), Seq("join")))
+      assert(probeOf(store)(q) == scratchOf(mutatedA)(q),
+        s"query $q wrong after torn-state repair")
+    // and the index is mutable again
+    TextAnalysis.bm25ReindexDocs(
+      Seq((2L, "probe sort")).toDF("id", "text"), "id", "text", store)
+    val mutatedA2 = Seq(
+      (1L, "merge probe"),
+      (2L, "probe sort"),
+      (3L, "vector scan filter")).toDF("id", "text")
+    for (q <- Seq(Seq("probe"), Seq("sort", "merge")))
+      assert(probeOf(store)(q) == scratchOf(mutatedA2)(q),
+        s"query $q wrong after post-repair reindex")
+
+    // SHAPE B — a reindex crashed AFTER its postings append, BEFORE
+    // its tombstone upsert: some id now has TWO live generations and
+    // nothing in the index records which is current. Simulate by
+    // appending a second live generation for id 1 directly.
+    val storeB = new ParquetTableStore(tmpDir("bm25-tornB"))
+    TextAnalysis.bm25BuildIndex(orig, "id", "text", storeB)
+    storeB.appendBucketed(spark, "bm25_postings",
+      Seq(("merge", 1L, 1L, 2L, 1L), ("probe", 1L, 1L, 2L, 1L))
+        .toDF("term", "id", "tf", "dl", "gen"),
+      Seq("term"), sortWithin = Seq("term", "id"))
+    val eCompact = intercept[IllegalStateException] {
+      TextAnalysis.bm25CompactIndex(spark, storeB)
+    }
+    assert(eCompact.getMessage.contains("Rebuild"), eCompact.getMessage)
+    // rebuild recovers
+    TextAnalysis.bm25BuildIndex(mutatedA, "id", "text", storeB)
+    for (q <- Seq(Seq("merge"), Seq("hash", "join")))
+      assert(probeOf(storeB)(q) == scratchOf(mutatedA)(q),
+        s"query $q wrong after rebuild")
+
+    // SHAPE C — a COMPACTION crashed after its postings rewrite,
+    // BEFORE its tombstone clear: compacted (generation-preserving)
+    // postings under standing-but-no-op tombstones, stale stats pins.
+    // Simulate by compacting fully, then restoring the pre-compaction
+    // tombstones and stats. Re-running compaction must converge —
+    // with generations preserved the standing tombstones kill
+    // nothing; a reset-to-0 rewrite would silently drop doc 1 here.
+    val storeC = new ParquetTableStore(tmpDir("bm25-tornC"))
+    TextAnalysis.bm25BuildIndex(orig, "id", "text", storeC)
+    TextAnalysis.bm25ReindexDocs(
+      Seq((1L, "merge probe")).toDF("id", "text"), "id", "text", storeC)
+    val tombSchema = storeC.read(spark, "bm25_tombstones").schema
+    val oldTombs = storeC.read(spark, "bm25_tombstones").collect().toSeq
+    val preStats = storeC.read(spark, "bm25_stats").collect().toSeq
+    TextAnalysis.bm25CompactIndex(spark, storeC)
+    storeC.commit(spark, "bm25_tombstones", spark.createDataFrame(
+      spark.sparkContext.parallelize(oldTombs), tombSchema))
+    storeC.commit(spark, "bm25_stats", spark.createDataFrame(
+      spark.sparkContext.parallelize(preStats), statsSchema))
+    intercept[IllegalStateException](probeOf(storeC)(Seq("merge")))
+    TextAnalysis.bm25CompactIndex(spark, storeC)
+    for (q <- Seq(Seq("merge"), Seq("probe"), Seq("join")))
+      assert(probeOf(storeC)(q) == scratchOf(mutatedA)(q),
+        s"query $q wrong after compaction crash re-run")
+    assert(storeC.read(spark, "bm25_postings")
+      .filter(col("id") === 1L).count() > 0,
+      "compaction re-run dropped the reindexed doc's live postings")
   }
 
   test("trigramLangId: held-out sentences classify to their language, ties break lang-asc") {

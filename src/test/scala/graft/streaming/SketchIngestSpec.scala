@@ -108,6 +108,8 @@ class SketchIngestSpec extends SparkSpec {
         PosixStoreIo.swapPointer(p, c)
       override def shareFile(s: Path, d: Path): Unit =
         PosixStoreIo.shareFile(s, d)
+      override def deletePointerIfCurrent(p: Path, e: String): Unit =
+        PosixStoreIo.deletePointerIfCurrent(p, e)
       override def swapPointerIfCurrent(p: Path, c: String,
           exp: Option[String]): Unit = {
         if (!raced && exp.isDefined) {
