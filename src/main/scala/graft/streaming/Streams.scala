@@ -44,7 +44,7 @@ object Streams {
     * helper. All ops run to completion even when one fails (no
     * straggler keeps writing while the batch unwinds), then the
     * first failure is rethrown so foreachBatch aborts the batch. */
-  private def commitInParallel(ops: (() => Unit)*): Unit = {
+  private[streaming] def commitInParallel(ops: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global

@@ -289,4 +289,37 @@ class StreamsSpec extends SparkSpec {
       .map(_.n_tokens).sum
     assert(total == 16)
   }
+
+  test("commitInParallel: 8 blocking store commits overlap without starving the pool; one failure aborts after all finish") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("cip-overlap"))
+    // 8 ops > the fork-join pool's CPU parallelism floor on small
+    // machines; each op blocks on a REAL store commit (Spark job +
+    // filesystem CAS). Without the blocking{} marker a caller landing
+    // many tables can deadlock behind its own siblings; with it the
+    // pool grows and all commits land.
+    val n = 8
+    Streams.commitInParallel(
+      (0 until n).map(i => () => {
+        store.commit(spark, s"t$i", Seq((i.toLong, s"v$i")).toDF("id", "v"))
+        ()
+      }): _*)
+    for (i <- 0 until n)
+      assert(store.read(spark, s"t$i").count() == 1, s"table t$i missing")
+    // failure policy: every op still runs to completion (no straggler
+    // keeps writing while the batch unwinds), then the first failure
+    // rethrows
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[RuntimeException] {
+      Streams.commitInParallel(
+        (0 until n).map(i => () => {
+          if (i == 3) throw new RuntimeException("op 3 failed")
+          store.commit(spark, s"u$i", Seq((i.toLong, "x")).toDF("id", "v"))
+          ran.incrementAndGet()
+          ()
+        }): _*)
+    }
+    assert(e.getMessage == "op 3 failed")
+    assert(ran.get() == n - 1, "a sibling op was abandoned mid-batch")
+  }
 }
