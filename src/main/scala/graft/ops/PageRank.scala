@@ -159,6 +159,13 @@ object PageRank {
     * behind the edge table; the next fold detects the torn state and
     * fails LOUDLY with a rebuild instruction (the st8 contract)
     * instead of double-counting or silently under-counting.
+    * CONCURRENT folds are safe by the same pin discipline st2 uses:
+    * every commit CASes against the snapshot this fold derived from,
+    * so of two racing folds exactly one lands — the loser throws
+    * [[ConcurrentCommitException]] on its FIRST commit (before any
+    * count mutates) and the caller simply re-invokes the fold, which
+    * re-reads the winner's state (shared edges anti-join away;
+    * genuinely new edges fold normally).
     *
     * Returns the full (id, n_triangles) view after the fold —
     * identical to [[triangleCounts]] over everything appended so far
@@ -193,17 +200,33 @@ object PageRank {
         val counts = triangleCounts(d, "u", "v").persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          store.withCommitRetries()(store.upsertBucketed(spark, edgesTable,
-            d, Seq("u", "v"), numBuckets))
-          store.withCommitRetries()(store.upsertBucketed(spark, countsTable,
-            counts, Seq("id"), numBuckets))
-          store.withCommitRetries()(store.commit(spark, metaTable,
-            Seq(store.currentVersion(edgesTable).get).toDF("edges_version")))
+          // absence-pinned creates: a RACING first build must lose
+          // its CAS cleanly (ConcurrentCommitException to the
+          // caller), not interleave its three creates with ours
+          val (_, edgesPin) = store.readPinnedOption(spark, edgesTable)
+          val (_, countsPin) = store.readPinnedOption(spark, countsTable)
+          store.upsertBucketedPinned(spark, d, Seq("u", "v"),
+            edgesPin, numBuckets)
+          store.upsertBucketedPinned(spark, counts, Seq("id"),
+            countsPin, numBuckets)
+          store.commitNew(spark, metaTable,
+            Seq(store.currentVersion(edgesTable).get).toDF("edges_version"))
         } finally counts.unpersist(false)
       } finally d.unpersist(false)
       return store.read(spark, countsTable)
     }
-    val metaV = store.read(spark, metaTable).head.getAs[Long]("edges_version")
+    // every frame the fold derives from is PINNED to the snapshot it
+    // was read at, and every commit CASes against its pin — two
+    // concurrent folds both passing the staleness check below cannot
+    // both land: the loser's FIRST commit (edges) throws
+    // ConcurrentCommitException before anything double-counts, and
+    // the caller re-invokes the fold over the winner's state (the
+    // anti-join makes any overlap replay-safe). This is the st2
+    // upsertBucketedPinned discipline; a blanket withCommitRetries
+    // would be WRONG here — the pinned closure can only lose again,
+    // the retry must re-read and re-derive, i.e. re-enter the fold.
+    val (metaDf, metaPin) = store.readPinned(spark, metaTable)
+    val metaV = metaDf.head.getAs[Long]("edges_version")
     val curV = store.currentVersion(edgesTable).get
     if (metaV != curV)
       throw new IllegalStateException(
@@ -211,12 +234,14 @@ object PageRank {
           s"$metaV but $edgesTable is at $curV — a fold crashed between " +
           "commits; delete the three tables and re-append the full edge " +
           "history to rebuild")
-    val stored = store.read(spark, edgesTable).select("u", "v")
+    val (storedAll, edgesPin) = store.readPinned(spark, edgesTable)
+    val (countsDf, countsPin) = store.readPinned(spark, countsTable)
+    val stored = storedAll.select("u", "v")
     val deltaNew = delta.join(stored, Seq("u", "v"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (deltaNew.limit(1).count() == 0)
-        return store.read(spark, countsTable)
+        return countsDf
       // stored adjacency + degrees: one scan of the edge artifact
       val adj = stored.select(col("u").as("n1"), col("v").as("n2"))
         .unionByName(stored.select(col("v").as("n1"), col("u").as("n2")))
@@ -272,19 +297,21 @@ object PageRank {
         val deltaNodes = deltaNew.select(col("u").as("id"))
           .unionByName(deltaNew.select(col("v").as("id"))).distinct()
         val updated = incr.select("id").unionByName(deltaNodes).distinct()
-          .join(store.read(spark, countsTable), Seq("id"), "left")
+          .join(countsDf, Seq("id"), "left")
           .join(incr, Seq("id"), "left")
           .select(col("id"),
             (coalesce(col("n_triangles"), lit(0L)) +
               coalesce(col("inc"), lit(0L))).as("n_triangles"))
         // commit order IS the consistency protocol: edges, then the
-        // touched counts, then the version marker (see scaladoc)
-        store.withCommitRetries()(store.upsertBucketed(spark, edgesTable,
-          deltaNew, Seq("u", "v"), numBuckets))
-        store.withCommitRetries()(store.upsertBucketed(spark, countsTable,
-          updated, Seq("id"), numBuckets))
-        store.withCommitRetries()(store.commit(spark, metaTable,
-          Seq(store.currentVersion(edgesTable).get).toDF("edges_version")))
+        // touched counts, then the version marker (see scaladoc) —
+        // each pinned to the snapshot this fold derived from
+        store.upsertBucketedPinned(spark, deltaNew, Seq("u", "v"),
+          edgesPin, numBuckets)
+        store.upsertBucketedPinned(spark, updated, Seq("id"),
+          countsPin, numBuckets)
+        store.commitPinned(spark,
+          Seq(store.currentVersion(edgesTable).get).toDF("edges_version"),
+          metaPin)
       } finally incr.unpersist(false)
       store.read(spark, countsTable)
     } finally deltaNew.unpersist(false)

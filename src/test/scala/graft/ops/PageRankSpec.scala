@@ -116,4 +116,60 @@ class PageRankSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("stale"), e.getMessage)
   }
+
+  test("triangleCountsAppend: a racing fold loses its pinned CAS before any count mutates") {
+    import spark.implicits._
+    import java.nio.file.Path
+    val root = tmpDir("tri-race")
+    val plain = new ParquetTableStore(root)
+    // seed: a path 1-2-3 (no triangles yet)
+    PageRank.triangleCountsAppend(
+      Seq((1L, 2L), (2L, 3L)).toDF("s", "d"), "s", "d", plain)
+    // Fold B (edge 1-3, would close {1,2,3}) races fold C (edge 2-4):
+    // both derive from the SAME stored snapshot. The harness lets C
+    // land a REAL complete fold inside B's first CAS — B's edges
+    // commit is pinned to the pre-C pointer, so B must throw before
+    // it touches the counts table (the double-count window the
+    // unpinned commits had: both folds' count increments landing).
+    var armed = true
+    var competitorRan = false
+    val racingIo: StoreIo = new StoreIo {
+      override def swapPointer(p: Path, c: String): Unit =
+        PosixStoreIo.swapPointer(p, c)
+      override def shareFile(s: Path, d: Path): Unit =
+        PosixStoreIo.shareFile(s, d)
+      override def deletePointerIfCurrent(p: Path, e: String): Unit =
+        PosixStoreIo.deletePointerIfCurrent(p, e)
+      override def swapPointerIfCurrent(p: Path, c: String,
+          exp: Option[String]): Unit = {
+        if (armed && p.getParent.getFileName.toString == "tri_edges") {
+          armed = false
+          PageRank.triangleCountsAppend(
+            Seq((2L, 4L)).toDF("s", "d"), "s", "d", plain)
+          competitorRan = true
+        }
+        PosixStoreIo.swapPointerIfCurrent(p, c, exp)
+      }
+    }
+    val storeB = new ParquetTableStore(root, io = racingIo)
+    intercept[ConcurrentCommitException] {
+      PageRank.triangleCountsAppend(
+        Seq((1L, 3L)).toDF("s", "d"), "s", "d", storeB)
+    }
+    assert(competitorRan)
+    // the loser mutated NOTHING: counts/meta reflect exactly the
+    // winner's fold, and the caller's retry (re-invoking the fold)
+    // lands B over the winner's state
+    val afterRace = plain.read(spark, "tri_counts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterRace == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      afterRace)
+    val retried = PageRank.triangleCountsAppend(
+      Seq((1L, 3L)).toDF("s", "d"), "s", "d", plain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = PageRank.triangleCounts(
+      Seq((1L, 2L), (2L, 3L), (2L, 4L), (1L, 3L)).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(retried == scratch, s"retried=$retried scratch=$scratch")
+  }
 }
