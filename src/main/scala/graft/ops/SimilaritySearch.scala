@@ -301,6 +301,274 @@ object SimilaritySearch {
       "cos", k)
   }
 
+  /** Driver codebook from a stored codebook frame — the shared read
+    * half of the mutable stored-index paths. */
+  private def codebookOf(codebookDf: DataFrame): Ivf.Codebook = codebookDf
+    .select(col("cid"), col("cvec")).orderBy("cid").collect()
+    .map(r => (r.getLong(0),
+      r.getSeq[Number](1).map(_.doubleValue()).toIndexedSeq))
+    .toIndexedSeq
+
+  /** Build the MUTABLE stored IVF index — the ts28 log-structured
+    * discipline ([[graft.ops.TextAnalysis.bm25ReindexDocs]]) applied
+    * to the vector family, closing the gap where
+    * [[ivfIndexFrames]]/[[probeStoredIvf]] are append-only and one
+    * changed embedding forces a full rebuild. Four store tables:
+    *
+    *  - `codebookTable` (cid, cvec): the deterministic sample
+    *    codebook, PINNED at build — reindexing vectors never
+    *    retrains it (cell geometry must stay comparable across
+    *    mutations; retraining is a rebuild);
+    *  - `membersTable` (centroid_id, neighbor_id, gen): UNCAPPED
+    *    cell membership, bucketed by centroid_id so a probe opens
+    *    only its touched cells' bucket dirs. The per-cell cap is
+    *    applied AT PROBE TIME over the live rows — that is what
+    *    keeps probe ≡ rebuild exact under mutation (a stored cap
+    *    could not be maintained incrementally without re-reading the
+    *    cell);
+    *  - `tombstoneTable` (neighbor_id, dead_below): generations
+    *    below the mark are dead (the reindex shape);
+    *  - `metaTable` (members_version, tombstones_version): commits
+    *    LAST, pinning the pair — [[ivfTopKStored]] refuses a torn
+    *    state retryably.
+    *
+    * Assignment is per-id independent (probes = 1 nearest centroid
+    * against the fixed codebook), so incremental reassignment of
+    * only the changed ids reproduces EXACTLY the membership a full
+    * rebuild over the mutated corpus would compute — the identity
+    * gate ss17 pins probe ≡ rebuild bit-exactly. Mutations on one
+    * index must be externally serialized (the bm25 contract). */
+  def ivfBuildIndexStored(corpus: DataFrame, idCol: String, vecCol: String,
+      store: ParquetTableStore, numCentroids: Int,
+      codebookTable: String = "ivf_codebook",
+      membersTable: String = "ivf_members",
+      metaTable: String = "ivf_meta",
+      numBuckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebookDf = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      .orderBy("cid").limit(numCentroids)
+    store.withCommitRetries()(store.commit(spark, codebookTable, codebookDf))
+    // the driver copy comes from the COMMITTED frame (the
+    // ivfIndexFrames single-derivation rule)
+    val codebook = codebookOf(store.read(spark, codebookTable))
+    val members = Ivf.assignmentsWithCodebook(corpus, idCol, vecCol,
+      codebook, probes = 1)
+      .select(col("centroid_id"), col("id").as("neighbor_id"),
+        lit(0L).as("gen"))
+    store.withCommitRetries()(store.replaceBucketed(spark, membersTable,
+      members, Seq("centroid_id"), numBuckets,
+      sortWithin = Seq("centroid_id", "neighbor_id")))
+    val mv = store.currentVersion(membersTable).get
+    store.withCommitRetries()(store.commit(spark, metaTable,
+      Seq((mv, -1L)).toDF("members_version", "tombstones_version")))
+    ()
+  }
+
+  /** REINDEX CHANGED VECTORS in the stored IVF index — the
+    * delete-and-re-append path: new cell assignments append
+    * insert-only under a bumped per-id GENERATION, a tombstone row
+    * marks every prior generation of that id dead, and the meta
+    * frame re-pins both versions LAST. One members scan derives the
+    * generations (the ts28 honest price of an id-keyed lookup in a
+    * cell-keyed artifact); everything else is delta-sized. A torn
+    * starting state (meta pins behind the live versions — a prior
+    * mutation crashed between commits) is refused loudly:
+    * [[ivfCompactIndex]] repairs the recoverable shapes. */
+  def ivfReindexVectors(changed: DataFrame, idCol: String, vecCol: String,
+      store: ParquetTableStore,
+      codebookTable: String = "ivf_codebook",
+      membersTable: String = "ivf_members",
+      tombstoneTable: String = "ivf_tombstones",
+      metaTable: String = "ivf_meta"): Unit = {
+    val spark = changed.sparkSession
+    import spark.implicits._
+    require(store.exists(codebookTable) && store.exists(membersTable) &&
+      store.exists(metaTable),
+      s"ivfReindexVectors: index ($codebookTable, $membersTable, " +
+        s"$metaTable) not built — run ivfBuildIndexStored first")
+    val nDup = changed.select(col(idCol).as("id")).groupBy("id")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1).count()
+    require(nDup == 0,
+      s"ivfReindexVectors: changed carries duplicate $idCol values — " +
+        "dedup the delta first")
+    checkIvfPins(spark, store, membersTable, tombstoneTable, metaTable,
+      "ivfReindexVectors")
+    val ids = changed.select(col(idCol).as("neighbor_id"))
+    // generations derive from EVERY row of the changed ids (dead
+    // included — the ts28 resurrect rule)
+    val gens = store.read(spark, membersTable)
+      .join(ids, Seq("neighbor_id"), "left_semi")
+      .groupBy("neighbor_id")
+      .agg((max(coalesce(col("gen"), lit(0L))) + 1L).as("gen"))
+    val codebook = codebookOf(store.read(spark, codebookTable))
+    val newAssign = Ivf.assignmentsWithCodebook(changed, idCol, vecCol,
+      codebook, probes = 1)
+      .select(col("centroid_id"), col("id").as("neighbor_id"))
+      .join(gens, Seq("neighbor_id"), "left")
+      .select(col("centroid_id"), col("neighbor_id"),
+        coalesce(col("gen"), lit(0L)).as("gen"))
+    // commit order: members append → tombstones → meta pins LAST
+    store.withCommitRetries()(store.appendBucketed(spark, membersTable,
+      newAssign, Seq("centroid_id"),
+      sortWithin = Seq("centroid_id", "neighbor_id")))
+    val deadMarks = gens.select(col("neighbor_id"),
+      col("gen").as("dead_below"))
+    if (deadMarks.limit(1).count() > 0)
+      store.withCommitRetries()(
+        store.upsert(spark, tombstoneTable, deadMarks, Seq("neighbor_id")))
+    val mv = store.currentVersion(membersTable).get
+    val tv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+    store.withCommitRetries()(store.commit(spark, metaTable,
+      Seq((mv, tv)).toDF("members_version", "tombstones_version")))
+    ()
+  }
+
+  /** COMPACT the mutable stored IVF index: rewrite members keeping
+    * only live generations (PRESERVED, not reset — re-running a
+    * crashed compaction must be idempotent under the standing
+    * tombstones), clear the tombstones, re-pin meta — and thereby
+    * REPAIR any crashed-mutation state whose data is consistent.
+    * The one unrepairable shape (an id with more than one live
+    * generation — a reindex crashed between its members append and
+    * its tombstone upsert) is refused loudly with a rebuild
+    * instruction, exactly the bm25CompactIndex discipline. */
+  def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore,
+      membersTable: String = "ivf_members",
+      tombstoneTable: String = "ivf_tombstones",
+      metaTable: String = "ivf_meta",
+      numBuckets: Int = 32): Unit = {
+    import spark.implicits._
+    require(store.exists(membersTable) && store.exists(metaTable),
+      s"ivfCompactIndex: index ($membersTable, $metaTable) not built")
+    val all = store.read(spark, membersTable)
+    val tomb =
+      if (store.exists(tombstoneTable))
+        Some(store.read(spark, tombstoneTable)) else None
+    val live = tomb match {
+      case None => all
+      case Some(t) => all
+        .join(broadcast(t.select(col("neighbor_id"), col("dead_below"))),
+          Seq("neighbor_id"), "left")
+        .filter(col("dead_below").isNull ||
+          coalesce(col("gen"), lit(0L)) >= col("dead_below"))
+        .select(col("centroid_id"), col("neighbor_id"), col("gen"))
+    }
+    val dupLiveGens = live
+      .select(col("neighbor_id"), coalesce(col("gen"), lit(0L)).as("g"))
+      .distinct().groupBy("neighbor_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    if (dupLiveGens > 0)
+      throw new IllegalStateException(
+        s"ivfCompactIndex: $membersTable carries more than one LIVE " +
+          "generation for some id — a reindex crashed between its " +
+          "members append and its tombstone upsert. Rebuild with " +
+          "ivfBuildIndexStored")
+    val hasDead = tomb.exists(_.limit(1).count() > 0)
+    if (hasDead)
+      store.withCommitRetries()(store.replaceBucketed(spark, membersTable,
+        live, Seq("centroid_id"), numBuckets,
+        sortWithin = Seq("centroid_id", "neighbor_id")))
+    tomb.foreach { t =>
+      store.withCommitRetries()(
+        store.commit(spark, tombstoneTable, t.filter(lit(false))))
+    }
+    val mv = store.currentVersion(membersTable).get
+    val tv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+    store.withCommitRetries()(store.commit(spark, metaTable,
+      Seq((mv, tv)).toDF("members_version", "tombstones_version")))
+    ()
+  }
+
+  /** The shared torn-state entry guard for mutable-IVF mutations. */
+  private def checkIvfPins(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore, membersTable: String,
+      tombstoneTable: String, metaTable: String, who: String): Unit = {
+    store.read(spark, metaTable)
+      .select(col("members_version"), col("tombstones_version"))
+      .limit(1).collect().headOption.foreach { p =>
+      val curM = store.currentVersion(membersTable).getOrElse(-1L)
+      val curT = store.currentVersion(tombstoneTable).getOrElse(-1L)
+      if (p.getLong(0) != curM || p.getLong(1) != curT)
+        throw new IllegalStateException(
+          s"$who: index torn — $metaTable pins members " +
+            s"v${p.getLong(0)}/tombstones v${p.getLong(1)} but the " +
+            s"tables are at v$curM/v$curT; a prior mutation crashed " +
+            "between commits. Run ivfCompactIndex to repair, or " +
+            "ivfBuildIndexStored to rebuild")
+    }
+  }
+
+  /** Probe the MUTABLE stored IVF index: assign ONLY the query
+    * batch, open ONLY the touched cells' bucket dirs
+    * ([[ParquetTableStore.readBucketsOf]] — directory-level pruning,
+    * the bm25TopKStored shape), drop reindexed-away generations with
+    * one tombstone-sized broadcast, apply the per-cell cap over the
+    * LIVE rows, exact-cosine rank. `candidates` supplies the scoring
+    * vectors (the caller's corpus table — pass the MUTATED corpus
+    * after a reindex). Refuses a torn index state retryably via the
+    * meta pins. Bit-identical to a from-scratch capped IVF probe
+    * over the same corpus with the same (pinned) codebook. */
+  def ivfTopKStored(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, store: ParquetTableStore, k: Int,
+      probes: Int = 4, cellCap: Int = 10000,
+      excludeSelfPairs: Boolean = true,
+      codebookTable: String = "ivf_codebook",
+      membersTable: String = "ivf_members",
+      tombstoneTable: String = "ivf_tombstones",
+      metaTable: String = "ivf_meta"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pins = store.read(spark, metaTable)
+      .select(col("members_version"), col("tombstones_version"))
+      .limit(1).collect().headOption.getOrElse(
+        throw new IllegalStateException(
+          s"ivfTopKStored: $metaTable is empty — rebuild the index"))
+    val codebook = codebookOf(store.read(spark, codebookTable))
+    val queryAssign = Ivf.assignmentsWithCodebook(queries, idCol, vecCol,
+      codebook, probes)
+      .select(col("id").as("query_id"), col("centroid_id"))
+    // touched cells to the driver: ≤ |batch|·probes longs by contract
+    val touched = queryAssign.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val (cells, mv) = store.readBucketsOf(spark, membersTable,
+      touched.toDF("centroid_id"))
+    if (pins.getLong(0) != mv)
+      throw new IllegalStateException(
+        s"ivf index mid-update: $metaTable pins members " +
+          s"v${pins.getLong(0)} but $membersTable resolved v$mv — " +
+          "retry after the index mutation completes")
+    val actualTomb = store.currentVersion(tombstoneTable).getOrElse(-1L)
+    if (pins.getLong(1) != actualTomb)
+      throw new IllegalStateException(
+        s"ivf index mid-update: $metaTable pins tombstones " +
+          s"v${pins.getLong(1)} but $tombstoneTable resolved " +
+          s"v$actualTomb — retry after the reindex completes")
+    val mine = cells.filter(col("centroid_id").isin(touched: _*))
+    val live = (if (store.exists(tombstoneTable))
+        Some(store.read(spark, tombstoneTable)) else None) match {
+      case None => mine
+      case Some(t) => mine
+        .join(broadcast(t.select(col("neighbor_id"), col("dead_below"))),
+          Seq("neighbor_id"), "left")
+        .filter(col("dead_below").isNull ||
+          coalesce(col("gen"), lit(0L)) >= col("dead_below"))
+    }
+    // per-cell cap over LIVE rows — the probe-time twin of
+    // cappedMembers (see ivfBuildIndexStored's scaladoc)
+    val capped = capPerKey(
+      live.select(col("centroid_id"), col("neighbor_id")),
+      Seq("centroid_id"), cellCap)
+    val cand = queryAssign.join(capped, Seq("centroid_id"))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
+      .select("query_id", "neighbor_id").distinct()
+    rankTopK(cosineScored(cand, queries, candidates, idCol, vecCol),
+      "cos", k)
+  }
+
   /** AUTO PQ geometry from corpus stats — the band-miner/IVF
     * auto-sizing discipline applied to the remaining fixed vector
     * knobs (round-7 verdict item 8). Returns (m, ks):

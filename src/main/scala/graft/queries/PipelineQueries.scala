@@ -4349,6 +4349,79 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     })
 
+  /** SS17: MUTABLE stored-IVF probe after a tombstone reindex
+    * ([[SimilaritySearch.ivfBuildIndexStored]] →
+    * [[SimilaritySearch.ivfReindexVectors]] →
+    * [[SimilaritySearch.ivfTopKStored]]) — the ts28 log-structured
+    * mutation discipline applied to the VECTOR index: every 7th
+    * embedding is replaced (reversed — a pure permutation, so no new
+    * float arithmetic enters the gate), the delta re-assigns under a
+    * bumped generation with tombstones marking the old rows dead,
+    * and the probe over the mutated corpus must equal a from-scratch
+    * capped IVF probe with the SAME build-pinned codebook (original
+    * first-32 sample — reindexing never retrains the geometry). The
+    * oracle is that rebuild twin: original anchors, mutated
+    * assignments, per-cell cap over the live membership. */
+  private val ss17 = QueryDef(
+    "ss17_ivf_reindex_probe",
+    "stored-IVF probe after vector reindex ≡ rebuild over mutated corpus",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val root = graft.ops.Scratch.tempDir("graft-ss17-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+        numCentroids = 32)
+      SimilaritySearch.ivfReindexVectors(
+        e.filter(col("id") % 7 === 0)
+          .select(col("id"), reverse(col("embedding")).as("embedding")),
+        "id", "embedding", store)
+      val mutated = e.select(col("id"),
+        when(col("id") % 7 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      SimilaritySearch.ivfTopKStored(
+        mutated.filter(col("id") >= 100 && col("id") < 110),
+        mutated, "id", "embedding", store, k = 5, probes = 8,
+        cellCap = 1000)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH anchors AS (SELECT vec_id AS cid, embedding AS avec
+                              FROM embeddings ORDER BY vec_id LIMIT 32),
+             mut AS (SELECT vec_id AS id,
+                       CASE WHEN vec_id % 7 = 0
+                            THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+                     FROM embeddings),
+             aff AS (SELECT m.id, a.cid,
+                       row_number() OVER (PARTITION BY m.id
+                         ORDER BY ${cosSql("m.embedding", "a.avec")}
+                           DESC, a.cid) AS rn
+                     FROM mut m, anchors a),
+             cassign AS (SELECT id AS neighbor_id, cid FROM aff
+                         WHERE rn <= 1),
+             qassign AS (SELECT id AS query_id, cid FROM aff
+                         WHERE id >= 100 AND id < 110 AND rn <= 8),
+             capped AS (SELECT neighbor_id, cid,
+                          row_number() OVER (PARTITION BY cid
+                            ORDER BY neighbor_id) AS crn
+                        FROM cassign),
+             cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+                      FROM qassign q JOIN capped c ON q.cid = c.cid
+                      WHERE c.crn <= 1000
+                        AND q.query_id != c.neighbor_id),
+             scored AS (SELECT query_id, neighbor_id,
+                          ${cosSql("mq.embedding", "mc.embedding")} AS cos
+                        FROM cand
+                        JOIN mut mq ON mq.id = cand.query_id
+                        JOIN mut mc ON mc.id = cand.neighbor_id),
+             ranked AS (SELECT *, row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+                        FROM scored)
+             SELECT query_id, rank, neighbor_id
+             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   private val ss14 = QueryDef(
     "ss14_hybrid_rrf",
     "hybrid BM25 + embedding retrieval, reciprocal-rank fused",
@@ -5862,7 +5935,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, dc1, dc2, dc3, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8)

@@ -1084,4 +1084,96 @@ class PipelineSpec extends SparkSpec {
     val vals = df.as[Long].collect()
     assert(vals(0) != vals(1))
   }
+
+  // ---- mutable stored IVF (ss17: build → reindex → probe) ----
+
+  private def mutatedCorpus(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("id"),
+      when(col("id") % 7 === 0, reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+
+  private def probeRows(store: ParquetTableStore,
+      corpus: org.apache.spark.sql.DataFrame) =
+    SimilaritySearch.ivfTopKStored(
+      corpus.filter(col("id") >= 100 && col("id") < 110), corpus,
+      "id", "embedding", store, k = 5, probes = 8, cellCap = 1000)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+
+  test("mutable stored IVF: probe after reindex equals rebuild over the mutated corpus") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val mutated = mutatedCorpus(e)
+    val rootA = Scratch.tempDir("ivf-mut-a-")
+    val a = new ParquetTableStore(s"$rootA/store")
+    // path A: build on the original, reindex the changed vectors
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", a,
+      numCentroids = 32)
+    SimilaritySearch.ivfReindexVectors(
+      e.filter(col("id") % 7 === 0)
+        .select(col("id"), reverse(col("embedding")).as("embedding")),
+      "id", "embedding", a)
+    // path C: same pinned (original-corpus) codebook, then reindex
+    // EVERY vector of the mutated corpus — the degenerate full
+    // reindex IS the rebuild twin under the build-pinned geometry
+    val rootC = Scratch.tempDir("ivf-mut-c-")
+    val c = new ParquetTableStore(s"$rootC/store")
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", c,
+      numCentroids = 32)
+    SimilaritySearch.ivfReindexVectors(mutated, "id", "embedding", c)
+    val afterFold = probeRows(a, mutated)
+    val afterFull = probeRows(c, mutated)
+    assert(afterFold.nonEmpty && afterFold == afterFull)
+    // the mutation is visible: the probe differs from the pre-mutation
+    // answer for at least one query (105 is both query and mutated)
+    val rootD = Scratch.tempDir("ivf-mut-d-")
+    val d = new ParquetTableStore(s"$rootD/store")
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", d,
+      numCentroids = 32)
+    assert(probeRows(d, e) != afterFold)
+  }
+
+  test("mutable stored IVF: torn states are refused; compaction repairs the recoverable shape") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val root = Scratch.tempDir("ivf-torn-")
+    val store = new ParquetTableStore(s"$root/store")
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+      numCentroids = 32)
+    val delta = e.filter(col("id") % 7 === 0)
+      .select(col("id"), reverse(col("embedding")).as("embedding"))
+    SimilaritySearch.ivfReindexVectors(delta, "id", "embedding", store)
+    val mutated = mutatedCorpus(e)
+    val healthy = probeRows(store, mutated)
+    // crash AFTER the tombstone upsert, BEFORE the meta re-pin:
+    // tombstone version advances past the pin → mutations and probes
+    // refuse retryably, compaction repairs
+    store.upsert(spark, "ivf_tombstones",
+      Seq((9999999L, 1L)).toDF("neighbor_id", "dead_below"),
+      Seq("neighbor_id"))
+    val ex1 = intercept[IllegalStateException] {
+      SimilaritySearch.ivfReindexVectors(delta, "id", "embedding", store)
+    }
+    assert(ex1.getMessage.contains("torn"))
+    val ex2 = intercept[IllegalStateException] { probeRows(store, mutated) }
+    assert(ex2.getMessage.contains("mid-update"))
+    SimilaritySearch.ivfCompactIndex(spark, store)
+    // repaired: probe answers, tombstones cleared, answer unchanged
+    // (the planted tombstone names a nonexistent id)
+    assert(probeRows(store, mutated) == healthy)
+    assert(store.read(spark, "ivf_tombstones").count() == 0)
+    // compaction is idempotent on a clean index
+    SimilaritySearch.ivfCompactIndex(spark, store)
+    assert(probeRows(store, mutated) == healthy)
+    // the UNREPAIRABLE shape: a reindex crashed between its members
+    // append and its tombstone upsert → two live generations for one
+    // id; compaction must refuse with a rebuild instruction
+    store.appendBucketed(spark, "ivf_members",
+      Seq((0L, 0L, 5L)).toDF("centroid_id", "neighbor_id", "gen"),
+      Seq("centroid_id"))
+    val ex3 = intercept[IllegalStateException] {
+      SimilaritySearch.ivfCompactIndex(spark, store)
+    }
+    assert(ex3.getMessage.contains("Rebuild"))
+  }
 }
