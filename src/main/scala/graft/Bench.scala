@@ -55,8 +55,29 @@ object Bench {
       // refs are processed, which needs an actual collection.
       System.gc()
     }
+    // JVM-health snapshot for the stderr record: cumulative GC ms and
+    // JIT compilation ms, code-cache + metaspace occupancy. Exists to
+    // explain in-battery drift (r11 verdict item 1: st1 recorded 2.3×
+    // its same-session solo floor with all three readings hot — the
+    // contaminator is battery-cumulative JVM state, and this makes it
+    // observable per reading instead of theorized about).
+    def jvmDiag(): (Long, Long, Long, Long) = {
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+      val jitMs = Option(ManagementFactory.getCompilationMXBean)
+        .filter(_.isCompilationTimeMonitoringSupported)
+        .map(_.getTotalCompilationTime).getOrElse(-1L)
+      val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      def usedMb(substr: String) = pools
+        .filter(_.getName.toLowerCase.contains(substr))
+        .map(_.getUsage.getUsed).sum / (1024L * 1024L)
+      (gcMs, jitMs, usedMb("codeheap"), usedMb("metaspace"))
+    }
     def materialize(name: String): Double = {
       cleanse()
+      val (gc0, jit0, _, _) = jvmDiag()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -64,7 +85,13 @@ object Bench {
         failed += name
         System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      if (t >= 2.0) {
+        val (gc1, jit1, cc, meta) = jvmDiag()
+        System.err.println(f"[bench] diag $name t=$t%.2f gcMs=+${gc1 - gc0} " +
+          f"jitMs=+${jit1 - jit0} codeCacheMB=$cc metaspaceMB=$meta")
+      }
+      t
     }
 
     // optional args: query names to time (default: the whole catalog)

@@ -317,6 +317,32 @@ object PageRank {
     } finally deltaNew.unpersist(false)
   }
 
+  /** The canonical directed edge frame every PageRank path derives
+    * from: long-cast endpoints, nulls and self-loops dropped,
+    * distinct. */
+  private def canonicalDirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = edges
+    .select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    .where(col("src").isNotNull && col("dst").isNotNull &&
+      col("src") =!= col("dst"))
+    .distinct()
+
+  /** One damped power-iteration round — the recurrence both the
+    * from-scratch and the warm-started paths share (the oracle
+    * unrolls exactly this). */
+  private def prStep(e: DataFrame, deg: DataFrame, nodes: DataFrame,
+      n: Double, damping: Double, ranks: DataFrame): DataFrame = {
+    val contrib = e.join(deg, "src")
+      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .select(col("dst").as("id"), (col("r") / col("outdeg")).as("c"))
+      .groupBy("id").agg(sum(col("c")).as("inc"))
+    nodes.join(contrib, Seq("id"), "left")
+      .select(col("id"),
+        (lit((1.0 - damping) / n) +
+          lit(damping) * coalesce(col("inc"), lit(0.0))).as("r"))
+  }
+
   /** (id, r): damped PageRank after exactly `iterations` rounds. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
@@ -336,12 +362,7 @@ object PageRank {
 
     try {
       // edges and out-degrees are read every iteration — stage once
-      val e = stage(edges
-        .select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .where(col("src").isNotNull && col("dst").isNotNull &&
-          col("src") =!= col("dst"))
-        .distinct())
+      val e = stage(canonicalDirected(edges, srcCol, dstCol))
       val nodes = stage(e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct())
       val deg = stage(e.groupBy("src")
@@ -349,21 +370,161 @@ object PageRank {
       val n = nodes.count().toDouble
 
       var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
-      for (_ <- 1 to iterations) {
-        val contrib = e.join(deg, "src")
-          .join(ranks.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), (col("r") / col("outdeg")).as("c"))
-          .groupBy("id").agg(sum(col("c")).as("inc"))
-        ranks = stage(nodes.join(contrib, Seq("id"), "left")
-          .select(col("id"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * coalesce(col("inc"), lit(0.0))).as("r")))
-      }
+      for (_ <- 1 to iterations)
+        ranks = stage(prStep(e, deg, nodes, n, damping, ranks))
       // default scratch is JVM-exit-cleaned (Scratch); long-running
       // callers pass scratchDir and reuse it per batch
       val dir = scratchDir.getOrElse(Scratch.tempDir("graft-pr-"))
       ranks.write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
+    } finally freeAll()
+  }
+
+  /** INCREMENTAL PageRank under edge APPENDS — the
+    * [[triangleCountsAppend]] store discipline applied to the
+    * centrality artifact. Unlike triangle counts, ranks are a
+    * FIXPOINT, not an additive quantity: what the fold reuses is the
+    * previous solution as the STARTING VECTOR (power iteration
+    * converges from any stochastic-ish start; a warm start near the
+    * fixpoint needs far fewer rounds for the same residual — the
+    * delta win the probe records). Three artifacts:
+    *
+    *  - `edgesTable` (src, dst): canonical directed edges,
+    *    key-bucketed — each fold appends its genuinely-new edges as
+    *    an O(delta) bucketed commit;
+    *  - `ranksTable` (id, r): the full rank vector — a SNAPSHOT
+    *    table, because every fold moves every rank (bucketing would
+    *    buy nothing);
+    *  - `metaTable` (edges_version, n_nodes, iters): the edges
+    *    version the ranks derive from, the node count, and the
+    *    number of rounds the fold actually ran (the convergence
+    *    mode's observable — warm folds stopping in fewer rounds IS
+    *    the incremental win), committed LAST.
+    *
+    * Warm start: surviving nodes take `r_old * (n_old / n_new)`
+    * (mass rescaled for the grown teleport denominator), genuinely
+    * new nodes take `1 / n_new`. Then exactly `iterations` damped
+    * rounds over the unioned edge set — deterministic, so the g4
+    * oracle can unroll the whole two-batch recurrence. Pass
+    * `tol > 0` to instead stop at the first round whose L1 residual
+    * ||r_k − r_{k−1}||₁ < tol (capped at `iterations` rounds) — the
+    * production convergence mode; the per-round residual action is
+    * only paid in this mode.
+    *
+    * Per-fold cost: power iteration is edge-mass-linear per round
+    * (contributions flow along EVERY edge — that is the operator,
+    * not an implementation artifact); the incremental win is
+    * ROUNDS-side (warm start) and commit-side (O(delta) edge
+    * append). Concurrency/crash discipline is
+    * [[triangleCountsAppend]]'s verbatim: every commit CASes against
+    * the snapshot this fold derived from, a torn meta/edges pair is
+    * refused loudly with a rebuild instruction, and a replayed delta
+    * anti-joins away (ranks then recompute from the same state —
+    * idempotent). Returns the full (id, r) view after the fold. */
+  def pageRankAppend(newEdges: DataFrame, srcCol: String, dstCol: String,
+      store: ParquetTableStore, iterations: Int, damping: Double = 0.85,
+      tol: Double = 0.0,
+      edgesTable: String = "pr_edges", ranksTable: String = "pr_ranks",
+      metaTable: String = "pr_meta", numBuckets: Int = 32): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(tol >= 0.0, "tol must be >= 0")
+    val spark = newEdges.sparkSession
+    import spark.implicits._
+    val have = Seq(edgesTable, ranksTable, metaTable).map(store.exists)
+    if (have.exists(identity) && !have.forall(identity))
+      throw new IllegalStateException(
+        s"pagerank artifacts are torn (present: " +
+          Seq(edgesTable, ranksTable, metaTable).zip(have)
+            .collect { case (t, true) => t }.mkString(", ") +
+          ") — a build crashed between commits; delete the three " +
+          "tables and re-append the full edge history to rebuild")
+    val staged = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def stage(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      staged += rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    def freeAll(): Unit = staged.foreach(_.unpersist(blocking = false))
+    // the shared damped loop: exactly `iterations` rounds, or (tol >
+    // 0) the first round whose L1 residual dips below tol — returns
+    // the final staged vector and the rounds actually run
+    def runLoop(e: DataFrame, nodes: DataFrame, deg: DataFrame,
+        n: Long, init: DataFrame): (DataFrame, Int) = {
+      var ranks = stage(init)
+      var it = 0
+      var converged = false
+      while (it < iterations && !converged) {
+        val prev = ranks
+        ranks = stage(prStep(e, deg, nodes, n.toDouble, damping, prev))
+        it += 1
+        if (tol > 0.0) {
+          val resid = ranks.join(prev.withColumnRenamed("r", "r0"), "id")
+            .agg(sum(abs(col("r") - col("r0")))).head.getDouble(0)
+          converged = resid < tol
+        }
+      }
+      (ranks, it)
+    }
+    try {
+      if (!have.head) {
+        // first batch: from-scratch build (uniform start, the same
+        // loop) with absence-pinned creates — a racing first build
+        // loses its CAS cleanly
+        val d = stage(canonicalDirected(newEdges, srcCol, dstCol))
+        val nodes = stage(d.select(col("src").as("id"))
+          .unionByName(d.select(col("dst").as("id"))).distinct())
+        val deg = stage(d.groupBy("src")
+          .agg(count(lit(1)).cast("double").as("outdeg")))
+        val n = nodes.count()
+        val (ranks, it) = runLoop(d, nodes, deg, n,
+          nodes.select(col("id"), lit(1.0 / n).as("r")))
+        val (_, edgesPin) = store.readPinnedOption(spark, edgesTable)
+        val (_, ranksPin) = store.readPinnedOption(spark, ranksTable)
+        store.upsertBucketedPinned(spark, d, Seq("src", "dst"),
+          edgesPin, numBuckets)
+        store.commitPinned(spark, ranks, ranksPin)
+        store.commitNew(spark, metaTable,
+          Seq((store.currentVersion(edgesTable).get, n, it))
+            .toDF("edges_version", "n_nodes", "iters"))
+        return store.read(spark, ranksTable)
+      }
+      val (metaDf, metaPin) = store.readPinned(spark, metaTable)
+      val metaRow = metaDf.head
+      val metaV = metaRow.getAs[Long]("edges_version")
+      val nOld = metaRow.getAs[Long]("n_nodes")
+      val curV = store.currentVersion(edgesTable).get
+      if (metaV != curV)
+        throw new IllegalStateException(
+          s"pagerank ranks are stale: $metaTable records edges version " +
+            s"$metaV but $edgesTable is at $curV — a fold crashed " +
+            "between commits; delete the three tables and re-append " +
+            "the full edge history to rebuild")
+      val (storedAll, edgesPin) = store.readPinned(spark, edgesTable)
+      val (ranksOld, ranksPin) = store.readPinned(spark, ranksTable)
+      val stored = storedAll.select("src", "dst")
+      val deltaNew = stage(canonicalDirected(newEdges, srcCol, dstCol)
+        .join(stored, Seq("src", "dst"), "left_anti"))
+      if (deltaNew.limit(1).count() == 0) return ranksOld
+      val e = stage(stored.unionByName(deltaNew))
+      val nodes = stage(e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+      val deg = stage(e.groupBy("src")
+        .agg(count(lit(1)).cast("double").as("outdeg")))
+      val n = nodes.count()
+      val scale = nOld.toDouble / n.toDouble
+      val (ranks, it) = runLoop(e, nodes, deg, n,
+        nodes.join(ranksOld, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("r") * lit(scale), lit(1.0 / n)).as("r")))
+      store.upsertBucketedPinned(spark, deltaNew, Seq("src", "dst"),
+        edgesPin, numBuckets)
+      store.commitPinned(spark, ranks, ranksPin)
+      store.commitPinned(spark,
+        Seq((store.currentVersion(edgesTable).get, n, it))
+          .toDF("edges_version", "n_nodes", "iters"), metaPin)
+      store.read(spark, ranksTable)
     } finally freeAll()
   }
 }

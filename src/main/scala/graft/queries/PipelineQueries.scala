@@ -4146,6 +4146,77 @@ object PipelineQueries {
             FROM nodes n LEFT JOIN cnt ON cnt.id = n.id
             ORDER BY p_partkey"""))
 
+  /** The damped power-iteration round as SQL — g1's iteration body,
+    * parameterized over the edge/degree/node CTE names so g4 can
+    * unroll BOTH the batch-1 recurrence and the warm-started fold
+    * from one textual source (the bpe-oracle generated-SQL
+    * discipline). */
+  private def prStepSql(out: String, prev: String, e: String,
+      deg: String, nodes: String, nn: String): String =
+    s"""$out AS (SELECT v.id,
+                (1.0::DOUBLE - 0.85::DOUBLE) / v.n + 0.85::DOUBLE *
+                  coalesce(sum(p.r / $deg.outdeg), 0.0::DOUBLE) AS r
+              FROM (SELECT $nodes.id, $nn.n FROM $nodes CROSS JOIN $nn) v
+              LEFT JOIN $e ON $e.dst = v.id
+              LEFT JOIN $deg ON $deg.src = $e.src
+              LEFT JOIN $prev p ON p.id = $e.src
+              GROUP BY v.id, v.n)"""
+
+  /** G4: INCREMENTAL PageRank under edge appends
+    * ([[PageRank.pageRankAppend]]) — the g3 fold discipline applied
+    * to the centrality artifact. Batch 1 (two thirds of the co-order
+    * edges) BUILDS the stored ranks with g1's 3-iteration contract;
+    * batch 2 folds the remaining edges in with a WARM START
+    * (surviving nodes rescaled by n_old/n_new, new nodes at 1/n_new)
+    * and exactly 2 more rounds. The whole two-batch recurrence is
+    * deterministic, so the oracle unrolls it: 3 batch-1 rounds, the
+    * rescaled warm vector, 2 full-graph rounds — every CTE generated
+    * from the same textual step g1 pins. (The convergence mode —
+    * `tol > 0`, residual-stopped — is spec-gated: the stop count is
+    * engine-float-dependent, exactly why the GATE pins the
+    * fixed-iteration contract.) */
+  private val g4 = QueryDef(
+    "g4_incremental_pagerank",
+    "edge-append warm-started PageRank ≡ unrolled two-batch recurrence",
+    (s, dir) => {
+      val edges = PageRank.coOrderEdges(Tables.lineitem(s, dir))
+      val root = graft.ops.Scratch.tempDir("graft-g4-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      PageRank.pageRankAppend(
+        edges.filter((col("src") + col("dst")) % 3 =!= 0),
+        "src", "dst", store, iterations = 3)
+      PageRank.pageRankAppend(
+        edges.filter((col("src") + col("dst")) % 3 === 0),
+        "src", "dst", store, iterations = 2)
+        .select(col("id").as("p_partkey"),
+          round(col("r") * 1000.0, 6).as("pr_k"))
+        .orderBy("p_partkey")
+    },
+    Some(s"""WITH $coOrderEdgesSql,
+            e1 AS (SELECT src, dst FROM e WHERE (src + dst) % 3 <> 0),
+            nodes1 AS (SELECT src AS id FROM e1 UNION SELECT dst FROM e1),
+            nn1 AS (SELECT count(*)::DOUBLE AS n FROM nodes1),
+            deg1 AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e1
+                     GROUP BY src),
+            b0 AS (SELECT id, 1.0::DOUBLE / nn1.n AS r
+                   FROM nodes1 CROSS JOIN nn1),
+            ${prStepSql("b1", "b0", "e1", "deg1", "nodes1", "nn1")},
+            ${prStepSql("b2", "b1", "e1", "deg1", "nodes1", "nn1")},
+            ${prStepSql("b3", "b2", "e1", "deg1", "nodes1", "nn1")},
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e
+                    GROUP BY src),
+            w0 AS (SELECT nodes.id,
+                     coalesce(b3.r * (nn1.n / nn.n),
+                       1.0::DOUBLE / nn.n) AS r
+                   FROM nodes CROSS JOIN nn CROSS JOIN nn1
+                   LEFT JOIN b3 ON b3.id = nodes.id),
+            ${prStepSql("w1", "w0", "e", "deg", "nodes", "nn")},
+            ${prStepSql("w2", "w1", "e", "deg", "nodes", "nn")}
+            SELECT id AS p_partkey, round(r * 1000.0::DOUBLE, 6) AS pr_k
+            FROM w2 ORDER BY p_partkey"""))
+
   /** D15: containment near-dup pairs ([[Dedup.containmentPairs]]) —
     * the asymmetric |A∩B|/min(|A|,|B|) metric over the same LSH
     * candidate chain as d2 (the oracle swaps only the verify measure
@@ -5934,7 +6005,7 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, dc1, dc2, dc3, ss1, ss2,
+    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,

@@ -172,4 +172,101 @@ class PageRankSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(retried == scratch, s"retried=$retried scratch=$scratch")
   }
+
+  // ---- incremental PageRank (g4: build → warm-started fold) ----
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("pageRankAppend: warm-started fold follows the unrolled two-batch recurrence") {
+    // chain 1→2→3 built first; fold appends 3→1 (closing the cycle)
+    // and node 4 via 1→4
+    val root = Scratch.tempDir("pr-append-")
+    val store = new ParquetTableStore(s"$root/store")
+    PageRank.pageRankAppend(Seq((1L, 2L), (2L, 3L)).toDF("s", "d"),
+      "s", "d", store, iterations = 2)
+    val got = ranksOf(PageRank.pageRankAppend(
+      Seq((3L, 1L), (1L, 4L)).toDF("s", "d"), "s", "d", store,
+      iterations = 2))
+
+    // plain-Scala replica: 2 rounds over {1→2,2→3} from uniform(3),
+    // rescale by 3/4 (node 4 joins at 1/4), 2 rounds over all edges
+    val dmp = 0.85
+    def step(n: Double, out: Map[Long, Seq[Long]],
+        r: Map[Long, Double]): Map[Long, Double] = {
+      val inc = out.toSeq.flatMap { case (s, ds) =>
+        ds.map(d => d -> r(s) / ds.size) }
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      r.keys.map(id =>
+        id -> ((1.0 - dmp) / n + dmp * inc.getOrElse(id, 0.0))).toMap
+    }
+    var r1 = Map(1L -> 1 / 3.0, 2L -> 1 / 3.0, 3L -> 1 / 3.0)
+    val out1 = Map(1L -> Seq(2L), 2L -> Seq(3L))
+    r1 = step(3.0, out1, r1); r1 = step(3.0, out1, r1)
+    val scale = 3.0 / 4.0
+    var r2 = Map(1L -> r1(1L) * scale, 2L -> r1(2L) * scale,
+      3L -> r1(3L) * scale, 4L -> 1 / 4.0)
+    val out2 = Map(1L -> Seq(2L, 4L), 2L -> Seq(3L), 3L -> Seq(1L))
+    r2 = step(4.0, out2, r2); r2 = step(4.0, out2, r2)
+    assert(got.keySet == r2.keySet)
+    got.foreach { case (id, v) =>
+      assert(math.abs(v - r2(id)) < 1e-12, s"node $id: $v vs ${r2(id)}") }
+  }
+
+  test("pageRankAppend: replayed delta is a no-op; torn meta refuses loudly") {
+    val root = Scratch.tempDir("pr-replay-")
+    val store = new ParquetTableStore(s"$root/store")
+    PageRank.pageRankAppend(Seq((1L, 2L), (2L, 3L)).toDF("s", "d"),
+      "s", "d", store, iterations = 2)
+    val v0 = store.currentVersion("pr_ranks").get
+    val before = ranksOf(store.read(spark, "pr_ranks"))
+    // replay: every edge anti-joins away → stored ranks returned,
+    // nothing committed
+    val replay = ranksOf(PageRank.pageRankAppend(
+      Seq((1L, 2L)).toDF("s", "d"), "s", "d", store, iterations = 2))
+    assert(replay == before)
+    assert(store.currentVersion("pr_ranks").get == v0)
+    // torn state: advance edges past the meta pin → loud refusal
+    store.upsertBucketed(spark, "pr_edges",
+      Seq((7L, 8L)).toDF("src", "dst"), Seq("src", "dst"))
+    val ex = intercept[IllegalStateException] {
+      PageRank.pageRankAppend(Seq((8L, 9L)).toDF("s", "d"),
+        "s", "d", store, iterations = 2)
+    }
+    assert(ex.getMessage.contains("stale"))
+  }
+
+  test("pageRankAppend: warm start reaches the same tol in fewer rounds than cold") {
+    // power iteration contracts by ~damping per round regardless of
+    // start; the warm win is the INITIAL distance — a small delta
+    // leaves the old fixpoint near the new one, so the same residual
+    // target needs fewer rounds. meta.iters makes both counts
+    // observable.
+    val all = (1L to 40L).map(i => (i, i % 40 + 1)) ++
+      Seq((1L, 20L), (5L, 30L), (10L, 35L))
+    val delta = Seq((7L, 25L), (13L, 31L))
+    val tol = 1e-8
+    // cold: everything in one build at tol
+    val rootC = Scratch.tempDir("pr-conv-c-")
+    val storeC = new ParquetTableStore(s"$rootC/store")
+    val cold = ranksOf(PageRank.pageRankAppend((all ++ delta).toDF("s", "d"),
+      "s", "d", storeC, iterations = 300, tol = tol))
+    val itersCold = storeC.read(spark, "pr_meta").head.getAs[Int]("iters")
+    // warm: build the base, fold the delta at the same tol
+    val rootW = Scratch.tempDir("pr-conv-w-")
+    val storeW = new ParquetTableStore(s"$rootW/store")
+    PageRank.pageRankAppend(all.toDF("s", "d"), "s", "d", storeW,
+      iterations = 300, tol = tol)
+    val warm = ranksOf(PageRank.pageRankAppend(delta.toDF("s", "d"),
+      "s", "d", storeW, iterations = 300, tol = tol))
+    val itersWarm = storeW.read(spark, "pr_meta").head.getAs[Int]("iters")
+    assert(itersWarm < itersCold,
+      s"warm fold ran $itersWarm rounds vs cold $itersCold")
+    assert(itersCold < 300 && itersWarm < 300, "neither side may cap out")
+    // both stopped at residual < tol → both within d/(1-d)·tol ≈
+    // 5.7e-8 of the SAME fixpoint
+    assert(warm.keySet == cold.keySet)
+    warm.foreach { case (id, v) =>
+      assert(math.abs(v - cold(id)) < 2e-7, s"node $id: $v vs ${cold(id)}") }
+  }
 }
