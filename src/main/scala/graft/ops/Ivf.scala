@@ -45,6 +45,12 @@ object Ivf {
     * doubles — tiny by construction. */
   type Codebook = Seq[(Long, Seq[Double])]
 
+  /** [[kmeansTrain]]'s result: the final (cid, cvec) centroid frame,
+    * the Lloyd rounds actually run, and (tol mode only) the
+    * per-round mean spherical distortion avg(1 − cos). */
+  final case class KmeansResult(centroids: DataFrame, iters: Int,
+      objectives: Seq[Double])
+
   /** (id, centroid_id) pairs — one row per (vector, probe), against
     * the in-plan sample codebook (the oracle-checked default). */
   def assignments(df: DataFrame, idCol: String, vecCol: String,
@@ -110,6 +116,95 @@ object Ivf {
 
   /** A driver codebook as the same one-row broadcastable anchors
     * frame [[assignments]] builds in-plan. */
+  /** DISTRIBUTED Lloyd training to convergence — the corpus-scale
+    * twin of [[lloydRefine]] (which holds its codebook on the
+    * driver): centroids stay a FRAME end to end, each iteration is
+    * one broadcast-anchor assignment pass (O(n·k) compute, zero
+    * corpus shuffle) plus one (cell, pos) update exchange, and the
+    * only driver value ever materialized is the per-iteration
+    * objective scalar (tol mode). Iterates the EXACT ss7 step:
+    * assignment by (cos DESC, cid) against the current centroids,
+    * update = per-cell component-wise mean; empty cells keep their
+    * previous vector. `ordered = true` folds each (cell, pos) sum in
+    * id order (the ss6/ss7 window discipline) so the whole N-round
+    * recurrence is bit-reproducible cross-engine — the ss18 gate
+    * unrolls it in SQL; `ordered = false` (default) is the
+    * production path whose groupBy sum gets map-side partial
+    * combine (shuffle O(cells·dim·partitions), not O(n·dim)).
+    *
+    * `tol > 0` stops BEFORE the round whose assignment objective
+    * (mean spherical distortion, avg(1 − cos(x, c(x)))) improved by
+    * less than tol over the previous round — the distortion action
+    * is only paid in this mode. Initial centroids are the
+    * deterministic lowest-id sample (the [[assignments]]
+    * convention), cast to double. Returns the final (cid, cvec)
+    * centroid frame (parquet-materialized, safe to use after the
+    * internal stages are freed), the rounds actually run, and — in
+    * tol mode — the per-round objective sequence (the looped ss7
+    * guarantee, observable). */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, maxIters: Int, tol: Double = 0.0,
+      ordered: Boolean = false): KmeansResult = {
+    require(numCentroids >= 1, "numCentroids must be >= 1")
+    require(maxIters >= 1, "maxIters must be >= 1")
+    require(tol >= 0.0, "tol must be >= 0")
+    val spark = df.sparkSession
+    val staged = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def stage(d: DataFrame): DataFrame = {
+      val rdd = d.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      staged += rdd
+      spark.createDataFrame(rdd, d.schema)
+    }
+    try {
+      val corpus = stage(df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("__vec")))
+      var cent = stage(corpus.orderBy("id").limit(numCentroids)
+        .select(col("id").as("cid"),
+          col("__vec").cast("array<double>").as("cvec")))
+      var prevObj = Double.MaxValue
+      val objectives = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var it = 0
+      var stop = false
+      while (it < maxIters && !stop) {
+        val anchors = cent
+          .select(col("cid").as("centroid_id"), col("cvec").as("vec"))
+          .agg(collect_list(struct(col("centroid_id"), col("vec")))
+            .as("__anchors"))
+        val assigned = stage(corpus.crossJoin(broadcast(anchors))
+          .select(col("id"), col("__vec"),
+            explode(VectorKernels.ivfTopCells(col("__vec"),
+              col("__anchors"), 1)).as("cid")))
+        if (tol > 0.0) {
+          val obj = assigned.join(cent, "cid")
+            .agg(avg(lit(1.0) -
+              VectorKernels.cosineSim(col("__vec"), col("cvec"))))
+            .head.getDouble(0)
+          objectives += obj
+          stop = prevObj - obj < tol
+          prevObj = obj
+        }
+        if (!stop) {
+          val foldLong = VectorAggregates.labelCentroids(
+            assigned.select(col("cid"), col("id"), col("__vec")),
+            "cid", "id", "__vec", ordered)
+          val newVecs = foldLong.groupBy("cid")
+            .agg(transform(
+              array_sort(collect_list(struct(col("pos"), col("centroid")))),
+              x => x.getField("centroid")).as("nvec"))
+          cent = stage(cent.join(newVecs, Seq("cid"), "left")
+            .select(col("cid"),
+              coalesce(col("nvec"), col("cvec")).as("cvec")))
+          it += 1
+        }
+      }
+      val dir = Scratch.tempDir("graft-kmeans-")
+      cent.write.mode("overwrite").parquet(dir)
+      KmeansResult(spark.read.parquet(dir), it, objectives.toSeq)
+    } finally staged.foreach(_.unpersist(blocking = false))
+  }
+
   private def anchorsFrame(df: DataFrame, codebook: Codebook): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

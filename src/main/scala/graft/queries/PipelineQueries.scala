@@ -4493,6 +4493,82 @@ object PipelineQueries {
              SELECT query_id, rank, neighbor_id
              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** One unrolled Lloyd iteration as SQL: `prev` (cid, pos, v) long
+    * centroids → ordered list rebuild → the ss3-pinned affinity
+    * (cos DESC, cid) assignment → the ss7 ordered (cell, pos) window
+    * fold → keep-previous for empty cells. Emits CTEs suffixed `$i`;
+    * the final one is `c$i`. */
+  private def lloydIterSql(i: Int, prev: String): String = {
+    def dot(a: String, b: String, n: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(
+            generate_series(1, $n), j -> $a * $b)), (x, y) -> x + y)"""
+    s"""cv$i AS (SELECT cid, list(v ORDER BY pos) AS cv FROM $prev
+                 GROUP BY cid),
+        aff$i AS (SELECT e.vec_id AS id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              (${dot("e.embedding[j]::DOUBLE", "c.cv[j]", "len(e.embedding)")} /
+               sqrt(${dot("e.embedding[j]::DOUBLE", "e.embedding[j]::DOUBLE",
+                 "len(e.embedding)")} *
+                 ${dot("c.cv[j]", "c.cv[j]", "len(c.cv)")})) DESC,
+              c.cid) AS rn
+          FROM embeddings e, cv$i c),
+        cas$i AS (SELECT id, cid FROM aff$i WHERE rn <= 1),
+        ex$i AS (SELECT c.cid, m.vec_id,
+              unnest(list_transform(generate_series(1, len(m.embedding)),
+                j -> {'pos': j - 1, 'v': m.embedding[j]::DOUBLE})) AS u
+            FROM cas$i c JOIN embeddings m ON m.vec_id = c.id),
+        x$i AS (SELECT cid, vec_id, u.pos AS pos, u.v AS v FROM ex$i),
+        r$i AS (SELECT cid, pos, vec_id, count(*) OVER w AS n,
+              sum(v) OVER w AS s,
+              row_number() OVER (PARTITION BY cid, pos
+                ORDER BY vec_id DESC) AS rn2
+            FROM x$i
+            WINDOW w AS (PARTITION BY cid, pos ORDER BY vec_id
+                         ROWS UNBOUNDED PRECEDING)),
+        f$i AS (SELECT cid, pos, s / n AS v FROM r$i WHERE rn2 = 1),
+        c$i AS (SELECT p.cid, p.pos, coalesce(f.v, p.v) AS v
+            FROM $prev p LEFT JOIN f$i f
+              ON f.cid = p.cid AND f.pos = p.pos)"""
+  }
+
+  /** SS18: distributed k-means TO CONVERGENCE ([[Ivf.kmeansTrain]])
+    * — ss7 gated one Lloyd step; this gates the production LOOP
+    * (iterate assignment∘update with staged leaves, the PageRank/CC
+    * discipline, centroids a frame end to end — [[Ivf.lloydRefine]]'s
+    * corpus-scale twin). Two ordered-fold rounds from the
+    * deterministic sample init; the oracle unrolls BOTH rounds from
+    * one generated iteration body, so every intermediate — the
+    * round-2 assignment against COMPUTED double centroids included —
+    * is pinned bit-exactly. (The distortion-stopped mode is
+    * spec-gated: the stop count is float-dependent, which is exactly
+    * why the gate pins the fixed-round contract.) */
+  private val ss18 = QueryDef(
+    "ss18_kmeans_converged",
+    "two staged Lloyd rounds ≡ unrolled assignment∘update recurrence",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cent = Ivf.kmeansTrain(e, "id", "embedding",
+        numCentroids = 32, maxIters = 2, ordered = true).centroids
+      cent.select(col("cid").as("centroid_id"),
+          posexplode(col("cvec")).as(Seq("pos", "c")))
+        .select(col("centroid_id"), col("pos"),
+          round(col("c"), 6).as("centroid_r"))
+        .orderBy("centroid_id", "pos")
+    },
+    Some(s"""WITH c0 AS (SELECT vec_id AS cid, u.pos AS pos, u.v AS v
+              FROM (SELECT vec_id,
+                      unnest(list_transform(
+                        generate_series(1, len(embedding)),
+                        i -> {'pos': i - 1, 'v': embedding[i]::DOUBLE}))
+                        AS u
+                    FROM (SELECT vec_id, embedding FROM embeddings
+                          ORDER BY vec_id LIMIT 32))),
+            ${lloydIterSql(1, "c0")},
+            ${lloydIterSql(2, "c1")}
+            SELECT cid AS centroid_id, pos, round(v, 6) AS centroid_r
+            FROM c2 ORDER BY centroid_id, pos"""))
+
   private val ss14 = QueryDef(
     "ss14_hybrid_rrf",
     "hybrid BM25 + embedding retrieval, reciprocal-rank fused",
@@ -6006,7 +6082,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8)

@@ -85,4 +85,49 @@ class IvfSpec extends SparkSpec {
     val untouched = r1.filterNot(c => cids.contains(c._1))
     assert(untouched.forall(_._2 == Seq(1.0, 0.0, 0.0, 0.0)))
   }
+
+  // ---- kmeansTrain (ss18: the distributed convergence loop) ----
+
+  private def centMap(df: DataFrame): Map[Long, Seq[Double]] =
+    df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).toIndexedSeq).toMap
+
+  test("kmeansTrain matches lloydRefine on the clumped fixture (same recurrence, frame-held)") {
+    val df = fixture
+    val frames = Ivf.kmeansTrain(df, "id", "vec", numCentroids = 4,
+      maxIters = 2).centroids
+    val driver = Ivf.lloydRefine(df, "id", "vec",
+      Ivf.sampleCodebook(df, "id", "vec", 4), iters = 2).toMap
+    val got = centMap(frames)
+    assert(got.keySet == driver.keySet)
+    got.foreach { case (cid, v) =>
+      v.zip(driver(cid)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"cell $cid: $a vs $b") } }
+  }
+
+  test("kmeansTrain tol mode: distortion monotone, converges, stops early") {
+    val r = Ivf.kmeansTrain(fixture, "id", "vec", numCentroids = 4,
+      maxIters = 10, tol = 1e-9)
+    assert(r.iters < 10, s"expected early stop, ran ${r.iters}")
+    assert(r.objectives.nonEmpty)
+    // the looped ss7 guarantee: mean spherical distortion never rises
+    r.objectives.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-12, s"distortion rose: $a -> $b")
+      case _ =>
+    }
+    // the two exact clusters are recoverable: final distortion 0
+    assert(math.abs(r.objectives.last) < 1e-12, r.objectives.toString)
+  }
+
+  test("kmeansTrain ordered and unordered folds agree to float-sum tolerance") {
+    val df = fixture
+    val a = centMap(Ivf.kmeansTrain(df, "id", "vec", 4, 2,
+      ordered = false).centroids)
+    val b = centMap(Ivf.kmeansTrain(df, "id", "vec", 4, 2,
+      ordered = true).centroids)
+    assert(a.keySet == b.keySet)
+    a.foreach { case (cid, v) =>
+      v.zip(b(cid)).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"cell $cid: $x vs $y") } }
+  }
 }
