@@ -1294,36 +1294,66 @@ object TextAnalysis {
       buckets: Int = 4096, portableHash: Boolean = true,
       charNgrams: Option[Int] = None): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val spark = corpus.sparkSession
-    def slotOf(f: Column): Column =
-      pmod(if (portableHash) portableHash64(f) else xxhash64(f),
-        lit(buckets.toLong))
-    def feats(text: Column): Column = charNgrams match {
-      case Some(n) => charGrams(text, n)
-      case None =>
-        val toks = tokens(lower(text))
-        concat(toks, wordShingles(toks, 2))
-    }
-    def slotCounts(df: DataFrame, textCol0: String): DataFrame =
-      df.select(explode(feats(col(textCol0))).as("f"))
-        .select(slotOf(col("f")).as("slot"))
-        .groupBy("slot").agg(count(lit(1)).as("c"))
-    val tc = slotCounts(target, targetTextCol)
+    val tc = dsirSlotCounts(target, targetTextCol, buckets, portableHash,
+      charNgrams)
     // ONE corpus feature pass: the per-doc slot counts are computed
     // first and the corpus-wide distribution is their slot-rollup
     // (identical integers — Σ_doc count_doc(slot) = count(slot)); a
     // second tokenize+hash pass over the raw text was the op's
     // dominant redundant cost
-    val docSlots = corpus.select(col(idCol).as("id"),
-      explode(feats(col(textCol))).as("f"))
-      .select(col("id"), slotOf(col("f")).as("slot"))
-      .groupBy("id", "slot").agg(count(lit(1)).as("cnt"))
+    val docSlots = dsirDocSlots(corpus, idCol, textCol, buckets,
+      portableHash, charNgrams)
     val cc = docSlots.groupBy("slot").agg(sum(col("cnt")).as("c"))
+    dsirFold(corpus.select(col(idCol).as("id")), docSlots, tc, cc, buckets)
+  }
+
+  /** The slot hash + feature family every DSIR path shares (see
+    * [[dsirWeights]] for the semantics of `portableHash` /
+    * `charNgrams`). */
+  private def dsirFeats(text: Column,
+      charNgrams: Option[Int]): Column = charNgrams match {
+    case Some(n) => charGrams(text, n)
+    case None =>
+      val toks = tokens(lower(text))
+      concat(toks, wordShingles(toks, 2))
+  }
+
+  private def dsirSlotOf(f: Column, buckets: Int,
+      portableHash: Boolean): Column =
+    pmod(if (portableHash) portableHash64(f) else xxhash64(f),
+      lit(buckets.toLong))
+
+  /** Corpus-level (slot, c) feature counts — the additive half the
+    * streaming λ maintenance commits per batch
+    * ([[graft.streaming.Streams]].dsirIngest): slot counts over a
+    * batch union exactly to slot counts over the concatenation. */
+  private[graft] def dsirSlotCounts(df: DataFrame, textCol: String,
+      buckets: Int, portableHash: Boolean = true,
+      charNgrams: Option[Int] = None): DataFrame =
+    df.select(explode(dsirFeats(col(textCol), charNgrams)).as("f"))
+      .select(dsirSlotOf(col("f"), buckets, portableHash).as("slot"))
+      .groupBy("slot").agg(count(lit(1)).as("c"))
+
+  /** Per-doc (id, slot, cnt) feature counts. */
+  private def dsirDocSlots(corpus: DataFrame, idCol: String,
+      textCol: String, buckets: Int, portableHash: Boolean,
+      charNgrams: Option[Int]): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      explode(dsirFeats(col(textCol), charNgrams)).as("f"))
+      .select(col("id"),
+        dsirSlotOf(col("f"), buckets, portableHash).as("slot"))
+      .groupBy("id", "slot").agg(count(lit(1)).as("cnt"))
+
+  /** The shared λ + slot-ordered fold: smoothed log-ratio over the
+    * FULL slot space (absent slots count 0 — smoothing still assigns
+    * them a ratio, and an unseen-in-target feature must penalize,
+    * not vanish), then each doc's Σ cnt·λ folded in slot order;
+    * weightless docs kept at 0 via the id left-join. */
+  private def dsirFold(corpusIds: DataFrame, docSlots: DataFrame,
+      tc: DataFrame, cc: DataFrame, buckets: Int): DataFrame = {
+    val spark = corpusIds.sparkSession
     val tTot = tc.agg(coalesce(sum(col("c")), lit(0L)).as("tt"))
     val cTot = cc.agg(coalesce(sum(col("c")), lit(0L)).as("ct"))
-    // λ over the FULL slot space (absent slots count 0 — smoothing
-    // still assigns them a ratio, and an unseen-in-target feature
-    // must penalize, not vanish)
     val lambda = spark.range(buckets).select(col("id").as("slot"))
       .join(tc.select(col("slot"), col("c").as("c_t")), Seq("slot"), "left")
       .join(cc.select(col("slot"), col("c").as("c_c")), Seq("slot"), "left")
@@ -1341,10 +1371,37 @@ object TextAnalysis {
           .as("__arr"))
       .select(col("id"),
         expr("aggregate(__arr, 0D, (acc, s) -> acc + s.contrib)").as("w"))
-    corpus.select(col(idCol).as("id"))
+    corpusIds
       .join(folded, Seq("id"), "left")
       .select(col("id"),
         round(coalesce(col("w"), lit(0.0)), 6).as("weight_r"))
+  }
+
+  /** DSIR weights FROM THE STORE — the probe half of the streaming λ
+    * maintenance: the corpus slot distribution comes from the
+    * per-batch rows [[graft.streaming.Streams]].dsirIngest committed
+    * (their slot rollup — integer-exact, so this is IDENTICAL to
+    * [[dsirWeights]] over the concatenated stream, the st9 gate's
+    * claim), the target distribution from its once-committed table;
+    * only the docs being weighted pay a feature pass. */
+  def dsirWeightsFromStore(corpus: DataFrame, idCol: String,
+      textCol: String, store: ParquetTableStore,
+      slotsTable: String = "dsir_slots",
+      targetTable: String = "dsir_target",
+      buckets: Int = 4096, portableHash: Boolean = true,
+      charNgrams: Option[Int] = None): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = corpus.sparkSession
+    require(store.exists(slotsTable) && store.exists(targetTable),
+      s"dsirWeightsFromStore: λ model ($slotsTable, $targetTable) not " +
+        "built — run the dsirIngest loop first")
+    val cc = store.read(spark, slotsTable)
+      .groupBy("slot").agg(sum(col("c")).as("c"))
+    val tc = store.read(spark, targetTable).select("slot", "c")
+    dsirFold(corpus.select(col(idCol).as("id")),
+      dsirDocSlots(corpus, idCol, textCol, buckets, portableHash,
+        charNgrams),
+      tc, cc, buckets)
   }
 
   /** FEATURE-HASHED term-frequency vectors (the "hashing trick",

@@ -5168,7 +5168,8 @@ object PipelineQueries {
     * the slot-ordered per-doc fold — emits `dwei(id, weight_r)` with
     * total coverage (weightless docs at 0), for ts27 to select
     * verbatim and tp12 to threshold. */
-  private def dsirChainSql(charN: Option[Int] = None): String = {
+  private def dsirChainSql(charN: Option[Int] = None,
+      corpusRel: String = "documents"): String = {
     // feature CTEs: word unigrams ∪ bigrams (default) or sliding
     // char n-grams of the lowercased text (the multilingual variant
     // — engine twin [[TextAnalysis.charGrams]]: no trim, spaces
@@ -5184,12 +5185,12 @@ object PipelineQueries {
                         generate_series(1,
                           greatest(length(lower(text)) - ${n - 1}, 0)),
                         i -> substr(lower(text), i, $n))) AS f
-                      FROM documents),"""
+                      FROM $corpusRel),"""
       case None =>
-        """ttok AS (SELECT CASE WHEN length(trim(lower(text))) = 0
+        s"""ttok AS (SELECT CASE WHEN length(trim(lower(text))) = 0
                               THEN []::VARCHAR[]
                               ELSE regexp_split_to_array(
-                                trim(lower(text)), '\s+') END AS t
+                                trim(lower(text)), '\\s+') END AS t
                      FROM tsrc),
             tfeat AS (SELECT unnest(list_concat(t,
                         list_transform(
@@ -5199,15 +5200,15 @@ object PipelineQueries {
             ctok AS (SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0
                               THEN []::VARCHAR[]
                               ELSE regexp_split_to_array(
-                                trim(lower(text)), '\s+') END AS t
-                     FROM documents),
+                                trim(lower(text)), '\\s+') END AS t
+                     FROM $corpusRel),
             cfeat AS (SELECT doc_id, unnest(list_concat(t,
                         list_transform(
                           generate_series(1, greatest(len(t) - 1, 0)),
                           i -> t[i] || ' ' || t[i+1]))) AS f
                       FROM ctok),"""
     }
-    s"""tsrc AS (SELECT text FROM documents
+    s"""tsrc AS (SELECT text FROM $corpusRel
                           WHERE contains(text, 'vector')),
             $featCtes
             tslot AS (SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096
@@ -5240,8 +5241,46 @@ object PipelineQueries {
                      FROM dslot JOIN lam USING (slot) GROUP BY id),
             dwei AS (SELECT d.doc_id AS id,
                        round(coalesce(w, 0.0), 6) AS weight_r
-                     FROM documents d LEFT JOIN fold ON fold.id = d.doc_id)"""
+                     FROM $corpusRel d LEFT JOIN fold ON fold.id = d.doc_id)"""
   }
+
+  /** ST9: STREAMING DSIR λ-MODEL MAINTENANCE
+    * ([[graft.streaming.Streams]].dsirIngest +
+    * [[TextAnalysis.dsirWeightsFromStore]]) — the st3 sketch
+    * discipline applied to the importance-weight model: the corpus
+    * slot distribution is additive under appends (slot counts over
+    * batches union to EXACTLY the concatenation's counts — integer
+    * identity, not an approximation), the target distribution is
+    * static (committed once), so two checkpointed AvailableNow
+    * phases followed by a store-side probe must reproduce ts27's
+    * one-shot weights over the same corpus bit-for-bit. The oracle
+    * is the ts27 chain re-rooted at the gate's 10% slice. */
+  private val st9 = QueryDef(
+    "st9_stream_dsir_parity",
+    "streaming DSIR λ maintenance ≡ one-shot weights over the stream",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(streamGateSlice(col("doc_id")))
+        .select(col("doc_id").as("id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-st9-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      val target = docs.filter(col("text").contains("vector"))
+      docs.filter(col("id") % 20 === 0).coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.dsirIngest(s, inDir, ck, store,
+        target, "text").awaitTermination()
+      docs.filter(col("id") % 20 =!= 0).coalesce(1).write.mode("append")
+        .parquet(inDir)
+      graft.streaming.Streams.dsirIngest(s, inDir, ck, store,
+        target, "text").awaitTermination()
+      TextAnalysis.dsirWeightsFromStore(docs, "id", "text", store)
+        .orderBy("id")
+    },
+    Some(s"""WITH stcorpus AS (SELECT doc_id, text FROM documents
+                               WHERE $streamGateSliceSql),
+            ${dsirChainSql(corpusRel = "stcorpus")}
+            SELECT id, weight_r FROM dwei ORDER BY id"""))
 
   /** TS29: DSIR CHAR-N-GRAM WEIGHTS — ts27's importance weights with
     * the MULTILINGUAL feature family ([[TextAnalysis.charGrams]]):
@@ -6085,5 +6124,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7, st8)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9)
 }

@@ -779,6 +779,55 @@ object Streams {
     * checkpointed file list) and the keyed upsert replaces the same
     * row — a no-op. [[graft.ops.Sketches.compactSketchRows]] bounds
     * the row count. */
+  /** Streaming DSIR λ-MODEL maintenance — the st3 sketch discipline
+    * applied to the importance-weight model
+    * ([[graft.ops.TextAnalysis.dsirWeights]]): the target slot
+    * distribution is STATIC (committed once, first batch), and the
+    * corpus slot distribution is ADDITIVE under appends — slot
+    * counts over a batch union to exactly the counts over the
+    * concatenated stream, so keeping the model current costs one
+    * combinable (slot, c) pass per micro-batch, never a corpus
+    * re-read. Per batch the loop upserts the batch's OWN counting
+    * rows keyed by (batch_id, slot) — ≤ `buckets` rows — and the
+    * probe ([[graft.ops.TextAnalysis.dsirWeightsFromStore]]) rolls
+    * the batch rows up at read time, the
+    * [[graft.ops.Sketches.mergedFromStore]] shape.
+    *
+    * Crash-replay contract (the sketchIngest discipline): a replayed
+    * batch recomputes identical integer counts from the checkpointed
+    * file list and the (batch_id, slot)-keyed upsert replaces the
+    * same rows — a no-op; a torn target commit is absorbed by the
+    * exists() guard. st9 pins merged-per-batch ≡ one-shot weights
+    * over the concatenation. */
+  def dsirIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      target: DataFrame, targetTextCol: String,
+      slotsTable: String = "dsir_slots",
+      targetTable: String = "dsir_target",
+      buckets: Int = 4096,
+      charNgrams: Option[Int] = None): StreamingQuery = {
+    val in = spark.readStream.schema("id BIGINT, text STRING")
+      .parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!store.exists(targetTable))
+          store.withCommitRetries()(store.commit(spark, targetTable,
+            graft.ops.TextAnalysis.dsirSlotCounts(target, targetTextCol,
+              buckets, portableHash = true, charNgrams)))
+        val bs = graft.ops.TextAnalysis.dsirSlotCounts(batch, "text",
+          buckets, portableHash = true, charNgrams)
+          .select(lit(batchId).as("batch_id"), col("slot"), col("c"))
+        if (bs.limit(1).count() > 0)
+          store.withCommitRetries()(store.upsert(spark, slotsTable, bs,
+            Seq("batch_id", "slot")))
+        ()
+      }
+      .start()
+  }
+
   def sketchIngest(spark: SparkSession, inputDir: String,
       checkpointDir: String, store: ParquetTableStore,
       sketchTable: String = "token_cms",

@@ -1085,6 +1085,39 @@ class PipelineSpec extends SparkSpec {
     assert(vals(0) != vals(1))
   }
 
+  test("dsir slot counts are additive: stored batch rollup reproduces one-shot weights") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark vector search at scale"),
+      (2L, "cooking with garlic and butter"),
+      (3L, "vector quantization for retrieval"),
+      (4L, "a walk in the park"),
+      (5L, "hash join exchange plans")).toDF("id", "text")
+    val target = docs.filter(col("text").contains("vector"))
+    val root = Scratch.tempDir("dsir-add-")
+    val store = new ParquetTableStore(s"$root/store")
+    // commit the λ model the way the streaming loop does: one
+    // (batch_id, slot, c) upsert per batch + the static target
+    store.commit(spark, "dsir_target",
+      TextAnalysis.dsirSlotCounts(target, "text", 256))
+    Seq(docs.filter(col("id") <= 2), docs.filter(col("id") > 2))
+      .zipWithIndex.foreach { case (b, i) =>
+        store.upsert(spark, "dsir_slots",
+          TextAnalysis.dsirSlotCounts(b, "text", 256)
+            .select(lit(i.toLong).as("batch_id"), col("slot"), col("c")),
+          Seq("batch_id", "slot"))
+      }
+    val stored = TextAnalysis.dsirWeightsFromStore(docs, "id", "text",
+      store, buckets = 256).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val oneShot = TextAnalysis.dsirWeights(docs, "id", "text",
+      target, "text", buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(stored == oneShot && stored.nonEmpty)
+    // target-like docs score above unrelated ones
+    val m = stored.toMap
+    assert(m(1L) > m(2L) && m(3L) > m(4L))
+  }
+
   // ---- mutable stored IVF (ss17: build → reindex → probe) ----
 
   private def mutatedCorpus(e: org.apache.spark.sql.DataFrame) =
