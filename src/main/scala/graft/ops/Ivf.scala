@@ -172,32 +172,45 @@ object Ivf {
           .select(col("cid").as("centroid_id"), col("cvec").as("vec"))
           .agg(collect_list(struct(col("centroid_id"), col("vec")))
             .as("__anchors"))
-        val assigned = stage(corpus.crossJoin(broadcast(anchors))
+        // the per-round assignment is CORPUS-sized (unlike the k-row
+        // centroid leaves) — persisted for its within-round reuse
+        // (objective + fold) and freed as soon as the round's k-row
+        // update is materialized, so a long tol-mode run holds ONE
+        // corpus copy, not iters copies
+        val assignedPlan = corpus.crossJoin(broadcast(anchors))
           .select(col("id"), col("__vec"),
             explode(VectorKernels.ivfTopCells(col("__vec"),
-              col("__anchors"), 1)).as("cid")))
-        if (tol > 0.0) {
-          val obj = assigned.join(cent, "cid")
-            .agg(avg(lit(1.0) -
-              VectorKernels.cosineSim(col("__vec"), col("cvec"))))
-            .head.getDouble(0)
-          objectives += obj
-          stop = prevObj - obj < tol
-          prevObj = obj
-        }
-        if (!stop) {
-          val foldLong = VectorAggregates.labelCentroids(
-            assigned.select(col("cid"), col("id"), col("__vec")),
-            "cid", "id", "__vec", ordered)
-          val newVecs = foldLong.groupBy("cid")
-            .agg(transform(
-              array_sort(collect_list(struct(col("pos"), col("centroid")))),
-              x => x.getField("centroid")).as("nvec"))
-          cent = stage(cent.join(newVecs, Seq("cid"), "left")
-            .select(col("cid"),
-              coalesce(col("nvec"), col("cvec")).as("cvec")))
-          it += 1
-        }
+              col("__anchors"), 1)).as("cid"))
+        val assignedRdd = assignedPlan.rdd.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val assigned = spark.createDataFrame(assignedRdd, assignedPlan.schema)
+        try {
+          if (tol > 0.0) {
+            val obj = assigned.join(cent, "cid")
+              .agg(avg(lit(1.0) -
+                VectorKernels.cosineSim(col("__vec"), col("cvec"))))
+              .head.getDouble(0)
+            objectives += obj
+            stop = prevObj - obj < tol
+            prevObj = obj
+          }
+          if (!stop) {
+            val foldLong = VectorAggregates.labelCentroids(
+              assigned.select(col("cid"), col("id"), col("__vec")),
+              "cid", "id", "__vec", ordered)
+            val newVecs = foldLong.groupBy("cid")
+              .agg(transform(
+                array_sort(collect_list(struct(col("pos"), col("centroid")))),
+                x => x.getField("centroid")).as("nvec"))
+            cent = stage(cent.join(newVecs, Seq("cid"), "left")
+              .select(col("cid"),
+                coalesce(col("nvec"), col("cvec")).as("cvec")))
+            // force the k-row leaf while the assignment is still
+            // cached; the unpersist below must not trigger a re-derive
+            cent.count()
+            it += 1
+          }
+        } finally assignedRdd.unpersist(blocking = false)
       }
       val dir = Scratch.tempDir("graft-kmeans-")
       cent.write.mode("overwrite").parquet(dir)

@@ -124,6 +124,19 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     else Some(new String(Files.readAllBytes(bucketsFile(table)),
       StandardCharsets.UTF_8).trim.toInt)
 
+  /** The live snapshot PLUS the version it resolved to — for probes
+    * that must verify a read against independently-pinned versions.
+    * The discipline is resolve-THEN-verify: binding the frame first
+    * and comparing its resolved version to the pin closes the window
+    * where a commit landing between a version pre-check and a
+    * [[read]] would silently mix snapshots ([[readBucketsOf]]'s
+    * existing contract, generalized to snapshot tables). */
+  def readVersioned(spark: SparkSession, table: String): (DataFrame, Long) = {
+    val p = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    (readDir(spark, table, dirNameOf(p)), versionOf(dirNameOf(p)))
+  }
+
   /** The live snapshot. The internal bucket column never escapes. */
   def read(spark: SparkSession, table: String): DataFrame = {
     val p = currentPointer(table).getOrElse(

@@ -397,32 +397,40 @@ object SimilaritySearch {
       "ivfReindexVectors")
     val ids = changed.select(col(idCol).as("neighbor_id"))
     // generations derive from EVERY row of the changed ids (dead
-    // included — the ts28 resurrect rule)
+    // included — the ts28 resurrect rule). PINNED: the frame feeds
+    // the members append, the tombstone-emptiness check, and the
+    // tombstone upsert — unpinned, the members scan behind it would
+    // re-run per action (the g3 lesson; reads stay consistent either
+    // way because version dirs are immutable, but the scan is the
+    // fold's one corpus-sized cost and must be paid once)
     val gens = store.read(spark, membersTable)
       .join(ids, Seq("neighbor_id"), "left_semi")
       .groupBy("neighbor_id")
       .agg((max(coalesce(col("gen"), lit(0L))) + 1L).as("gen"))
-    val codebook = codebookOf(store.read(spark, codebookTable))
-    val newAssign = Ivf.assignmentsWithCodebook(changed, idCol, vecCol,
-      codebook, probes = 1)
-      .select(col("centroid_id"), col("id").as("neighbor_id"))
-      .join(gens, Seq("neighbor_id"), "left")
-      .select(col("centroid_id"), col("neighbor_id"),
-        coalesce(col("gen"), lit(0L)).as("gen"))
-    // commit order: members append → tombstones → meta pins LAST
-    store.withCommitRetries()(store.appendBucketed(spark, membersTable,
-      newAssign, Seq("centroid_id"),
-      sortWithin = Seq("centroid_id", "neighbor_id")))
-    val deadMarks = gens.select(col("neighbor_id"),
-      col("gen").as("dead_below"))
-    if (deadMarks.limit(1).count() > 0)
-      store.withCommitRetries()(
-        store.upsert(spark, tombstoneTable, deadMarks, Seq("neighbor_id")))
-    val mv = store.currentVersion(membersTable).get
-    val tv = store.currentVersion(tombstoneTable).getOrElse(-1L)
-    store.withCommitRetries()(store.commit(spark, metaTable,
-      Seq((mv, tv)).toDF("members_version", "tombstones_version")))
-    ()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val codebook = codebookOf(store.read(spark, codebookTable))
+      val newAssign = Ivf.assignmentsWithCodebook(changed, idCol, vecCol,
+        codebook, probes = 1)
+        .select(col("centroid_id"), col("id").as("neighbor_id"))
+        .join(gens, Seq("neighbor_id"), "left")
+        .select(col("centroid_id"), col("neighbor_id"),
+          coalesce(col("gen"), lit(0L)).as("gen"))
+      // commit order: members append → tombstones → meta pins LAST
+      store.withCommitRetries()(store.appendBucketed(spark, membersTable,
+        newAssign, Seq("centroid_id"),
+        sortWithin = Seq("centroid_id", "neighbor_id")))
+      val deadMarks = gens.select(col("neighbor_id"),
+        col("gen").as("dead_below"))
+      if (deadMarks.limit(1).count() > 0)
+        store.withCommitRetries()(
+          store.upsert(spark, tombstoneTable, deadMarks, Seq("neighbor_id")))
+      val mv = store.currentVersion(membersTable).get
+      val tv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+      store.withCommitRetries()(store.commit(spark, metaTable,
+        Seq((mv, tv)).toDF("members_version", "tombstones_version")))
+      ()
+    } finally gens.unpersist(blocking = false)
   }
 
   /** COMPACT the mutable stored IVF index: rewrite members keeping
@@ -541,15 +549,20 @@ object SimilaritySearch {
         s"ivf index mid-update: $metaTable pins members " +
           s"v${pins.getLong(0)} but $membersTable resolved v$mv — " +
           "retry after the index mutation completes")
-    val actualTomb = store.currentVersion(tombstoneTable).getOrElse(-1L)
+    // resolve-then-verify (the readBucketsOf discipline): bind the
+    // tombstone frame FIRST, then compare its resolved version to the
+    // pin — a commit landing between a version pre-check and the read
+    // would otherwise mix snapshots undetected
+    val tombResolved = if (store.exists(tombstoneTable))
+      Some(store.readVersioned(spark, tombstoneTable)) else None
+    val actualTomb = tombResolved.map(_._2).getOrElse(-1L)
     if (pins.getLong(1) != actualTomb)
       throw new IllegalStateException(
         s"ivf index mid-update: $metaTable pins tombstones " +
           s"v${pins.getLong(1)} but $tombstoneTable resolved " +
           s"v$actualTomb — retry after the reindex completes")
     val mine = cells.filter(col("centroid_id").isin(touched: _*))
-    val live = (if (store.exists(tombstoneTable))
-        Some(store.read(spark, tombstoneTable)) else None) match {
+    val live = tombResolved.map(_._1) match {
       case None => mine
       case Some(t) => mine
         .join(broadcast(t.select(col("neighbor_id"), col("dead_below"))),

@@ -1227,7 +1227,13 @@ object TextAnalysis {
           s"v${pins.map(_.getLong(0)).orNull} but $postingsTable " +
           s"resolved v$pv — retry after the index mutation completes")
     val tombPin = pins.map(_.getLong(1)).getOrElse(-1L)
-    val actualTomb = store.currentVersion(tombstoneTable).getOrElse(-1L)
+    // resolve-then-verify (the readBucketsOf discipline): bind the
+    // tombstone frame FIRST, then compare its resolved version to the
+    // pin — a reindex committing between a version pre-check and the
+    // read would otherwise mix snapshots undetected
+    val tombResolved = if (store.exists(tombstoneTable))
+      Some(store.readVersioned(spark, tombstoneTable)) else None
+    val actualTomb = tombResolved.map(_._2).getOrElse(-1L)
     if (tombPin != actualTomb)
       throw new IllegalStateException(
         s"bm25 index mid-update: $statsTable derives from tombstones " +
@@ -1238,14 +1244,15 @@ object TextAnalysis {
     // drop reindexed-away generations: the tombstone frame is bounded
     // by doc churn since the last compaction (broadcast-sized by the
     // bm25CompactIndex contract)
-    val postings =
-      if (actualTomb < 0) postings0
-      else postings0
-        .join(broadcast(store.read(spark, tombstoneTable)
-          .select(col("id"), col("dead_below"))), Seq("id"), "left")
+    val postings = tombResolved.map(_._1) match {
+      case None => postings0
+      case Some(t) => postings0
+        .join(broadcast(t.select(col("id"), col("dead_below"))),
+          Seq("id"), "left")
         .filter(col("dead_below").isNull ||
           coalesce(col("gen"), lit(0L)) >= col("dead_below"))
         .drop("dead_below")
+    }
     val stats = statsAll.filter(col("term").isin(q: _*))
       .drop("postings_version", "tombstones_version")
     bm25Rank(postings.drop("gen").join(broadcast(stats), Seq("term")),

@@ -864,6 +864,71 @@ object ScaleProbe {
           edges(m), "src", "dst"))
       }
     }
+    // g4: incremental PageRank — warm-started fold at tol vs a cold
+    // build of the same final graph. The win is ROUNDS (meta.iters:
+    // the warm vector starts near the fixpoint) plus the O(delta)
+    // edge commit; per-round cost stays edge-mass-linear by contract
+    // (contributions flow along every edge), so wall tracks
+    // iters × edge mass.
+    if (selected("g4")) {
+      def edges(m: Int): DataFrame = {
+        val e = graft.ops.PageRank.coOrderEdges(Tables.lineitem(spark, dir))
+        (0 until m).map(i => e.select(
+            (col("src") + i * 10000000L).as("src"),
+            (col("dst") + i * 10000000L).as("dst")))
+          .reduce(_ unionByName _)
+      }
+      for (m <- Seq(1, mult)) {
+        val root = graft.ops.Scratch.tempDir(s"probe-g4-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        val base = edges(m).filter((col("src") + col("dst")) % 17 =!= 0)
+        val delta = edges(1).filter((col("src") + col("dst")) % 17 === 0)
+        def iters(st: graft.ops.ParquetTableStore): Int =
+          st.read(spark, "pr_meta").head.getAs[Int]("iters")
+        val t0 = System.nanoTime()
+        graft.ops.PageRank.pageRankAppend(base, "src", "dst", store,
+          iterations = 200, tol = 1e-6)
+        println(f"PROBE g4_build_x$m%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=  (iters=${iters(store)})  shuffleMB=      n/a")
+        val t1 = System.nanoTime()
+        graft.ops.PageRank.pageRankAppend(delta, "src", "dst", store,
+          iterations = 200, tol = 1e-6)
+        println(f"PROBE g4_warm_fold_x$m%-24s ${(System.nanoTime() - t1) / 1e9}%8.2f s  rows=  (iters=${iters(store)})  shuffleMB=      n/a")
+        val root2 = graft.ops.Scratch.tempDir(s"probe-g4c-x$m-")
+        val store2 = new graft.ops.ParquetTableStore(s"$root2/store")
+        val t2 = System.nanoTime()
+        graft.ops.PageRank.pageRankAppend(base.unionByName(delta),
+          "src", "dst", store2, iterations = 200, tol = 1e-6)
+        println(f"PROBE g4_cold_rebuild_x$m%-21s ${(System.nanoTime() - t2) / 1e9}%8.2f s  rows=  (iters=${iters(store2)})  shuffleMB=      n/a")
+      }
+    }
+    // ss17: mutable stored IVF — reindex a FIXED 500-vector delta
+    // against the m× index (delta assignment + ONE members scan for
+    // the generations), then probe the mutated corpus through the
+    // tombstone filter; the rebuild alternative is the build row,
+    // which re-assigns the whole corpus and grows with m.
+    if (selected("ss17")) {
+      for (m <- Seq(1, mult)) {
+        val root = graft.ops.Scratch.tempDir(s"probe-ss17-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        val k = math.max(32, math.sqrt(2000.0 * m).toInt)
+        val t0 = System.nanoTime()
+        graft.ops.SimilaritySearch.ivfBuildIndexStored(vecs(m), "id",
+          "embedding", store, numCentroids = k)
+        println(f"PROBE ss17_build_x$m%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=  (build)        shuffleMB=      n/a")
+        val changed = vecs(1).filter(col("id") < 500)
+          .select(col("id"), reverse(col("embedding")).as("embedding"))
+        val t1 = System.nanoTime()
+        graft.ops.SimilaritySearch.ivfReindexVectors(changed, "id",
+          "embedding", store)
+        println(f"PROBE ss17_reindex_x$m%-24s ${(System.nanoTime() - t1) / 1e9}%8.2f s  rows=  (fixed delta)  shuffleMB=      n/a")
+        val mutated = vecs(m).select(col("id"),
+          when(col("id") < 500, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+        probe(s"ss17_probe_x$m", graft.ops.SimilaritySearch.ivfTopKStored(
+          mutated.filter(col("id") >= 100 && col("id") < 110), mutated,
+          "id", "embedding", store, k = 5, probes = 8, cellCap = 1000))
+      }
+    }
     // ts28: tombstone reindex of a FIXED 500-doc slice against the m×
     // index — one postings scan + delta work, vs the full rebuild row
     // (ts25_build_xm) that re-tokenizes the whole corpus
