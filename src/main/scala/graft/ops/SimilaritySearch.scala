@@ -301,6 +301,19 @@ object SimilaritySearch {
       "cos", k)
   }
 
+  /** Cell membership against an EXPLICIT codebook frame — the index
+    * build for a TRAINED codebook ([[Ivf.kmeansTrain]]'s centroids,
+    * or any (cid, cvec) frame): the production train → index → probe
+    * path, where [[ivfIndexFrames]]'s deterministic sample is
+    * replaced by the Lloyd-refined geometry (better cell balance,
+    * same probe contract). The returned members pair with the
+    * codebook frame itself for [[probeStoredIvf]]. */
+  def ivfIndexFramesWith(candidates: DataFrame, idCol: String,
+      vecCol: String, codebookDf: DataFrame,
+      cellCap: Int = 10000): DataFrame =
+    cappedMembers(candidates, idCol, vecCol, codebookOf(codebookDf),
+      cellCap)
+
   /** Driver codebook from a stored codebook frame — the shared read
     * half of the mutable stored-index paths. */
   private def codebookOf(codebookDf: DataFrame): Ivf.Codebook = codebookDf

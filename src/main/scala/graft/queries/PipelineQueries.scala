@@ -4569,6 +4569,83 @@ object PipelineQueries {
             SELECT cid AS centroid_id, pos, round(v, 6) AS centroid_r
             FROM c2 ORDER BY centroid_id, pos"""))
 
+  /** SS19: TRAINED-codebook IVF probe
+    * ([[Ivf.kmeansTrain]] → [[SimilaritySearch.ivfIndexFramesWith]]
+    * → [[SimilaritySearch.probeStoredIvf]]) — the production vector
+    * path composed end to end: two ordered Lloyd rounds train the
+    * codebook (ss18's recurrence verbatim), the corpus indexes
+    * against the TRAINED geometry, a later query batch probes it.
+    * The oracle chains ss18's unrolled training into ss9's probe
+    * shape — what this gate pins beyond its parents is the SEAM:
+    * assignment of float corpus vectors against computed double
+    * centroids on both the index and the query side, with the
+    * per-cell cap over the trained cells. */
+  private val ss19 = QueryDef(
+    "ss19_trained_ivf_probe",
+    "Lloyd-trained codebook → IVF index → query-batch probe",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cent = Ivf.kmeansTrain(e, "id", "embedding",
+        numCentroids = 32, maxIters = 2, ordered = true).centroids
+      val members = SimilaritySearch.ivfIndexFramesWith(e, "id",
+        "embedding", cent, cellCap = 1000)
+      SimilaritySearch.probeStoredIvf(
+        e.filter(col("id") >= 200 && col("id") < 210), e,
+        "id", "embedding", cent, members, k = 5, probes = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      def dot(a: String, b: String, n: String): String =
+        s"""list_reduce(list_prepend(0.0, list_transform(
+              generate_series(1, $n), j -> $a * $b)), (x, y) -> x + y)"""
+      val cosToCent =
+        s"""(${dot("e.embedding[j]::DOUBLE", "c.cv[j]", "len(e.embedding)")} /
+             sqrt(${dot("e.embedding[j]::DOUBLE", "e.embedding[j]::DOUBLE",
+               "len(e.embedding)")} *
+               ${dot("c.cv[j]", "c.cv[j]", "len(c.cv)")}))"""
+      s"""WITH c0 AS (SELECT vec_id AS cid, u.pos AS pos, u.v AS v
+              FROM (SELECT vec_id,
+                      unnest(list_transform(
+                        generate_series(1, len(embedding)),
+                        i -> {'pos': i - 1, 'v': embedding[i]::DOUBLE}))
+                        AS u
+                    FROM (SELECT vec_id, embedding FROM embeddings
+                          ORDER BY vec_id LIMIT 32))),
+            ${lloydIterSql(1, "c0")},
+            ${lloydIterSql(2, "c1")},
+            tcv AS (SELECT cid, list(v ORDER BY pos) AS cv FROM c2
+                    GROUP BY cid),
+            aff AS (SELECT e.vec_id AS id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY $cosToCent DESC, c.cid) AS rn
+                    FROM embeddings e, tcv c),
+            cassign AS (SELECT id AS neighbor_id, cid FROM aff
+                        WHERE rn <= 1),
+            qassign AS (SELECT id AS query_id, cid FROM aff
+                        WHERE id >= 200 AND id < 210 AND rn <= 8),
+            capped AS (SELECT neighbor_id, cid,
+                         row_number() OVER (PARTITION BY cid
+                           ORDER BY neighbor_id) AS crn
+                       FROM cassign),
+            cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+                     FROM qassign q JOIN capped c ON q.cid = c.cid
+                     WHERE c.crn <= 1000
+                       AND q.query_id != c.neighbor_id),
+            scored AS (SELECT query_id, neighbor_id,
+                         ${cosSql("eq.embedding", "ec.embedding")} AS cos
+                       FROM cand
+                       JOIN embeddings eq ON eq.vec_id = cand.query_id
+                       JOIN embeddings ec ON ec.vec_id = cand.neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+                       FROM scored)
+            SELECT query_id, rank, neighbor_id
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
+
   private val ss14 = QueryDef(
     "ss14_hybrid_rrf",
     "hybrid BM25 + embedding retrieval, reciprocal-rank fused",
@@ -6121,7 +6198,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8, st9)
