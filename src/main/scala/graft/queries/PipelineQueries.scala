@@ -5359,6 +5359,81 @@ object PipelineQueries {
             ${dsirChainSql(corpusRel = "stcorpus")}
             SELECT id, weight_r FROM dwei ORDER BY id"""))
 
+  /** ST10: STREAMING VECTOR-INDEX MAINTENANCE
+    * ([[graft.streaming.Streams]].vectorIndexIngest +
+    * [[SimilaritySearch.ivfTopKStored]]) — st8's lexical loop for
+    * the vector family, with batch 2 carrying both INSERTS (the
+    * remaining corpus) and UPDATES (every 9th vector of batch 1
+    * re-emitted reversed — the tombstone path exercised INSIDE the
+    * checkpointed loop, not just by the ss17 direct call). The probe
+    * over the mutated corpus must equal a from-scratch capped IVF
+    * probe with the codebook batch 1 pinned (its lowest-32 ORIGINAL
+    * vectors — updates never retrain the geometry). */
+  private val st10 = QueryDef(
+    "st10_stream_vector_index",
+    "streamed IVF build+reindex ≡ from-scratch probe over the mutated corpus",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val root = graft.ops.Scratch.tempDir("graft-st10-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      e.filter(col("id") % 3 === 0).coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.vectorIndexIngest(s, inDir, ck, store)
+        .awaitTermination()
+      e.filter(col("id") % 3 =!= 0)
+        .unionByName(e.filter(col("id") % 9 === 0)
+          .select(col("id"), reverse(col("embedding")).as("embedding")))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      graft.streaming.Streams.vectorIndexIngest(s, inDir, ck, store)
+        .awaitTermination()
+      val mutated = e.select(col("id"),
+        when(col("id") % 9 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      graft.ops.SimilaritySearch.ivfTopKStored(
+        mutated.filter(col("id") >= 100 && col("id") < 110), mutated,
+        "id", "embedding", store, k = 5, probes = 8, cellCap = 1000)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH anchors AS (SELECT vec_id AS cid, embedding AS avec
+                              FROM embeddings WHERE vec_id % 3 = 0
+                              ORDER BY vec_id LIMIT 32),
+             mut AS (SELECT vec_id AS id,
+                       CASE WHEN vec_id % 9 = 0
+                            THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+                     FROM embeddings),
+             aff AS (SELECT m.id, a.cid,
+                       row_number() OVER (PARTITION BY m.id
+                         ORDER BY ${cosSql("m.embedding", "a.avec")}
+                           DESC, a.cid) AS rn
+                     FROM mut m, anchors a),
+             cassign AS (SELECT id AS neighbor_id, cid FROM aff
+                         WHERE rn <= 1),
+             qassign AS (SELECT id AS query_id, cid FROM aff
+                         WHERE id >= 100 AND id < 110 AND rn <= 8),
+             capped AS (SELECT neighbor_id, cid,
+                          row_number() OVER (PARTITION BY cid
+                            ORDER BY neighbor_id) AS crn
+                        FROM cassign),
+             cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+                      FROM qassign q JOIN capped c ON q.cid = c.cid
+                      WHERE c.crn <= 1000
+                        AND q.query_id != c.neighbor_id),
+             scored AS (SELECT query_id, neighbor_id,
+                          ${cosSql("mq.embedding", "mc.embedding")} AS cos
+                        FROM cand
+                        JOIN mut mq ON mq.id = cand.query_id
+                        JOIN mut mc ON mc.id = cand.neighbor_id),
+             ranked AS (SELECT *, row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+                        FROM scored)
+             SELECT query_id, rank, neighbor_id
+             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** TS29: DSIR CHAR-N-GRAM WEIGHTS — ts27's importance weights with
     * the MULTILINGUAL feature family ([[TextAnalysis.charGrams]]):
     * sliding character 4-grams of the lowercased raw text replace
@@ -6201,5 +6276,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7, st8, st9)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
 }

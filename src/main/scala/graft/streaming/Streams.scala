@@ -759,6 +759,61 @@ object Streams {
       .start()
   }
 
+  /** Streaming VECTOR-INDEX maintenance — [[lexicalIndexIngest]]'s
+    * discipline for the vector family (the "daily-ingest ANN user"
+    * flow): one AvailableNow pass over a vector feed (`id BIGINT,
+    * embedding ARRAY<FLOAT>` parquet files); the first non-empty
+    * batch BUILDS the mutable stored IVF index
+    * ([[graft.ops.SimilaritySearch.ivfBuildIndexStored]] — codebook
+    * PINNED from that batch's deterministic sample), every later
+    * batch folds in as
+    * [[graft.ops.SimilaritySearch.ivfReindexVectors]], which handles
+    * both INSERTS (new ids land at generation 0) and UPDATES
+    * (changed ids re-assign under a bumped generation with
+    * tombstones marking the old rows dead) in one delta-sized pass.
+    *
+    * Crash-replay contract — STRONGER than the lexical loop's and
+    * needing no ledger: a reindex is replace-by-id, not an
+    * accumulate, so a replayed batch re-tombstones and re-appends
+    * the SAME live membership at a higher generation — effect-
+    * idempotent. A crash inside a fold leaves the meta pins behind
+    * the table versions and the replay is refused LOUDLY
+    * (ivfReindexVectors' torn-state check); recovery is
+    * [[graft.ops.SimilaritySearch.ivfCompactIndex]] for the
+    * repairable shapes, rebuild for the one that isn't. Feed ids
+    * must be unique per batch (the reindex contract). Probes
+    * ([[graft.ops.SimilaritySearch.ivfTopKStored]]) between runs see
+    * a consistent pair via the meta pins; gate st10 pins streamed ≡
+    * from-scratch over the concatenation-with-updates. */
+  def vectorIndexIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      numCentroids: Int = 32,
+      codebookTable: String = "ivf_codebook",
+      membersTable: String = "ivf_members",
+      tombstoneTable: String = "ivf_tombstones",
+      metaTable: String = "ivf_meta"): StreamingQuery = {
+    val in = spark.readStream.schema("id BIGINT, embedding ARRAY<FLOAT>")
+      .parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0) {
+          if (!store.exists(metaTable))
+            graft.ops.SimilaritySearch.ivfBuildIndexStored(batch, "id",
+              "embedding", store, numCentroids, codebookTable,
+              membersTable, metaTable)
+          else
+            graft.ops.SimilaritySearch.ivfReindexVectors(batch, "id",
+              "embedding", store, codebookTable, membersTable,
+              tombstoneTable, metaTable)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming hot-token SKETCH maintenance — the count-min
     * discipline ([[graft.ops.Sketches]]) kept current over an
     * append-only document inbox. Per micro-batch: ONE combinable

@@ -1165,6 +1165,27 @@ class PipelineSpec extends SparkSpec {
     assert(probeRows(d, e) != afterFold)
   }
 
+  test("mutable stored IVF: reindex is effect-idempotent (the st10 no-ledger replay contract)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val root = Scratch.tempDir("ivf-replay-")
+    val store = new ParquetTableStore(s"$root/store")
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+      numCentroids = 32)
+    val delta = e.filter(col("id") % 7 === 0)
+      .select(col("id"), reverse(col("embedding")).as("embedding"))
+    SimilaritySearch.ivfReindexVectors(delta, "id", "embedding", store)
+    val mutated = mutatedCorpus(e)
+    val once = probeRows(store, mutated)
+    // the replayed fold re-tombstones and re-appends the SAME live
+    // membership at a higher generation — probe unchanged, and the
+    // dead rows stay bounded by churn (compaction's job)
+    SimilaritySearch.ivfReindexVectors(delta, "id", "embedding", store)
+    assert(probeRows(store, mutated) == once)
+    SimilaritySearch.ivfCompactIndex(spark, store)
+    assert(probeRows(store, mutated) == once)
+  }
+
   test("mutable stored IVF: torn states are refused; compaction repairs the recoverable shape") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
