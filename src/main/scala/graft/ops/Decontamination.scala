@@ -34,6 +34,32 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
+  /** The distinct (bench_id, g) gram table of a benchmark frame —
+    * the exchangeable form every exact path here joins on. */
+  private def benchGrams(bench: DataFrame, benchId: String,
+      benchText: String, n: Int): DataFrame = bench
+    .select(col(benchId).as("bench_id"),
+      explode(graft.plans.HashKernels.hashedWordShingles(col(benchText), n))
+        .as("g"))
+    .distinct()
+
+  /** The shared pair aggregation: corpus grams broadcast-joined
+    * against an (eval-suite-sized) benchmark gram table. */
+  private def pairsAgainstGrams(docs: DataFrame, docId: String,
+      docText: String, bg: DataFrame, n: Int,
+      minShared: Int): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    require(minShared >= 1, "minShared must be >= 1")
+    val dg = docs
+      .select(col(docId).as("doc_id"),
+        explode(graft.plans.HashKernels.hashedWordShingles(col(docText), n))
+          .as("g"))
+    dg.join(broadcast(bg), Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** (doc_id, bench_id, n_shared) for every pair sharing at least
     * `minShared` distinct word `n`-grams. `bench` must be small
     * enough to broadcast (eval-suite sized) — its grams are collected
@@ -41,23 +67,42 @@ object Decontamination {
     * shuffle-free. */
   def contaminationPairs(docs: DataFrame, docId: String, docText: String,
       bench: DataFrame, benchId: String, benchText: String,
-      n: Int = 8, minShared: Int = 2): DataFrame = {
-    require(n >= 1, "n-gram size must be >= 1")
-    require(minShared >= 1, "minShared must be >= 1")
-    val dg = docs
-      .select(col(docId).as("doc_id"),
-        explode(graft.plans.HashKernels.hashedWordShingles(col(docText), n))
-          .as("g"))
-    val bg = bench
-      .select(col(benchId).as("bench_id"),
-        explode(graft.plans.HashKernels.hashedWordShingles(col(benchText), n))
-          .as("g"))
-      .distinct()
-    dg.join(broadcast(bg), Seq("g"))
-      .groupBy("doc_id", "bench_id")
-      .agg(countDistinct(col("g")).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+      n: Int = 8, minShared: Int = 2): DataFrame =
+    pairsAgainstGrams(docs, docId, docText,
+      benchGrams(bench, benchId, benchText, n), n, minShared)
+
+  /** STORED benchmark-gram index — the production screening shape:
+    * eval suites are added occasionally and SCREENED AGAINST
+    * constantly, so the gram table (distinct (bench_id, g) — eval-
+    * suite-sized by the dc1 contract, thousands of rows per suite)
+    * lives in the store and arriving corpus batches probe it without
+    * ever re-shingling a benchmark. Upserting is keyed on
+    * (bench_id, g): registering the same suite twice (or replaying a
+    * crashed registration) replaces its own rows — idempotent; new
+    * suites land additively. One store round-trip per REGISTRATION,
+    * zero benchmark work per probe. */
+  def indexBenchmarks(bench: DataFrame, benchId: String,
+      benchText: String, store: ParquetTableStore,
+      gramsTable: String = "decontam_grams", n: Int = 8): Unit = {
+    val spark = bench.sparkSession
+    val bg = benchGrams(bench, benchId, benchText, n)
+    store.withCommitRetries()(
+      store.upsert(spark, gramsTable, bg, Seq("bench_id", "g")))
   }
+
+  /** Probe a corpus frame against the STORED benchmark-gram index
+    * ([[indexBenchmarks]]) — [[contaminationPairs]] with the bench
+    * side read back instead of re-shingled. The stored table is
+    * eval-suite-sized, so it broadcasts exactly as the one-shot
+    * path's gram frame does; the corpus side stays one scan, no
+    * shuffle of text. Gate dc4 pins build+append+probe ≡ the
+    * one-shot pairs over everything registered. */
+  def probeStoredContamination(docs: DataFrame, docId: String,
+      docText: String, store: ParquetTableStore,
+      gramsTable: String = "decontam_grams", n: Int = 8,
+      minShared: Int = 2): DataFrame =
+    pairsAgainstGrams(docs, docId, docText,
+      store.read(docs.sparkSession, gramsTable), n, minShared)
 
   /** The apply step: training rows NOT contaminated by any benchmark
     * doc (one ids-only anti-join over the pair list). */

@@ -1477,6 +1477,56 @@ object PipelineQueries {
             SELECT doc_id, bench_id, jaccard FROM verif
             WHERE jaccard >= 0.5 ORDER BY doc_id, bench_id"""))
 
+  /** DC4: decontamination against the STORED benchmark index
+    * ([[Decontamination.indexBenchmarks]] /
+    * [[Decontamination.probeStoredContamination]]) — the production
+    * screening shape: eval suites registered in two tranches (the
+    * keyed upsert merging them in the store), the corpus probed once
+    * against the read-back gram table. Must equal dc1's one-shot
+    * pairs over the full benchmark — the oracle IS dc1's, because
+    * that identity is the gate's claim (registration round-trips and
+    * tranche merging must be invisible). */
+  private val dc4 = QueryDef(
+    "dc4_stored_decontamination",
+    "tranche-registered stored bench index probe ≡ one-shot dc1 pairs",
+    (s, dir) => {
+      val root = graft.ops.Scratch.tempDir("graft-dc4-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      val bench = benchDf(s, dir)
+      Decontamination.indexBenchmarks(
+        bench.filter(col("bench_id") % 20 === 0), "bench_id", "text",
+        store)
+      Decontamination.indexBenchmarks(
+        bench.filter(col("bench_id") % 20 =!= 0), "bench_id", "text",
+        store)
+      Decontamination.probeStoredContamination(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", store, n = 8, minShared = 2)
+        .orderBy("doc_id", "bench_id")
+    },
+    Some(s"""WITH $benchSql,
+            dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM documents),
+            bt AS (SELECT bench_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM bench),
+            dg AS (SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                   FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> $gram8)) AS g
+                         FROM dt)),
+            bg AS (SELECT DISTINCT bench_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                   FROM (SELECT bench_id,
+                           unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> $gram8)) AS g
+                         FROM bt))
+            SELECT dg.doc_id, bg.bench_id,
+                   count(DISTINCT dg.g) AS n_shared
+            FROM dg JOIN bg ON dg.g = bg.g
+            GROUP BY 1, 2 HAVING count(DISTINCT dg.g) >= 2
+            ORDER BY doc_id, bench_id"""))
+
   /** TP2: the TRAINING-PREP pipeline END-TO-END — what a pretraining
     * data job actually runs, as ONE verified composition:
     * decontaminate (dc2) → exact-dedup survivors (d1) → domain mix
@@ -5434,6 +5484,140 @@ object PipelineQueries {
              SELECT query_id, rank, neighbor_id
              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** ST11: streaming GRAPH maintenance
+    * ([[graft.streaming.Streams.graphIngest]]) — the g3 + g4 folds
+    * driven from an edge FEED: the co-order edges arrive as two
+    * parquet batches (the g3/g4 split), each micro-batch folds into
+    * BOTH stored artifacts (triangle counts and warm-started
+    * PageRank, overlapped — disjoint table families), and the gate
+    * reads the two stored tables back joined. The oracle is the g3
+    * from-scratch triangle count joined with g4's unrolled two-batch
+    * rank recurrence — streamed maintenance must be INVISIBLE next to
+    * the batch folds, which the shared SQL makes literal. */
+  private val st11 = QueryDef(
+    "st11_stream_graph_maintenance",
+    "streamed edge folds ≡ from-scratch triangles + unrolled warm PageRank",
+    (s, dir) => {
+      val edges = PageRank.coOrderEdges(Tables.lineitem(s, dir))
+      val root = graft.ops.Scratch.tempDir("graft-st11-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      edges.filter((col("src") + col("dst")) % 3 =!= 0)
+        .coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.graphIngest(s, inDir, ck, store)
+        .awaitTermination()
+      edges.filter((col("src") + col("dst")) % 3 === 0)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      graft.streaming.Streams.graphIngest(s, inDir, ck, store)
+        .awaitTermination()
+      store.read(s, "tri_counts")
+        .join(store.read(s, "pr_ranks"), Seq("id"))
+        .select(col("id").as("p_partkey"), col("n_triangles"),
+          round(col("r") * 1000.0, 6).as("pr_k"))
+        .orderBy("p_partkey")
+    },
+    // g3's from-scratch triangle oracle joined with g4's unrolled
+    // recurrence — both generated from the same textual sources the
+    // batch gates pin
+    Some(s"""WITH $coOrderEdgesSql,
+            und AS (SELECT DISTINCT least(src, dst) AS u,
+                      greatest(src, dst) AS v FROM e),
+            tri AS (SELECT ta.u AS a, ta.v AS b, tb.v AS c
+                    FROM und ta
+                    JOIN und tb ON tb.u = ta.v
+                    JOIN und tc ON tc.u = ta.u AND tc.v = tb.v),
+            corners AS (SELECT a AS id FROM tri
+                        UNION ALL SELECT b FROM tri
+                        UNION ALL SELECT c FROM tri),
+            tnodes AS (SELECT u AS id FROM und UNION SELECT v FROM und),
+            tcnt AS (SELECT id, count(*)::BIGINT AS n FROM corners
+                     GROUP BY id),
+            e1 AS (SELECT src, dst FROM e WHERE (src + dst) % 3 <> 0),
+            nodes1 AS (SELECT src AS id FROM e1 UNION SELECT dst FROM e1),
+            nn1 AS (SELECT count(*)::DOUBLE AS n FROM nodes1),
+            deg1 AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e1
+                     GROUP BY src),
+            b0 AS (SELECT id, 1.0::DOUBLE / nn1.n AS r
+                   FROM nodes1 CROSS JOIN nn1),
+            ${prStepSql("b1", "b0", "e1", "deg1", "nodes1", "nn1")},
+            ${prStepSql("b2", "b1", "e1", "deg1", "nodes1", "nn1")},
+            ${prStepSql("b3", "b2", "e1", "deg1", "nodes1", "nn1")},
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e
+                    GROUP BY src),
+            w0 AS (SELECT nodes.id,
+                     coalesce(b3.r * (nn1.n / nn.n),
+                       1.0::DOUBLE / nn.n) AS r
+                   FROM nodes CROSS JOIN nn CROSS JOIN nn1
+                   LEFT JOIN b3 ON b3.id = nodes.id),
+            ${prStepSql("w1", "w0", "e", "deg", "nodes", "nn")},
+            ${prStepSql("w2", "w1", "e", "deg", "nodes", "nn")}
+            SELECT tn.id AS p_partkey,
+              coalesce(tcnt.n, 0)::BIGINT AS n_triangles,
+              round(w2.r * 1000.0::DOUBLE, 6) AS pr_k
+            FROM tnodes tn
+            LEFT JOIN tcnt ON tcnt.id = tn.id
+            JOIN w2 ON w2.id = tn.id
+            ORDER BY p_partkey"""))
+
+  /** ST12: streaming DECONTAMINATION screening
+    * ([[graft.streaming.Streams.decontamIngest]]) — dc4's stored
+    * index driven from a document FEED: the benchmark registers on
+    * the first batch, every arriving corpus batch probes only itself
+    * against the stored grams, and matched pairs accumulate keyed by
+    * (doc_id, bench_id). The union of per-batch probes must equal the
+    * one-shot dc1 pairs over the concatenated corpus — exact-gram
+    * contamination is per-doc, so screening batch-by-batch loses
+    * nothing (unlike near-dup, there is no cross-batch pair to miss:
+    * the bench side is static). Oracle = dc1's, that identity being
+    * the claim. */
+  private val st12 = QueryDef(
+    "st12_stream_decontamination",
+    "streamed per-batch contamination screening ≡ one-shot dc1 pairs",
+    (s, dir) => {
+      val root = graft.ops.Scratch.tempDir("graft-st12-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      val bench = benchDf(s, dir)
+      docs.filter(col("id") % 2 === 0).coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.decontamIngest(s, inDir, ck, store,
+        bench, "bench_id", "text").awaitTermination()
+      docs.filter(col("id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      graft.streaming.Streams.decontamIngest(s, inDir, ck, store,
+        bench, "bench_id", "text").awaitTermination()
+      store.read(s, "contamination")
+        .select(col("doc_id"), col("bench_id"), col("n_shared"))
+        .orderBy("doc_id", "bench_id")
+    },
+    Some(s"""WITH $benchSql,
+            dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM documents),
+            bt AS (SELECT bench_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM bench),
+            dg AS (SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                   FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> $gram8)) AS g
+                         FROM dt)),
+            bg AS (SELECT DISTINCT bench_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                   FROM (SELECT bench_id,
+                           unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> $gram8)) AS g
+                         FROM bt))
+            SELECT dg.doc_id, bg.bench_id,
+                   count(DISTINCT dg.g) AS n_shared
+            FROM dg JOIN bg ON dg.g = bg.g
+            GROUP BY 1, 2 HAVING count(DISTINCT dg.g) >= 2
+            ORDER BY doc_id, bench_id"""))
+
   /** TS29: DSIR CHAR-N-GRAM WEIGHTS — ts27's importance weights with
     * the MULTILINGUAL feature family ([[TextAnalysis.charGrams]]):
     * sliding character 4-grams of the lowercased raw text replace
@@ -6272,9 +6456,9 @@ object PipelineQueries {
             ORDER BY query_id, rank"""))
 
   def defs: Seq[QueryDef] =
-    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, ss1, ss2,
+    Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, dc4, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12)
 }

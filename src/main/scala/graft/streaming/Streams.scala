@@ -911,4 +911,126 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming DECONTAMINATION screening — benchmark hygiene kept
+    * current over an append-only document inbox (the production
+    * shape: eval suites are registered rarely, the corpus arrives
+    * forever, and every arriving batch must be screened BEFORE it can
+    * feed a trainer). The first batch registers the benchmark gram
+    * index ([[graft.ops.Decontamination.indexBenchmarks]] — eval-
+    * suite-sized, broadcastable by contract); every batch then probes
+    * ONLY ITSELF against the stored index
+    * ([[graft.ops.Decontamination.probeStoredContamination]] — one
+    * batch scan, no corpus re-read, no text shuffle) and upserts the
+    * matched pairs keyed by (doc_id, bench_id) into `pairsTable` —
+    * the artifact a training job anti-joins against (dc2's apply
+    * step, stored).
+    *
+    * Crash-replay contract (the dsirIngest discipline): pair rows are
+    * a pure function of the batch text and the static gram index, so
+    * a replayed batch recomputes identical rows and the keyed upsert
+    * replaces them — a no-op; a torn index registration replays
+    * through the (bench_id, g)-keyed upsert the same way. Gate st12
+    * pins the streamed pairs table ≡ one-shot [[graft.ops.
+    * Decontamination.contaminationPairs]] over the concatenation. */
+  def decontamIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      bench: DataFrame, benchId: String, benchText: String,
+      gramsTable: String = "decontam_grams",
+      pairsTable: String = "contamination",
+      n: Int = 8, minShared: Int = 2): StreamingQuery = {
+    val in = spark.readStream.schema("id BIGINT, text STRING")
+      .parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!store.exists(gramsTable))
+          graft.ops.Decontamination.indexBenchmarks(bench, benchId,
+            benchText, store, gramsTable, n)
+        // pin the probe result: the emptiness check and the upsert's
+        // two actions would otherwise re-scan the batch text per
+        // action (the g3 pinning lesson)
+        val pairs = graft.ops.Decontamination.probeStoredContamination(
+          batch, "id", "text", store, gramsTable, n, minShared)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (pairs.limit(1).count() > 0)
+            store.withCommitRetries()(store.upsert(spark, pairsTable,
+              pairs, Seq("doc_id", "bench_id")))
+        } finally pairs.unpersist(false)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming GRAPH-ARTIFACT maintenance — the g3/g4 folds kept
+    * current over an append-only edge feed (`src BIGINT, dst BIGINT`
+    * parquet files), completing the streaming story for the graph
+    * family the way [[lexicalIndexIngest]]/[[vectorIndexIngest]] did
+    * for the lexical/vector index families. Per micro-batch the loop
+    * folds the batch's edges into BOTH stored artifacts:
+    *
+    *  - triangle counts via
+    *    [[graft.ops.PageRank.triangleCountsAppend]] — delta-sized
+    *    case enumeration, O(delta) bucketed commits;
+    *  - PageRank via [[graft.ops.PageRank.pageRankAppend]] — warm
+    *    start from the stored vector, `buildIterations` rounds on the
+    *    first batch (the from-scratch build), `foldIterations` on
+    *    every later one (the rounds-side win a warm start buys; pass
+    *    `tol > 0` for the residual-stopped production mode).
+    *
+    * Crash-replay contract — no ledger needed: both folds make a
+    * replayed batch a no-op through the stored-edge anti-join
+    * (triangle increments are additive over genuinely-new edges only;
+    * the rank fold returns early on an empty delta), and a crash
+    * BETWEEN the two folds replays into "triangle side no-ops, rank
+    * side folds normally". A crash INSIDE either fold leaves that
+    * family's version pin behind and the replay is refused LOUDLY
+    * (the g3/g4 torn-state checks); the two families are independent
+    * table sets, so one family's torn state never corrupts the other.
+    * Gate st11 pins streamed ≡ from-scratch triangles + the unrolled
+    * two-batch rank recurrence over the concatenated feed. */
+  def graphIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      buildIterations: Int = 3, foldIterations: Int = 2,
+      damping: Double = 0.85, tol: Double = 0.0): StreamingQuery = {
+    val in = spark.readStream.schema("src BIGINT, dst BIGINT")
+      .parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0) {
+          // both folds scan the batch several times (canonicalize,
+          // anti-join, case enumeration) — pin it for the duration
+          val b = batch.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val first = !store.exists("pr_meta")
+            // disjoint table families -> the two folds overlap (the
+            // st1 commit discipline); each is independently
+            // replay-idempotent, so one failing mid-flight while the
+            // other lands is just the per-family crash contract
+            commitInParallel(
+              () => {
+                graft.ops.PageRank.triangleCountsAppend(
+                  b, "src", "dst", store)
+                ()
+              },
+              () => {
+                graft.ops.PageRank.pageRankAppend(b, "src", "dst", store,
+                  iterations =
+                    if (first) buildIterations else foldIterations,
+                  damping = damping, tol = tol)
+                ()
+              })
+          } finally b.unpersist(false)
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -129,4 +129,27 @@ class DecontaminationSpec extends SparkSpec {
       bench, "bench_id", "text").count()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("stored index: tranche registration + probe == one-shot pairs") {
+    val store = new ParquetTableStore(tmpDir("dc-store"))
+    // suites registered separately, including a double registration
+    // of the first tranche (replayed crash) — upsert keyed on
+    // (bench_id, g) must absorb it
+    Decontamination.indexBenchmarks(bench.filter(col("bench_id") === 10),
+      "bench_id", "text", store)
+    Decontamination.indexBenchmarks(bench.filter(col("bench_id") === 10),
+      "bench_id", "text", store)
+    Decontamination.indexBenchmarks(bench.filter(col("bench_id") === 20),
+      "bench_id", "text", store)
+    val stored = Decontamination.probeStoredContamination(docs, "doc_id",
+      "text", store, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = Decontamination.contaminationPairs(docs, "doc_id",
+      "text", bench, "bench_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == oneShot && stored.nonEmpty)
+    // the double registration left no duplicate gram rows
+    val grams = store.read(spark, "decontam_grams")
+    assert(grams.count() == grams.distinct().count())
+  }
 }
