@@ -5618,6 +5618,85 @@ object PipelineQueries {
             GROUP BY 1, 2 HAVING count(DISTINCT dg.g) >= 2
             ORDER BY doc_id, bench_id"""))
 
+  /** ST13: streaming CORPUS CURATION
+    * ([[graft.streaming.Streams.curationIngest]]) — tp2's training-
+    * prep chain as a production ingest loop: two document batches
+    * (evens then odds, with manufactured copies at id+20001 so exact
+    * duplicates CROSS the batch boundary in both directions) each run
+    * quality cut → exact dedup against the fp-bucketed stored digest
+    * ledger → decontamination against the stored benchmark grams, and
+    * only survivors enter the stored clean corpus. The oracle is the
+    * one-shot composition with the batch order as the dedup
+    * tie-break: keeper = min (batch, id) per fingerprint — an
+    * earlier-batch HIGHER id beats a later-batch lower one, which the
+    * fixture manufactures (an odd source doc's even-id copy lands in
+    * batch 1 and must win). */
+  private val st13 = QueryDef(
+    "st13_stream_corpus_curation",
+    "streamed quality→dedup→decontam curation ≡ one-shot composition",
+    (s, dir) => {
+      val root = graft.ops.Scratch.tempDir("graft-st13-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      val docs = base.unionByName(base.filter(col("id") % 5 === 0)
+        .select((col("id") + 20001).as("id"), col("text")))
+      val bench = benchDf(s, dir)
+      docs.filter(col("id") % 2 === 0).coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.curationIngest(s, inDir, ck, store,
+        bench, "bench_id", "text").awaitTermination()
+      docs.filter(col("id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      graft.streaming.Streams.curationIngest(s, inDir, ck, store,
+        bench, "bench_id", "text").awaitTermination()
+      store.read(s, "corpus_clean")
+        .select(col("id"), col("text")).orderBy("id")
+    },
+    Some(s"""WITH $benchSql,
+            corpus AS (SELECT doc_id AS id, doc_id % 2 AS b, text
+                       FROM documents
+                       UNION ALL
+                       SELECT doc_id + 20001 AS id,
+                              (doc_id + 20001) % 2 AS b, text
+                       FROM documents WHERE doc_id % 5 = 0),
+            ${qualityFeatureSql("corpus", "id", "b")},
+            q AS (SELECT qf.id FROM qf
+                  WHERE ${qualitySql("n_tokens", "stops", "digits",
+                    "n_chars", 9)} >= 0.5),
+            fpt AS (SELECT c.id, c.b, c.text,
+                      md5(regexp_replace(lower(trim(c.text)), '\\s+', ' ',
+                        'g')) AS f
+                    FROM corpus c JOIN q ON q.id = c.id),
+            win AS (SELECT id, text, row_number() OVER (
+                      PARTITION BY f ORDER BY b, id) AS rn
+                    FROM fpt),
+            keep AS (SELECT id, text FROM win WHERE rn = 1),
+            kt AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM keep),
+            dg AS (SELECT id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                   FROM (SELECT id,
+                           unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> $gram8)) AS g
+                         FROM kt)),
+            bt AS (SELECT bench_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM bench),
+            bg AS (SELECT DISTINCT bench_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+                   FROM (SELECT bench_id,
+                           unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> $gram8)) AS g
+                         FROM bt)),
+            bad AS (SELECT dg.id FROM dg JOIN bg ON dg.g = bg.g
+                    GROUP BY dg.id, bg.bench_id
+                    HAVING count(DISTINCT dg.g) >= 2)
+            SELECT k.id, k.text FROM keep k
+            LEFT JOIN (SELECT DISTINCT id FROM bad) x ON x.id = k.id
+            WHERE x.id IS NULL
+            ORDER BY k.id"""))
+
   /** TS29: DSIR CHAR-N-GRAM WEIGHTS — ts27's importance weights with
     * the MULTILINGUAL feature family ([[TextAnalysis.charGrams]]):
     * sliding character 4-grams of the lowercased raw text replace
@@ -6460,5 +6539,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)
 }

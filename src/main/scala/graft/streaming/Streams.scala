@@ -965,6 +965,110 @@ object Streams {
       .start()
   }
 
+  /** Streaming CORPUS CURATION — tp2's batch training-prep chain as a
+    * production ingest loop: every arriving document batch runs the
+    * full screen BEFORE it can enter the corpus, and nothing
+    * corpus-sized ever recomputes. Per micro-batch, in order:
+    *
+    *  1. QUALITY cut — ts2's composite score, per-row at scan rate
+    *     (rounded at 1e-9 before the threshold, the d11 boundary
+    *     discipline, so a 1-ulp wiggle can't flip admission);
+    *  2. EXACT DEDUP — within-batch min-id winner per normalized
+    *     fingerprint, then the STORED digest ledger check: the
+    *     ledger is fp-bucketed, so the probe reads only the batch's
+    *     touched buckets ([[graft.ops.ParquetTableStore
+    *     .readBucketsOf]]) — never the corpus-sized ledger;
+    *  3. DECONTAMINATION — dc4's stored benchmark-gram screen
+    *     (registered on the first batch, broadcast-sized forever).
+    *
+    * Two artifacts commit per batch, overlapped (independent keyed
+    * tables): the digest ledger gains (fp, keeper_id) for every
+    * quality-passed dedup winner — contaminated or not: identical
+    * text is identically contaminated, so a contaminated doc claiming
+    * its fingerprint can only ever block equally-contaminated copies
+    * — and `cleanTable` gains the surviving rows keyed by id.
+    *
+    * Crash-replay contract: every stage is a pure function of the
+    * batch and the PRE-BATCH store state except the digest check,
+    * whose `keeper_id == id` clause re-admits a replayed batch's own
+    * claims — so a replay recomputes identical survivor rows and both
+    * keyed upserts no-op, whichever commit the crash interleaved.
+    * Gate st13 pins the streamed clean corpus ≡ the one-shot
+    * quality→dedup→decontaminate composition with the batch order as
+    * the dedup tie-break. */
+  def curationIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      bench: DataFrame, benchId: String, benchText: String,
+      minQuality: Double = 0.5,
+      gramsTable: String = "decontam_grams",
+      digestsTable: String = "corpus_digests",
+      cleanTable: String = "corpus_clean",
+      n: Int = 8, minShared: Int = 2,
+      numBuckets: Int = 32): StreamingQuery = {
+    val in = spark.readStream.schema("id BIGINT, text STRING")
+      .parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0) {
+          if (!store.exists(gramsTable))
+            graft.ops.Decontamination.indexBenchmarks(bench, benchId,
+              benchText, store, gramsTable, n)
+          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          val scored = batch
+            .filter(round(graft.ops.TextAnalysis.qualityScore(col("text")),
+              9) >= minQuality)
+            .withColumn("fp",
+              graft.functions.TextFunctions.fingerprint(col("text")))
+          // within-batch winners feed the ledger check, the probe,
+          // and the commits — one text pass, pinned
+          val winners = scored.join(
+            scored.groupBy("fp").agg(min(col("id")).as("id")),
+            Seq("fp", "id"), "left_semi")
+            .persist(lvl)
+          try {
+            val deduped =
+              if (!store.exists(digestsTable)) winners
+              else {
+                val (stored, _) = store.readBucketsOf(spark,
+                  digestsTable, winners.select("fp"))
+                winners
+                  .join(stored.select(col("fp"), col("keeper_id")),
+                    Seq("fp"), "left")
+                  .filter(col("keeper_id").isNull ||
+                    col("keeper_id") === col("id"))
+                  .drop("keeper_id")
+              }
+            val ded = deduped.persist(lvl)
+            try {
+              val contaminated = graft.ops.Decontamination
+                .probeStoredContamination(ded, "id", "text", store,
+                  gramsTable, n, minShared)
+                .select(col("doc_id").as("id")).distinct()
+              val survivors = ded.join(contaminated, Seq("id"), "left_anti")
+                .select("id", "text").persist(lvl)
+              try {
+                commitInParallel(
+                  () => if (ded.limit(1).count() > 0)
+                    store.withCommitRetries()(store.upsertBucketed(
+                      spark, digestsTable,
+                      ded.select(col("fp"), col("id").as("keeper_id")),
+                      Seq("fp"), numBuckets)),
+                  () => if (survivors.limit(1).count() > 0)
+                    store.withCommitRetries()(store.upsertBucketed(
+                      spark, cleanTable, survivors, Seq("id"),
+                      numBuckets)))
+              } finally survivors.unpersist(false)
+            } finally ded.unpersist(false)
+          } finally winners.unpersist(false)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming GRAPH-ARTIFACT maintenance — the g3/g4 folds kept
     * current over an append-only edge feed (`src BIGINT, dst BIGINT`
     * parquet files), completing the streaming story for the graph

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.ParquetTableStore
+
+/** The streaming corpus-curation loop ([[Streams.curationIngest]]):
+  * quality cut → stored-ledger exact dedup → stored-gram
+  * decontamination, per batch, with batch order as the dedup
+  * tie-break and full replay idempotence. */
+class CurationIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // long stopword-rich sentences pass the ts2 quality cut; the digit
+  // soup fails it
+  private val good =
+    "the project is a story of the people and the land that it is for " +
+      "and the water of the river is a part of that story in the end"
+  private val good2 =
+    "it is the case that the review of the plan is in the hands of the " +
+      "board and that the board is sure to act on it for the good of all"
+  private val soup = "4 8 15 16 23 42 108 4 8 15 16 23 42 108 314 271"
+
+  private val bench = Seq((50L, good2)).toDF("bench_id", "text")
+
+  private def runOnce(in: String, ckpt: String,
+      store: ParquetTableStore): Unit = {
+    val q = Streams.curationIngest(spark, in, ckpt, store,
+      bench, "bench_id", "text", minShared = 2)
+    try q.awaitTermination(180000) finally if (q.isActive) q.stop()
+  }
+
+  test("quality cut, cross-batch dedup (earlier batch wins), decontam") {
+    val in = tmpDir("cu-in")
+    val ckpt = tmpDir("cu-ckpt")
+    val store = new ParquetTableStore(tmpDir("cu-store"))
+
+    // batch 1: a keeper copy of `good` at a HIGH id, digit soup, and
+    // the contaminated doc (= bench text, shares every 8-gram)
+    Seq((30L, good), (31L, soup), (32L, good2))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    runOnce(in, ckpt, store)
+    // batch 2: a LOWER-id copy of `good` (must lose to batch 1's
+    // claim) plus a fresh survivor
+    Seq((3L, good), (40L, good + " and that is the whole of it truly"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    runOnce(in, ckpt, store)
+
+    val clean = store.read(spark, "corpus_clean")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 30 kept (batch-1 claim), 31 failed quality, 32 contaminated,
+    // 3 lost the fingerprint to 30 despite the lower id, 40 kept
+    assert(clean == Set(30L, 40L), s"got $clean")
+
+    // digest ledger recorded the quality-passed winners (30, 32, 40 —
+    // the contaminated doc still claims its fingerprint)
+    assert(store.read(spark, "corpus_digests").count() == 3)
+
+    // full-feed replay through a fresh checkpoint: same rows, no
+    // membership change (keeper_id == id re-admits own claims)
+    runOnce(in, tmpDir("cu-ckpt2"), store)
+    val clean2 = store.read(spark, "corpus_clean")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(clean2 == clean)
+    assert(store.read(spark, "corpus_digests").count() == 3)
+  }
+}
