@@ -961,6 +961,54 @@ object ScaleProbe {
         probeNoop(s"ts27_dsir_x$m", graft.ops.TextAnalysis.dsirWeights(
           docs(m), "id", "text", target, "text"))
     }
+    // st13: streaming curation — screen a FIXED 50-doc batch against
+    // an m×-grown digest ledger. The ledger is fp-bucketed and the
+    // screen reads only the batch's touched buckets, so per-batch
+    // cost is bounded by touched-bucket MASS — flat across m only
+    // when the bucket count scales with the corpus (the deployment
+    // sizing rule: buckets ∝ corpus keeps bucket size constant). The
+    // probe applies that rule (64·m buckets); a fixed small grid at
+    // x10 would honestly show the full-ledger re-read a mis-sized
+    // deployment pays.
+    if (selected("st13")) {
+      // two bucket-sizing policies at each scale: buckets ∝ corpus
+      // (constant bucket mass — the deployment rule) vs a FIXED grid
+      // (touched-bucket mass grows with the corpus). The spread
+      // between the two x-mult screen rows attributes the growth:
+      // policy-proportional cost is O(buckets) version fixed cost
+      // (untouched-bucket sharing, listing), fixed-grid cost is the
+      // ledger data mass a mis-sized deployment re-reads.
+      for (m <- Seq(1, mult); (policy, nb) <- Seq(
+          ("prop", 64 * m), ("fix64", 64)); if m > 1 || policy == "prop") {
+        val root = graft.ops.Scratch.tempDir(s"probe-st13-$policy-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        val bench = docs(1).filter(col("id") % 97 === 0)
+          .select((col("id") + 50000000L).as("bench_id"), col("text"))
+        val in = s"$root/in"
+        def run(): Unit = {
+          val q = graft.streaming.Streams.curationIngest(spark, in,
+            s"$root/ck", store, bench, "bench_id", "text",
+            numBuckets = nb)
+          try q.awaitTermination(600000)
+          finally if (q.isActive) q.stop()
+        }
+        docs(m).coalesce(8).write.mode("append").parquet(in)
+        val t0 = System.nanoTime()
+        run()
+        println(f"PROBE st13_seed_${policy}_x$m%-21s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=  (seed)         shuffleMB=      n/a")
+        // the fixed delta: 25 exact copies of stored text (must fall
+        // to the ledger check) + 25 perturbed survivors
+        docs(1).filter(col("id") < 50)
+          .select((col("id") + 980000000L).as("id"),
+            when(col("id") % 2 === 0, col("text"))
+              .otherwise(concat(lit("fresh probe row "), col("text")))
+              .as("text"))
+          .coalesce(1).write.mode("append").parquet(in)
+        val t1 = System.nanoTime()
+        run()
+        println(f"PROBE st13_screen50_${policy}_x$m%-17s ${(System.nanoTime() - t1) / 1e9}%8.2f s  rows=  (fixed delta)  shuffleMB=      n/a")
+      }
+    }
     stGrid("st1_neardup_ingest",
       (in, ck, st) => graft.streaming.Streams.nearDupIngest(spark, in, ck, st))
     stGrid("st2_cluster_ingest",
