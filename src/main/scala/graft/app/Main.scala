@@ -474,6 +474,28 @@ object Main {
           show(t("dup_clusters").orderBy("cluster_id", "id"))
         } else println("duplicate clusters after ingest: none found yet")
 
+      case "curate-docs" =>
+        // streaming corpus curation over a doc inbox (st13's loop):
+        // quality cut → exact dedup against the stored digest ledger
+        // (fp-bucketed, touched-bucket reads) → decontamination
+        // against the stored benchmark grams; survivors land in
+        // corpus_clean. Re-invocations process only files added since
+        // the last run (checkpoint under the store dir).
+        // usage: curate-docs <store> <inbox> <benchDir> [minQuality]
+        val inbox = args(2)
+        val benchDir = args(3)
+        val minQuality = if (args.length > 4) args(4).toDouble else 0.5
+        val bench = spark.read.parquet(benchDir)
+          .select(col("id").as("bench_id"), col("text"))
+        graft.streaming.Streams.curationIngest(spark, inbox,
+          args(1) + "/_curate_checkpoint", store, bench, "bench_id",
+          "text", minQuality = minQuality).awaitTermination()
+        if (store.exists("corpus_clean")) {
+          println("clean corpus after curation:")
+          show(t("corpus_clean").orderBy("id"))
+        } else println("clean corpus after curation: empty " +
+          "(no documents survived the screen yet)")
+
       case "decontaminate" =>
         // benchmark decontamination over the ingested corpus: report
         // train×eval overlap pairs and commit the cleaned corpus as a

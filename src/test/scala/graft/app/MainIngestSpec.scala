@@ -43,6 +43,38 @@ class MainIngestSpec extends SparkSpec {
       && rej.head.getAs[Long]("matched_id") == 1L)
   }
 
+  test("curate-docs: incremental screen across CLI invocations") {
+    val root = tmpDir("maincurate")
+    val inbox = tmpDir("maincurate-in")
+    val benchDir = tmpDir("maincurate-bench")
+    val store = new ParquetTableStore(root)
+    // stopword-rich text passes the ts2 quality cut; digit soup fails
+    val good = "the story of the people is that it is for the land " +
+      "and the water and the long river is a part of it in the end"
+    val leak = "it is the case that the review of the plan is in the " +
+      "hands of the board and the board is sure to act on it for all"
+    Seq((100L, leak)).toDF("id", "text")
+      .write.mode("overwrite").parquet(benchDir)
+
+    Seq((1L, good), (2L, "7 13 21 99 404 7 13 21 99 404 808 101 303"),
+        (3L, leak))
+      .toDF("id", "text").write.mode("append").parquet(inbox)
+    Main.run(spark, Array("curate-docs", root, inbox, benchDir))
+    val first = store.read(spark, "corpus_clean").select("id")
+      .collect().map(_.getLong(0)).toSet
+    // 1 survives; 2 fails quality; 3 is benchmark-contaminated
+    assert(first == Set(1L), s"got $first")
+
+    // second invocation: a later-batch copy of doc 1 (loses the
+    // fingerprint to the stored claim) and a genuinely new doc
+    Seq((10L, good), (11L, good + " and that is the whole of it truly"))
+      .toDF("id", "text").write.mode("append").parquet(inbox)
+    Main.run(spark, Array("curate-docs", root, inbox, benchDir))
+    val ids = store.read(spark, "corpus_clean").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 11L), s"got $ids")
+  }
+
   test("compact CLI: maintenance pass after repeated ingests, snapshot unchanged") {
     import spark.implicits._
     val root = tmpDir("maincompact")
