@@ -993,6 +993,14 @@ object Streams {
     * whose `keeper_id == id` clause re-admits a replayed batch's own
     * claims — so a replay recomputes identical survivor rows and both
     * keyed upserts no-op, whichever commit the crash interleaved.
+    *
+    * SINGLE-WRITER contract (per store): the checkpoint already
+    * serializes batches within one loop, but the digest commit is an
+    * unpinned LWW upsert — two INDEPENDENT loops screening into the
+    * same store could both pass the ledger check for one fingerprint
+    * and both admit their copy (one claim survives, both rows enter
+    * the clean corpus). Run one curation loop per store; fan
+    * ingestion into the one inbox instead.
     * Gate st13 pins the streamed clean corpus ≡ the one-shot
     * quality→dedup→decontaminate composition with the batch order as
     * the dedup tie-break. */
@@ -1022,11 +1030,17 @@ object Streams {
               9) >= minQuality)
             .withColumn("fp",
               graft.functions.TextFunctions.fingerprint(col("text")))
-          // within-batch winners feed the ledger check, the probe,
-          // and the commits — one text pass, pinned
-          val winners = scored.join(
-            scored.groupBy("fp").agg(min(col("id")).as("id")),
-            Seq("fp", "id"), "left_semi")
+          // within-batch winners (min id per fingerprint) via ONE
+          // window over ONE fp exchange — the groupBy+self-join form
+          // exchanged the two sides on different keys, so the
+          // quality+md5 text pass ran twice per batch (the
+          // nearDupIngest one-text-pass rule). Winners feed the
+          // ledger check, the probe, and the commits — pinned.
+          val winners = scored
+            .withColumn("__rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("fp").orderBy("id")))
+            .filter(col("__rn") === 1).drop("__rn")
             .persist(lvl)
           try {
             val deduped =
