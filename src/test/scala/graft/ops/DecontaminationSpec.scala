@@ -151,5 +151,12 @@ class DecontaminationSpec extends SparkSpec {
     // the double registration left no duplicate gram rows
     val grams = store.read(spark, "decontam_grams")
     assert(grams.count() == grams.distinct().count())
+    // scale shape: the stored gram table broadcasts (eval-suite-sized
+    // by contract) — corpus text must never reach a shuffled join
+    val plan = Decontamination.probeStoredContamination(docs, "doc_id",
+      "text", store, minShared = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 }
