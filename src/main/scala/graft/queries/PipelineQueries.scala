@@ -5498,7 +5498,13 @@ object PipelineQueries {
     "st11_stream_graph_maintenance",
     "streamed edge folds ≡ from-scratch triangles + unrolled warm PageRank",
     (s, dir) => {
+      // the even-id SUBGRAPH: this gate's marginal claim is the
+      // streaming seam (batch boundaries, fold parity, joined
+      // artifacts) — the folds' full-mass cost is already priced by
+      // g3/g4, so re-paying both pipelines here would double-charge
+      // the battery for an already-pinned claim
       val edges = PageRank.coOrderEdges(Tables.lineitem(s, dir))
+        .filter(col("src") % 2 === 0 && col("dst") % 2 === 0)
       val root = graft.ops.Scratch.tempDir("graft-st11-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
@@ -5521,8 +5527,10 @@ object PipelineQueries {
     // recurrence — both generated from the same textual sources the
     // batch gates pin
     Some(s"""WITH $coOrderEdgesSql,
+            e0 AS (SELECT src, dst FROM e
+                   WHERE src % 2 = 0 AND dst % 2 = 0),
             und AS (SELECT DISTINCT least(src, dst) AS u,
-                      greatest(src, dst) AS v FROM e),
+                      greatest(src, dst) AS v FROM e0),
             tri AS (SELECT ta.u AS a, ta.v AS b, tb.v AS c
                     FROM und ta
                     JOIN und tb ON tb.u = ta.v
@@ -5533,7 +5541,7 @@ object PipelineQueries {
             tnodes AS (SELECT u AS id FROM und UNION SELECT v FROM und),
             tcnt AS (SELECT id, count(*)::BIGINT AS n FROM corners
                      GROUP BY id),
-            e1 AS (SELECT src, dst FROM e WHERE (src + dst) % 3 <> 0),
+            e1 AS (SELECT src, dst FROM e0 WHERE (src + dst) % 3 <> 0),
             nodes1 AS (SELECT src AS id FROM e1 UNION SELECT dst FROM e1),
             nn1 AS (SELECT count(*)::DOUBLE AS n FROM nodes1),
             deg1 AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e1
@@ -5543,17 +5551,17 @@ object PipelineQueries {
             ${prStepSql("b1", "b0", "e1", "deg1", "nodes1", "nn1")},
             ${prStepSql("b2", "b1", "e1", "deg1", "nodes1", "nn1")},
             ${prStepSql("b3", "b2", "e1", "deg1", "nodes1", "nn1")},
-            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
             nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-            deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e
+            deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e0
                     GROUP BY src),
             w0 AS (SELECT nodes.id,
                      coalesce(b3.r * (nn1.n / nn.n),
                        1.0::DOUBLE / nn.n) AS r
                    FROM nodes CROSS JOIN nn CROSS JOIN nn1
                    LEFT JOIN b3 ON b3.id = nodes.id),
-            ${prStepSql("w1", "w0", "e", "deg", "nodes", "nn")},
-            ${prStepSql("w2", "w1", "e", "deg", "nodes", "nn")}
+            ${prStepSql("w1", "w0", "e0", "deg", "nodes", "nn")},
+            ${prStepSql("w2", "w1", "e0", "deg", "nodes", "nn")}
             SELECT tn.id AS p_partkey,
               coalesce(tcnt.n, 0)::BIGINT AS n_triangles,
               round(w2.r * 1000.0::DOUBLE, 6) AS pr_k
