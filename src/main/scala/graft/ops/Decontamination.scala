@@ -84,11 +84,39 @@ object Decontamination {
   def indexBenchmarks(bench: DataFrame, benchId: String,
       benchText: String, store: ParquetTableStore,
       gramsTable: String = "decontam_grams", n: Int = 8): Unit = {
+    require(n >= 1, "n-gram size must be >= 1")
     val spark = bench.sparkSession
+    // the gram WIDTH is baked into the stored hashes: a probe (or a
+    // later registration) with a different n would join nothing and
+    // silently pass contaminated docs — record n on every row and
+    // refuse a mismatch loudly (the one failure mode a
+    // decontamination pass must not have)
+    checkStoredN(spark, store, gramsTable, n, "indexBenchmarks")
     val bg = benchGrams(bench, benchId, benchText, n)
+      .withColumn("n", lit(n))
     store.withCommitRetries()(
       store.upsert(spark, gramsTable, bg, Seq("bench_id", "g")))
   }
+
+  private def checkStoredN(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore, gramsTable: String, n: Int,
+      who: String): Unit =
+    if (store.exists(gramsTable)) {
+      val stored = store.read(spark, gramsTable)
+      // legacy width-less tables can't be validated — refuse those too
+      // rather than guess (re-register to upgrade)
+      if (!stored.columns.contains("n"))
+        throw new IllegalStateException(
+          s"$who: $gramsTable predates width recording — re-register " +
+            "the benchmark suites to upgrade it")
+      stored.select(col("n")).limit(1).collect().headOption.foreach { r =>
+        if (r.getInt(0) != n)
+          throw new IllegalArgumentException(
+            s"$who: $gramsTable was built with n=${r.getInt(0)} but " +
+              s"n=$n was requested — a mismatched width would match " +
+              "nothing and silently pass contaminated docs")
+      }
+    }
 
   /** Probe a corpus frame against the STORED benchmark-gram index
     * ([[indexBenchmarks]]) — [[contaminationPairs]] with the bench
@@ -100,9 +128,12 @@ object Decontamination {
   def probeStoredContamination(docs: DataFrame, docId: String,
       docText: String, store: ParquetTableStore,
       gramsTable: String = "decontam_grams", n: Int = 8,
-      minShared: Int = 2): DataFrame =
+      minShared: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    checkStoredN(spark, store, gramsTable, n, "probeStoredContamination")
     pairsAgainstGrams(docs, docId, docText,
-      store.read(docs.sparkSession, gramsTable), n, minShared)
+      store.read(spark, gramsTable).select("bench_id", "g"), n, minShared)
+  }
 
   /** The apply step: training rows NOT contaminated by any benchmark
     * doc (one ids-only anti-join over the pair list). */

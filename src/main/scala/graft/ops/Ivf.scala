@@ -114,8 +114,6 @@ object Ivf {
     cb
   }
 
-  /** A driver codebook as the same one-row broadcastable anchors
-    * frame [[assignments]] builds in-plan. */
   /** DISTRIBUTED Lloyd training to convergence — the corpus-scale
     * twin of [[lloydRefine]] (which holds its codebook on the
     * driver): centroids stay a FRAME end to end, each iteration is
@@ -218,6 +216,8 @@ object Ivf {
     } finally staged.foreach(_.unpersist(blocking = false))
   }
 
+  /** A driver codebook as the same one-row broadcastable anchors
+    * frame [[assignments]] builds in-plan. */
   private def anchorsFrame(df: DataFrame, codebook: Codebook): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

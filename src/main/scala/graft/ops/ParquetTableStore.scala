@@ -774,17 +774,23 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // has already advanced past the swept version; leave the pointer
     // alone and just surface our own retryable failure.
     if (!Files.exists(stagedDir)) {
-      try {
-        expected match {
-          case Some(prev) =>
-            io.swapPointerIfCurrent(currentFile(table), prev, Some(staged))
-          case None =>
-            io.deletePointerIfCurrent(currentFile(table), staged)
-        }
-      } catch { case _: ConcurrentCommitException => () }
+      val restored =
+        try {
+          expected match {
+            case Some(prev) =>
+              io.swapPointerIfCurrent(currentFile(table), prev, Some(staged))
+            case None =>
+              io.deletePointerIfCurrent(currentFile(table), staged)
+          }
+          true
+        } catch { case _: ConcurrentCommitException => false }
       throw new ConcurrentCommitException(
         s"staged version $staged of $table was swept by gc during " +
-          "publish — pointer restored; re-stage and retry")
+          "publish — " +
+        (if (restored) "pointer restored"
+         else "a competitor already advanced the pointer past it; " +
+           "left as-is") +
+        "; re-stage and retry")
     }
     prune(table, versionOf(staged))
   }

@@ -356,6 +356,7 @@ object SimilaritySearch {
       codebookTable: String = "ivf_codebook",
       membersTable: String = "ivf_members",
       metaTable: String = "ivf_meta",
+      tombstoneTable: String = "ivf_tombstones",
       numBuckets: Int = 32): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -373,9 +374,21 @@ object SimilaritySearch {
     store.withCommitRetries()(store.replaceBucketed(spark, membersTable,
       members, Seq("centroid_id"), numBuckets,
       sortWithin = Seq("centroid_id", "neighbor_id")))
+    // REBUILD OVER A MUTATED STORE: standing tombstones from a prior
+    // reindex would mark the fresh gen-0 members dead (dead_below >=
+    // 1 kills them all) and leave the meta pin torn forever — clear
+    // the table and pin its NEW version. Every commit here is
+    // replace-style, so a rebuild that crashes anywhere is repaired
+    // by re-running the rebuild (the pins refuse probes in between).
+    val tv =
+      if (store.exists(tombstoneTable)) {
+        store.withCommitRetries()(store.commit(spark, tombstoneTable,
+          store.read(spark, tombstoneTable).filter(lit(false))))
+        store.currentVersion(tombstoneTable).get
+      } else -1L
     val mv = store.currentVersion(membersTable).get
     store.withCommitRetries()(store.commit(spark, metaTable,
-      Seq((mv, -1L)).toDF("members_version", "tombstones_version")))
+      Seq((mv, tv)).toDF("members_version", "tombstones_version")))
     ()
   }
 

@@ -812,9 +812,21 @@ object TextAnalysis {
         numBuckets, sortWithin = Seq("term", "id"))
       val pv = store.currentVersion(postingsTable).get
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
+      // the PIN-CARRIER row (term "" — unreachable by any
+      // whitespace-tokenized query term, df 0): stats rows carry the
+      // version pins, so a stats frame that can go EMPTY (all-empty
+      // corpus; every doc later reindexed away) loses the pins and
+      // with them the torn-state detection — the probe would brick
+      // and a crashed append could replay into double-counted
+      // postings undetected. One guaranteed row keeps the pins
+      // unconditionally; it joins nothing and scores nothing.
       store.commit(spark, statsTable,
-        dfreq.crossJoin(stats).withColumn("postings_version", lit(pv))
+        dfreq.crossJoin(stats)
+          .unionByName(stats.select(lit("").as("term"), lit(0L).as("df"),
+            col("n"), col("total_dl")))
+          .withColumn("postings_version", lit(pv))
           .withColumn("tombstones_version", lit(-1L)))
       ()
     } finally tf.unpersist(false)
@@ -1090,6 +1102,12 @@ object TextAnalysis {
             lit(totalDl2).as("total_dl"),
             lit(pv).as("postings_version"),
             lit(tv).as("tombstones_version"))
+          // re-add the pin-carrier (the df > 0 cut drops it): a
+          // reindex that deletes the last live doc must not commit a
+          // pin-less stats frame (see bm25BuildIndex)
+          .unionByName(Seq(("", 0L, n2, totalDl2, pv, tv))
+            .toDF("term", "df", "n", "total_dl", "postings_version",
+              "tombstones_version"))
         store.withCommitRetries()(store.commit(spark, statsTable, merged))
         ()
       } finally tf.unpersist(false)
@@ -1179,8 +1197,13 @@ object TextAnalysis {
     val scalars = compacted.select(col("id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
+    // pin-carrier row included: a compaction of an index whose docs
+    // were all reindexed away yields zero live terms, and a pin-less
+    // stats frame would brick the probe (see bm25BuildIndex)
     store.withCommitRetries()(store.commit(spark, statsTable,
       dfreq.crossJoin(scalars)
+        .unionByName(scalars.select(lit("").as("term"), lit(0L).as("df"),
+          col("n"), col("total_dl")))
         .withColumn("postings_version", lit(pv))
         .withColumn("tombstones_version", lit(tv))))
     ()
@@ -1402,9 +1425,26 @@ object TextAnalysis {
     require(store.exists(slotsTable) && store.exists(targetTable),
       s"dsirWeightsFromStore: λ model ($slotsTable, $targetTable) not " +
         "built — run the dsirIngest loop first")
+    val targetAll = store.read(spark, targetTable)
+    // the stored counts are only meaningful in the feature space they
+    // were hashed in: a probe with a drifted slot width or n-gram
+    // mode would misalign every slot and compute silently-wrong
+    // weights — validate against the recorded family and refuse
+    if (targetAll.columns.contains("buckets"))
+      targetAll.select(col("buckets"), col("char_n"))
+        .limit(1).collect().headOption.foreach { r =>
+        val storedCharN =
+          if (r.getInt(1) < 0) None else Some(r.getInt(1))
+        require(r.getInt(0) == buckets && storedCharN == charNgrams,
+          s"dsirWeightsFromStore: stored λ model was built with " +
+            s"buckets=${r.getInt(0)}, charNgrams=$storedCharN but " +
+            s"buckets=$buckets, charNgrams=$charNgrams was requested " +
+            "— mismatched feature spaces; probe with the model's " +
+            "knobs or rebuild the model")
+      }
     val cc = store.read(spark, slotsTable)
       .groupBy("slot").agg(sum(col("c")).as("c"))
-    val tc = store.read(spark, targetTable).select("slot", "c")
+    val tc = targetAll.select("slot", "c")
     dsirFold(corpus.select(col(idCol).as("id")),
       dsirDocSlots(corpus, idCol, textCol, buckets, portableHash,
         charNgrams),

@@ -803,7 +803,7 @@ object Streams {
           if (!store.exists(metaTable))
             graft.ops.SimilaritySearch.ivfBuildIndexStored(batch, "id",
               "embedding", store, numCentroids, codebookTable,
-              membersTable, metaTable)
+              membersTable, metaTable, tombstoneTable)
           else
             graft.ops.SimilaritySearch.ivfReindexVectors(batch, "id",
               "embedding", store, codebookTable, membersTable,
@@ -814,26 +814,6 @@ object Streams {
       .start()
   }
 
-  /** Streaming hot-token SKETCH maintenance — the count-min
-    * discipline ([[graft.ops.Sketches]]) kept current over an
-    * append-only document inbox. Per micro-batch: ONE combinable
-    * constant-state pass builds the batch's sketch, which commits to
-    * the store as a row KEYED BY batchId. Nothing corpus-sized is
-    * ever re-read: the stored table holds one ~counter-matrix-sized
-    * row per micro-batch, and the queryable sketch is their merge
-    * ([[graft.ops.Sketches.mergedFromStore]]) — counter addition is
-    * associative and commutative, so merge-of-batches is EXACTLY the
-    * sketch of the concatenated stream, not an approximation of one.
-    *
-    * Crash-replay contract (the nearDupIngest discipline, adapted to
-    * non-idempotent merge): a sketch MERGE replayed would double
-    * count, so the loop never merges in place — it upserts the
-    * batch's own row. Structured Streaming replays at most the last
-    * uncommitted batch; the replay recomputes byte-identical sketch
-    * bytes (deterministic seed, deterministic batch contents from the
-    * checkpointed file list) and the keyed upsert replaces the same
-    * row — a no-op. [[graft.ops.Sketches.compactSketchRows]] bounds
-    * the row count. */
   /** Streaming DSIR λ-MODEL maintenance — the st3 sketch discipline
     * applied to the importance-weight model
     * ([[graft.ops.TextAnalysis.dsirWeights]]): the target slot
@@ -868,10 +848,21 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!store.exists(targetTable))
+        if (!store.exists(targetTable)) {
+          // the feature family (slot width, n-gram mode, hash) is
+          // baked into every stored count: record it on the target
+          // rows (+ a slot=-1 carrier so an all-empty target still
+          // records it) so a probe with drifted knobs is REFUSED
+          // instead of silently misaligning slot spaces
+          val tc = graft.ops.TextAnalysis.dsirSlotCounts(target,
+            targetTextCol, buckets, portableHash = true, charNgrams)
+          val carrier = spark.range(1)
+            .select(lit(-1L).as("slot"), lit(0L).as("c"))
           store.withCommitRetries()(store.commit(spark, targetTable,
-            graft.ops.TextAnalysis.dsirSlotCounts(target, targetTextCol,
-              buckets, portableHash = true, charNgrams)))
+            tc.unionByName(carrier)
+              .withColumn("buckets", lit(buckets))
+              .withColumn("char_n", lit(charNgrams.getOrElse(-1)))))
+        }
         val bs = graft.ops.TextAnalysis.dsirSlotCounts(batch, "text",
           buckets, portableHash = true, charNgrams)
           .select(lit(batchId).as("batch_id"), col("slot"), col("c"))
@@ -883,6 +874,26 @@ object Streams {
       .start()
   }
 
+  /** Streaming hot-token SKETCH maintenance — the count-min
+    * discipline ([[graft.ops.Sketches]]) kept current over an
+    * append-only document inbox. Per micro-batch: ONE combinable
+    * constant-state pass builds the batch's sketch, which commits to
+    * the store as a row KEYED BY batchId. Nothing corpus-sized is
+    * ever re-read: the stored table holds one ~counter-matrix-sized
+    * row per micro-batch, and the queryable sketch is their merge
+    * ([[graft.ops.Sketches.mergedFromStore]]) — counter addition is
+    * associative and commutative, so merge-of-batches is EXACTLY the
+    * sketch of the concatenated stream, not an approximation of one.
+    *
+    * Crash-replay contract (the nearDupIngest discipline, adapted to
+    * non-idempotent merge): a sketch MERGE replayed would double
+    * count, so the loop never merges in place — it upserts the
+    * batch's own row. Structured Streaming replays at most the last
+    * uncommitted batch; the replay recomputes byte-identical sketch
+    * bytes (deterministic seed, deterministic batch contents from the
+    * checkpointed file list) and the keyed upsert replaces the same
+    * row — a no-op. [[graft.ops.Sketches.compactSketchRows]] bounds
+    * the row count. */
   def sketchIngest(spark: SparkSession, inputDir: String,
       checkpointDir: String, store: ParquetTableStore,
       sketchTable: String = "token_cms",

@@ -158,5 +158,18 @@ class DecontaminationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+    // a drifted gram width can only match nothing — the probe and a
+    // re-registration must refuse it loudly, never silently pass
+    // contaminated docs
+    val e1 = intercept[IllegalArgumentException] {
+      Decontamination.probeStoredContamination(docs, "doc_id", "text",
+        store, n = 4, minShared = 1)
+    }
+    assert(e1.getMessage.contains("n=8"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Decontamination.indexBenchmarks(bench, "bench_id", "text", store,
+        n = 4)
+    }
+    assert(e2.getMessage.contains("n=8"), e2.getMessage)
   }
 }

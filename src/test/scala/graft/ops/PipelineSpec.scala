@@ -1116,6 +1116,28 @@ class PipelineSpec extends SparkSpec {
     // target-like docs score above unrelated ones
     val m = stored.toMap
     assert(m(1L) > m(2L) && m(3L) > m(4L))
+    // a model committed WITH its feature family recorded (the
+    // dsirIngest form) refuses a drifted probe — mismatched slot
+    // spaces would compute silently-wrong weights
+    val root2 = Scratch.tempDir("dsir-meta-")
+    val store2 = new ParquetTableStore(s"$root2/store")
+    store2.commit(spark, "dsir_target",
+      TextAnalysis.dsirSlotCounts(target, "text", 256)
+        .withColumn("buckets", lit(256)).withColumn("char_n", lit(-1)))
+    store2.upsert(spark, "dsir_slots",
+      TextAnalysis.dsirSlotCounts(docs, "text", 256)
+        .select(lit(0L).as("batch_id"), col("slot"), col("c")),
+      Seq("batch_id", "slot"))
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeightsFromStore(docs, "id", "text", store2,
+        buckets = 512)
+    }
+    assert(ex.getMessage.contains("buckets=256"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeightsFromStore(docs, "id", "text", store2,
+        buckets = 256, charNgrams = Some(4))
+    }
+    assert(ex2.getMessage.contains("charNgrams=None"), ex2.getMessage)
   }
 
   // ---- mutable stored IVF (ss17: build → reindex → probe) ----
@@ -1163,6 +1185,35 @@ class PipelineSpec extends SparkSpec {
     SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", d,
       numCentroids = 32)
     assert(probeRows(d, e) != afterFold)
+  }
+
+  test("mutable stored IVF: rebuild over a previously-reindexed store clears stale tombstones") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val root = Scratch.tempDir("ivf-rebuild-")
+    val store = new ParquetTableStore(s"$root/store")
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+      numCentroids = 32)
+    SimilaritySearch.ivfReindexVectors(
+      e.filter(col("id") % 7 === 0)
+        .select(col("id"), reverse(col("embedding")).as("embedding")),
+      "id", "embedding", store)
+    // rebuild over the mutated store (the documented repair path):
+    // the prior reindex's standing tombstones must NOT mark the
+    // fresh gen-0 members dead or leave the meta pin torn
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+      numCentroids = 32)
+    val fresh = new ParquetTableStore(
+      s"${Scratch.tempDir("ivf-rebuild-f-")}/store")
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", fresh,
+      numCentroids = 32)
+    assert(probeRows(store, e) == probeRows(fresh, e))
+    // mutations keep working on the rebuilt store
+    SimilaritySearch.ivfReindexVectors(
+      e.filter(col("id") % 7 === 0)
+        .select(col("id"), reverse(col("embedding")).as("embedding")),
+      "id", "embedding", store)
+    assert(probeRows(store, mutatedCorpus(e)).nonEmpty)
   }
 
   test("mutable stored IVF: reindex is effect-idempotent (the st10 no-ledger replay contract)") {

@@ -597,6 +597,34 @@ class TextPiiSpec extends SparkSpec {
     assert(e.getMessage.contains("mid-update"), e.getMessage)
   }
 
+  test("bm25 delete-everything: pins survive an emptied index; probe degrades to zero rows") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("bm25-empty"))
+    val docs = Seq((1L, "scan scan merge"), (2L, "join merge sort"))
+      .toDF("id", "text")
+    TextAnalysis.bm25BuildIndex(docs, "id", "text", store)
+    // reindex EVERY doc to zero tokens — the documented deletion
+    // idiom; stats must keep a pin-carrier row, not go pin-less
+    TextAnalysis.bm25ReindexDocs(
+      Seq((1L, ""), (2L, "")).toDF("id", "text"), "id", "text", store)
+    def probe() = TextAnalysis.bm25TopKStored(spark, store,
+      Seq("merge"), k = 5).collect()
+    assert(probe().isEmpty) // empty index answers empty, not a brick
+    val st = store.read(spark, "bm25_stats").collect()
+    assert(st.nonEmpty, "stats lost its pin rows")
+    assert(st.head.getAs[Long]("n") == 0L)
+    // compaction of the emptied index keeps the pins too
+    TextAnalysis.bm25CompactIndex(spark, store)
+    assert(probe().isEmpty)
+    assert(store.read(spark, "bm25_stats").collect().nonEmpty)
+    // and the index is still alive: resurrect a doc, probe scores it
+    TextAnalysis.bm25ReindexDocs(
+      Seq((1L, "merge merge scan")).toDF("id", "text"), "id", "text",
+      store)
+    val back = probe()
+    assert(back.length == 1 && back.head.getLong(1) == 1L)
+  }
+
   test("bm25 torn states: reindex refuses, compaction repairs the safe shapes and refuses the unsafe one") {
     import spark.implicits._
     def probeOf(store: ParquetTableStore)(q: Seq[String]) =
