@@ -356,4 +356,45 @@ object Sampling {
           < trainPct, "train").otherwise("test"))
       .drop("__cc_id", "__rep")
   }
+
+  /** TRAINING-SHARD assignment — the export-side last mile: every row
+    * gets a `shard` in [0, nShards) and a dense `shard_pos` giving
+    * its position in the shard's deterministic pseudo-random order
+    * (portable hash of the salted key, ties to the key — the
+    * seeded-shuffle discipline of the sm family, now per shard). The
+    * whole layout is a pure function of (key, salt, nShards):
+    * reproducible across runs, engines, and cluster sizes, and
+    * re-exporting after an upstream fix moves only the rows that
+    * changed shards. Writing the shards is then one
+    * `partitionBy("shard")` sink away; the hash order inside each
+    * shard is the within-shard training shuffle, pre-applied.
+    *
+    * Scale shape: the assignment is a per-row expression; the
+    * position is one row_number over a (shard) exchange — a single
+    * shuffle whose partition count is the shard count. */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = TextFunctions.portableHash64(
+      concat(lit(salt), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w) - 1)
+  }
+
+  /** Per-shard export MANIFEST — what a training job reads before it
+    * reads any data: row count, whitespace-token mass, and the first/
+    * last keys in the shard's seeded order (the cheap end-to-end
+    * checksum: a re-export that changed membership or order moves at
+    * least one of them). One (shard) exchange shared with the
+    * position window, one combinable rollup. */
+  def shardManifest(df: DataFrame, keyCol: String, textCol: String,
+      nShards: Int, salt: String = ""): DataFrame = {
+    val assigned = shardAssign(df, keyCol, nShards, salt)
+    assigned.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.ops.TextAnalysis.tokenCountWs(col(textCol))).as("n_tokens"),
+      min_by(col(keyCol), col("shard_pos")).as("first_key"),
+      max_by(col(keyCol), col("shard_pos")).as("last_key"))
+  }
 }

@@ -3321,6 +3321,41 @@ object PipelineQueries {
         |        % 10000 < round(q9 * 10000.0)::BIGINT
         |ORDER BY doc_id""".stripMargin))
 
+  /** SM10: TRAINING-SHARD manifest ([[Sampling.shardAssign]] /
+    * [[Sampling.shardManifest]]) — the export-side last mile: shard
+    * = portable-hash(salt + key) mod nShards, within-shard order =
+    * (hash, key) ascending, manifest = per-shard row count, token
+    * mass, and the first/last keys in that order. What the gate pins
+    * is the full layout determinism: membership (n_docs), content
+    * accounting (n_tokens, the ts2 empty-text rule), and the order's
+    * endpoints (a membership OR order drift must move one of them).
+    * The oracle recomputes the hash, the mod, both window endpoints,
+    * and the token sums. */
+  private val sm10 = QueryDef(
+    "sm10_shard_manifest",
+    "deterministic training-shard layout: counts, token mass, order endpoints",
+    (s, dir) => Sampling.shardManifest(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", nShards = 16, salt = "sm10:")
+      .orderBy("shard"),
+    Some("""WITH asg AS (SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END AS ntok,
+              ('0x' || substr(md5('sm10:' || doc_id::VARCHAR), 1, 15))
+                ::BIGINT AS h
+            FROM documents),
+          w AS (SELECT doc_id, ntok, h % 16 AS shard,
+                  row_number() OVER (PARTITION BY h % 16
+                    ORDER BY h, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY h % 16) AS cnt
+                FROM asg)
+          SELECT shard, count(*)::BIGINT AS n_docs,
+            sum(ntok)::BIGINT AS n_tokens,
+            min(CASE WHEN rn = 1 THEN doc_id END) AS first_key,
+            min(CASE WHEN rn = cnt THEN doc_id END) AS last_key
+          FROM w GROUP BY shard ORDER BY shard"""))
+
   /** TP4: curation pipeline v2 — this round's operators composed
     * end-to-end the way a corpus build actually runs them:
     * Gopher repetition/length filter (ts10) → QUALITY-ARGMAX
@@ -6545,7 +6580,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, dc4, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)
 }

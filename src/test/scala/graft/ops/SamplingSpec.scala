@@ -338,4 +338,38 @@ class SamplingSpec extends SparkSpec {
     assert(out(3L).isEmpty || out(3L).get == Seq.empty) // null-safe
     assert(out(4L).get == Seq("a b"))        // spaces carry signal
   }
+
+  test("shardAssign: growth-stable membership, dense seeded positions, salt decorrelation") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i words here"))
+      .toDF("id", "text")
+    val a = Sampling.shardAssign(docs, "id", nShards = 8, salt = "s:")
+      .select("id", "shard", "shard_pos")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // membership is a pure function of (key, salt): growing the corpus
+    // never moves an existing row to another shard
+    val grown = Sampling.shardAssign(
+      docs.unionByName((201L to 400L).map(i => (i, s"new $i")).toDF("id", "text")),
+      "id", nShards = 8, salt = "s:")
+      .filter(col("id") <= 200).select("id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.forall { case (id, (sh, _)) => grown(id) == sh })
+    // positions are dense 0..n-1 within each shard
+    a.groupBy(_._2._1).foreach { case (_, rows) =>
+      assert(rows.values.map(_._2).toSeq.sorted == (0 until rows.size))
+    }
+    // a different salt deals a genuinely different layout
+    val b = Sampling.shardAssign(docs, "id", nShards = 8, salt = "t:")
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.exists { case (id, (sh, _)) => b(id) != sh })
+    // manifest endpoints are the order's first/last keys
+    val m = Sampling.shardManifest(docs, "id", "text", 8, "s:")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    a.groupBy(_._2._1).foreach { case (sh, rows) =>
+      val ordered = rows.toSeq.sortBy(_._2._2)
+      assert(m(sh)._1 == rows.size)
+      assert(m(sh)._2 == ordered.head._1 && m(sh)._3 == ordered.last._1)
+    }
+  }
 }
