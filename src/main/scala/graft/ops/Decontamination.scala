@@ -90,17 +90,33 @@ object Decontamination {
     // later registration) with a different n would join nothing and
     // silently pass contaminated docs — record n on every row and
     // refuse a mismatch loudly (the one failure mode a
-    // decontamination pass must not have)
-    checkStoredN(spark, store, gramsTable, n, "indexBenchmarks")
+    // decontamination pass must not have). Registration tolerates an
+    // EMPTY stored table (re-registering is the repair for one).
+    checkStoredN(spark, store, gramsTable, n, "indexBenchmarks",
+      allowEmpty = true)
     val bg = benchGrams(bench, benchId, benchText, n)
       .withColumn("n", lit(n))
-    store.withCommitRetries()(
-      store.upsert(spark, gramsTable, bg, Seq("bench_id", "g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a registration that yields ZERO grams (every bench text
+      // shorter than n tokens) would create/keep an index that
+      // matches nothing while probes against it silently pass —
+      // refuse loudly; the frame is eval-suite-sized by contract
+      if (bg.limit(1).count() == 0)
+        throw new IllegalArgumentException(
+          s"indexBenchmarks: the registration produced no $n-grams " +
+            "(every benchmark text is shorter than n tokens) — an " +
+            "index that matches nothing would silently pass every " +
+            "probe; shorten n or fix the benchmark frame")
+      store.withCommitRetries()(
+        store.upsert(spark, gramsTable, bg, Seq("bench_id", "g")))
+      ()
+    } finally bg.unpersist(blocking = false)
   }
 
   private def checkStoredN(spark: org.apache.spark.sql.SparkSession,
       store: ParquetTableStore, gramsTable: String, n: Int,
-      who: String): Unit =
+      who: String, allowEmpty: Boolean = false): Unit =
     if (store.exists(gramsTable)) {
       val stored = store.read(spark, gramsTable)
       // legacy width-less tables can't be validated — refuse those too
@@ -109,10 +125,24 @@ object Decontamination {
         throw new IllegalStateException(
           s"$who: $gramsTable predates width recording — re-register " +
             "the benchmark suites to upgrade it")
-      stored.select(col("n")).limit(1).collect().headOption.foreach { r =>
-        if (r.getInt(0) != n)
+      // the DISTINCT stored widths (the table is eval-suite-sized by
+      // contract): a limit(1) sample would silently PASS an empty
+      // table — the exact silent-pass mode this check exists to refuse
+      val ns = stored.select(col("n")).distinct().collect()
+        .map(_.getInt(0)).sorted
+      if (ns.isEmpty && !allowEmpty)
+        throw new IllegalStateException(
+          s"$who: $gramsTable exists but is EMPTY — an index that " +
+            "matches nothing would silently pass every probe; " +
+            "re-register the benchmark suites")
+      if (ns.length > 1)
+        throw new IllegalStateException(
+          s"$who: $gramsTable carries mixed widths ${ns.mkString(",")}" +
+            " — re-register the benchmark suites to rebuild it")
+      ns.headOption.foreach { stored_n =>
+        if (stored_n != n)
           throw new IllegalArgumentException(
-            s"$who: $gramsTable was built with n=${r.getInt(0)} but " +
+            s"$who: $gramsTable was built with n=$stored_n but " +
               s"n=$n was requested — a mismatched width would match " +
               "nothing and silently pass contaminated docs")
       }

@@ -341,9 +341,18 @@ object SimilaritySearch {
     *    cell);
     *  - `tombstoneTable` (neighbor_id, dead_below): generations
     *    below the mark are dead (the reindex shape);
-    *  - `metaTable` (members_version, tombstones_version): commits
-    *    LAST, pinning the pair — [[ivfTopKStored]] refuses a torn
-    *    state retryably.
+    *  - `metaTable` (members_version, tombstones_version,
+    *    codebook_version): commits LAST, pinning the TRIPLE —
+    *    [[ivfTopKStored]] refuses a torn state retryably. The
+    *    codebook is pinned too: a rebuild commits the codebook
+    *    before the members, and a probe racing that window (or
+    *    landing after a crash between the two) would otherwise
+    *    assign queries against the NEW codebook while matching
+    *    members built under the OLD one — silently wrong neighbors
+    *    instead of a loud refusal. Rebuilding over an EXISTING index
+    *    therefore first commits an invalidating meta row (all pins
+    *    -2, matching no version), so every probe between that point
+    *    and the final re-pin refuses retryably.
     *
     * Assignment is per-id independent (probes = 1 nearest centroid
     * against the fixed codebook), so incremental reassignment of
@@ -360,6 +369,15 @@ object SimilaritySearch {
       numBuckets: Int = 32): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // REBUILD OVER AN EXISTING INDEX: the codebook commit below lands
+    // before the members commit, and a probe in that window would mix
+    // new-codebook assignments with old-codebook members — invalidate
+    // the pins FIRST (-2 matches no version, -1 included) so every
+    // probe until the final re-pin refuses retryably instead
+    if (store.exists(metaTable))
+      store.withCommitRetries()(store.commit(spark, metaTable,
+        Seq((-2L, -2L, -2L))
+          .toDF("members_version", "tombstones_version", "codebook_version")))
     val codebookDf = corpus
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
       .orderBy("cid").limit(numCentroids)
@@ -387,8 +405,10 @@ object SimilaritySearch {
         store.currentVersion(tombstoneTable).get
       } else -1L
     val mv = store.currentVersion(membersTable).get
+    val cv = store.currentVersion(codebookTable).get
     store.withCommitRetries()(store.commit(spark, metaTable,
-      Seq((mv, tv)).toDF("members_version", "tombstones_version")))
+      Seq((mv, tv, cv))
+        .toDF("members_version", "tombstones_version", "codebook_version")))
     ()
   }
 
@@ -419,8 +439,8 @@ object SimilaritySearch {
     require(nDup == 0,
       s"ivfReindexVectors: changed carries duplicate $idCol values — " +
         "dedup the delta first")
-    checkIvfPins(spark, store, membersTable, tombstoneTable, metaTable,
-      "ivfReindexVectors")
+    checkIvfPins(spark, store, membersTable, tombstoneTable, codebookTable,
+      metaTable, "ivfReindexVectors")
     val ids = changed.select(col(idCol).as("neighbor_id"))
     // generations derive from EVERY row of the changed ids (dead
     // included — the ts28 resurrect rule). PINNED: the frame feeds
@@ -453,8 +473,10 @@ object SimilaritySearch {
           store.upsert(spark, tombstoneTable, deadMarks, Seq("neighbor_id")))
       val mv = store.currentVersion(membersTable).get
       val tv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+      val cv = store.currentVersion(codebookTable).get
       store.withCommitRetries()(store.commit(spark, metaTable,
-        Seq((mv, tv)).toDF("members_version", "tombstones_version")))
+        Seq((mv, tv, cv))
+          .toDF("members_version", "tombstones_version", "codebook_version")))
       ()
     } finally gens.unpersist(blocking = false)
   }
@@ -473,10 +495,29 @@ object SimilaritySearch {
       membersTable: String = "ivf_members",
       tombstoneTable: String = "ivf_tombstones",
       metaTable: String = "ivf_meta",
-      numBuckets: Int = 32): Unit = {
+      numBuckets: Int = 32,
+      codebookTable: String = "ivf_codebook"): Unit = {
     import spark.implicits._
     require(store.exists(membersTable) && store.exists(metaTable),
       s"ivfCompactIndex: index ($membersTable, $metaTable) not built")
+    // a compaction must never "repair" a crashed REBUILD: the members
+    // were assigned under the PREVIOUS codebook, and re-pinning them
+    // against the rebuild's new codebook would bless silently-wrong
+    // probes. A rebuild-in-flight is marked by the invalidating meta
+    // row (all pins -2) or by a codebook pin behind the live codebook
+    // version — both refuse with a rebuild instruction.
+    val metaDf = store.read(spark, metaTable)
+    requireCodebookPin(metaDf, metaTable, "ivfCompactIndex")
+    metaDf.select(col("codebook_version")).limit(1).collect()
+      .headOption.foreach { p =>
+        val curC = store.currentVersion(codebookTable).getOrElse(-1L)
+        if (p.getLong(0) < -1L || p.getLong(0) != curC)
+          throw new IllegalStateException(
+            "ivfCompactIndex: a rebuild crashed mid-flight (codebook " +
+              s"pin ${p.getLong(0)} vs live $codebookTable v$curC) — " +
+              "the members were assigned under a different codebook; " +
+              "rebuild with ivfBuildIndexStored")
+      }
     val all = store.read(spark, membersTable)
     val tomb =
       if (store.exists(tombstoneTable))
@@ -511,29 +552,51 @@ object SimilaritySearch {
     }
     val mv = store.currentVersion(membersTable).get
     val tv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+    val cv = store.currentVersion(codebookTable).getOrElse(
+      throw new IllegalStateException(
+        s"ivfCompactIndex: $codebookTable missing — rebuild with " +
+          "ivfBuildIndexStored"))
     store.withCommitRetries()(store.commit(spark, metaTable,
-      Seq((mv, tv)).toDF("members_version", "tombstones_version")))
+      Seq((mv, tv, cv))
+        .toDF("members_version", "tombstones_version", "codebook_version")))
     ()
   }
 
   /** The shared torn-state entry guard for mutable-IVF mutations. */
   private def checkIvfPins(spark: org.apache.spark.sql.SparkSession,
       store: ParquetTableStore, membersTable: String,
-      tombstoneTable: String, metaTable: String, who: String): Unit = {
-    store.read(spark, metaTable)
-      .select(col("members_version"), col("tombstones_version"))
+      tombstoneTable: String, codebookTable: String, metaTable: String,
+      who: String): Unit = {
+    val meta = store.read(spark, metaTable)
+    requireCodebookPin(meta, metaTable, who)
+    meta
+      .select(col("members_version"), col("tombstones_version"),
+        col("codebook_version"))
       .limit(1).collect().headOption.foreach { p =>
       val curM = store.currentVersion(membersTable).getOrElse(-1L)
       val curT = store.currentVersion(tombstoneTable).getOrElse(-1L)
-      if (p.getLong(0) != curM || p.getLong(1) != curT)
+      val curC = store.currentVersion(codebookTable).getOrElse(-1L)
+      if (p.getLong(0) != curM || p.getLong(1) != curT ||
+          p.getLong(2) != curC)
         throw new IllegalStateException(
           s"$who: index torn — $metaTable pins members " +
-            s"v${p.getLong(0)}/tombstones v${p.getLong(1)} but the " +
-            s"tables are at v$curM/v$curT; a prior mutation crashed " +
-            "between commits. Run ivfCompactIndex to repair, or " +
+            s"v${p.getLong(0)}/tombstones v${p.getLong(1)}/codebook " +
+            s"v${p.getLong(2)} but the tables are at " +
+            s"v$curM/v$curT/v$curC; a prior mutation crashed between " +
+            "commits. Run ivfCompactIndex to repair, or " +
             "ivfBuildIndexStored to rebuild")
     }
   }
+
+  /** A meta frame that predates codebook pinning can't prove the
+    * codebook matches the members — refuse rather than guess (the
+    * checkStoredN legacy discipline). */
+  private def requireCodebookPin(meta: DataFrame, metaTable: String,
+      who: String): Unit =
+    if (!meta.columns.contains("codebook_version"))
+      throw new IllegalStateException(
+        s"$who: $metaTable predates codebook pinning — rebuild the " +
+          "index with ivfBuildIndexStored to upgrade it")
 
   /** Probe the MUTABLE stored IVF index: assign ONLY the query
     * batch, open ONLY the touched cells' bucket dirs
@@ -556,12 +619,25 @@ object SimilaritySearch {
     require(k >= 1, s"k must be positive, got $k")
     val spark = queries.sparkSession
     import spark.implicits._
-    val pins = store.read(spark, metaTable)
-      .select(col("members_version"), col("tombstones_version"))
+    val metaDf = store.read(spark, metaTable)
+    requireCodebookPin(metaDf, metaTable, "ivfTopKStored")
+    val pins = metaDf
+      .select(col("members_version"), col("tombstones_version"),
+        col("codebook_version"))
       .limit(1).collect().headOption.getOrElse(
         throw new IllegalStateException(
           s"ivfTopKStored: $metaTable is empty — rebuild the index"))
-    val codebook = codebookOf(store.read(spark, codebookTable))
+    // resolve-then-verify on the CODEBOOK too: a probe racing a
+    // rebuild (codebook committed, members not yet) must refuse
+    // retryably, never assign queries against a codebook the members
+    // weren't built under
+    val (codebookFrame, cbv) = store.readVersioned(spark, codebookTable)
+    if (pins.getLong(2) != cbv)
+      throw new IllegalStateException(
+        s"ivf index mid-update: $metaTable pins codebook " +
+          s"v${pins.getLong(2)} but $codebookTable resolved v$cbv — " +
+          "retry after the rebuild completes")
+    val codebook = codebookOf(codebookFrame)
     val queryAssign = Ivf.assignmentsWithCodebook(queries, idCol, vecCol,
       codebook, probes)
       .select(col("id").as("query_id"), col("centroid_id"))
@@ -760,13 +836,10 @@ object SimilaritySearch {
     val qt = queries
       .select(col(idCol).cast("long").as("query_id"),
         graft.plans.PqKernels.pqAdcTable(col(vecCol), cb).as("__tbl"))
-    val dist = (0 until m).map { j =>
-      element_at(col("__tbl"),
-        lit(j * ks + 1) + element_at(col("codes"), j + 1))
-    }.foldLeft(lit(0.0))(_ + _)
     val scored = codes.crossJoin(broadcast(qt))
       .transform(dropSelfPairs(_, excludeSelfPairs))
-      .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcDist(m, ks).as("dist"))
     rankTopK(scored, "dist", k, asc = true)
   }
 
@@ -796,6 +869,350 @@ object SimilaritySearch {
         - lit(2.0) * dotProduct(col("q_vec"), col("c_vec"))
         + dotProduct(col("c_vec"), col("c_vec")))
     rankTopK(scored, "l2", k, asc = true)
+  }
+
+  /** Driver codebook from a stored PQ codebook frame ((j, c, cvec)
+    * rows — m·ks of them, small by the PQ contract): the
+    * [[codebookOf]] twin for the product-quantized family. Refuses a
+    * frame with missing or duplicate (j, c) slots — a torn or
+    * foreign artifact must never silently encode. */
+  private def pqCodebookOf(df: DataFrame, m: Int,
+      ks: Int): Array[Array[Array[Double]]] = {
+    val out = Array.ofDim[Array[Double]](m, ks)
+    df.select(col("j"), col("c"), col("cvec")).collect().foreach { r =>
+      val (j, c) = (r.getInt(0), r.getInt(1))
+      require(j >= 0 && j < m && c >= 0 && c < ks,
+        s"stored PQ codebook slot ($j,$c) outside m=$m ks=$ks")
+      require(out(j)(c) == null, s"duplicate PQ codebook slot ($j,$c)")
+      out(j)(c) = r.getSeq[Number](2).map(_.doubleValue()).toArray
+    }
+    require(out.forall(_.forall(_ != null)),
+      s"stored PQ codebook is missing slots (expected ${m * ks} rows)")
+    out
+  }
+
+  /** The shared ADC distance fold: j-ordered sum of m table lookups
+    * (`__tbl` flattened to tbl[j·ks + code + 1]) — pinned +-only
+    * double arithmetic, bit-replicable by the oracle. */
+  private def adcDist(m: Int, ks: Int): org.apache.spark.sql.Column =
+    (0 until m).map { j =>
+      element_at(col("__tbl"),
+        lit(j * ks + 1) + element_at(col("codes"), j + 1))
+    }.foldLeft(lit(0.0))(_ + _)
+
+  /** Build the MUTABLE stored PQ index — the ss17 generation+
+    * tombstone discipline applied to the DEPLOYMENT index (PQ codes
+    * are the only corpus representation that shuffles at 100 TB: m
+    * bytes per vector), closing the gap where [[pqTopK]]'s codes are
+    * derived fresh per call and one changed embedding forced a full
+    * re-encode. Four store tables:
+    *
+    *  - `codebookTable` (j, c, cvec): the m·ks sub-codebooks, PINNED
+    *    at build — the CODEBOOK-DRIFT CONTRACT: reindexing vectors
+    *    re-encodes them against this frozen geometry and never
+    *    retrains it (codes encoded under different codebooks are not
+    *    comparable — one ADC table serves one codebook). When the
+    *    corpus has drifted far enough that the frozen codebook's
+    *    quantization error hurts recall, that is a REBUILD
+    *    ([[pqBuildIndexStored]] again), not a reindex — the same
+    *    rule as IVF cell geometry, enforced by pinning
+    *    codebook_version in the meta row;
+    *  - `codesTable` (neighbor_id, codes, gen): the encoded corpus,
+    *    bucketed by neighbor_id so a delta re-encode appends/upserts
+    *    O(delta) ([[ParquetTableStore.appendBucketed]]); probes scan
+    *    all buckets BY DESIGN — ADC is the linear-scan stage, at m
+    *    bytes/vector;
+    *  - `tombstoneTable` (neighbor_id, dead_below): generations below
+    *    the mark are dead (the reindex shape);
+    *  - `metaTable` (codes_version, tombstones_version,
+    *    codebook_version, m, ks, dim): commits LAST, pinning the
+    *    version TRIPLE plus the geometry (the round-12 DSIR lesson:
+    *    unrecorded knobs drift silently — a probe derives m/ks/dim
+    *    from the index, never from caller arguments). Rebuilding over
+    *    an existing index first commits an invalidating row (pins -2)
+    *    so probes racing the rebuild refuse retryably.
+    *
+    * Encoding is per-id independent (argmin against the fixed
+    * codebook), so incremental re-encoding of only the changed ids
+    * reproduces EXACTLY the codes a full re-encode over the mutated
+    * corpus would compute — the identity gate ss20 pins bit-exactly.
+    * Mutations on one index must be externally serialized (the bm25/
+    * ivf contract). */
+  def pqBuildIndexStored(corpus: DataFrame, idCol: String, vecCol: String,
+      store: ParquetTableStore, m: Int, ks: Int, dim: Int,
+      iters: Int = 0,
+      codebookTable: String = "pq_codebook",
+      codesTable: String = "pq_codes",
+      tombstoneTable: String = "pq_tombstones",
+      metaTable: String = "pq_meta",
+      numBuckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // rebuild over an existing index: invalidate the pins FIRST (the
+    // ivfBuildIndexStored discipline — the codebook commit below must
+    // never pair with the old codes under still-valid pins)
+    if (store.exists(metaTable))
+      store.withCommitRetries()(store.commit(spark, metaTable,
+        Seq((-2L, -2L, -2L, m, ks, dim)).toDF("codes_version",
+          "tombstones_version", "codebook_version", "m", "ks", "dim")))
+    val cb = pqCodebook(corpus, idCol, vecCol, m, ks, dim, iters)
+    val cbRows = for (j <- cb.indices; c <- cb(j).indices)
+      yield (j, c, cb(j)(c).toSeq)
+    store.withCommitRetries()(store.commit(spark, codebookTable,
+      cbRows.toDF("j", "c", "cvec")))
+    // the driver copy re-derives from the COMMITTED frame (the
+    // ivfIndexFrames single-derivation rule)
+    val cbStored = pqCodebookOf(store.read(spark, codebookTable), m, ks)
+    // codes cast to nullable-element array<int>: the kernel emits
+    // non-null elements, but parquet round-trips relax nullability —
+    // canonicalizing both write paths keeps appendBucketed's strict
+    // schema check honest
+    val codes = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      pqEncodeExpr(col(vecCol), cbStored).cast("array<int>").as("codes"),
+      lit(0L).as("gen"))
+    store.withCommitRetries()(store.replaceBucketed(spark, codesTable,
+      codes, Seq("neighbor_id"), numBuckets,
+      sortWithin = Seq("neighbor_id")))
+    val tv =
+      if (store.exists(tombstoneTable)) {
+        store.withCommitRetries()(store.commit(spark, tombstoneTable,
+          store.read(spark, tombstoneTable).filter(lit(false))))
+        store.currentVersion(tombstoneTable).get
+      } else -1L
+    val kv = store.currentVersion(codesTable).get
+    val cv = store.currentVersion(codebookTable).get
+    store.withCommitRetries()(store.commit(spark, metaTable,
+      Seq((kv, tv, cv, m, ks, dim)).toDF("codes_version",
+        "tombstones_version", "codebook_version", "m", "ks", "dim")))
+    ()
+  }
+
+  /** The stored-PQ meta row: version pins + geometry. */
+  private final case class PqMeta(codesV: Long, tombV: Long, cbV: Long,
+      m: Int, ks: Int, dim: Int)
+
+  private def pqMetaOf(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore, metaTable: String, who: String): PqMeta = {
+    val meta = store.read(spark, metaTable)
+    val p = meta.select(col("codes_version"), col("tombstones_version"),
+      col("codebook_version"), col("m"), col("ks"), col("dim"))
+      .limit(1).collect().headOption.getOrElse(
+        throw new IllegalStateException(
+          s"$who: $metaTable is empty — rebuild the index"))
+    PqMeta(p.getLong(0), p.getLong(1), p.getLong(2),
+      p.getInt(3), p.getInt(4), p.getInt(5))
+  }
+
+  /** The shared torn-state entry guard for stored-PQ mutations. */
+  private def checkPqPins(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore, codesTable: String,
+      tombstoneTable: String, codebookTable: String, metaTable: String,
+      who: String): PqMeta = {
+    val meta = pqMetaOf(spark, store, metaTable, who)
+    val curK = store.currentVersion(codesTable).getOrElse(-1L)
+    val curT = store.currentVersion(tombstoneTable).getOrElse(-1L)
+    val curC = store.currentVersion(codebookTable).getOrElse(-1L)
+    if (meta.codesV != curK || meta.tombV != curT || meta.cbV != curC)
+      throw new IllegalStateException(
+        s"$who: index torn — $metaTable pins codes v${meta.codesV}/" +
+          s"tombstones v${meta.tombV}/codebook v${meta.cbV} but the " +
+          s"tables are at v$curK/v$curT/v$curC; a prior mutation " +
+          "crashed between commits. Run pqCompactIndex to repair, or " +
+          "pqBuildIndexStored to rebuild")
+    meta
+  }
+
+  /** RE-ENCODE CHANGED VECTORS in the stored PQ index — the ss17
+    * delete-and-re-append path for the code family: fresh codes
+    * append insert-only under a bumped per-id generation, a tombstone
+    * row marks every prior generation dead, the meta row re-pins
+    * LAST. Geometry (m, ks, dim) and the codebook come from the INDEX
+    * (never caller arguments — drift refuses at the pin). One codes
+    * scan derives the generations (the ts28 honest price); everything
+    * else is delta-sized. */
+  def pqReindexVectors(changed: DataFrame, idCol: String, vecCol: String,
+      store: ParquetTableStore,
+      codebookTable: String = "pq_codebook",
+      codesTable: String = "pq_codes",
+      tombstoneTable: String = "pq_tombstones",
+      metaTable: String = "pq_meta"): Unit = {
+    val spark = changed.sparkSession
+    import spark.implicits._
+    require(store.exists(codebookTable) && store.exists(codesTable) &&
+      store.exists(metaTable),
+      s"pqReindexVectors: index ($codebookTable, $codesTable, " +
+        s"$metaTable) not built — run pqBuildIndexStored first")
+    val nDup = changed.select(col(idCol).as("id")).groupBy("id")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1).count()
+    require(nDup == 0,
+      s"pqReindexVectors: changed carries duplicate $idCol values — " +
+        "dedup the delta first")
+    val meta = checkPqPins(spark, store, codesTable, tombstoneTable,
+      codebookTable, metaTable, "pqReindexVectors")
+    val ids = changed.select(col(idCol).cast("long").as("neighbor_id"))
+    // generations derive from EVERY row of the changed ids (dead
+    // included — the ts28 resurrect rule); PINNED because the frame
+    // feeds three actions (the g3 lesson)
+    val gens = store.read(spark, codesTable)
+      .join(ids, Seq("neighbor_id"), "left_semi")
+      .groupBy("neighbor_id")
+      .agg((max(coalesce(col("gen"), lit(0L))) + 1L).as("gen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cbStored = pqCodebookOf(store.read(spark, codebookTable),
+        meta.m, meta.ks)
+      val newCodes = changed
+        .select(col(idCol).cast("long").as("neighbor_id"),
+          pqEncodeExpr(col(vecCol), cbStored).cast("array<int>").as("codes"))
+        .join(gens, Seq("neighbor_id"), "left")
+        .select(col("neighbor_id"), col("codes"),
+          coalesce(col("gen"), lit(0L)).as("gen"))
+      // commit order: codes append → tombstones → meta pins LAST
+      store.withCommitRetries()(store.appendBucketed(spark, codesTable,
+        newCodes, Seq("neighbor_id"), sortWithin = Seq("neighbor_id")))
+      val deadMarks = gens.select(col("neighbor_id"),
+        col("gen").as("dead_below"))
+      if (deadMarks.limit(1).count() > 0)
+        store.withCommitRetries()(
+          store.upsert(spark, tombstoneTable, deadMarks, Seq("neighbor_id")))
+      val kv = store.currentVersion(codesTable).get
+      val tv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+      val cv = store.currentVersion(codebookTable).get
+      store.withCommitRetries()(store.commit(spark, metaTable,
+        Seq((kv, tv, cv, meta.m, meta.ks, meta.dim)).toDF("codes_version",
+          "tombstones_version", "codebook_version", "m", "ks", "dim")))
+      ()
+    } finally gens.unpersist(blocking = false)
+  }
+
+  /** COMPACT the mutable stored PQ index: rewrite codes keeping only
+    * live generations (preserved, not reset — idempotent re-run),
+    * clear tombstones, re-pin meta — repairing any crashed-MUTATION
+    * state whose data is consistent. Refuses the two unrepairable
+    * shapes loudly with a rebuild instruction: an id with two live
+    * generations (a reindex crashed between append and tombstone),
+    * and a crashed REBUILD (invalidated pins or a codebook pin behind
+    * the live codebook — the codes were encoded under a different
+    * codebook and must never be re-blessed). */
+  def pqCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore,
+      codesTable: String = "pq_codes",
+      tombstoneTable: String = "pq_tombstones",
+      metaTable: String = "pq_meta",
+      numBuckets: Int = 32,
+      codebookTable: String = "pq_codebook"): Unit = {
+    import spark.implicits._
+    require(store.exists(codesTable) && store.exists(metaTable),
+      s"pqCompactIndex: index ($codesTable, $metaTable) not built")
+    val meta = pqMetaOf(spark, store, metaTable, "pqCompactIndex")
+    val curC = store.currentVersion(codebookTable).getOrElse(-1L)
+    if (meta.cbV < -1L || meta.cbV != curC)
+      throw new IllegalStateException(
+        "pqCompactIndex: a rebuild crashed mid-flight (codebook pin " +
+          s"${meta.cbV} vs live $codebookTable v$curC) — the codes " +
+          "were encoded under a different codebook; rebuild with " +
+          "pqBuildIndexStored")
+    val all = store.read(spark, codesTable)
+    val tomb =
+      if (store.exists(tombstoneTable))
+        Some(store.read(spark, tombstoneTable)) else None
+    val live = tomb match {
+      case None => all
+      case Some(t) => all
+        .join(broadcast(t.select(col("neighbor_id"), col("dead_below"))),
+          Seq("neighbor_id"), "left")
+        .filter(col("dead_below").isNull ||
+          coalesce(col("gen"), lit(0L)) >= col("dead_below"))
+        .select(col("neighbor_id"), col("codes"), col("gen"))
+    }
+    val dupLiveGens = live
+      .select(col("neighbor_id"), coalesce(col("gen"), lit(0L)).as("g"))
+      .distinct().groupBy("neighbor_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    if (dupLiveGens > 0)
+      throw new IllegalStateException(
+        s"pqCompactIndex: $codesTable carries more than one LIVE " +
+          "generation for some id — a reindex crashed between its " +
+          "codes append and its tombstone upsert. Rebuild with " +
+          "pqBuildIndexStored")
+    val hasDead = tomb.exists(_.limit(1).count() > 0)
+    if (hasDead)
+      store.withCommitRetries()(store.replaceBucketed(spark, codesTable,
+        live, Seq("neighbor_id"), numBuckets,
+        sortWithin = Seq("neighbor_id")))
+    tomb.foreach { t =>
+      store.withCommitRetries()(
+        store.commit(spark, tombstoneTable, t.filter(lit(false))))
+    }
+    val kv = store.currentVersion(codesTable).get
+    val tv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+    store.withCommitRetries()(store.commit(spark, metaTable,
+      Seq((kv, tv, curC, meta.m, meta.ks, meta.dim)).toDF("codes_version",
+        "tombstones_version", "codebook_version", "m", "ks", "dim")))
+    ()
+  }
+
+  /** Probe the MUTABLE stored PQ index: the query batch precomputes
+    * its ADC tables against the PINNED stored codebook, the code
+    * column streams against the broadcast batch (pqTopK's scan — no
+    * vector re-attach anywhere: the index IS the corpus
+    * representation), reindexed-away generations drop via one
+    * tombstone-sized broadcast, distances are the j-ordered lookup
+    * fold. Geometry comes from the meta row, never the caller.
+    * Refuses a torn state retryably via the version pins
+    * (resolve-then-verify on all three tables). Bit-identical to
+    * encoding the mutated corpus from scratch against the same
+    * pinned codebook (gate ss20). */
+  def pqTopKStored(queries: DataFrame, idCol: String, vecCol: String,
+      store: ParquetTableStore, k: Int,
+      excludeSelfPairs: Boolean = true,
+      codebookTable: String = "pq_codebook",
+      codesTable: String = "pq_codes",
+      tombstoneTable: String = "pq_tombstones",
+      metaTable: String = "pq_meta"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = queries.sparkSession
+    val meta = pqMetaOf(spark, store, metaTable, "pqTopKStored")
+    // resolve-then-verify each table against its pin (the
+    // readBucketsOf discipline): refuse a mid-mutation state
+    val (cbFrame, cbv) = store.readVersioned(spark, codebookTable)
+    if (meta.cbV != cbv)
+      throw new IllegalStateException(
+        s"pq index mid-update: $metaTable pins codebook v${meta.cbV} " +
+          s"but $codebookTable resolved v$cbv — retry after the " +
+          "rebuild completes")
+    val (codesAll, kv) = store.readVersioned(spark, codesTable)
+    if (meta.codesV != kv)
+      throw new IllegalStateException(
+        s"pq index mid-update: $metaTable pins codes v${meta.codesV} " +
+          s"but $codesTable resolved v$kv — retry after the mutation " +
+          "completes")
+    val tombResolved = if (store.exists(tombstoneTable))
+      Some(store.readVersioned(spark, tombstoneTable)) else None
+    val actualTomb = tombResolved.map(_._2).getOrElse(-1L)
+    if (meta.tombV != actualTomb)
+      throw new IllegalStateException(
+        s"pq index mid-update: $metaTable pins tombstones " +
+          s"v${meta.tombV} but $tombstoneTable resolved v$actualTomb " +
+          "— retry after the reindex completes")
+    val cbStored = pqCodebookOf(cbFrame, meta.m, meta.ks)
+    val live = tombResolved.map(_._1) match {
+      case None => codesAll
+      case Some(t) => codesAll
+        .join(broadcast(t.select(col("neighbor_id"), col("dead_below"))),
+          Seq("neighbor_id"), "left")
+        .filter(col("dead_below").isNull ||
+          coalesce(col("gen"), lit(0L)) >= col("dead_below"))
+    }
+    val qt = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        graft.plans.PqKernels.pqAdcTable(col(vecCol), cbStored).as("__tbl"))
+    val scored = live.select(col("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(qt))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
+      .select(col("query_id"), col("neighbor_id"),
+        adcDist(meta.m, meta.ks).as("dist"))
+    rankTopK(scored, "dist", k, asc = true)
   }
 
   /** BINARY SHORTLIST-AND-RERANK — the 1-bit member of the

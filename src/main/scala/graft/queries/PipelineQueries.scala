@@ -4731,6 +4731,53 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     })
 
+  /** SS20: MUTABLE stored-PQ probe after a tombstone reindex
+    * ([[SimilaritySearch.pqBuildIndexStored]] →
+    * [[SimilaritySearch.pqReindexVectors]] →
+    * [[SimilaritySearch.pqTopKStored]]) — ss17's log-structured
+    * mutation discipline applied to the DEPLOYMENT index (PQ codes
+    * are the only corpus representation that shuffles at 100 TB):
+    * every 7th embedding is replaced (reversed — a pure permutation),
+    * the delta RE-ENCODES against the build-pinned codebook under a
+    * bumped generation with tombstones marking the old codes dead,
+    * and the probe must equal a from-scratch encode of the mutated
+    * corpus against the SAME frozen codebook (the codebook-drift
+    * contract: reindexing never retrains; retraining is a rebuild).
+    * The oracle is that re-encode twin: ss10's code chain with the
+    * codebook sampled from the ORIGINAL embeddings and the encode
+    * pass run over the mutated view, ADC tail unchanged. `dist`
+    * compares BIT-exactly (the ss10 +,−,× pinned-fold discipline). */
+  private val ss20 = QueryDef(
+    "ss20_pq_reindex_probe",
+    "stored-PQ probe after vector reindex ≡ re-encode over mutated corpus",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val root = graft.ops.Scratch.tempDir("graft-ss20-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", store,
+        m = 8, ks = 16, dim = 64)
+      SimilaritySearch.pqReindexVectors(
+        e.filter(col("id") % 7 === 0)
+          .select(col("id"), reverse(col("embedding")).as("embedding")),
+        "id", "embedding", store)
+      val mutatedQ = e.filter(col("id") < 10)
+        .select(col("id"),
+          when(col("id") % 7 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+      SimilaritySearch.pqTopKStored(mutatedQ, "id", "embedding", store,
+        k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(pqCodesCtesOver("mut", "id",
+      """mut AS (SELECT vec_id AS id,
+                   CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding)
+                        ELSE embedding END AS embedding
+                 FROM embeddings),""") + pqAdcTail + """
+            SELECT query_id, rank, neighbor_id, dist
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   private val ss14 = QueryDef(
     "ss14_hybrid_rrf",
     "hybrid BM25 + embedding retrieval, reciprocal-rank fused",
@@ -6491,8 +6538,15 @@ object PipelineQueries {
     * encd holding every (id, subspace, centroid) sub-distance —
     * shared by ss10/ss11 (ADC over all pairs) and ss13 (ADC over
     * IVF candidates). */
-  private lazy val pqCodesCtes: String =
-    """WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+  /** The PQ model's code chain over a parameterized corpus source:
+    * `pre` injects leading CTEs (e.g. a mutated-corpus view), `encSrc`
+    * names the frame (id-named column `vec_id` unless it's a CTE with
+    * `id`) the encode pass scans. The CODEBOOK always samples the
+    * ORIGINAL embeddings — pinned at build time, exactly what the
+    * stored-PQ mutation contract freezes (ss20). */
+  private def pqCodesCtesOver(encSrc: String, encId: String,
+      pre: String): String =
+    s"""WITH $pre cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
                    embedding AS cv
                  FROM (SELECT vec_id, embedding FROM embeddings
                        ORDER BY vec_id LIMIT 16)),
@@ -6500,22 +6554,24 @@ object PipelineQueries {
                 list_transform(generate_series(1, 8),
                   d -> s.cv[js.j * 8 + d]::DOUBLE) AS cvec
               FROM cb s, (SELECT unnest(range(0, 8)) AS j) js),
-            encd AS (SELECT e.vec_id AS id, s.j, s.c,
+            encd AS (SELECT e.$encId AS id, s.j, s.c,
                 list_reduce(list_prepend(0.0::DOUBLE,
                   list_transform(generate_series(1, 8),
                     d -> (e.embedding[s.j * 8 + d]::DOUBLE - s.cvec[d]) *
                          (e.embedding[s.j * 8 + d]::DOUBLE - s.cvec[d]))),
                   (x, y) -> x + y) AS dist
-              FROM embeddings e, sub s),
+              FROM $encSrc e, sub s),
             codes AS (SELECT id, j, c AS code FROM (
                 SELECT *, row_number() OVER (PARTITION BY id, j
                     ORDER BY dist, c) AS rn
                 FROM encd) WHERE rn = 1)"""
 
-  /** The ss10 PQ model as a reusable WITH-chain ending in
-    * ranked(query_id, neighbor_id, dist, rank) — ss11's rerank
-    * shortlists from the same CTEs. */
-  private lazy val pqAdcCtes: String = pqCodesCtes +
+  private lazy val pqCodesCtes: String =
+    pqCodesCtesOver("embeddings", "vec_id", "")
+
+  /** The shared ADC tail: per-query table lookups summed in j order,
+    * ranked per query — appended to any code chain. */
+  private lazy val pqAdcTail: String =
     """,
             paird AS (SELECT q.id AS query_id, c.id AS neighbor_id,
                 c.j, q.dist
@@ -6528,6 +6584,11 @@ object PipelineQueries {
             ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY dist, neighbor_id) AS rank
               FROM summed)"""
+
+  /** The ss10 PQ model as a reusable WITH-chain ending in
+    * ranked(query_id, neighbor_id, dist, rank) — ss11's rerank
+    * shortlists from the same CTEs. */
+  private lazy val pqAdcCtes: String = pqCodesCtes + pqAdcTail
 
   private val ss10 = QueryDef(
     "ss10_pq_adc_topk",
@@ -6579,7 +6640,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, dc4, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)

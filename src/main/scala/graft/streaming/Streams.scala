@@ -935,7 +935,10 @@ object Streams {
     * batch scan, no corpus re-read, no text shuffle) and upserts the
     * matched pairs keyed by (doc_id, bench_id) into `pairsTable` —
     * the artifact a training job anti-joins against (dc2's apply
-    * step, stored).
+    * step, stored). The table is created schema-only on the FIRST
+    * screened batch even when it finds nothing, so a fully clean
+    * feed still leaves the artifact in place and downstream
+    * anti-joins/reads are unconditional.
     *
     * Crash-replay contract (the dsirIngest discipline): pair rows are
     * a pure function of the batch text and the static gram index, so
@@ -967,6 +970,18 @@ object Streams {
           batch, "id", "text", store, gramsTable, n, minShared)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // the pairs table is the artifact a training job anti-joins
+          // against: it must EXIST once screening has run, even when
+          // the feed is fully clean — a schema-only first commit makes
+          // downstream reads/anti-joins unconditional instead of
+          // special-casing absence
+          if (!store.exists(pairsTable))
+            try store.commitNew(spark, pairsTable, pairs.limit(0))
+            catch {
+              // a competitor created it — the artifact exists, which
+              // is all this guard needs
+              case _: graft.ops.ConcurrentCommitException => ()
+            }
           if (pairs.limit(1).count() > 0)
             store.withCommitRetries()(store.upsert(spark, pairsTable,
               pairs, Seq("doc_id", "bench_id")))

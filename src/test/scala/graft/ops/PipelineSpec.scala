@@ -1281,4 +1281,135 @@ class PipelineSpec extends SparkSpec {
     }
     assert(ex3.getMessage.contains("Rebuild"))
   }
+
+  test("mutable stored IVF: a probe racing a rebuild refuses on the codebook pin") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val root = Scratch.tempDir("ivf-race-")
+    val store = new ParquetTableStore(s"$root/store")
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+      numCentroids = 32)
+    // simulate the rebuild window the ADVICE finding named: the
+    // rebuild invalidated the pins and committed its NEW codebook,
+    // but the members still carry OLD-codebook assignments — a probe
+    // here must refuse retryably, never answer from the mix
+    store.commit(spark, "ivf_meta",
+      Seq((-2L, -2L, -2L))
+        .toDF("members_version", "tombstones_version", "codebook_version"))
+    store.commit(spark, "ivf_codebook",
+      e.filter(col("id") >= 500).limit(32)
+        .select(col("id").as("cid"), col("embedding").as("cvec")))
+    val ex = intercept[IllegalStateException] { probeRows(store, e) }
+    assert(ex.getMessage.contains("mid-update"), ex.getMessage)
+    // compaction must not "repair" a crashed rebuild either
+    val ex2 = intercept[IllegalStateException] {
+      SimilaritySearch.ivfCompactIndex(spark, store)
+    }
+    assert(ex2.getMessage.contains("rebuild crashed"), ex2.getMessage)
+    // re-running the rebuild IS the repair
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+      numCentroids = 32)
+    assert(probeRows(store, e).nonEmpty)
+  }
+
+  // ---- mutable stored PQ (ss20: build → re-encode → probe) ----
+
+  private def pqProbeRows(store: ParquetTableStore,
+      queries: org.apache.spark.sql.DataFrame) =
+    SimilaritySearch.pqTopKStored(queries, "id", "embedding", store, k = 5)
+      .select("query_id", "rank", "neighbor_id", "dist").collect().toSet
+
+  test("mutable stored PQ: probe after reindex equals full re-encode under the pinned codebook") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val mutated = mutatedCorpus(e)
+    val queries = mutated.filter(col("id") < 10)
+    // path A: build on the original, re-encode only the changed ids
+    val a = new ParquetTableStore(s"${Scratch.tempDir("pq-mut-a-")}/store")
+    SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", a,
+      m = 8, ks = 16, dim = 64)
+    SimilaritySearch.pqReindexVectors(
+      e.filter(col("id") % 7 === 0)
+        .select(col("id"), reverse(col("embedding")).as("embedding")),
+      "id", "embedding", a)
+    // path C: same pinned codebook, degenerate FULL reindex — the
+    // re-encode-from-scratch twin under the frozen geometry
+    val c = new ParquetTableStore(s"${Scratch.tempDir("pq-mut-c-")}/store")
+    SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", c,
+      m = 8, ks = 16, dim = 64)
+    SimilaritySearch.pqReindexVectors(mutated, "id", "embedding", c)
+    val afterFold = pqProbeRows(a, queries)
+    val afterFull = pqProbeRows(c, queries)
+    assert(afterFold.nonEmpty && afterFold == afterFull)
+    // the mutation is visible vs the unmutated index (ids 0 and 7 are
+    // both queries and mutated)
+    val d = new ParquetTableStore(s"${Scratch.tempDir("pq-mut-d-")}/store")
+    SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", d,
+      m = 8, ks = 16, dim = 64)
+    assert(pqProbeRows(d, e.filter(col("id") < 10)) != afterFold)
+  }
+
+  test("mutable stored PQ: replayed reindex no-ops; compaction repairs and refuses correctly") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val root = Scratch.tempDir("pq-replay-")
+    val store = new ParquetTableStore(s"$root/store")
+    SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", store,
+      m = 8, ks = 16, dim = 64)
+    val delta = e.filter(col("id") % 7 === 0)
+      .select(col("id"), reverse(col("embedding")).as("embedding"))
+    SimilaritySearch.pqReindexVectors(delta, "id", "embedding", store)
+    val queries = mutatedCorpus(e).filter(col("id") < 10)
+    val once = pqProbeRows(store, queries)
+    // replay: same live codes at a higher generation — probe unchanged
+    SimilaritySearch.pqReindexVectors(delta, "id", "embedding", store)
+    assert(pqProbeRows(store, queries) == once)
+    SimilaritySearch.pqCompactIndex(spark, store)
+    assert(pqProbeRows(store, queries) == once)
+    assert(store.read(spark, "pq_tombstones").count() == 0)
+    // torn state: tombstones advanced past the pin → reindex and
+    // probe refuse retryably; compaction repairs
+    store.upsert(spark, "pq_tombstones",
+      Seq((9999999L, 1L)).toDF("neighbor_id", "dead_below"),
+      Seq("neighbor_id"))
+    val ex1 = intercept[IllegalStateException] {
+      SimilaritySearch.pqReindexVectors(delta, "id", "embedding", store)
+    }
+    assert(ex1.getMessage.contains("torn"))
+    val ex2 = intercept[IllegalStateException] { pqProbeRows(store, queries) }
+    assert(ex2.getMessage.contains("mid-update"))
+    SimilaritySearch.pqCompactIndex(spark, store)
+    assert(pqProbeRows(store, queries) == once)
+    // unrepairable: two live generations for one id → rebuild
+    store.appendBucketed(spark, "pq_codes",
+      store.read(spark, "pq_codes").filter(col("neighbor_id") === 0L)
+        .limit(1)
+        .select(col("neighbor_id"), col("codes"), lit(99L).as("gen")),
+      Seq("neighbor_id"))
+    val ex3 = intercept[IllegalStateException] {
+      SimilaritySearch.pqCompactIndex(spark, store)
+    }
+    assert(ex3.getMessage.contains("Rebuild"))
+    // crashed REBUILD (invalidated pins + fresh codebook): probe and
+    // compact refuse; re-running the rebuild repairs
+    val root2 = Scratch.tempDir("pq-race-")
+    val store2 = new ParquetTableStore(s"$root2/store")
+    SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", store2,
+      m = 8, ks = 16, dim = 64)
+    store2.commit(spark, "pq_meta",
+      Seq((-2L, -2L, -2L, 8, 16, 64)).toDF("codes_version",
+        "tombstones_version", "codebook_version", "m", "ks", "dim"))
+    store2.commit(spark, "pq_codebook", store2.read(spark, "pq_codebook"))
+    val ex4 = intercept[IllegalStateException] { pqProbeRows(store2, queries) }
+    assert(ex4.getMessage.contains("mid-update"), ex4.getMessage)
+    val ex5 = intercept[IllegalStateException] {
+      SimilaritySearch.pqCompactIndex(spark, store2)
+    }
+    assert(ex5.getMessage.contains("rebuild crashed"), ex5.getMessage)
+    SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", store2,
+      m = 8, ks = 16, dim = 64)
+    assert(pqProbeRows(store2, e.filter(col("id") < 10)).nonEmpty)
+  }
 }

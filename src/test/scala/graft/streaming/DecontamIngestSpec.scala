@@ -51,4 +51,19 @@ class DecontamIngestSpec extends SparkSpec {
     runOnce(in, tmpDir("dci-ckpt2"), store)
     assert(store.read(spark, "contamination").count() == streamed.size)
   }
+
+  test("a fully clean feed still creates the (empty) pairs table") {
+    val in = tmpDir("dci-clean-in")
+    val store = new ParquetTableStore(tmpDir("dci-clean-store"))
+    Seq((2L, "nothing shared with any bench suite at all here"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    runOnce(in, tmpDir("dci-clean-ckpt"), store)
+    // the artifact a training job anti-joins against must EXIST after
+    // screening ran, even when the feed found nothing — downstream
+    // reads are unconditional
+    assert(store.exists("contamination"))
+    assert(store.read(spark, "contamination").count() == 0)
+    assert(store.read(spark, "contamination").columns.toSet ==
+      Set("doc_id", "bench_id", "n_shared"))
+  }
 }
