@@ -105,13 +105,20 @@ object Layout {
     * ordinary CAS-versioned publish, and since the target derives
     * from the SOURCE's snapshot (not from the target's own prior
     * content) a lost pointer race needs no pin — the retry re-reads
-    * the source and re-publishes. */
+    * the source and re-publishes.
+    *
+    * The publish is ZONE-MAPPED on the curve columns
+    * ([[ParquetTableStore.commitZoneMapped]]): the clustering makes
+    * per-file ranges narrow, the sidecar makes them actionable —
+    * [[ParquetTableStore.readZonePruned]] then cuts the file list
+    * before the scan instead of relying on footer stats alone (gate
+    * u12 pins pruned ≡ full; LayoutSpec pins the file-count drop). */
   def zorderPublish(spark: org.apache.spark.sql.SparkSession,
       store: ParquetTableStore, source: String, target: String,
       cols: Seq[String], numFiles: Int): DataFrame =
     store.withCommitRetries() {
-      store.commit(spark, target,
-        clustered(store.read(spark, source), cols, numFiles))
+      store.commitZoneMapped(spark, target,
+        clustered(store.read(spark, source), cols, numFiles), cols)
     }
 
   /** Two-column publish (see the N-column overload). */

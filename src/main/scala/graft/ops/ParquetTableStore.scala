@@ -314,6 +314,125 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     readDir(spark, table, staged)
   }
 
+  /** ZONE-MAPPED snapshot publish: [[commit]] plus a per-file min/max
+    * sidecar over `statsCols`, written INSIDE the staged version dir
+    * (`_zonemap/` — underscore-prefixed, so ordinary parquet readers
+    * ignore it) before the pointer swap: the map is version-atomic by
+    * construction — a version either carries its complete zone map or
+    * is never published, and pruning/retention/gc treat the pair as
+    * one unit.
+    *
+    * This is the read-side half of the [[Layout]] story: `zorderWrite`
+    * lays files so min/max RANGES are narrow per file, and this
+    * sidecar is what lets [[readZonePruned]] cut the file list before
+    * the scan — at 100 TB, the difference between touching ~1% and
+    * 100% of a published artifact for a selective range predicate.
+    * (Parquet footers carry row-group stats too, but the engine still
+    * has to OPEN every footer to use them — the sidecar is one small
+    * frame read up front, the Delta/Iceberg file-stats design.)
+    *
+    * Scale shape: the stats pass is one extra columnar read of the
+    * staged files (statsCols only — column pruning applies), one
+    * file-count-sized aggregate. Snapshot tables only — the bucketed
+    * ingest tables keep their key-bucket pruning ([[readBucketsOf]]);
+    * analytic range scans read the z-published artifact (the u10/u11
+    * maintenance pattern). */
+  def commitZoneMapped(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty,
+      "commitZoneMapped needs at least one stats column")
+    require(statsCols.distinct.size == statsCols.size,
+      s"duplicate zone-map column in $statsCols")
+    requireSnapshot(table, "commitZoneMapped")
+    val expected = currentPointer(table)
+    val staged = stagedDirName(
+      expected.map(p => versionOf(dirNameOf(p))).getOrElse(-1L) + 1)
+    val dir = tableDir(table).resolve(tmpName(staged))
+    df.write.mode("errorifexists").parquet(dir.toString)
+    writeZoneMap(spark, dir, statsCols)
+    finalizeStaged(table, staged)
+    publish(table, staged, expected)
+    readDir(spark, table, staged)
+  }
+
+  private val ZoneMapDir = "_zonemap"
+
+  /** The sidecar keys files by BASENAME (the staged dir is renamed at
+    * finalize and versions differ only by directory, so names are the
+    * stable identity). Files whose stats column is all-NULL carry null
+    * min/max — excluded by every range predicate, which is exactly
+    * right: NULL never satisfies a range. */
+  private def writeZoneMap(spark: SparkSession, stagedDir: Path,
+      statsCols: Seq[String]): Unit = {
+    val data = spark.read.parquet(stagedDir.toString)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    data
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("errorifexists")
+      .parquet(stagedDir.resolve(ZoneMapDir).toString)
+  }
+
+  /** The live version dir plus its zone-map-surviving file paths for
+    * `lo <= column <= hi`. Refuses loudly (never a silent full scan)
+    * when the version carries no zone map or the map doesn't cover
+    * `column` — at scale, a silently unpruned read IS the failure. */
+  private def zonePrunedFiles(spark: SparkSession, table: String,
+      column: String, lo: Any, hi: Any): (Path, Seq[Path], Int) = {
+    val p = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    val vdir = tableDir(table).resolve(dirNameOf(p))
+    val zmPath = vdir.resolve(ZoneMapDir)
+    if (!Files.exists(zmPath))
+      throw new IllegalStateException(
+        s"table $table's live version carries no zone map — publish " +
+          "it with commitZoneMapped (or Layout.zorderPublish)")
+    val zm = spark.read.parquet(zmPath.toString)
+    require(zm.columns.contains(s"min_$column"),
+      s"zone map of $table does not cover column $column (declared: " +
+        zm.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+          .mkString(", ") + ") — re-publish with it in statsCols")
+    // keep a file unless its whole range misses [lo, hi]; null stats
+    // (all-null column) keep nothing — NULL never matches a range
+    val kept = zm
+      .filter(!(col(s"max_$column") < lit(lo) || col(s"min_$column") > lit(hi)))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    val total = listDir(vdir).count(f => Files.isRegularFile(f) &&
+      !f.getFileName.toString.startsWith("_") &&
+      !f.getFileName.toString.startsWith("."))
+    (vdir, kept.map(vdir.resolve), total)
+  }
+
+  /** ZONE-MAP-PRUNED range read: scan only the files whose recorded
+    * [min, max] for `column` intersects [lo, hi], then re-apply the
+    * predicate (pruning is an optimization, correctness comes from
+    * the residual filter — gate u12 pins pruned ≡ full-scan filter).
+    * Requires a [[commitZoneMapped]]-published version covering
+    * `column`. */
+  def readZonePruned(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    val (vdir, files, _) = zonePrunedFiles(spark, table, column, lo, hi)
+    val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val base =
+      if (files.isEmpty)
+        // nothing intersects: an empty frame with the table's schema
+        spark.read.parquet(vdir.toString).where(lit(false))
+      else spark.read.parquet(files.map(_.toString): _*)
+    val out = base.filter(residual)
+    if (out.columns.contains(BucketCol)) out.drop(BucketCol) else out
+  }
+
+  /** (files surviving the prune, total data files) for a range probe
+    * — the measured evidence of file skipping (LayoutSpec pins the
+    * drop on a z-ordered layout; PLANS records the curve). */
+  def zoneMapFileCounts(spark: SparkSession, table: String,
+      column: String, lo: Any, hi: Any): (Int, Int) = {
+    val (_, files, total) = zonePrunedFiles(spark, table, column, lo, hi)
+    (files.size, total)
+  }
+
   /** U1 persisted: LWW-upsert `incoming` into the stored table (which
     * is created on first call), with add-only schema evolution when
     * the incoming schema grew. Full-snapshot rewrite — for O(delta)

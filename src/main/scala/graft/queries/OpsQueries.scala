@@ -329,5 +329,38 @@ object OpsQueries {
               l_quantity
             FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
-  def defs: Seq[QueryDef] = Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11)
+  /** U12: ZONE-MAP-PRUNED RANGE READ ≡ FULL-SCAN FILTER — the
+    * read-side completion of the u11 publish: the z-ordered artifact
+    * carries a per-file min/max sidecar on its curve columns
+    * ([[graft.ops.ParquetTableStore.commitZoneMapped]], written
+    * version-atomically inside the version dir), and a selective
+    * range predicate on any curve column reads only the files whose
+    * recorded range intersects it
+    * ([[graft.ops.ParquetTableStore.readZonePruned]]) — with the
+    * predicate re-applied after the cut, so pruning can only skip
+    * files, never rows. The oracle is the plain filter over the
+    * source; the measured file-count drop is spec-pinned
+    * (LayoutSpec). */
+  private val u12 = QueryDef(
+    "u12_zonemap_pruned_read",
+    "zone-map file pruning: pruned range read ≡ full-scan filter",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      val root = graft.ops.Scratch.tempDir("graft-u12-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.commit(s, "fact", li)
+      graft.ops.Layout.zorderPublish(s, store, "fact", "fact_pub",
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), numFiles = 8)
+      store.readZonePruned(s, "fact_pub", "l_partkey", 100, 300)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              l_quantity
+            FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  def defs: Seq[QueryDef] =
+    Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12)
 }

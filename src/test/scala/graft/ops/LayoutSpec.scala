@@ -84,6 +84,49 @@ class LayoutSpec extends SparkSpec {
     assert(store.currentVersion("pub").contains(v1 + 1))
   }
 
+  test("zone-mapped publish: pruned read ≡ filter, file list genuinely cut, refusals loud") {
+    val store = new ParquetTableStore(tmpDir("layout-zm"))
+    store.commit(spark, "src", fixture)
+    Layout.zorderPublish(spark, store, "src", "pub", "x", "y",
+      numFiles = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // pruned ≡ full-scan filter (the u12 pin, locally)
+    val pruned = rows(store.readZonePruned(spark, "pub", "x", 1000L, 5000L))
+    val full = rows(store.read(spark, "pub")
+      .filter(col("x") >= 1000L && col("x") <= 5000L))
+    assert(pruned.nonEmpty && pruned == full)
+    // the cut is real: a ~4% x-range on the 16-file z-layout touches
+    // a strict subset; the same range on an UN-clustered zone-mapped
+    // commit touches more files (nearly all — every file spans the
+    // domain under hash layout)
+    val (keptZ, totZ) = store.zoneMapFileCounts(spark, "pub", "x",
+      1000L, 5000L)
+    assert(keptZ < totZ && totZ >= 8, s"kept $keptZ of $totZ")
+    store.commitZoneMapped(spark, "plain", fixture.repartition(16),
+      Seq("x", "y"))
+    val (keptP, _) = store.zoneMapFileCounts(spark, "plain", "x",
+      1000L, 5000L)
+    assert(keptZ < keptP, s"z kept $keptZ, plain kept $keptP")
+    // empty intersection: zero files read, empty result, schema intact
+    val (kept0, _) = store.zoneMapFileCounts(spark, "pub", "x",
+      900000L, 990000L)
+    assert(kept0 == 0)
+    val empty = store.readZonePruned(spark, "pub", "x", 900000L, 990000L)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "x", "y"))
+    // refusals, never a silent full scan: a version with no zone map;
+    // a column the map doesn't cover
+    store.commit(spark, "nomap", fixture)
+    val ex = intercept[IllegalStateException] {
+      store.readZonePruned(spark, "nomap", "x", 0L, 10L)
+    }
+    assert(ex.getMessage.contains("zone map"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      store.readZonePruned(spark, "pub", "id", 0L, 10L)
+    }
+    assert(ex2.getMessage.contains("does not cover"), ex2.getMessage)
+  }
+
   test("3-column z-order shrinks per-file spans on ALL axes; content untouched") {
     val rnd = new scala.util.Random(11)
     val data = (1 to 4096).map(i =>
