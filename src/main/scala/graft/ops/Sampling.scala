@@ -397,4 +397,79 @@ object Sampling {
       min_by(col(keyCol), col("shard_pos")).as("first_key"),
       max_by(col(keyCol), col("shard_pos")).as("last_key"))
   }
+
+  /** The manifest columns over an ALREADY-ASSIGNED frame (carrying
+    * `shard` and `shard_pos`) — shared by the export side (positions
+    * just computed) and the read-back side (positions read from the
+    * shard files), so the two can only ever disagree when the files
+    * disagree. `content_hash` is the integrity column: bit_xor of the
+    * portable hash of "pos:key:text" per row — XOR is commutative
+    * (partitioning-independent), but the POSITION inside the hashed
+    * string makes the checksum order-sensitive (two rows swapping
+    * shard_pos flips it), and positions are distinct within a shard
+    * so no two identical terms can cancel. */
+  private def manifestOf(assigned: DataFrame, keyCol: String,
+      textCol: String): DataFrame =
+    assigned.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.ops.TextAnalysis.tokenCountWs(col(textCol))).as("n_tokens"),
+      min_by(col(keyCol), col("shard_pos")).as("first_key"),
+      max_by(col(keyCol), col("shard_pos")).as("last_key"),
+      bit_xor(TextFunctions.portableHash64(concat_ws(":",
+        col("shard_pos").cast("string"), col(keyCol).cast("string"),
+        coalesce(col(textCol), lit(""))))).as("content_hash"))
+
+  /** EXPORT the training shards: rows land under `path`/shards in
+    * shard=N partition dirs carrying their `shard_pos` (the
+    * within-shard training order, pre-applied — [[shardAssign]]), and
+    * the MANIFEST ([[shardManifest]]'s columns plus the order-
+    * sensitive `content_hash`) lands next to them under
+    * `path`/manifest. The manifest is recomputed from the WRITTEN
+    * files, not the input plan — what it certifies is the bytes on
+    * disk, so a consumer that trusts the manifest trusts the export.
+    * Returns the stored manifest. One (shard) exchange for the data,
+    * one combinable rollup over the re-read for the certificate. */
+  def exportShards(df: DataFrame, keyCol: String, textCol: String,
+      nShards: Int, salt: String, path: String): DataFrame = {
+    val spark = df.sparkSession
+    shardAssign(df, keyCol, nShards, salt)
+      .write.mode("errorifexists").partitionBy("shard")
+      .parquet(s"$path/shards")
+    val m = manifestOf(
+      spark.read.parquet(s"$path/shards")
+        .withColumn("shard", col("shard").cast("long")),
+      keyCol, textCol)
+    m.coalesce(1).write.mode("errorifexists").parquet(s"$path/manifest")
+    spark.read.parquet(s"$path/manifest")
+  }
+
+  /** READ-BACK INTEGRITY VERIFICATION — the other half of the export
+    * contract: a training-data artifact you can't re-verify is half
+    * an operator. Recomputes the manifest FROM THE SHARD FILES (count,
+    * token mass, order endpoints, order-sensitive content hash) and
+    * compares it against the stored manifest, per shard: `verified`
+    * is true iff every column matches null-safely. A dropped or
+    * edited row, a reordered pair of positions, a missing shard dir,
+    * or a manifest row with no shard behind it all surface as
+    * verified = false on that shard — nothing is thrown, the caller
+    * decides (a loader refuses, an auditor reports).
+    *
+    * Scale shape: one scan of the shard files into a combinable
+    * rollup (nShards rows), one nShards-sized broadcast join — the
+    * corpus never shuffles. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String, textCol: String): DataFrame = {
+    val stored = spark.read.parquet(s"$path/manifest")
+    val cols = Seq("n_docs", "n_tokens", "first_key", "last_key",
+      "content_hash")
+    val re = manifestOf(
+      spark.read.parquet(s"$path/shards")
+        .withColumn("shard", col("shard").cast("long")),
+      keyCol, textCol)
+      .select(col("shard") +: cols.map(c => col(c).as(s"__r_$c")): _*)
+    stored.join(re, Seq("shard"), "full_outer")
+      .select(col("shard") +: cols.map(col) :+
+        cols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+          .as("verified"): _*)
+  }
 }

@@ -3356,6 +3356,54 @@ object PipelineQueries {
             min(CASE WHEN rn = cnt THEN doc_id END) AS last_key
           FROM w GROUP BY shard ORDER BY shard"""))
 
+  /** SM11: SHARD EXPORT + READ-BACK VERIFICATION
+    * ([[Sampling.exportShards]] / [[Sampling.verifyShards]]) — the
+    * missing half of sm10's export contract: the shards are WRITTEN
+    * (partitioned files + a manifest recomputed from the written
+    * bytes, now carrying an order-sensitive bit_xor content hash),
+    * then a loader re-reads the files, recomputes every manifest
+    * column, and compares — `verified` must come back true per shard.
+    * The oracle recomputes the whole certificate from the source
+    * table: layout (sm10's hash/mod/window chain), token mass, order
+    * endpoints, and the content hash (bit_xor of the portable hash of
+    * "pos:key:text" — XOR is partitioning-independent, the embedded
+    * position makes it order-sensitive). Tamper detection (dropped
+    * row, swapped positions, missing shard) is spec-pinned
+    * (SamplingSpec). */
+  private val sm11 = QueryDef(
+    "sm11_shard_verify",
+    "export shards + manifest, read back, recompute and verify",
+    (s, dir) => {
+      val root = graft.ops.Scratch.tempDir("graft-sm11-")
+      Sampling.exportShards(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", nShards = 16, salt = "sm11:",
+        s"$root/export")
+      Sampling.verifyShards(s, s"$root/export", "doc_id", "text")
+        .orderBy("shard")
+    },
+    Some("""WITH asg AS (SELECT doc_id, text,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END AS ntok,
+              ('0x' || substr(md5('sm11:' || doc_id::VARCHAR), 1, 15))
+                ::BIGINT AS h
+            FROM documents),
+          w AS (SELECT doc_id, text, ntok, h % 16 AS shard,
+                  row_number() OVER (PARTITION BY h % 16
+                    ORDER BY h, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY h % 16) AS cnt
+                FROM asg)
+          SELECT shard, count(*)::BIGINT AS n_docs,
+            sum(ntok)::BIGINT AS n_tokens,
+            min(CASE WHEN rn = 1 THEN doc_id END) AS first_key,
+            min(CASE WHEN rn = cnt THEN doc_id END) AS last_key,
+            bit_xor(('0x' || substr(md5(
+              (rn - 1)::VARCHAR || ':' || doc_id::VARCHAR || ':' ||
+                coalesce(text, '')), 1, 15))::BIGINT) AS content_hash,
+            TRUE AS verified
+          FROM w GROUP BY shard ORDER BY shard"""))
+
   /** TP4: curation pipeline v2 — this round's operators composed
     * end-to-end the way a corpus build actually runs them:
     * Gopher repetition/length filter (ts10) → QUALITY-ARGMAX
@@ -6641,7 +6689,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, dc4, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)
 }

@@ -372,4 +372,76 @@ class SamplingSpec extends SparkSpec {
       assert(m(sh)._2 == ordered.head._1 && m(sh)._3 == ordered.last._1)
     }
   }
+
+  test("exportShards/verifyShards: clean export verifies; tampers are caught per shard") {
+    import spark.implicits._
+    val data = (1L to 200L).map(i => (i, s"doc $i words here"))
+      .toDF("id", "text")
+    val path = tmpDir("shard-verify")
+    Sampling.exportShards(data, "id", "text", nShards = 8,
+      salt = "s:", path)
+    def verdicts() = Sampling.verifyShards(spark, path, "id", "text")
+      .select("shard", "verified")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val clean = verdicts()
+    assert(clean.size == 8 && clean.values.forall(identity))
+
+    // tamper 1: DROP one row from shard 3 (count, tokens, maybe
+    // endpoints, hash all drift) — only that shard fails
+    val s3 = s"$path/shards/shard=3"
+    val rows3 = spark.read.parquet(s3)
+      .select("id", "text", "shard_pos").collect()
+    val victim = rows3.map(_.getLong(0)).max
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows3.filterNot(_.getLong(0) == victim).toSeq),
+      spark.read.parquet(s3).schema)
+      .coalesce(1).write.mode("overwrite").parquet(s3)
+    val dropped = verdicts()
+    assert(!dropped(3L) && dropped.filterNot(_._1 == 3L).values.forall(identity))
+
+    // repair shard 3, then tamper 2: SWAP two middle positions — count,
+    // token mass, and endpoints all still match; only the
+    // order-sensitive content hash catches it
+    val path2 = tmpDir("shard-verify2")
+    Sampling.exportShards(data, "id", "text", nShards = 8,
+      salt = "s:", path2)
+    val s3b = s"$path2/shards/shard=3"
+    val rows3b = spark.read.parquet(s3b)
+      .select("id", "text", "shard_pos").collect()
+    assert(rows3b.length >= 4, "fixture shard too small to swap inside")
+    val ordered = rows3b.sortBy(_.getInt(2))
+    val (p1, p2) = (ordered(1).getInt(2), ordered(2).getInt(2))
+    val swapped = rows3b.map { r =>
+      val p = r.getInt(2)
+      val np = if (p == p1) p2 else if (p == p2) p1 else p
+      (r.getLong(0), r.getString(1), np)
+    }.toSeq.toDF("id", "text", "shard_pos")
+    swapped.coalesce(1).write.mode("overwrite").parquet(s3b)
+    val reordered = verdicts()
+    assert(!reordered(3L) &&
+      reordered.filterNot(_._1 == 3L).values.forall(identity))
+    val detail = Sampling.verifyShards(spark, path2, "id", "text")
+      .filter(col("shard") === 3L).head
+    // the swap is invisible to counts and endpoints by construction
+    assert(detail.getAs[Long]("n_docs") ==
+      rows3b.length && !detail.getAs[Boolean]("verified"))
+
+    // tamper 3: a manifest row whose shard dir vanished
+    val path3 = tmpDir("shard-verify3")
+    Sampling.exportShards(data, "id", "text", nShards = 8,
+      salt = "s:", path3)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().forEachRemaining(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+      ()
+    }
+    rm(java.nio.file.Paths.get(s"$path3/shards/shard=5"))
+    val missing = Sampling.verifyShards(spark, path3, "id", "text")
+      .select("shard", "verified")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!missing(5L) && missing.filterNot(_._1 == 5L).values.forall(identity))
+  }
 }
