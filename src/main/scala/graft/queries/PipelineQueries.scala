@@ -5950,6 +5950,114 @@ object PipelineQueries {
         |        % 10000 < round(weight * 10000.0)::BIGINT
         |ORDER BY id""".stripMargin))
 
+  /** TP15: CHUNK-GRAIN NEAR-DUP BEFORE PACKING — the composition the
+    * doc-grain pipeline (tp2) misses: training shards repeat at the
+    * CHUNK grain (a boilerplate paragraph inside otherwise-distinct
+    * docs), so the dedup that protects a shard must run between
+    * chunking and packing. Composed from three gated stages, each
+    * keeping its own discipline: ts7's stride-overlapped chunking of
+    * both the corpus and an arriving batch (batch docs are +10000
+    * perturbed copies — the d10 fixture), d10's incremental LSH probe
+    * at chunk grain (corpus chunks index ONCE; only the batch's
+    * chunks sign and probe — at 100 TB the corpus is the stored
+    * band index, the batch is delta-sized), then sp1's shard-parallel
+    * stream packing over the SURVIVING batch chunks (one ids-only
+    * anti-join — the near-dup drop shape). Chunk ids are
+    * doc_id·10000 + chunk_no, so the two grains stay SQL-derivable
+    * and collision-free. The oracle replays the whole chain:
+    * chunk windows, signatures, band join, capped candidates, exact
+    * Jaccard ≥ 0.6, anti-join, hash-sharded prefix-sum packing. */
+  private val tp15 = QueryDef(
+    "tp15_chunk_dedup_pack",
+    "chunk both sides -> chunk-grain near-dup probe -> pack survivors",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      val batchDocs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 10000).as("id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      def chunksOf(src: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.chunk(src, "id", "text",
+          windowTokens = 64, stride = 48)
+          .select((col("id") * 10000 + col("chunk_no")).as("id"),
+            col("chunk_text").as("text"), col("n_tokens"))
+      val corpusChunks = chunksOf(docs)
+      val newChunks = chunksOf(batchDocs)
+      val sigs = Dedup.lshSignatures(corpusChunks, "id", "text",
+        shingleLen = 3)
+      val index = Dedup.lshBandIndex(sigs, NumHashes, Bands, CatalogCap)
+      val dupNew = Dedup.incrementalLshPairs(newChunks, "id", "text",
+        index, sigs, shingleLen = 3, numHashes = NumHashes,
+        bands = Bands, threshold = 0.6)
+        .select(col("new_id").as("id")).distinct()
+      val survivors = newChunks.join(dupNew, Seq("id"), "left_anti")
+      graft.ops.Packing.packSummary(
+        survivors.withColumn("ck", col("id").cast("string")),
+        "ck", "n_tokens", budgetTokens = 256, numShards = 8)
+        .orderBy("shard", "pack_no")
+    },
+    Some(s"""WITH dsrc AS (SELECT doc_id AS id, text FROM documents),
+            nsrc AS (SELECT doc_id + 10000 AS id,
+                       regexp_replace(text, '^\\S+\\s+', '') AS text
+                     FROM documents WHERE doc_id % 4 = 0),
+            dct AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                    FROM dsrc WHERE length(trim(text)) > 0),
+            dcc AS (SELECT id, toks,
+                      unnest(generate_series(0, (len(toks) - 1) // 48)) AS k
+                    FROM dct),
+            ccorpus AS (SELECT id * 10000 + k AS id,
+                          array_to_string(toks[k*48+1 : k*48+64], ' ') AS text,
+                          least(64, len(toks) - k * 48) AS n_tokens
+                        FROM dcc),
+            nct AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                    FROM nsrc WHERE length(trim(text)) > 0),
+            ncc AS (SELECT id, toks,
+                      unnest(generate_series(0, (len(toks) - 1) // 48)) AS k
+                    FROM nct),
+            cnew AS (SELECT id * 10000 + k AS id,
+                       array_to_string(toks[k*48+1 : k*48+64], ' ') AS text,
+                       least(64, len(toks) - k * 48) AS n_tokens
+                     FROM ncc),
+            ${lshSideSql("o", "ccorpus")},
+            ${lshSideSql("n", "cnew")},
+            ocapped AS (SELECT id, b, band_hash,
+                          row_number() OVER (PARTITION BY b, band_hash
+                                             ORDER BY id) AS rn
+                        FROM obands),
+            cand AS (SELECT DISTINCT o.id AS corpus_id, n.id AS new_id
+                     FROM ocapped o JOIN nbands n
+                       ON o.b = n.b AND o.band_hash = n.band_hash
+                          AND o.id <> n.id
+                     WHERE o.rn <= $CatalogCap),
+            verif AS (SELECT corpus_id, new_id,
+                        len(list_intersect(x.hs, y.hs))::DOUBLE /
+                        len(list_distinct(list_concat(x.hs, y.hs)))::DOUBLE
+                          AS jaccard
+                      FROM cand JOIN ohashed x ON x.id = cand.corpus_id
+                                JOIN nhashed y ON y.id = cand.new_id),
+            dups AS (SELECT DISTINCT new_id AS id FROM verif
+                     WHERE jaccard >= 0.6),
+            surv AS (SELECT c.id::VARCHAR AS ck, c.n_tokens FROM cnew c
+                     WHERE NOT EXISTS (SELECT 1 FROM dups d
+                                       WHERE d.id = c.id)),
+            h AS (SELECT ck, n_tokens,
+                    ('0x' || substr(md5(ck), 1, 15))::BIGINT AS hv
+                  FROM surv),
+            p AS (SELECT hv % 8 AS shard, ck, n_tokens, hv,
+                    coalesce(sum(n_tokens) OVER (PARTITION BY hv % 8
+                      ORDER BY hv, ck
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tok_before
+                  FROM h),
+            a AS (SELECT shard, (tok_before // 256)::BIGINT AS pack_no,
+                         n_tokens
+                  FROM p)
+            SELECT shard, pack_no, count(*) AS n_chunks,
+              sum(n_tokens)::BIGINT AS n_tokens,
+              round(sum(n_tokens)::DOUBLE / 256, 6) AS fill
+            FROM a GROUP BY 1, 2 ORDER BY shard, pack_no"""))
+
   private val tp12 = QueryDef(
     "tp12_dsir_selection",
     "keep docs at/above the 70th DSIR-weight percentile",
@@ -6690,6 +6798,6 @@ object PipelineQueries {
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, dc4, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
-      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
+      tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)
 }

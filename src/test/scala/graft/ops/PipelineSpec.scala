@@ -1313,6 +1313,41 @@ class PipelineSpec extends SparkSpec {
     assert(probeRows(store, e).nonEmpty)
   }
 
+  test("chunk-grain near-dup catches boilerplate repeats doc-grain misses (tp15 probe)") {
+    import spark.implicits._
+    // a 120-token boilerplate paragraph embedded in otherwise-distinct
+    // docs: the unit that actually repeats in training shards
+    val boiler = (0 until 120).map(i => s"bp$i").mkString(" ")
+    val corpus = ((0L, boiler) +:
+      (1L to 10L).map(i =>
+        (i, (0 until 200).map(k => s"d${i}w$k").mkString(" ")))).toDF("id", "text")
+    val batch = (1L to 5L).map { j =>
+      (10000L + j,
+        (0 until 48).map(k => s"n${j}p$k").mkString(" ") + " " + boiler +
+          " " + (0 until 100).map(k => s"n${j}s$k").mkString(" "))
+    }.toDF("id", "text")
+    def probe(c: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Long = {
+      val sigs = Dedup.lshSignatures(c, "id", "text", shingleLen = 3)
+      val index = Dedup.lshBandIndex(sigs, 32, 8, 1000)
+      Dedup.incrementalLshPairs(b, "id", "text", index, sigs,
+        shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.6)
+        .select("new_id").distinct().count()
+    }
+    // doc grain: the boiler is ~45% of each batch doc's shingles —
+    // below threshold, every leak missed
+    assert(probe(corpus, batch) == 0)
+    // chunk grain: the embedded paragraph aligns into whole windows
+    // and every batch doc's boiler chunk dups the corpus's — caught
+    def chunksOf(src: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunk(src, "id", "text", windowTokens = 64, stride = 48)
+        .select((col("id") * 10000 + col("chunk_no")).as("id"),
+          col("chunk_text").as("text"))
+    val dupChunks = probe(chunksOf(corpus), chunksOf(batch))
+    assert(dupChunks >= 5,
+      s"expected every batch doc's boiler chunk flagged, got $dupChunks")
+  }
+
   // ---- mutable stored PQ (ss20: build → re-encode → probe) ----
 
   private def pqProbeRows(store: ParquetTableStore,
