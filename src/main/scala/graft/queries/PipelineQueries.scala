@@ -3944,6 +3944,113 @@ object PipelineQueries {
       .orderBy("iter", "rank"),
     Some(bpeBatchedOracleSql(3, 2)))
 
+  /** The ts30 unigram-LM oracle, GENERATED per EM round and DP
+    * position (the bpe-oracle discipline): seed substring counts →
+    * v0 (deterministic prune), then per round: 1e-9-rounded log
+    * scores, a position-unrolled Viterbi DP (dp_k_p = best-scoring
+    * segmentation of each word's length-p prefix, candidates UNION'd
+    * over piece lengths, argmax by (score DESC, length ASC) — the
+    * engine's strict-> ascending-length loop), path piece counts,
+    * and the (cnt DESC, piece ASC) prune with the char floor. Every
+    * dp stage is MATERIALIZED — un-materialized CTEs inline per
+    * reference and the 4-way chain would blow up exponentially. */
+  private def unigramOracleSql(iters: Int, maxPieceLen: Int,
+      maxWordLen: Int, minSeedCount: Int, keepPieces: Int): String = {
+    val base = s"""WITH w0 AS (SELECT word, count(*)::BIGINT AS freq FROM (
+            SELECT unnest(CASE WHEN length(trim(lower(text))) = 0
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                          END) AS word
+            FROM documents) GROUP BY word),
+          wt AS MATERIALIZED (SELECT word, freq FROM w0
+                              WHERE length(word) <= $maxWordLen),
+          sub0 AS MATERIALIZED (SELECT word, freq, u.pos AS pos,
+              u.len AS len, u.piece AS piece
+            FROM (SELECT word, freq,
+                    unnest(flatten(list_transform(
+                      generate_series(1, length(word)), p ->
+                      list_transform(generate_series(1,
+                          least($maxPieceLen, length(word) - p + 1)), l ->
+                        {'pos': p, 'len': l,
+                         'piece': substr(word, p::INT, l::INT)})))) AS u
+                  FROM wt)),
+          seed AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt
+                                FROM sub0 GROUP BY piece),
+          chars AS MATERIALIZED (SELECT piece, cnt FROM seed
+                                 WHERE length(piece) = 1),
+          v0 AS MATERIALIZED (
+            SELECT piece, cnt FROM (
+              SELECT piece, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+              FROM seed WHERE length(piece) >= 2 AND cnt >= $minSeedCount)
+            WHERE rn <= $keepPieces
+            UNION ALL
+            SELECT piece, greatest(cnt, 1) FROM chars)"""
+    val rounds = (1 to iters).map { k =>
+      val dps = (1 to maxWordLen).map { p =>
+        val branches = (1 to math.min(maxPieceLen, p)).map { l =>
+          s"""SELECT d.word, d.freq, d.score + c.score AS score,
+                 list_append(d.path, c.piece) AS path, $l AS l
+               FROM dp${k}_${p - l} d
+               JOIN cand$k c ON c.word = d.word AND c.pos = ${p - l + 1}
+                 AND c.len = $l"""
+        }.mkString("\n               UNION ALL\n               ")
+        s""",
+          dp${k}_$p AS MATERIALIZED (SELECT word, freq, score, path FROM (
+              SELECT word, freq, score, path,
+                     row_number() OVER (PARTITION BY word
+                       ORDER BY score DESC, l) AS rn
+              FROM ($branches)) WHERE rn = 1)"""
+      }.mkString
+      val segUnion = (1 to maxWordLen).map(p =>
+        s"""SELECT d.freq, d.path FROM dp${k}_$p d
+             JOIN wt w ON w.word = d.word AND length(w.word) = $p""")
+        .mkString("\n              UNION ALL ")
+      s""",
+          tot$k AS (SELECT sum(cnt)::DOUBLE AS total FROM v${k - 1}),
+          sc$k AS MATERIALIZED (SELECT piece,
+              round(ln(cnt::DOUBLE / total), 9) AS score
+            FROM v${k - 1}, tot$k),
+          cand$k AS MATERIALIZED (SELECT s.word, s.freq, s.pos, s.len,
+              s.piece, c.score
+            FROM sub0 s JOIN sc$k c ON c.piece = s.piece),
+          dp${k}_0 AS (SELECT word, freq, 0.0::DOUBLE AS score,
+              []::VARCHAR[] AS path FROM wt)$dps,
+          em$k AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt
+            FROM (SELECT freq, unnest(path) AS piece FROM ($segUnion))
+            GROUP BY piece),
+          v$k AS MATERIALIZED (
+            SELECT piece, cnt FROM (
+              SELECT piece, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+              FROM em$k WHERE length(piece) >= 2) WHERE rn <= $keepPieces
+            UNION ALL
+            SELECT c.piece, greatest(coalesce(e.cnt, 0), 1) AS cnt
+            FROM chars c LEFT JOIN em$k e ON e.piece = c.piece)"""
+    }.mkString
+    s"$base$rounds\n          SELECT piece, cnt FROM v$iters ORDER BY piece"
+  }
+
+  /** TS30: UNIGRAM-LM (SentencePiece-style) tokenizer induction
+    * ([[graft.ops.UnigramLm.trainVocab]]) — the other production
+    * tokenizer family next to BPE (ts13): substring seed → Viterbi
+    * hard-EM → deterministic prune, iterated. The ts13 discipline
+    * holds (one corpus scan, iterations vocabulary-sized, staged
+    * leaves); scores are 1e-9-rounded log-probs (the dsir float
+    * rule) so the DP compares engine-portable doubles; the prune
+    * order (cnt DESC, piece ASC, chars exempt and floored) is the
+    * determinism contract UnigramLmSpec pins. The oracle unrolls
+    * BOTH EM rounds position by position. */
+  private val ts30 = QueryDef(
+    "ts30_unigram_lm_vocab",
+    "unigram-LM tokenizer induction: seed -> 2 Viterbi-EM rounds -> prune",
+    (s, dir) => graft.ops.UnigramLm.trainVocab(
+      Tables.documents(s, dir), "text", iters = 2, maxPieceLen = 4,
+      maxWordLen = 20, minSeedCount = 2, keepPieces = 120)
+      .orderBy("piece"),
+    Some(unigramOracleSql(iters = 2, maxPieceLen = 4, maxWordLen = 20,
+      minSeedCount = 2, keepPieces = 120)))
+
   /** SS13: IVF-PQ ([[SimilaritySearch.ivfPqTopK]]) — the production
     * vector index: the ss3/ss8 coarse-cell machinery generates
     * candidates (32 sample anchors, pinned cosine affinity,
@@ -6797,7 +6904,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, dc4, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unigram-LM tokenizer induction ([[UnigramLm]]): the determinism
+  * contracts the ts30 gate can't see from one corpus — prune ORDER at
+  * a count tie, char coverage after pruning, the apply path, and
+  * run-to-run reproducibility. */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prune order is (cnt DESC, piece ASC): the tie at the boundary is deterministic") {
+    // "ab" and "cd" tie at count 2; keepPieces = 1 puts the tie ON the
+    // boundary — the lexicographically smaller piece must survive
+    val docs = Seq("ab ab cd cd").toDF("text")
+    val v = UnigramLm.trainVocab(docs, "text", iters = 2,
+      maxPieceLen = 4, maxWordLen = 20, minSeedCount = 2, keepPieces = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v.contains("ab") && !v.contains("cd"))
+    // chars always survive (coverage), floored at 1 even when the EM
+    // path stopped using them ("a"/"b" ride inside the piece "ab")
+    assert(Seq("a", "b", "c", "d").forall(v.contains))
+    assert(v("a") == 1L && v("b") == 1L)
+    // ...and "cd" still segments: its chars carry real usage counts
+    assert(v("c") == 2L && v("d") == 2L)
+  }
+
+  test("EM keeps the pieces the model uses; coverage never breaks") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val v = UnigramLm.trainVocab(docs, "text", iters = 2,
+      keepPieces = 120)
+    val pieces = v.collect().map(r => (r.getString(0), r.getLong(1)))
+    // non-degenerate: multi-char pieces exist and carry real usage
+    assert(pieces.exists(p => p._1.length >= 2 && p._2 > 1))
+    // every training word still segments under the pruned vocab: its
+    // chars are all present
+    val chars = pieces.map(_._1).filter(_.length == 1).toSet
+    val missing = UnigramLm.trainingWords(docs, "text", 20)
+      .select("word").collect().map(_.getString(0))
+      .flatMap(_.toCharArray.map(_.toString)).distinct
+      .filterNot(chars)
+    assert(missing.isEmpty, s"uncovered chars: ${missing.mkString(",")}")
+    // reproducible: a second run returns the identical vocabulary
+    val again = UnigramLm.trainVocab(docs, "text", iters = 2,
+      keepPieces = 120)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pieces.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("tokenize: Viterbi path lengths, long words fall back to chars") {
+    val train = Seq("ab ab cd cd").toDF("text")
+    val v = UnigramLm.trainVocab(train, "text", iters = 1,
+      maxPieceLen = 4, maxWordLen = 20, minSeedCount = 2, keepPieces = 10)
+    val docs = Seq(
+      (1L, "ab ab cd"),
+      (2L, "abcdabcdabcdabcdabcdabcd ab") // 24-char word > maxWordLen
+    ).toDF("id", "text")
+    val out = UnigramLm.tokenize(docs, "id", "text", v,
+      maxPieceLen = 4, maxWordLen = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: ab(1) + ab(1) + cd(1, "cd" survived keepPieces=10) = 3
+    assert(out(1L) == ((3L, 3L)))
+    // doc 2: the long word char-counts (24), "ab" is one piece
+    assert(out(2L) == ((2L, 25L)))
+  }
+}
