@@ -769,18 +769,30 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       throw new IllegalStateException(s"table $table has no committed version"))
     val curDir = tableDir(table).resolve(dirNameOf(prev))
     // bucket -> parquet part-file count; a driver-side listing of
-    // ≤ numBuckets dirs (same scale contract as the touched-set)
-    val counts: Map[Int, Int] = listDir(curDir)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(s"$BucketCol="))
-      .map { p =>
-        val b = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-        val n = listDir(p).count(f =>
-          Files.isRegularFile(f) &&
-            !f.getFileName.toString.startsWith("_") &&
-            !f.getFileName.toString.startsWith("."))
-        b -> n
-      }.toMap
+    // ≤ numBuckets dirs (same scale contract as the touched-set).
+    // The listed dir can VANISH under us in exactly one legitimate
+    // window: a competitor's publish was gc-swept and its undo has
+    // not landed yet (_CURRENT transiently names a deleted dir) —
+    // surface that as the retryable conflict it is (the
+    // shareUntouchedBuckets discipline), never a raw I/O error.
+    val counts: Map[Int, Int] =
+      try listDir(curDir)
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$BucketCol="))
+        .map { p =>
+          val b = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+          val n = listDir(p).count(f =>
+            Files.isRegularFile(f) &&
+              !f.getFileName.toString.startsWith("_") &&
+              !f.getFileName.toString.startsWith("."))
+          b -> n
+        }.toMap
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new ConcurrentCommitException(
+            s"current version $curDir vanished during compaction — a " +
+              "competitor's swept publish is mid-undo; re-read and retry")
+      }
     val rewrite = counts.filter(_._2 > maxFilesPerBucket).keySet
     if (rewrite.isEmpty) Set.empty
     else {

@@ -426,6 +426,102 @@ class StoreCasSpec extends SparkSpec {
     assert(trs == Set(0L, 1L, 2L, 3L, 4L), s"lost a transcript merge: $trs")
   }
 
+  for (io <- Seq(("posix", PosixStoreIo), ("object", ObjectStoreIo)))
+    test(s"${io._1}: three-way interleaving — gc sweep + compaction land inside one upsert publish") {
+      // The round-12 undo-CAS was proven pairwise (gc-sweep vs one
+      // blind competitor); this drives all THREE writer families
+      // through one publish window, on both io profiles: the upserter
+      // WINS its CAS, gc sweeps its just-published staged dir (the
+      // pre-touch-mtime residue), and a REAL compaction attempts to
+      // run INSIDE the window — while _CURRENT transiently names the
+      // swept dir. Contract under that pile-up:
+      //  - the in-window compaction fails RETRYABLY (a
+      //    ConcurrentCommitException, never a raw NoSuchFileException
+      //    out of its dir listing),
+      //  - the upserter surfaces its own retryable "swept" conflict
+      //    and the undo restores the pre-race version (gc swept the
+      //    only successor, so the undo-CAS wins — no wedged pointer),
+      //  - retried, BOTH land: compaction rewrites the fragmented
+      //    buckets as a semantic no-op and the upsert merges over the
+      //    compacted base — no lost commit, no resurrected version.
+      val root = tmpDir(s"cas-threeway-${io._1}")
+      val plain = new ParquetTableStore(root, keepVersions = 100, io = io._2)
+      def deleteRec(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().forEachRemaining(deleteRec) finally s.close()
+        }
+        Files.deleteIfExists(p)
+        ()
+      }
+      var arm = false
+      var inWindow: Option[Throwable] = None
+      val threeWayIo: StoreIo = new StoreIo {
+        override def swapPointer(p: Path, c: String): Unit =
+          io._2.swapPointer(p, c)
+        override def shareFile(s: Path, d: Path): Unit =
+          io._2.shareFile(s, d)
+        override def deletePointerIfCurrent(p: Path, e: String): Unit =
+          io._2.deletePointerIfCurrent(p, e)
+        override def swapPointerIfCurrent(p: Path, c: String,
+            exp: Option[String]): Unit = {
+          io._2.swapPointerIfCurrent(p, c, exp) // the upserter WINS
+          if (arm) {
+            arm = false
+            deleteRec(p.getParent.resolve(c)) // gc sweeps the winner
+            // the maintenance pass races into the window: _CURRENT
+            // names the swept dir until the upserter's undo lands
+            inWindow = Some(intercept[Throwable] {
+              plain.compactBuckets(spark, "t", maxFilesPerBucket = 1)
+            })
+          }
+        }
+      }
+      // seed with fragmented buckets so compaction has real work:
+      // two upserts on the same keys leave >1 file in their buckets
+      plain.upsertBucketed(spark, "t",
+        Seq((0L, "seed"), (1L, "a")).toDF("id", "v"), Seq("id"),
+        numBuckets = 2)
+      plain.upsertBucketed(spark, "t",
+        Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+      val store = new ParquetTableStore(root, keepVersions = 100,
+        io = threeWayIo)
+      val vBefore = plain.currentVersion("t").get
+      arm = true
+      val e = intercept[ConcurrentCommitException] {
+        store.upsertBucketed(spark, "t",
+          Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+      }
+      assert(e.getMessage.contains("swept"), e.getMessage)
+      // the in-window compaction failed RETRYABLY, not with a raw
+      // I/O error out of the vanished dir listing
+      assert(inWindow.exists(_.isInstanceOf[ConcurrentCommitException]),
+        s"in-window compaction threw ${inWindow.map(_.getClass)}")
+      // the undo restored the pre-race version (gc swept the only
+      // successor): no wedged pointer, content intact
+      assert(plain.currentVersion("t").contains(vBefore))
+      assert(plain.read(spark, "t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+        Seq((0L, "seed"), (1L, "a2")))
+      // retried AFTER the undo, the compaction lands and is a
+      // semantic no-op over real fragmented-bucket work
+      val compacted = plain.withCommitRetries()(
+        plain.compactBuckets(spark, "t", maxFilesPerBucket = 1))
+      assert(compacted.nonEmpty)
+      assert(plain.read(spark, "t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+        Seq((0L, "seed"), (1L, "a2")))
+      // the retried upsert merges over the compacted base: no lost
+      // commit, and the store is fully healthy afterwards
+      store.withCommitRetries() {
+        store.upsertBucketed(spark, "t",
+          Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+      }
+      assert(plain.read(spark, "t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+        Seq((0L, "seed"), (1L, "a2"), (2L, "b")))
+    }
+
   test("concurrent committers with retries: every delta lands, dirs never shared") {
     val root = tmpDir("cas-stress")
     val store = new ParquetTableStore(root, keepVersions = 100)
