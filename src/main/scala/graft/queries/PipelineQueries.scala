@@ -2420,7 +2420,7 @@ object PipelineQueries {
         .filter(streamGateSlice(col("doc_id")) && col("doc_id") % 4 === 0)
         .select((col("doc_id") + 10000).as("id"),
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
-      val root = graft.ops.Scratch.tempDir("graft-st1-")
+      val root = graft.ops.Scratch.fastDir("graft-st1-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val store = new graft.ops.ParquetTableStore(s"$root/store")
@@ -2532,7 +2532,7 @@ object PipelineQueries {
         .filter(streamGateSlice(col("doc_id")) && col("doc_id") % 4 === 0)
         .select((col("doc_id") + 10000).as("id"),
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
-      val root = graft.ops.Scratch.tempDir("graft-st2-")
+      val root = graft.ops.Scratch.fastDir("graft-st2-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val store = new graft.ops.ParquetTableStore(s"$root/store")
@@ -2584,7 +2584,7 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
         .filter(streamGateSlice(col("doc_id")))
         .select(col("doc_id").as("id"), col("text"))
-      val root = graft.ops.Scratch.tempDir("graft-st3-")
+      val root = graft.ops.Scratch.fastDir("graft-st3-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val store = new graft.ops.ParquetTableStore(s"$root/store")
@@ -2662,7 +2662,7 @@ object PipelineQueries {
         s"st4 fixture must span > 4h for the late-drop pin " +
           s"(got ${tmax.getTime - tmin.getTime} ms)")
       val split = new java.sql.Timestamp((tmin.getTime + tmax.getTime) / 2)
-      val root = graft.ops.Scratch.tempDir("graft-st4-")
+      val root = graft.ops.Scratch.fastDir("graft-st4-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val outDir = s"$root/out"
@@ -2725,7 +2725,7 @@ object PipelineQueries {
           .select((col("id") + 10000).as("id"), col("text"))
           .withColumn("ts",
             timestamp_seconds(lit(base + 1800L) + col("id") % 100)))
-      val root = graft.ops.Scratch.tempDir("graft-st5-")
+      val root = graft.ops.Scratch.fastDir("graft-st5-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val outDir = s"$root/out"
@@ -2776,7 +2776,7 @@ object PipelineQueries {
       val slice = Tables.documents(s, dir)
         .filter(col("doc_id") % 50 === 0)
         .select(col("doc_id"), col("text")).collect()
-      val root = graft.ops.Scratch.tempDir("graft-st6-")
+      val root = graft.ops.Scratch.fastDir("graft-st6-")
       val inbox = s"$root/inbox"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
       val store = new graft.ops.ParquetTableStore(s"$root/store")
@@ -2838,7 +2838,7 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       val ids = Tables.documents(s, dir).select(col("doc_id"))
-      val root = graft.ops.Scratch.tempDir("graft-st7-")
+      val root = graft.ops.Scratch.fastDir("graft-st7-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val store = new graft.ops.ParquetTableStore(s"$root/store")
@@ -2906,7 +2906,7 @@ object PipelineQueries {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id").as("id"), col("text"))
-      val root = graft.ops.Scratch.tempDir("graft-st8-")
+      val root = graft.ops.Scratch.fastDir("graft-st8-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val store = new graft.ops.ParquetTableStore(s"$root/store")
@@ -5626,7 +5626,7 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
         .filter(streamGateSlice(col("doc_id")))
         .select(col("doc_id").as("id"), col("text"))
-      val root = graft.ops.Scratch.tempDir("graft-st9-")
+      val root = graft.ops.Scratch.fastDir("graft-st9-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val store = new graft.ops.ParquetTableStore(s"$root/store")
@@ -5662,7 +5662,7 @@ object PipelineQueries {
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding"))
-      val root = graft.ops.Scratch.tempDir("graft-st10-")
+      val root = graft.ops.Scratch.fastDir("graft-st10-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val store = new graft.ops.ParquetTableStore(s"$root/store")
@@ -5742,7 +5742,7 @@ object PipelineQueries {
       // the battery for an already-pinned claim
       val edges = PageRank.coOrderEdges(Tables.lineitem(s, dir))
         .filter(col("src") % 2 === 0 && col("dst") % 2 === 0)
-      val root = graft.ops.Scratch.tempDir("graft-st11-")
+      val root = graft.ops.Scratch.fastDir("graft-st11-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val store = new graft.ops.ParquetTableStore(s"$root/store")
@@ -5822,7 +5822,7 @@ object PipelineQueries {
     "st12_stream_decontamination",
     "streamed per-batch contamination screening ≡ one-shot dc1 pairs",
     (s, dir) => {
-      val root = graft.ops.Scratch.tempDir("graft-st12-")
+      val root = graft.ops.Scratch.fastDir("graft-st12-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val store = new graft.ops.ParquetTableStore(s"$root/store")
@@ -5880,7 +5880,7 @@ object PipelineQueries {
     "st13_stream_corpus_curation",
     "streamed quality→dedup→decontam curation ≡ one-shot composition",
     (s, dir) => {
-      val root = graft.ops.Scratch.tempDir("graft-st13-")
+      val root = graft.ops.Scratch.fastDir("graft-st13-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
       val store = new graft.ops.ParquetTableStore(s"$root/store")

@@ -165,6 +165,45 @@ object ScaleProbe {
           Dedup.ngramJaccardPairsAuto(docs(m), "id", "text",
             threshold = 0.7, bucketCap = 1000))
       }
+      // ADVERSARIAL SKEW (round-13): one boilerplate string planted at
+      // 10% corpus frequency — every copy signs identically, so ONE
+      // bucket per band holds 10% of the corpus. The designed
+      // mitigation is the deterministic per-bucket cap (a hot bucket
+      // is bounded at cap rows → ≤ cap²/2 candidate pairs REGARDLESS
+      // of m); the uncapped row is the measured hazard it prevents
+      // (pair mass ~(n/10)²·bands — quadratic in the hot mass).
+      // Skew.saltedJoin does NOT apply here and the probe documents
+      // why: salting splits one key's ROWS across partitions (fixing
+      // a straggler task), but the kill term in a skewed LSH mine is
+      // the O(hot²) candidate-pair MASS, which no row placement
+      // reduces — only the cap (with blockSaturation as the audit
+      // trail) bounds it. The per-block row_number that applies the
+      // cap does stream the hot bucket through one task, but that
+      // cost is LINEAR in the hot mass (measured: the capped rows
+      // stay flat while uncapped grows superlinearly).
+      def skewDocs(mm: Int): DataFrame = docs(mm).select(col("id"),
+        when(col("id") % 10 === 0,
+          lit((1 to 40).map(i => s"boiler$i").mkString(" ")))
+          .otherwise(col("text")).as("text"))
+      probe(s"skew_d2_cap1000_x$m", Dedup.minhashLshPairs(skewDocs(m),
+        "id", "text", shingleLen = 3, numHashes = 32, bands = 8,
+        threshold = 0.6, bucketCap = 1000))
+      probe(s"skew_d2_uncapped_x$m", Dedup.minhashLshPairs(skewDocs(m),
+        "id", "text", shingleLen = 3, numHashes = 32, bands = 8,
+        threshold = 0.6, bucketCap = Int.MaxValue))
+      if (selected(s"skew_d2_bandsat_x$m")) {
+        val sigs = Dedup.lshSignatures(skewDocs(m), "id", "text", 3)
+        val r = Dedup.blockSaturation(
+          Dedup.lshBandMembership(sigs, 32, 8),
+          Seq("band", "band_hash"), cap = 1000).head
+        println(f"PROBE skew_d2_bandsat_x$m%-22s blocks=${r.getLong(0)}%9d at_cap=${r.getLong(1)}%5d max_pop=${r.getLong(2)}%8d")
+      }
+      // the closure over the capped skewed pairs: the hot cluster is
+      // cap-bounded, so d9 stays pair-graph-sized
+      probe(s"skew_d9_clusters_x$m", ConnectedComponents.duplicateClusters(
+        Dedup.minhashLshPairs(skewDocs(m), "id", "text", shingleLen = 3,
+          numHashes = 32, bands = 8, threshold = 0.6, bucketCap = 1000)
+          .select("id_a", "id_b")))
       // fixed knobs: cell population grows linearly with m (the trap)
       probe(s"d5_ivf_x${m}_cells64", Dedup.embeddingNearDupPairsIvf(vecs(m),
         "id", "embedding", numCentroids = 64, probes = 2, threshold = 0.9,
