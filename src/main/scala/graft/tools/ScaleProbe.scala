@@ -968,6 +968,42 @@ object ScaleProbe {
           "id", "embedding", store, k = 5, probes = 8, cellCap = 1000))
       }
     }
+    // ss20: mutable stored PQ — re-encode a FIXED 500-vector delta
+    // against the m× codes table (delta encode + ONE codes scan for
+    // the generations) and probe through the tombstone filter; the
+    // rebuild alternative is the build row, which re-encodes the
+    // whole corpus and grows with m. The probe row grows with m BY
+    // DESIGN (ADC is the linear scan stage, at m bytes/vector).
+    if (selected("ss20")) {
+      for (m <- Seq(1, mult)) {
+        val root = graft.ops.Scratch.tempDir(s"probe-ss20-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        val t0 = System.nanoTime()
+        graft.ops.SimilaritySearch.pqBuildIndexStored(vecs(m), "id",
+          "embedding", store, m = 8, ks = 16, dim = 64)
+        println(f"PROBE ss20_build_x$m%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=  (build)        shuffleMB=      n/a")
+        val changed = vecs(1).filter(col("id") < 500)
+          .select(col("id"), reverse(col("embedding")).as("embedding"))
+        val t1 = System.nanoTime()
+        graft.ops.SimilaritySearch.pqReindexVectors(changed, "id",
+          "embedding", store)
+        println(f"PROBE ss20_reindex_x$m%-24s ${(System.nanoTime() - t1) / 1e9}%8.2f s  rows=  (fixed delta)  shuffleMB=      n/a")
+        val queries = vecs(1).filter(col("id") < 10).select(col("id"),
+          when(col("id") % 7 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+        probe(s"ss20_probe_x$m", graft.ops.SimilaritySearch.pqTopKStored(
+          queries, "id", "embedding", store, k = 5))
+      }
+    }
+    // ts30: unigram-LM induction — the corpus term is ONE wordFreq
+    // scan; EM rounds are vocabulary-sized (candidate join + per-word
+    // DP + combinable rollup), so wall should track the VOCAB growth
+    // curve (distinct words grow sublinearly under m× id-offset
+    // replication: every copy repeats the same words)
+    if (selected("ts30"))
+      for (m <- Seq(1, mult))
+        probe(s"ts30_unigram_x$m", graft.ops.UnigramLm.trainVocab(
+          docs(m), "text", iters = 2, keepPieces = 120))
     // ts28: tombstone reindex of a FIXED 500-doc slice against the m×
     // index — one postings scan + delta work, vs the full rebuild row
     // (ts25_build_xm) that re-tokenizes the whole corpus
