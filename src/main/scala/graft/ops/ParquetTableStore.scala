@@ -314,66 +314,145 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     readDir(spark, table, staged)
   }
 
-  /** ZONE-MAPPED snapshot publish: [[commit]] plus a per-file min/max
-    * sidecar over `statsCols`, written INSIDE the staged version dir
-    * (`_zonemap/` — underscore-prefixed, so ordinary parquet readers
-    * ignore it) before the pointer swap: the map is version-atomic by
+  /** ZONE MAPS — a per-file min/max sidecar over DECLARED columns,
+    * written INSIDE each staged version dir (`_zonemap/` —
+    * underscore-prefixed, so ordinary parquet readers ignore it)
+    * before the pointer swap: the map is version-atomic by
     * construction — a version either carries its complete zone map or
     * is never published, and pruning/retention/gc treat the pair as
     * one unit.
     *
-    * This is the read-side half of the [[Layout]] story: `zorderWrite`
-    * lays files so min/max RANGES are narrow per file, and this
-    * sidecar is what lets [[readZonePruned]] cut the file list before
-    * the scan — at 100 TB, the difference between touching ~1% and
-    * 100% of a published artifact for a selective range predicate.
-    * (Parquet footers carry row-group stats too, but the engine still
-    * has to OPEN every footer to use them — the sidecar is one small
-    * frame read up front, the Delta/Iceberg file-stats design.)
+    * This is the read-side half of the [[Layout]] story for snapshot
+    * artifacts (`zorderWrite` lays files so per-file ranges are
+    * narrow; the sidecar makes them actionable), AND the non-key
+    * pruning story for BUCKETED ingest tables: [[readBucketsOf]]
+    * prunes by key hash, but a range predicate on any other column
+    * scanned every bucket — with a declared zone map, log-structured
+    * appends (time-correlated by nature) leave each append's files
+    * carrying narrow ranges, and [[readZonePruned]] cuts the file
+    * list before the scan. (Parquet footers carry row-group stats
+    * too, but the engine still has to OPEN every footer to use them —
+    * the sidecar is one small frame read up front, the Delta/Iceberg
+    * file-stats design.)
     *
-    * Scale shape: the stats pass is one extra columnar read of the
-    * staged files (statsCols only — column pruning applies), one
-    * file-count-sized aggregate. Snapshot tables only — the bucketed
-    * ingest tables keep their key-bucket pruning ([[readBucketsOf]]);
-    * analytic range scans read the z-published artifact (the u10/u11
-    * maintenance pattern). */
+    * Declaration: [[declareZoneColumns]] stamps `_ZONECOLS` (first
+    * writer wins, the `_BUCKETS` discipline). Every write path then
+    * maintains the sidecar O(delta): new/rewritten files are scanned
+    * (statsCols only — column pruning applies), hard-linked files
+    * CARRY their rows forward from the previous version's map
+    * (byte-identical by construction). A declared table whose
+    * previous version predates the declaration backfills with one
+    * full stats scan on its next write. */
+  def declareZoneColumns(table: String, cols: Seq[String]): Seq[String] = {
+    require(cols.nonEmpty, "declareZoneColumns needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate zone-map column in $cols")
+    Files.createDirectories(tableDir(table))
+    try Files.write(zoneColsFile(table),
+      cols.mkString(",").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    zoneColumns(table).get
+  }
+
+  /** The declared zone-map columns (absent → no map is maintained). */
+  def zoneColumns(table: String): Option[Seq[String]] =
+    if (!Files.exists(zoneColsFile(table))) None
+    else Some(new String(Files.readAllBytes(zoneColsFile(table)),
+      StandardCharsets.UTF_8).trim.split(',').toSeq)
+
+  private def zoneColsFile(table: String): Path =
+    tableDir(table).resolve("_ZONECOLS")
+
+  /** Declare + snapshot-commit in one call — the publish shape
+    * [[Layout.zorderPublish]] uses (the artifact is created and
+    * mapped in the same breath). */
   def commitZoneMapped(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String]): DataFrame = {
-    require(statsCols.nonEmpty,
-      "commitZoneMapped needs at least one stats column")
-    require(statsCols.distinct.size == statsCols.size,
-      s"duplicate zone-map column in $statsCols")
     requireSnapshot(table, "commitZoneMapped")
-    val expected = currentPointer(table)
-    val staged = stagedDirName(
-      expected.map(p => versionOf(dirNameOf(p))).getOrElse(-1L) + 1)
-    val dir = tableDir(table).resolve(tmpName(staged))
-    df.write.mode("errorifexists").parquet(dir.toString)
-    writeZoneMap(spark, dir, statsCols)
-    finalizeStaged(table, staged)
-    publish(table, staged, expected)
-    readDir(spark, table, staged)
+    val bound = declareZoneColumns(table, statsCols)
+    require(bound == statsCols,
+      s"table $table zone columns already declared as $bound")
+    commitExpecting(spark, table, df, currentPointer(table))
   }
 
   private val ZoneMapDir = "_zonemap"
 
-  /** The sidecar keys files by BASENAME (the staged dir is renamed at
-    * finalize and versions differ only by directory, so names are the
-    * stable identity). Files whose stats column is all-NULL carry null
+  /** Version-relative file identity: `__kb=N/part-…` for bucketed
+    * layouts, the basename for snapshots — stable across the staged
+    * dir's finalize rename and across hard-linking into later
+    * versions. */
+  private def relFileExpr: org.apache.spark.sql.Column =
+    regexp_extract(input_file_name(),
+      s"((?:$BucketCol=[^/]+/)?[^/]+)$$", 1)
+
+  /** Per-file min/max stats over (a partition-filtered view of) a
+    * staged dir. Files whose stats column is all-NULL carry null
     * min/max — excluded by every range predicate, which is exactly
     * right: NULL never satisfies a range. */
-  private def writeZoneMap(spark: SparkSession, stagedDir: Path,
-      statsCols: Seq[String]): Unit = {
-    val data = spark.read.parquet(stagedDir.toString)
+  private def zoneStats(spark: SparkSession, dir: Path,
+      statsCols: Seq[String], onlyBuckets: Option[Set[Int]]): DataFrame = {
+    val raw = spark.read.parquet(dir.toString)
+    val data = onlyBuckets match {
+      case Some(bs) if raw.columns.contains(BucketCol) =>
+        raw.filter(col(BucketCol).isin(bs.toSeq: _*))
+      case _ => raw
+    }
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    data
-      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("errorifexists")
-      .parquet(stagedDir.resolve(ZoneMapDir).toString)
+    data.groupBy(relFileExpr.as("file")).agg(aggs.head, aggs.tail: _*)
   }
+
+  private def writeZoneMapFrame(stagedTmpDir: Path, zm: DataFrame): Unit =
+    zm.coalesce(1).write.mode("errorifexists")
+      .parquet(stagedTmpDir.resolve(ZoneMapDir).toString)
+
+  /** The previous version's zone map, if it exists AND covers every
+    * declared column (a map from before a re-declaration can't be
+    * carried). */
+  private def prevZoneMap(spark: SparkSession, table: String,
+      prev: Option[String], cols: Seq[String]): Option[DataFrame] =
+    prev.flatMap { p =>
+      val zm = tableDir(table).resolve(dirNameOf(p)).resolve(ZoneMapDir)
+      if (!Files.exists(zm)) None
+      else {
+        val df = spark.read.parquet(zm.toString)
+        if (cols.forall(c => df.columns.contains(s"min_$c"))) Some(df)
+        else None
+      }
+    }
+
+  /** Maintain the sidecar for a staged BUCKETED version: stats for
+    * the rewritten buckets' files (a partition-pruned scan of the
+    * staged dir — by the write protocols, a touched bucket dir holds
+    * ONLY fresh files at this point) plus carried rows for every
+    * untouched bucket. `touched = None` means full recompute (create/
+    * replace/backfill). Call AFTER [[shareUntouchedBuckets]] and
+    * BEFORE [[finalizeStaged]]. */
+  private def maintainZoneMapBucketed(spark: SparkSession, table: String,
+      nextDir: Path, prev: Option[String],
+      touched: Option[Set[Int]]): Unit =
+    zoneColumns(table).foreach { cols =>
+      val carried = touched.flatMap(ts =>
+        prevZoneMap(spark, table, prev, cols).map { pm =>
+          // only bucket-dir files hard-link forward (the sharing walk
+          // links kb= DIRS): a root-level file from an empty version
+          // never carries, and rewritten buckets' rows are replaced
+          val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
+          pm.filter(kb =!= "" && !kb.cast("int").isin(ts.toSeq: _*))
+        })
+      carried match {
+        case Some(c) =>
+          // schema evolution: a column declared after old files were
+          // written has null stats there (those files hold NULL for
+          // it — correctly excluded by any range predicate)
+          writeZoneMapFrame(nextDir,
+            zoneStats(spark, nextDir, cols, touched)
+              .unionByName(c, allowMissingColumns = true))
+        case None =>
+          writeZoneMapFrame(nextDir, zoneStats(spark, nextDir, cols, None))
+      }
+    }
 
   /** The live version dir plus its zone-map-surviving file paths for
     * `lo <= column <= hi`. Refuses loudly (never a silent full scan)
@@ -399,9 +478,16 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val kept = zm
       .filter(!(col(s"max_$column") < lit(lo) || col(s"min_$column") > lit(hi)))
       .select("file").collect().map(_.getString(0)).toSeq.sorted
-    val total = listDir(vdir).count(f => Files.isRegularFile(f) &&
+    def isData(f: Path) = Files.isRegularFile(f) &&
       !f.getFileName.toString.startsWith("_") &&
-      !f.getFileName.toString.startsWith("."))
+      !f.getFileName.toString.startsWith(".")
+    // total data files: top level (snapshot layout) plus every
+    // kb= bucket dir (bucketed layout)
+    val entries = listDir(vdir)
+    val total = entries.count(isData) + entries
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$BucketCol="))
+      .map(d => listDir(d).count(isData)).sum
     (vdir, kept.map(vdir.resolve), total)
   }
 
@@ -511,6 +597,11 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       merged.write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
       shareUntouchedBuckets(curDir, nextDir, touched)
+      // O(delta) map maintenance: the touched buckets' fresh files
+      // re-scan (a partition-pruned read — untouched dirs hold only
+      // links, touched dirs only fresh files), everything else
+      // carries from the previous version's map
+      maintainZoneMapBucketed(spark, table, nextDir, prev, Some(touched))
       finalizeStaged(table, staged)
       publish(table, staged, prev)
       readDir(spark, table, staged)
@@ -568,6 +659,8 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       deleteRecursively(dir)
       df.write.mode("errorifexists").parquet(dir.toString)
     }
+    // full (re)write: the zone map recomputes whole when declared
+    maintainZoneMapBucketed(spark, table, dir, None, None)
     finalizeStaged(table, staged)
     staged
   }
@@ -637,10 +730,28 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       val nextDir = tableDir(table).resolve(tmpName(staged))
       layoutBuckets(aligned, n, keys, sortWithin).write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
+      // zone map, append shape: nothing is rewritten, so EVERY
+      // previous row carries and only the fresh delta files scan —
+      // written BEFORE the links land (post-link, old and new files
+      // share the touched dirs and the delta scan could no longer be
+      // isolated). A declared table with no previous map (declaration
+      // landed after the last write) backfills full, post-links.
+      val zcols = zoneColumns(table)
+      val carriedPm = zcols.flatMap(cols =>
+        prevZoneMap(spark, table, prev, cols))
+      for (cols <- zcols; pm <- carriedPm) {
+        val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
+        writeZoneMapFrame(nextDir,
+          zoneStats(spark, nextDir, cols, None)
+            .unionByName(pm.filter(kb =!= ""),
+              allowMissingColumns = true))
+      }
       // touched = none: every existing file links across (append-only
       // — fresh part names are job-UUID-unique, so a bucket dir holds
       // old links and new files side by side)
       shareUntouchedBuckets(curDir, nextDir, Set.empty)
+      for (cols <- zcols if carriedPm.isEmpty)
+        writeZoneMapFrame(nextDir, zoneStats(spark, nextDir, cols, None))
       finalizeStaged(table, staged)
       publish(table, staged, prev)
       readDir(spark, table, staged)
@@ -804,6 +915,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       fragmented.write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
       shareUntouchedBuckets(curDir, nextDir, rewrite)
+      // compaction rewrites whole buckets: same zone-map shape as the
+      // merge path (rewritten buckets re-scan, the rest carries)
+      maintainZoneMapBucketed(spark, table, nextDir, Some(prev),
+        Some(rewrite))
       finalizeStaged(table, staged)
       publish(table, staged, Some(prev))
       rewrite
@@ -856,6 +971,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val dir = tableDir(table).resolve(tmpName(staged))
     val w = df.write.mode("errorifexists")
     (if (partitioned) w.partitionBy(BucketCol) else w).parquet(dir.toString)
+    // snapshot commits rewrite everything — the zone map (when
+    // declared) recomputes whole, version-atomically with the data
+    zoneColumns(table).foreach(cols =>
+      writeZoneMapFrame(dir, zoneStats(spark, dir, cols, None)))
     finalizeStaged(table, staged)
     staged
   }

@@ -361,6 +361,61 @@ object OpsQueries {
             FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** U13: ZONE-MAP PRUNING ON A BUCKETED INGEST TABLE — the non-key
+    * pruning u12's published artifact can't give the LIVE table:
+    * [[graft.ops.ParquetTableStore.declareZoneColumns]] stamps the
+    * stats columns, and every write maintains the per-file sidecar
+    * O(delta) (fresh files scan, hard-linked files carry their rows).
+    * The gate drives the full write surface — three log-structured
+    * appends in key ranges (the time-correlated shape), an upsert
+    * that REWRITES some buckets' values (stale carried stats would
+    * lose the moved rows), and a compaction — then range-reads
+    * through the map. The oracle is the plain fold + filter; the
+    * measured file cut and sidecar ≡ recompute equality are
+    * spec-pinned (ZoneMapSpec). */
+  private val u13 = QueryDef(
+    "u13_bucketed_zonemap_read",
+    "bucketed appends+upsert+compact under a zone map: pruned read ≡ filter",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      // c2 = 2*(mx/3), NOT (2*mx)/3 — the two differ when 3 ∤ mx and
+      // the oracle computes the former
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      val root = graft.ops.Scratch.tempDir("graft-u13-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.declareZoneColumns("ev", Seq("event_id"))
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") <= c1),
+        Seq("event_id"), numBuckets = 8)
+      store.appendBucketed(s, "ev",
+        ev.filter(col("event_id") > c1 && col("event_id") <= c2),
+        Seq("event_id"))
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") > c2),
+        Seq("event_id"))
+      store.upsertBucketed(s, "ev",
+        ev.filter(col("event_id") > c1 && col("event_id") <= c2 &&
+          col("event_id") % 100 === 0)
+          .select(col("event_id"), col("user_id"),
+            lit("UPD").as("event_type")),
+        Seq("event_id"))
+      store.compactBuckets(s, "ev", maxFilesPerBucket = 2)
+      store.readZonePruned(s, "ev", "event_id", c1 / 2, c1 + c1 / 2)
+        .orderBy("event_id")
+    },
+    Some("""WITH mx AS (SELECT max(event_id) AS m FROM events),
+            upd AS (SELECT event_id FROM events, mx
+                    WHERE event_id > m // 3 AND event_id <= 2 * (m // 3)
+                      AND event_id % 100 = 0)
+            SELECT e.event_id, e.user_id,
+                   CASE WHEN u.event_id IS NOT NULL THEN 'UPD'
+                        ELSE e.event_type END AS event_type
+            FROM events e CROSS JOIN mx LEFT JOIN upd u
+              ON u.event_id = e.event_id
+            WHERE e.event_id >= (m // 3) // 2
+              AND e.event_id <= m // 3 + (m // 3) // 2
+            ORDER BY e.event_id"""))
+
   def defs: Seq[QueryDef] =
-    Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12)
+    Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13)
 }

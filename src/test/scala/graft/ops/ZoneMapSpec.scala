@@ -1,0 +1,128 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Zone maps on BUCKETED tables ([[ParquetTableStore.declareZoneColumns]]
+  * + the per-write maintenance): the sidecar must stay EXACTLY equal to
+  * a from-scratch recompute over the live version's files through any
+  * chain of appends, upserts, and compactions — carried rows for
+  * hard-linked files, fresh stats for rewritten ones — and the pruned
+  * read must cut files while never losing rows. */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The live version dir (reading _CURRENT like the store does). */
+  private def versionDir(root: String, table: String): String = {
+    val p = new String(Files.readAllBytes(
+      Paths.get(root, table, "_CURRENT"))).trim
+    val dir = if (p.startsWith("v=")) p else s"v=$p"
+    Paths.get(root, table, dir).toString
+  }
+
+  /** Ground truth: per-file min/max recomputed from the files
+    * actually in the live version. */
+  private def recompute(vdir: String,
+      c: String): Map[String, (Long, Long)] =
+    spark.read.parquet(vdir)
+      .groupBy(regexp_extract(input_file_name(),
+        "((?:__kb=[^/]+/)?[^/]+)$", 1).as("file"))
+      .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+
+  private def storedMap(vdir: String,
+      c: String): Map[String, (Long, Long)] =
+    spark.read.parquet(s"$vdir/_zonemap")
+      .select(col("file"), col(s"min_$c"), col(s"max_$c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+
+  test("append/upsert/compact chain: sidecar ≡ recompute, pruned read cuts files, rows never lost") {
+    val root = tmpDir("zm-bucketed")
+    val store = new ParquetTableStore(root, keepVersions = 100)
+    store.declareZoneColumns("ev", Seq("v"))
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i * 10)).toDF("id", "v")
+
+    // three log-structured appends with disjoint, ordered value
+    // ranges — the time-correlated shape zone maps exist for
+    store.appendBucketed(spark, "ev", batch(0, 100), Seq("id"),
+      numBuckets = 4)
+    store.appendBucketed(spark, "ev", batch(100, 200), Seq("id"))
+    store.appendBucketed(spark, "ev", batch(200, 300), Seq("id"))
+    var vdir = versionDir(root, "ev")
+    assert(storedMap(vdir, "v") == recompute(vdir, "v"))
+    // a range inside batch 1's values touches only its files
+    val (kept1, total1) = store.zoneMapFileCounts(spark, "ev", "v",
+      100L, 500L)
+    assert(kept1 < total1 && total1 >= 12, s"kept $kept1 of $total1")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows(store.readZonePruned(spark, "ev", "v", 100L, 500L)) ==
+      rows(store.read(spark, "ev").filter(col("v").between(100L, 500L))))
+
+    // an UPSERT rewrites the touched buckets: their rows must
+    // recompute (v changes!) while untouched buckets carry
+    store.upsertBucketed(spark, "ev",
+      (0L until 50L).map(i => (i, 100000L + i)).toDF("id", "v"),
+      Seq("id"))
+    vdir = versionDir(root, "ev")
+    assert(storedMap(vdir, "v") == recompute(vdir, "v"))
+    // the moved rows are FOUND at their new values (stale carried
+    // stats would lose them — the failure this equality prevents)
+    assert(store.readZonePruned(spark, "ev", "v", 100000L, 100049L)
+      .count() == 50)
+
+    // compaction rewrites fragmented buckets down to one file; the
+    // map follows and content is untouched
+    val rewritten = store.compactBuckets(spark, "ev",
+      maxFilesPerBucket = 1)
+    assert(rewritten.nonEmpty)
+    vdir = versionDir(root, "ev")
+    assert(storedMap(vdir, "v") == recompute(vdir, "v"))
+    assert(rows(store.readZonePruned(spark, "ev", "v", 100L, 500L)) ==
+      rows(store.read(spark, "ev").filter(col("v").between(100L, 500L))))
+  }
+
+  test("backfill: declaring on an existing table builds the full map on the next write") {
+    val root = tmpDir("zm-backfill")
+    val store = new ParquetTableStore(root, keepVersions = 100)
+    store.appendBucketed(spark, "ev",
+      (0L until 100L).map(i => (i, i)).toDF("id", "v"), Seq("id"),
+      numBuckets = 4)
+    // no declaration yet → no map → the pruned read refuses loudly
+    val ex = intercept[IllegalStateException] {
+      store.readZonePruned(spark, "ev", "v", 0L, 10L)
+    }
+    assert(ex.getMessage.contains("zone map"), ex.getMessage)
+    store.declareZoneColumns("ev", Seq("v"))
+    // next write backfills the WHOLE map (old files included)
+    store.appendBucketed(spark, "ev",
+      (100L until 120L).map(i => (i, i)).toDF("id", "v"), Seq("id"))
+    val vdir = versionDir(root, "ev")
+    assert(storedMap(vdir, "v") == recompute(vdir, "v"))
+    assert(store.readZonePruned(spark, "ev", "v", 0L, 119L).count() == 120)
+    // first writer wins the declaration (the _BUCKETS rule)
+    assert(store.declareZoneColumns("ev", Seq("other")) == Seq("v"))
+  }
+
+  test("snapshot commits on a declared table maintain the map too") {
+    val root = tmpDir("zm-snapshot")
+    val store = new ParquetTableStore(root, keepVersions = 100)
+    store.declareZoneColumns("t", Seq("v"))
+    store.commit(spark, "t",
+      (0L until 100L).map(i => (i, i)).toDF("id", "v"))
+    val (k, t) = store.zoneMapFileCounts(spark, "t", "v", 0L, 10L)
+    assert(k <= t && t >= 1)
+    assert(store.readZonePruned(spark, "t", "v", 0L, 10L).count() == 11)
+    // a plain re-commit keeps the map current
+    store.commit(spark, "t",
+      (0L until 100L).map(i => (i, i + 1000)).toDF("id", "v"))
+    assert(store.readZonePruned(spark, "t", "v", 0L, 10L).count() == 0)
+    assert(store.readZonePruned(spark, "t", "v", 1000L, 1010L).count() == 11)
+  }
+}
