@@ -617,6 +617,23 @@ object SimilaritySearch {
       tombstoneTable: String = "ivf_tombstones",
       metaTable: String = "ivf_meta"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    val cand = ivfStoredCandidates(queries, idCol, vecCol, store, probes,
+      cellCap, excludeSelfPairs, codebookTable, membersTable,
+      tombstoneTable, metaTable)
+    rankTopK(cosineScored(cand, queries, candidates, idCol, vecCol),
+      "cos", k)
+  }
+
+  /** The candidate-generation half of [[ivfTopKStored]] — pinned-
+    * codebook query assignment, touched-cell bucket reads, tombstone
+    * filter, live per-cell cap — returning (query_id, neighbor_id)
+    * pairs for ANY scoring tail (exact cosine, or [[ivfPqTopKStored]]'s
+    * stored-code ADC). All three version pins resolve-then-verify. */
+  private def ivfStoredCandidates(queries: DataFrame, idCol: String,
+      vecCol: String, store: ParquetTableStore, probes: Int,
+      cellCap: Int, excludeSelfPairs: Boolean,
+      codebookTable: String, membersTable: String,
+      tombstoneTable: String, metaTable: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val metaDf = store.read(spark, metaTable)
@@ -677,11 +694,9 @@ object SimilaritySearch {
     val capped = capPerKey(
       live.select(col("centroid_id"), col("neighbor_id")),
       Seq("centroid_id"), cellCap)
-    val cand = queryAssign.join(capped, Seq("centroid_id"))
+    queryAssign.join(capped, Seq("centroid_id"))
       .transform(dropSelfPairs(_, excludeSelfPairs))
       .select("query_id", "neighbor_id").distinct()
-    rankTopK(cosineScored(cand, queries, candidates, idCol, vecCol),
-      "cos", k)
   }
 
   /** AUTO PQ geometry from corpus stats — the band-miner/IVF
@@ -1172,6 +1187,28 @@ object SimilaritySearch {
       metaTable: String = "pq_meta"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val spark = queries.sparkSession
+    val (live, cbStored, meta) = pqStoredLive(spark, store,
+      codebookTable, codesTable, tombstoneTable, metaTable)
+    val qt = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        graft.plans.PqKernels.pqAdcTable(col(vecCol), cbStored).as("__tbl"))
+    val scored = live
+      .crossJoin(broadcast(qt))
+      .transform(dropSelfPairs(_, excludeSelfPairs))
+      .select(col("query_id"), col("neighbor_id"),
+        adcDist(meta.m, meta.ks).as("dist"))
+    rankTopK(scored, "dist", k, asc = true)
+  }
+
+  /** The meta-checked, tombstone-filtered LIVE stored codes
+    * ((neighbor_id, codes) — dead generations dropped) plus the
+    * pinned driver codebook and geometry — the shared read half of
+    * [[pqTopKStored]] and [[ivfPqTopKStored]]. Resolve-then-verify on
+    * all three version pins. */
+  private def pqStoredLive(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore, codebookTable: String, codesTable: String,
+      tombstoneTable: String, metaTable: String)
+      : (DataFrame, Array[Array[Array[Double]]], PqMeta) = {
     val meta = pqMetaOf(spark, store, metaTable, "pqTopKStored")
     // resolve-then-verify each table against its pin (the
     // readBucketsOf discipline): refuse a mid-mutation state
@@ -1204,12 +1241,48 @@ object SimilaritySearch {
         .filter(col("dead_below").isNull ||
           coalesce(col("gen"), lit(0L)) >= col("dead_below"))
     }
+    (live.select(col("neighbor_id"), col("codes")), cbStored, meta)
+  }
+
+  /** THE DEPLOYMENT PROBE, stored and mutable end to end: the stored
+    * IVF index generates candidates ([[ivfStoredCandidates]] —
+    * pinned-codebook assignment, touched-cell bucket reads, live
+    * per-cell cap) and the stored PQ codes rank them by ADC — no raw
+    * corpus vector is read ANYWHERE. This is [[ivfPqTopK]]'s stored
+    * twin and the shape a 100 TB vector service actually runs: both
+    * index families mutate independently under the same log-
+    * structured discipline (fold the same delta through
+    * [[ivfReindexVectors]] AND [[pqReindexVectors]]); each probe leg
+    * verifies its own version pins, so a torn state in EITHER family
+    * refuses retryably. The candidate re-attach carries m CODE BYTES
+    * per candidate through a pinned SHUFFLE_HASH join — never floats,
+    * never a corpus broadcast. Bit-identical to a from-scratch
+    * [[ivfPqTopK]] over the mutated corpus under both pinned
+    * codebooks (gate ss21). */
+  def ivfPqTopKStored(queries: DataFrame, idCol: String, vecCol: String,
+      store: ParquetTableStore, k: Int, probes: Int = 4,
+      cellCap: Int = 10000, excludeSelfPairs: Boolean = true,
+      ivfCodebookTable: String = "ivf_codebook",
+      ivfMembersTable: String = "ivf_members",
+      ivfTombstoneTable: String = "ivf_tombstones",
+      ivfMetaTable: String = "ivf_meta",
+      pqCodebookTable: String = "pq_codebook",
+      pqCodesTable: String = "pq_codes",
+      pqTombstoneTable: String = "pq_tombstones",
+      pqMetaTable: String = "pq_meta"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = queries.sparkSession
+    val cand = ivfStoredCandidates(queries, idCol, vecCol, store, probes,
+      cellCap, excludeSelfPairs, ivfCodebookTable, ivfMembersTable,
+      ivfTombstoneTable, ivfMetaTable)
+    val (liveCodes, cbStored, meta) = pqStoredLive(spark, store,
+      pqCodebookTable, pqCodesTable, pqTombstoneTable, pqMetaTable)
     val qt = queries
       .select(col(idCol).cast("long").as("query_id"),
         graft.plans.PqKernels.pqAdcTable(col(vecCol), cbStored).as("__tbl"))
-    val scored = live.select(col("neighbor_id"), col("codes"))
-      .crossJoin(broadcast(qt))
-      .transform(dropSelfPairs(_, excludeSelfPairs))
+    val scored = cand
+      .join(liveCodes.hint("shuffle_hash"), "neighbor_id")
+      .join(broadcast(qt), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         adcDist(meta.m, meta.ks).as("dist"))
     rankTopK(scored, "dist", k, asc = true)

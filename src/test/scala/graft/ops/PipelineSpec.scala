@@ -1427,6 +1427,41 @@ class PipelineSpec extends SparkSpec {
       SimilaritySearch.pqCompactIndex(spark, store)
     }
     assert(ex3.getMessage.contains("Rebuild"))
+    // the COMBINED stored probe (ss21): a torn state in EITHER index
+    // family refuses retryably, each with its own family's message
+    val root3 = Scratch.tempDir("ivfpq-torn-")
+    val store3 = new ParquetTableStore(s"$root3/store")
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store3,
+      numCentroids = 32)
+    SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", store3,
+      m = 8, ks = 16, dim = 64)
+    SimilaritySearch.ivfReindexVectors(delta, "id", "embedding", store3)
+    SimilaritySearch.pqReindexVectors(delta, "id", "embedding", store3)
+    val combined = SimilaritySearch.ivfPqTopKStored(queries, "id",
+      "embedding", store3, k = 5, probes = 8, cellCap = 1000)
+      .collect().toSeq
+    assert(combined.nonEmpty)
+    store3.upsert(spark, "pq_tombstones",
+      Seq((9999999L, 1L)).toDF("neighbor_id", "dead_below"),
+      Seq("neighbor_id"))
+    val exPq = intercept[IllegalStateException] {
+      SimilaritySearch.ivfPqTopKStored(queries, "id", "embedding",
+        store3, k = 5, probes = 8, cellCap = 1000).collect()
+    }
+    assert(exPq.getMessage.contains("pq index mid-update"), exPq.getMessage)
+    SimilaritySearch.pqCompactIndex(spark, store3)
+    store3.upsert(spark, "ivf_tombstones",
+      Seq((9999999L, 1L)).toDF("neighbor_id", "dead_below"),
+      Seq("neighbor_id"))
+    val exIvf = intercept[IllegalStateException] {
+      SimilaritySearch.ivfPqTopKStored(queries, "id", "embedding",
+        store3, k = 5, probes = 8, cellCap = 1000).collect()
+    }
+    assert(exIvf.getMessage.contains("ivf index mid-update"), exIvf.getMessage)
+    SimilaritySearch.ivfCompactIndex(spark, store3)
+    assert(SimilaritySearch.ivfPqTopKStored(queries, "id", "embedding",
+      store3, k = 5, probes = 8, cellCap = 1000).collect().toSeq == combined)
+
     // crashed REBUILD (invalidated pins + fresh codebook): probe and
     // compact refuse; re-running the rebuild repairs
     val root2 = Scratch.tempDir("pq-race-")
