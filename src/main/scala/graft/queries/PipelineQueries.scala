@@ -5798,6 +5798,87 @@ object PipelineQueries {
              SELECT query_id, rank, neighbor_id
              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** ST14: STREAMING FULL-INDEX MAINTENANCE
+    * ([[graft.streaming.Streams.ivfPqIngest]] +
+    * [[SimilaritySearch.ivfPqTopKStored]]) — st10's loop extended to
+    * the complete deployment pair: every batch folds the IVF cells
+    * AND the PQ codes, batch 2 carries inserts + updates (every 9th
+    * vector of batch 1 re-emitted reversed — both tombstone paths
+    * exercised inside the checkpointed loop), and the probe goes
+    * through stored cells + stored codes with no raw corpus read.
+    * The oracle composes the st10 cell chain (batch-1-pinned anchors,
+    * mutated assignments) with the ss20 code chain (batch-1-pinned
+    * sub-codebooks, mutated encodes), ADC'd over the candidates —
+    * `dist` compares bit-exactly. */
+  private val st14 = QueryDef(
+    "st14_stream_ivfpq_index",
+    "streamed IVF+PQ build/reindex ≡ from-scratch stored-pair probe",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val root = graft.ops.Scratch.fastDir("graft-st14-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      e.filter(col("id") % 3 === 0).coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.ivfPqIngest(s, inDir, ck, store)
+        .awaitTermination()
+      e.filter(col("id") % 3 =!= 0)
+        .unionByName(e.filter(col("id") % 9 === 0)
+          .select(col("id"), reverse(col("embedding")).as("embedding")))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      graft.streaming.Streams.ivfPqIngest(s, inDir, ck, store)
+        .awaitTermination()
+      val queries = e.filter(col("id") >= 100 && col("id") < 110)
+        .select(col("id"),
+          when(col("id") % 9 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+      graft.ops.SimilaritySearch.ivfPqTopKStored(queries, "id",
+        "embedding", store, k = 5, probes = 8, cellCap = 1000)
+        .orderBy("query_id", "rank")
+    },
+    Some(pqCodesCtesOver("mut", "id",
+      """mut AS (SELECT vec_id AS id,
+                   CASE WHEN vec_id % 9 = 0 THEN list_reverse(embedding)
+                        ELSE embedding END AS embedding
+                 FROM embeddings),""",
+      cbWhere = "WHERE vec_id % 3 = 0") + s""",
+            anchors AS (SELECT vec_id AS cid, embedding AS avec
+                        FROM embeddings WHERE vec_id % 3 = 0
+                        ORDER BY vec_id LIMIT 32),
+            aff AS (SELECT m.id, a.cid,
+                row_number() OVER (PARTITION BY m.id
+                  ORDER BY ${cosSql("m.embedding", "a.avec")} DESC,
+                    a.cid) AS rn
+              FROM mut m, anchors a),
+            cassign AS (SELECT id AS neighbor_id, cid FROM aff
+                        WHERE rn <= 1),
+            qassign AS (SELECT id AS query_id, cid FROM aff
+                        WHERE id >= 100 AND id < 110 AND rn <= 8),
+            cappedv AS (SELECT neighbor_id, cid,
+                row_number() OVER (PARTITION BY cid
+                  ORDER BY neighbor_id) AS crn
+              FROM cassign),
+            cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+              FROM qassign q JOIN cappedv c ON q.cid = c.cid
+              WHERE c.crn <= 1000 AND q.query_id != c.neighbor_id),
+            paird AS (SELECT cand.query_id, cand.neighbor_id,
+                cd.j, q.dist
+              FROM cand
+              JOIN codes cd ON cd.id = cand.neighbor_id
+              JOIN encd q ON q.id = cand.query_id AND q.j = cd.j
+                AND q.c = cd.code),
+            summed AS (SELECT query_id, neighbor_id,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(dist ORDER BY j)), (x, y) -> x + y) AS dist
+              FROM paird GROUP BY query_id, neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY dist, neighbor_id) AS rank
+              FROM summed)
+            SELECT query_id, rank, neighbor_id, dist
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   /** ST11: streaming GRAPH maintenance
     * ([[graft.streaming.Streams.graphIngest]]) — the g3 + g4 folds
     * driven from an edge FEED: the co-order edges arrive as two
@@ -6885,10 +6966,10 @@ object PipelineQueries {
     * ORIGINAL embeddings — pinned at build time, exactly what the
     * stored-PQ mutation contract freezes (ss20). */
   private def pqCodesCtesOver(encSrc: String, encId: String,
-      pre: String): String =
+      pre: String, cbWhere: String = ""): String =
     s"""WITH $pre cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
                    embedding AS cv
-                 FROM (SELECT vec_id, embedding FROM embeddings
+                 FROM (SELECT vec_id, embedding FROM embeddings $cbWhere
                        ORDER BY vec_id LIMIT 16)),
             sub AS (SELECT s.c, js.j,
                 list_transform(generate_series(1, 8),
@@ -6983,5 +7064,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14)
 }

@@ -814,6 +814,62 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance for the FULL deployment index —
+    * [[vectorIndexIngest]]'s loop extended to BOTH stored families:
+    * every batch folds the IVF cell index AND the PQ code index
+    * (first non-empty batch builds each, pinning both codebooks from
+    * that batch's deterministic samples; later batches fold inserts +
+    * updates through each family's tombstone reindex in one
+    * delta-sized pass apiece). Probes between runs go through
+    * [[graft.ops.SimilaritySearch.ivfPqTopKStored]] — stored cells
+    * prune, stored codes rank, no raw corpus vector read anywhere.
+    *
+    * Crash-replay contract (the vectorIndexIngest discipline, per
+    * family): a reindex is replace-by-id, so a replayed batch
+    * re-lands the same live state at higher generations — effect-
+    * idempotent with NO ledger; a crash INSIDE either family's fold
+    * leaves that family's pins behind its tables and the replay is
+    * refused LOUDLY by that family's torn-state check (repair:
+    * compact, or rebuild). A crash BETWEEN the two folds (IVF landed,
+    * PQ didn't) converges on replay: the IVF re-fold is a no-op by
+    * idempotence and the PQ fold completes. The batch is persisted
+    * across the two folds so its files scan once. Gate st14 pins
+    * streamed ≡ from-scratch IVF-PQ over the mutated corpus under
+    * both batch-1-pinned codebooks. */
+  def ivfPqIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      numCentroids: Int = 32, m: Int = 8, ks: Int = 16,
+      dim: Int = 64): StreamingQuery = {
+    val in = spark.readStream.schema("id BIGINT, embedding ARRAY<FLOAT>")
+      .parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0) {
+          val b = batch.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!store.exists("ivf_meta"))
+              graft.ops.SimilaritySearch.ivfBuildIndexStored(b, "id",
+                "embedding", store, numCentroids)
+            else
+              graft.ops.SimilaritySearch.ivfReindexVectors(b, "id",
+                "embedding", store)
+            if (!store.exists("pq_meta"))
+              graft.ops.SimilaritySearch.pqBuildIndexStored(b, "id",
+                "embedding", store, m, ks, dim)
+            else
+              graft.ops.SimilaritySearch.pqReindexVectors(b, "id",
+                "embedding", store)
+          } finally b.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming DSIR λ-MODEL maintenance — the st3 sketch discipline
     * applied to the importance-weight model
     * ([[graft.ops.TextAnalysis.dsirWeights]]): the target slot

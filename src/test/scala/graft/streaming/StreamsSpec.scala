@@ -322,4 +322,37 @@ class StreamsSpec extends SparkSpec {
     assert(e.getMessage == "op 3 failed")
     assert(ran.get() == n - 1, "a sibling op was abandoned mid-batch")
   }
+
+  test("ivfPqIngest: a crash BETWEEN the two family folds converges on replay") {
+    import spark.implicits._
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val in = tmpDir("ivfpq-in")
+    val store = new ParquetTableStore(tmpDir("ivfpq-store"))
+    // simulate the crash window: batch 1's IVF fold landed, the PQ
+    // fold did not (the loop builds IVF first) — the replayed batch
+    // must re-fold IVF idempotently and complete the PQ build
+    val b1 = e.filter(col("id") % 3 === 0)
+    graft.ops.SimilaritySearch.ivfBuildIndexStored(b1, "id", "embedding",
+      store, numCentroids = 32)
+    b1.coalesce(1).write.mode("append").parquet(in)
+    val q1 = Streams.ivfPqIngest(spark, in, tmpDir("ivfpq-ck"), store)
+    q1.awaitTermination(120000)
+    if (q1.isActive) q1.stop()
+    // both families now probe-able and consistent with a clean
+    // two-phase run on a fresh store
+    val fresh = new ParquetTableStore(tmpDir("ivfpq-fresh"))
+    graft.ops.SimilaritySearch.ivfBuildIndexStored(b1, "id", "embedding",
+      fresh, numCentroids = 32)
+    graft.ops.SimilaritySearch.pqBuildIndexStored(b1, "id", "embedding",
+      fresh, m = 8, ks = 16, dim = 64)
+    val queries = b1.filter(col("id") < 30)
+    def probe(st: ParquetTableStore) =
+      graft.ops.SimilaritySearch.ivfPqTopKStored(queries, "id",
+        "embedding", st, k = 5, probes = 8, cellCap = 1000)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    assert(probe(store).nonEmpty && probe(store) == probe(fresh))
+  }
 }
