@@ -168,9 +168,13 @@ object UnigramLm {
   /** APPLY the trained vocabulary: per document, whitespace word
     * count and unigram-LM token count — the [[Bpe.tokenize]] twin.
     * One (word)-keyed join of the exploded corpus against the
-    * per-word Viterbi segmentation of the DISTINCT word set (words
-    * longer than `maxWordLen` fall back to char count — the training
-    * cap's documented apply-side behavior). */
+    * per-word Viterbi segmentation of the DISTINCT word set. The
+    * apply corpus may be FOREIGN (unlike BPE-tokenize's same-corpus
+    * contract), so the unknown cases are pinned rather than dropped:
+    * words longer than `maxWordLen`, words with NO in-vocab substring
+    * at all, and words whose DP is unreachable (an out-of-vocabulary
+    * character mid-word) all count one piece per character — the
+    * <unk>-per-char convention, never a silent row loss. */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, maxPieceLen: Int = 4,
       maxWordLen: Int = 20): DataFrame = {
@@ -179,7 +183,14 @@ object UnigramLm {
         lower(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
     val inCap = corpusWords.filter(length(col("word")) <= maxWordLen)
-    val lens = segmentLengths(candidates(inCap, maxPieceLen), vocab)
+    // LEFT join: a word with no in-vocab substring never reaches the
+    // DP and must still count (char fallback), not vanish
+    val lens = inCap.select("word")
+      .join(segmentLengths(candidates(inCap, maxPieceLen), vocab),
+        Seq("word"), "left")
+      .select(col("word"),
+        coalesce(col("n_pieces"), length(col("word")).cast("long"))
+          .as("n_pieces"))
       .unionByName(corpusWords.filter(length(col("word")) > maxWordLen)
         .select(col("word"), length(col("word")).cast("long").as("n_pieces")))
     docs.select(col(idCol).as("id"),
@@ -222,7 +233,9 @@ object UnigramLm {
             }
           i += 1
         }
-        (word, cnt(n))
+        // unreachable (an out-of-vocabulary character mid-word on a
+        // foreign corpus): <unk>-per-char, never a silent zero
+        (word, if (best(n) == Double.NegativeInfinity) n.toLong else cnt(n))
       }.toDF("word", "n_pieces")
   }
 }

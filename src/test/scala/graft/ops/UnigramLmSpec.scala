@@ -67,4 +67,20 @@ class UnigramLmSpec extends SparkSpec {
     // doc 2: the long word char-counts (24), "ab" is one piece
     assert(out(2L) == ((2L, 25L)))
   }
+
+  test("tokenize on a FOREIGN corpus: unknown words/chars count as <unk>-per-char, never vanish") {
+    val train = Seq("ab ab cd cd").toDF("text")
+    val v = UnigramLm.trainVocab(train, "text", iters = 1,
+      maxPieceLen = 4, maxWordLen = 20, minSeedCount = 2, keepPieces = 10)
+    // "xyz" shares NO character with the training vocab (no candidate
+    // rows at all); "axb" has known chars around an unknown one (the
+    // DP is unreachable at the 'x' boundary). Both must still count.
+    val docs = Seq((1L, "ab xyz axb")).toDF("id", "text")
+    val out = UnigramLm.tokenize(docs, "id", "text", v)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // ab(1 piece) + xyz(3 chars, all unknown) + axb(3 chars, DP
+    // unreachable) — 3 words, 7 pieces; before the fallback the
+    // unknown words were silently DROPPED from both counts
+    assert(out(1L) == ((3L, 7L)), out.toString)
+  }
 }
