@@ -36,6 +36,8 @@ import graft.functions.YtFunctions
   *   runMain graft.app.Main index-docs <storeDir> <inboxDir>
   *   runMain graft.app.Main doc-search <storeDir> "<terms>" [k]
   *   runMain graft.app.Main ann-recall <storeDir> [k] [nQueries]
+  *   runMain graft.app.Main export-shards <storeDir> <outDir> [nShards] [salt]
+  *   runMain graft.app.Main verify-shards <storeDir> <exportDir>
   *   runMain graft.app.Main gc <storeDir> [table|all] [hours]
   * }}}
   *
@@ -585,6 +587,41 @@ object Main {
           .agg(avg(col("hits").cast("double") / col("k").cast("double")))
           .head.getDouble(0)
         println(f"mean recall@$k = $mean%.4f")
+
+      case "export-shards" =>
+        // deterministic training-shard export of the ingested doc
+        // corpus (sm10/sm11): partitioned shard files + a manifest
+        // recomputed from the written bytes, with the order-sensitive
+        // content hash a later verify re-checks.
+        // usage: export-shards <store> <outDir> [nShards] [salt]
+        val outDir = args(2)
+        val nShards = if (args.length > 3) args(3).toInt else 16
+        val salt = if (args.length > 4) args(4) else "shards:"
+        val docs = t("corpus").select(col("id"), col("text"))
+        val manifest = graft.ops.Sampling.exportShards(docs, "id",
+          "text", nShards, salt, outDir)
+        println(s"exported $nShards shards to $outDir/shards " +
+          s"(manifest at $outDir/manifest):")
+        show(manifest.orderBy("shard"))
+
+      case "verify-shards" =>
+        // read-back integrity check of a prior export-shards run: the
+        // loader recomputes every manifest column (count, token mass,
+        // order endpoints, content hash) from the shard FILES and
+        // reports per-shard verdicts; any false verdict exits nonzero
+        // (a trainer must refuse an export it cannot verify).
+        // usage: verify-shards <store> <exportDir>
+        val exportDir = args(2)
+        val verdicts = graft.ops.Sampling.verifyShards(spark, exportDir,
+          "id", "text").orderBy("shard")
+        show(verdicts, n = 1000)
+        val bad = verdicts.filter(!col("verified"))
+          .select("shard").collect().map(_.getLong(0))
+        if (bad.nonEmpty)
+          sys.error(s"shard verification FAILED for shard(s) " +
+            s"${bad.mkString(", ")} — the export does not match its " +
+            "manifest; re-export before training on it")
+        println(s"all shards verified against the stored manifest")
 
       case "gc" =>
         // sweep crash orphans (tmp- stagings, above-pointer dirs) for

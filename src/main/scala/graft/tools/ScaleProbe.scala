@@ -968,6 +968,31 @@ object ScaleProbe {
           "id", "embedding", store, k = 5, probes = 8, cellCap = 1000))
       }
     }
+    // u13: zone maps on a bucketed ingest table — m log-structured
+    // appends (each replica covers its own narrow id range, the
+    // time-correlated shape), then a range read inside replica 0's
+    // range: the pruned read's file set stays FLAT with m (one
+    // append's files) while the full-scan filter reads m× the files.
+    if (selected("u13")) {
+      for (m <- Seq(1, mult)) {
+        val root = graft.ops.Scratch.tempDir(s"probe-u13-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store",
+          keepVersions = 4)
+        store.declareZoneColumns("ev", Seq("event_id"))
+        def evSlice(i: Int) = Tables.events(spark, dir)
+          .select((col("event_id") + i * 10000000L).as("event_id"),
+            col("user_id"), col("event_type"))
+        (0 until m).foreach(i => store.appendBucketed(spark, "ev",
+          evSlice(i), Seq("event_id"), numBuckets = 32))
+        val (kept, total) = store.zoneMapFileCounts(spark, "ev",
+          "event_id", 1000L, 30000L)
+        println(f"PROBE u13_zonemap_files_x$m%-21s kept=$kept%5d of $total%5d")
+        probe(s"u13_pruned_read_x$m", store.readZonePruned(spark, "ev",
+          "event_id", 1000L, 30000L))
+        probe(s"u13_full_filter_x$m", store.read(spark, "ev")
+          .filter(col("event_id").between(1000L, 30000L)))
+      }
+    }
     // ss20: mutable stored PQ — re-encode a FIXED 500-vector delta
     // against the m× codes table (delta encode + ONE codes scan for
     // the generations) and probe through the tombstone filter; the

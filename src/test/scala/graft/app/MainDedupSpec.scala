@@ -190,4 +190,27 @@ class MainDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(("spark", 6L, true), ("engine", 4L, true),
       ("catalyst", 1L, true)))
   }
+
+  test("export-shards + verify-shards: the CLI round-trips; a tamper fails the verify loudly") {
+    val root = tmpDir("mainshards")
+    val store = new ParquetTableStore(root)
+    store.commit(spark, "corpus",
+      (1L to 200L).map(i => (i, s"doc $i words here")).toDF("id", "text"))
+    val out = tmpDir("mainshards-out") + "/export"
+    Main.run(spark, Array("export-shards", root, out, "8", "s:"))
+    // clean export verifies through the CLI
+    Main.run(spark, Array("verify-shards", root, out))
+    // drop a row from one shard: the CLI must refuse with a nonzero
+    // exit (sys.error), naming the shard
+    val s3 = s"$out/shards/shard=3"
+    val rows = spark.read.parquet(s3).collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.drop(1).toSeq),
+      spark.read.parquet(s3).schema)
+      .coalesce(1).write.mode("overwrite").parquet(s3)
+    val e = intercept[RuntimeException] {
+      Main.run(spark, Array("verify-shards", root, out))
+    }
+    assert(e.getMessage.contains("shard(s) 3"), e.getMessage)
+  }
 }
