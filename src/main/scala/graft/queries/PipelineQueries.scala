@@ -3960,6 +3960,15 @@ object PipelineQueries {
     * dp stage is MATERIALIZED — un-materialized CTEs inline per
     * reference and the 4-way chain would blow up exponentially. */
   private def unigramOracleSql(iters: Int, maxPieceLen: Int,
+      maxWordLen: Int, minSeedCount: Int, keepPieces: Int): String =
+    unigramVocabCtes(iters, maxPieceLen, maxWordLen, minSeedCount,
+      keepPieces) +
+      s"\n          SELECT piece, cnt FROM v$iters ORDER BY piece"
+
+  /** The ts30 CTE chain up to the trained vocabulary v`iters` —
+    * ts31's apply oracle extends it with one more unrolled DP pass
+    * over the final vocab. */
+  private def unigramVocabCtes(iters: Int, maxPieceLen: Int,
       maxWordLen: Int, minSeedCount: Int, keepPieces: Int): String = {
     val base = s"""WITH w0 AS (SELECT word, count(*)::BIGINT AS freq FROM (
             SELECT unnest(CASE WHEN length(trim(lower(text))) = 0
@@ -4033,7 +4042,7 @@ object PipelineQueries {
             SELECT c.piece, greatest(coalesce(e.cnt, 0), 1) AS cnt
             FROM chars c LEFT JOIN em$k e ON e.piece = c.piece)"""
     }.mkString
-    s"$base$rounds\n          SELECT piece, cnt FROM v$iters ORDER BY piece"
+    s"$base$rounds"
   }
 
   /** TS30: UNIGRAM-LM (SentencePiece-style) tokenizer induction
@@ -4055,6 +4064,84 @@ object PipelineQueries {
       .orderBy("piece"),
     Some(unigramOracleSql(iters = 2, maxPieceLen = 4, maxWordLen = 20,
       minSeedCount = 2, keepPieces = 120)))
+
+  /** The ts31 apply oracle: ts30's trained-vocab chain (v`iters`)
+    * extended with ONE more unrolled Viterbi pass carrying the piece
+    * COUNT instead of the path, then the per-doc rollup. The unknown
+    * fallbacks are structural: words over the cap (absent from wt),
+    * words with no in-vocab substring, and words whose DP is
+    * unreachable at their length all fall out of `sega` and coalesce
+    * to their char count — the engine's <unk>-per-char rule. */
+  private def unigramTokenizeOracleSql(iters: Int, maxPieceLen: Int,
+      maxWordLen: Int, minSeedCount: Int, keepPieces: Int): String = {
+    val dps = (1 to maxWordLen).map { p =>
+      val branches = (1 to math.min(maxPieceLen, p)).map { l =>
+        s"""SELECT d.word, d.score + c.score AS score,
+               d.np + 1 AS np, $l AS l
+             FROM dpa_${p - l} d
+             JOIN canda c ON c.word = d.word AND c.pos = ${p - l + 1}
+               AND c.len = $l"""
+      }.mkString("\n             UNION ALL\n             ")
+      s""",
+          dpa_$p AS MATERIALIZED (SELECT word, score, np FROM (
+              SELECT word, score, np,
+                     row_number() OVER (PARTITION BY word
+                       ORDER BY score DESC, l) AS rn
+              FROM ($branches)) WHERE rn = 1)"""
+    }.mkString
+    val segUnion = (1 to maxWordLen).map(p =>
+      s"""SELECT d.word, d.np FROM dpa_$p d
+           JOIN wt w ON w.word = d.word AND length(w.word) = $p""")
+      .mkString("\n              UNION ALL ")
+    unigramVocabCtes(iters, maxPieceLen, maxWordLen, minSeedCount,
+      keepPieces) + s""",
+          tota AS (SELECT sum(cnt)::DOUBLE AS total FROM v$iters),
+          sca AS MATERIALIZED (SELECT piece,
+              round(ln(cnt::DOUBLE / total), 9) AS score
+            FROM v$iters, tota),
+          canda AS MATERIALIZED (SELECT s.word, s.pos, s.len,
+              s.piece, c.score
+            FROM sub0 s JOIN sca c ON c.piece = s.piece),
+          dpa_0 AS (SELECT word, 0.0::DOUBLE AS score, 0::BIGINT AS np
+                    FROM wt)$dps,
+          sega AS ($segUnion),
+          lens AS (SELECT w.word,
+              coalesce(s.np, length(w.word))::BIGINT AS np
+            FROM w0 w LEFT JOIN sega s ON s.word = w.word),
+          docw AS (SELECT doc_id AS id,
+              unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                AS word
+            FROM documents WHERE length(trim(lower(text))) > 0)
+          SELECT d.id, count(*)::BIGINT AS n_words,
+            sum(l.np)::BIGINT AS n_lm_tokens
+          FROM docw d JOIN lens l ON l.word = d.word
+          GROUP BY d.id ORDER BY d.id"""
+  }
+
+  /** TS31: UNIGRAM-LM TOKENIZATION (the apply path,
+    * [[graft.ops.UnigramLm.tokenize]]) — ts30's trained vocabulary
+    * applied back to the corpus, the ts14 twin for the second
+    * tokenizer family: per doc, whitespace word count and Viterbi
+    * piece count under the trained model. What this gate pins beyond
+    * ts30 is the APPLY seam: the DP against the final pruned vocab
+    * (scores over v1, not the seed), and the three unknown fallbacks
+    * (over-cap words, no-candidate words, unreachable DP) counting
+    * <unk>-per-char instead of vanishing — the review-found silent
+    * row loss, now oracle-gated. */
+  private val ts31 = QueryDef(
+    "ts31_unigram_lm_tokenize",
+    "unigram-LM apply: per-doc Viterbi piece counts under the trained vocab",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.ops.UnigramLm.trainVocab(docs, "text",
+        iters = 1, maxPieceLen = 4, maxWordLen = 20, minSeedCount = 2,
+        keepPieces = 120)
+      graft.ops.UnigramLm.tokenize(docs, "doc_id", "text", vocab,
+        maxPieceLen = 4, maxWordLen = 20)
+        .orderBy("id")
+    },
+    Some(unigramTokenizeOracleSql(iters = 1, maxPieceLen = 4,
+      maxWordLen = 20, minSeedCount = 2, keepPieces = 120)))
 
   /** SS13: IVF-PQ ([[SimilaritySearch.ivfPqTopK]]) — the production
     * vector index: the ss3/ss8 coarse-cell machinery generates
@@ -7067,7 +7154,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, dc4, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, ts31, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14)
 }
