@@ -145,9 +145,48 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   }
 
   private def readDir(spark: SparkSession, table: String, dirName: String): DataFrame = {
-    val df = spark.read.parquet(tableDir(table).resolve(dirName).toString)
+    val df = readVersionFrame(spark, tableDir(table).resolve(dirName))
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
+
+  /** CANONICAL PER-VERSION SCHEMA — the table-format answer to
+    * mixed-schema versions: an O(delta) bucketed upsert that EVOLVES
+    * the schema rewrites only its touched buckets, so the version's
+    * untouched buckets keep old-schema files via hard links, and
+    * parquet schema INFERENCE (one sampled footer, file-order
+    * dependent) could silently drop the evolved column from reads —
+    * measured, not theoretical (ParquetTableStoreSpec pins it).
+    * Every write therefore records the written frame's schema as
+    * `_schema.json` INSIDE the staged version dir (version-atomic,
+    * like the zone map), and every version read applies it —
+    * old-schema files read the evolved columns as null, exactly the
+    * add-only evolution contract. Versions from before this existed
+    * carry no file and fall back to inference. */
+  private val SchemaFile = "_schema.json"
+
+  private def writeSchemaFile(stagedDir: Path,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    Files.write(stagedDir.resolve(SchemaFile),
+      schema.json.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def storedSchemaOf(dir: Path)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val f = dir.resolve(SchemaFile)
+    if (!Files.exists(f)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** A version dir as a frame, under its recorded canonical schema
+    * when present (inference otherwise — pre-schema-file versions). */
+  private def readVersionFrame(spark: SparkSession, dir: Path): DataFrame =
+    storedSchemaOf(dir) match {
+      case Some(s) => spark.read.schema(s).parquet(dir.toString)
+      case None => spark.read.parquet(dir.toString)
+    }
 
   /** Version numbers currently on disk for `table`, ascending — the
     * retention window [[readVersion]] can time-travel into (bounded
@@ -504,8 +543,14 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val base =
       if (files.isEmpty)
         // nothing intersects: an empty frame with the table's schema
-        spark.read.parquet(vdir.toString).where(lit(false))
-      else spark.read.parquet(files.map(_.toString): _*)
+        readVersionFrame(spark, vdir).where(lit(false))
+      else storedSchemaOf(vdir) match {
+        // canonical schema over the explicit file list: an inferred
+        // one is file-order dependent on mixed-schema versions; the
+        // partition column reads null from leaf files and is dropped
+        case Some(s) => spark.read.schema(s).parquet(files.map(_.toString): _*)
+        case None => spark.read.parquet(files.map(_.toString): _*)
+      }
     val out = base.filter(residual)
     if (out.columns.contains(BucketCol)) out.drop(BucketCol) else out
   }
@@ -585,8 +630,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       // would otherwise produce a fileless version and wedge every
       // later read in schema inference
       if (touched.isEmpty) return read(spark, table)
-      // partition-pruned read of just the touched buckets
-      val storedTouched = spark.read.parquet(curDir.toString)
+      // partition-pruned read of just the touched buckets — under
+      // the version's CANONICAL schema: an inferred one could drop a
+      // previously-evolved column and the merge would lose its values
+      val storedTouched = readVersionFrame(spark, curDir)
         .filter(col(BucketCol).isin(touched.toSeq: _*))
       val (stored, incA) = SchemaEvolution.align(
         storedTouched.drop(BucketCol), incoming)
@@ -596,6 +643,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       val nextDir = tableDir(table).resolve(tmpName(staged))
       merged.write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
+      writeSchemaFile(nextDir, merged.schema)
       shareUntouchedBuckets(curDir, nextDir, touched)
       // O(delta) map maintenance: the touched buckets' fresh files
       // re-scan (a partition-pruned read — untouched dirs hold only
@@ -659,6 +707,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       deleteRecursively(dir)
       df.write.mode("errorifexists").parquet(dir.toString)
     }
+    writeSchemaFile(dir, df.schema)
     // full (re)write: the zone map recomputes whole when declared
     maintainZoneMapBucketed(spark, table, dir, None, None)
     finalizeStaged(table, staged)
@@ -718,7 +767,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
           "bucket partitions — adopt it via replaceBucketed first"))
       val prev = currentPointer(table)
       val curDir = tableDir(table).resolve(dirNameOf(prev.get))
-      val storedSchema = spark.read.parquet(curDir.toString)
+      val storedSchema = readVersionFrame(spark, curDir)
         .drop(BucketCol).schema
       require(storedSchema.fields.map(f => (f.name, f.dataType)).toSet ==
         incoming.schema.fields.map(f => (f.name, f.dataType)).toSet,
@@ -728,8 +777,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       val aligned = incoming.select(storedSchema.fieldNames.map(col): _*)
       val staged = stagedDirName(versionOf(dirNameOf(prev.get)) + 1)
       val nextDir = tableDir(table).resolve(tmpName(staged))
-      layoutBuckets(aligned, n, keys, sortWithin).write.mode("errorifexists")
+      val laid = layoutBuckets(aligned, n, keys, sortWithin)
+      laid.write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
+      writeSchemaFile(nextDir, laid.schema)
       // zone map, append shape: nothing is rewritten, so EVERY
       // previous row carries and only the fresh delta files scan —
       // written BEFORE the links land (post-link, old and new files
@@ -804,8 +855,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val kbs = keyValues
       .select(pmod(hash(keyValues.columns.map(col): _*), lit(n)).as("kb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val df = spark.read.parquet(
-      tableDir(table).resolve(dirNameOf(p)).toString)
+    val df = readVersionFrame(spark, tableDir(table).resolve(dirNameOf(p)))
     (df.filter(col(BucketCol).isin(kbs: _*)).drop(BucketCol),
       versionOf(dirNameOf(p)))
   }
@@ -907,13 +957,14 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val rewrite = counts.filter(_._2 > maxFilesPerBucket).keySet
     if (rewrite.isEmpty) Set.empty
     else {
-      val fragmented = spark.read.parquet(curDir.toString)
+      val fragmented = readVersionFrame(spark, curDir)
         .filter(col(BucketCol).isin(rewrite.toSeq: _*))
         .repartition(rewrite.size, col(BucketCol))
       val staged = stagedDirName(versionOf(dirNameOf(prev)) + 1)
       val nextDir = tableDir(table).resolve(tmpName(staged))
       fragmented.write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
+      writeSchemaFile(nextDir, fragmented.schema)
       shareUntouchedBuckets(curDir, nextDir, rewrite)
       // compaction rewrites whole buckets: same zone-map shape as the
       // merge path (rewritten buckets re-scan, the rest carries)
@@ -971,6 +1022,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val dir = tableDir(table).resolve(tmpName(staged))
     val w = df.write.mode("errorifexists")
     (if (partitioned) w.partitionBy(BucketCol) else w).parquet(dir.toString)
+    writeSchemaFile(dir, df.schema)
     // snapshot commits rewrite everything — the zone map (when
     // declared) recomputes whole, version-atomically with the data
     zoneColumns(table).foreach(cols =>

@@ -86,6 +86,24 @@ class ParquetTableStoreSpec extends SparkSpec {
     assert(out2.count() == 4)
   }
 
+  test("bucketed schema evolution: the evolved column survives reads of mixed-schema versions") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("store-evo"))
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    store.upsertBucketed(spark, "t", base, Seq("id"), numBuckets = 8)
+    // evolve via a delta touching FEW buckets: untouched buckets keep
+    // their old-schema files via hard links — the version mixes file
+    // schemas, and an inferred schema (file-order dependent) could
+    // silently drop the new column
+    store.upsertBucketed(spark, "t",
+      Seq((1L, "v1b", 42L)).toDF("id", "v", "w"), Seq("id"))
+    val out = store.read(spark, "t")
+    assert(out.columns.contains("w"),
+      s"evolved column lost: ${out.columns.mkString(",")}")
+    assert(out.filter(out("w").isNotNull).count() == 1)
+    assert(out.count() == 100)
+  }
+
   test("bucketed upsert rewrites only touched buckets; rest are hard-linked") {
     import spark.implicits._
     val root = tmpDir("store")

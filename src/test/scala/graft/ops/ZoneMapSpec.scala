@@ -110,6 +110,30 @@ class ZoneMapSpec extends SparkSpec {
     assert(store.declareZoneColumns("ev", Seq("other")) == Seq("v"))
   }
 
+  test("schema evolution on a declared table: the map follows, old files' stats stay valid") {
+    val root = tmpDir("zm-evolve")
+    val store = new ParquetTableStore(root, keepVersions = 100)
+    store.declareZoneColumns("ev", Seq("v"))
+    store.upsertBucketed(spark, "ev",
+      (0L until 100L).map(i => (i, i)).toDF("id", "v"), Seq("id"),
+      numBuckets = 4)
+    // add-only evolution: the incoming delta grows a column the
+    // declared set doesn't cover — maintenance must keep working
+    // (declared cols exist in every file; the new column is simply
+    // not mapped)
+    store.upsertBucketed(spark, "ev",
+      (100L until 120L).map(i => (i, i, s"w$i")).toDF("id", "v", "w"),
+      Seq("id"))
+    val vdir = versionDir(root, "ev")
+    assert(storedMap(vdir, "v") == recompute(vdir, "v"))
+    val pruned = store.readZonePruned(spark, "ev", "v", 90L, 110L)
+    assert(pruned.count() == 21)
+    // evolved rows carry their new column; pre-evolution rows read it
+    // as null through the pruned path exactly like the plain read
+    assert(pruned.filter(col("w").isNotNull).count() == 11)
+    assert(pruned.filter(col("w").isNull).count() == 10)
+  }
+
   test("snapshot commits on a declared table maintain the map too") {
     val root = tmpDir("zm-snapshot")
     val store = new ParquetTableStore(root, keepVersions = 100)
