@@ -431,7 +431,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * right: NULL never satisfies a range. */
   private def zoneStats(spark: SparkSession, dir: Path,
       statsCols: Seq[String], onlyBuckets: Option[Set[Int]]): DataFrame = {
-    val raw = spark.read.parquet(dir.toString)
+    // under the dir's recorded schema (every write path records it
+    // before computing stats): a post-evolution staged dir mixes file
+    // schemas and inference is file-order dependent
+    val raw = readVersionFrame(spark, dir)
     val data = onlyBuckets match {
       case Some(bs) if raw.columns.contains(BucketCol) =>
         raw.filter(col(BucketCol).isin(bs.toSeq: _*))
