@@ -506,31 +506,54 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       throw new IllegalStateException(s"table $table has no committed version"))
     val vdir = tableDir(table).resolve(dirNameOf(p))
     val zmPath = vdir.resolve(ZoneMapDir)
-    if (!Files.exists(zmPath))
+    // the compactBuckets discipline: _CURRENT can transiently name a
+    // gc-swept dir (a competitor's publish mid-undo) or retention can
+    // prune the version under us — both are retryable conflicts for
+    // withCommitRetries, never a raw I/O error
+    def retryable[T](body: => T): T =
+      try body
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new ConcurrentCommitException(
+            s"version $vdir pruned during zone-map read — a concurrent " +
+              "commit advanced past retention; re-read and retry")
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("does not exist") =>
+          throw new ConcurrentCommitException(
+            s"version $vdir pruned during zone-map read — a concurrent " +
+              "commit advanced past retention; re-read and retry")
+      }
+    if (!Files.exists(zmPath)) {
+      if (!Files.exists(vdir))
+        retryable(throw new java.nio.file.NoSuchFileException(vdir.toString))
       throw new IllegalStateException(
         s"table $table's live version carries no zone map — publish " +
           "it with commitZoneMapped (or Layout.zorderPublish)")
-    val zm = spark.read.parquet(zmPath.toString)
+    }
+    val zm = retryable(spark.read.parquet(zmPath.toString))
     require(zm.columns.contains(s"min_$column"),
       s"zone map of $table does not cover column $column (declared: " +
         zm.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
           .mkString(", ") + ") — re-publish with it in statsCols")
     // keep a file unless its whole range misses [lo, hi]; null stats
     // (all-null column) keep nothing — NULL never matches a range
-    val kept = zm
+    val kept = retryable(zm
       .filter(!(col(s"max_$column") < lit(lo) || col(s"min_$column") > lit(hi)))
-      .select("file").collect().map(_.getString(0)).toSeq.sorted
+      .select("file").collect()).map(_.getString(0)).toSeq.sorted
     def isData(f: Path) = Files.isRegularFile(f) &&
       !f.getFileName.toString.startsWith("_") &&
       !f.getFileName.toString.startsWith(".")
     // total data files: top level (snapshot layout) plus every
     // kb= bucket dir (bucketed layout)
-    val entries = listDir(vdir)
-    val total = entries.count(isData) + entries
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(s"$BucketCol="))
-      .map(d => listDir(d).count(isData)).sum
-    (vdir, kept.map(vdir.resolve), total)
+    retryable {
+      val entries = listDir(vdir)
+      val total = entries.count(isData) + entries
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$BucketCol="))
+        .map(d => listDir(d).count(isData)).sum
+      (vdir, kept.map(vdir.resolve), total)
+    }
   }
 
   /** ZONE-MAP-PRUNED range read: scan only the files whose recorded

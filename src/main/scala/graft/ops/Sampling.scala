@@ -415,8 +415,14 @@ object Sampling {
       sum(graft.ops.TextAnalysis.tokenCountWs(col(textCol))).as("n_tokens"),
       min_by(col(keyCol), col("shard_pos")).as("first_key"),
       max_by(col(keyCol), col("shard_pos")).as("last_key"),
-      bit_xor(TextFunctions.portableHash64(concat_ws(":",
-        col("shard_pos").cast("string"), col(keyCol).cast("string"),
+      // concat, NOT concat_ws: concat_ws silently SKIPS null segments
+      // (a null key would hash as "pos:text", weakening the position-
+      // prefix distinctness argument); concat nulls the whole term on
+      // a null key — exactly the oracle's '||' semantics — and bit_xor
+      // ignores the null. Text is the only segment allowed to be null.
+      bit_xor(TextFunctions.portableHash64(concat(
+        col("shard_pos").cast("string"), lit(":"),
+        col(keyCol).cast("string"), lit(":"),
         coalesce(col(textCol), lit(""))))).as("content_hash"))
 
   /** EXPORT the training shards: rows land under `path`/shards in

@@ -617,8 +617,8 @@ object SimilaritySearch {
       tombstoneTable: String = "ivf_tombstones",
       metaTable: String = "ivf_meta"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val cand = ivfStoredCandidates(queries, idCol, vecCol, store, probes,
-      cellCap, excludeSelfPairs, codebookTable, membersTable,
+    val (cand, _) = ivfStoredCandidates(queries, idCol, vecCol, store,
+      probes, cellCap, excludeSelfPairs, codebookTable, membersTable,
       tombstoneTable, metaTable)
     rankTopK(cosineScored(cand, queries, candidates, idCol, vecCol),
       "cos", k)
@@ -633,10 +633,10 @@ object SimilaritySearch {
       vecCol: String, store: ParquetTableStore, probes: Int,
       cellCap: Int, excludeSelfPairs: Boolean,
       codebookTable: String, membersTable: String,
-      tombstoneTable: String, metaTable: String): DataFrame = {
+      tombstoneTable: String, metaTable: String): (DataFrame, Long) = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val metaDf = store.read(spark, metaTable)
+    val (metaDf, metaV) = store.readVersioned(spark, metaTable)
     requireCodebookPin(metaDf, metaTable, "ivfTopKStored")
     val pins = metaDf
       .select(col("members_version"), col("tombstones_version"),
@@ -694,9 +694,9 @@ object SimilaritySearch {
     val capped = capPerKey(
       live.select(col("centroid_id"), col("neighbor_id")),
       Seq("centroid_id"), cellCap)
-    queryAssign.join(capped, Seq("centroid_id"))
+    (queryAssign.join(capped, Seq("centroid_id"))
       .transform(dropSelfPairs(_, excludeSelfPairs))
-      .select("query_id", "neighbor_id").distinct()
+      .select("query_id", "neighbor_id").distinct(), metaV)
   }
 
   /** AUTO PQ geometry from corpus stats — the band-miner/IVF
@@ -1002,20 +1002,23 @@ object SimilaritySearch {
     ()
   }
 
-  /** The stored-PQ meta row: version pins + geometry. */
+  /** The stored-PQ meta row: version pins + geometry, plus the meta
+    * TABLE's own resolved version (`metaV`) — what the pair-level
+    * consistency check in [[ivfPqTopKStored]] verifies against the
+    * pair pin. */
   private final case class PqMeta(codesV: Long, tombV: Long, cbV: Long,
-      m: Int, ks: Int, dim: Int)
+      m: Int, ks: Int, dim: Int, metaV: Long)
 
   private def pqMetaOf(spark: org.apache.spark.sql.SparkSession,
       store: ParquetTableStore, metaTable: String, who: String): PqMeta = {
-    val meta = store.read(spark, metaTable)
+    val (meta, metaV) = store.readVersioned(spark, metaTable)
     val p = meta.select(col("codes_version"), col("tombstones_version"),
       col("codebook_version"), col("m"), col("ks"), col("dim"))
       .limit(1).collect().headOption.getOrElse(
         throw new IllegalStateException(
           s"$who: $metaTable is empty — rebuild the index"))
     PqMeta(p.getLong(0), p.getLong(1), p.getLong(2),
-      p.getInt(3), p.getInt(4), p.getInt(5))
+      p.getInt(3), p.getInt(4), p.getInt(5), metaV)
   }
 
   /** The shared torn-state entry guard for stored-PQ mutations. */
@@ -1254,11 +1257,18 @@ object SimilaritySearch {
     * structured discipline (fold the same delta through
     * [[ivfReindexVectors]] AND [[pqReindexVectors]]); each probe leg
     * verifies its own version pins, so a torn state in EITHER family
-    * refuses retryably. The candidate re-attach carries m CODE BYTES
-    * per candidate through a pinned SHUFFLE_HASH join — never floats,
-    * never a corpus broadcast. Bit-identical to a from-scratch
-    * [[ivfPqTopK]] over the mutated corpus under both pinned
-    * codebooks (gate ss21). */
+    * refuses retryably — and the PAIR pin closes the cross-family
+    * window: a probe landing between a paired mutator's IVF fold and
+    * PQ fold would otherwise see two self-consistent families at
+    * DIFFERENT corpus states (updated candidates ranked against stale
+    * codes; fresh inserts silently dropped by the code join), so the
+    * probe also verifies both resolved meta versions against the
+    * pair-pin row [[ivfPqPairPin]] commits after BOTH folds, and
+    * refuses retryably on divergence. The candidate re-attach carries
+    * m CODE BYTES per candidate through a pinned SHUFFLE_HASH join —
+    * never floats, never a corpus broadcast. Bit-identical to a
+    * from-scratch [[ivfPqTopK]] over the mutated corpus under both
+    * pinned codebooks (gate ss21). */
   def ivfPqTopKStored(queries: DataFrame, idCol: String, vecCol: String,
       store: ParquetTableStore, k: Int, probes: Int = 4,
       cellCap: Int = 10000, excludeSelfPairs: Boolean = true,
@@ -1269,14 +1279,40 @@ object SimilaritySearch {
       pqCodebookTable: String = "pq_codebook",
       pqCodesTable: String = "pq_codes",
       pqTombstoneTable: String = "pq_tombstones",
-      pqMetaTable: String = "pq_meta"): DataFrame = {
+      pqMetaTable: String = "pq_meta",
+      pairMetaTable: String = "ivfpq_pair_meta"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val spark = queries.sparkSession
-    val cand = ivfStoredCandidates(queries, idCol, vecCol, store, probes,
-      cellCap, excludeSelfPairs, ivfCodebookTable, ivfMembersTable,
-      ivfTombstoneTable, ivfMetaTable)
+    val (cand, ivfMetaV) = ivfStoredCandidates(queries, idCol, vecCol,
+      store, probes, cellCap, excludeSelfPairs, ivfCodebookTable,
+      ivfMembersTable, ivfTombstoneTable, ivfMetaTable)
     val (liveCodes, cbStored, meta) = pqStoredLive(spark, store,
       pqCodebookTable, pqCodesTable, pqTombstoneTable, pqMetaTable)
+    // PAIR-LEVEL consistency: both legs resolved self-consistent
+    // states — now prove they are the SAME corpus state. The pair row
+    // commits only after both folds, so a probe racing a paired
+    // mutation (or landing after a crash between the folds) sees a
+    // pin behind at least one resolved meta and refuses retryably.
+    if (!store.exists(pairMetaTable))
+      throw new IllegalStateException(
+        s"ivfPqTopKStored: $pairMetaTable missing — the paired probe " +
+          "needs the cross-family pin committed after BOTH folds " +
+          "(ivfPqPairPin; ivfPqIngest commits it every batch)")
+    val pairRow = store.read(spark, pairMetaTable)
+      .select(col("ivf_meta_version"), col("pq_meta_version"))
+      .limit(1).collect().headOption.getOrElse(
+        throw new IllegalStateException(
+          s"ivfPqTopKStored: $pairMetaTable is empty — re-pin with " +
+            "ivfPqPairPin"))
+    if (pairRow.getLong(0) != ivfMetaV || pairRow.getLong(1) != meta.metaV)
+      throw new IllegalStateException(
+        s"ivfpq pair mid-update: $pairMetaTable pins $ivfMetaTable " +
+          s"v${pairRow.getLong(0)}/$pqMetaTable v${pairRow.getLong(1)} " +
+          s"but the metas resolved v$ivfMetaV/v${meta.metaV} — the two " +
+          "families are at different corpus states (a paired mutation " +
+          "is mid-flight, or crashed between its folds); retry after " +
+          "the fold completes, or complete it and re-pin with " +
+          "ivfPqPairPin")
     val qt = queries
       .select(col(idCol).cast("long").as("query_id"),
         graft.plans.PqKernels.pqAdcTable(col(vecCol), cbStored).as("__tbl"))
@@ -1286,6 +1322,35 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"),
         adcDist(meta.m, meta.ks).as("dist"))
     rankTopK(scored, "dist", k, asc = true)
+  }
+
+  /** Commit the CROSS-FAMILY pair pin for the stored IVF-PQ index:
+    * one row recording the current versions of BOTH families' meta
+    * tables. A paired mutator (both-family build, both-family
+    * reindex, a compact of either family) calls this AFTER its last
+    * family fold lands — [[ivfPqTopKStored]] refuses retryably
+    * whenever either resolved meta diverges from this row, closing
+    * the window where each family is self-consistent but the two sit
+    * at different corpus states. [[graft.streaming.Streams.ivfPqIngest]]
+    * commits it every batch; a crash before the pin leaves probes
+    * refusing until the replayed batch re-folds (idempotently) and
+    * pins. Mutations on one index pair are externally serialized
+    * (the bm25 contract), so read-then-commit here is race-free. */
+  def ivfPqPairPin(spark: org.apache.spark.sql.SparkSession,
+      store: ParquetTableStore,
+      ivfMetaTable: String = "ivf_meta",
+      pqMetaTable: String = "pq_meta",
+      pairMetaTable: String = "ivfpq_pair_meta"): Unit = {
+    import spark.implicits._
+    val iv = store.currentVersion(ivfMetaTable).getOrElse(
+      throw new IllegalStateException(
+        s"ivfPqPairPin: $ivfMetaTable missing — build the IVF family first"))
+    val pv = store.currentVersion(pqMetaTable).getOrElse(
+      throw new IllegalStateException(
+        s"ivfPqPairPin: $pqMetaTable missing — build the PQ family first"))
+    store.withCommitRetries()(store.commit(spark, pairMetaTable,
+      Seq((iv, pv)).toDF("ivf_meta_version", "pq_meta_version")))
+    ()
   }
 
   /** BINARY SHORTLIST-AND-RERANK — the 1-bit member of the

@@ -101,7 +101,10 @@ object UnigramLm {
     wordCands.groupByKey(_._1).flatMapGroups { (word, it) =>
       val rows = it.toArray
       val freq = rows.head._2
-      val n = word.length
+      // candidate (pos,len) come from Spark's substr — CODE-POINT
+      // indices; size the DP the same way or supplementary chars
+      // (emoji, astral CJK) leave best(n) unreachable forever
+      val n = word.codePointCount(0, word.length)
       // candidates by END position (1-based), lengths ascending — the
       // tie rule: equal scores keep the shorter piece at the boundary
       val byEnd = rows.groupBy(r => r._3 + r._4 - 1)
@@ -215,7 +218,8 @@ object UnigramLm {
       .as[(String, Int, Int, Double)]
       .groupByKey(_._1).mapGroups { (word, it) =>
         val rows = it.toArray
-        val n = word.length
+        // code-point length — candidate indices are Spark substr's
+        val n = word.codePointCount(0, word.length)
         val byEnd = rows.groupBy(r => r._2 + r._3 - 1)
           .map { case (e, rs) => e -> rs.sortBy(_._3) }
         val best = Array.fill(n + 1)(Double.NegativeInfinity)

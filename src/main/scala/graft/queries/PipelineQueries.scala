@@ -5052,8 +5052,10 @@ object PipelineQueries {
         m = 8, ks = 16, dim = 64)
       val delta = e.filter(col("id") % 7 === 0)
         .select(col("id"), reverse(col("embedding")).as("embedding"))
+      SimilaritySearch.ivfPqPairPin(s, store)
       SimilaritySearch.ivfReindexVectors(delta, "id", "embedding", store)
       SimilaritySearch.pqReindexVectors(delta, "id", "embedding", store)
+      SimilaritySearch.ivfPqPairPin(s, store)
       val queries = e.filter(col("id") < 10)
         .select(col("id"),
           when(col("id") % 7 === 0, reverse(col("embedding")))

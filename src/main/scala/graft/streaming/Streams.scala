@@ -863,6 +863,9 @@ object Streams {
             else
               graft.ops.SimilaritySearch.pqReindexVectors(b, "id",
                 "embedding", store)
+            // pair pin LAST: probes refuse the window between the two
+            // folds (and a crash before this line) retryably
+            graft.ops.SimilaritySearch.ivfPqPairPin(spark, store)
           } finally b.unpersist(blocking = false)
         }
         ()

@@ -1437,6 +1437,7 @@ class PipelineSpec extends SparkSpec {
       m = 8, ks = 16, dim = 64)
     SimilaritySearch.ivfReindexVectors(delta, "id", "embedding", store3)
     SimilaritySearch.pqReindexVectors(delta, "id", "embedding", store3)
+    SimilaritySearch.ivfPqPairPin(spark, store3)
     val combined = SimilaritySearch.ivfPqTopKStored(queries, "id",
       "embedding", store3, k = 5, probes = 8, cellCap = 1000)
       .collect().toSeq
@@ -1459,8 +1460,34 @@ class PipelineSpec extends SparkSpec {
     }
     assert(exIvf.getMessage.contains("ivf index mid-update"), exIvf.getMessage)
     SimilaritySearch.ivfCompactIndex(spark, store3)
+    // the compacts re-versioned both metas: both legs are now
+    // self-consistent, but the PAIR pin is stale — the probe must
+    // refuse at the cross-family check, not answer
+    val exPair0 = intercept[IllegalStateException] {
+      SimilaritySearch.ivfPqTopKStored(queries, "id", "embedding",
+        store3, k = 5, probes = 8, cellCap = 1000).collect()
+    }
+    assert(exPair0.getMessage.contains("pair mid-update"), exPair0.getMessage)
+    SimilaritySearch.ivfPqPairPin(spark, store3)
     assert(SimilaritySearch.ivfPqTopKStored(queries, "id", "embedding",
       store3, k = 5, probes = 8, cellCap = 1000).collect().toSeq == combined)
+    // CROSS-FAMILY tear (the ADVICE window): one family folds a new
+    // delta, the other hasn't yet — each leg is SELF-consistent, so
+    // only the pair pin can catch it; the probe must refuse rather
+    // than rank fresh candidates against stale codes
+    val delta2 = e.filter(col("id") % 11 === 0)
+      .select(col("id"), reverse(col("embedding")).as("embedding"))
+    SimilaritySearch.ivfReindexVectors(delta2, "id", "embedding", store3)
+    val exPair = intercept[IllegalStateException] {
+      SimilaritySearch.ivfPqTopKStored(queries, "id", "embedding",
+        store3, k = 5, probes = 8, cellCap = 1000).collect()
+    }
+    assert(exPair.getMessage.contains("pair mid-update"), exPair.getMessage)
+    // completing the PQ fold and re-pinning heals the pair
+    SimilaritySearch.pqReindexVectors(delta2, "id", "embedding", store3)
+    SimilaritySearch.ivfPqPairPin(spark, store3)
+    assert(SimilaritySearch.ivfPqTopKStored(queries, "id", "embedding",
+      store3, k = 5, probes = 8, cellCap = 1000).collect().nonEmpty)
 
     // crashed REBUILD (invalidated pins + fresh codebook): probe and
     // compact refuse; re-running the rebuild repairs

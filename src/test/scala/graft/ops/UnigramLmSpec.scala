@@ -83,4 +83,30 @@ class UnigramLmSpec extends SparkSpec {
     // unknown words were silently DROPPED from both counts
     assert(out(1L) == ((3L, 7L)), out.toString)
   }
+
+  test("supplementary characters: DP indices are code points, not UTF-16 units") {
+    // "𝕒" (MATHEMATICAL DOUBLE-STRUCK SMALL A, U+1D552) is ONE code
+    // point but TWO UTF-16 units. Candidate (pos,len) come from
+    // Spark's substr (code points); a DP sized by word.length could
+    // never reach best(n) for any word containing it — training
+    // silently dropped its pieces and tokenize fell back to
+    // <unk>-per-UTF-16-unit (2 per char instead of 1).
+    val w = "𝕒" // 𝕒
+    val train = Seq(s"$w$w $w$w xy xy").toDF("text")
+    val v = UnigramLm.trainVocab(train, "text", iters = 2,
+      maxPieceLen = 4, maxWordLen = 20, minSeedCount = 2, keepPieces = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 2-code-point piece "𝕒𝕒" must survive EM like "xy" does —
+    // with the UTF-16 DP its word was unreachable and it never counted
+    assert(v.contains(s"$w$w"), v.keys.mkString(","))
+    assert(v(s"$w$w") == v("xy"))
+    val docs = Seq((1L, s"$w$w xy"), (2L, s"$w$w$w")).toDF("id", "text")
+    val out = UnigramLm.tokenize(docs, "id", "text",
+        Seq((s"$w$w", 2L), (w, 1L), ("xy", 2L), ("x", 1L), ("y", 1L))
+          .toDF("piece", "cnt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 𝕒𝕒 = 1 piece, xy = 1 piece; doc 2: 𝕒𝕒 + 𝕒 = 2 pieces
+    assert(out(1L) == ((2L, 2L)), out.toString)
+    assert(out(2L) == ((1L, 2L)), out.toString)
+  }
 }

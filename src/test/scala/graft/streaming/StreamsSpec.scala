@@ -347,6 +347,7 @@ class StreamsSpec extends SparkSpec {
       fresh, numCentroids = 32)
     graft.ops.SimilaritySearch.pqBuildIndexStored(b1, "id", "embedding",
       fresh, m = 8, ks = 16, dim = 64)
+    graft.ops.SimilaritySearch.ivfPqPairPin(spark, fresh)
     val queries = b1.filter(col("id") < 30)
     def probe(st: ParquetTableStore) =
       graft.ops.SimilaritySearch.ivfPqTopKStored(queries, "id",
