@@ -223,7 +223,12 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * time-travel for the number. The CURRENT version never has this
     * problem — liveness is defined by the pointer, which [[read]]
     * resolves. */
-  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
+    readDir(spark, table, versionDirNameOf(table, version))
+
+  /** Resolve committed version `version`'s dir name (the time-travel
+    * contract: at-or-below the pointer, unambiguous, retained). */
+  private def versionDirNameOf(table: String, version: Long): String = {
     // committed means at-or-below the pointer: a dir ABOVE it is a
     // crashed writer's unpublished staging and must never be served
     if (!exists(table) || version > currentVersion(table).getOrElse(-1L))
@@ -240,7 +245,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       case Nil => throw new IllegalStateException(
         s"version $version of table $table is not retained " +
           "(pruned or never committed)")
-      case d :: Nil => readDir(spark, table, d)
+      case d :: Nil => d
       case many => throw new IllegalStateException(
         s"version $version of table $table is ambiguous " +
           s"(${many.size} dirs — a crashed writer's orphan; sweep it)")
@@ -541,17 +546,20 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val kept = retryable(zm
       .filter(!(col(s"max_$column") < lit(lo) || col(s"min_$column") > lit(hi)))
       .select("file").collect()).map(_.getString(0)).toSeq.sorted
-    def isData(f: Path) = Files.isRegularFile(f) &&
-      !f.getFileName.toString.startsWith("_") &&
-      !f.getFileName.toString.startsWith(".")
-    // total data files: top level (snapshot layout) plus every
-    // kb= bucket dir (bucketed layout)
+    // total data files: ONE manifest read, never a directory walk —
+    // at 10⁵-10⁶ files the recursive listing this used to do per
+    // pruned read IS the driver bottleneck. Pre-manifest versions
+    // fall back to the walk.
     retryable {
-      val entries = listDir(vdir)
-      val total = entries.count(isData) + entries
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith(s"$BucketCol="))
-        .map(d => listDir(d).count(isData)).sum
+      val total = manifestAt(spark, vdir) match {
+        case Some(m) => m.count().toInt
+        case None =>
+          val entries = listDir(vdir)
+          entries.count(isDataFile) + entries
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith(s"$BucketCol="))
+            .map(d => listDir(d).count(isDataFile)).sum
+      }
       (vdir, kept.map(vdir.resolve), total)
     }
   }
@@ -588,6 +596,205 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       column: String, lo: Any, hi: Any): (Int, Int) = {
     val (_, files, total) = zonePrunedFiles(spark, table, column, lo, hi)
     (files.size, total)
+  }
+
+  // ————— per-version FILE MANIFEST (checkpointed metadata) —————
+
+  /** Every version carries `_manifest` — one parquet sidecar listing
+    * every data file's relative path and byte size. This is the
+    * metadata CHECKPOINT a 100 TB table needs: a version holds
+    * 10⁵-10⁶ files, and any consumer that walks the directory tree
+    * per read (file counts, size-tiered maintenance triggers, scan
+    * totals) pays O(files) LIST calls — on an object store, 10³
+    * serial pages per list. The manifest turns that into ONE parquet
+    * read whose rows never touch the driver (consumers aggregate it
+    * distributedly, or collect the ≤ numBuckets rollup).
+    *
+    * Maintained O(delta), the zone-map discipline: rewritten buckets'
+    * files re-list (touched dirs hold only fresh files post-link),
+    * untouched buckets' rows CARRY from the previous manifest
+    * (hard-linked files keep path and size); appends list the staged
+    * delta PRE-link and carry every previous row. Written inside the
+    * staged dir, so it is version-atomic with the data. Versions from
+    * before the manifest existed fall back to directory listing. */
+  private val ManifestDir = "_manifest"
+
+  private def writeManifestFrame(stagedTmpDir: Path, m: DataFrame): Unit =
+    m.coalesce(1).write.mode("errorifexists")
+      .parquet(stagedTmpDir.resolve(ManifestDir).toString)
+
+  private def manifestAt(spark: SparkSession, vdir: Path): Option[DataFrame] = {
+    val m = vdir.resolve(ManifestDir)
+    if (!Files.exists(m)) None else Some(spark.read.parquet(m.toString))
+  }
+
+  private def isDataFile(f: Path): Boolean = Files.isRegularFile(f) &&
+    !f.getFileName.toString.startsWith("_") &&
+    !f.getFileName.toString.startsWith(".")
+
+  /** (relative path, bytes) of data files by LISTING — bounded to the
+    * given bucket dirs when `buckets` is set (an O(delta) walk), the
+    * whole dir tree otherwise (create/replace/backfill, where every
+    * file was just written). */
+  private def listedManifestRows(dir: Path,
+      buckets: Option[Set[Int]]): Seq[(String, Long)] = {
+    def rowsIn(d: Path, prefix: String): Seq[(String, Long)] =
+      if (!Files.isDirectory(d)) Nil
+      else listDir(d).filter(isDataFile).map(f =>
+        (prefix + f.getFileName.toString, Files.size(f)))
+    buckets match {
+      case Some(bs) => bs.toSeq.sorted.flatMap(b =>
+        rowsIn(dir.resolve(s"$BucketCol=$b"), s"$BucketCol=$b/"))
+      case None =>
+        val entries = listDir(dir)
+        entries.filter(isDataFile)
+          .map(f => (f.getFileName.toString, Files.size(f))) ++
+          entries.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(s"$BucketCol="))
+            .sortBy(_.getFileName.toString)
+            .flatMap(d => rowsIn(d, d.getFileName.toString + "/"))
+    }
+  }
+
+  /** Full-recompute manifest for a staged dir (everything fresh). */
+  private def writeFullManifest(spark: SparkSession, nextDir: Path): Unit = {
+    import spark.implicits._
+    writeManifestFrame(nextDir,
+      listedManifestRows(nextDir, None).toDF("file", "bytes"))
+  }
+
+  /** O(delta) manifest for a staged BUCKETED version, post-link:
+    * `touched` buckets' files re-list (their dirs hold only fresh
+    * files), every other bucket's rows carry. Falls back to full
+    * recompute when the previous version predates manifests. */
+  private def maintainManifestBucketed(spark: SparkSession, table: String,
+      nextDir: Path, prev: Option[String],
+      touched: Option[Set[Int]]): Unit = {
+    import spark.implicits._
+    val carried = for {
+      p <- prev
+      ts <- touched
+      pm <- manifestAt(spark, tableDir(table).resolve(dirNameOf(p)))
+    } yield {
+      // only bucket-dir files link forward (the sharing walk links
+      // kb= DIRS); rewritten buckets' rows are replaced
+      val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
+      pm.filter(kb =!= "" && !kb.cast("int").isin(ts.toSeq: _*))
+    }
+    carried match {
+      case Some(c) =>
+        writeManifestFrame(nextDir,
+          listedManifestRows(nextDir, touched).toDF("file", "bytes")
+            .unionByName(c.select("file", "bytes")))
+      case None => writeFullManifest(spark, nextDir)
+    }
+  }
+
+  /** The live version's file manifest (file, bytes) — None for
+    * versions from before manifests existed. Rows stay distributed;
+    * aggregate, don't collect. */
+  def fileManifest(spark: SparkSession, table: String): Option[DataFrame] = {
+    val p = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    manifestAt(spark, tableDir(table).resolve(dirNameOf(p)))
+  }
+
+  /** (file count, total bytes) of the live version from the manifest
+    * — one sidecar read, O(1) driver rows; falls back to a directory
+    * walk for pre-manifest versions. */
+  def fileStats(spark: SparkSession, table: String): (Long, Long) =
+    fileManifest(spark, table) match {
+      case Some(m) =>
+        val r = m.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L))).head
+        (r.getLong(0), r.getLong(1))
+      case None =>
+        val p = currentPointer(table).get
+        val rows = listedManifestRows(tableDir(table).resolve(dirNameOf(p)), None)
+        (rows.size.toLong, rows.map(_._2).sum)
+    }
+
+  /** CHANGE-DATA-FEED between two retained versions: keyed
+    * inserts/updates/deletes from `vFrom`'s snapshot to `vTo`'s —
+    * what a SECOND consumer of a stored table needs to stay
+    * incremental without re-deriving deltas from the ingest side
+    * (the d10/g3/st-loop shape: fold exactly what changed). Returns
+    * (`change` ∈ insert|update|delete, vTo's columns): inserts and
+    * updates carry the NEW row, deletes the OLD row padded to vTo's
+    * schema (add-only evolution — the evolved columns read null).
+    *
+    * O(TOUCHED BUCKETS) by the manifests: hard links preserve file
+    * names, so a bucket whose file SET is identical across the two
+    * versions provably holds identical bytes and contributes nothing
+    * — only buckets whose sets differ are read (on BOTH sides) and
+    * key-diffed. A compaction between the versions touches its
+    * rewritten buckets' file sets, so those buckets re-read and diff
+    * EMPTY — cost without phantom changes, the honest price of a
+    * name-based fast path. Pre-manifest versions (or fileless-empty
+    * snapshot layouts) fall back to a full two-sided diff.
+    *
+    * Both versions must still be retained (size `keepVersions`) —
+    * a feed that falls behind retention must rebase on a full read,
+    * and the loud time-travel refusal here is what tells it to. */
+  def changesBetween(spark: SparkSession, table: String,
+      keys: Seq[String], vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo, s"changesBetween: vFrom=$vFrom > vTo=$vTo")
+    val fromName = versionDirNameOf(table, vFrom)
+    val toName = versionDirNameOf(table, vTo)
+    val fromDir = tableDir(table).resolve(fromName)
+    val toDir = tableDir(table).resolve(toName)
+    // touched buckets from the manifests: a file present in exactly
+    // one version marks its bucket; identical sets ⇒ identical bytes
+    // (links never rewrite). A row outside a kb dir (fileless-empty
+    // layouts) defeats bucket granularity → full diff.
+    val touched: Option[Seq[Int]] =
+      (manifestAt(spark, fromDir), manifestAt(spark, toDir)) match {
+        case (Some(mf), Some(mt)) =>
+          val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
+          val oneSided = mf.select(col("file"), lit(1L).as("s"))
+            .unionByName(mt.select(col("file"), lit(2L).as("s")))
+            .groupBy("file").agg(sum("s").as("ss"))
+            .filter(col("ss") =!= 3L)
+            .select(kb.as("kb")).distinct().collect()
+          if (oneSided.exists(_.getString(0).isEmpty)) None
+          else Some(oneSided.map(_.getString(0).toInt).toSeq)
+        case _ => None
+      }
+    def side(dir: Path, name: String): DataFrame = {
+      val full = readDir(spark, table, name)
+      touched match {
+        case None => full
+        case Some(Nil) => full.where(lit(false))
+        case Some(kbs) => storedSchemaOf(dir) match {
+          case Some(schema) if schema.fieldNames.contains(BucketCol) =>
+            val dirs = kbs.map(b => dir.resolve(s"$BucketCol=$b"))
+              .filter(Files.isDirectory(_))
+            if (dirs.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                schema).drop(BucketCol)
+            else spark.read.option("basePath", dir.toString).schema(schema)
+              .parquet(dirs.map(_.toString): _*)
+              .filter(col(BucketCol).isin(kbs: _*)).drop(BucketCol)
+          case _ => full
+        }
+      }
+    }
+    // pad the OLD side to the new schema (add-only evolution)
+    val (o, nw) = SchemaEvolution.align(
+      side(fromDir, fromName), side(toDir, toName))
+    val outCols = nw.columns
+    val nonKeys = outCols.filterNot(keys.contains)
+    val oldRenamed = o.select(
+      keys.map(col) ++ nonKeys.map(c => col(c).as(s"__old_$c")): _*)
+    val inserts = nw.join(o.select(keys.map(col): _*), keys, "left_anti")
+      .select(lit("insert").as("change") +: outCols.map(col): _*)
+    val deletes = o.join(nw.select(keys.map(col): _*), keys, "left_anti")
+      .select(lit("delete").as("change") +: outCols.map(col): _*)
+    val updates = nw.join(oldRenamed, keys)
+      .filter(nonKeys.map(c => !(col(c) <=> col(s"__old_$c")))
+        .reduceOption(_ || _).getOrElse(lit(false)))
+      .select(lit("update").as("change") +: outCols.map(col): _*)
+    inserts.unionByName(updates).unionByName(deletes)
   }
 
   /** U1 persisted: LWW-upsert `incoming` into the stored table (which
@@ -676,10 +883,69 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       // links, touched dirs only fresh files), everything else
       // carries from the previous version's map
       maintainZoneMapBucketed(spark, table, nextDir, prev, Some(touched))
+      maintainManifestBucketed(spark, table, nextDir, prev, Some(touched))
       finalizeStaged(table, staged)
       publish(table, staged, prev)
       readDir(spark, table, staged)
     }
+  }
+
+  /** KEYED DELETE on a bucketed table, O(delta): the removal keys
+    * route to their buckets, ONLY those buckets rewrite (anti-join of
+    * the stored rows against the keys), every other bucket hard-links
+    * forward — the GDPR/right-to-erasure shape at 100 TB, where a
+    * full-snapshot rewrite per deletion batch is the failure mode.
+    * Zone map and manifest maintain O(delta) like the upsert path.
+    * Empty removals are a version no-op. Publishes through the same
+    * CAS pointer swap; a lost race re-applies idempotently under
+    * [[withCommitRetries]] (deleting an absent key is a no-op).
+    *
+    * Edge pinned: deleting EVERY remaining row publishes a fileless
+    * version — readable (the canonical `_schema.json` types the empty
+    * frame) with an EMPTY manifest; a declared zone map is dropped for
+    * that version (nothing to map), so a later [[readZonePruned]]
+    * refuses loudly rather than serving an unmapped scan. */
+  def deleteBucketed(spark: SparkSession, table: String,
+      removals: DataFrame, keys: Seq[String]): DataFrame = {
+    val n = numBuckets(table).getOrElse(throw new IllegalStateException(
+      s"table $table is not bucketed — snapshot tables delete via " +
+        "upsert/commit of the filtered frame"))
+    val prev = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    val curDir = tableDir(table).resolve(dirNameOf(prev))
+    val rem = removals.select(keys.map(col): _*).distinct()
+    val touched = rem
+      .select(pmod(hash(keys.map(col): _*), lit(n)).as("kb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return read(spark, table)
+    val kept = readVersionFrame(spark, curDir)
+      .filter(col(BucketCol).isin(touched.toSeq: _*))
+      .drop(BucketCol)
+      .join(rem, keys, "left_anti")
+    val laid = kept
+      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(n)))
+      .repartition(col(BucketCol))
+    val staged = stagedDirName(versionOf(dirNameOf(prev)) + 1)
+    val nextDir = tableDir(table).resolve(tmpName(staged))
+    laid.write.mode("errorifexists")
+      .partitionBy(BucketCol).parquet(nextDir.toString)
+    writeSchemaFile(nextDir, laid.schema)
+    shareUntouchedBuckets(curDir, nextDir, touched)
+    val anyFiles = listDir(nextDir).exists(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith(s"$BucketCol="))
+    if (anyFiles) {
+      maintainZoneMapBucketed(spark, table, nextDir, Some(prev),
+        Some(touched))
+      maintainManifestBucketed(spark, table, nextDir, Some(prev),
+        Some(touched))
+    } else {
+      import spark.implicits._
+      writeManifestFrame(nextDir,
+        Seq.empty[(String, Long)].toDF("file", "bytes"))
+    }
+    finalizeStaged(table, staged)
+    publish(table, staged, Some(prev))
+    readDir(spark, table, staged)
   }
 
   /** Deterministic write layout for a bucketed version: rows routed
@@ -736,6 +1002,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     writeSchemaFile(dir, df.schema)
     // full (re)write: the zone map recomputes whole when declared
     maintainZoneMapBucketed(spark, table, dir, None, None)
+    writeFullManifest(spark, dir)
     finalizeStaged(table, staged)
     staged
   }
@@ -823,12 +1090,25 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
             .unionByName(pm.filter(kb =!= ""),
               allowMissingColumns = true))
       }
+      // manifest, append shape: list the staged DELTA pre-link (only
+      // fresh files exist now — post-link they mix with carried links
+      // in the same dirs) and carry EVERY previous bucket row; a
+      // previous version without a manifest recomputes full, post-link
+      val prevMan = manifestAt(spark, curDir)
+      prevMan.foreach { pm =>
+        import spark.implicits._
+        val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
+        writeManifestFrame(nextDir,
+          listedManifestRows(nextDir, None).toDF("file", "bytes")
+            .unionByName(pm.filter(kb =!= "").select("file", "bytes")))
+      }
       // touched = none: every existing file links across (append-only
       // — fresh part names are job-UUID-unique, so a bucket dir holds
       // old links and new files side by side)
       shareUntouchedBuckets(curDir, nextDir, Set.empty)
       for (cols <- zcols if carriedPm.isEmpty)
         writeZoneMapFrame(nextDir, zoneStats(spark, nextDir, cols, None))
+      if (prevMan.isEmpty) writeFullManifest(spark, nextDir)
       finalizeStaged(table, staged)
       publish(table, staged, prev)
       readDir(spark, table, staged)
@@ -881,7 +1161,33 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val kbs = keyValues
       .select(pmod(hash(keyValues.columns.map(col): _*), lit(n)).as("kb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val df = readVersionFrame(spark, tableDir(table).resolve(dirNameOf(p)))
+    val vdir = tableDir(table).resolve(dirNameOf(p))
+    // O(TOUCHED) LISTING, not O(table): a whole-version scan filtered
+    // on the partition column still LISTS every file at plan time
+    // (partition pruning happens after discovery) — at 10⁵-10⁶ files
+    // per version that listing is the driver bottleneck of every
+    // probe. Hand Spark exactly the touched bucket DIRS (basePath
+    // keeps the partition column derivable) so discovery walks only
+    // them. Pre-schema-file versions fall back to the full scan —
+    // the explicit-dir read needs the canonical schema to type the
+    // partition column.
+    val df = storedSchemaOf(vdir) match {
+      case Some(schema) =>
+        val dirs = kbs.map(b => vdir.resolve(s"$BucketCol=$b"))
+          .filter(Files.isDirectory(_))
+        // a vanished version dir is a retryable conflict (a swept
+        // publish mid-undo), NEVER a silently-empty probe result
+        if (dirs.isEmpty && !Files.exists(vdir))
+          throw new ConcurrentCommitException(
+            s"version $vdir pruned during bucket probe — a concurrent " +
+              "commit advanced past retention; re-read and retry")
+        if (dirs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.option("basePath", vdir.toString).schema(schema)
+          .parquet(dirs.map(_.toString): _*)
+      case None => readVersionFrame(spark, vdir)
+    }
     (df.filter(col(BucketCol).isin(kbs: _*)).drop(BucketCol),
       versionOf(dirNameOf(p)))
   }
@@ -963,19 +1269,29 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // surface that as the retryable conflict it is (the
     // shareUntouchedBuckets discipline), never a raw I/O error.
     val counts: Map[Int, Int] =
-      try listDir(curDir)
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith(s"$BucketCol="))
-        .map { p =>
-          val b = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-          val n = listDir(p).count(f =>
-            Files.isRegularFile(f) &&
-              !f.getFileName.toString.startsWith("_") &&
-              !f.getFileName.toString.startsWith("."))
-          b -> n
-        }.toMap
-      catch {
+      try manifestAt(spark, curDir) match {
+        // manifest era: one sidecar read, ≤ numBuckets rows to the
+        // driver — never a 10⁵-entry directory walk per maintenance
+        case Some(m) =>
+          val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
+          m.filter(kb =!= "").groupBy(kb.cast("int").as("b"))
+            .agg(count(lit(1)).cast("int").as("n"))
+            .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        case None => listDir(curDir)
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(s"$BucketCol="))
+          .map { p =>
+            val b = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+            b -> listDir(p).count(isDataFile)
+          }.toMap
+      } catch {
         case _: java.nio.file.NoSuchFileException =>
+          throw new ConcurrentCommitException(
+            s"current version $curDir vanished during compaction — a " +
+              "competitor's swept publish is mid-undo; re-read and retry")
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("does not exist") =>
           throw new ConcurrentCommitException(
             s"current version $curDir vanished during compaction — a " +
               "competitor's swept publish is mid-undo; re-read and retry")
@@ -995,6 +1311,8 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       // compaction rewrites whole buckets: same zone-map shape as the
       // merge path (rewritten buckets re-scan, the rest carries)
       maintainZoneMapBucketed(spark, table, nextDir, Some(prev),
+        Some(rewrite))
+      maintainManifestBucketed(spark, table, nextDir, Some(prev),
         Some(rewrite))
       finalizeStaged(table, staged)
       publish(table, staged, Some(prev))
@@ -1053,6 +1371,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // declared) recomputes whole, version-atomically with the data
     zoneColumns(table).foreach(cols =>
       writeZoneMapFrame(dir, zoneStats(spark, dir, cols, None)))
+    writeFullManifest(spark, dir)
     finalizeStaged(table, staged)
     staged
   }

@@ -416,6 +416,141 @@ object OpsQueries {
               AND e.event_id <= m // 3 + (m // 3) // 2
             ORDER BY e.event_id"""))
 
+  /** U14: CHECKPOINTED-METADATA READ ≡ FULL READ — the store's
+    * 100 TB metadata path: every version carries a `_manifest` file-
+    * stats sidecar maintained O(delta) (rewritten buckets re-list,
+    * hard-linked buckets carry their rows), and the probe path reads
+    * through O(TOUCHED) machinery only — [[graft.ops
+    * .ParquetTableStore.readBucketsOf]] hands Spark exactly the
+    * touched bucket dirs (discovery never walks the other 10⁵ files'
+    * dirs) and compaction triggers come from the manifest, never a
+    * directory walk. The gate drives the full write surface (three
+    * appends, a rewriting upsert, a compaction — every manifest
+    * maintenance shape) and reads a key set back through the pruned
+    * path with the residual key filter applied; the oracle recomputes
+    * the same fold + key filter over the source. Manifest ≡ tree
+    * equality per write path is spec-pinned
+    * (ParquetTableStoreSpec). */
+  private val u14 = QueryDef(
+    "u14_manifest_pruned_read",
+    "manifest-era bucketed probe: O(touched) dir read ≡ full-read filter",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      val root = graft.ops.Scratch.tempDir("graft-u14-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") <= c1),
+        Seq("event_id"), numBuckets = 8)
+      store.appendBucketed(s, "ev",
+        ev.filter(col("event_id") > c1 && col("event_id") <= c2),
+        Seq("event_id"))
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") > c2),
+        Seq("event_id"))
+      store.upsertBucketed(s, "ev",
+        ev.filter(col("event_id") % 100 === 0)
+          .select(col("event_id"), col("user_id"),
+            lit("UPD").as("event_type")),
+        Seq("event_id"))
+      store.compactBuckets(s, "ev", maxFilesPerBucket = 2)
+      val keys = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id"))
+      val (pruned, _) = store.readBucketsOf(s, "ev", keys)
+      // pruning is an optimization — correctness comes from the
+      // residual key join (the readZonePruned discipline)
+      pruned.join(keys, Seq("event_id"), "left_semi")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              CASE WHEN event_id % 100 = 0 THEN 'UPD'
+                   ELSE event_type END AS event_type
+            FROM events WHERE event_id % 97 = 0
+            ORDER BY event_id"""))
+
+  /** U15: CHANGE-DATA-FEED BETWEEN STORE VERSIONS
+    * ([[graft.ops.ParquetTableStore.changesBetween]]) — the second-
+    * consumer contract: keyed inserts/updates/deletes from one
+    * retained version to another, computed O(TOUCHED BUCKETS) from
+    * the per-version manifests (hard links preserve file names, so a
+    * bucket with an identical file set provably contributes nothing
+    * — a consumer of a 100 TB table pays for the delta, not the
+    * table). The gate drives the full mutation surface between the
+    * endpoints — create, insert-only append, rewriting upsert (with
+    * fresh keys), keyed delete ([[graft.ops.ParquetTableStore
+    * .deleteBucketed]]), and a COMPACTION (file sets churn, data
+    * doesn't — no phantom changes allowed) — and the oracle rebuilds
+    * both snapshots in SQL and diffs them directly. The untouched-
+    * buckets-never-opened claim is spec-pinned by tampering a proven-
+    * identical bucket out of the old version (ParquetTableStoreSpec). */
+  private val u15 = QueryDef(
+    "u15_changes_between",
+    "store CDC: changesBetween ≡ full two-snapshot diff oracle",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      val root = graft.ops.Scratch.tempDir("graft-u15-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 10)
+      // v0: the base snapshot the feed starts from
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") <= c1),
+        Seq("event_id"), numBuckets = 8)
+      // v1: insert-only append
+      store.appendBucketed(s, "ev",
+        ev.filter(col("event_id") > c1 && col("event_id") <= c2),
+        Seq("event_id"))
+      // v2: rewriting upsert — updates on stored keys + fresh keys
+      store.upsertBucketed(s, "ev",
+        ev.filter(col("event_id") <= c2 && col("event_id") % 100 === 0)
+          .select(col("event_id"), col("user_id"),
+            lit("UPD").as("event_type"))
+          .unionByName(ev.filter(col("event_id") % 500 === 0)
+            .select((col("event_id") + lit(10L) * mx).as("event_id"),
+              col("user_id"), lit("NEW").as("event_type"))),
+        Seq("event_id"))
+      // v3: keyed delete
+      store.deleteBucketed(s, "ev",
+        store.read(s, "ev").filter(col("event_id") % 171 === 0)
+          .select("event_id"),
+        Seq("event_id"))
+      // maybe-v4: compaction — a semantic no-op the feed must not see
+      store.compactBuckets(s, "ev", maxFilesPerBucket = 2)
+      store.changesBetween(s, "ev", Seq("event_id"),
+          0L, store.currentVersion("ev").get)
+        .orderBy("change", "event_id")
+    },
+    Some("""WITH mx AS (SELECT max(event_id) AS m FROM events),
+            s0 AS (SELECT event_id, user_id, event_type
+                   FROM events, mx WHERE event_id <= m // 3),
+            ins1 AS (SELECT event_id, user_id, event_type
+                     FROM events, mx
+                     WHERE event_id > m // 3 AND event_id <= 2 * (m // 3)),
+            upd AS (SELECT event_id, user_id,
+                      CASE WHEN event_id % 100 = 0 THEN 'UPD'
+                           ELSE event_type END AS event_type
+                    FROM (SELECT * FROM s0 UNION ALL SELECT * FROM ins1)),
+            ins2 AS (SELECT event_id + 10 * m AS event_id, user_id,
+                       'NEW' AS event_type
+                     FROM events, mx WHERE event_id % 500 = 0),
+            fin AS (SELECT * FROM
+                      (SELECT * FROM upd UNION ALL SELECT * FROM ins2)
+                    WHERE event_id % 171 <> 0)
+            SELECT 'insert' AS change, f.event_id, f.user_id, f.event_type
+            FROM fin f LEFT JOIN s0 ON s0.event_id = f.event_id
+            WHERE s0.event_id IS NULL
+            UNION ALL
+            SELECT 'update', f.event_id, f.user_id, f.event_type
+            FROM fin f JOIN s0 s ON s.event_id = f.event_id
+            WHERE f.user_id IS DISTINCT FROM s.user_id
+               OR f.event_type IS DISTINCT FROM s.event_type
+            UNION ALL
+            SELECT 'delete', s.event_id, s.user_id, s.event_type
+            FROM s0 s LEFT JOIN fin f ON f.event_id = s.event_id
+            WHERE f.event_id IS NULL
+            ORDER BY change, event_id"""))
+
   def defs: Seq[QueryDef] =
-    Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13)
+    Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13, u14, u15)
 }

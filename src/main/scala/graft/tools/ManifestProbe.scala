@@ -1,0 +1,113 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.SparkSession
+
+/** Store-metadata scale probe: a synthetic version with N data files
+  * (default 100k, the 100 TB order of magnitude) laid out in the
+  * store's bucketed convention, with its `_manifest` sidecar — then
+  * measure the two metadata paths against each other:
+  *
+  *  - file stats via the MANIFEST (one parquet read, distributed
+  *    aggregate, O(1) driver rows) vs via the DIRECTORY WALK (the
+  *    pre-manifest fallback — N list/stat calls on the driver);
+  *  - the compaction TRIGGER derivation (files-per-bucket) via the
+  *    manifest rollup (≤ numBuckets driver rows) vs the walk;
+  *  - the driver-retained footprint of the rollup collect (256 rows)
+  *    vs collecting every file path (the shape the old pruned-read
+  *    total took).
+  *
+  * The data files are empty placeholders — every measured path reads
+  * METADATA only (listings, sizes, the manifest parquet), never file
+  * contents, so the probe isolates exactly the cost the manifest
+  * removes. On a local SSD the walk is cheap; on an object store each
+  * LIST is a paged RPC — the measured call-count collapse (N+buckets
+  * list/stat calls → 1 sidecar read) is the portable result, the
+  * wall-clock ratio is the local lower bound.
+  *
+  * Usage: runMain graft.tools.ManifestProbe [nFiles] [nBuckets] */
+object ManifestProbe {
+  def main(args: Array[String]): Unit = {
+    val nFiles = if (args.length > 0) args(0).toInt else 100000
+    val nBuckets = if (args.length > 1) args(1).toInt else 256
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = graft.ops.Scratch.fastDir("graft-manifest-probe-")
+    val tdir = Paths.get(root, "t")
+    val vdir = tdir.resolve("v=0")
+    Files.createDirectories(vdir)
+    Files.write(tdir.resolve("_CURRENT"), "v=0".getBytes,
+      StandardOpenOption.CREATE)
+    Files.write(tdir.resolve("_BUCKETS"), nBuckets.toString.getBytes,
+      StandardOpenOption.CREATE)
+    var t0 = System.nanoTime()
+    val rows = (0 until nFiles).map { i =>
+      val b = i % nBuckets
+      (s"__kb=$b/part-$i.snappy.parquet", 1024L + i % 7)
+    }
+    rows.groupBy(_._1.split('/').head).foreach { case (d, fs) =>
+      val bd = vdir.resolve(d)
+      Files.createDirectories(bd)
+      fs.foreach { case (rel, _) =>
+        Files.createFile(bd.resolve(rel.split('/')(1)))
+      }
+    }
+    println(f"PROBE synth_layout_${nFiles / 1000}k            ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($nFiles files / $nBuckets buckets)")
+    // the sidecar, written the store's way (one parquet file)
+    t0 = System.nanoTime()
+    rows.toDF("file", "bytes").coalesce(1)
+      .write.parquet(vdir.resolve("_manifest").toString)
+    println(f"PROBE manifest_write_${nFiles / 1000}k          ${(System.nanoTime() - t0) / 1e9}%8.2f s  (one sidecar file)")
+
+    val store = new graft.ops.ParquetTableStore(root)
+
+    // file stats: manifest read vs directory walk
+    t0 = System.nanoTime()
+    val (mc, mb) = store.fileStats(spark, "t")
+    val tManifest = (System.nanoTime() - t0) / 1e9
+    println(f"PROBE fileStats_manifest_${nFiles / 1000}k      $tManifest%8.2f s  (count=$mc bytes=$mb)")
+    t0 = System.nanoTime()
+    var walkCount = 0L
+    val walk = Files.walk(vdir)
+    try walk.iterator().forEachRemaining { p =>
+      if (Files.isRegularFile(p) &&
+          !p.getParent.getFileName.toString.startsWith("_manifest") &&
+          !p.getFileName.toString.startsWith("_")) {
+        Files.size(p); walkCount += 1
+      }
+    } finally walk.close()
+    val tWalk = (System.nanoTime() - t0) / 1e9
+    println(f"PROBE fileStats_walk_${nFiles / 1000}k          $tWalk%8.2f s  (count=$walkCount — ${nFiles + nBuckets} list/stat calls vs 1 read)")
+    require(mc == walkCount, s"manifest count $mc != walk count $walkCount")
+
+    // compaction trigger: counts-per-bucket from the manifest
+    // (compactBuckets with a sky-high threshold derives the counts
+    // and publishes nothing — exactly the trigger path)
+    t0 = System.nanoTime()
+    val rewritten = store.compactBuckets(spark, "t",
+      maxFilesPerBucket = Int.MaxValue)
+    println(f"PROBE compact_trigger_${nFiles / 1000}k         ${(System.nanoTime() - t0) / 1e9}%8.2f s  (manifest rollup, rewrite=${rewritten.size}, $nBuckets driver rows)")
+
+    // driver-retained footprint: the ≤ nBuckets rollup vs every path
+    def used(): Long = {
+      System.gc(); Thread.sleep(100); System.gc()
+      Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    }
+    val base = used()
+    val rollup = store.fileManifest(spark, "t").get
+      .selectExpr("regexp_extract(file, '__kb=(\\\\d+)/', 1) as b")
+      .groupBy("b").count().collect()
+    val afterRollup = used()
+    val allPaths = store.fileManifest(spark, "t").get
+      .select("file").collect().map(_.getString(0))
+    val afterPaths = used()
+    println(f"PROBE driver_retained_${nFiles / 1000}k         rollup=${math.max(0L, afterRollup - base) / 1024}%6d KiB (${rollup.length} rows)  all-paths=${math.max(0L, afterPaths - afterRollup) / 1024}%6d KiB (${allPaths.length} rows)")
+    spark.stop()
+  }
+}

@@ -11,6 +11,11 @@ class ParquetTableStoreSpec extends SparkSpec {
     Files.walk(dir).iterator().asScala
       .filter(Files.isRegularFile(_))
       .filter(_.getFileName.toString.endsWith(".parquet"))
+      // data files only: metadata sidecars (_zonemap, _manifest) are
+      // per-version artifacts, rewritten not linked, outside the
+      // link-audit contract (bucket dirs are __kb= — keep those)
+      .filterNot(p => dir.relativize(p).toString.split('/')
+        .exists(s => s.startsWith("_") && !s.startsWith("__kb=")))
       .map(p => dir.relativize(p).toString ->
         Files.getAttribute(p, "unix:ino").asInstanceOf[Long])
       .toMap
@@ -504,5 +509,155 @@ class ParquetTableStoreSpec extends SparkSpec {
     assert(store.read(spark, "t")
       .filter(org.apache.spark.sql.functions.col("k") === "k1")
       .head.getString(1) == "zz")
+  }
+
+  test("file manifest: every write path keeps the sidecar == the actual file tree") {
+    import spark.implicits._
+    // ground truth: walk the live version dir for data files + sizes
+    def walked(root: String, table: String, v: Long): Map[String, Long] =
+      Files.walk(verDir(root, table, v)).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filterNot(p => verDir(root, table, v).relativize(p).toString
+          .split('/')
+          .exists(s => s.startsWith("_") && !s.startsWith("__kb=")))
+        .map(p => verDir(root, table, v).relativize(p).toString ->
+          Files.size(p)).toMap
+    def manifested(store: ParquetTableStore, table: String): Map[String, Long] =
+      store.fileManifest(spark, table).get.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def check(store: ParquetTableStore, root: String, table: String): Unit = {
+      val v = store.currentVersion(table).get
+      val w = walked(root, table, v)
+      val m = manifested(store, table)
+      assert(m == w, s"manifest drifted from tree at v$v:\n" +
+        s"  only-manifest=${(m.keySet -- w.keySet).take(3)}\n" +
+        s"  only-tree=${(w.keySet -- m.keySet).take(3)}\n" +
+        s"  size-drift=${m.filter { case (k, b) => w.get(k).exists(_ != b) }.take(3)}")
+      val (n, bytes) = store.fileStats(spark, table)
+      assert(n == w.size && bytes == w.values.sum)
+    }
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root)
+    // bucketed create
+    val base = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 8)
+    check(store, root, "t")
+    // O(delta) upsert: untouched rows must CARRY, touched re-list
+    store.upsertBucketed(spark, "t",
+      Seq(("k1", "x"), ("k999", "y")).toDF("k", "v"), Seq("k"))
+    check(store, root, "t")
+    // append: delta listed pre-link, every prior row carried
+    store.appendBucketed(spark, "idx",
+      (1 to 50).map(i => (s"t${i % 5}", i.toLong)).toDF("term", "id"),
+      Seq("term"), numBuckets = 8)
+    store.appendBucketed(spark, "idx",
+      Seq(("t1", 900L), ("zzz", 901L)).toDF("term", "id"), Seq("term"))
+    check(store, root, "idx")
+    // compaction: rewritten buckets re-list, rest carry
+    store.appendBucketed(spark, "idx",
+      Seq(("t1", 902L)).toDF("term", "id"), Seq("term"))
+    assert(store.compactBuckets(spark, "idx", maxFilesPerBucket = 1).nonEmpty)
+    check(store, root, "idx")
+    // snapshot commit path
+    store.commit(spark, "snap", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    check(store, root, "snap")
+    // full bucketed rewrite
+    store.replaceBucketed(spark, "t", base, Seq("k"), numBuckets = 8)
+    check(store, root, "t")
+  }
+
+  test("deleteBucketed: touched buckets rewrite, keys vanish, rest hard-link; empty removals no-op") {
+    import spark.implicits._
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root)
+    val base = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 8)
+    val before = inodesUnder(verDir(root, "t", 0))
+    val out = store.deleteBucketed(spark, "t",
+      Seq("k1", "k50", "k1").toDF("k"), Seq("k"))
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.size == 98 && !got.contains("k1") && !got.contains("k50")
+      && got("k2") == "v2")
+    // untouched buckets carried as the SAME inodes
+    val after = inodesUnder(verDir(root, "t", 1))
+    assert(after.exists { case (rel, ino) => before.get(rel).contains(ino) })
+    // deleting the ≤2 touched buckets rewrote at most 2 dirs
+    val rewritten = after.keys.map(_.split('/').head).toSet.filter { d =>
+      after.exists { case (rel, ino) =>
+        rel.startsWith(d + "/") && !before.get(rel).contains(ino) } }
+    assert(rewritten.size <= 2, rewritten)
+    // the manifest stayed == the tree
+    val m = store.fileManifest(spark, "t").get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == after.keySet)
+    // idempotent re-delete (absent keys): a version no-op? no — it
+    // touches the same buckets and rewrites them identically; content
+    // must be unchanged either way
+    store.deleteBucketed(spark, "t", Seq("k1").toDF("k"), Seq("k"))
+    assert(store.read(spark, "t").count() == 98)
+    // empty removals publish nothing
+    val v = store.currentVersion("t").get
+    store.deleteBucketed(spark, "t",
+      Seq.empty[String].toDF("k"), Seq("k"))
+    assert(store.currentVersion("t").contains(v))
+    // deleting EVERY row stays readable (schema'd empty) with an
+    // empty manifest
+    store.deleteBucketed(spark, "t",
+      store.read(spark, "t").select("k"), Seq("k"))
+    assert(store.read(spark, "t").count() == 0)
+    assert(store.read(spark, "t").columns.toSeq == Seq("k", "v"))
+    assert(store.fileStats(spark, "t") == ((0L, 0L)))
+  }
+
+  test("changesBetween: keyed CDC == full diff; untouched buckets are never opened") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root, keepVersions = 10)
+    val base = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 8)   // v0
+    store.upsertBucketed(spark, "t",
+      Seq(("k1", "x"), ("k999", "fresh")).toDF("k", "v"), Seq("k"))    // v1
+    store.deleteBucketed(spark, "t", Seq("k7").toDF("k"), Seq("k"))    // v2
+    def changes(a: Long, b: Long): Set[(String, String, String)] =
+      store.changesBetween(spark, "t", Seq("k"), a, b).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(changes(0L, 2L) == Set(
+      ("update", "k1", "x"), ("insert", "k999", "fresh"),
+      ("delete", "k7", "v7")))
+    // self-diff and maintenance-only spans are empty
+    assert(changes(1L, 1L).isEmpty)
+    store.compactBuckets(spark, "t", maxFilesPerBucket = 1) match {
+      case s if s.nonEmpty =>
+        val v = store.currentVersion("t").get
+        assert(changes(v - 1, v).isEmpty,
+          "compaction must yield no phantom changes")
+      case _ => ()
+    }
+    // O(touched) pinned behaviorally: tamper an UNTOUCHED bucket's
+    // dir out of the OLD version — the manifests prove it identical,
+    // so the CDC read must never open it; a full-diff implementation
+    // would crash on the missing files
+    val v0 = verDir(root, "t", 0)
+    val v2dirs = inodesUnder(verDir(root, "t", 2))
+    val changedDirs = {
+      val before = inodesUnder(v0)
+      v2dirs.keys.map(_.split('/').head).toSet.filter { d =>
+        v2dirs.exists { case (rel, ino) =>
+          rel.startsWith(d + "/") && !before.get(rel).contains(ino) } } ++
+        before.keys.map(_.split('/').head).toSet
+          .diff(v2dirs.keys.map(_.split('/').head).toSet)
+    }
+    val safeToDrop = inodesUnder(v0).keys.map(_.split('/').head).toSet
+      .diff(changedDirs)
+    assert(safeToDrop.nonEmpty, "fixture: need an untouched bucket")
+    val victim = v0.resolve(safeToDrop.head)
+    import java.nio.file.{Files => JFiles}
+    JFiles.walk(victim).iterator().asScala.toSeq.reverse
+      .foreach(JFiles.delete)
+    assert(changes(0L, 2L) == Set(
+      ("update", "k1", "x"), ("insert", "k999", "fresh"),
+      ("delete", "k7", "v7")))
   }
 }
