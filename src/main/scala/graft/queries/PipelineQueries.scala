@@ -5973,6 +5973,56 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** ST15: THE CDC-FED SECOND CONSUMER
+    * ([[graft.streaming.Streams.corpusUpsertIngest]] writer +
+    * [[graft.streaming.Streams.cdcTokenCountConsumer]] reader over
+    * [[graft.ops.ParquetTableStore.changesBetween]]) — the contract
+    * u15 exists for, driven end to end: a streaming loop upserts the
+    * corpus into the store across two checkpointed runs (inserts,
+    * then inserts + updates), a keyed delete lands out-of-band, and
+    * an INDEPENDENT consumer keeps a per-doc token-count table
+    * current by folding ONLY the store's own change feed since its
+    * stored cursor — it never sees the ingest files, and each fold
+    * pays O(changed buckets). The oracle recomputes the final corpus
+    * (updates applied, deletions removed) and tokenizes it whole:
+    * incremental maintenance must be INVISIBLE next to the
+    * from-scratch build. */
+  private val st15 = QueryDef(
+    "st15_cdc_consumer",
+    "CDC-fed derived table: cursor folds of changesBetween ≡ from-scratch",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.fastDir("graft-st15-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 10)
+      d.filter(col("doc_id") % 3 === 0).coalesce(1).write.parquet(inDir)
+      graft.streaming.Streams.corpusUpsertIngest(s, inDir, ck, store)
+        .awaitTermination()
+      graft.streaming.Streams.cdcTokenCountConsumer(s, store)
+      d.filter(col("doc_id") % 3 =!= 0)
+        .unionByName(d.filter(col("doc_id") % 9 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text")))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      graft.streaming.Streams.corpusUpsertIngest(s, inDir, ck, store)
+        .awaitTermination()
+      graft.streaming.Streams.cdcTokenCountConsumer(s, store)
+      store.deleteBucketed(s, "corpus",
+        d.filter(col("doc_id") % 13 === 0).select("doc_id"), Seq("doc_id"))
+      graft.streaming.Streams.cdcTokenCountConsumer(s, store)
+      store.read(s, "doc_tokens").orderBy("doc_id")
+    },
+    Some("""WITH fin AS (SELECT doc_id,
+              CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END
+                AS text
+            FROM documents WHERE doc_id % 13 <> 0)
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END::BIGINT AS n_tokens
+            FROM fin ORDER BY doc_id"""))
+
   /** ST11: streaming GRAPH maintenance
     * ([[graft.streaming.Streams.graphIngest]]) — the g3 + g4 folds
     * driven from an edge FEED: the co-order edges arrive as two
@@ -7158,5 +7208,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, ts31, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15)
 }

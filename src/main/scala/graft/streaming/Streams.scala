@@ -1236,4 +1236,86 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming corpus maintenance, generic shape: each micro-batch
+    * LWW-upserts (doc_id, text) rows into a bucketed store table —
+    * the WRITER side of the CDC pair (gate st15). Crash-replay: the
+    * upsert is replace-by-key, so a replayed batch re-lands the same
+    * snapshot — effect-idempotent with no ledger. */
+  def corpusUpsertIngest(spark: SparkSession, inputDir: String,
+      checkpointDir: String, store: ParquetTableStore,
+      table: String = "corpus", numBuckets: Int = 8): StreamingQuery = {
+    val in = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .parquet(inputDir)
+    in.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0)
+          store.withCommitRetries()(
+            store.upsertBucketed(spark, table, batch, Seq("doc_id"),
+              numBuckets))
+        ()
+      }
+      .start()
+  }
+
+  /** The SECOND CONSUMER of a stored corpus, fed by the store's own
+    * change feed ([[ParquetTableStore.changesBetween]]) — never by
+    * the ingest side: maintains a per-doc token-count table
+    * (doc_id, n_tokens) that tracks `srcTable` exactly, folding ONLY
+    * the keyed inserts/updates/deletes committed since its stored
+    * cursor. This is the contract the CDC read exists for: an
+    * independent consumer of a 100 TB table pays O(changed buckets)
+    * per fold, not O(table), and needs no cooperation from whatever
+    * wrote the changes (streaming upserts, manual deletes,
+    * compactions — all the same feed).
+    *
+    * First fold (no cursor) full-builds from the current snapshot.
+    * Cursor commits LAST: a crash replays the same span, and the
+    * upsert/delete folds are replace/remove-by-key — idempotent.
+    * A cursor that fell behind retention refuses loudly at the
+    * time-travel read (rebase = drop the cursor table). */
+  def cdcTokenCountConsumer(spark: SparkSession, store: ParquetTableStore,
+      srcTable: String = "corpus", derivedTable: String = "doc_tokens",
+      cursorTable: String = "cdc_cursor", numBuckets: Int = 8): Unit = {
+    import spark.implicits._
+    val cur = store.currentVersion(srcTable).getOrElse(
+      throw new IllegalStateException(
+        s"cdcTokenCountConsumer: $srcTable has no committed version"))
+    def tok(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      graft.ops.TextAnalysis.tokenCountWs(col("text"))
+        .cast("long").as("n_tokens"))
+    val last: Option[Long] =
+      if (store.exists(cursorTable))
+        Some(store.read(spark, cursorTable).head.getLong(0))
+      else None
+    last match {
+      case None =>
+        store.withCommitRetries()(store.replaceBucketed(spark,
+          derivedTable, tok(store.read(spark, srcTable)), Seq("doc_id"),
+          numBuckets))
+      case Some(lv) if lv == cur => ()
+      case Some(lv) =>
+        val ch = store.changesBetween(spark, srcTable, Seq("doc_id"),
+          lv, cur).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val up = tok(ch.filter(col("change") =!= "delete"))
+          if (up.limit(1).count() > 0)
+            store.withCommitRetries()(store.upsertBucketed(spark,
+              derivedTable, up, Seq("doc_id"), numBuckets))
+          val dels = ch.filter(col("change") === "delete")
+            .select("doc_id")
+          if (dels.limit(1).count() > 0)
+            store.withCommitRetries()(store.deleteBucketed(spark,
+              derivedTable, dels, Seq("doc_id")))
+        } finally ch.unpersist(blocking = false)
+    }
+    if (!last.contains(cur))
+      store.withCommitRetries()(
+        store.commit(spark, cursorTable, Seq(cur).toDF("v")))
+    ()
+  }
 }

@@ -356,4 +356,44 @@ class StreamsSpec extends SparkSpec {
         .toSet
     assert(probe(store).nonEmpty && probe(store) == probe(fresh))
   }
+
+  test("cdcTokenCountConsumer: replayed fold is a no-op; a cursor behind retention refuses loudly") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("cdc-store"), keepVersions = 10)
+    val base = (1 to 40).map(i => (i.toLong, s"w$i text $i")).toDF("doc_id", "text")
+    store.upsertBucketed(spark, "corpus", base, Seq("doc_id"), numBuckets = 4)
+    Streams.cdcTokenCountConsumer(spark, store)
+    store.upsertBucketed(spark, "corpus",
+      Seq((1L, "one two three four"), (99L, "fresh doc")).toDF("doc_id", "text"),
+      Seq("doc_id"))
+    store.deleteBucketed(spark, "corpus", Seq(7L).toDF("doc_id"), Seq("doc_id"))
+    Streams.cdcTokenCountConsumer(spark, store)
+    def counts(): Map[Long, Long] = store.read(spark, "doc_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val once = counts()
+    assert(once(1L) == 4L && once(99L) == 2L && !once.contains(7L)
+      && once.size == 40)
+    // crash BEFORE the cursor commit: the replayed fold re-applies
+    // the same span — replace/remove-by-key, so content is unchanged
+    val cursorNow = store.read(spark, "cdc_cursor").head.getLong(0)
+    store.commit(spark, "cdc_cursor",
+      Seq(cursorNow - 2).toDF("v")) // rewind past the upsert+delete
+    Streams.cdcTokenCountConsumer(spark, store)
+    assert(counts() == once)
+    // no-change fold: cursor current → nothing versions
+    val dv = store.currentVersion("doc_tokens").get
+    Streams.cdcTokenCountConsumer(spark, store)
+    assert(store.currentVersion("doc_tokens").contains(dv))
+    // a cursor that fell behind retention refuses at the time-travel
+    // read instead of silently mis-diffing
+    val tight = new ParquetTableStore(tmpDir("cdc-tight"), keepVersions = 2)
+    tight.upsertBucketed(spark, "corpus", base, Seq("doc_id"), numBuckets = 4)
+    Streams.cdcTokenCountConsumer(spark, tight)
+    (1 to 4).foreach(i => tight.upsertBucketed(spark, "corpus",
+      Seq((i.toLong, s"upd $i")).toDF("doc_id", "text"), Seq("doc_id")))
+    val ex = intercept[IllegalStateException] {
+      Streams.cdcTokenCountConsumer(spark, tight)
+    }
+    assert(ex.getMessage.contains("not retained"), ex.getMessage)
+  }
 }
