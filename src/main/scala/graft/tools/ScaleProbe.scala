@@ -1020,6 +1020,48 @@ object ScaleProbe {
           queries, "id", "embedding", store, k = 5))
       }
     }
+    // ss22: recall of the MUTATED stored IVF-PQ pair at ×1/×m, cells
+    // scaled ~sqrt(n) and probes at a fixed quarter of the cells (the
+    // documented 100 TB discipline) — the claim is that the recall
+    // BAND holds as the corpus and the index grow together; a fixed
+    // 32-cell geometry would instead starve (cells 10× as populated,
+    // the cap binding away true neighbors)
+    if (selected("ss22")) {
+      for (m <- Seq(1, mult)) {
+        val corpus = vecs(m)
+        val nReal = corpus.count()
+        val cells = math.max(32,
+          math.ceil(math.sqrt(nReal.toDouble)).toInt)
+        val probes = math.max(8, cells / 4)
+        val root = graft.ops.Scratch.tempDir(s"probe-ss22-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        graft.ops.SimilaritySearch.ivfBuildIndexStored(corpus, "id",
+          "embedding", store, numCentroids = cells)
+        graft.ops.SimilaritySearch.pqBuildIndexStored(corpus, "id",
+          "embedding", store, m = 8, ks = 16, dim = 64)
+        graft.ops.SimilaritySearch.ivfPqPairPin(spark, store)
+        val delta = corpus.filter(col("id") % 7 === 0)
+          .select(col("id"), reverse(col("embedding")).as("embedding"))
+        graft.ops.SimilaritySearch.ivfReindexVectors(delta, "id",
+          "embedding", store)
+        graft.ops.SimilaritySearch.pqReindexVectors(delta, "id",
+          "embedding", store)
+        graft.ops.SimilaritySearch.ivfPqPairPin(spark, store)
+        val mut = corpus.select(col("id"),
+          when(col("id") % 7 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+        val queries = mut.filter(col("id") < 10)
+        val t0 = System.nanoTime()
+        val hits = graft.ops.SimilaritySearch.recallAtK(
+          graft.ops.SimilaritySearch.bruteForceTopK(queries, mut, "id",
+            "embedding", k = 10),
+          graft.ops.SimilaritySearch.ivfPqTopKStored(queries, "id",
+            "embedding", store, k = 10, probes = probes,
+            cellCap = 100000),
+          k = 10).agg(sum("hits")).head.getLong(0)
+        println(f"PROBE ss22_recall_x$m%-25s ${(System.nanoTime() - t0) / 1e9}%8.2f s  hits=$hits%3d/100  cells=$cells probes=$probes")
+      }
+    }
     // ts30: unigram-LM induction — the corpus term is ONE wordFreq
     // scan; EM rounds are vocabulary-sized (candidate join + per-word
     // DP + combinable rollup), so wall should track the VOCAB growth

@@ -1348,6 +1348,66 @@ class PipelineSpec extends SparkSpec {
       s"expected every batch doc's boiler chunk flagged, got $dupChunks")
   }
 
+  test("ss22 recall band: the mutated stored pair holds its band; exact rerank recovers ADC-impostor loss") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val root = Scratch.tempDir("ss22-band-")
+    val store = new ParquetTableStore(s"$root/store")
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+      numCentroids = 32)
+    SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", store,
+      m = 8, ks = 16, dim = 64)
+    SimilaritySearch.ivfPqPairPin(spark, store)
+    val delta = e.filter(col("id") % 7 === 0)
+      .select(col("id"), reverse(col("embedding")).as("embedding"))
+    SimilaritySearch.ivfReindexVectors(delta, "id", "embedding", store)
+    SimilaritySearch.pqReindexVectors(delta, "id", "embedding", store)
+    SimilaritySearch.ivfPqPairPin(spark, store)
+    val mut = mutatedCorpus(e)
+    val q = mut.filter(col("id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(q, mut, "id", "embedding",
+      k = 10)
+    def hitsAt(probes: Int): Long = SimilaritySearch.recallAtK(exact,
+        SimilaritySearch.ivfPqTopKStored(q, "id", "embedding", store,
+          k = 10, probes = probes, cellCap = 100000), k = 10)
+      .agg(org.apache.spark.sql.functions.sum("hits")).head.getLong(0)
+    // the band: ss21 proves probe ≡ re-encode; this proves the pair
+    // actually RETRIEVES — the fixture measures 32/100 at probes=8
+    // (sample codebooks, ks=16: the honest quality of un-refined PQ),
+    // pinned at 25 with variance margin. Exceeding the band is free;
+    // a collapsed codebook or starved probe drops through it.
+    val h8 = hitsAt(8)
+    assert(h8 >= 25L, s"recall@10 sum $h8/100 fell through the band")
+    // measured and pinned: recall is NOT probe-monotonic under an
+    // approximate scorer (unlike ss8's exact-cosine IVF) — more
+    // probes admit more ADC impostors, which displace true neighbors
+    // (32 hits at probes=8 vs 24 at probes=32 on this fixture). The
+    // production answer is shortlist-and-rerank: exact cosine over a
+    // deep full-probe shortlist must recover at least the starved
+    // raw-ADC recall.
+    val h32 = hitsAt(32)
+    assert(h32 >= 15L, s"full-probe raw ADC collapsed: $h32/100")
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.VectorKernels.dotProduct
+    val shortlist = SimilaritySearch.ivfPqTopKStored(q, "id", "embedding",
+        store, k = 40, probes = 32, cellCap = 100000)
+      .select("query_id", "neighbor_id")
+    val qv = mut.select(col("id").as("query_id"), col("embedding").as("qv"))
+    val cv = mut.select(col("id").as("neighbor_id"), col("embedding").as("cv"))
+    val reranked = shortlist.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("cos", dotProduct(col("qv"), col("cv")) /
+        (sqrt(dotProduct(col("qv"), col("qv"))) *
+          sqrt(dotProduct(col("cv"), col("cv")))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+    val hRerank = SimilaritySearch.recallAtK(exact, reranked, k = 10)
+      .agg(org.apache.spark.sql.functions.sum("hits")).head.getLong(0)
+    assert(hRerank >= h8,
+      s"exact rerank of the 40-deep shortlist recalled $hRerank < raw $h8")
+  }
+
   // ---- mutable stored PQ (ss20: build → re-encode → probe) ----
 
   private def pqProbeRows(store: ParquetTableStore,
