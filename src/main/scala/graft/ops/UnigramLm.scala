@@ -242,4 +242,181 @@ object UnigramLm {
         (word, if (best(n) == Double.NegativeInfinity) n.toLong else cnt(n))
       }.toDF("word", "n_pieces")
   }
+
+  /** Per-byte fallback score: far below any vocabulary piece's
+    * ln-probability (vocab scores sit in (-total, 0), realistically
+    * ≥ -20 at any trained size), so the DP routes through byte edges
+    * ONLY where no vocabulary path exists — exactly SentencePiece's
+    * `byte_fallback` contract. Exact in doubles on both engines
+    * (integer multiples of -100), so the oracle DP folds bit-equal. */
+  private val ByteScore = -100.0
+
+  private def utf8Width(cp: Int): Int =
+    if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+
+  /** APPLY with BYTE FALLBACK ([[tokenize]]'s production twin —
+    * SentencePiece `byte_fallback=true`): every character position
+    * always carries a fallback edge of one byte token PER UTF-8 BYTE
+    * at [[ByteScore]] per byte, so the Viterbi DP is reachable for
+    * ANY input and unknown characters count their byte width instead
+    * of a lossy `<unk>`. Words over `maxWordLen` byte out whole
+    * (np = octet count — the cap rule, byte edition); words with no
+    * in-vocab substring never reach the DP and coalesce to the same
+    * octet count (a pure byte path's np, exactly what the DP would
+    * compute). Lossless by construction — [[segmentPiecesByteFallback]]
+    * + [[detokenize]] round-trip any input; gate ts32 pins the counts
+    * against the unrolled-DP oracle on a foreign corpus. */
+  def tokenizeByteFallback(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 4,
+      maxWordLen: Int = 20): DataFrame = {
+    val corpusWords = docs
+      .select(explode(graft.functions.TextFunctions.tokens(
+        lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+    val inCap = corpusWords.filter(length(col("word")) <= maxWordLen)
+    val lens = inCap.select("word")
+      .join(byteFallbackLengths(candidates(inCap, maxPieceLen), vocab),
+        Seq("word"), "left")
+      .select(col("word"),
+        coalesce(col("n_pieces"), octet_length(col("word")).cast("long"))
+          .as("n_pieces"))
+      .unionByName(corpusWords.filter(length(col("word")) > maxWordLen)
+        .select(col("word"),
+          octet_length(col("word")).cast("long").as("n_pieces")))
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(
+          lower(col(textCol)))).as("word"))
+      .join(lens, Seq("word"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_lm_tokens"))
+  }
+
+  /** Per-word byte-fallback Viterbi path LENGTH (piece count; byte
+    * tokens count one PER BYTE). The DP is always reachable: every
+    * end position i has the byte edge from i-1 in addition to the
+    * vocab candidates (processed after the byte edge, lengths
+    * ascending, strict improvement — vocab beats bytes by score
+    * construction, ties keep the shorter vocab piece). */
+  private def byteFallbackLengths(cands: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("__total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("piece"),
+        round(log(col("cnt").cast("double") / col("__total")), 9)
+          .as("score"))
+    cands.join(scored, Seq("piece"))
+      .select(col("word"), col("pos"), col("len"), col("score"))
+      .as[(String, Int, Int, Double)]
+      .groupByKey(_._1).mapGroups { (word, it) =>
+        val rows = it.toArray
+        val cps = word.codePoints.toArray
+        val n = cps.length
+        val byEnd = rows.groupBy(r => r._2 + r._3 - 1)
+          .map { case (e, rs) => e -> rs.sortBy(_._3) }
+        val best = Array.fill(n + 1)(Double.NegativeInfinity)
+        val cnt = Array.fill(n + 1)(0L)
+        best(0) = 0.0
+        var i = 1
+        while (i <= n) {
+          // the byte edge FIRST (lowest priority: any vocab edge's
+          // score strictly beats it), then vocab candidates
+          val w = utf8Width(cps(i - 1))
+          if (best(i - 1) != Double.NegativeInfinity) {
+            best(i) = best(i - 1) + ByteScore * w
+            cnt(i) = cnt(i - 1) + w
+          }
+          byEnd.getOrElse(i, Array.empty[(String, Int, Int, Double)])
+            .foreach { c =>
+              val l = c._3
+              if (best(i - l) != Double.NegativeInfinity) {
+                val s = best(i - l) + c._4
+                if (s > best(i)) { best(i) = s; cnt(i) = cnt(i - l) + 1 }
+              }
+            }
+          i += 1
+        }
+        (word, cnt(n))
+      }.toDF("word", "n_pieces")
+  }
+
+  /** Per-word byte-fallback SEGMENTATION — the piece sequences
+    * behind [[tokenizeByteFallback]]'s counts: vocab pieces verbatim,
+    * fallback bytes as `<0xNN>` tokens (one per UTF-8 byte, the
+    * SentencePiece rendering). [[detokenize]] inverts it exactly. */
+  def segmentPiecesByteFallback(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int = 4): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val w = words.select(col("word")).distinct()
+      .withColumn("freq", lit(1L))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("__total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("piece"),
+        round(log(col("cnt").cast("double") / col("__total")), 9)
+          .as("score"))
+    val cand = candidates(w, maxPieceLen).join(scored, Seq("piece"))
+      .select(col("word"), col("pos"), col("len"), col("score"),
+        col("piece"))
+      .as[(String, Int, Int, Double, String)]
+    val segmented = cand.groupByKey(_._1).mapGroups { (word, it) =>
+      val rows = it.toArray
+      val cps = word.codePoints.toArray
+      val n = cps.length
+      val byEnd = rows.groupBy(r => r._2 + r._3 - 1)
+        .map { case (e, rs) => e -> rs.sortBy(_._3) }
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val path = Array.fill[List[String]](n + 1)(Nil)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        val wd = utf8Width(cps(i - 1))
+        if (best(i - 1) != Double.NegativeInfinity) {
+          best(i) = best(i - 1) + ByteScore * wd
+          // paths build head-first (consumed by one final reverse):
+          // this code point's byte tokens push onto path(i-1) in
+          // byte order, so they pop back out in order after reverse
+          path(i) = new String(Character.toChars(cps(i - 1)))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .map(b => f"<0x${b & 0xff}%02X>")
+            .foldLeft(path(i - 1))((acc, t) => t :: acc)
+        }
+        byEnd.getOrElse(i, Array.empty[(String, Int, Int, Double, String)])
+          .foreach { c =>
+            val l = c._3
+            if (best(i - l) != Double.NegativeInfinity) {
+              val s = best(i - l) + c._4
+              if (s > best(i)) { best(i) = s; path(i) = c._5 :: path(i - l) }
+            }
+          }
+        i += 1
+      }
+      (word, path(n).reverse)
+    }.toDF("word", "pieces")
+    // words with NO candidate rows (pure byte paths) never reach the
+    // DP — synthesize their all-bytes segmentation
+    val missing = w.select("word")
+      .join(segmented.select("word"), Seq("word"), "left_anti")
+      .as[String].map { word =>
+        (word, word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"<0x${b & 0xff}%02X>").toSeq)
+      }.toDF("word", "pieces")
+    segmented.unionByName(missing)
+  }
+
+  /** Invert [[segmentPiecesByteFallback]]: vocab pieces contribute
+    * their characters, `<0xNN>` byte tokens their bytes — adjacent
+    * byte runs decode as one UTF-8 sequence. Total: any token list
+    * the segmenter emits rebuilds the exact input string. */
+  def detokenize(pieces: Seq[String]): String = {
+    val ByteTok = "<0x([0-9A-F]{2})>".r
+    val out = new java.io.ByteArrayOutputStream()
+    pieces.foreach {
+      case ByteTok(h) => out.write(Integer.parseInt(h, 16))
+      case p => out.write(
+        p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 }

@@ -4128,6 +4128,120 @@ object PipelineQueries {
     * (over-cap words, no-candidate words, unreachable DP) counting
     * <unk>-per-char instead of vanishing — the review-found silent
     * row loss, now oracle-gated. */
+  /** The ts32 byte-fallback apply oracle: ts30's trained-vocab chain
+    * (v`iters`), then the apply-side DP over a FOREIGN corpus
+    * (`documents.text || foreignSuffix`) where every position also
+    * carries the byte edge (-100.0/byte, np += octet width) — the DP
+    * is reachable for ANY word, so the only coalesce left is the
+    * over-cap/no-candidate octet count (≡ the pure byte path). */
+  private def unigramByteFallbackOracleSql(iters: Int, maxPieceLen: Int,
+      maxWordLen: Int, minSeedCount: Int, keepPieces: Int,
+      foreignSuffix: String): String = {
+    val dps = (1 to maxWordLen).map { p =>
+      val vocabBranches = (1 to math.min(maxPieceLen, p)).map { l =>
+        s"""SELECT d.word, d.score + c.score AS score,
+               d.np + 1 AS np, $l AS l
+             FROM dpb_${p - l} d
+             JOIN candb c ON c.word = d.word AND c.pos = ${p - l + 1}
+               AND c.len = $l"""
+      }.mkString("\n             UNION ALL\n             ")
+      s""",
+          dpb_$p AS MATERIALIZED (SELECT word, score, np FROM (
+              SELECT word, score, np,
+                     row_number() OVER (PARTITION BY word
+                       ORDER BY score DESC, l, np DESC) AS rn
+              FROM ($vocabBranches
+             UNION ALL
+             SELECT d.word, d.score + (-100.0 * b.b) AS score,
+                 d.np + b.b AS np, 1 AS l
+               FROM dpb_${p - 1} d
+               JOIN byteb b ON b.word = d.word AND b.pos = $p))
+              WHERE rn = 1)"""
+    }.mkString
+    val segUnion = (1 to maxWordLen).map(p =>
+      s"""SELECT d.word, d.np FROM dpb_$p d
+           JOIN awt w ON w.word = d.word AND length(w.word) = $p""")
+      .mkString("\n              UNION ALL ")
+    unigramVocabCtes(iters, maxPieceLen, maxWordLen, minSeedCount,
+      keepPieces) + s""",
+          fdocs AS (SELECT doc_id, text || '$foreignSuffix' AS text
+                    FROM documents),
+          aw0 AS (SELECT DISTINCT unnest(
+                CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                END) AS word
+              FROM fdocs),
+          awt AS MATERIALIZED (SELECT word FROM aw0
+                               WHERE length(word) <= $maxWordLen),
+          asub AS MATERIALIZED (SELECT word, u.pos AS pos, u.len AS len,
+              u.piece AS piece
+            FROM (SELECT word,
+                    unnest(flatten(list_transform(
+                      generate_series(1, length(word)), p ->
+                      list_transform(generate_series(1,
+                          least($maxPieceLen, length(word) - p + 1)), l ->
+                        {'pos': p, 'len': l,
+                         'piece': substr(word, p::INT, l::INT)})))) AS u
+                  FROM awt)),
+          totb AS (SELECT sum(cnt)::DOUBLE AS total FROM v$iters),
+          scb AS MATERIALIZED (SELECT piece,
+              round(ln(cnt::DOUBLE / total), 9) AS score
+            FROM v$iters, totb),
+          candb AS MATERIALIZED (SELECT s.word, s.pos, s.len, s.piece,
+              c.score
+            FROM asub s JOIN scb c ON c.piece = s.piece),
+          byteb AS MATERIALIZED (SELECT word, u AS pos,
+              strlen(substr(word, u::INT, 1)) AS b
+            FROM (SELECT word,
+                    unnest(generate_series(1, length(word))) AS u
+                  FROM awt)),
+          dpb_0 AS (SELECT word, 0.0::DOUBLE AS score, 0::BIGINT AS np
+                    FROM awt)$dps,
+          segb AS ($segUnion),
+          lens AS (SELECT w.word,
+              coalesce(s.np, strlen(w.word))::BIGINT AS np
+            FROM aw0 w LEFT JOIN segb s ON s.word = w.word),
+          docw AS (SELECT doc_id AS id,
+              unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                AS word
+            FROM fdocs WHERE length(trim(lower(text))) > 0)
+          SELECT d.id, count(*)::BIGINT AS n_words,
+            sum(l.np)::BIGINT AS n_lm_tokens
+          FROM docw d JOIN lens l ON l.word = d.word
+          GROUP BY d.id ORDER BY d.id"""
+  }
+
+  /** TS32: BYTE-FALLBACK TOKENIZATION
+    * ([[graft.ops.UnigramLm.tokenizeByteFallback]]) — ts31's apply
+    * path under the production SentencePiece contract
+    * (`byte_fallback=true`): unknown characters count their UTF-8
+    * byte width instead of a lossy `<unk>`, so ANY input round-trips
+    * (losslessness itself is spec-pinned via
+    * [[graft.ops.UnigramLm.segmentPiecesByteFallback]] +
+    * [[graft.ops.UnigramLm.detokenize]]). The gate trains on the
+    * documents corpus and applies to a FOREIGN version of it (every
+    * text suffixed with 2-, 3- and 4-byte non-ASCII words), the
+    * fixture class that broke ts31's first draft; the oracle unrolls
+    * the same DP with the byte edge at every position. */
+  private val ts32 = QueryDef(
+    "ts32_unigram_byte_fallback",
+    "unigram-LM apply with byte fallback: lossless counts on a foreign corpus",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.ops.UnigramLm.trainVocab(docs, "text",
+        iters = 1, maxPieceLen = 4, maxWordLen = 20, minSeedCount = 2,
+        keepPieces = 120)
+      val foreign = docs.select(col("doc_id"),
+        concat(col("text"), lit(" caffè → 🌍"))
+          .as("text"))
+      graft.ops.UnigramLm.tokenizeByteFallback(foreign, "doc_id", "text",
+        vocab, maxPieceLen = 4, maxWordLen = 20)
+        .orderBy("id")
+    },
+    Some(unigramByteFallbackOracleSql(iters = 1, maxPieceLen = 4,
+      maxWordLen = 20, minSeedCount = 2, keepPieces = 120,
+      foreignSuffix = " caffè → 🌍")))
+
   private val ts31 = QueryDef(
     "ts31_unigram_lm_tokenize",
     "unigram-LM apply: per-doc Viterbi piece counts under the trained vocab",
@@ -7300,7 +7414,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, dc4, ss1, ss2,
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ss22, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
-      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, ts31, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
+      ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, ts31, ts32, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15)
 }

@@ -109,4 +109,36 @@ class UnigramLmSpec extends SparkSpec {
     assert(out(1L) == ((2L, 2L)), out.toString)
     assert(out(2L) == ((1L, 2L)), out.toString)
   }
+
+  test("byte fallback: any input round-trips losslessly; counts match the segmenter") {
+    val train = Seq("ab ab cd cd").toDF("text")
+    val v = UnigramLm.trainVocab(train, "text", iters = 1,
+      maxPieceLen = 4, maxWordLen = 20, minSeedCount = 2, keepPieces = 10)
+      .persist()
+    // the ts31-breaking fixture class plus worse: unknown ASCII,
+    // mixed known/unknown, 2-/3-/4-byte characters, pure emoji
+    val words = Seq("ab", "xyz", "axb", "caffè", "→", "🌍", "a🌍b",
+      "日本語", "ab→cd")
+    val wdf = words.toDF("word")
+    val segs = UnigramLm.segmentPiecesByteFallback(wdf, v, maxPieceLen = 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      val pieces = segs(w)
+      // LOSSLESS: detokenize inverts segmentation exactly
+      assert(UnigramLm.detokenize(pieces) == w,
+        s"$w -> $pieces -> ${UnigramLm.detokenize(pieces)}")
+    }
+    // vocab pieces are preferred wherever a path exists
+    assert(segs("ab") == Seq("ab"))
+    assert(segs("xyz").forall(_.startsWith("<0x")), segs("xyz").toString)
+    assert(segs("a🌍b").count(_.startsWith("<0x")) == 4, segs("a🌍b"))
+    // counts agree with the counting path (tokenizeByteFallback)
+    val docs = Seq((1L, words.mkString(" "))).toDF("id", "text")
+    val counted = UnigramLm.tokenizeByteFallback(docs, "id", "text", v)
+      .head
+    assert(counted.getLong(1) == words.size.toLong)
+    assert(counted.getLong(2) == segs.values.map(_.size.toLong).sum,
+      s"${counted.getLong(2)} vs ${segs.view.mapValues(_.size).toMap}")
+    v.unpersist()
+  }
 }
