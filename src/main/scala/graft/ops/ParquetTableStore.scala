@@ -83,7 +83,7 @@ final case class CommitPin private[ops] (table: String,
     private[ops] val pointer: Option[String])
 
 final class ParquetTableStore(root: String, keepVersions: Int = 2,
-    io: StoreIo = PosixStoreIo) {
+    io: StoreIo = StoreIo.default) {
   require(keepVersions >= 1)
 
   private val BucketCol = "__kb"

@@ -120,6 +120,20 @@ private[ops] trait LockedCas { self: StoreIo =>
 
 /** POSIX/HDFS profile: tmp-write + ATOMIC_MOVE, hard links, CAS under
   * the sidecar lock. */
+object StoreIo {
+  /** Profile for stores constructed without an explicit `io`:
+    * `SPARK_GRAFT_STORE_IO=object` flips EVERY default-constructed
+    * store in the process to the S3-style profile — the battery-slice
+    * discipline (round-13 verdict item 7): an atomic-rename or inode
+    * assumption hiding in a newer write path would pass every
+    * POSIX-profile gate forever; a full Verify run under the flipped
+    * profile smokes it out. */
+  def default: StoreIo =
+    if (sys.env.get("SPARK_GRAFT_STORE_IO").contains("object"))
+      ObjectStoreIo
+    else PosixStoreIo
+}
+
 object PosixStoreIo extends StoreIo with LockedCas {
 
   override def swapPointer(pointer: Path, content: String): Unit = {
