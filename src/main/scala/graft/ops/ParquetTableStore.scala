@@ -1297,6 +1297,16 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
               "competitor's swept publish is mid-undo; re-read and retry")
       }
     val rewrite = counts.filter(_._2 > maxFilesPerBucket).keySet
+    compactBucketSet(spark, table, rewrite, prev)
+  }
+
+  /** Rewrite exactly `rewrite`'s buckets of the version pinned by
+    * `prev` down to one file each — the shared compaction tail of
+    * [[compactBuckets]] (count trigger) and [[autoMaintain]]
+    * (size-tiered policy). Empty set ⇒ no version published. */
+  private def compactBucketSet(spark: SparkSession, table: String,
+      rewrite: Set[Int], prev: String): Set[Int] = {
+    val curDir = tableDir(table).resolve(dirNameOf(prev))
     if (rewrite.isEmpty) Set.empty
     else {
       val fragmented = readVersionFrame(spark, curDir)
@@ -1318,6 +1328,57 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       publish(table, staged, Some(prev))
       rewrite
     }
+  }
+
+  /** AUTO-MAINTENANCE: the POLICY end of compaction — at 100 TB the
+    * small-file debt of streaming loops needs triggers, not an
+    * operator someone remembers to call. One manifest read (≤
+    * numBuckets driver rows, never a directory walk) evaluates the
+    * size-tiered policy per bucket:
+    *
+    *  - files-per-bucket over `maxFilesPerBucket` (the count debt a
+    *    hot bucket accumulates version over version), or
+    *  - more than one file averaging under `minBytesPerFile` (the
+    *    small-file tier: many tiny appends that a count threshold
+    *    alone would tolerate right up to the scan-cost cliff);
+    *
+    * buckets failing either tier rewrite through the same
+    * CAS-published compaction as [[compactBuckets]] — a semantic
+    * no-op, loser-safe under [[withCommitRetries]]. No debt ⇒ NO
+    * version churn (the u10 maintenance discipline). Returns the
+    * rewritten buckets; gate u16 pins auto ≡ manual through an
+    * ingest run, ParquetTableStoreSpec pins trigger selection. */
+  def autoMaintain(spark: SparkSession, table: String,
+      maxFilesPerBucket: Int = 4,
+      minBytesPerFile: Long = 8L << 20): Set[Int] = {
+    require(maxFilesPerBucket >= 1 && minBytesPerFile >= 0)
+    numBuckets(table).getOrElse(throw new IllegalStateException(
+      s"table $table is not bucketed; snapshot tables rewrite whole on commit"))
+    val prev = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    val curDir = tableDir(table).resolve(dirNameOf(prev))
+    val rewrite: Set[Int] = manifestAt(spark, curDir) match {
+      case Some(m) =>
+        val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
+        m.filter(kb =!= "")
+          .groupBy(kb.cast("int").as("b"))
+          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+          .filter(col("n") > maxFilesPerBucket ||
+            (col("n") > 1 &&
+              col("bytes") / col("n") < minBytesPerFile))
+          .select("b").collect().map(_.getInt(0)).toSet
+      case None =>
+        // pre-manifest version: count tier only, from the listing
+        listDir(curDir)
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(s"$BucketCol="))
+          .map { p =>
+            p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt ->
+              listDir(p).count(isDataFile)
+          }
+          .filter(_._2 > maxFilesPerBucket).map(_._1).toSet
+    }
+    compactBucketSet(spark, table, rewrite, prev)
   }
 
   /** Run `op` (any commit/upsert on this store) with optimistic-

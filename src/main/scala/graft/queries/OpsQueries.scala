@@ -551,6 +551,38 @@ object OpsQueries {
             WHERE f.event_id IS NULL
             ORDER BY change, event_id"""))
 
+  /** U16: AUTO-MAINTENANCE POLICY
+    * ([[graft.ops.ParquetTableStore.autoMaintain]]) — u10 pins
+    * maintenance as a semantic no-op when INVOKED; this pins the
+    * POLICY: a log-structured ingest run (five append slices, each
+    * fragmenting its buckets) with the size-tiered trigger evaluated
+    * after every commit — compaction fires from the manifest's
+    * files-per-bucket stats, never from a directory walk, and the
+    * read-back content is the invariant the oracle checks. Auto ≡
+    * manual compaction and the trigger tiers (count, small-file
+    * bytes, no-debt ⇒ no churn) are spec-pinned
+    * (ParquetTableStoreSpec); the files-per-bucket collapse is a
+    * ScaleProbe row. */
+  private val u16 = QueryDef(
+    "u16_auto_maintenance",
+    "size-tiered auto-compaction through an ingest run: content invariant",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-u16-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 20)
+      for (i <- 0 until 5) {
+        store.appendBucketed(s, "docs",
+          d.filter(col("doc_id") % 5 === i), Seq("doc_id"),
+          numBuckets = 8)
+        store.autoMaintain(s, "docs", maxFilesPerBucket = 2,
+          minBytesPerFile = 0L)
+      }
+      store.read(s, "docs").orderBy("doc_id")
+    },
+    Some("SELECT doc_id, text FROM documents ORDER BY doc_id"))
+
   def defs: Seq[QueryDef] =
-    Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13, u14, u15)
+    Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13, u14, u15,
+      u16)
 }

@@ -1062,6 +1062,30 @@ object ScaleProbe {
         println(f"PROBE ss22_recall_x$m%-25s ${(System.nanoTime() - t0) / 1e9}%8.2f s  hits=$hits%3d/100  cells=$cells probes=$probes")
       }
     }
+    // u16: auto-maintenance — m× append slices fragment the buckets,
+    // then the size-tiered policy collapses them; the row records the
+    // files-per-bucket debt before/after and the policy's cost
+    if (selected("u16")) {
+      for (m <- Seq(1, mult)) {
+        val root = graft.ops.Scratch.tempDir(s"probe-u16-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store",
+          keepVersions = 40)
+        (0 until 8).foreach { i =>
+          store.appendBucketed(spark, "docs",
+            docs(m).filter(col("id") % 8 === i), Seq("id"),
+            numBuckets = 32)
+        }
+        def maxFiles(): Long = store.fileManifest(spark, "docs").get
+          .selectExpr("regexp_extract(file, '__kb=(\\\\d+)/', 1) AS b")
+          .filter(col("b") =!= "").groupBy("b").count()
+          .agg(max("count")).head.getLong(0)
+        val before = maxFiles()
+        val t0 = System.nanoTime()
+        val rewritten = store.autoMaintain(spark, "docs",
+          maxFilesPerBucket = 4)
+        println(f"PROBE u16_automaint_x$m%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  files/bucket $before%2d -> ${maxFiles()}%2d (rewrote ${rewritten.size} buckets)")
+      }
+    }
     // ts30: unigram-LM induction — the corpus term is ONE wordFreq
     // scan; EM rounds are vocabulary-sized (candidate join + per-word
     // DP + combinable rollup), so wall should track the VOCAB growth

@@ -610,6 +610,49 @@ class ParquetTableStoreSpec extends SparkSpec {
     assert(store.fileStats(spark, "t") == ((0L, 0L)))
   }
 
+  test("autoMaintain: size-tiered triggers fire from the manifest; auto == manual; no debt, no churn") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def maxFilesPerBucket(store: ParquetTableStore): Int =
+      store.fileManifest(spark, "t").get
+        .selectExpr("regexp_extract(file, '__kb=(\\\\d+)/', 1) AS b")
+        .filter(col("b") =!= "").groupBy("b").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head
+        .getLong(0).toInt
+    val slices = (0 until 4).map(i =>
+      (1 to 100).filter(_ % 4 == i).map(k => (s"k$k", s"v$k"))
+        .toDF("k", "v"))
+    // auto store: policy evaluated after each append
+    val auto = new ParquetTableStore(tmpDir("auto"), keepVersions = 20)
+    // manual twin: explicit compactBuckets at the same points
+    val man = new ParquetTableStore(tmpDir("man"), keepVersions = 20)
+    slices.foreach { sl =>
+      auto.appendBucketed(spark, "t", sl, Seq("k"), numBuckets = 4)
+      auto.autoMaintain(spark, "t", maxFilesPerBucket = 2,
+        minBytesPerFile = 0L)
+      man.appendBucketed(spark, "t", sl, Seq("k"), numBuckets = 4)
+      man.compactBuckets(spark, "t", maxFilesPerBucket = 2)
+    }
+    def content(s: ParquetTableStore): Map[String, String] =
+      s.read(spark, "t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(content(auto) == content(man) && content(auto).size == 100)
+    assert(maxFilesPerBucket(auto) == maxFilesPerBucket(man))
+    assert(maxFilesPerBucket(auto) <= 2)
+    // no debt ⇒ NO version churn
+    val v = auto.currentVersion("t").get
+    assert(auto.autoMaintain(spark, "t", maxFilesPerBucket = 2,
+      minBytesPerFile = 0L).isEmpty)
+    assert(auto.currentVersion("t").contains(v))
+    // the SMALL-FILE tier: counts are fine (2 ≤ 3) but the files are
+    // tiny — a byte floor triggers what the count threshold tolerates
+    val rewritten = auto.autoMaintain(spark, "t", maxFilesPerBucket = 3,
+      minBytesPerFile = 1L << 20)
+    assert(rewritten.nonEmpty, "byte tier never fired on tiny files")
+    assert(maxFilesPerBucket(auto) == 1)
+    assert(content(auto).size == 100)
+  }
+
   test("changesBetween: keyed CDC == full diff; untouched buckets are never opened") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
