@@ -922,11 +922,77 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       .filter(col(BucketCol).isin(touched.toSeq: _*))
       .drop(BucketCol)
       .join(rem, keys, "left_anti")
-    val laid = kept
+    publishTouchedRewrite(spark, table, kept, keys, n, touched, prev)
+  }
+
+  /** APPLY A CHANGE FEED in ONE atomic version publish: `changes` is
+    * a [[changesBetween]]-shaped frame (`change` ∈
+    * insert|update|delete plus the table's columns; delete rows need
+    * only their key columns) and the whole span lands as a SINGLE
+    * CAS-published version — a reader can never observe the span's
+    * upserts without its deletes (the torn corpus state a
+    * two-commit upsert-then-delete fold exposes). This is the
+    * CDC-consumer / replica-maintenance primitive: replaying
+    * `changesBetween(src, v1, v2)` onto a copy of `src@v1`
+    * reconstructs `src@v2` exactly (gate u17), and a derived-table
+    * consumer folds each span with one commit (st15).
+    *
+    * O(TOUCHED BUCKETS) like [[upsertBucketed]]/[[deleteBucketed]]:
+    * only buckets holding changed keys rewrite; the rest hard-link.
+    * Replays idempotently (upserts replace-by-key, deleting an
+    * absent key is a no-op); empty feeds are a version no-op, never
+    * churn. Creates the table from the feed's upsert rows if absent
+    * (deletes against an absent table are no-ops). Add-only schema
+    * evolution when the feed's columns grew. Insert vs update is not
+    * re-verified — both replace-by-key, so a mislabeled feed still
+    * converges to the right content. */
+  def applyChangesBucketed(spark: SparkSession, table: String,
+      changes: DataFrame, keys: Seq[String],
+      numBuckets: Int = 32): DataFrame = {
+    require(changes.columns.contains("change"),
+      "applyChangesBucketed: the feed needs a 'change' column " +
+        "(insert|update|delete) — the changesBetween shape")
+    val upserts = changes.filter(col("change") =!= "delete").drop("change")
+    val delKeys = changes.filter(col("change") === "delete")
+      .select(keys.map(col): _*).distinct()
+    if (!exists(table))
+      return createBucketed(spark, table, upserts, keys, numBuckets, Nil)
+    val n = this.numBuckets(table).getOrElse(throw new IllegalStateException(
+      s"table $table was created as a snapshot table; apply feeds to " +
+        "bucketed tables"))
+    val prev = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    val curDir = tableDir(table).resolve(dirNameOf(prev))
+    val allKeys = upserts.select(keys.map(col): _*).unionByName(delKeys)
+    val touched = allKeys
+      .select(pmod(hash(keys.map(col): _*), lit(n)).as("kb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return read(spark, table)
+    val storedTouched = readVersionFrame(spark, curDir)
+      .filter(col(BucketCol).isin(touched.toSeq: _*))
+      .drop(BucketCol)
+    val (stored, incA) = SchemaEvolution.align(storedTouched, upserts)
+    val merged = Upserts.upsertLastWriteWins(
+      stored.join(delKeys, keys, "left_anti"), incA, keys)
+    publishTouchedRewrite(spark, table, merged, keys, n, touched, prev)
+  }
+
+  /** Shared publish tail for touched-bucket REWRITES whose result can
+    * be empty ([[deleteBucketed]], [[applyChangesBucketed]]): lay out
+    * `rows`, write the touched partitions, link the rest, maintain
+    * zone map + manifest O(delta) — or, when every row is gone
+    * (fileless version), record the empty manifest and drop the zone
+    * map so a later [[readZonePruned]] refuses loudly rather than
+    * serving an unmapped scan. One CAS publish against `prev`. */
+  private def publishTouchedRewrite(spark: SparkSession, table: String,
+      rows: DataFrame, keys: Seq[String], n: Int, touched: Set[Int],
+      prev: String): DataFrame = {
+    val laid = rows
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(n)))
       .repartition(col(BucketCol))
     val staged = stagedDirName(versionOf(dirNameOf(prev)) + 1)
     val nextDir = tableDir(table).resolve(tmpName(staged))
+    val curDir = tableDir(table).resolve(dirNameOf(prev))
     laid.write.mode("errorifexists")
       .partitionBy(BucketCol).parquet(nextDir.toString)
     writeSchemaFile(nextDir, laid.schema)
@@ -1357,27 +1423,42 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val prev = currentPointer(table).getOrElse(
       throw new IllegalStateException(s"table $table has no committed version"))
     val curDir = tableDir(table).resolve(dirNameOf(prev))
-    val rewrite: Set[Int] = manifestAt(spark, curDir) match {
-      case Some(m) =>
-        val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
-        m.filter(kb =!= "")
-          .groupBy(kb.cast("int").as("b"))
-          .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
-          .filter(col("n") > maxFilesPerBucket ||
-            (col("n") > 1 &&
-              col("bytes") / col("n") < minBytesPerFile))
-          .select("b").collect().map(_.getInt(0)).toSet
-      case None =>
-        // pre-manifest version: count tier only, from the listing
-        listDir(curDir)
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith(s"$BucketCol="))
-          .map { p =>
-            p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt ->
-              listDir(p).count(isDataFile)
-          }
-          .filter(_._2 > maxFilesPerBucket).map(_._1).toSet
-    }
+    // same vanish window as compactBuckets' counts read: a gc-swept
+    // competitor publish mid-undo (or retention racing us) surfaces
+    // as the retryable conflict it is, never a raw I/O error
+    val rewrite: Set[Int] =
+      try manifestAt(spark, curDir) match {
+        case Some(m) =>
+          val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
+          m.filter(kb =!= "")
+            .groupBy(kb.cast("int").as("b"))
+            .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
+            .filter(col("n") > maxFilesPerBucket ||
+              (col("n") > 1 &&
+                col("bytes") / col("n") < minBytesPerFile))
+            .select("b").collect().map(_.getInt(0)).toSet
+        case None =>
+          // pre-manifest version: count tier only, from the listing
+          listDir(curDir)
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith(s"$BucketCol="))
+            .map { p =>
+              p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt ->
+                listDir(p).count(isDataFile)
+            }
+            .filter(_._2 > maxFilesPerBucket).map(_._1).toSet
+      } catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new ConcurrentCommitException(
+            s"current version $curDir vanished during auto-maintenance " +
+              "— a competitor's swept publish is mid-undo; re-read and retry")
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("does not exist") =>
+          throw new ConcurrentCommitException(
+            s"current version $curDir vanished during auto-maintenance " +
+              "— a competitor's swept publish is mid-undo; re-read and retry")
+      }
     compactBucketSet(spark, table, rewrite, prev)
   }
 

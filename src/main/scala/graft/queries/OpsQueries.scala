@@ -582,7 +582,77 @@ object OpsQueries {
     },
     Some("SELECT doc_id, text FROM documents ORDER BY doc_id"))
 
+  /** U17: CDC REPLICATION — replaying [[graft.ops.ParquetTableStore
+    * .changesBetween]] onto a replica bootstrapped from the base
+    * snapshot reconstructs the head table EXACTLY, and the whole span
+    * lands as ONE atomic version publish ([[graft.ops
+    * .ParquetTableStore.applyChangesBucketed]]) — the cross-region-
+    * replica contract at 100 TB: the follower pays O(changed buckets)
+    * per catch-up and its readers can never observe a span's upserts
+    * without its deletes (the torn state a two-commit fold exposes;
+    * single-publish atomicity is spec-pinned — the replay adds
+    * exactly one version). The source runs the full mutation surface
+    * (append, rewriting upsert with fresh keys, keyed delete,
+    * compaction); the oracle rebuilds the head content in SQL. */
+  private val u17 = QueryDef(
+    "u17_cdc_apply",
+    "CDC replication: base snapshot + one atomic change replay ≡ head",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      val root = graft.ops.Scratch.tempDir("graft-u17-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 10)
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") <= c1),
+        Seq("event_id"), numBuckets = 8)
+      val vBase = store.currentVersion("ev").get
+      // the replica bootstraps from the base snapshot it will replay on
+      store.replaceBucketed(s, "ev_replica",
+        store.readVersion(s, "ev", vBase), Seq("event_id"),
+        numBuckets = 8)
+      store.appendBucketed(s, "ev",
+        ev.filter(col("event_id") > c1 && col("event_id") <= c2),
+        Seq("event_id"))
+      store.upsertBucketed(s, "ev",
+        ev.filter(col("event_id") <= c2 && col("event_id") % 100 === 0)
+          .select(col("event_id"), col("user_id"),
+            lit("UPD").as("event_type"))
+          .unionByName(ev.filter(col("event_id") % 500 === 0)
+            .select((col("event_id") + lit(10L) * mx).as("event_id"),
+              col("user_id"), lit("NEW").as("event_type"))),
+        Seq("event_id"))
+      store.deleteBucketed(s, "ev",
+        store.read(s, "ev").filter(col("event_id") % 171 === 0)
+          .select("event_id"),
+        Seq("event_id"))
+      store.compactBuckets(s, "ev", maxFilesPerBucket = 2)
+      val vHead = store.currentVersion("ev").get
+      store.applyChangesBucketed(s, "ev_replica",
+        store.changesBetween(s, "ev", Seq("event_id"), vBase, vHead),
+        Seq("event_id"), numBuckets = 8)
+      store.read(s, "ev_replica").orderBy("event_id")
+    },
+    Some("""WITH mx AS (SELECT max(event_id) AS m FROM events),
+            s0 AS (SELECT event_id, user_id, event_type
+                   FROM events, mx WHERE event_id <= m // 3),
+            ins1 AS (SELECT event_id, user_id, event_type
+                     FROM events, mx
+                     WHERE event_id > m // 3 AND event_id <= 2 * (m // 3)),
+            upd AS (SELECT event_id, user_id,
+                      CASE WHEN event_id % 100 = 0 THEN 'UPD'
+                           ELSE event_type END AS event_type
+                    FROM (SELECT * FROM s0 UNION ALL SELECT * FROM ins1)),
+            ins2 AS (SELECT event_id + 10 * m AS event_id, user_id,
+                       'NEW' AS event_type
+                     FROM events, mx WHERE event_id % 500 = 0)
+            SELECT * FROM
+              (SELECT * FROM upd UNION ALL SELECT * FROM ins2)
+            WHERE event_id % 171 <> 0
+            ORDER BY event_id"""))
+
   def defs: Seq[QueryDef] =
     Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13, u14, u15,
-      u16)
+      u16, u17)
 }

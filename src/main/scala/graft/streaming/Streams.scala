@@ -1273,10 +1273,13 @@ object Streams {
     * compactions — all the same feed).
     *
     * First fold (no cursor) full-builds from the current snapshot.
-    * Cursor commits LAST: a crash replays the same span, and the
-    * upsert/delete folds are replace/remove-by-key — idempotent.
-    * A cursor that fell behind retention refuses loudly at the
-    * time-travel read (rebase = drop the cursor table). */
+    * Each span lands as ONE atomic commit
+    * ([[graft.ops.ParquetTableStore.applyChangesBucketed]]) — a
+    * reader of the derived table can never observe the span's
+    * upserts without its deletes. Cursor commits LAST: a crash
+    * replays the same span, and the fold is replace/remove-by-key —
+    * idempotent. A cursor that fell behind retention refuses loudly
+    * at the time-travel read (rebase = drop the cursor table). */
   def cdcTokenCountConsumer(spark: SparkSession, store: ParquetTableStore,
       srcTable: String = "corpus", derivedTable: String = "doc_tokens",
       cursorTable: String = "cdc_cursor", numBuckets: Int = 8): Unit = {
@@ -1302,15 +1305,16 @@ object Streams {
           lv, cur).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val up = tok(ch.filter(col("change") =!= "delete"))
-          if (up.limit(1).count() > 0)
-            store.withCommitRetries()(store.upsertBucketed(spark,
-              derivedTable, up, Seq("doc_id"), numBuckets))
-          val dels = ch.filter(col("change") === "delete")
-            .select("doc_id")
-          if (dels.limit(1).count() > 0)
-            store.withCommitRetries()(store.deleteBucketed(spark,
-              derivedTable, dels, Seq("doc_id")))
+          // the SOURCE feed maps to a DERIVED feed (same change kinds,
+          // derived columns) and the whole span lands as ONE commit
+          val derived = tok(ch.filter(col("change") =!= "delete"))
+            .withColumn("change", lit("update"))
+            .unionByName(ch.filter(col("change") === "delete")
+              .select(col("doc_id"),
+                lit(null).cast("long").as("n_tokens"),
+                lit("delete").as("change")))
+          store.withCommitRetries()(store.applyChangesBucketed(spark,
+            derivedTable, derived, Seq("doc_id"), numBuckets))
         } finally ch.unpersist(blocking = false)
     }
     if (!last.contains(cur))

@@ -703,4 +703,56 @@ class ParquetTableStoreSpec extends SparkSpec {
       ("update", "k1", "x"), ("insert", "k999", "fresh"),
       ("delete", "k7", "v7")))
   }
+
+  test("applyChangesBucketed: a mixed feed lands as ONE version; replay reconstructs the head exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root, keepVersions = 10)
+    val base = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "src", base, Seq("k"), numBuckets = 8) // v0
+    // replica bootstraps from the base snapshot the feed starts at
+    store.replaceBucketed(spark, "rep",
+      store.readVersion(spark, "src", 0L), Seq("k"), numBuckets = 8)
+    store.upsertBucketed(spark, "src",
+      Seq(("k1", "x"), ("k999", "fresh")).toDF("k", "v"), Seq("k"))
+    store.deleteBucketed(spark, "src", Seq("k7").toDF("k"), Seq("k"))
+    store.compactBuckets(spark, "src", maxFilesPerBucket = 1)
+    val head = store.currentVersion("src").get
+    val feed = store.changesBetween(spark, "src", Seq("k"), 0L, head)
+    val repV = store.currentVersion("rep").get
+    store.applyChangesBucketed(spark, "rep", feed, Seq("k"), numBuckets = 8)
+    // atomicity: upserts AND deletes of the span in ONE publish
+    assert(store.currentVersion("rep").contains(repV + 1))
+    def content(t: String): Set[(String, String)] =
+      store.read(spark, t).as[(String, String)].collect().toSet
+    assert(content("rep") == content("src"))
+    assert(!content("rep").exists(_._1 == "k7"))
+    // idempotent replay: same feed re-applied converges to the same
+    // content (replace-by-key upserts, absent-key deletes no-op)
+    store.applyChangesBucketed(spark, "rep", feed, Seq("k"), numBuckets = 8)
+    assert(content("rep") == content("src"))
+    // empty feed: a version NO-OP, never churn
+    val v2 = store.currentVersion("rep").get
+    store.applyChangesBucketed(spark, "rep", feed.where(lit(false)),
+      Seq("k"), numBuckets = 8)
+    assert(store.currentVersion("rep").contains(v2))
+    // add-only schema evolution through the feed
+    store.applyChangesBucketed(spark, "rep",
+      Seq(("k2", "v2b", 7)).toDF("k", "v", "extra")
+        .withColumn("change", lit("update")),
+      Seq("k"), numBuckets = 8)
+    val evolved = store.read(spark, "rep")
+    assert(evolved.columns.contains("extra"))
+    assert(evolved.filter(col("k") === "k2").head.getAs[Int]("extra") == 7)
+    assert(evolved.filter(col("k") === "k1" && col("extra").isNull)
+      .count() == 1)
+    // creates the table from the feed's upserts when absent; delete
+    // rows against the fresh table are no-ops
+    store.applyChangesBucketed(spark, "fresh",
+      Seq(("a", "1", "insert"), ("b", "2", "update"), ("z", null, "delete"))
+        .toDF("k", "v", "change"),
+      Seq("k"), numBuckets = 4)
+    assert(content("fresh") == Set(("a", "1"), ("b", "2")))
+  }
 }

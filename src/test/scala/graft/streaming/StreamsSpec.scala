@@ -375,11 +375,17 @@ class StreamsSpec extends SparkSpec {
       && once.size == 40)
     // crash BEFORE the cursor commit: the replayed fold re-applies
     // the same span — replace/remove-by-key, so content is unchanged
+    // — and the whole span (upserts AND deletes) lands as exactly ONE
+    // derived-table version (applyChangesBucketed): no reader can see
+    // the span's updates without its deletes
     val cursorNow = store.read(spark, "cdc_cursor").head.getLong(0)
     store.commit(spark, "cdc_cursor",
       Seq(cursorNow - 2).toDF("v")) // rewind past the upsert+delete
+    val dvBefore = store.currentVersion("doc_tokens").get
     Streams.cdcTokenCountConsumer(spark, store)
     assert(counts() == once)
+    assert(store.currentVersion("doc_tokens").contains(dvBefore + 1),
+      "a CDC span must fold as one atomic commit")
     // no-change fold: cursor current → nothing versions
     val dv = store.currentVersion("doc_tokens").get
     Streams.cdcTokenCountConsumer(spark, store)
