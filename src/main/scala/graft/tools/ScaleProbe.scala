@@ -1218,6 +1218,82 @@ object ScaleProbe {
           store.replaceBucketed(spark, "t", fat(m), Seq("id")))
       }
     }
+    // CDC catch-up: a FIXED-size mutation span (~1% upserts + a few
+    // deletes, hash-spread keys) folded onto a replica at ×1 and
+    // ×mult table size — under the deployment bucket discipline
+    // (buckets ∝ table, bucket SIZE fixed: a 100 TB table carries
+    // 10⁵ buckets, not 32 fat ones). changesBetween and
+    // applyChangesBucketed pay O(touched-bucket DATA) = O(delta keys
+    // × bucket size), so their rows should stay ~flat across m,
+    // while the full-rebuild alternative (what a consumer without a
+    // change feed must do) rescans the whole table and tracks m.
+    if (selected("cdc")) {
+      def timedStore(name: String)(op: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        op
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $name%-34s $secs%8.2f s  rows=  (commit)       shuffleMB=      n/a")
+      }
+      def fat(m: Int): DataFrame = docs(m).select(col("id"),
+        concat_ws(" ", array_repeat(col("text"), 20)).as("text"))
+      for (m <- Seq(1, mult)) {
+        val n = 32 * m // bucket size fixed, count tracks the table
+        val root = graft.ops.Scratch.tempDir(s"probe-cdc-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store",
+          keepVersions = 10)
+        store.replaceBucketed(spark, "src", fat(m), Seq("id"),
+          numBuckets = n)
+        val vBase = store.currentVersion("src").get
+        store.replaceBucketed(spark, "rep",
+          store.readVersion(spark, "src", vBase), Seq("id"),
+          numBuckets = n)
+        // the span: fixed-size regardless of m (the delta is what a
+        // follower pays for, not the table)
+        store.upsertBucketed(spark, "src",
+          fat(1).filter(col("id") % 100 === 0)
+            .select(col("id"), concat(col("text"), lit(" upd")).as("text")),
+          Seq("id"))
+        store.deleteBucketed(spark, "src",
+          fat(1).filter(col("id") % 997 === 0).select("id"), Seq("id"))
+        val vHead = store.currentVersion("src").get
+        probe(s"cdc_changes_x$m",
+          store.changesBetween(spark, "src", Seq("id"), vBase, vHead))
+        timedStore(s"cdc_apply_x$m")(
+          store.applyChangesBucketed(spark, "rep",
+            store.changesBetween(spark, "src", Seq("id"), vBase, vHead),
+            Seq("id"), numBuckets = n))
+        timedStore(s"cdc_full_rebuild_x$m")(
+          store.replaceBucketed(spark, "rep2", store.read(spark, "src"),
+            Seq("id"), numBuckets = n))
+        // the portable receipt — I/O VOLUME, not local wall (at this
+        // fixture size commit fixed costs dominate seconds): bytes
+        // actually REWRITTEN by the catch-up vs the rebuild. Carried
+        // files are hard links (nlink ≥ 2); fresh files are nlink 1.
+        def freshBytes(table: String): (Long, Long) = {
+          val p = java.nio.file.Paths.get(s"$root/store", table)
+          val vdir = java.nio.file.Files.list(p).iterator()
+          import scala.jdk.CollectionConverters._
+          val dirs = vdir.asScala.filter(d =>
+            d.getFileName.toString.startsWith("v=")).toSeq
+          val live = dirs.maxBy(d =>
+            d.getFileName.toString.stripPrefix("v=").takeWhile(_.isDigit).toLong)
+          val files = java.nio.file.Files.walk(live).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .filter(f => f.getFileName.toString.endsWith(".parquet") &&
+              !live.relativize(f).toString.split('/')
+                .exists(s => s.startsWith("_") && !s.startsWith("__kb=")))
+            .toSeq
+          val fresh = files.filter(f => java.nio.file.Files
+            .getAttribute(f, "unix:nlink").asInstanceOf[Number]
+            .longValue() == 1L)
+          (fresh.map(java.nio.file.Files.size).sum,
+            files.map(java.nio.file.Files.size).sum)
+        }
+        val (af, at) = freshBytes("rep")
+        val (rf, rt) = freshBytes("rep2")
+        println(f"PROBE cdc_apply_io_x$m%-22s rewrittenMB=${af / 1e6}%8.1f of ${at / 1e6}%8.1f  rebuildMB=${rf / 1e6}%8.1f of ${rt / 1e6}%8.1f")
+      }
+    }
     spark.stop()
   }
 }
