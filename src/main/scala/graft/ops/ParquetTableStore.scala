@@ -232,7 +232,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // committed means at-or-below the pointer: a dir ABOVE it is a
     // crashed writer's unpublished staging and must never be served
     if (!exists(table) || version > currentVersion(table).getOrElse(-1L))
-      throw new IllegalStateException(
+      throw new RetentionLostException(
         s"version $version of table $table is not retained " +
           "(pruned or never committed)")
     val s = Files.list(tableDir(table))
@@ -242,7 +242,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
         .filter(versionOf(_) == version).toList
       finally s.close()
     dirs match {
-      case Nil => throw new IllegalStateException(
+      case Nil => throw new RetentionLostException(
         s"version $version of table $table is not retained " +
           "(pruned or never committed)")
       case d :: Nil => d
@@ -734,7 +734,14 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     *
     * Both versions must still be retained (size `keepVersions`) —
     * a feed that falls behind retention must rebase on a full read,
-    * and the loud time-travel refusal here is what tells it to. */
+    * and the loud [[RetentionLostException]] here is what tells it
+    * to. Concurrent commits racing this read surface as the two
+    * typed refusals, never raw I/O errors: an endpoint pruned
+    * mid-read re-resolves to [[RetentionLostException]] (rebase), a
+    * transient gc/publish race to [[ConcurrentCommitException]]
+    * (retry). The returned frame is lazy — a consumer acts on it
+    * while its endpoints are retained (size keepVersions above the
+    * consumer's lag, the st15 discipline). */
   def changesBetween(spark: SparkSession, table: String,
       keys: Seq[String], vFrom: Long, vTo: Long): DataFrame = {
     require(vFrom <= vTo, s"changesBetween: vFrom=$vFrom > vTo=$vTo")
@@ -742,11 +749,30 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val toName = versionDirNameOf(table, vTo)
     val fromDir = tableDir(table).resolve(fromName)
     val toDir = tableDir(table).resolve(toName)
+    // the zonePrunedFiles discipline for the EAGER reads below (the
+    // manifest footers and the one-sided-file collect): a version
+    // pruned under us re-resolves to the loud behind-retention
+    // refusal; anything else vanishing is a transient race — retryable
+    def remap(): Nothing = {
+      versionDirNameOf(table, vFrom) // throws RetentionLost if pruned
+      versionDirNameOf(table, vTo)
+      throw new ConcurrentCommitException(
+        s"version dir of $table vanished during changesBetween " +
+          s"($vFrom→$vTo) — a gc/publish race; re-read and retry")
+    }
+    def guarded[T](body: => T): T =
+      try body
+      catch {
+        case _: java.nio.file.NoSuchFileException => remap()
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("does not exist") => remap()
+      }
     // touched buckets from the manifests: a file present in exactly
     // one version marks its bucket; identical sets ⇒ identical bytes
     // (links never rewrite). A row outside a kb dir (fileless-empty
     // layouts) defeats bucket granularity → full diff.
-    val touched: Option[Seq[Int]] =
+    val touched: Option[Seq[Int]] = guarded {
       (manifestAt(spark, fromDir), manifestAt(spark, toDir)) match {
         case (Some(mf), Some(mt)) =>
           val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
@@ -759,6 +785,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
           else Some(oneSided.map(_.getString(0).toInt).toSeq)
         case _ => None
       }
+    }
     def side(dir: Path, name: String): DataFrame = {
       val full = readDir(spark, table, name)
       touched match {
@@ -952,6 +979,19 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     require(changes.columns.contains("change"),
       "applyChangesBucketed: the feed needs a 'change' column " +
         "(insert|update|delete) — the changesBetween shape")
+    // loud refusal on a malformed feed: a NULL or misspelled label
+    // would match NEITHER the upsert filter (`=!= "delete"` is null
+    // for null) NOR the delete filter and the row would silently
+    // vanish — the silent-data-loss class this store refuses
+    // everywhere else. One O(delta) probe job over the feed.
+    val bad = changes
+      .filter(col("change").isNull ||
+        !col("change").isin("insert", "update", "delete"))
+      .select("change").limit(1).collect()
+    require(bad.isEmpty,
+      s"applyChangesBucketed($table): unknown change label " +
+        s"'${bad.headOption.map(_.get(0)).orNull}' — feed rows must be " +
+        "insert|update|delete (a mislabeled row would silently vanish)")
     val upserts = changes.filter(col("change") =!= "delete").drop("change")
     val delKeys = changes.filter(col("change") === "delete")
       .select(keys.map(col): _*).distinct()

@@ -10,6 +10,16 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
 final class ConcurrentCommitException(msg: String)
   extends RuntimeException(msg)
 
+/** A time-travel read's version fell out of the retention window
+  * (pruned, or never committed) — permanently gone, so retrying is
+  * pointless: this is the signal an incremental consumer REBASES on
+  * (full re-read of the live snapshot + cursor reset), distinct from
+  * the transient [[ConcurrentCommitException]] conflicts that heal on
+  * retry. Subclasses IllegalStateException so callers that treated
+  * the refusal generically keep working. */
+final class RetentionLostException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Filesystem seam for [[ParquetTableStore]]'s
   * filesystem-semantics-dependent operations, so the store is not
   * POSIX-bound:

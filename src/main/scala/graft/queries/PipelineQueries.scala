@@ -6231,6 +6231,77 @@ object PipelineQueries {
               END::BIGINT AS n_tokens
             FROM fin ORDER BY doc_id"""))
 
+  /** ST16: CDC CONSUMER REBASE — the retention-loss recovery path
+    * st15's loud refusal implies ([[graft.streaming.Streams
+    * .cdcTokenCountConsumerRebasing]]): the consumer bootstraps, then
+    * STALLS while the writer lands three more commits against a
+    * keepVersions=2 store — its cursor version is pruned, so the CDC
+    * read refuses with [[graft.ops.RetentionLostException]]
+    * (permanently gone, retrying is pointless) and the rebasing
+    * consumer full-rebuilds from the live snapshot + resets its
+    * cursor. A further delta then folds as ordinary O(changed
+    * buckets) CDC — rebase is a one-time price, not a mode switch.
+    * The gate ASSERTS the fold modes (bootstrap / rebase / CDC) so a
+    * silently-always-rebasing consumer (correct content, O(table)
+    * every fold) goes red, and the oracle rebuilds the final corpus
+    * whole: recovery must be INVISIBLE next to from-scratch. */
+  private val st16 = QueryDef(
+    "st16_cdc_rebase",
+    "CDC consumer behind retention rebases, then folds O(delta) again",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.fastDir("graft-st16-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 2)
+      def fold(): Boolean =
+        graft.streaming.Streams.cdcTokenCountConsumerRebasing(s, store)
+      // v1: a third of the corpus; consumer bootstraps at this version
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 3 === 0), Seq("doc_id"), 8)
+      val bootstrapped = fold()
+      // the consumer stalls while the writer lands THREE commits —
+      // cursor v1 falls out of the keepVersions=2 window
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 3 =!= 0)
+          .unionByName(d.filter(col("doc_id") % 9 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" v2")).as("text"))),
+        Seq("doc_id"), 8)
+      store.deleteBucketed(s, "corpus",
+        d.filter(col("doc_id") % 13 === 0).select("doc_id"), Seq("doc_id"))
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" v4")).as("text")),
+        Seq("doc_id"), 8)
+      val rebased = fold()
+      // post-rebase: a fresh delta folds as ordinary CDC again
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" v5")).as("text")),
+        Seq("doc_id"), 8)
+      val cdcFolded = fold()
+      require(!bootstrapped && rebased && !cdcFolded,
+        s"st16: fold modes (bootstrap=$bootstrapped rebase=$rebased " +
+          s"cdc=$cdcFolded) — expected (false, true, false)")
+      store.read(s, "doc_tokens").orderBy("doc_id")
+    },
+    // LWW sequence: v5 (%11) over v4 (%7) over v2's update (%9) over
+    // the original; %13 docs deleted at v3 unless re-upserted later
+    Some("""WITH fin AS (SELECT doc_id,
+              CASE WHEN doc_id % 11 = 0 THEN text || ' v5'
+                   WHEN doc_id % 7 = 0 THEN text || ' v4'
+                   WHEN doc_id % 9 = 0 THEN text || ' v2'
+                   ELSE text END AS text
+            FROM documents
+            WHERE doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 13 <> 0)
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END::BIGINT AS n_tokens
+            FROM fin ORDER BY doc_id"""))
+
   /** ST11: streaming GRAPH maintenance
     * ([[graft.streaming.Streams.graphIngest]]) — the g3 + g4 folds
     * driven from an edge FEED: the co-order edges arrive as two
@@ -7416,5 +7487,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ss22, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, ts31, ts32, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16)
 }

@@ -1272,54 +1272,113 @@ object Streams {
     * wrote the changes (streaming upserts, manual deletes,
     * compactions — all the same feed).
     *
-    * First fold (no cursor) full-builds from the current snapshot.
-    * Each span lands as ONE atomic commit
+    * First fold (no cursor) full-builds from ONE resolved
+    * (snapshot, version) pair ([[graft.ops.ParquetTableStore
+    * .readVersioned]]) so the cursor records exactly the version the
+    * derived table reflects — resolving the version and reading the
+    * live snapshot separately would let a commit land in between and
+    * leave the pair disagreeing by one span (convergent under replay,
+    * but a window there is no reason to keep). Each span lands as ONE
+    * atomic commit
     * ([[graft.ops.ParquetTableStore.applyChangesBucketed]]) — a
     * reader of the derived table can never observe the span's
     * upserts without its deletes. Cursor commits LAST: a crash
     * replays the same span, and the fold is replace/remove-by-key —
     * idempotent. A cursor that fell behind retention refuses loudly
-    * at the time-travel read (rebase = drop the cursor table). */
+    * ([[graft.ops.RetentionLostException]] at the time-travel read)
+    * — rebasing is an O(table) full read, a cost this entrypoint
+    * never pays silently; [[cdcTokenCountConsumerRebasing]] is the
+    * explicit opt-in (gate st16). */
   def cdcTokenCountConsumer(spark: SparkSession, store: ParquetTableStore,
       srcTable: String = "corpus", derivedTable: String = "doc_tokens",
       cursorTable: String = "cdc_cursor", numBuckets: Int = 8): Unit = {
+    cdcTokenCountFold(spark, store, srcTable, derivedTable, cursorTable,
+      numBuckets, rebaseOnRetentionLoss = false)
+    ()
+  }
+
+  /** [[cdcTokenCountConsumer]] with the REBASE path: a cursor that
+    * fell behind the source's retention window (the consumer stalled
+    * while ≥ keepVersions commits landed) full-rebuilds the derived
+    * table from the live snapshot and resets the cursor, instead of
+    * refusing forever. The rebase is an O(table) read — the explicit
+    * price of falling behind, which is why the plain consumer refuses
+    * loudly rather than paying it silently. Returns true iff this
+    * fold rebased (first builds are a bootstrap, not a rebase —
+    * false). Gate st16 pins rebase-then-converge ≡ from-scratch;
+    * StreamsSpec pins the plain consumer's refusal on the same
+    * history and post-rebase folds going back to O(delta) CDC. */
+  def cdcTokenCountConsumerRebasing(spark: SparkSession,
+      store: ParquetTableStore, srcTable: String = "corpus",
+      derivedTable: String = "doc_tokens",
+      cursorTable: String = "cdc_cursor", numBuckets: Int = 8): Boolean =
+    cdcTokenCountFold(spark, store, srcTable, derivedTable, cursorTable,
+      numBuckets, rebaseOnRetentionLoss = true)
+
+  private def cdcTokenCountFold(spark: SparkSession,
+      store: ParquetTableStore, srcTable: String, derivedTable: String,
+      cursorTable: String, numBuckets: Int,
+      rebaseOnRetentionLoss: Boolean): Boolean = {
     import spark.implicits._
-    val cur = store.currentVersion(srcTable).getOrElse(
-      throw new IllegalStateException(
-        s"cdcTokenCountConsumer: $srcTable has no committed version"))
+    require(store.exists(srcTable),
+      s"cdcTokenCountConsumer: $srcTable has no committed version")
     def tok(df: DataFrame): DataFrame = df.select(col("doc_id"),
       graft.ops.TextAnalysis.tokenCountWs(col("text"))
         .cast("long").as("n_tokens"))
+    // full build from ONE resolved (snapshot, version) pair; the
+    // cursor then records exactly what the derived table reflects
+    def fullBuild(): Long = {
+      val (snap, v) = store.readVersioned(spark, srcTable)
+      store.withCommitRetries()(store.replaceBucketed(spark,
+        derivedTable, tok(snap), Seq("doc_id"), numBuckets))
+      v
+    }
+    def commitCursor(v: Long): Unit = {
+      store.withCommitRetries()(
+        store.commit(spark, cursorTable, Seq(v).toDF("v")))
+      ()
+    }
     val last: Option[Long] =
       if (store.exists(cursorTable))
         Some(store.read(spark, cursorTable).head.getLong(0))
       else None
     last match {
       case None =>
-        store.withCommitRetries()(store.replaceBucketed(spark,
-          derivedTable, tok(store.read(spark, srcTable)), Seq("doc_id"),
-          numBuckets))
-      case Some(lv) if lv == cur => ()
+        commitCursor(fullBuild())
+        false
       case Some(lv) =>
-        val ch = store.changesBetween(spark, srcTable, Seq("doc_id"),
-          lv, cur).persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // the SOURCE feed maps to a DERIVED feed (same change kinds,
-          // derived columns) and the whole span lands as ONE commit
-          val derived = tok(ch.filter(col("change") =!= "delete"))
-            .withColumn("change", lit("update"))
-            .unionByName(ch.filter(col("change") === "delete")
-              .select(col("doc_id"),
-                lit(null).cast("long").as("n_tokens"),
-                lit("delete").as("change")))
-          store.withCommitRetries()(store.applyChangesBucketed(spark,
-            derivedTable, derived, Seq("doc_id"), numBuckets))
-        } finally ch.unpersist(blocking = false)
+        val cur = store.currentVersion(srcTable).getOrElse(
+          throw new IllegalStateException(
+            s"cdcTokenCountConsumer: $srcTable has no committed version"))
+        if (lv == cur) false
+        else {
+          val rebased =
+            try {
+              val ch = store.changesBetween(spark, srcTable,
+                Seq("doc_id"), lv, cur).persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                // the SOURCE feed maps to a DERIVED feed (same change
+                // kinds, derived columns); the span lands as ONE commit
+                val derived = tok(ch.filter(col("change") =!= "delete"))
+                  .withColumn("change", lit("update"))
+                  .unionByName(ch.filter(col("change") === "delete")
+                    .select(col("doc_id"),
+                      lit(null).cast("long").as("n_tokens"),
+                      lit("delete").as("change")))
+                store.withCommitRetries()(store.applyChangesBucketed(
+                  spark, derivedTable, derived, Seq("doc_id"), numBuckets))
+                commitCursor(cur)
+                false
+              } finally ch.unpersist(blocking = false)
+            } catch {
+              case _: graft.ops.RetentionLostException
+                  if rebaseOnRetentionLoss =>
+                commitCursor(fullBuild())
+                true
+            }
+          rebased
+        }
     }
-    if (!last.contains(cur))
-      store.withCommitRetries()(
-        store.commit(spark, cursorTable, Seq(cur).toDF("v")))
-    ()
   }
 }

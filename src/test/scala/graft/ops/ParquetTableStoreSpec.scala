@@ -409,10 +409,14 @@ class ParquetTableStoreSpec extends SparkSpec {
     // the current version resolves identically through both reads
     assert(store.readVersion(spark, "t", 3).collect().toSeq ==
       store.read(spark, "t").collect().toSeq)
-    // v0 fell out of the retention window: refuse, don't guess
+    // v0 fell out of the retention window: refuse, don't guess — and
+    // with the TYPED refusal (RetentionLostException: permanently
+    // gone, rebase) rather than a generic state error, so incremental
+    // consumers can distinguish it from retryable commit conflicts
     val e = intercept[IllegalStateException](
       store.readVersion(spark, "t", 0))
     assert(e.getMessage.contains("not retained"))
+    assert(e.isInstanceOf[RetentionLostException], e.getClass.getName)
   }
 
   test("time travel never serves an unpublished above-pointer orphan") {
@@ -753,6 +757,23 @@ class ParquetTableStoreSpec extends SparkSpec {
       Seq(("a", "1", "insert"), ("b", "2", "update"), ("z", null, "delete"))
         .toDF("k", "v", "change"),
       Seq("k"), numBuckets = 4)
+    assert(content("fresh") == Set(("a", "1"), ("b", "2")))
+    // a NULL or misspelled change label matches neither the upsert
+    // filter nor the delete filter — the row would silently vanish;
+    // the store refuses the whole feed loudly instead
+    val typo = intercept[IllegalArgumentException] {
+      store.applyChangesBucketed(spark, "fresh",
+        Seq(("c", "3", "insert"), ("d", "4", "upsert"))
+          .toDF("k", "v", "change"), Seq("k"), numBuckets = 4)
+    }
+    assert(typo.getMessage.contains("upsert"), typo.getMessage)
+    val nul = intercept[IllegalArgumentException] {
+      store.applyChangesBucketed(spark, "fresh",
+        Seq(("c", "3", "insert"), ("d", "4", null))
+          .toDF("k", "v", "change"), Seq("k"), numBuckets = 4)
+    }
+    assert(nul.getMessage.contains("unknown change label"), nul.getMessage)
+    // the refused feed landed NOTHING (no partial application)
     assert(content("fresh") == Set(("a", "1"), ("b", "2")))
   }
 }

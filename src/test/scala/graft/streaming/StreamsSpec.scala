@@ -401,5 +401,42 @@ class StreamsSpec extends SparkSpec {
       Streams.cdcTokenCountConsumer(spark, tight)
     }
     assert(ex.getMessage.contains("not retained"), ex.getMessage)
+    // the refusal is the TYPED rebase signal, not a generic state error
+    assert(ex.isInstanceOf[graft.ops.RetentionLostException],
+      s"behind-retention must refuse with RetentionLostException, " +
+        s"got ${ex.getClass.getName}")
+  }
+
+  test("cdcTokenCountConsumerRebasing: behind-retention rebases once, then folds CDC again") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("cdc-rebase"), keepVersions = 2)
+    val base = (1 to 40).map(i => (i.toLong, s"w$i text $i")).toDF("doc_id", "text")
+    store.upsertBucketed(spark, "corpus", base, Seq("doc_id"), numBuckets = 4)
+    // bootstrap build is not a rebase
+    assert(!Streams.cdcTokenCountConsumerRebasing(spark, store))
+    // stall the consumer while ≥ keepVersions commits land
+    (1 to 4).foreach(i => store.upsertBucketed(spark, "corpus",
+      Seq((i.toLong, "one two three")).toDF("doc_id", "text"), Seq("doc_id")))
+    store.deleteBucketed(spark, "corpus", Seq(9L).toDF("doc_id"), Seq("doc_id"))
+    // cursor version pruned → this fold REBASES (true) and converges
+    assert(Streams.cdcTokenCountConsumerRebasing(spark, store))
+    def counts(): Map[Long, Long] = store.read(spark, "doc_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = counts()
+    assert((1 to 4).forall(i => after(i.toLong) == 3L) &&
+      !after.contains(9L) && after.size == 39)
+    // cursor now tracks the live version: a fresh delta folds as
+    // ordinary O(delta) CDC (false), one atomic derived commit
+    store.upsertBucketed(spark, "corpus",
+      Seq((2L, "two words")).toDF("doc_id", "text"), Seq("doc_id"))
+    val dv = store.currentVersion("doc_tokens").get
+    assert(!Streams.cdcTokenCountConsumerRebasing(spark, store))
+    assert(counts()(2L) == 2L)
+    assert(store.currentVersion("doc_tokens").contains(dv + 1),
+      "post-rebase folds must be single-commit CDC, not rebuilds")
+    // the PLAIN consumer on the same store keeps working (cursor is
+    // current) — the rebasing entrypoint is a superset, not a fork
+    Streams.cdcTokenCountConsumer(spark, store)
+    assert(store.currentVersion("doc_tokens").contains(dv + 1))
   }
 }
