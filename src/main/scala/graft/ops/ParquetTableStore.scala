@@ -83,8 +83,10 @@ final case class CommitPin private[ops] (table: String,
     private[ops] val pointer: Option[String])
 
 final class ParquetTableStore(root: String, keepVersions: Int = 2,
-    io: StoreIo = StoreIo.default) {
+    io: StoreIo = StoreIo.default, maxRetained: Int = 64) {
   require(keepVersions >= 1)
+  require(maxRetained >= keepVersions,
+    s"maxRetained ($maxRetained) must cover keepVersions ($keepVersions)")
 
   private val BucketCol = "__kb"
 
@@ -1670,17 +1672,81 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     }
   }
 
+  // ————— CONSUMER-AWARE RETENTION (cursor registry) —————
+
+  /** Registered consumer cursors live under `root/<table>/_cursors/
+    * <consumer>` — one atomic pointer file per consumer holding the
+    * oldest version that consumer still needs. Retention pruning
+    * keeps every version at or above the registry's MINIMUM (the
+    * slowest consumer), so a CDC reader's next `changesBetween(cursor,
+    * head)` stays answerable however far it lags — the static
+    * `keepVersions` constant stops being a guess about consumer
+    * speed. The protection is CAPPED at `maxRetained` versions below
+    * the head: a dead consumer must not pin a 100 TB table's history
+    * forever, so beyond the cap its versions prune anyway and its
+    * next read refuses with [[RetentionLostException]] — the rebase
+    * path (st16) is the documented recovery, now entered by POLICY
+    * rather than by surprise. */
+  private val CursorsDir = "_cursors"
+
+  /** Record (or advance) `consumer`'s cursor on `table`: versions
+    * ≥ `version` (within `maxRetained` of the head) survive pruning.
+    * One atomic pointer write — last write wins per consumer, and a
+    * racing prune sees either value (both safe: protection is only
+    * ever widened by the older one). */
+  def registerCursor(table: String, consumer: String, version: Long): Unit = {
+    require(consumer.matches("[A-Za-z0-9._-]+"),
+      s"consumer id '$consumer' must be [A-Za-z0-9._-]+ (it names a file)")
+    require(version >= 0, s"cursor version must be >= 0, got $version")
+    val d = tableDir(table).resolve(CursorsDir)
+    Files.createDirectories(d)
+    io.swapPointer(d.resolve(consumer), version.toString)
+  }
+
+  /** Drop `consumer`'s registration — its versions become ordinary
+    * retention candidates at the next publish. Returns whether a
+    * registration existed. */
+  def unregisterCursor(table: String, consumer: String): Boolean =
+    Files.deleteIfExists(tableDir(table).resolve(CursorsDir).resolve(consumer))
+
+  /** The oldest registered cursor on `table` (None = no consumers) —
+    * the retention floor pruning honors, capped at `maxRetained`. */
+  def cursorFloor(table: String): Option[Long] = {
+    val d = tableDir(table).resolve(CursorsDir)
+    if (!Files.exists(d)) None
+    else {
+      val vs = listDir(d).flatMap { f =>
+        // a consumer can unregister (file vanishes) or re-point
+        // (atomic swap) under this listing — skip, don't crash; the
+        // worst case is one publish pruning with last-read knowledge
+        try Some(new String(Files.readAllBytes(f),
+          StandardCharsets.UTF_8).trim.toLong)
+        catch { case _: java.io.IOException | _: NumberFormatException =>
+          None }
+      }
+      if (vs.isEmpty) None else Some(vs.min)
+    }
+  }
+
   /** Delete version dirs (winners and any lingering lost-race
     * stagings alike) whose version number fell out of the retention
     * window. Only the pointer defines liveness, so stale dirs are
-    * never read — pruning is pure space reclamation. */
+    * never read — pruning is pure space reclamation. Registered
+    * consumer cursors widen the window (see [[registerCursor]]) up to
+    * `maxRetained` versions below the head. */
   private def prune(table: String, current: Long): Unit = {
     val dir = tableDir(table)
     if (Files.exists(dir)) {
+      val floor = cursorFloor(table)
+      def unprotected(v: Long): Boolean = floor match {
+        case Some(f) => v < f || v <= current - maxRetained
+        case None => true
+      }
       listDir(dir)
         .filter(p => p.getFileName.toString.startsWith("v="))
         .map(p => (p, versionOf(p.getFileName.toString)))
-        .filter { case (_, v) => v <= current - keepVersions }
+        .filter { case (_, v) => v <= current - keepVersions &&
+          unprotected(v) }
         .foreach { case (p, _) => deleteRecursively(p) }
     }
   }

@@ -652,7 +652,83 @@ object OpsQueries {
             WHERE event_id % 171 <> 0
             ORDER BY event_id"""))
 
+  /** U18: CONSUMER-AWARE RETENTION ([[graft.ops.ParquetTableStore
+    * .registerCursor]]) — the policy that makes the CDC pair
+    * (u15/u17/st15) deployable: `keepVersions` is a CONSTANT, but
+    * consumer lag isn't, so a slow consumer on a busy table rebases
+    * over and over (st16's path — an O(table) read each time). A
+    * registered cursor widens the retention window to the slowest
+    * consumer (capped at the store's `maxRetained`, so a dead
+    * consumer can't pin a 100 TB table's history forever — beyond
+    * the cap it rebases by POLICY, not surprise). The gate replays
+    * st16's exact falling-behind scenario — keepVersions=2, three
+    * writer commits against a stalled consumer — but with the
+    * consumer registered: every fold must stay O(delta) CDC (the
+    * mode asserts go red on any rebase), and the registry must
+    * RELEASE as the cursor advances (old versions prune once the
+    * consumer catches up — asserted on the final version listing).
+    * Same final-corpus oracle as st16: protection must be invisible
+    * in content, visible only in cost. */
+  private val u18 = QueryDef(
+    "u18_protected_retention",
+    "registered consumer cursor widens retention: slow CDC folds never rebase",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.fastDir("graft-u18-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 2)
+      def fold(): Boolean =
+        graft.streaming.Streams.cdcTokenCountConsumerRebasing(s, store,
+          consumerId = Some("tok"))
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 3 === 0), Seq("doc_id"), 8)
+      val bootstrapped = fold() // registers cursor at v1
+      // the stall: three commits that WOULD prune v1 under plain
+      // keepVersions=2 (st16 proves it) — the registered cursor holds
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 3 =!= 0)
+          .unionByName(d.filter(col("doc_id") % 9 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" v2")).as("text"))),
+        Seq("doc_id"), 8)
+      store.deleteBucketed(s, "corpus",
+        d.filter(col("doc_id") % 13 === 0).select("doc_id"), Seq("doc_id"))
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" v4")).as("text")),
+        Seq("doc_id"), 8)
+      val second = fold() // CDC fold — NOT a rebase: v1 survived
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" v5")).as("text")),
+        Seq("doc_id"), 8)
+      val third = fold()
+      require(!bootstrapped && !second && !third,
+        s"u18: fold modes (bootstrap=$bootstrapped second=$second " +
+          s"third=$third) — a true means a rebase, i.e. protection failed")
+      // release: the cursor advanced to v3 before v4 published, so
+      // v0-v2 must be GONE — protection never outlives its consumer
+      val retained = store.versions("corpus")
+      require(retained == Seq(3L, 4L),
+        s"u18: expected retention released to [3, 4], got $retained")
+      store.read(s, "doc_tokens").orderBy("doc_id")
+    },
+    Some("""WITH fin AS (SELECT doc_id,
+              CASE WHEN doc_id % 11 = 0 THEN text || ' v5'
+                   WHEN doc_id % 7 = 0 THEN text || ' v4'
+                   WHEN doc_id % 9 = 0 THEN text || ' v2'
+                   ELSE text END AS text
+            FROM documents
+            WHERE doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 13 <> 0)
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END::BIGINT AS n_tokens
+            FROM fin ORDER BY doc_id"""))
+
   def defs: Seq[QueryDef] =
     Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13, u14, u15,
-      u16, u17)
+      u16, u17, u18)
 }

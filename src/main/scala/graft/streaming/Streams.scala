@@ -1291,9 +1291,10 @@ object Streams {
     * explicit opt-in (gate st16). */
   def cdcTokenCountConsumer(spark: SparkSession, store: ParquetTableStore,
       srcTable: String = "corpus", derivedTable: String = "doc_tokens",
-      cursorTable: String = "cdc_cursor", numBuckets: Int = 8): Unit = {
+      cursorTable: String = "cdc_cursor", numBuckets: Int = 8,
+      consumerId: Option[String] = None): Unit = {
     cdcTokenCountFold(spark, store, srcTable, derivedTable, cursorTable,
-      numBuckets, rebaseOnRetentionLoss = false)
+      numBuckets, rebaseOnRetentionLoss = false, consumerId)
     ()
   }
 
@@ -1311,14 +1312,24 @@ object Streams {
   def cdcTokenCountConsumerRebasing(spark: SparkSession,
       store: ParquetTableStore, srcTable: String = "corpus",
       derivedTable: String = "doc_tokens",
-      cursorTable: String = "cdc_cursor", numBuckets: Int = 8): Boolean =
+      cursorTable: String = "cdc_cursor", numBuckets: Int = 8,
+      consumerId: Option[String] = None): Boolean =
     cdcTokenCountFold(spark, store, srcTable, derivedTable, cursorTable,
-      numBuckets, rebaseOnRetentionLoss = true)
+      numBuckets, rebaseOnRetentionLoss = true, consumerId)
 
+  /** `consumerId` opts the fold into CONSUMER-AWARE RETENTION (gate
+    * u18): each successful fold re-registers its cursor in the
+    * source table's registry ([[graft.ops.ParquetTableStore
+    * .registerCursor]]), so the writer's pruning keeps every version
+    * this consumer still needs — the slow consumer stops rebasing
+    * because the versions stop vanishing, up to the store's
+    * maxRetained cap (beyond which the rebase path is entered by
+    * policy, not surprise). */
   private def cdcTokenCountFold(spark: SparkSession,
       store: ParquetTableStore, srcTable: String, derivedTable: String,
       cursorTable: String, numBuckets: Int,
-      rebaseOnRetentionLoss: Boolean): Boolean = {
+      rebaseOnRetentionLoss: Boolean,
+      consumerId: Option[String] = None): Boolean = {
     import spark.implicits._
     require(store.exists(srcTable),
       s"cdcTokenCountConsumer: $srcTable has no committed version")
@@ -1336,6 +1347,9 @@ object Streams {
     def commitCursor(v: Long): Unit = {
       store.withCommitRetries()(
         store.commit(spark, cursorTable, Seq(v).toDF("v")))
+      // retention protection piggybacks on the cursor: versions ≥ v
+      // survive the writer's pruning until this consumer advances
+      consumerId.foreach(id => store.registerCursor(srcTable, id, v))
       ()
     }
     val last: Option[Long] =

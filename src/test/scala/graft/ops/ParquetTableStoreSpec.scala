@@ -776,4 +776,46 @@ class ParquetTableStoreSpec extends SparkSpec {
     // the refused feed landed NOTHING (no partial application)
     assert(content("fresh") == Set(("a", "1"), ("b", "2")))
   }
+
+  test("cursor registry: registered consumers widen retention, capped; floor is the MIN") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("store-cursors"),
+      keepVersions = 2, maxRetained = 4)
+    def commitN(n: Int): Unit = (1 to n).foreach(i =>
+      store.upsertBucketed(spark, "t",
+        Seq((i.toLong, s"x$i")).toDF("k", "v"), Seq("k"), numBuckets = 2))
+    store.upsertBucketed(spark, "t",
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      Seq("k"), numBuckets = 2) // v0
+    // two consumers: the SLOWEST one's cursor is the floor
+    store.registerCursor("t", "slow", 0L)
+    store.registerCursor("t", "fast", 2L)
+    assert(store.cursorFloor("t").contains(0L))
+    commitN(2) // v1, v2 — keepVersions=2 alone would prune v0 at v2
+    assert(store.versions("t") == Seq(0L, 1L, 2L))
+    assert(store.readVersion(spark, "t", 0L).count() == 10L)
+    // the slow consumer advances: v0/v1 release at the next publish
+    store.registerCursor("t", "slow", 2L)
+    commitN(1) // v3
+    assert(store.versions("t") == Seq(2L, 3L))
+    // the CAP: a dead consumer (cursor stuck at 2) protects at most
+    // maxRetained=4 versions below the head — v2 survives until the
+    // head reaches v6, then prunes despite the registration
+    commitN(3) // v4, v5, v6: at v6, 2 <= 6 - 4 → unprotected
+    assert(!store.versions("t").contains(2L),
+      s"cap must evict the dead consumer's version: ${store.versions("t")}")
+    assert(intercept[IllegalStateException](
+      store.readVersion(spark, "t", 2L))
+      .isInstanceOf[RetentionLostException])
+    // unregister: the registry empties and plain keepVersions rules
+    assert(store.unregisterCursor("t", "slow"))
+    assert(store.unregisterCursor("t", "fast"))
+    assert(!store.unregisterCursor("t", "fast"))
+    assert(store.cursorFloor("t").isEmpty)
+    commitN(1) // v7
+    assert(store.versions("t") == Seq(6L, 7L))
+    // bad consumer ids are refused (they name files)
+    intercept[IllegalArgumentException](
+      store.registerCursor("t", "../evil", 1L))
+  }
 }
