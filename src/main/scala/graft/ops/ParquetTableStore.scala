@@ -85,8 +85,13 @@ final case class CommitPin private[ops] (table: String,
 final class ParquetTableStore(root: String, keepVersions: Int = 2,
     io: StoreIo = StoreIo.default, maxRetained: Int = 64) {
   require(keepVersions >= 1)
-  require(maxRetained >= keepVersions,
-    s"maxRetained ($maxRetained) must cover keepVersions ($keepVersions)")
+  require(maxRetained >= 1)
+
+  /** Effective cursor-protection cap: registered consumers can widen
+    * retention to at most this many versions below the head. Never
+    * below `keepVersions` — plain retention already keeps that much,
+    * so a large-keepVersions store doesn't need the cap re-tuned. */
+  private val protectCap = math.max(maxRetained, keepVersions)
 
   private val BucketCol = "__kb"
 
@@ -1504,6 +1509,87 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     compactBucketSet(spark, table, rewrite, prev)
   }
 
+  /** ZERO-COPY CLONE: publish `dstTable` (first version) holding
+    * exactly `srcTable`'s retained `version` (default: the head) by
+    * SHARING every data file — hard links on POSIX, server-side
+    * copies on object stores ([[StoreIo.shareFile]]) — and carrying
+    * the version's sidecars verbatim (`_schema.json`, `_manifest`,
+    * `_zonemap`, plus the `_BUCKETS`/`_ZONECOLS` table stamps). No
+    * engine rewrite, no parquet decode: at 100 TB a replica/dev-fork
+    * bootstrap costs one metadata pass plus O(files) link/copy calls
+    * instead of the full read-encode-write that `readVersion` +
+    * `replaceBucketed` pays (the u17 bootstrap, now the slow path).
+    * This is the lakehouse shallow-clone shape with hard-link
+    * durability: the clone is a fully independent table afterwards
+    * (own pointer, own version history, own retention and cursor
+    * registry); shared inodes stay safe because pruning only ever
+    * deletes a table's OWN dirs — bytes live until the last referent
+    * goes, exactly the untouched-bucket sharing contract.
+    *
+    * Refusals: cloning onto an existing table is a
+    * [[ConcurrentCommitException]] (the create-CAS loses — a clone
+    * never silently replaces data); a pruned source version is
+    * [[RetentionLostException]]; a source version vanishing mid-walk
+    * re-resolves to one of the two (the changesBetween discipline).
+    * Gate u19 pins clone ≡ source content and fork independence;
+    * ParquetTableStoreSpec pins the zero-rewrite claim itself (every
+    * cloned data file shares its inode, nlink ≥ 2). */
+  def cloneTable(spark: SparkSession, srcTable: String, dstTable: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(srcTable).getOrElse(
+      throw new IllegalStateException(
+        s"table $srcTable has no committed version")))
+    val srcName = versionDirNameOf(srcTable, v)
+    val srcDir = tableDir(srcTable).resolve(srcName)
+    if (exists(dstTable))
+      throw new ConcurrentCommitException(
+        s"cloneTable: $dstTable already exists — a clone never " +
+          "replaces a table; drop it or pick a fresh name")
+    def remap(): Nothing = {
+      versionDirNameOf(srcTable, v) // RetentionLost if pruned
+      throw new ConcurrentCommitException(
+        s"source version $v of $srcTable vanished during clone — " +
+          "a gc/publish race; re-read and retry")
+    }
+    // table stamps first (first-writer-wins files, like createBucketed)
+    try {
+      Files.createDirectories(tableDir(dstTable))
+      numBuckets(srcTable).foreach(n =>
+        try Files.write(bucketsFile(dstTable),
+          n.toString.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () })
+      zoneColumns(srcTable).foreach(cols =>
+        try Files.write(zoneColsFile(dstTable),
+          cols.mkString(",").getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () })
+      val staged = stagedDirName(0L)
+      val nextDir = tableDir(dstTable).resolve(tmpName(staged))
+      Files.createDirectories(nextDir)
+      // share the version's entire tree: data files link/copy, small
+      // sidecars (_schema.json, _manifest, _zonemap parquet) too —
+      // relative paths inside them stay valid in the clone's dir
+      def shareTree(src: Path, dst: Path): Unit =
+        listDir(src).foreach { p =>
+          val d = dst.resolve(p.getFileName.toString)
+          if (Files.isDirectory(p)) { Files.createDirectories(d); shareTree(p, d) }
+          else if (Files.isRegularFile(p)) io.shareFile(p, d)
+        }
+      try shareTree(srcDir, nextDir)
+      catch { case _: java.nio.file.NoSuchFileException =>
+        deleteRecursively(nextDir); remap()
+      }
+      finalizeStaged(dstTable, staged)
+      publish(dstTable, staged, None)
+      readDir(spark, dstTable, staged)
+    } catch {
+      case e: java.nio.file.NoSuchFileException =>
+        // src stamps/dirs vanished under us (retention/gc race)
+        remap()
+    }
+  }
+
   /** Run `op` (any commit/upsert on this store) with optimistic-
     * concurrency retries: a lost pointer race re-runs the whole
     * operation, which re-reads the winner's snapshot and re-applies
@@ -1739,7 +1825,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     if (Files.exists(dir)) {
       val floor = cursorFloor(table)
       def unprotected(v: Long): Boolean = floor match {
-        case Some(f) => v < f || v <= current - maxRetained
+        case Some(f) => v < f || v <= current - protectCap
         case None => true
       }
       listDir(dir)

@@ -728,7 +728,88 @@ object OpsQueries {
               END::BIGINT AS n_tokens
             FROM fin ORDER BY doc_id"""))
 
+  /** U19: ZERO-COPY CLONE ([[graft.ops.ParquetTableStore
+    * .cloneTable]]) — the replica/dev-fork bootstrap primitive: a new
+    * table published at a source version by SHARING every data file
+    * (hard links / server-side copies) and carrying the sidecars, no
+    * parquet decode or rewrite — at 100 TB the bootstrap u17 pays a
+    * full read-encode-write for becomes O(link calls). The gate
+    * drives u17's full mutation surface (append, rewriting upsert
+    * with fresh keys, keyed delete, compaction), clones the head,
+    * then MUTATES the clone and asserts independence both ways (the
+    * source's version and content are untouched by the fork's
+    * commit); the oracle rebuilds the head + the fork's own update in
+    * SQL. The zero-REWRITE claim itself (every cloned file shares
+    * its inode) is spec-pinned — content equality can't distinguish
+    * a clone from a copy, so the gate pins semantics and the spec
+    * pins the cost. */
+  private val u19 = QueryDef(
+    "u19_zero_copy_clone",
+    "zero-copy clone at a version: fork ≡ source + fork-only mutation",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      val root = graft.ops.Scratch.tempDir("graft-u19-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 10)
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") <= c1),
+        Seq("event_id"), numBuckets = 8)
+      store.appendBucketed(s, "ev",
+        ev.filter(col("event_id") > c1 && col("event_id") <= c2),
+        Seq("event_id"))
+      store.upsertBucketed(s, "ev",
+        ev.filter(col("event_id") <= c2 && col("event_id") % 100 === 0)
+          .select(col("event_id"), col("user_id"),
+            lit("UPD").as("event_type"))
+          .unionByName(ev.filter(col("event_id") % 500 === 0)
+            .select((col("event_id") + lit(10L) * mx).as("event_id"),
+              col("user_id"), lit("NEW").as("event_type"))),
+        Seq("event_id"))
+      store.deleteBucketed(s, "ev",
+        store.read(s, "ev").filter(col("event_id") % 171 === 0)
+          .select("event_id"),
+        Seq("event_id"))
+      store.compactBuckets(s, "ev", maxFilesPerBucket = 2)
+      val srcV = store.currentVersion("ev").get
+      store.cloneTable(s, "ev", "fork")
+      // the fork mutates; the source must observe NOTHING — neither a
+      // version bump nor the fork's rows
+      store.upsertBucketed(s, "fork",
+        store.read(s, "fork").filter(col("event_id") % 233 === 0)
+          .select(col("event_id"), col("user_id"),
+            lit("FORK").as("event_type")),
+        Seq("event_id"))
+      require(store.currentVersion("ev").contains(srcV),
+        "u19: the fork's commit leaked a version into the source")
+      require(store.read(s, "ev")
+          .filter(col("event_type") === "FORK").limit(1).count() == 0,
+        "u19: the fork's rows leaked into the source table")
+      store.read(s, "fork").orderBy("event_id")
+    },
+    Some("""WITH mx AS (SELECT max(event_id) AS m FROM events),
+            s0 AS (SELECT event_id, user_id, event_type
+                   FROM events, mx WHERE event_id <= m // 3),
+            ins1 AS (SELECT event_id, user_id, event_type
+                     FROM events, mx
+                     WHERE event_id > m // 3 AND event_id <= 2 * (m // 3)),
+            upd AS (SELECT event_id, user_id,
+                      CASE WHEN event_id % 100 = 0 THEN 'UPD'
+                           ELSE event_type END AS event_type
+                    FROM (SELECT * FROM s0 UNION ALL SELECT * FROM ins1)),
+            ins2 AS (SELECT event_id + 10 * m AS event_id, user_id,
+                       'NEW' AS event_type
+                     FROM events, mx WHERE event_id % 500 = 0),
+            fin AS (SELECT * FROM
+                      (SELECT * FROM upd UNION ALL SELECT * FROM ins2)
+                    WHERE event_id % 171 <> 0)
+            SELECT event_id, user_id,
+              CASE WHEN event_id % 233 = 0 THEN 'FORK'
+                   ELSE event_type END AS event_type
+            FROM fin ORDER BY event_id"""))
+
   def defs: Seq[QueryDef] =
     Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13, u14, u15,
-      u16, u17, u18)
+      u16, u17, u18, u19)
 }

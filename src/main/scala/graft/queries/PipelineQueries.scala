@@ -6302,6 +6302,82 @@ object PipelineQueries {
               END::BIGINT AS n_tokens
             FROM fin ORDER BY doc_id"""))
 
+  /** ST17: THE DEPLOYMENT LOOP, composed whole — a checkpointed
+    * streaming writer ([[graft.streaming.Streams.corpusUpsertIngest]]
+    * with the size-tiered maintenance policy running after every
+    * batch), an out-of-band keyed delete, and a REGISTERED CDC
+    * consumer folding the store's own change feed between runs.
+    * Each piece is individually gated (st6-style ingest, u16
+    * auto-maintenance, u15/u17 CDC, u18 protected retention); this
+    * pins their INTERPLAY, which no other gate drives end to end:
+    * maintenance commits churn versions between the consumer's folds,
+    * so the CDC spans cross compaction boundaries and must diff them
+    * EMPTY (cost, no phantom changes); the keepVersions=2 window
+    * plus multi-commit runs would force rebases without the
+    * registered cursor (st16 proves it); and the file debt the
+    * writer's touched-bucket rewrites accumulate must stay bounded by
+    * the in-loop policy (asserted from the manifest — max
+    * files/bucket ≤ the policy threshold at the end). Fold modes are
+    * asserted all-CDC; content ≡ the whole-corpus oracle. */
+  private val st17 = QueryDef(
+    "st17_maintained_ingest",
+    "streaming writer + auto-compaction + registered CDC consumer compose",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.fastDir("graft-st17-")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 2)
+      def ingest(): Unit =
+        graft.streaming.Streams.corpusUpsertIngest(s, inDir, ck, store,
+          autoMaintain = true, maintainMaxFilesPerBucket = 2,
+          maintainMinBytesPerFile = 0L).awaitTermination()
+      def fold(): Boolean =
+        graft.streaming.Streams.cdcTokenCountConsumerRebasing(s, store,
+          consumerId = Some("tok"))
+      d.filter(col("doc_id") % 3 === 0).coalesce(1).write.parquet(inDir)
+      ingest()
+      val m1 = fold() // bootstrap
+      d.filter(col("doc_id") % 3 =!= 0)
+        .unionByName(d.filter(col("doc_id") % 9 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text")))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      ingest() // upsert + maintenance commits land in one run
+      val m2 = fold()
+      store.deleteBucketed(s, "corpus",
+        d.filter(col("doc_id") % 13 === 0).select("doc_id"), Seq("doc_id"))
+      val m3 = fold()
+      d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v4")).as("text"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      ingest()
+      val m4 = fold()
+      require(!m1 && !m2 && !m3 && !m4,
+        s"st17: fold modes ($m1,$m2,$m3,$m4) — a true means a rebase; " +
+          "the registered cursor must have kept every span answerable")
+      // the in-loop policy bounded the writer's file debt
+      val maxFiles = store.fileManifest(s, "corpus").get
+        .selectExpr("regexp_extract(file, '__kb=(\\\\d+)/', 1) AS b")
+        .filter(col("b") =!= "").groupBy("b").count()
+        .agg(max("count")).head.getLong(0)
+      require(maxFiles <= 2,
+        s"st17: $maxFiles files in a bucket after maintenance — the " +
+          "in-loop policy failed to bound the writer's small-file debt")
+      store.read(s, "doc_tokens").orderBy("doc_id")
+    },
+    Some("""WITH fin AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN text || ' v4'
+                   WHEN doc_id % 9 = 0 THEN text || ' v2'
+                   ELSE text END AS text
+            FROM documents
+            WHERE doc_id % 7 = 0 OR doc_id % 13 <> 0)
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END::BIGINT AS n_tokens
+            FROM fin ORDER BY doc_id"""))
+
   /** ST11: streaming GRAPH maintenance
     * ([[graft.streaming.Streams.graphIngest]]) — the g3 + g4 folds
     * driven from an edge FEED: the co-order edges arrive as two
@@ -7487,5 +7563,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ss22, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, ts31, ts32, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16, st17)
 }

@@ -1242,9 +1242,21 @@ object Streams {
     * the WRITER side of the CDC pair (gate st15). Crash-replay: the
     * upsert is replace-by-key, so a replayed batch re-lands the same
     * snapshot — effect-idempotent with no ledger. */
+  /** `autoMaintain = true` runs the size-tiered compaction policy
+    * ([[graft.ops.ParquetTableStore.autoMaintain]]) after each
+    * batch's upsert — the DEPLOYMENT shape (gate st17): a streaming
+    * writer is exactly the producer whose per-batch touched-bucket
+    * rewrites accumulate the small-file debt the policy exists for,
+    * and nobody calls maintenance by hand on a loop that runs
+    * forever. No debt ⇒ no extra version; a maintenance commit is a
+    * semantic no-op, so CDC consumers see its span diff EMPTY (cost,
+    * no phantom changes — the u15 contract). */
   def corpusUpsertIngest(spark: SparkSession, inputDir: String,
       checkpointDir: String, store: ParquetTableStore,
-      table: String = "corpus", numBuckets: Int = 8): StreamingQuery = {
+      table: String = "corpus", numBuckets: Int = 8,
+      autoMaintain: Boolean = false,
+      maintainMaxFilesPerBucket: Int = 4,
+      maintainMinBytesPerFile: Long = 8L << 20): StreamingQuery = {
     val in = spark.readStream.schema("doc_id BIGINT, text STRING")
       .parquet(inputDir)
     in.writeStream
@@ -1252,10 +1264,15 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (batch.limit(1).count() > 0)
+        if (batch.limit(1).count() > 0) {
           store.withCommitRetries()(
             store.upsertBucketed(spark, table, batch, Seq("doc_id"),
               numBuckets))
+          if (autoMaintain)
+            store.withCommitRetries()(
+              store.autoMaintain(spark, table,
+                maintainMaxFilesPerBucket, maintainMinBytesPerFile))
+        }
         ()
       }
       .start()

@@ -1227,6 +1227,34 @@ object ScaleProbe {
     // × bucket size), so their rows should stay ~flat across m,
     // while the full-rebuild alternative (what a consumer without a
     // change feed must do) rescans the whole table and tracks m.
+    // u19 receipt: a replica/fork bootstrap via zero-copy clone
+    // (O(files) link calls, no parquet decode) vs the read-encode-
+    // write rebuild (O(data)) — clone cost should stay ~flat as the
+    // table grows 10×, the rebuild should track it.
+    if (selected("clone")) {
+      def timedStore(name: String)(op: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        op
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $name%-34s $secs%8.2f s  rows=  (commit)       shuffleMB=      n/a")
+      }
+      def fat(m: Int): DataFrame = docs(m).select(col("id"),
+        concat_ws(" ", array_repeat(col("text"), 20)).as("text"))
+      for (m <- Seq(1, mult)) {
+        val n = 32 * m
+        val root = graft.ops.Scratch.tempDir(s"probe-clone-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store",
+          keepVersions = 10)
+        store.replaceBucketed(spark, "src", fat(m), Seq("id"),
+          numBuckets = n)
+        timedStore(s"clone_link_x$m")(
+          store.cloneTable(spark, "src", "fork"))
+        timedStore(s"clone_rebuild_x$m")(
+          store.replaceBucketed(spark, "fork2",
+            store.read(spark, "src"), Seq("id"), numBuckets = n))
+      }
+    }
+
     if (selected("cdc")) {
       def timedStore(name: String)(op: => Unit): Unit = {
         val t0 = System.nanoTime()

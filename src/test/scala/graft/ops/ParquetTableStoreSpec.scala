@@ -818,4 +818,62 @@ class ParquetTableStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       store.registerCursor("t", "../evil", 1L))
   }
+
+  test("cloneTable: zero-REWRITE (inodes shared), sidecars carried, histories independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmpDir("store-clone")
+    val store = new ParquetTableStore(root, keepVersions = 10)
+    val base = (1 to 60).map(i => (i.toLong, s"v$i", i * 10L))
+      .toDF("k", "v", "ts")
+    store.declareZoneColumns("t", Seq("ts"))
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 4) // v0
+    store.upsertBucketed(spark, "t",
+      Seq((1L, "x", 999L)).toDF("k", "v", "ts"), Seq("k")) // v1
+    // clone the HEAD and a TIME-TRAVEL version
+    val fork = store.cloneTable(spark, "t", "fork")
+    assert(fork.orderBy("k").collect().toSeq ==
+      store.read(spark, "t").orderBy("k").collect().toSeq)
+    val old = store.cloneTable(spark, "t", "fork0", Some(0L))
+    assert(old.filter(col("k") === 1L).head.getString(1) == "v1")
+    // the zero-rewrite claim: every cloned parquet file SHARES its
+    // inode with the source (hard link, nlink >= 2) — content
+    // equality can't distinguish a clone from a copy; this can
+    val forkDir = Files.list(Paths.get(root, "fork")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("v=")).toSeq.head
+    val dataFiles = Files.walk(forkDir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    assert(dataFiles.forall(f => Files.getAttribute(f, "unix:nlink")
+      .asInstanceOf[Number].longValue() >= 2L),
+      "a cloned data file was rewritten, not shared")
+    // sidecars carried: the clone's zone map serves pruned reads, the
+    // bucket stamp serves later upserts
+    assert(store.readZonePruned(spark, "fork", "ts", 100L, 200L)
+      .count() == base.filter(col("ts").between(100L, 200L)).count())
+    store.upsertBucketed(spark, "fork",
+      Seq((2L, "forked", 0L)).toDF("k", "v", "ts"), Seq("k"))
+    // histories are independent both ways
+    assert(store.read(spark, "t").filter(col("v") === "forked").count() == 0)
+    assert(store.currentVersion("t").contains(1L))
+    assert(store.currentVersion("fork").contains(1L)) // its OWN v1
+    store.upsertBucketed(spark, "t",
+      Seq((3L, "srcmut", 0L)).toDF("k", "v", "ts"), Seq("k"))
+    assert(store.read(spark, "fork")
+      .filter(col("v") === "srcmut").count() == 0)
+    // refusals: existing destination is a retryable conflict (never a
+    // silent replace); a pruned source version is the typed rebase
+    // signal
+    intercept[ConcurrentCommitException](
+      store.cloneTable(spark, "t", "fork"))
+    val tight = new ParquetTableStore(tmpDir("store-clone-tight"),
+      keepVersions = 1)
+    tight.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 2)
+    tight.upsertBucketed(spark, "t",
+      Seq((1L, "y", 0L)).toDF("k", "v", "ts"), Seq("k"))
+    assert(intercept[IllegalStateException](
+      tight.cloneTable(spark, "t", "f", Some(0L)))
+      .isInstanceOf[RetentionLostException])
+  }
 }
