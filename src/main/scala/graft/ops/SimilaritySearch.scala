@@ -1324,6 +1324,35 @@ object SimilaritySearch {
     rankTopK(scored, "dist", k, asc = true)
   }
 
+  /** THE PRODUCTION ANSWER SHAPE for the stored pair — shortlist-and-
+    * rerank ([[ivfPqTopKStored]] + exact cosine), the composition
+    * ss22's pinned non-monotonicity made necessary: raw ADC recall
+    * does NOT improve with probes (more probes admit more ADC
+    * impostors), so the deployed probe answers from a `shortlist`-
+    * deep ADC candidate set per query (codes only — no raw corpus
+    * floats move) and then re-attaches raw vectors for ONLY those
+    * |Q|·shortlist pairs from `vectors` (the corpus the index
+    * serves — typically the stored table itself) for an exact
+    * cosine rerank. [[cosineScored]]'s join discipline: query side
+    * broadcast by stats, corpus side pinned SHUFFLE_HASH — the
+    * corpus is never broadcast and never shuffled as floats beyond
+    * the shortlist rows. Inherits the pair-pin consistency refusals
+    * (a torn or mid-update index pair refuses retryably before any
+    * rerank work). Gate ss23 pins the whole chain bit-exact against
+    * the unrolled oracle; the recall-recovery property itself is
+    * ss22's spec. */
+  def ivfPqRerankTopKStored(queries: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String, store: ParquetTableStore, k: Int,
+      shortlist: Int, probes: Int = 4, cellCap: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val short = ivfPqTopKStored(queries, idCol, vecCol, store,
+      k = shortlist, probes = probes, cellCap = cellCap)
+      .select("query_id", "neighbor_id")
+    rankTopK(cosineScored(short, queries, vectors, idCol, vecCol),
+      "cos", k)
+  }
+
   /** Commit the CROSS-FAMILY pair pin for the stored IVF-PQ index:
     * one row recording the current versions of BOTH families' meta
     * tables. A paired mutator (both-family build, both-family

@@ -5218,6 +5218,97 @@ object PipelineQueries {
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** SS23: SHORTLIST-AND-RERANK OVER THE STORED PAIR
+    * ([[SimilaritySearch.ivfPqRerankTopKStored]]) — the production
+    * ANSWER shape, promoted from ss22's spec-only property to a
+    * bit-exact gate: ss22 measured that raw ADC recall is NOT
+    * probe-monotonic (more probes admit more ADC impostors), so what
+    * a deployment actually serves is a deep ADC shortlist from codes
+    * alone re-ranked by exact cosine over ONLY the |Q|·shortlist
+    * re-attached raw vectors. Same mutated stored pair as ss21/ss22;
+    * the oracle unrolls the full chain — IVF cells (original
+    * anchors, mutated assignments) → ADC (stored codes) → 20-deep
+    * shortlist → exact-cosine rerank — and `cos` compares at 6
+    * decimals (the ss16 rounding discipline). */
+  private val ss23 = QueryDef(
+    "ss23_ivfpq_rerank_stored",
+    "stored-pair ADC shortlist + exact cosine rerank ≡ unrolled oracle",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val root = graft.ops.Scratch.tempDir("graft-ss23-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+        numCentroids = 32)
+      SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", store,
+        m = 8, ks = 16, dim = 64)
+      SimilaritySearch.ivfPqPairPin(s, store)
+      val delta = e.filter(col("id") % 7 === 0)
+        .select(col("id"), reverse(col("embedding")).as("embedding"))
+      SimilaritySearch.ivfReindexVectors(delta, "id", "embedding", store)
+      SimilaritySearch.pqReindexVectors(delta, "id", "embedding", store)
+      SimilaritySearch.ivfPqPairPin(s, store)
+      val mut = e.select(col("id"),
+        when(col("id") % 7 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      val queries = mut.filter(col("id") < 10)
+      SimilaritySearch.ivfPqRerankTopKStored(queries, mut, "id",
+        "embedding", store, k = 5, shortlist = 20, probes = 8,
+        cellCap = 1000)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("query_id", "rank")
+    },
+    Some(pqCodesCtesOver("mut", "id",
+      """mut AS (SELECT vec_id AS id,
+                   CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding)
+                        ELSE embedding END AS embedding
+                 FROM embeddings),""") + s""",
+            anchors AS (SELECT vec_id AS cid, embedding AS avec
+                        FROM embeddings ORDER BY vec_id LIMIT 32),
+            aff AS (SELECT m.id, a.cid,
+                row_number() OVER (PARTITION BY m.id
+                  ORDER BY ${cosSql("m.embedding", "a.avec")} DESC,
+                    a.cid) AS rn
+              FROM mut m, anchors a),
+            cassign AS (SELECT id AS neighbor_id, cid FROM aff
+                        WHERE rn <= 1),
+            qassign AS (SELECT id AS query_id, cid FROM aff
+                        WHERE id < 10 AND rn <= 8),
+            cappedv AS (SELECT neighbor_id, cid,
+                row_number() OVER (PARTITION BY cid
+                  ORDER BY neighbor_id) AS crn
+              FROM cassign),
+            cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+              FROM qassign q JOIN cappedv c ON q.cid = c.cid
+              WHERE c.crn <= 1000 AND q.query_id != c.neighbor_id),
+            paird AS (SELECT cand.query_id, cand.neighbor_id,
+                cd.j, q.dist
+              FROM cand
+              JOIN codes cd ON cd.id = cand.neighbor_id
+              JOIN encd q ON q.id = cand.query_id AND q.j = cd.j
+                AND q.c = cd.code),
+            summed AS (SELECT query_id, neighbor_id,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(dist ORDER BY j)), (x, y) -> x + y) AS dist
+              FROM paird GROUP BY query_id, neighbor_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY dist, neighbor_id) AS rank
+              FROM summed),
+            short AS (SELECT query_id, neighbor_id FROM ranked
+                      WHERE rank <= 20),
+            rer AS (SELECT s.query_id, s.neighbor_id,
+                      ${cosSql("q.embedding", "c.embedding")} AS cos
+                    FROM short s
+                    JOIN mut q ON q.id = s.query_id
+                    JOIN mut c ON c.id = s.neighbor_id),
+            rranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+              FROM rer)
+            SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+            FROM rranked WHERE rank <= 5
+            ORDER BY query_id, rank"""))
+
   /** SS22: RECALL OF THE DEPLOYMENT INDEX — ss21 pins the stored
     * mutated IVF-PQ pair EXACT against a from-scratch re-encode, but
     * exactness-vs-re-encode says nothing about retrieval QUALITY: a
@@ -7560,7 +7651,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, dc4, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ss22, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ss22, ss23, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, ts31, ts32, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16, st17)
