@@ -513,7 +513,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * when the version carries no zone map or the map doesn't cover
     * `column` — at scale, a silently unpruned read IS the failure. */
   private def zonePrunedFiles(spark: SparkSession, table: String,
-      column: String, lo: Any, hi: Any): (Path, Seq[Path], Int) = {
+      column: String, lo: Any, hi: Any): (Path, Seq[(String, Long)], Int) = {
     val p = currentPointer(table).getOrElse(
       throw new IllegalStateException(s"table $table has no committed version"))
     val vdir = tableDir(table).resolve(dirNameOf(p))
@@ -549,25 +549,34 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
         zm.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
           .mkString(", ") + ") — re-publish with it in statsCols")
     // keep a file unless its whole range misses [lo, hi]; null stats
-    // (all-null column) keep nothing — NULL never matches a range
-    val kept = retryable(zm
+    // (all-null column) keep nothing — NULL never matches a range.
+    // The kept set collects WITH its manifest byte sizes (one
+    // distributed join, O(kept) driver rows) so the scan below plans
+    // through [[graft.sources.ManifestFileIndex]] with zero
+    // filesystem metadata calls; total file count is one manifest
+    // aggregate. Pre-manifest versions stat the kept files and walk
+    // for the total (legacy fallback).
+    val keptNames = zm
       .filter(!(col(s"max_$column") < lit(lo) || col(s"min_$column") > lit(hi)))
-      .select("file").collect()).map(_.getString(0)).toSeq.sorted
-    // total data files: ONE manifest read, never a directory walk —
-    // at 10⁵-10⁶ files the recursive listing this used to do per
-    // pruned read IS the driver bottleneck. Pre-manifest versions
-    // fall back to the walk.
+      .select("file")
     retryable {
-      val total = manifestAt(spark, vdir) match {
-        case Some(m) => m.count().toInt
+      manifestAt(spark, vdir) match {
+        case Some(m) =>
+          val r = keptNames
+            .join(m.select(col("file"), col("bytes")), Seq("file"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+            .sortBy(_._1).toSeq
+          (vdir, r, m.count().toInt)
         case None =>
+          val kept = keptNames.collect().map(_.getString(0)).sorted
+            .map(f => (f, Files.size(vdir.resolve(f)))).toSeq
           val entries = listDir(vdir)
-          entries.count(isDataFile) + entries
+          val total = entries.count(isDataFile) + entries
             .filter(p => Files.isDirectory(p) &&
               p.getFileName.toString.startsWith(s"$BucketCol="))
             .map(d => listDir(d).count(isDataFile)).sum
+          (vdir, kept, total)
       }
-      (vdir, kept.map(vdir.resolve), total)
     }
   }
 
@@ -586,11 +595,18 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
         // nothing intersects: an empty frame with the table's schema
         readVersionFrame(spark, vdir).where(lit(false))
       else storedSchemaOf(vdir) match {
-        // canonical schema over the explicit file list: an inferred
-        // one is file-order dependent on mixed-schema versions; the
-        // partition column reads null from leaf files and is dropped
-        case Some(s) => spark.read.schema(s).parquet(files.map(_.toString): _*)
-        case None => spark.read.parquet(files.map(_.toString): _*)
+        // canonical schema over the MANIFEST-FED file index: the scan
+        // plans from (path, size) rows the sidecar already holds — no
+        // re-listing, no per-file stat, no 10⁵ path literals in the
+        // plan tree (graft.sources.ManifestFileIndex; an inferred
+        // schema would be file-order dependent on mixed-schema
+        // versions). The partition column reads null from leaf files
+        // and is dropped. Pre-schema-file versions fall back to the
+        // explicit-path inferred read.
+        case Some(s) => graft.sources.ManifestFileIndex.frame(spark,
+          vdir.toUri.toString, s, files)
+        case None => spark.read.parquet(
+          files.map(f => vdir.resolve(f._1).toString): _*)
       }
     val out = base.filter(residual)
     if (out.columns.contains(BucketCol)) out.drop(BucketCol) else out

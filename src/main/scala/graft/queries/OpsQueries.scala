@@ -667,13 +667,18 @@ object OpsQueries {
     * mode asserts go red on any rebase), and the registry must
     * RELEASE as the cursor advances (old versions prune once the
     * consumer catches up — asserted on the final version listing).
-    * Same final-corpus oracle as st16: protection must be invisible
-    * in content, visible only in cost. */
+    * Same final-corpus oracle shape as st16: protection must be
+    * invisible in content, visible only in cost. Runs on the EVEN-id
+    * half corpus (the st11 cost discipline) — the marginal claim is
+    * the retention POLICY (version counts, fold modes), which is
+    * corpus-size independent; st15/st16 already price the full-mass
+    * fold chain. */
   private val u18 = QueryDef(
     "u18_protected_retention",
     "registered consumer cursor widens retention: slow CDC folds never rebase",
     (s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 0)
       val root = graft.ops.Scratch.fastDir("graft-u18-")
       val store = new graft.ops.ParquetTableStore(s"$root/store",
         keepVersions = 2)
@@ -721,7 +726,8 @@ object OpsQueries {
                    WHEN doc_id % 9 = 0 THEN text || ' v2'
                    ELSE text END AS text
             FROM documents
-            WHERE doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 13 <> 0)
+            WHERE doc_id % 2 = 0
+              AND (doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 13 <> 0))
             SELECT doc_id,
               CASE WHEN length(trim(text)) = 0 THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\s+'))

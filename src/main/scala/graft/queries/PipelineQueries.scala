@@ -5229,13 +5229,18 @@ object PipelineQueries {
     * the oracle unrolls the full chain — IVF cells (original
     * anchors, mutated assignments) → ADC (stored codes) → 20-deep
     * shortlist → exact-cosine rerank — and `cos` compares at 6
-    * decimals (the ss16 rounding discipline). */
+    * decimals (the ss16 rounding discipline). Runs on the EVEN-id
+    * half corpus (the st11 cost discipline): the marginal claim is
+    * the rerank SEAM on top of the stored pair, and the pair's
+    * full-mass build cost is already priced by ss21/ss22 — re-paying
+    * it here would double-charge the battery for a pinned claim. */
   private val ss23 = QueryDef(
     "ss23_ivfpq_rerank_stored",
     "stored-pair ADC shortlist + exact cosine rerank ≡ unrolled oracle",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding"))
+        .filter(col("id") % 2 === 0)
       val root = graft.ops.Scratch.tempDir("graft-ss23-")
       val store = new graft.ops.ParquetTableStore(s"$root/store")
       SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
@@ -5263,9 +5268,11 @@ object PipelineQueries {
       """mut AS (SELECT vec_id AS id,
                    CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding)
                         ELSE embedding END AS embedding
-                 FROM embeddings),""") + s""",
+                 FROM embeddings WHERE vec_id % 2 = 0),""",
+      cbWhere = "WHERE vec_id % 2 = 0") + s""",
             anchors AS (SELECT vec_id AS cid, embedding AS avec
-                        FROM embeddings ORDER BY vec_id LIMIT 32),
+                        FROM embeddings WHERE vec_id % 2 = 0
+                        ORDER BY vec_id LIMIT 32),
             aff AS (SELECT m.id, a.cid,
                 row_number() OVER (PARTITION BY m.id
                   ORDER BY ${cosSql("m.embedding", "a.avec")} DESC,
@@ -6409,12 +6416,18 @@ object PipelineQueries {
     * writer's touched-bucket rewrites accumulate must stay bounded by
     * the in-loop policy (asserted from the manifest — max
     * files/bucket ≤ the policy threshold at the end). Fold modes are
-    * asserted all-CDC; content ≡ the whole-corpus oracle. */
+    * asserted all-CDC; content ≡ the whole-corpus oracle. Runs on
+    * the EVEN-id half corpus (the st11 cost discipline): every
+    * composed stage is individually gated at full mass elsewhere
+    * (st15 the ingest+fold chain, u16 the policy, u18 the
+    * protection); the marginal claim here is their INTERPLAY, which
+    * is corpus-size independent. */
   private val st17 = QueryDef(
     "st17_maintained_ingest",
     "streaming writer + auto-compaction + registered CDC consumer compose",
     (s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 0)
       val root = graft.ops.Scratch.fastDir("graft-st17-")
       val inDir = s"$root/in"
       val ck = s"$root/ck"
@@ -6462,7 +6475,8 @@ object PipelineQueries {
                    WHEN doc_id % 9 = 0 THEN text || ' v2'
                    ELSE text END AS text
             FROM documents
-            WHERE doc_id % 7 = 0 OR doc_id % 13 <> 0)
+            WHERE doc_id % 2 = 0
+              AND (doc_id % 7 = 0 OR doc_id % 13 <> 0))
             SELECT doc_id,
               CASE WHEN length(trim(text)) = 0 THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\s+'))

@@ -108,6 +108,35 @@ object ManifestProbe {
       .select("file").collect().map(_.getString(0))
     val afterPaths = used()
     println(f"PROBE driver_retained_${nFiles / 1000}k         rollup=${math.max(0L, afterRollup - base) / 1024}%6d KiB (${rollup.length} rows)  all-paths=${math.max(0L, afterPaths - afterRollup) / 1024}%6d KiB (${allPaths.length} rows)")
+
+    // PRUNED-READ STANDUP: a zone-pruned scan that kept K of the N
+    // files. The explicit-path route (spark.read.parquet(K paths))
+    // re-parses every path string and stands up an InMemoryFileIndex
+    // that getFileStatus-es each one (K driver FS calls — K paged
+    // HEADs on an object store) before a single byte is planned; the
+    // manifest-fed ManifestFileIndex builds its FileStatus array
+    // straight from (path, size) rows the sidecar already holds —
+    // ZERO filesystem metadata calls. Both force the physical plan
+    // (where the listing cost lands); the files are placeholders, so
+    // this measures exactly the metadata standup the index removes.
+    val kept = rows.zipWithIndex.collect { case (r, i) if i % 2 == 0 => r }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__kb",
+        org.apache.spark.sql.types.IntegerType)))
+    t0 = System.nanoTime()
+    val explicitDf = spark.read.schema(schema)
+      .parquet(kept.map(r => vdir.resolve(r._1).toString): _*)
+    explicitDf.queryExecution.executedPlan
+    val tExplicit = (System.nanoTime() - t0) / 1e9
+    println(f"PROBE pruned_standup_paths_${nFiles / 1000}k    $tExplicit%8.2f s  (${kept.size} explicit paths, K getFileStatus calls)")
+    t0 = System.nanoTime()
+    val idxDf = graft.sources.ManifestFileIndex.frame(spark,
+      vdir.toUri.toString, schema, kept)
+    idxDf.queryExecution.executedPlan
+    val tIndex = (System.nanoTime() - t0) / 1e9
+    println(f"PROBE pruned_standup_index_${nFiles / 1000}k    $tIndex%8.2f s  (${kept.size} manifest rows, 0 FS calls)")
     spark.stop()
   }
 }
