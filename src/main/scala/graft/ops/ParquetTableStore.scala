@@ -1568,18 +1568,36 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
           "a gc/publish race; re-read and retry")
     }
     // table stamps first (first-writer-wins files, like createBucketed)
+    // — then VERIFY the read-back: a concurrent creator landing its
+    // own _BUCKETS/_ZONECOLS between our exists() check and the stamp
+    // would otherwise let this clone publish its data under the
+    // competitor's DIFFERENT bucket function, silently mis-bucketing
+    // every later upsert (losing the publish CAS is not enough — the
+    // stamp and the data must agree for the winner, whoever it is)
     try {
       Files.createDirectories(tableDir(dstTable))
-      numBuckets(srcTable).foreach(n =>
+      numBuckets(srcTable).foreach { n =>
         try Files.write(bucketsFile(dstTable),
           n.toString.getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () })
-      zoneColumns(srcTable).foreach(cols =>
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        if (!numBuckets(dstTable).contains(n))
+          throw new ConcurrentCommitException(
+            s"cloneTable: $dstTable's bucket stamp is " +
+              s"${numBuckets(dstTable)} but the clone carries $n-bucket " +
+              "data — a concurrent creator owns the name; pick another")
+      }
+      zoneColumns(srcTable).foreach { cols =>
         try Files.write(zoneColsFile(dstTable),
           cols.mkString(",").getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () })
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        if (!zoneColumns(dstTable).contains(cols))
+          throw new ConcurrentCommitException(
+            s"cloneTable: $dstTable's zone columns are " +
+              s"${zoneColumns(dstTable)} but the clone carries a map " +
+              s"over $cols — a concurrent creator owns the name")
+      }
       val staged = stagedDirName(0L)
       val nextDir = tableDir(dstTable).resolve(tmpName(staged))
       Files.createDirectories(nextDir)

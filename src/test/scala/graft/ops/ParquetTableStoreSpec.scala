@@ -875,5 +875,15 @@ class ParquetTableStoreSpec extends SparkSpec {
     assert(intercept[IllegalStateException](
       tight.cloneTable(spark, "t", "f", Some(0L)))
       .isInstanceOf[RetentionLostException])
+    // a concurrent creator owning the destination's bucket stamp with
+    // a DIFFERENT count: the clone must refuse — publishing 4-bucket
+    // data under an 8-bucket stamp would mis-bucket later upserts
+    val r2 = tmpDir("store-clone-stamp")
+    val c2 = new ParquetTableStore(r2)
+    c2.upsertBucketed(spark, "src", base, Seq("k"), numBuckets = 4)
+    Files.createDirectories(Paths.get(r2, "dst"))
+    Files.write(Paths.get(r2, "dst", "_BUCKETS"), "8".getBytes)
+    intercept[ConcurrentCommitException](
+      c2.cloneTable(spark, "src", "dst"))
   }
 }
