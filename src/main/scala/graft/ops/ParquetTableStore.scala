@@ -1624,6 +1624,36 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     }
   }
 
+  /** Tables with a committed version in this store (the catalog
+    * listing a maintenance loop iterates) — one directory listing of
+    * the root, O(tables). */
+  def tables: Seq[String] =
+    if (!Files.exists(Paths.get(root))) Seq.empty
+    else listDir(Paths.get(root))
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_CURRENT")))
+      .map(_.getFileName.toString).sorted
+
+  /** DROP `table`: the pointer goes FIRST (readers immediately see
+    * the clean no-committed-version refusal, never a half-deleted
+    * tree), then the whole table dir — versions, stamps, sidecars,
+    * and cursor registry. Bytes shared with a [[cloneTable]] fork
+    * survive (hard links — deletion only drops this table's
+    * references), so dropping a source never corrupts its clones.
+    * Dropping an absent table returns false. Administrative op: a
+    * writer racing the drop either fails its publish cleanly (staged
+    * dir swept with the tree) or re-creates the table fresh
+    * afterwards — serialize drops against writers externally, as
+    * with any catalog DDL. */
+  def dropTable(table: String): Boolean = {
+    val dir = tableDir(table)
+    if (!Files.exists(dir)) false
+    else {
+      Files.deleteIfExists(currentFile(table))
+      deleteRecursively(dir)
+      true
+    }
+  }
+
   /** Run `op` (any commit/upsert on this store) with optimistic-
     * concurrency retries: a lost pointer race re-runs the whole
     * operation, which re-reads the winner's snapshot and re-applies

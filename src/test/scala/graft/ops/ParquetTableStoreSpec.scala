@@ -886,4 +886,30 @@ class ParquetTableStoreSpec extends SparkSpec {
     intercept[ConcurrentCommitException](
       c2.cloneTable(spark, "src", "dst"))
   }
+
+  test("tables/dropTable: catalog listing; drop frees the name, clones survive their source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("store-drop")
+    val store = new ParquetTableStore(root, keepVersions = 5)
+    val base = (1 to 30).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "a", base, Seq("k"), numBuckets = 2)
+    store.commit(spark, "b", Seq(1).toDF("x"))
+    assert(store.tables == Seq("a", "b"))
+    store.cloneTable(spark, "a", "fork")
+    // dropping the SOURCE: its name frees, reads refuse cleanly, and
+    // the hard-link-shared clone still reads every byte
+    assert(store.dropTable("a"))
+    assert(!store.dropTable("a"))
+    assert(store.tables == Seq("b", "fork"))
+    intercept[IllegalStateException](store.read(spark, "a"))
+    assert(store.read(spark, "fork").count() == 30L)
+    assert(store.read(spark, "fork").filter(col("k") === 7L)
+      .head.getString(1) == "v7")
+    // the freed name recreates from scratch (fresh history, own count)
+    store.upsertBucketed(spark, "a",
+      Seq((99L, "fresh")).toDF("k", "v"), Seq("k"), numBuckets = 8)
+    assert(store.currentVersion("a").contains(0L))
+    assert(store.numBuckets("a").contains(8))
+  }
 }
