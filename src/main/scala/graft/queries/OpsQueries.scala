@@ -608,10 +608,12 @@ object OpsQueries {
       store.appendBucketed(s, "ev", ev.filter(col("event_id") <= c1),
         Seq("event_id"), numBuckets = 8)
       val vBase = store.currentVersion("ev").get
-      // the replica bootstraps from the base snapshot it will replay on
-      store.replaceBucketed(s, "ev_replica",
-        store.readVersion(s, "ev", vBase), Seq("event_id"),
-        numBuckets = 8)
+      // the replica bootstraps ZERO-COPY from the base snapshot it
+      // will replay on (cloneTable — u19's primitive; at 100 TB the
+      // read-encode-write bootstrap is the failure mode), making this
+      // gate the full replication recipe: link-shared bootstrap + one
+      // atomic O(touched-bucket) change replay
+      store.cloneTable(s, "ev", "ev_replica", Some(vBase))
       store.appendBucketed(s, "ev",
         ev.filter(col("event_id") > c1 && col("event_id") <= c2),
         Seq("event_id"))
