@@ -1255,6 +1255,59 @@ object ScaleProbe {
       }
     }
 
+    // u18 receipt: a consumer that stalls TEN spans behind (protected
+    // by its registered cursor) catches up in ONE changesBetween +
+    // ONE atomic apply — the catch-up fold's cost vs folding each
+    // span individually (10 reads + 10 commits) and vs the rebuild.
+    // The span union dedups re-touched buckets and the derived table
+    // versions once, so deep catch-up should beat per-span folding.
+    if (selected("cdcdeep")) {
+      def timedStore(name: String)(op: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        op
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $name%-34s $secs%8.2f s  rows=  (commit)       shuffleMB=      n/a")
+      }
+      def fat(m: Int): DataFrame = docs(m).select(col("id"),
+        concat_ws(" ", array_repeat(col("text"), 20)).as("text"))
+      for (m <- Seq(1, mult)) {
+        val n = 32 * m
+        val root = graft.ops.Scratch.tempDir(s"probe-cdcdeep-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store",
+          keepVersions = 20)
+        store.replaceBucketed(spark, "src", fat(m), Seq("id"),
+          numBuckets = n)
+        val vBase = store.currentVersion("src").get
+        store.cloneTable(spark, "src", "repDeep")
+        store.cloneTable(spark, "src", "repStep")
+        // ten fixed-size spans (each ~50 updates on distinct strides)
+        val spanBases = (0 until 10).map { i =>
+          val vPrev = store.currentVersion("src").get
+          store.upsertBucketed(spark, "src",
+            fat(1).filter(col("id") % 100 === i.toLong)
+              .select(col("id"),
+                concat(col("text"), lit(s" upd$i")).as("text")),
+            Seq("id"))
+          vPrev
+        }
+        val vHead = store.currentVersion("src").get
+        timedStore(s"cdcdeep_catchup1_x$m")(
+          store.applyChangesBucketed(spark, "repDeep",
+            store.changesBetween(spark, "src", Seq("id"), vBase, vHead),
+            Seq("id"), numBuckets = n))
+        timedStore(s"cdcdeep_perspan10_x$m")(
+          spanBases.zipWithIndex.foreach { case (vPrev, i) =>
+            val vTo = if (i == 9) vHead else spanBases(i + 1)
+            store.applyChangesBucketed(spark, "repStep",
+              store.changesBetween(spark, "src", Seq("id"), vPrev, vTo),
+              Seq("id"), numBuckets = n)
+          })
+        val a = store.read(spark, "repDeep").count()
+        val b = store.read(spark, "repStep").count()
+        require(a == b, s"cdcdeep: catch-up $a rows != per-span $b rows")
+      }
+    }
+
     if (selected("cdc")) {
       def timedStore(name: String)(op: => Unit): Unit = {
         val t0 = System.nanoTime()
