@@ -151,10 +151,122 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     readDir(spark, table, dirNameOf(p))
   }
 
+  /** The version's consumer frame: planned from the `_manifest`
+    * sidecar when the version carries one — NO directory listing, no
+    * per-file stat, no footer sampling; at 10⁵-10⁶ files per version
+    * an object-store read otherwise pays O(files) LIST/HEAD RPCs at
+    * plan time ([[graft.sources.ManifestFileIndex]], the round-14
+    * verdict's item 1 residue) — falling back to the listing-based
+    * [[readVersionFrame]] for pre-manifest versions. The internal
+    * bucket column never escapes.
+    *
+    * Concurrency contract: a version pruned between the pointer
+    * resolve and THIS call maps to the retryable
+    * [[ConcurrentCommitException]]; a version pruned AFTER the frame
+    * is bound but before an action on it surfaces at task time as
+    * the filesystem's own FileNotFoundException — the frame is lazy
+    * and nothing re-checks existence at execution time (consumers
+    * act on a frame while its version is retained; `keepVersions` /
+    * the cursor registry size that window). */
   private def readDir(spark: SparkSession, table: String, dirName: String): DataFrame = {
-    val df = readVersionFrame(spark, tableDir(table).resolve(dirName))
+    val vdir = tableDir(table).resolve(dirName)
+    val df =
+      try storedSchemaOf(vdir) match {
+        case Some(s) => manifestRowsDirect(vdir) match {
+          case Some(rows) => graft.sources.ManifestFileIndex.storeFrame(
+            spark, vdir.toUri.toString, s, rows, BucketCol)
+          case None => spark.read.schema(s).parquet(vdir.toString)
+        }
+        case None => spark.read.parquet(vdir.toString)
+      } catch {
+        case _: java.nio.file.NoSuchFileException |
+             _: java.io.FileNotFoundException =>
+          throw new ConcurrentCommitException(
+            s"version $vdir pruned during read planning — a concurrent " +
+              "commit advanced past retention; re-read and retry")
+      }
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
+
+  /** `_manifest` rows (rel path, bytes) read DRIVER-SIDE with the
+    * bare parquet reader — no Spark job: every [[readDir]] plans
+    * through these rows, and a scheduler round-trip per read would
+    * tax all the small store reads the battery is full of. The
+    * sidecar is one coalesced file (≤ a few MB at 10⁶ files), and
+    * the row array is exactly the FileStatus list the FileIndex must
+    * hold on the driver anyway. Distributed consumers (maintenance
+    * rollups, [[fileStats]]) keep reading it as a frame via
+    * [[manifestAt]]. None = the version predates manifests. */
+  private def manifestRowsDirect(vdir: Path): Option[Seq[(String, Long)]] = {
+    val mdir = vdir.resolve(ManifestDir)
+    if (!Files.exists(mdir)) None
+    else {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      listDir(mdir)
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(p.toUri)).build()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              buf += ((g.getString("file", 0), g.getLong("bytes", 0)))
+              g = reader.read()
+            }
+          } finally reader.close()
+        }
+      Some(buf.toSeq)
+    }
+  }
+
+  /** The rows of the version at `vdir` restricted to buckets `kbs`,
+    * WITH the bucket column (callers keep their residual
+    * filter/drop) — planned from the manifest when present: the
+    * restriction selects files by their `__kb=N/` prefix on the
+    * driver, so only touched buckets' files enter the plan at all
+    * and the bucket column carries its REAL per-directory value
+    * ([[graft.sources.ManifestFileIndex.storeFrame]] — compaction's
+    * repartition-by-bucket works unchanged). Falls back to the
+    * basePath explicit-dir read (O(touched) listing) under the
+    * canonical schema, and to the full inference read for pre-schema
+    * versions. A vanished version dir maps to the retryable
+    * [[ConcurrentCommitException]], never a silently-empty frame. */
+  private def readBucketRestricted(spark: SparkSession, vdir: Path,
+      kbs: Set[Int]): DataFrame =
+    try (storedSchemaOf(vdir), manifestRowsDirect(vdir)) match {
+      case (Some(s), Some(rows)) =>
+        val bucketLayout = rows.nonEmpty &&
+          rows.forall(_._1.startsWith(s"$BucketCol="))
+        val use =
+          if (!bucketLayout) rows // root-file (empty) layout: kb is data
+          else {
+            val prefixes = kbs.map(b => s"$BucketCol=$b/")
+            rows.filter(r => prefixes.exists(r._1.startsWith))
+          }
+        graft.sources.ManifestFileIndex.storeFrame(spark,
+          vdir.toUri.toString, s, use, BucketCol)
+      case (Some(s), None) if s.fieldNames.contains(BucketCol) =>
+        val dirs = kbs.toSeq.sorted.map(b => vdir.resolve(s"$BucketCol=$b"))
+          .filter(Files.isDirectory(_))
+        if (dirs.isEmpty && !Files.exists(vdir))
+          throw new ConcurrentCommitException(
+            s"version $vdir pruned during bucket probe — a concurrent " +
+              "commit advanced past retention; re-read and retry")
+        if (dirs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        else spark.read.option("basePath", vdir.toString).schema(s)
+          .parquet(dirs.map(_.toString): _*)
+      case _ => readVersionFrame(spark, vdir)
+    } catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.io.FileNotFoundException =>
+        throw new ConcurrentCommitException(
+          s"version $vdir pruned during bucket probe — a concurrent " +
+            "commit advanced past retention; re-read and retry")
+    }
 
   /** CANONICAL PER-VERSION SCHEMA — the table-format answer to
     * mixed-schema versions: an O(delta) bucketed upsert that EVOLVES
@@ -525,7 +637,8 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     def retryable[T](body: => T): T =
       try body
       catch {
-        case _: java.nio.file.NoSuchFileException =>
+        case _: java.nio.file.NoSuchFileException |
+             _: java.io.FileNotFoundException =>
           throw new ConcurrentCommitException(
             s"version $vdir pruned during zone-map read — a concurrent " +
               "commit advanced past retention; re-read and retry")
@@ -550,23 +663,33 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
           .mkString(", ") + ") — re-publish with it in statsCols")
     // keep a file unless its whole range misses [lo, hi]; null stats
     // (all-null column) keep nothing — NULL never matches a range.
-    // The kept set collects WITH its manifest byte sizes (one
-    // distributed join, O(kept) driver rows) so the scan below plans
-    // through [[graft.sources.ManifestFileIndex]] with zero
-    // filesystem metadata calls; total file count is one manifest
-    // aggregate. Pre-manifest versions stat the kept files and walk
-    // for the total (legacy fallback).
+    // The kept set resolves its byte sizes against the manifest rows
+    // (driver-side sidecar read, O(files) rows — what the FileIndex
+    // holds anyway) so the scan below plans through
+    // [[graft.sources.ManifestFileIndex]] with zero filesystem
+    // metadata calls. EVERY kept file must resolve: a kept file the
+    // manifest doesn't know would otherwise be silently dropped from
+    // the scan, turning a zone-map/manifest desync into silently
+    // narrowed results — the silent-data-loss class this store
+    // refuses everywhere else, so it refuses loudly here too.
+    // Pre-manifest versions stat the kept files and walk for the
+    // total (legacy fallback).
     val keptNames = zm
       .filter(!(col(s"max_$column") < lit(lo) || col(s"min_$column") > lit(hi)))
       .select("file")
     retryable {
-      manifestAt(spark, vdir) match {
-        case Some(m) =>
-          val r = keptNames
-            .join(m.select(col("file"), col("bytes")), Seq("file"))
-            .collect().map(r => (r.getString(0), r.getLong(1)))
-            .sortBy(_._1).toSeq
-          (vdir, r, m.count().toInt)
+      manifestRowsDirect(vdir) match {
+        case Some(rows) =>
+          val bytesOf = rows.toMap
+          val kept = keptNames.collect().map(_.getString(0)).sorted
+          val missing = kept.filterNot(bytesOf.contains)
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"zone map of $table keeps ${missing.size} file(s) absent " +
+                s"from the version manifest (e.g. ${missing.take(3)
+                  .mkString(", ")}) — a zone-map/manifest desync; " +
+                "refusing rather than silently narrowing the scan")
+          (vdir, kept.map(f => (f, bytesOf(f))).toSeq, rows.size)
         case None =>
           val kept = keptNames.collect().map(_.getString(0)).sorted
             .map(f => (f, Files.size(vdir.resolve(f)))).toSeq
@@ -816,14 +939,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
         case Some(Nil) => full.where(lit(false))
         case Some(kbs) => storedSchemaOf(dir) match {
           case Some(schema) if schema.fieldNames.contains(BucketCol) =>
-            val dirs = kbs.map(b => dir.resolve(s"$BucketCol=$b"))
-              .filter(Files.isDirectory(_))
-            if (dirs.isEmpty)
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                schema).drop(BucketCol)
-            else spark.read.option("basePath", dir.toString).schema(schema)
-              .parquet(dirs.map(_.toString): _*)
+            readBucketRestricted(spark, dir, kbs.toSet)
               .filter(col(BucketCol).isin(kbs: _*)).drop(BucketCol)
           case _ => full
         }
@@ -913,10 +1029,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       // would otherwise produce a fileless version and wedge every
       // later read in schema inference
       if (touched.isEmpty) return read(spark, table)
-      // partition-pruned read of just the touched buckets — under
+      // manifest-planned read of just the touched buckets — under
       // the version's CANONICAL schema: an inferred one could drop a
       // previously-evolved column and the merge would lose its values
-      val storedTouched = readVersionFrame(spark, curDir)
+      val storedTouched = readBucketRestricted(spark, curDir, touched)
         .filter(col(BucketCol).isin(touched.toSeq: _*))
       val (stored, incA) = SchemaEvolution.align(
         storedTouched.drop(BucketCol), incoming)
@@ -968,7 +1084,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       .select(pmod(hash(keys.map(col): _*), lit(n)).as("kb"))
       .distinct().collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return read(spark, table)
-    val kept = readVersionFrame(spark, curDir)
+    val kept = readBucketRestricted(spark, curDir, touched)
       .filter(col(BucketCol).isin(touched.toSeq: _*))
       .drop(BucketCol)
       .join(rem, keys, "left_anti")
@@ -1006,32 +1122,43 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // would match NEITHER the upsert filter (`=!= "delete"` is null
     // for null) NOR the delete filter and the row would silently
     // vanish — the silent-data-loss class this store refuses
-    // everywhere else. One O(delta) probe job over the feed.
-    val bad = changes
-      .filter(col("change").isNull ||
-        !col("change").isin("insert", "update", "delete"))
-      .select("change").limit(1).collect()
-    require(bad.isEmpty,
-      s"applyChangesBucketed($table): unknown change label " +
-        s"'${bad.headOption.map(_.get(0)).orNull}' — feed rows must be " +
-        "insert|update|delete (a mislabeled row would silently vanish)")
+    // everywhere else. The audit rides the SAME aggregation that
+    // derives the touched-bucket set (one pass over the feed — an
+    // unpersisted changesBetween frame applied directly must not
+    // compute its whole diff twice for a validation probe).
+    val labelAudit =
+      when(col("change").isNull, lit("<null>"))
+        .when(!col("change").isin("insert", "update", "delete"),
+          col("change"))
+    def requireLabels(badLabels: Seq[String]): Unit =
+      require(badLabels.isEmpty,
+        s"applyChangesBucketed($table): unknown change label " +
+          s"'${badLabels.headOption.orNull}' — feed rows must be " +
+          "insert|update|delete (a mislabeled row would silently vanish)")
     val upserts = changes.filter(col("change") =!= "delete").drop("change")
-    val delKeys = changes.filter(col("change") === "delete")
-      .select(keys.map(col): _*).distinct()
-    if (!exists(table))
+    if (!exists(table)) {
+      requireLabels(changes.agg(max(labelAudit)).collect()
+        .flatMap(r => Option(r.getString(0))).toSeq)
       return createBucketed(spark, table, upserts, keys, numBuckets, Nil)
+    }
     val n = this.numBuckets(table).getOrElse(throw new IllegalStateException(
       s"table $table was created as a snapshot table; apply feeds to " +
         "bucketed tables"))
     val prev = currentPointer(table).getOrElse(
       throw new IllegalStateException(s"table $table has no committed version"))
     val curDir = tableDir(table).resolve(dirNameOf(prev))
-    val allKeys = upserts.select(keys.map(col): _*).unionByName(delKeys)
-    val touched = allKeys
-      .select(pmod(hash(keys.map(col): _*), lit(n)).as("kb"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // one aggregation derives BOTH the touched buckets and the label
+    // audit (upsert and delete keys hash identically — every change
+    // row marks its bucket)
+    val probe = changes
+      .groupBy(pmod(hash(keys.map(col): _*), lit(n)).as("kb"))
+      .agg(max(labelAudit).as("bad")).collect()
+    requireLabels(probe.flatMap(r => Option(r.getString(1))).toSeq)
+    val delKeys = changes.filter(col("change") === "delete")
+      .select(keys.map(col): _*).distinct()
+    val touched = probe.map(_.getInt(0)).toSet
     if (touched.isEmpty) return read(spark, table)
-    val storedTouched = readVersionFrame(spark, curDir)
+    val storedTouched = readBucketRestricted(spark, curDir, touched)
       .filter(col(BucketCol).isin(touched.toSeq: _*))
       .drop(BucketCol)
     val (stored, incA) = SchemaEvolution.align(storedTouched, upserts)
@@ -1291,33 +1418,17 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       .select(pmod(hash(keyValues.columns.map(col): _*), lit(n)).as("kb"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val vdir = tableDir(table).resolve(dirNameOf(p))
-    // O(TOUCHED) LISTING, not O(table): a whole-version scan filtered
-    // on the partition column still LISTS every file at plan time
-    // (partition pruning happens after discovery) — at 10⁵-10⁶ files
-    // per version that listing is the driver bottleneck of every
-    // probe. Hand Spark exactly the touched bucket DIRS (basePath
-    // keeps the partition column derivable) so discovery walks only
-    // them. Pre-schema-file versions fall back to the full scan —
-    // the explicit-dir read needs the canonical schema to type the
-    // partition column.
-    val df = storedSchemaOf(vdir) match {
-      case Some(schema) =>
-        val dirs = kbs.map(b => vdir.resolve(s"$BucketCol=$b"))
-          .filter(Files.isDirectory(_))
-        // a vanished version dir is a retryable conflict (a swept
-        // publish mid-undo), NEVER a silently-empty probe result
-        if (dirs.isEmpty && !Files.exists(vdir))
-          throw new ConcurrentCommitException(
-            s"version $vdir pruned during bucket probe — a concurrent " +
-              "commit advanced past retention; re-read and retry")
-        if (dirs.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.option("basePath", vdir.toString).schema(schema)
-          .parquet(dirs.map(_.toString): _*)
-      case None => readVersionFrame(spark, vdir)
-    }
-    (df.filter(col(BucketCol).isin(kbs: _*)).drop(BucketCol),
+    // O(TOUCHED) METADATA, not O(table): a whole-version scan
+    // filtered on the partition column still LISTS every file at
+    // plan time (partition pruning happens after discovery) — at
+    // 10⁵-10⁶ files per version that listing is the driver
+    // bottleneck of every probe. The manifest rows restrict to the
+    // touched buckets' files by name (zero listing); pre-manifest
+    // versions hand Spark exactly the touched bucket DIRS, and
+    // pre-schema versions fall back to the full scan
+    // ([[readBucketRestricted]]).
+    (readBucketRestricted(spark, vdir, kbs.toSet)
+      .filter(col(BucketCol).isin(kbs: _*)).drop(BucketCol),
       versionOf(dirNameOf(p)))
   }
 
@@ -1438,7 +1549,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val curDir = tableDir(table).resolve(dirNameOf(prev))
     if (rewrite.isEmpty) Set.empty
     else {
-      val fragmented = readVersionFrame(spark, curDir)
+      val fragmented = readBucketRestricted(spark, curDir, rewrite)
         .filter(col(BucketCol).isin(rewrite.toSeq: _*))
         .repartition(rewrite.size, col(BucketCol))
       val staged = stagedDirName(versionOf(dirNameOf(prev)) + 1)
@@ -1567,61 +1678,68 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
         s"source version $v of $srcTable vanished during clone — " +
           "a gc/publish race; re-read and retry")
     }
-    // table stamps first (first-writer-wins files, like createBucketed)
-    // — then VERIFY the read-back: a concurrent creator landing its
+    // SOURCE-side stamp reads first, under the retention-race remap —
+    // and ONLY these: a dst-side I/O failure (a concurrent dropTable
+    // sweeping the dst dir mid-clone, say) is the destination's own
+    // error, not a source gc/retention race, and must not be
+    // misattributed as one
+    val (srcBuckets, srcZoneCols) =
+      try (numBuckets(srcTable), zoneColumns(srcTable))
+      catch { case _: java.nio.file.NoSuchFileException => remap() }
+    // table stamps (first-writer-wins files, like createBucketed) —
+    // then VERIFY the read-back: a concurrent creator landing its
     // own _BUCKETS/_ZONECOLS between our exists() check and the stamp
     // would otherwise let this clone publish its data under the
     // competitor's DIFFERENT bucket function, silently mis-bucketing
     // every later upsert (losing the publish CAS is not enough — the
     // stamp and the data must agree for the winner, whoever it is)
-    try {
-      Files.createDirectories(tableDir(dstTable))
-      numBuckets(srcTable).foreach { n =>
-        try Files.write(bucketsFile(dstTable),
-          n.toString.getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        if (!numBuckets(dstTable).contains(n))
-          throw new ConcurrentCommitException(
-            s"cloneTable: $dstTable's bucket stamp is " +
-              s"${numBuckets(dstTable)} but the clone carries $n-bucket " +
-              "data — a concurrent creator owns the name; pick another")
-      }
-      zoneColumns(srcTable).foreach { cols =>
-        try Files.write(zoneColsFile(dstTable),
-          cols.mkString(",").getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        if (!zoneColumns(dstTable).contains(cols))
-          throw new ConcurrentCommitException(
-            s"cloneTable: $dstTable's zone columns are " +
-              s"${zoneColumns(dstTable)} but the clone carries a map " +
-              s"over $cols — a concurrent creator owns the name")
-      }
-      val staged = stagedDirName(0L)
-      val nextDir = tableDir(dstTable).resolve(tmpName(staged))
-      Files.createDirectories(nextDir)
-      // share the version's entire tree: data files link/copy, small
-      // sidecars (_schema.json, _manifest, _zonemap parquet) too —
-      // relative paths inside them stay valid in the clone's dir
-      def shareTree(src: Path, dst: Path): Unit =
-        listDir(src).foreach { p =>
-          val d = dst.resolve(p.getFileName.toString)
-          if (Files.isDirectory(p)) { Files.createDirectories(d); shareTree(p, d) }
-          else if (Files.isRegularFile(p)) io.shareFile(p, d)
-        }
-      try shareTree(srcDir, nextDir)
-      catch { case _: java.nio.file.NoSuchFileException =>
-        deleteRecursively(nextDir); remap()
-      }
-      finalizeStaged(dstTable, staged)
-      publish(dstTable, staged, None)
-      readDir(spark, dstTable, staged)
-    } catch {
-      case e: java.nio.file.NoSuchFileException =>
-        // src stamps/dirs vanished under us (retention/gc race)
-        remap()
+    Files.createDirectories(tableDir(dstTable))
+    srcBuckets.foreach { n =>
+      try Files.write(bucketsFile(dstTable),
+        n.toString.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      if (!numBuckets(dstTable).contains(n))
+        throw new ConcurrentCommitException(
+          s"cloneTable: $dstTable's bucket stamp is " +
+            s"${numBuckets(dstTable)} but the clone carries $n-bucket " +
+            "data — a concurrent creator owns the name; pick another")
     }
+    srcZoneCols.foreach { cols =>
+      try Files.write(zoneColsFile(dstTable),
+        cols.mkString(",").getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      if (!zoneColumns(dstTable).contains(cols))
+        throw new ConcurrentCommitException(
+          s"cloneTable: $dstTable's zone columns are " +
+            s"${zoneColumns(dstTable)} but the clone carries a map " +
+            s"over $cols — a concurrent creator owns the name")
+    }
+    val staged = stagedDirName(0L)
+    val nextDir = tableDir(dstTable).resolve(tmpName(staged))
+    Files.createDirectories(nextDir)
+    // share the version's entire tree: data files link/copy, small
+    // sidecars (_schema.json, _manifest, _zonemap parquet) too —
+    // relative paths inside them stay valid in the clone's dir. This
+    // walk READS the source, so a vanish here IS the retention race.
+    def shareTree(src: Path, dst: Path): Unit =
+      listDir(src).foreach { p =>
+        val d = dst.resolve(p.getFileName.toString)
+        if (Files.isDirectory(p)) { Files.createDirectories(d); shareTree(p, d) }
+        else if (Files.isRegularFile(p)) io.shareFile(p, d)
+      }
+    try shareTree(srcDir, nextDir)
+    catch { case e: java.nio.file.NoSuchFileException =>
+      deleteRecursively(nextDir)
+      // the walk touches BOTH trees: only blame retention if the
+      // source actually vanished — a dst-side sweep surfaces raw
+      if (Files.exists(srcDir)) throw e
+      remap()
+    }
+    finalizeStaged(dstTable, staged)
+    publish(dstTable, staged, None)
+    readDir(spark, dstTable, staged)
   }
 
   /** Tables with a committed version in this store (the catalog

@@ -3,27 +3,37 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** A [[FileIndex]] fed ENTIRELY from a store manifest — the scan
   * plans over (path, size) rows the `_manifest` sidecar already
-  * holds, so a pruned read touches NO filesystem metadata at all: no
+  * holds, so a store read touches NO filesystem metadata at all: no
   * directory listing, no per-file stat, no footer sampling (the
   * caller supplies the canonical schema). This is the last leg of the
   * store's O(touched) metadata story ([[graft.ops.ParquetTableStore]]
-  * round-13 verdict item 1): the manifest made file STATS one sidecar
-  * read, but a zone-pruned read still materialized its kept files as
-  * 10⁵ explicit path literals through `spark.read.parquet(paths: _*)`
-  * — every path string parsed, validated, and re-listed by
-  * InMemoryFileIndex, then carried verbatim inside the plan tree. A
+  * round-13/14 verdict item 1): the manifest made file STATS one
+  * sidecar read, but any read still re-discovered its files through
+  * InMemoryFileIndex — a recursive directory listing that is O(files)
+  * LIST/HEAD RPCs per query at 10⁵-10⁶ files on an object store. A
   * file list is inherently driver-resident in Spark's source
   * architecture (InMemoryFileIndex and Delta's log replay both hold
   * one), so the honest win is holding it ONCE, compactly, as the
   * FileStatus array Spark needs anyway — not pretending to
   * distribute it.
+  *
+  * Bucketed layouts: when `partitionSchema` is non-empty the rel
+  * paths carry `<col>=<value>/` prefixes (the store's `__kb=N/`
+  * convention) and this index exposes them as REAL partition values —
+  * one [[PartitionDirectory]] per bucket — with partition filters
+  * evaluated HERE (Spark's scan trusts the index to prune: an index
+  * that ignored `partitionFilters` would leak rows past a pruned
+  * `col.isin(...)`, so the predicate binds to the bucket value and
+  * filters the directories, exactly what
+  * PartitioningAwareFileIndex.prunePartitions does).
   *
   * Scale contract: construction is O(kept files) driver memory — one
   * FileStatus per file, no Path re-parsing per query stage — and the
@@ -34,7 +44,9 @@ import org.apache.spark.sql.types.StructType
   * every lakehouse format (Delta's TahoeFileIndex, Iceberg's) builds
   * on; there is no public-API equivalent that avoids re-listing. */
 final class ManifestFileIndex(rootDir: String,
-    files: Seq[(String, Long)]) extends FileIndex {
+    files: Seq[(String, Long)],
+    override val partitionSchema: StructType = new StructType())
+  extends FileIndex {
 
   private val rootHPath = new HPath(rootDir)
 
@@ -44,28 +56,58 @@ final class ManifestFileIndex(rootDir: String,
     new FileStatus(bytes, false, 1, 128L << 20, 0L, new HPath(rootHPath, rel))
   }.toArray
 
+  // bucketed layout: group by the `<col>=<value>/` prefix once at
+  // construction; value parse failures are impossible by the store's
+  // write convention (pmod(hash, n) stamps the dir name)
+  private val grouped: Seq[(Int, Array[FileStatus])] =
+    if (partitionSchema.isEmpty) Seq.empty
+    else {
+      val pcol = partitionSchema.fields.head.name
+      files.zip(statuses).groupBy { case ((rel, _), _) =>
+        rel.substring(pcol.length + 1, rel.indexOf('/')).toInt
+      }.toSeq.map { case (kb, fs) => (kb, fs.map(_._2).toArray) }
+        .sortBy(_._1)
+    }
+
   override def rootPaths: Seq[HPath] = Seq(rootHPath)
 
-  /** One unpartitioned directory of pre-sized files. Partition
-    * pruning happened UPSTREAM (the zone map / bucket selection chose
-    * `files`); the engine's own filter pushdown still applies per
-    * row group inside each file. */
+  /** Unpartitioned: one directory of pre-sized files (file selection
+    * happened upstream — zone map / bucket restriction). Partitioned:
+    * one directory per bucket, with `partitionFilters` EVALUATED
+    * against the bucket value (binding the single partition column by
+    * name — the schema has exactly one). The engine's own data-filter
+    * pushdown still applies per row group inside each file. */
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    Seq(PartitionDirectory(InternalRow.empty, statuses))
+    if (partitionSchema.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, statuses))
+    else {
+      val pf = partitionSchema.fields.head
+      val kept =
+        if (partitionFilters.isEmpty) grouped
+        else {
+          val bound = partitionFilters.reduce(And).transform {
+            case a: AttributeReference if a.name == pf.name =>
+              BoundReference(0, pf.dataType, nullable = true)
+          }
+          val pred = Predicate.createInterpreted(bound)
+          pred.initialize(0)
+          grouped.filter { case (kb, _) => pred.eval(InternalRow(kb)) }
+        }
+      kept.map { case (kb, fs) => PartitionDirectory(InternalRow(kb), fs) }
+    }
 
   override def inputFiles: Array[String] = statuses.map(_.getPath.toString)
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = files.iterator.map(_._2).sum
-  override def partitionSchema: StructType = new StructType()
 }
 
 object ManifestFileIndex {
   /** A DataFrame scanning exactly `files` (relative to `rootDir`)
     * under `schema` — the manifest-fed replacement for
     * `spark.read.schema(s).parquet(paths: _*)`. Columns absent from
-    * a leaf file (the store's partition column, evolved columns)
-    * read null, identical to the explicit-path read's semantics. */
+    * a leaf file (evolved columns) read null, identical to the
+    * explicit-path read's semantics. */
   def frame(spark: SparkSession, rootDir: String, schema: StructType,
       files: Seq[(String, Long)]): DataFrame = {
     // baseRelationToDataFrame lives on the classic session (the only
@@ -78,5 +120,39 @@ object ManifestFileIndex {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(classic))
+  }
+
+  /** The manifest-fed read of a STORE VERSION under its canonical
+    * `schema`: when the layout is bucket-partitioned (every rel path
+    * under a `<bucketCol>=N/` dir and the schema carries the column),
+    * the bucket column materializes with its REAL per-directory value
+    * — exactly the partition-discovery read's semantics, so callers
+    * that repartition or filter on it (compaction, touched-bucket
+    * merges) work unchanged — and `col.isin(...)` filters prune at
+    * the [[PartitionDirectory]] level before any I/O. Unpartitioned
+    * layouts (snapshot tables, the fileless-empty version whose one
+    * root file carries the bucket column as DATA) read plain. Column
+    * order is restored to the canonical schema's either way. */
+  def storeFrame(spark: SparkSession, rootDir: String, schema: StructType,
+      files: Seq[(String, Long)], bucketCol: String): DataFrame = {
+    val partitioned = schema.fieldNames.contains(bucketCol) &&
+      files.nonEmpty && files.forall(_._1.startsWith(s"$bucketCol="))
+    if (!partitioned) frame(spark, rootDir, schema, files)
+    else {
+      val pf = StructField(bucketCol, schema(bucketCol).dataType,
+        nullable = true)
+      val dataSchema = StructType(schema.fields.filterNot(_.name == bucketCol))
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      classic.baseRelationToDataFrame(HadoopFsRelation(
+        new ManifestFileIndex(rootDir, files, new StructType(Array(pf))),
+        partitionSchema = new StructType(Array(pf)),
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(classic))
+        // relation output is dataSchema ++ partition col; restore the
+        // canonical order so downstream schemas match the legacy read
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    }
   }
 }

@@ -1348,8 +1348,12 @@ object Streams {
       rebaseOnRetentionLoss: Boolean,
       consumerId: Option[String] = None): Boolean = {
     import spark.implicits._
-    require(store.exists(srcTable),
-      s"cdcTokenCountConsumer: $srcTable has no committed version")
+    // IllegalStateException, not require/IllegalArgument: callers of
+    // the consumer entrypoints catch the same refusal type the
+    // store's readVersioned/currentVersion paths throw
+    if (!store.exists(srcTable))
+      throw new IllegalStateException(
+        s"cdcTokenCountConsumer: $srcTable has no committed version")
     def tok(df: DataFrame): DataFrame = df.select(col("doc_id"),
       graft.ops.TextAnalysis.tokenCountWs(col("text"))
         .cast("long").as("n_tokens"))
