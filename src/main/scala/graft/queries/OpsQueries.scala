@@ -817,7 +817,90 @@ object OpsQueries {
                    ELSE event_type END AS event_type
             FROM fin ORDER BY event_id"""))
 
+  /** U20: MANIFEST-PLANNED READ ≡ LISTING-PLANNED READ — round 15
+    * routes EVERY store read through the `_manifest`-fed
+    * [[graft.sources.ManifestFileIndex]] (no directory listing, no
+    * per-file stat — the O(files)-RPCs-per-query metadata walk is
+    * gone), which makes the manifest LOAD-BEARING for correctness: a
+    * sidecar that lost a file silently narrows every read, one that
+    * invented a file fails it. The gate drives the full write surface
+    * on both table shapes — bucketed (three appends, a rewriting
+    * upsert that EVOLVES the schema so old hard-linked files must
+    * read the new column as null through the index, a keyed delete,
+    * a compaction) and snapshot (create + LWW rewrite) — then pins
+    * [[graft.ops.ParquetTableStore.read]] row-for-row against
+    * [[graft.ops.ParquetTableStore.readLegacy]] (the
+    * partition-discovery twin) before returning the content for the
+    * oracle. Bucket-restricted and zone-pruned manifest reads are
+    * pinned by u12-u15; this closes the PLAIN read path. */
+  private val u20 = QueryDef(
+    "u20_manifest_read_parity",
+    "manifest-planned store reads ≡ listing-planned across the write surface",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-u20-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 10)
+      store.appendBucketed(s, "docs", d.filter(col("doc_id") % 3 === 0),
+        Seq("doc_id"), numBuckets = 8)
+      store.appendBucketed(s, "docs", d.filter(col("doc_id") % 3 === 1),
+        Seq("doc_id"))
+      // evolving upsert: fresh keys (%3=2) plus rewrites (%9=0) grow
+      // an `extra` column — untouched buckets keep old-schema files
+      // that must read it as null through the manifest-fed index
+      store.upsertBucketed(s, "docs",
+        d.filter(col("doc_id") % 3 === 2)
+          .unionByName(d.filter(col("doc_id") % 9 === 0)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" v2")).as("text")))
+          .withColumn("extra",
+            when(col("doc_id") % 4 === 0, col("doc_id"))
+              .otherwise(lit(null).cast("long"))),
+        Seq("doc_id"))
+      store.deleteBucketed(s, "docs",
+        d.filter(col("doc_id") % 13 === 0).select("doc_id"), Seq("doc_id"))
+      store.compactBuckets(s, "docs", maxFilesPerBucket = 2)
+      store.commit(s, "meta", d.filter(col("doc_id") % 7 === 0))
+      store.upsert(s, "meta",
+        d.filter(col("doc_id") % 35 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" s2")).as("text")),
+        Seq("doc_id"))
+      def pinParity(table: String): Unit = {
+        val m = store.read(s, table)
+        val l = store.readLegacy(s, table)
+        require(m.exceptAll(l).limit(1).count() == 0 &&
+          l.exceptAll(m).limit(1).count() == 0,
+          s"u20: manifest-planned read of $table diverges from the " +
+            "listing-planned read — the manifest lost or invented files")
+      }
+      pinParity("docs"); pinParity("meta")
+      store.read(s, "docs")
+        .select(col("doc_id"), col("text"), col("extra"),
+          lit("b").as("src"))
+        .unionByName(store.read(s, "meta")
+          .select(col("doc_id"), col("text"),
+            lit(null).cast("long").as("extra"), lit("s").as("src")))
+        .orderBy("src", "doc_id")
+    },
+    Some("""WITH fin AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 9 = 0 THEN text || ' v2'
+                     ELSE text END AS text,
+                CASE WHEN (doc_id % 3 = 2 OR doc_id % 9 = 0)
+                      AND doc_id % 4 = 0 THEN doc_id
+                     ELSE NULL END AS extra
+              FROM documents WHERE doc_id % 13 <> 0),
+            snap AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 35 = 0 THEN text || ' s2'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 7 = 0)
+            SELECT doc_id, text, extra, 'b' AS src FROM fin
+            UNION ALL
+            SELECT doc_id, text, NULL AS extra, 's' AS src FROM snap
+            ORDER BY src, doc_id"""))
+
   def defs: Seq[QueryDef] =
     Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13, u14, u15,
-      u16, u17, u18, u19)
+      u16, u17, u18, u19, u20)
 }

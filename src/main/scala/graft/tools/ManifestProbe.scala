@@ -137,6 +137,24 @@ object ManifestProbe {
     idxDf.queryExecution.executedPlan
     val tIndex = (System.nanoTime() - t0) / 1e9
     println(f"PROBE pruned_standup_index_${nFiles / 1000}k    $tIndex%8.2f s  (${kept.size} manifest rows, 0 FS calls)")
+
+    // PLAIN-READ STANDUP (round 15: EVERY store read plans through
+    // the manifest): store.read = one driver-side sidecar read +
+    // index build + plan, vs the legacy route = recursive partition
+    // discovery over all N files before a byte is planned. The
+    // canonical schema sidecar makes the manifest path engage (and
+    // the placeholder files never need their footers opened).
+    Files.write(vdir.resolve("_schema.json"),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE)
+    t0 = System.nanoTime()
+    store.read(spark, "t").queryExecution.executedPlan
+    val tPlainIdx = (System.nanoTime() - t0) / 1e9
+    println(f"PROBE plain_read_manifest_${nFiles / 1000}k     $tPlainIdx%8.2f s  (store.read: sidecar+index, 0 LIST calls)")
+    t0 = System.nanoTime()
+    store.readLegacy(spark, "t").queryExecution.executedPlan
+    val tPlainList = (System.nanoTime() - t0) / 1e9
+    println(f"PROBE plain_read_listing_${nFiles / 1000}k      $tPlainList%8.2f s  (recursive discovery, ~$nFiles list/stat calls)")
     spark.stop()
   }
 }

@@ -912,4 +912,85 @@ class ParquetTableStoreSpec extends SparkSpec {
     assert(store.currentVersion("a").contains(0L))
     assert(store.numBuckets("a").contains(8))
   }
+
+  test("manifest-fed reads: plain/bucket-restricted parity with listing reads, partition filters honored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("store-mfi")
+    val store = new ParquetTableStore(root, keepVersions = 5)
+    val base = (1 to 400).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 8)
+    store.upsertBucketed(spark, "t",
+      (1 to 400).filter(_ % 5 == 0).map(i => (i.toLong, s"u$i"))
+        .toDF("k", "v"), Seq("k"))
+    // plain read: manifest-planned ≡ listing-planned, and the plan
+    // carries NO InMemoryFileIndex relation (red if the manifest path
+    // silently fell back to discovery)
+    val m = store.read(spark, "t")
+    val l = store.readLegacy(spark, "t")
+    assert(m.exceptAll(l).isEmpty && l.exceptAll(m).isEmpty)
+    // red if the manifest path silently fell back to listing discovery
+    val locations = m.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location
+    }
+    assert(locations.nonEmpty &&
+      locations.forall(_.isInstanceOf[graft.sources.ManifestFileIndex]),
+      s"plain store read did not plan through ManifestFileIndex: $locations")
+    // the bucket-restricted probe prunes AND filters correctly: the
+    // isin predicate lands as a partition filter the index must
+    // evaluate itself — a filter-ignoring index would leak other
+    // buckets' rows here
+    val keys = Seq(7L, 13L, 250L).toDF("k")
+    val (pruned, _) = store.readBucketsOf(spark, "t", keys)
+    val got = pruned.join(keys, Seq("k"), "left_semi")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((7L, "v7"), (13L, "v13"), (250L, "u250")))
+    // and the pruned frame holds ONLY the probed buckets' rows
+    val nb = store.numBuckets("t").get
+    val wantKbs = keys.select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("k")),
+        org.apache.spark.sql.functions.lit(nb)))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val gotKbs = pruned.select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("k")),
+        org.apache.spark.sql.functions.lit(nb)))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(gotKbs == wantKbs,
+      s"bucket restriction leaked rows: got buckets $gotKbs, want $wantKbs")
+  }
+
+  test("zone-map/manifest desync refuses loudly instead of silently narrowing the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("store-desync")
+    val store = new ParquetTableStore(root)
+    val df = (1 to 200).map(i => (i.toLong, i % 7))
+      .toDF("k", "g").repartition(4)
+    store.commitZoneMapped(spark, "t", df, Seq("k"))
+    // sanity: the healthy read works
+    assert(store.readZonePruned(spark, "t", "k", 10, 60).count() == 51)
+    // tamper: drop ONE data file's row from the manifest (the desync
+    // a bug in sidecar maintenance would produce)
+    val vdir = verDir(root, "t", 0L)
+    val man = spark.read.parquet(vdir.resolve("_manifest").toString)
+    val victim = man.select("file").head.getString(0)
+    val tampered = man.filter(col("file") =!= victim).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val tmp = Files.createTempDirectory("mantamper")
+    tampered.toDF("file", "bytes").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.resolve("m").toString)
+    def rmRf(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toList.foreach(rmRf)
+      Files.deleteIfExists(p); ()
+    }
+    rmRf(vdir.resolve("_manifest"))
+    Files.move(tmp.resolve("m"), vdir.resolve("_manifest"))
+    val e = intercept[IllegalStateException](
+      store.readZonePruned(spark, "t", "k", 10, 60).count())
+    assert(e.getMessage.contains("desync"))
+  }
 }
