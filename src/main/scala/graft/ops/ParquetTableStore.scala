@@ -82,6 +82,15 @@ import org.apache.spark.sql.functions._
 final case class CommitPin private[ops] (table: String,
     private[ops] val pointer: Option[String])
 
+/** Opaque token for the MULTI-TABLE commit protocol: the (table →
+  * version) vector a group marker named when [[ParquetTableStore
+  * .groupPin]] resolved it (empty for a never-committed group), plus
+  * the raw marker content the next [[ParquetTableStore.commitGroup]]
+  * CASes against. Constructed only by the store. */
+final case class GroupPin private[ops] (group: String,
+    versions: Map[String, Long],
+    private[ops] val raw: Option[String])
+
 final class ParquetTableStore(root: String, keepVersions: Int = 2,
     io: StoreIo = StoreIo.default, maxRetained: Int = 64) {
   require(keepVersions >= 1)
@@ -2009,6 +2018,127 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       }
       if (vs.isEmpty) None else Some(vs.min)
     }
+  }
+
+  // ————— MULTI-TABLE ATOMIC COMMIT (group markers) —————
+
+  /** A GROUP MARKER is one CAS-swapped pointer file
+    * (`root/_groups/<group>`) naming a consistent (table → version)
+    * vector across N tables — the store-level generalization of the
+    * bespoke cross-family pair pin the stored IVF-PQ index carried
+    * (round-14 ADVICE): every composed loop that commits SIBLING
+    * tables (survivors+ledger, corpus+signatures+index, BM25
+    * postings+stats) has the same torn window, where each table is
+    * individually consistent but a reader resolves them at different
+    * corpus states. Per-table commits stay exactly as they are (each
+    * pointer's CAS serializes its own publishes, commits on distinct
+    * tables overlap freely); the writer then advances the marker to
+    * the EXPLICIT versions it just committed, in one CAS pinned to
+    * the marker state it started from ([[groupPin]] →
+    * [[commitGroup]]). Readers resolve the marker and time-travel
+    * each member to its pinned version ([[readGroup]]) — they see
+    * one marker state or another, NEVER a mixed vector, because the
+    * marker swap is the single cross-table commit point.
+    *
+    * Retention: [[commitGroup]] registers a group cursor (consumer
+    * `_group-<group>`) on every member at its pinned version BEFORE
+    * the swap, so pruning keeps what the live marker names (capped
+    * at `maxRetained`, the dead-consumer policy). A reader racing a
+    * deep commit burst past the cap gets the typed
+    * [[RetentionLostException]] from the member read and re-resolves
+    * the marker — [[readGroup]] does that bounded re-resolve itself.
+    *
+    * Crash shape: a writer that dies between its table commits and
+    * the marker swap leaves the marker at the PREVIOUS consistent
+    * vector — readers stay consistent (stale by one span) and the
+    * replayed batch re-derives idempotently and swaps then. This is
+    * exactly the pair-pin-after-both-folds discipline, made generic. */
+  private val GroupsDir = "_groups"
+
+  private def groupFile(group: String): Path = {
+    require(group.matches("[A-Za-z0-9._-]+"),
+      s"group id '$group' must be [A-Za-z0-9._-]+ (it names a file)")
+    Paths.get(root, GroupsDir, group)
+  }
+
+  private def groupConsumer(group: String): String = s"_group-$group"
+
+  private def serializeGroup(vs: Map[String, Long]): String =
+    vs.toSeq.sortBy(_._1).map { case (t, v) => s"$t=$v" }.mkString("\n")
+
+  private def parseGroup(s: String): Map[String, Long] =
+    s.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf('=')
+      (line.substring(0, i), line.substring(i + 1).toLong)
+    }.toMap
+
+  /** Resolve `group`'s marker AND capture it as the CAS expectation
+    * for a later [[commitGroup]] — the [[readPinned]] discipline at
+    * the group level. An absent marker pins absence (first commit). */
+  def groupPin(group: String): GroupPin = {
+    val f = groupFile(group)
+    // trim to the CAS's own view of the content (LockedCas trims)
+    val raw =
+      if (!Files.exists(f)) None
+      else Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim)
+    GroupPin(group, raw.map(parseGroup).getOrElse(Map.empty), raw)
+  }
+
+  /** The (table → version) vector the live marker names — None for a
+    * never-committed group. */
+  def groupVersions(group: String): Option[Map[String, Long]] = {
+    val f = groupFile(group)
+    if (!Files.exists(f)) None
+    else Some(parseGroup(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
+  }
+
+  /** Atomically advance the group marker to `versions` — the
+    * EXPLICIT (table → version) pairs this writer just committed
+    * (never "current heads": a competitor's newer head woven into
+    * the vector would be exactly the mixed state the marker exists
+    * to rule out). CAS-pinned to `pin`: a competitor's marker swap
+    * in between raises [[ConcurrentCommitException]] and the caller
+    * re-reads + re-derives ([[withCommitRetries]]). Member versions
+    * are cursor-protected before the swap so the live marker's
+    * vector stays readable under later per-table commits. */
+  def commitGroup(versions: Map[String, Long], pin: GroupPin): Unit = {
+    require(versions.nonEmpty, "commitGroup: empty version vector")
+    // protect first, publish second: if the CAS loses, the stale
+    // cursor merely over-protects until the winner's (last-write-
+    // wins per consumer) — never under-protects the live marker
+    versions.foreach { case (t, v) =>
+      require(v >= 0 && exists(t),
+        s"commitGroup(${pin.group}): $t@v$v is not a committed table version")
+      registerCursor(t, groupConsumer(pin.group), v)
+    }
+    val f = groupFile(pin.group)
+    Files.createDirectories(f.getParent)
+    io.swapPointerIfCurrent(f, serializeGroup(versions), pin.raw)
+  }
+
+  /** Read a CONSISTENT snapshot of the group: resolve the marker,
+    * time-travel every member to its pinned version. A member pruned
+    * under the resolved marker (a commit burst past `maxRetained`,
+    * or a pre-marker race) re-resolves the marker and retries — the
+    * newer marker names newer, retained versions — then surfaces the
+    * typed refusal if the group stays unreadable. Never a mixed
+    * vector: every returned frame set corresponds to ONE marker
+    * state. */
+  def readGroup(spark: SparkSession, group: String,
+      maxAttempts: Int = 5): Map[String, (DataFrame, Long)] = {
+    def loop(attempt: Int): Map[String, (DataFrame, Long)] = {
+      val vs = groupVersions(group).getOrElse(
+        throw new IllegalStateException(
+          s"group $group has no committed marker"))
+      try vs.map { case (t, v) => t -> (readVersion(spark, t, v), v) }
+      catch {
+        case e @ (_: RetentionLostException |
+                  _: ConcurrentCommitException) =>
+          if (attempt >= maxAttempts) throw e else loop(attempt + 1)
+      }
+    }
+    loop(1)
   }
 
   /** Delete version dirs (winners and any lingering lost-race

@@ -1289,25 +1289,24 @@ object SimilaritySearch {
     val (liveCodes, cbStored, meta) = pqStoredLive(spark, store,
       pqCodebookTable, pqCodesTable, pqTombstoneTable, pqMetaTable)
     // PAIR-LEVEL consistency: both legs resolved self-consistent
-    // states — now prove they are the SAME corpus state. The pair row
-    // commits only after both folds, so a probe racing a paired
-    // mutation (or landing after a crash between the folds) sees a
-    // pin behind at least one resolved meta and refuses retryably.
-    if (!store.exists(pairMetaTable))
+    // states — now prove they are the SAME corpus state. The pin is
+    // a store GROUP MARKER ([[graft.ops.ParquetTableStore
+    // .commitGroup]] — one CAS over both meta versions, the
+    // generalized multi-table commit) advanced only after both
+    // folds, so a probe racing a paired mutation (or landing after a
+    // crash between the folds) sees a marker behind at least one
+    // resolved meta and refuses retryably.
+    val pairVs = store.groupVersions(pairMetaTable).getOrElse(
       throw new IllegalStateException(
-        s"ivfPqTopKStored: $pairMetaTable missing — the paired probe " +
-          "needs the cross-family pin committed after BOTH folds " +
-          "(ivfPqPairPin; ivfPqIngest commits it every batch)")
-    val pairRow = store.read(spark, pairMetaTable)
-      .select(col("ivf_meta_version"), col("pq_meta_version"))
-      .limit(1).collect().headOption.getOrElse(
-        throw new IllegalStateException(
-          s"ivfPqTopKStored: $pairMetaTable is empty — re-pin with " +
-            "ivfPqPairPin"))
-    if (pairRow.getLong(0) != ivfMetaV || pairRow.getLong(1) != meta.metaV)
+        s"ivfPqTopKStored: group marker $pairMetaTable missing — the " +
+          "paired probe needs the cross-family pin committed after " +
+          "BOTH folds (ivfPqPairPin; ivfPqIngest commits it every batch)"))
+    val (pinIvf, pinPq) = (pairVs.getOrElse(ivfMetaTable, -1L),
+      pairVs.getOrElse(pqMetaTable, -1L))
+    if (pinIvf != ivfMetaV || pinPq != meta.metaV)
       throw new IllegalStateException(
-        s"ivfpq pair mid-update: $pairMetaTable pins $ivfMetaTable " +
-          s"v${pairRow.getLong(0)}/$pqMetaTable v${pairRow.getLong(1)} " +
+        s"ivfpq pair mid-update: marker $pairMetaTable pins " +
+          s"$ivfMetaTable v$pinIvf/$pqMetaTable v$pinPq " +
           s"but the metas resolved v$ivfMetaV/v${meta.metaV} — the two " +
           "families are at different corpus states (a paired mutation " +
           "is mid-flight, or crashed between its folds); retry after " +
@@ -1354,32 +1353,36 @@ object SimilaritySearch {
   }
 
   /** Commit the CROSS-FAMILY pair pin for the stored IVF-PQ index:
-    * one row recording the current versions of BOTH families' meta
-    * tables. A paired mutator (both-family build, both-family
-    * reindex, a compact of either family) calls this AFTER its last
-    * family fold lands — [[ivfPqTopKStored]] refuses retryably
-    * whenever either resolved meta diverges from this row, closing
-    * the window where each family is self-consistent but the two sit
-    * at different corpus states. [[graft.streaming.Streams.ivfPqIngest]]
-    * commits it every batch; a crash before the pin leaves probes
-    * refusing until the replayed batch re-folds (idempotently) and
-    * pins. Mutations on one index pair are externally serialized
-    * (the bm25 contract), so read-then-commit here is race-free. */
+    * one GROUP MARKER ([[graft.ops.ParquetTableStore.commitGroup]])
+    * CASed over the current versions of BOTH families' meta tables —
+    * the store's generic multi-table commit, which this pin was the
+    * round-14 bespoke prototype of. A paired mutator (both-family
+    * build, both-family reindex, a compact of either family) calls
+    * this AFTER its last family fold lands — [[ivfPqTopKStored]]
+    * refuses retryably whenever either resolved meta diverges from
+    * the marker, closing the window where each family is
+    * self-consistent but the two sit at different corpus states.
+    * [[graft.streaming.Streams.ivfPqIngest]] commits it every batch;
+    * a crash before the pin leaves probes refusing until the
+    * replayed batch re-folds (idempotently) and pins. Mutations on
+    * one index pair are externally serialized (the bm25 contract);
+    * the marker CAS turns any violation of that contract into a
+    * retryable conflict instead of a silent overwrite. */
   def ivfPqPairPin(spark: org.apache.spark.sql.SparkSession,
       store: ParquetTableStore,
       ivfMetaTable: String = "ivf_meta",
       pqMetaTable: String = "pq_meta",
       pairMetaTable: String = "ivfpq_pair_meta"): Unit = {
-    import spark.implicits._
     val iv = store.currentVersion(ivfMetaTable).getOrElse(
       throw new IllegalStateException(
         s"ivfPqPairPin: $ivfMetaTable missing — build the IVF family first"))
     val pv = store.currentVersion(pqMetaTable).getOrElse(
       throw new IllegalStateException(
         s"ivfPqPairPin: $pqMetaTable missing — build the PQ family first"))
-    store.withCommitRetries()(store.commit(spark, pairMetaTable,
-      Seq((iv, pv)).toDF("ivf_meta_version", "pq_meta_version")))
-    ()
+    store.withCommitRetries() {
+      store.commitGroup(Map(ivfMetaTable -> iv, pqMetaTable -> pv),
+        store.groupPin(pairMetaTable))
+    }
   }
 
   /** BINARY SHORTLIST-AND-RERANK — the 1-bit member of the

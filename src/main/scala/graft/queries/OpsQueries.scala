@@ -900,7 +900,86 @@ object OpsQueries {
             SELECT doc_id, text, NULL AS extra, 's' AS src FROM snap
             ORDER BY src, doc_id"""))
 
+  /** U21: MULTI-TABLE ATOMIC COMMIT ([[graft.ops.ParquetTableStore
+    * .commitGroup]]/[[graft.ops.ParquetTableStore.readGroup]]) — the
+    * store's per-table CAS serializes each pointer, but every
+    * composed loop that commits SIBLING tables (corpus+derived,
+    * ledger+survivors, postings+stats, the IVF-PQ pair) had a torn
+    * window where a reader resolves the pair at different batch
+    * states. The GROUP MARKER closes it generically: one CAS over
+    * the explicit (table → version) vector, readers time-travel to
+    * the pinned versions, member versions are cursor-protected. The
+    * gate replays the exact tear deterministically — a corpus+derived
+    * writer commits span 2's corpus, then a reader lands BETWEEN the
+    * sibling commits: it must resolve span 1's whole vector (asserted
+    * on versions, content, and the derived invariant — reds if
+    * readGroup ever mixes), and after the derived fold + marker swap
+    * it must see span 2's whole vector. The oracle pins the final
+    * content; marker CAS conflicts and retention protection are
+    * spec-pinned (StoreCasSpec). */
+  private val u21 = QueryDef(
+    "u21_group_atomic_commit",
+    "group marker: a reader between sibling commits never sees a mixed vector",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-u21-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 2)
+      val base = d.filter(col("doc_id") % 2 === 0)
+      def charsOf(corpusV: Long) =
+        store.readVersion(s, "corpus", corpusV)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      // span 1: corpus, derived, ONE marker swap over both
+      store.upsertBucketed(s, "corpus", base, Seq("doc_id"), numBuckets = 8)
+      val cv1 = store.currentVersion("corpus").get
+      store.replaceBucketed(s, "chars", charsOf(cv1), Seq("doc_id"),
+        numBuckets = 8)
+      val dv1 = store.currentVersion("chars").get
+      store.withCommitRetries()(store.commitGroup(
+        Map("corpus" -> cv1, "chars" -> dv1), store.groupPin("pair")))
+      // span 2 writer commits its FIRST sibling...
+      store.upsertBucketed(s, "corpus",
+        base.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")),
+        Seq("doc_id"))
+      val cv2 = store.currentVersion("corpus").get
+      // ...and a reader lands EXACTLY here, between the sibling
+      // commits: the marker still names span 1's whole vector
+      val mid = store.readGroup(s, "pair")
+      require(mid("corpus")._2 == cv1 && mid("chars")._2 == dv1,
+        s"u21: mid-commit reader resolved (${mid("corpus")._2}, " +
+          s"${mid("chars")._2}), expected span-1 ($cv1, $dv1) — " +
+          "the group read mixed marker states")
+      require(mid("corpus")._1
+          .filter(col("text").endsWith(" v2")).limit(1).count() == 0,
+        "u21: mid-commit reader saw span-2 corpus rows under the " +
+          "span-1 marker — torn pair")
+      require(mid("corpus")._1.join(mid("chars")._1, "doc_id")
+          .filter(length(col("text")).cast("long") =!= col("n"))
+          .limit(1).count() == 0,
+        "u21: derived invariant broken in the group read — torn pair")
+      // writer completes: derived fold, then the marker swap
+      store.replaceBucketed(s, "chars", charsOf(cv2), Seq("doc_id"))
+      val dv2 = store.currentVersion("chars").get
+      store.withCommitRetries()(store.commitGroup(
+        Map("corpus" -> cv2, "chars" -> dv2), store.groupPin("pair")))
+      val fin = store.readGroup(s, "pair")
+      require(fin("corpus")._2 == cv2 && fin("chars")._2 == dv2,
+        "u21: final group read did not resolve the span-2 vector")
+      fin("corpus")._1.join(fin("chars")._1, "doc_id")
+        .select(col("doc_id"), col("text"), col("n"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH fin AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 6 = 0 THEN text || ' v2'
+                     ELSE text END AS text
+              FROM documents WHERE doc_id % 2 = 0)
+            SELECT doc_id, text, length(text)::BIGINT AS n
+            FROM fin ORDER BY doc_id"""))
+
   def defs: Seq[QueryDef] =
     Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13, u14, u15,
-      u16, u17, u18, u19, u20)
+      u16, u17, u18, u19, u20, u21)
 }

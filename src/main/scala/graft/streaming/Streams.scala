@@ -1159,6 +1159,20 @@ object Streams {
                     store.withCommitRetries()(store.upsertBucketed(
                       spark, cleanTable, survivors, Seq("id"),
                       numBuckets)))
+                // ledger+corpus marker (the generic multi-table
+                // commit): one CAS pins the pair a batch just
+                // landed, so an auditor can resolve the digest
+                // ledger and the clean corpus at the SAME batch
+                // boundary (store.readGroup) instead of a torn
+                // ledger-ahead-of-corpus view mid-commit. Members
+                // that have never committed (all-reject batches)
+                // simply aren't in the vector yet.
+                val members = Seq(digestsTable, cleanTable)
+                  .flatMap(t => store.currentVersion(t).map(t -> _))
+                  .toMap
+                if (members.nonEmpty)
+                  store.withCommitRetries()(store.commitGroup(members,
+                    store.groupPin(s"$cleanTable-pair")))
               } finally survivors.unpersist(false)
             } finally ded.unpersist(false)
           } finally winners.unpersist(false)
@@ -1230,6 +1244,21 @@ object Streams {
                   damping = damping, tol = tol)
                 ()
               })
+            // CROSS-FAMILY marker, the ivfPqPairPin discipline made
+            // generic ([[graft.ops.ParquetTableStore.commitGroup]]):
+            // after BOTH folds land, one CAS pins the two families'
+            // meta versions, so a consumer that needs triangles and
+            // ranks from the SAME edge state resolves the marker
+            // (store.readGroup("graph_pair")) instead of racing the
+            // next batch's half-landed folds. A crash before the
+            // swap leaves the previous consistent vector (the
+            // replayed batch re-folds idempotently and swaps then).
+            store.withCommitRetries() {
+              store.commitGroup(Map(
+                "tri_meta" -> store.currentVersion("tri_meta").get,
+                "pr_meta" -> store.currentVersion("pr_meta").get),
+                store.groupPin("graph_pair"))
+            }
           } finally b.unpersist(false)
         }
         ()

@@ -540,4 +540,49 @@ class StoreCasSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L), s"lost a merge: $rows")
   }
+
+  test("group marker: CAS conflicts, retention protection, never a mixed vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val store = new ParquetTableStore(tmpDir("store-group"),
+      keepVersions = 2)
+    def commitPair(tag: String): (Long, Long) = {
+      store.commit(spark, "a",
+        (1 to 20).map(i => (i.toLong, s"$tag$i")).toDF("k", "v"))
+      store.commit(spark, "b",
+        Seq((tag, 20L)).toDF("tag", "n"))
+      (store.currentVersion("a").get, store.currentVersion("b").get)
+    }
+    val (a1, b1) = commitPair("s1")
+    val pin1 = store.groupPin("g")
+    store.commitGroup(Map("a" -> a1, "b" -> b1), pin1)
+    // a STALE pin loses the marker CAS (the competitor advanced)
+    val (a2, b2) = commitPair("s2")
+    store.commitGroup(Map("a" -> a2, "b" -> b2), store.groupPin("g"))
+    intercept[ConcurrentCommitException](
+      store.commitGroup(Map("a" -> a1, "b" -> b1), pin1))
+    // retention protection: a commit burst on `a` far past
+    // keepVersions=2 must NOT prune the marker-pinned version —
+    // readGroup still resolves span 2's whole vector
+    (3 to 8).foreach(i => commitPair(s"s$i"))
+    val g = store.readGroup(spark, "g")
+    assert(g("a")._2 == a2 && g("b")._2 == b2,
+      s"marker drifted: ${g.view.mapValues(_._2).toMap}")
+    assert(g("a")._1.filter(col("v") === "s2_non").count() == 0)
+    assert(g("a")._1.head.getString(1).startsWith("s2"))
+    assert(g("b")._1.head.getString(0) == "s2")
+    // advancing the marker RELEASES the old protection: after the
+    // next group commit + another burst, span-2 versions prune
+    val (a9, b9) = commitPair("s9")
+    store.withCommitRetries()(
+      store.commitGroup(Map("a" -> a9, "b" -> b9), store.groupPin("g")))
+    (10 to 12).foreach(i => commitPair(s"s$i"))
+    assert(!store.versions("a").contains(a2),
+      "released marker version was never pruned — protection leaks")
+    // a group with a nonsense member refuses at commit time
+    intercept[IllegalArgumentException](
+      store.commitGroup(Map("nope" -> 0L), store.groupPin("g2")))
+    // an unknown group refuses at read time
+    intercept[IllegalStateException](store.readGroup(spark, "missing"))
+  }
 }
