@@ -979,7 +979,80 @@ object OpsQueries {
             SELECT doc_id, text, length(text)::BIGINT AS n
             FROM fin ORDER BY doc_id"""))
 
+  /** U12b: the SQL CATALOG twin of u12 — the same zone-mapped
+    * publish consumed through `spark.sql` over a registered store
+    * view ([[graft.sources.StoreViews]]): same oracle, same rows,
+    * with the range predicate written as SQL text and planned over
+    * the manifest-fed scan (pushed to parquet row groups; file-level
+    * zone pruning stays the readZonePruned API's job). This is the
+    * "switch to SQL and nothing changes" contract, extended from the
+    * fixture tables (CatalogSeamSpec) to the store. */
+  private val u12b = QueryDef(
+    "u12b_sql_catalog_read",
+    "store SQL view: range query over the published artifact ≡ u12's oracle",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      val root = graft.ops.Scratch.tempDir("graft-u12b-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.commit(s, "fact", li)
+      graft.ops.Layout.zorderPublish(s, store, "fact", "fact_pub",
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), numFiles = 8)
+      graft.sources.StoreViews.register(s, store, prefix = "u12b",
+        tables = Seq("fact_pub"))
+      s.sql("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                      l_quantity
+               FROM u12b_fact_pub
+               WHERE l_partkey BETWEEN 100 AND 300
+               ORDER BY l_orderkey, l_linenumber""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              l_quantity
+            FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** U14b: the SQL CATALOG twin of u14 — the manifest-era bucketed
+    * table after its full write surface (appends, rewriting upsert,
+    * compaction), consumed as SQL text over the registered view:
+    * same oracle as u14's API path. The view's plan is the
+    * manifest-fed scan (ManifestFileIndex — no listing), so "SQL
+    * face" and "100 TB metadata path" are the same plan. */
+  private val u14b = QueryDef(
+    "u14b_sql_catalog_probe",
+    "store SQL view: key-filtered probe over the ingest table ≡ u14's oracle",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      val root = graft.ops.Scratch.tempDir("graft-u14b-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") <= c1),
+        Seq("event_id"), numBuckets = 8)
+      store.appendBucketed(s, "ev",
+        ev.filter(col("event_id") > c1 && col("event_id") <= c2),
+        Seq("event_id"))
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") > c2),
+        Seq("event_id"))
+      store.upsertBucketed(s, "ev",
+        ev.filter(col("event_id") % 100 === 0)
+          .select(col("event_id"), col("user_id"),
+            lit("UPD").as("event_type")),
+        Seq("event_id"))
+      store.compactBuckets(s, "ev", maxFilesPerBucket = 2)
+      graft.sources.StoreViews.register(s, store, prefix = "u14b")
+      s.sql("""SELECT event_id, user_id, event_type
+               FROM u14b_ev WHERE event_id % 97 = 0
+               ORDER BY event_id""")
+    },
+    Some("""SELECT event_id, user_id,
+              CASE WHEN event_id % 100 = 0 THEN 'UPD'
+                   ELSE event_type END AS event_type
+            FROM events WHERE event_id % 97 = 0
+            ORDER BY event_id"""))
+
   def defs: Seq[QueryDef] =
-    Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u13, u14, u15,
-      u16, u17, u18, u19, u20, u21)
+    Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u12b, u13, u14,
+      u14b, u15, u16, u17, u18, u19, u20, u21)
 }

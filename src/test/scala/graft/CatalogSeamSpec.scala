@@ -46,4 +46,53 @@ class CatalogSeamSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"),
       s"columns not pruned through the catalog seam:\n$plan")
   }
+
+  test("store views: SQL ≡ store.read, manifest-fed plan, pushdown intact, refresh-per-version") {
+    import spark.implicits._
+    val store = new graft.ops.ParquetTableStore(tmpDir("sql-store"))
+    store.upsertBucketed(spark,
+      "docs", (1 to 300).map(i => (i.toLong, s"text $i", i % 7))
+        .toDF("id", "body", "grp"), Seq("id"), numBuckets = 4)
+    graft.sources.StoreViews.register(spark, store, prefix = "g")
+    // parity: the SQL face serves exactly the programmatic read
+    val viaSql = spark.sql("SELECT id, body, grp FROM g_docs")
+    val viaApi = store.read(spark, "docs").select("id", "body", "grp")
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    // the view's scan is the manifest-fed index (no listing) AND
+    // keeps parquet pushdown + column pruning
+    val q = spark.sql("SELECT id FROM g_docs WHERE grp = 3")
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.relation.location
+        .isInstanceOf[graft.sources.ManifestFileIndex]),
+      "store view did not plan through ManifestFileIndex")
+    val ptxt = q.queryExecution.executedPlan.toString
+    // (grp is non-nullable here, so no IsNotNull conjunct appears)
+    assert(ptxt.contains("PushedFilters: [EqualTo(grp,3)"),
+      s"filter not pushed through the store view:\n$ptxt")
+    assert(ptxt.contains("ReadSchema: struct<id:bigint,grp:int>"),
+      s"columns not pruned through the store view:\n$ptxt")
+    // version semantics: the view binds the registered version
+    // (consistent snapshot) until re-registered
+    store.upsertBucketed(spark, "docs",
+      Seq((9999L, "late", 0)).toDF("id", "body", "grp"), Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM g_docs").head.getLong(0) == 300L)
+    graft.sources.StoreViews.register(spark, store, prefix = "g")
+    assert(spark.sql("SELECT count(*) FROM g_docs").head.getLong(0) == 301L)
+    // group registration: the marker's consistent vector, never heads
+    store.commit(spark, "stats", Seq((301L, "c2")).toDF("n", "tag"))
+    store.withCommitRetries()(store.commitGroup(
+      Map("docs" -> store.currentVersion("docs").get,
+        "stats" -> store.currentVersion("stats").get),
+      store.groupPin("pair")))
+    store.upsertBucketed(spark, "docs",
+      Seq((10000L, "post-marker", 0)).toDF("id", "body", "grp"), Seq("id"))
+    graft.sources.StoreViews.registerGroup(spark, store, "pair",
+      prefix = "gp")
+    assert(spark.sql("SELECT count(*) FROM gp_docs").head.getLong(0) == 301L,
+      "group view leaked a post-marker commit — mixed vector")
+    assert(spark.sql("SELECT tag FROM gp_stats").head.getString(0) == "c2")
+  }
 }
