@@ -5410,6 +5410,136 @@ object PipelineQueries {
               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
             GROUP BY e.query_id ORDER BY e.query_id"""))
 
+  /** SS24: HYBRID RECALL CANARY OVER MUTATED STORED INDEXES — ss14
+    * gated RRF fusion over fresh rankings and ts28/ss17 pinned each
+    * stored leg exact after mutation, but nothing gated the COMPOSED
+    * retrieval surface a deployment actually serves: BM25 postings
+    * after a tombstone reindex + compaction, fused with the stored
+    * IVF index after a vector reindex. The gate mutates every 7th
+    * doc (ts28's head-word drop) and every 7th embedding (ss17's
+    * reversal), folds both deltas through the stored mutation paths,
+    * fuses the two stored top-20s ([[SimilaritySearch.rrfFuse]]),
+    * and pins the fused list BIT-EXACT against the SQL oracle
+    * (mutated bm25 chain + original-anchor mutated-assignment IVF
+    * chain + the ss14 fusion tail). The RETRIEVAL-QUALITY canary
+    * rides in-gate: the same stored fusion must overlap the gold
+    * fusion (from-scratch BM25 + brute-force cosine over the mutated
+    * corpus) on ≥ 7 of its top 10 — a degenerate post-mutation index
+    * (starved probes, poisoned postings) passes exactness against
+    * its own chain but reds here. The ×10 growth row is a ScaleProbe
+    * record. */
+  private val ss24 = QueryDef(
+    "ss24_hybrid_recall_stored",
+    "RRF over mutated stored BM25+IVF ≡ SQL fusion; recall band vs gold",
+    (s, dir) => {
+      // id%4 quarter corpus (the st11/ss23 cost discipline): the
+      // marginal claims are the fusion seam and the recall band,
+      // corpus-size independent; ts28/ss17/ss22 price the legs at
+      // full mass
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 4 === 0)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+        .filter(col("id") % 4 === 0)
+      val root = graft.ops.Scratch.tempDir("graft-ss24-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      // lexical leg: build → reindex the mutated docs → compact
+      TextAnalysis.bm25BuildIndex(docs, "doc_id", "text", store)
+      TextAnalysis.bm25ReindexDocs(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text")),
+        "doc_id", "text", store)
+      TextAnalysis.bm25CompactIndex(s, store)
+      // vector leg: build → reindex the mutated embeddings
+      SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+        numCentroids = 32)
+      SimilaritySearch.ivfReindexVectors(
+        e.filter(col("id") % 7 === 0)
+          .select(col("id"), reverse(col("embedding")).as("embedding")),
+        "id", "embedding", store)
+      val mutEmb = e.select(col("id"),
+        when(col("id") % 7 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      val q = mutEmb.filter(col("id") === 0)
+      val bmStored = TextAnalysis.bm25TopKStored(s, store,
+        query = Seq("sort", "window", "stream"), k = 20)
+        .select(col("id"), col("rank"))
+      val annStored = SimilaritySearch.ivfTopKStored(q, mutEmb, "id",
+        "embedding", store, k = 20, probes = 16, cellCap = 1000)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      val fusedStored =
+        SimilaritySearch.rrfFuse(Seq(bmStored, annStored), k = 10)
+      // the canary: gold fusion = from-scratch BM25 over the mutated
+      // corpus + brute-force cosine — band-pinned overlap
+      val mutDocs = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          regexp_replace(col("text"), "^\\S+\\s+", ""))
+          .otherwise(col("text")).as("text"))
+      val bmGold = TextAnalysis.bm25TopK(mutDocs, "doc_id", "text",
+        query = Seq("sort", "window", "stream"), k = 20)
+        .select(col("id"), col("rank"))
+      val annGold = SimilaritySearch.bruteForceTopK(q, mutEmb, "id",
+        "embedding", k = 20)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      val fusedGold =
+        SimilaritySearch.rrfFuse(Seq(bmGold, annGold), k = 10)
+      val hits = fusedStored.select("id")
+        .join(fusedGold.select("id"), "id").count()
+      require(hits >= 7,
+        s"ss24: post-mutation hybrid recall@10 = $hits/10 vs the gold " +
+          "fusion — below the band; the mutated stored pair degraded")
+      fusedStored.orderBy("rank")
+    },
+    Some(s"""WITH mutated AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0
+                   THEN regexp_replace(text, '^\\S+\\s+', '')
+                   ELSE text END AS text
+            FROM documents WHERE doc_id % 4 = 0),
+            ${bm25ChainSql(Seq("sort", "window", "stream"), "mutated")},
+            anchors AS (SELECT vec_id AS cid, embedding AS avec
+                        FROM embeddings WHERE vec_id % 4 = 0
+                        ORDER BY vec_id LIMIT 32),
+            mut AS (SELECT vec_id AS id,
+                      CASE WHEN vec_id % 7 = 0
+                           THEN list_reverse(embedding)
+                           ELSE embedding END AS embedding
+                    FROM embeddings WHERE vec_id % 4 = 0),
+            aff AS (SELECT m.id, a.cid,
+                      row_number() OVER (PARTITION BY m.id
+                        ORDER BY ${cosSql("m.embedding", "a.avec")}
+                          DESC, a.cid) AS rn
+                    FROM mut m, anchors a),
+            cassign AS (SELECT id AS neighbor_id, cid FROM aff
+                        WHERE rn <= 1),
+            qassign AS (SELECT id AS query_id, cid FROM aff
+                        WHERE id = 0 AND rn <= 16),
+            capped AS (SELECT neighbor_id, cid,
+                         row_number() OVER (PARTITION BY cid
+                           ORDER BY neighbor_id) AS crn
+                       FROM cassign),
+            cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+                     FROM qassign q JOIN capped c ON q.cid = c.cid
+                     WHERE c.crn <= 1000
+                       AND q.query_id != c.neighbor_id),
+            anscored AS (SELECT cand.neighbor_id AS id,
+                           ${cosSql("mq.embedding", "mc.embedding")} AS cos
+                         FROM cand
+                         JOIN mut mq ON mq.id = cand.query_id
+                         JOIN mut mc ON mc.id = cand.neighbor_id),
+            anranked AS (SELECT id, row_number() OVER
+                (ORDER BY cos DESC, id) AS rank FROM anscored),
+            b20 AS (SELECT id, rank FROM bmranked WHERE rank <= 20),
+            a20 AS (SELECT id, rank FROM anranked WHERE rank <= 20),
+            fused AS (SELECT coalesce(b.id, a.id) AS id,
+                coalesce(1.0 / (60.0 + b.rank::DOUBLE), 0.0) +
+                coalesce(1.0 / (60.0 + a.rank::DOUBLE), 0.0) AS score
+              FROM b20 b FULL OUTER JOIN a20 a ON b.id = a.id),
+            franked AS (SELECT id, score, row_number() OVER
+                (ORDER BY score DESC, id) AS rank FROM fused)
+            SELECT rank, id, round(score, 6) AS score_r
+            FROM franked WHERE rank <= 10 ORDER BY rank"""))
+
   private val ss14 = QueryDef(
     "ss14_hybrid_rrf",
     "hybrid BM25 + embedding retrieval, reciprocal-rank fused",
@@ -7665,7 +7795,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] =
     Seq(d1, d2, d2b, d3, d4, d4b, d5, d6, d7, d7b, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, g1, g2, g3, g4, dc1, dc2, dc3, dc4, ss1, ss2,
-      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ss22, ss23, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
+      ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ss22, ss23, ss24, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, ts31, ts32, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
       st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16, st17)

@@ -1062,6 +1062,64 @@ object ScaleProbe {
         println(f"PROBE ss22_recall_x$m%-25s ${(System.nanoTime() - t0) / 1e9}%8.2f s  hits=$hits%3d/100  cells=$cells probes=$probes")
       }
     }
+    // ss24: the HYBRID canary at ×1/×m — both stored legs mutate
+    // (tombstone-reindexed BM25 postings, reindexed IVF members),
+    // then the fused top-10 is scored against the gold fusion
+    // (from-scratch BM25 over the mutated corpus + brute-force
+    // cosine). Cells/probes scale like the ss22 row, so the band
+    // claim is about the COMPOSITION holding as both indexes grow,
+    // not a fixed geometry starving
+    if (selected("ss24")) {
+      for (m <- Seq(1, mult)) {
+        val corpus = docs(m)
+        val emb = vecs(m)
+        val nReal = emb.count()
+        val cells = math.max(32,
+          math.ceil(math.sqrt(nReal.toDouble)).toInt)
+        val probes = math.max(8, cells / 4)
+        val root = graft.ops.Scratch.tempDir(s"probe-ss24-x$m-")
+        val store = new graft.ops.ParquetTableStore(s"$root/store")
+        graft.ops.TextAnalysis.bm25BuildIndex(corpus, "id", "text", store)
+        graft.ops.TextAnalysis.bm25ReindexDocs(
+          corpus.filter(col("id") % 7 === 0)
+            .select(col("id"),
+              regexp_replace(col("text"), "^\\S+\\s+", "").as("text")),
+          "id", "text", store)
+        graft.ops.SimilaritySearch.ivfBuildIndexStored(emb, "id",
+          "embedding", store, numCentroids = cells)
+        graft.ops.SimilaritySearch.ivfReindexVectors(
+          emb.filter(col("id") % 7 === 0)
+            .select(col("id"), reverse(col("embedding")).as("embedding")),
+          "id", "embedding", store)
+        val mutDocs = corpus.select(col("id"),
+          when(col("id") % 7 === 0,
+            regexp_replace(col("text"), "^\\S+\\s+", ""))
+            .otherwise(col("text")).as("text"))
+        val mutEmb = emb.select(col("id"),
+          when(col("id") % 7 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+        val q = mutEmb.filter(col("id") === 0)
+        val t0 = System.nanoTime()
+        val fusedStored = graft.ops.SimilaritySearch.rrfFuse(Seq(
+          graft.ops.TextAnalysis.bm25TopKStored(spark, store,
+            query = Seq("sort", "window", "stream"), k = 20)
+            .select(col("id"), col("rank")),
+          graft.ops.SimilaritySearch.ivfTopKStored(q, mutEmb, "id",
+            "embedding", store, k = 20, probes = probes,
+            cellCap = 100000)
+            .select(col("neighbor_id").as("id"), col("rank"))), k = 10)
+        val fusedGold = graft.ops.SimilaritySearch.rrfFuse(Seq(
+          graft.ops.TextAnalysis.bm25TopK(mutDocs, "id", "text",
+            query = Seq("sort", "window", "stream"), k = 20)
+            .select(col("id"), col("rank")),
+          graft.ops.SimilaritySearch.bruteForceTopK(q, mutEmb, "id",
+            "embedding", k = 20)
+            .select(col("neighbor_id").as("id"), col("rank"))), k = 10)
+        val hits = fusedStored.select("id")
+          .join(fusedGold.select("id"), "id").count()
+        println(f"PROBE ss24_hybrid_recall_x$m%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  hits=$hits%2d/10  cells=$cells probes=$probes")
+      }
+    }
     // u16: auto-maintenance — m× append slices fragment the buckets,
     // then the size-tiered policy collapses them; the row records the
     // files-per-bucket debt before/after and the policy's cost
