@@ -2001,6 +2001,73 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   def unregisterCursor(table: String, consumer: String): Boolean =
     Files.deleteIfExists(tableDir(table).resolve(CursorsDir).resolve(consumer))
 
+  /** CURSOR-LAG OBSERVABILITY (gate u22): one row per registered
+    * consumer — the retention debt a stalled consumer creates,
+    * visible BEFORE it becomes a 100 TB surprise. Consumer-aware
+    * retention (u18) lets a cursor pin up to `maxRetained` versions
+    * of history; nothing reported who was pinning what, so a dead
+    * consumer's debt grew silently until the cap forced a rebase.
+    * Columns:
+    *
+    *  - `consumer`, `cursor_version`, `head_version`;
+    *  - `spans_behind` = head − cursor (how stale the consumer is);
+    *  - `versions_protected` = retained versions in
+    *    [cursor, head − keepVersions + 1) — versions that exist ONLY
+    *    because protection widened plain retention;
+    *  - `bytes_protected` = bytes of files named by those versions'
+    *    manifests but absent from every plain-window version's
+    *    manifest: hard links preserve file names, so "absent from
+    *    the surviving window" is exactly "these bytes free when this
+    *    protection lifts". Pre-manifest versions contribute no bytes
+    *    (undercount, never a walk).
+    *
+    * Cost: registry + version listings are O(consumers + versions)
+    * driver rows; the bytes term is one distributed union of ≤
+    * `maxRetained` manifest sidecars with an anti-join — never a
+    * directory walk, never file contents. */
+  def cursorLag(spark: SparkSession, table: String): DataFrame = {
+    val head = currentVersion(table).getOrElse(
+      throw new IllegalStateException(
+        s"table $table has no committed version"))
+    val retained = versions(table)
+    val plainFloor = head - keepVersions + 1
+    val d = tableDir(table).resolve(CursorsDir)
+    val consumers: Seq[(String, Long)] =
+      if (!Files.exists(d)) Seq.empty
+      else listDir(d).flatMap { f =>
+        try Some((f.getFileName.toString,
+          new String(Files.readAllBytes(f),
+            StandardCharsets.UTF_8).trim.toLong))
+        catch { case _: java.io.IOException | _: NumberFormatException =>
+          None }
+      }.sortBy(_._1)
+    def manifests(vs: Seq[Long]): Option[DataFrame] = {
+      val ms = vs.flatMap(v => manifestAt(spark,
+        tableDir(table).resolve(versionDirNameOf(table, v))))
+      if (ms.isEmpty) None
+      else Some(ms.map(_.select(col("file"), col("bytes")))
+        .reduce(_ unionByName _))
+    }
+    val surviving = manifests(retained.filter(_ >= plainFloor))
+    val rows = consumers.map { case (c, cur) =>
+      val protVs = retained.filter(v => v >= cur && v < plainFloor)
+      val bytes = manifests(protVs) match {
+        case None => 0L
+        case Some(p) =>
+          val uniq = surviving match {
+            case Some(s) => p.distinct()
+              .join(s.select("file").distinct(), Seq("file"), "left_anti")
+            case None => p.distinct()
+          }
+          uniq.agg(coalesce(sum("bytes"), lit(0L))).head.getLong(0)
+      }
+      (c, cur, head, head - cur, protVs.size.toLong, bytes)
+    }
+    spark.createDataFrame(rows).toDF("consumer", "cursor_version",
+      "head_version", "spans_behind", "versions_protected",
+      "bytes_protected")
+  }
+
   /** The oldest registered cursor on `table` (None = no consumers) —
     * the retention floor pruning honors, capped at `maxRetained`. */
   def cursorFloor(table: String): Option[Long] = {

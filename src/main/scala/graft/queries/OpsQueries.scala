@@ -1052,7 +1052,65 @@ object OpsQueries {
             FROM events WHERE event_id % 97 = 0
             ORDER BY event_id"""))
 
+  /** U22: CURSOR-LAG OBSERVABILITY ([[graft.ops.ParquetTableStore
+    * .cursorLag]]) — u18 made retention consumer-aware; this makes
+    * the resulting debt VISIBLE: one row per registered consumer
+    * with its staleness (spans behind the head) and the retention it
+    * is pinning (versions held below the plain-retention floor, plus
+    * the bytes those versions uniquely hold). The gate drives six
+    * upsert spans under keepVersions=2 with a consumer stalled at v1
+    * and another at v4, asserts the physical retention matches the
+    * report (v0 pruned, v1-v3 alive only through the stalled cursor,
+    * protected bytes nonzero for the staller and zero for the
+    * current consumer), and returns the deterministic report columns
+    * against a registry-join oracle. Bytes semantics (unique-to-
+    * protected-window via manifest names) are spec-pinned. */
+  private val u22 = QueryDef(
+    "u22_cursor_lag",
+    "per-consumer retention-debt report ≡ registry-join oracle",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-u22-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 2)
+      for (i <- 0 to 5) {
+        store.upsertBucketed(s, "corpus",
+          d.filter(col("doc_id") % 6 === i), Seq("doc_id"),
+          numBuckets = 8)
+        if (i == 1) store.registerCursor("corpus", "slow", 1L)
+        if (i == 4) store.registerCursor("corpus", "mid", 4L)
+      }
+      // the report must agree with the PHYSICAL state: v0 pruned
+      // (below the slow cursor), v1-v3 alive only through it
+      require(store.versions("corpus") == Seq(1L, 2L, 3L, 4L, 5L),
+        s"u22: retention drifted: ${store.versions("corpus")}")
+      val lag = store.cursorLag(s, "corpus")
+      val byC = lag.collect().map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5))).toMap
+      require(byC("slow")._1 == 3L && byC("slow")._2 > 0L,
+        s"u22: the stalled consumer pins 3 versions of real bytes — " +
+          s"got $byC")
+      require(byC("mid")._1 == 0L && byC("mid")._2 == 0L,
+        s"u22: the current consumer pins nothing — got $byC")
+      lag.select("consumer", "cursor_version", "head_version",
+        "spans_behind", "versions_protected").orderBy("consumer")
+    },
+    Some("""WITH registry(consumer, cursor_version) AS
+              (VALUES ('mid', 4::BIGINT), ('slow', 1::BIGINT)),
+            const(head, keepv, floorv) AS
+              (SELECT 5::BIGINT, 2::BIGINT, 1::BIGINT),
+            retained AS (SELECT unnest(generate_series(floorv, head)) AS v
+                         FROM const)
+            SELECT r.consumer, r.cursor_version, c.head AS head_version,
+                   c.head - r.cursor_version AS spans_behind,
+                   (SELECT count(*) FROM retained t, const cc
+                    WHERE t.v >= r.cursor_version
+                      AND t.v < cc.head - cc.keepv + 1)::BIGINT
+                     AS versions_protected
+            FROM registry r CROSS JOIN const c
+            ORDER BY consumer"""))
+
   def defs: Seq[QueryDef] =
     Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u12b, u13, u14,
-      u14b, u15, u16, u17, u18, u19, u20, u21)
+      u14b, u15, u16, u17, u18, u19, u20, u21, u22)
 }

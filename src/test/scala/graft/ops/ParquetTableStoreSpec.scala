@@ -962,6 +962,41 @@ class ParquetTableStoreSpec extends SparkSpec {
       s"bucket restriction leaked rows: got buckets $gotKbs, want $wantKbs")
   }
 
+  test("cursorLag: bytes are the protected window's UNIQUE files; advancing releases the debt") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val store = new ParquetTableStore(tmpDir("store-lag"), keepVersions = 2)
+    val base = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    // v0: full table; v1..v3: single-bucket deltas — untouched
+    // buckets hard-link, so most of v0's files survive by NAME into
+    // the plain window and must NOT count as protected bytes
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 8)
+    store.registerCursor("t", "c", 0L)
+    for (i <- 1 to 3)
+      store.upsertBucketed(spark, "t",
+        Seq((i.toLong, s"u$i")).toDF("k", "v"), Seq("k"))
+    val lag = store.cursorLag(spark, "t").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (behind, prot, bytes) = lag("c")
+    assert(behind == 3L && prot == 2L, s"lag row drifted: ${lag("c")}")
+    assert(bytes > 0L, "protected window holds rewritten-away files")
+    // the unique-files claim: protected bytes < the windows' total
+    // (hard-linked survivors excluded), not a naive manifest sum
+    val total = store.fileManifest(spark, "t").get
+      .agg(org.apache.spark.sql.functions.sum("bytes")).head.getLong(0)
+    assert(bytes < total, s"bytes=$bytes should exclude linked survivors")
+    // advancing the cursor releases the debt at the next publish
+    store.registerCursor("t", "c", 3L)
+    store.upsertBucketed(spark, "t",
+      Seq((5L, "u5")).toDF("k", "v"), Seq("k"))
+    val lag2 = store.cursorLag(spark, "t").collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(lag2("c") == ((0L, 0L)), s"debt not released: ${lag2("c")}")
+    // no registry → empty report
+    assert(store.cursorLag(spark, "t").count() == lag2.size.toLong)
+  }
+
   test("zone-map/manifest desync refuses loudly instead of silently narrowing the scan") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
