@@ -198,7 +198,8 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       try storedSchemaOf(vdir) match {
         case Some(s) => manifestRowsDirect(vdir) match {
           case Some(rows) => graft.sources.ManifestFileIndex.storeFrame(
-            spark, vdir.toUri.toString, s, rows, BucketCol)
+            spark, vdir.toUri.toString, s, rows, BucketCol,
+            zoneSkipOf(table, vdir, s))
           case None => spark.read.schema(s).parquet(vdir.toString)
         }
         case None => spark.read.parquet(vdir.toString)
@@ -242,6 +243,80 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
           } finally reader.close()
         }
       Some(buf.toSeq)
+    }
+  }
+
+  /** The version's zone-map sidecar as [[graft.sources.ZoneSkip]]
+    * stats for plan-time DATA SKIPPING — this is what turns a plain
+    * `WHERE ts BETWEEN …` over a store read (or its SQL view) into a
+    * file-level cut, the [[readZonePruned]] behavior made TRANSPARENT
+    * to any predicate Spark hands the scan. None when the table
+    * declares no zone columns, the version carries no map, or a
+    * declared column's type falls outside the driver-readable set
+    * (long/int/short/byte/double/float/string/boolean/date) — in
+    * every None case reads simply don't skip; correctness never
+    * depends on the cut because data filters re-apply per row. The
+    * sidecar is one coalesced parquet file read driver-side, the
+    * manifestRowsDirect discipline. */
+  private def zoneSkipOf(table: String, vdir: Path,
+      schema: org.apache.spark.sql.types.StructType)
+      : Option[graft.sources.ZoneSkip] = {
+    import org.apache.spark.sql.types._
+    val zm = vdir.resolve(ZoneMapDir)
+    zoneColumns(table) match {
+      case Some(cols) if Files.exists(zm) &&
+          cols.forall(schema.fieldNames.contains) =>
+        val types = cols.map(c => c -> schema(c).dataType)
+        val supported = types.forall { case (_, t) => t match {
+          case LongType | IntegerType | ShortType | ByteType |
+               DoubleType | FloatType | StringType | BooleanType |
+               DateType => true
+          case _ => false
+        } }
+        if (!supported) None
+        else {
+          val statsSchema = StructType(types.flatMap { case (c, t) =>
+            Seq(StructField(s"min_$c", t), StructField(s"max_$c", t))
+          })
+          def value(g: org.apache.parquet.example.data.Group,
+              name: String, t: DataType): Any =
+            if (g.getType.containsField(name) &&
+                g.getFieldRepetitionCount(name) > 0) t match {
+              case LongType => g.getLong(name, 0)
+              case IntegerType | DateType => g.getInteger(name, 0)
+              case ShortType => g.getInteger(name, 0).toShort
+              case ByteType => g.getInteger(name, 0).toByte
+              case DoubleType => g.getDouble(name, 0)
+              case FloatType => g.getFloat(name, 0)
+              case BooleanType => g.getBoolean(name, 0)
+              case StringType => org.apache.spark.unsafe.types.UTF8String
+                .fromString(g.getString(name, 0))
+              case _ => null
+            } else null
+          val rows = scala.collection.mutable.Map.empty[String,
+            org.apache.spark.sql.catalyst.InternalRow]
+          listDir(zm)
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .foreach { p =>
+              val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+                new org.apache.parquet.hadoop.example.GroupReadSupport(),
+                new org.apache.hadoop.fs.Path(p.toUri)).build()
+              try {
+                var g = reader.read()
+                while (g != null) {
+                  val vals = statsSchema.fields.map(f =>
+                    value(g, f.name, f.dataType))
+                  rows(g.getString("file", 0)) =
+                    new org.apache.spark.sql.catalyst.expressions
+                      .GenericInternalRow(vals.asInstanceOf[Array[Any]])
+                  g = reader.read()
+                }
+              } finally reader.close()
+            }
+          Some(graft.sources.ZoneSkip(statsSchema, rows.toMap))
+        }
+      case _ => None
     }
   }
 

@@ -3,11 +3,19 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BasePredicate, BoundReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Per-file min/max stats for DATA SKIPPING inside a
+  * [[ManifestFileIndex]]: `statsSchema` holds `min_<c>`/`max_<c>`
+  * fields (the zone-map sidecar's columns, typed as the table
+  * schema types them) and `rows` maps each manifest rel path to its
+  * stats row (missing files simply don't skip). */
+final case class ZoneSkip(statsSchema: StructType,
+    rows: Map[String, InternalRow])
 
 /** A [[FileIndex]] fed ENTIRELY from a store manifest — the scan
   * plans over (path, size) rows the `_manifest` sidecar already
@@ -35,6 +43,21 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * filters the directories, exactly what
   * PartitioningAwareFileIndex.prunePartitions does).
   *
+  * DATA SKIPPING (round 15): when a [[ZoneSkip]] is supplied (the
+  * version's zone-map sidecar), `dataFilters` prune FILES here too —
+  * the Delta data-skipping shape, which makes `spark.sql("… WHERE
+  * ts BETWEEN …")` over a store view cut its file list exactly like
+  * the programmatic `readZonePruned`. Each supported conjunct
+  * rewrites to a min/max interval test (`a = v` → `min_a ≤ v AND
+  * max_a ≥ v`, comparisons to the matching bound, `IsNotNull(a)` →
+  * `IsNotNull(min_a)` since an all-null file records null stats);
+  * unsupported shapes rewrite to TRUE. A file is skipped only when
+  * the rewritten predicate is provably not-true (false OR null —
+  * null stats mean "no non-null values", which no comparison
+  * matches), and correctness never depends on the cut: Spark
+  * re-applies every data filter per row group and per row, so
+  * skipping can only remove files the predicate proves empty.
+  *
   * Scale contract: construction is O(kept files) driver memory — one
   * FileStatus per file, no Path re-parsing per query stage — and the
   * sizes come from the manifest, so object-store deployments skip
@@ -45,42 +68,60 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * on; there is no public-API equivalent that avoids re-listing. */
 final class ManifestFileIndex(rootDir: String,
     files: Seq[(String, Long)],
-    override val partitionSchema: StructType = new StructType())
-  extends FileIndex {
+    override val partitionSchema: StructType = new StructType(),
+    skip: Option[ZoneSkip] = None) extends FileIndex {
 
   private val rootHPath = new HPath(rootDir)
 
   // one FileStatus per manifest row: size from the sidecar (drives
   // maxPartitionBytes packing), mtime 0 (nothing caches on it here)
-  private val statuses: Array[FileStatus] = files.map { case (rel, bytes) =>
-    new FileStatus(bytes, false, 1, 128L << 20, 0L, new HPath(rootHPath, rel))
-  }.toArray
+  private val statuses: Array[(String, FileStatus)] =
+    files.map { case (rel, bytes) =>
+      (rel,
+        new FileStatus(bytes, false, 1, 128L << 20, 0L,
+          new HPath(rootHPath, rel)))
+    }.toArray
 
   // bucketed layout: group by the `<col>=<value>/` prefix once at
   // construction; value parse failures are impossible by the store's
   // write convention (pmod(hash, n) stamps the dir name)
-  private val grouped: Seq[(Int, Array[FileStatus])] =
+  private val grouped: Seq[(Int, Array[(String, FileStatus)])] =
     if (partitionSchema.isEmpty) Seq.empty
     else {
       val pcol = partitionSchema.fields.head.name
-      files.zip(statuses).groupBy { case ((rel, _), _) =>
+      statuses.groupBy { case (rel, _) =>
         rel.substring(pcol.length + 1, rel.indexOf('/')).toInt
-      }.toSeq.map { case (kb, fs) => (kb, fs.map(_._2).toArray) }
-        .sortBy(_._1)
+      }.toSeq.sortBy(_._1)
     }
 
   override def rootPaths: Seq[HPath] = Seq(rootHPath)
+
+  /** Prune `fs` by the zone-skip predicate (identity when no sidecar
+    * or no usable filter). A file absent from the stats map keeps. */
+  private def dataSkip(fs: Array[(String, FileStatus)],
+      dataFilters: Seq[Expression]): Array[FileStatus] = {
+    val pred = skip.filter(_ => dataFilters.nonEmpty).flatMap(z =>
+      ManifestFileIndex.skipPredicate(dataFilters, z.statsSchema))
+    (pred, skip) match {
+      case (Some(p), Some(z)) => fs.collect {
+        case (rel, st) if z.rows.get(rel).forall(r => p.eval(r)) => st
+      }
+      case _ => fs.map(_._2)
+    }
+  }
 
   /** Unpartitioned: one directory of pre-sized files (file selection
     * happened upstream — zone map / bucket restriction). Partitioned:
     * one directory per bucket, with `partitionFilters` EVALUATED
     * against the bucket value (binding the single partition column by
-    * name — the schema has exactly one). The engine's own data-filter
-    * pushdown still applies per row group inside each file. */
+    * name — the schema has exactly one). `dataFilters` cut files via
+    * the zone-skip stats when supplied; the engine's own filter
+    * pushdown still applies per row group inside each kept file. */
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
     if (partitionSchema.isEmpty)
-      Seq(PartitionDirectory(InternalRow.empty, statuses))
+      Seq(PartitionDirectory(InternalRow.empty,
+        dataSkip(statuses, dataFilters)))
     else {
       val pf = partitionSchema.fields.head
       val kept =
@@ -94,10 +135,13 @@ final class ManifestFileIndex(rootDir: String,
           pred.initialize(0)
           grouped.filter { case (kb, _) => pred.eval(InternalRow(kb)) }
         }
-      kept.map { case (kb, fs) => PartitionDirectory(InternalRow(kb), fs) }
+      kept.map { case (kb, fs) =>
+        PartitionDirectory(InternalRow(kb), dataSkip(fs, dataFilters))
+      }
     }
 
-  override def inputFiles: Array[String] = statuses.map(_.getPath.toString)
+  override def inputFiles: Array[String] =
+    statuses.map(_._2.getPath.toString)
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = files.iterator.map(_._2).sum
 }
@@ -132,19 +176,30 @@ object ManifestFileIndex {
     * the [[PartitionDirectory]] level before any I/O. Unpartitioned
     * layouts (snapshot tables, the fileless-empty version whose one
     * root file carries the bucket column as DATA) read plain. Column
-    * order is restored to the canonical schema's either way. */
+    * order is restored to the canonical schema's either way. A
+    * [[ZoneSkip]] (the version's zone map) makes data filters cut
+    * files at plan time. */
   def storeFrame(spark: SparkSession, rootDir: String, schema: StructType,
-      files: Seq[(String, Long)], bucketCol: String): DataFrame = {
+      files: Seq[(String, Long)], bucketCol: String,
+      skip: Option[ZoneSkip] = None): DataFrame = {
     val partitioned = schema.fieldNames.contains(bucketCol) &&
       files.nonEmpty && files.forall(_._1.startsWith(s"$bucketCol="))
-    if (!partitioned) frame(spark, rootDir, schema, files)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!partitioned)
+      classic.baseRelationToDataFrame(HadoopFsRelation(
+        new ManifestFileIndex(rootDir, files, new StructType(), skip),
+        partitionSchema = new StructType(),
+        dataSchema = schema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(classic))
     else {
       val pf = StructField(bucketCol, schema(bucketCol).dataType,
         nullable = true)
       val dataSchema = StructType(schema.fields.filterNot(_.name == bucketCol))
-      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       classic.baseRelationToDataFrame(HadoopFsRelation(
-        new ManifestFileIndex(rootDir, files, new StructType(Array(pf))),
+        new ManifestFileIndex(rootDir, files,
+          new StructType(Array(pf)), skip),
         partitionSchema = new StructType(Array(pf)),
         dataSchema = dataSchema,
         bucketSpec = None,
@@ -153,6 +208,74 @@ object ManifestFileIndex {
         // relation output is dataSchema ++ partition col; restore the
         // canonical order so downstream schemas match the legacy read
         .select(schema.fieldNames.map(col).toSeq: _*)
+    }
+  }
+
+  /** Rewrite `filters` into a min/max interval predicate over
+    * `statsSchema` and compile it — None when nothing usable
+    * survives (every conjunct rewrote to TRUE). The rewrite is
+    * CONSERVATIVE: a file is skippable only when the result is
+    * provably not-true for it — false, or null, which under the
+    * leaf rules below means "the column has no non-null values in
+    * this file", something no comparison matches. Unsupported
+    * shapes (functions, Not, InSet, IsNull, non-literal sides)
+    * rewrite to TRUE and keep every file. */
+  private[sources] def skipPredicate(filters: Seq[Expression],
+      statsSchema: StructType): Option[BasePredicate] = {
+    val idx = statsSchema.fieldNames.zipWithIndex.toMap
+    val TRUE: Expression = Literal.TrueLiteral
+    def stat(prefix: String, a: AttributeReference): Option[BoundReference] =
+      idx.get(s"${prefix}_${a.name}").map(i =>
+        BoundReference(i, statsSchema.fields(i).dataType, nullable = true))
+    def mn(a: AttributeReference) = stat("min", a)
+    def mx(a: AttributeReference) = stat("max", a)
+    def range(a: AttributeReference, l: Literal): Expression =
+      (mn(a), mx(a)) match {
+        case (Some(lo), Some(hi)) =>
+          And(LessThanOrEqual(lo, l), GreaterThanOrEqual(hi, l))
+        case _ => TRUE
+      }
+    def rw(e: Expression): Expression = e match {
+      case And(l, r) => And(rw(l), rw(r))
+      case Or(l, r) => Or(rw(l), rw(r))
+      case EqualTo(a: AttributeReference, l: Literal) => range(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => range(a, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal)
+          if l.value != null => range(a, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference)
+          if l.value != null => range(a, l)
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        mx(a).map(GreaterThan(_, l)).getOrElse(TRUE)
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        mn(a).map(LessThan(_, l)).getOrElse(TRUE)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        mx(a).map(GreaterThanOrEqual(_, l)).getOrElse(TRUE)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        mn(a).map(LessThanOrEqual(_, l)).getOrElse(TRUE)
+      case LessThan(a: AttributeReference, l: Literal) =>
+        mn(a).map(LessThan(_, l)).getOrElse(TRUE)
+      case LessThan(l: Literal, a: AttributeReference) =>
+        mx(a).map(GreaterThan(_, l)).getOrElse(TRUE)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        mn(a).map(LessThanOrEqual(_, l)).getOrElse(TRUE)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        mx(a).map(GreaterThanOrEqual(_, l)).getOrElse(TRUE)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.size <= 32 &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        vs.map(v => range(a, v.asInstanceOf[Literal])).reduce(Or)
+      case IsNotNull(a: AttributeReference) =>
+        mn(a).map(IsNotNull(_): Expression).getOrElse(TRUE)
+      case _ => TRUE
+    }
+    val rewritten = filters.map(rw).reduce(And)
+    if (rewritten == TRUE ||
+        rewritten.collectFirst { case b: BoundReference => b }.isEmpty)
+      None
+    else {
+      val p = Predicate.createInterpreted(rewritten)
+      p.initialize(0)
+      Some(p)
     }
   }
 }
