@@ -175,7 +175,23 @@ object PageRank {
       edgesTable: String = "tri_edges",
       countsTable: String = "tri_counts",
       metaTable: String = "tri_meta",
-      numBuckets: Int = 32): DataFrame = {
+      numBuckets: Int = 32): DataFrame =
+    triangleCountsAppendVersioned(newEdges, srcCol, dstCol, store,
+      edgesTable, countsTable, metaTable, numBuckets)._1
+
+  /** [[triangleCountsAppend]] returning ALSO the meta-table version
+    * THIS fold committed (or, for a no-op delta, the pinned version
+    * its result corresponds to) — the group-commit discipline: a
+    * cross-family marker ([[graft.ops.ParquetTableStore.commitGroup]])
+    * must pin the versions the writer committed, never re-read heads,
+    * or a competitor's fold landing in between gets woven into a
+    * vector no writer committed together. */
+  def triangleCountsAppendVersioned(newEdges: DataFrame, srcCol: String,
+      dstCol: String, store: ParquetTableStore,
+      edgesTable: String = "tri_edges",
+      countsTable: String = "tri_counts",
+      metaTable: String = "tri_meta",
+      numBuckets: Int = 32): (DataFrame, Long) = {
     val spark = newEdges.sparkSession
     import spark.implicits._
     val delta = canonicalUndirected(newEdges, srcCol, dstCol)
@@ -205,15 +221,15 @@ object PageRank {
           // caller), not interleave its three creates with ours
           val (_, edgesPin) = store.readPinnedOption(spark, edgesTable)
           val (_, countsPin) = store.readPinnedOption(spark, countsTable)
-          store.upsertBucketedPinned(spark, d, Seq("u", "v"),
-            edgesPin, numBuckets)
+          val (_, ev) = store.upsertBucketedPinnedVersioned(spark, d,
+            Seq("u", "v"), edgesPin, numBuckets)
           store.upsertBucketedPinned(spark, counts, Seq("id"),
             countsPin, numBuckets)
-          store.commitNew(spark, metaTable,
-            Seq(store.currentVersion(edgesTable).get).toDF("edges_version"))
+          val (_, mv) = store.commitNewVersioned(spark, metaTable,
+            Seq(ev).toDF("edges_version"))
+          return (store.read(spark, countsTable), mv)
         } finally counts.unpersist(false)
       } finally d.unpersist(false)
-      return store.read(spark, countsTable)
     }
     // every frame the fold derives from is PINNED to the snapshot it
     // was read at, and every commit CASes against its pin — two
@@ -241,7 +257,7 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (deltaNew.limit(1).count() == 0)
-        return countsDf
+        return (countsDf, store.pinVersion(metaPin).get)
       // stored adjacency + degrees: one scan of the edge artifact
       val adj = stored.select(col("u").as("n1"), col("v").as("n2"))
         .unionByName(stored.select(col("v").as("n1"), col("u").as("n2")))
@@ -305,15 +321,14 @@ object PageRank {
         // commit order IS the consistency protocol: edges, then the
         // touched counts, then the version marker (see scaladoc) —
         // each pinned to the snapshot this fold derived from
-        store.upsertBucketedPinned(spark, deltaNew, Seq("u", "v"),
-          edgesPin, numBuckets)
+        val (_, ev) = store.upsertBucketedPinnedVersioned(spark, deltaNew,
+          Seq("u", "v"), edgesPin, numBuckets)
         store.upsertBucketedPinned(spark, updated, Seq("id"),
           countsPin, numBuckets)
-        store.commitPinned(spark,
-          Seq(store.currentVersion(edgesTable).get).toDF("edges_version"),
-          metaPin)
+        val (_, mv) = store.commitPinnedVersioned(spark,
+          Seq(ev).toDF("edges_version"), metaPin)
+        (store.read(spark, countsTable), mv)
       } finally incr.unpersist(false)
-      store.read(spark, countsTable)
     } finally deltaNew.unpersist(false)
   }
 
@@ -425,7 +440,21 @@ object PageRank {
       store: ParquetTableStore, iterations: Int, damping: Double = 0.85,
       tol: Double = 0.0,
       edgesTable: String = "pr_edges", ranksTable: String = "pr_ranks",
-      metaTable: String = "pr_meta", numBuckets: Int = 32): DataFrame = {
+      metaTable: String = "pr_meta", numBuckets: Int = 32): DataFrame =
+    pageRankAppendVersioned(newEdges, srcCol, dstCol, store, iterations,
+      damping, tol, edgesTable, ranksTable, metaTable, numBuckets)._1
+
+  /** [[pageRankAppend]] returning ALSO the meta-table version THIS
+    * fold committed (no-op delta: the pinned version its result
+    * corresponds to) — see [[triangleCountsAppendVersioned]] for the
+    * group-commit discipline this serves. */
+  def pageRankAppendVersioned(newEdges: DataFrame, srcCol: String,
+      dstCol: String,
+      store: ParquetTableStore, iterations: Int, damping: Double = 0.85,
+      tol: Double = 0.0,
+      edgesTable: String = "pr_edges", ranksTable: String = "pr_ranks",
+      metaTable: String = "pr_meta",
+      numBuckets: Int = 32): (DataFrame, Long) = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     require(tol >= 0.0, "tol must be >= 0")
@@ -482,13 +511,12 @@ object PageRank {
           nodes.select(col("id"), lit(1.0 / n).as("r")))
         val (_, edgesPin) = store.readPinnedOption(spark, edgesTable)
         val (_, ranksPin) = store.readPinnedOption(spark, ranksTable)
-        store.upsertBucketedPinned(spark, d, Seq("src", "dst"),
-          edgesPin, numBuckets)
+        val (_, ev) = store.upsertBucketedPinnedVersioned(spark, d,
+          Seq("src", "dst"), edgesPin, numBuckets)
         store.commitPinned(spark, ranks, ranksPin)
-        store.commitNew(spark, metaTable,
-          Seq((store.currentVersion(edgesTable).get, n, it))
-            .toDF("edges_version", "n_nodes", "iters"))
-        return store.read(spark, ranksTable)
+        val (_, mv) = store.commitNewVersioned(spark, metaTable,
+          Seq((ev, n, it)).toDF("edges_version", "n_nodes", "iters"))
+        return (store.read(spark, ranksTable), mv)
       }
       val (metaDf, metaPin) = store.readPinned(spark, metaTable)
       val metaRow = metaDf.head
@@ -506,7 +534,8 @@ object PageRank {
       val stored = storedAll.select("src", "dst")
       val deltaNew = stage(canonicalDirected(newEdges, srcCol, dstCol)
         .join(stored, Seq("src", "dst"), "left_anti"))
-      if (deltaNew.limit(1).count() == 0) return ranksOld
+      if (deltaNew.limit(1).count() == 0)
+        return (ranksOld, store.pinVersion(metaPin).get)
       val e = stage(stored.unionByName(deltaNew))
       val nodes = stage(e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct())
@@ -518,13 +547,12 @@ object PageRank {
         nodes.join(ranksOld, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("r") * lit(scale), lit(1.0 / n)).as("r")))
-      store.upsertBucketedPinned(spark, deltaNew, Seq("src", "dst"),
-        edgesPin, numBuckets)
+      val (_, ev) = store.upsertBucketedPinnedVersioned(spark, deltaNew,
+        Seq("src", "dst"), edgesPin, numBuckets)
       store.commitPinned(spark, ranks, ranksPin)
-      store.commitPinned(spark,
-        Seq((store.currentVersion(edgesTable).get, n, it))
-          .toDF("edges_version", "n_nodes", "iters"), metaPin)
-      store.read(spark, ranksTable)
+      val (_, mv) = store.commitPinnedVersioned(spark,
+        Seq((ev, n, it)).toDF("edges_version", "n_nodes", "iters"), metaPin)
+      (store.read(spark, ranksTable), mv)
     } finally freeAll()
   }
 }

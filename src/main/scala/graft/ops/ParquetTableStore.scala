@@ -485,7 +485,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * replace flows go through [[readPinned]] + [[commitPinned]]. */
   def commit(spark: SparkSession, table: String, df: DataFrame): DataFrame = {
     requireSnapshot(table, "commit")
-    commitExpecting(spark, table, df, currentPointer(table))
+    commitExpecting(spark, table, df, currentPointer(table))._1
   }
 
   /** Bucketed tables must only ever publish through the bucketed
@@ -509,7 +509,16 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * applied to create. Every exists()-guarded create branch must use
     * this, never [[commit]] (which re-reads the pointer at commit
     * time and would CAS against the competitor's publish). */
-  def commitNew(spark: SparkSession, table: String, df: DataFrame): DataFrame = {
+  def commitNew(spark: SparkSession, table: String, df: DataFrame): DataFrame =
+    commitNewVersioned(spark, table, df)._1
+
+  /** [[commitNew]] returning ALSO the version it published — for
+    * group commits, whose vector must name the versions THIS writer
+    * committed rather than re-read heads (a competitor's newer head
+    * woven into the vector is exactly the mixed state the marker
+    * exists to rule out). */
+  def commitNewVersioned(spark: SparkSession, table: String,
+      df: DataFrame): (DataFrame, Long) = {
     requireSnapshot(table, "commitNew")
     commitExpecting(spark, table, df, None)
   }
@@ -558,10 +567,22 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * in the pin makes a table mismatch unrepresentable rather than
     * runtime-checked). */
   def commitPinned(spark: SparkSession, df: DataFrame,
-      pin: CommitPin): DataFrame = {
+      pin: CommitPin): DataFrame =
+    commitPinnedVersioned(spark, df, pin)._1
+
+  /** [[commitPinned]] returning ALSO the version it published (see
+    * [[commitNewVersioned]] for why group commits need it). */
+  def commitPinnedVersioned(spark: SparkSession, df: DataFrame,
+      pin: CommitPin): (DataFrame, Long) = {
     requireSnapshot(pin.table, "commitPinned")
     commitExpecting(spark, pin.table, df, pin.pointer)
   }
+
+  /** The version a [[CommitPin]] captured (None = pinned absence) —
+    * lets a no-op fold report the version its state corresponds to
+    * without re-reading the head. */
+  def pinVersion(pin: CommitPin): Option[Long] =
+    pin.pointer.map(p => versionOf(dirNameOf(p)))
 
   /** Commit `df` with the CAS expectation pinned to `expected` — the
     * pointer the CALLER's computation was based on. Every merge path
@@ -570,10 +591,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * would let a competing commit that landed in between be silently
     * overwritten (the lost-update the CAS exists to prevent). */
   private def commitExpecting(spark: SparkSession, table: String,
-      df: DataFrame, expected: Option[String]): DataFrame = {
+      df: DataFrame, expected: Option[String]): (DataFrame, Long) = {
     val staged = writeVersion(spark, table, df, expected, partitioned = false)
     publish(table, staged, expected)
-    readDir(spark, table, staged)
+    (readDir(spark, table, staged), versionOf(staged))
   }
 
   /** ZONE MAPS — a per-file min/max sidecar over DECLARED columns,
@@ -635,7 +656,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val bound = declareZoneColumns(table, statsCols)
     require(bound == statsCols,
       s"table $table zone columns already declared as $bound")
-    commitExpecting(spark, table, df, currentPointer(table))
+    commitExpecting(spark, table, df, currentPointer(table))._1
   }
 
   private val ZoneMapDir = "_zonemap"
@@ -1075,12 +1096,12 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     requireSnapshot(table, "upsert")
     val prev = currentPointer(table)
     prev match {
-      case None => commitExpecting(spark, table, incoming, None)
+      case None => commitExpecting(spark, table, incoming, None)._1
       case Some(p) =>
         val (stored, inc) = SchemaEvolution.align(
           readDir(spark, table, dirNameOf(p)), incoming)
         commitExpecting(spark, table,
-          Upserts.upsertLastWriteWins(stored, inc, keys), prev)
+          Upserts.upsertLastWriteWins(stored, inc, keys), prev)._1
     }
   }
 
@@ -1090,6 +1111,16 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * binds at table creation and is ignored afterwards. */
   def upsertBucketed(spark: SparkSession, table: String, incoming: DataFrame,
       keys: Seq[String], numBuckets: Int = 32): DataFrame =
+    upsertBucketedVersioned(spark, table, incoming, keys, numBuckets)._1
+
+  /** [[upsertBucketed]] returning ALSO the version it published (for
+    * an empty delta: the version the no-op was based on) — the group-
+    * commit discipline ([[commitGroup]] wants the versions THIS
+    * writer committed, never re-read heads; see
+    * [[commitNewVersioned]]). */
+  def upsertBucketedVersioned(spark: SparkSession, table: String,
+      incoming: DataFrame, keys: Seq[String],
+      numBuckets: Int = 32): (DataFrame, Long) =
     upsertBucketedExpecting(spark, table, incoming, keys, numBuckets,
       currentPointer(table))
 
@@ -1104,12 +1135,19 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * path (CAS to absence — a racing creator loses cleanly). */
   def upsertBucketedPinned(spark: SparkSession, incoming: DataFrame,
       keys: Seq[String], pin: CommitPin, numBuckets: Int = 32): DataFrame =
+    upsertBucketedPinnedVersioned(spark, incoming, keys, pin, numBuckets)._1
+
+  /** [[upsertBucketedPinned]] returning ALSO the version it published
+    * (see [[commitNewVersioned]]). */
+  def upsertBucketedPinnedVersioned(spark: SparkSession, incoming: DataFrame,
+      keys: Seq[String], pin: CommitPin,
+      numBuckets: Int = 32): (DataFrame, Long) =
     upsertBucketedExpecting(spark, pin.table, incoming, keys, numBuckets,
       pin.pointer)
 
   private def upsertBucketedExpecting(spark: SparkSession, table: String,
       incoming: DataFrame, keys: Seq[String], numBuckets: Int,
-      prev: Option[String]): DataFrame = {
+      prev: Option[String]): (DataFrame, Long) = {
     require(numBuckets >= 1)
     def bucketed(df: DataFrame, n: Int): DataFrame =
       df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(n)))
@@ -1126,8 +1164,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       // empty delta → version no-op (free — the touched set already
       // told us): onto an EMPTY table, the merged partitionBy write
       // would otherwise produce a fileless version and wedge every
-      // later read in schema inference
-      if (touched.isEmpty) return read(spark, table)
+      // later read in schema inference. The reported version is the
+      // base the no-op checked against, never a re-read head.
+      if (touched.isEmpty)
+        return (read(spark, table), versionOf(dirNameOf(prev.get)))
       // manifest-planned read of just the touched buckets — under
       // the version's CANONICAL schema: an inferred one could drop a
       // previously-evolved column and the merge would lose its values
@@ -1151,7 +1191,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       maintainManifestBucketed(spark, table, nextDir, prev, Some(touched))
       finalizeStaged(table, staged)
       publish(table, staged, prev)
-      readDir(spark, table, staged)
+      (readDir(spark, table, staged), versionOf(staged))
     }
   }
 
@@ -1238,7 +1278,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     if (!exists(table)) {
       requireLabels(changes.agg(max(labelAudit)).collect()
         .flatMap(r => Option(r.getString(0))).toSeq)
-      return createBucketed(spark, table, upserts, keys, numBuckets, Nil)
+      return createBucketed(spark, table, upserts, keys, numBuckets, Nil)._1
     }
     val n = this.numBuckets(table).getOrElse(throw new IllegalStateException(
       s"table $table was created as a snapshot table; apply feeds to " +
@@ -1367,12 +1407,12 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * [[upsertBucketed]]). */
   private def createBucketed(spark: SparkSession, table: String,
       incoming: DataFrame, keys: Seq[String], numBuckets: Int,
-      sortWithin: Seq[String]): DataFrame = {
+      sortWithin: Seq[String]): (DataFrame, Long) = {
     val n = stampBuckets(table, numBuckets)
     val staged = writeBucketedVersion(spark, table,
       layoutBuckets(incoming, n, keys, sortWithin), None)
     publish(table, staged, None)
-    readDir(spark, table, staged)
+    (readDir(spark, table, staged), versionOf(staged))
   }
 
   /** INSERT-ONLY O(delta) append into a key-bucketed table: the
@@ -1403,7 +1443,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       sortWithin: Seq[String] = Nil): DataFrame = {
     require(numBuckets >= 1)
     if (!exists(table))
-      createBucketed(spark, table, incoming, keys, numBuckets, sortWithin)
+      createBucketed(spark, table, incoming, keys, numBuckets, sortWithin)._1
     // an empty delta is a NO-OP, never a version churn: a staged
     // append of zero rows would link every file into a new version
     // (retention pressure) and, written unpartitioned per the empty
@@ -1485,7 +1525,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       sortWithin: Seq[String] = Nil): DataFrame = {
     require(numBuckets >= 1)
     if (!exists(table))
-      createBucketed(spark, table, df, keys, numBuckets, sortWithin)
+      createBucketed(spark, table, df, keys, numBuckets, sortWithin)._1
     else {
       // adopt a pre-existing snapshot table: the rewrite replaces all
       // content, so stamping _BUCKETS now is safe (first writer wins)
@@ -1831,9 +1871,17 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     try shareTree(srcDir, nextDir)
     catch { case e: java.nio.file.NoSuchFileException =>
       deleteRecursively(nextDir)
-      // the walk touches BOTH trees: only blame retention if the
-      // source actually vanished — a dst-side sweep surfaces raw
-      if (Files.exists(srcDir)) throw e
+      // the walk touches BOTH trees: blame retention only when the
+      // source side can actually be mid-prune. Retention deletes a
+      // version tree BOTTOM-UP (files before the dir), so a racing
+      // prune vanishes descendants while srcDir still exists — the
+      // srcDir check alone misattributes that window as a raw I/O
+      // error. A version inside the plain keep window is NEVER
+      // pruned, so a vanish there (or on the dst side) surfaces raw;
+      // anything at or below the prune floor is the retention race.
+      val inPlainWindow = currentVersion(srcTable)
+        .exists(head => v > head - keepVersions)
+      if (Files.exists(srcDir) && inPlainWindow) throw e
       remap()
     }
     finalizeStaged(dstTable, staged)
@@ -2136,12 +2184,23 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
           }
           uniq.agg(coalesce(sum("bytes"), lit(0L))).head.getLong(0)
       }
-      (c, cur, head, head - cur, protVs.size.toLong, bytes)
+      (c, cur, head, head - cur, protVs.size.toLong, bytes,
+        groupOfConsumer(c).orNull)
     }
     spark.createDataFrame(rows).toDF("consumer", "cursor_version",
       "head_version", "spans_behind", "versions_protected",
-      "bytes_protected")
+      "bytes_protected", "group")
   }
+
+  /** The group a registry consumer name belongs to (None = an
+    * ordinary consumer) — group markers register cursors under the
+    * reserved `_group-<g>` prefix, and the lag report surfaces the
+    * owning group so retired-group debt is attributable: "who pins
+    * v3?" answers with the group to [[dropGroup]], not an opaque
+    * registry string. */
+  private def groupOfConsumer(consumer: String): Option[String] =
+    if (consumer.startsWith("_group-")) Some(consumer.stripPrefix("_group-"))
+    else None
 
   /** The oldest registered cursor on `table` (None = no consumers) —
     * the retention floor pruning honors, capped at `maxRetained`. */
@@ -2246,9 +2305,21 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * vector stays readable under later per-table commits. */
   def commitGroup(versions: Map[String, Long], pin: GroupPin): Unit = {
     require(versions.nonEmpty, "commitGroup: empty version vector")
-    // protect first, publish second: if the CAS loses, the stale
-    // cursor merely over-protects until the winner's (last-write-
-    // wins per consumer) — never under-protects the live marker
+    // protect first, publish second — but the registry is last-write-
+    // wins PER CONSUMER, so a LOSER's pre-CAS registration (possibly
+    // at newer versions) can clobber the winner's and leave the live
+    // marker's older versions transiently unprotected. Both sides of
+    // the CAS therefore re-assert: the loser re-registers at the LIVE
+    // marker's vector before surfacing its conflict, and the winner
+    // re-registers after its swap (closing the window where a loser's
+    // stale write landed between the winner's registration and swap).
+    // Cursor writes are idempotent atomic pointer swaps, so the
+    // re-asserts cost one tiny write per member and the steady state
+    // always converges to protecting exactly the live marker.
+    def assertCursors(vs: Map[String, Long]): Unit =
+      vs.foreach { case (t, v) =>
+        if (exists(t)) registerCursor(t, groupConsumer(pin.group), v)
+      }
     versions.foreach { case (t, v) =>
       require(v >= 0 && exists(t),
         s"commitGroup(${pin.group}): $t@v$v is not a committed table version")
@@ -2256,7 +2327,12 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     }
     val f = groupFile(pin.group)
     Files.createDirectories(f.getParent)
-    io.swapPointerIfCurrent(f, serializeGroup(versions), pin.raw)
+    try io.swapPointerIfCurrent(f, serializeGroup(versions), pin.raw)
+    catch { case e: ConcurrentCommitException =>
+      groupVersions(pin.group).foreach(assertCursors)
+      throw e
+    }
+    assertCursors(versions)
   }
 
   /** Read a CONSISTENT snapshot of the group: resolve the marker,
@@ -2281,6 +2357,47 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       }
     }
     loop(1)
+  }
+
+  /** Groups with a committed marker in this store — the catalog
+    * listing for group-lifecycle maintenance (which [[dropGroup]]
+    * candidates exist; pair with [[cursorLag]]'s `group` column for
+    * the debt each one pins). One directory listing, O(groups). */
+  def listGroups: Seq[String] = {
+    val d = Paths.get(root, GroupsDir)
+    if (!Files.exists(d)) Seq.empty
+    else listDir(d)
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.endsWith(".lock"))
+      .map(_.getFileName.toString).sorted
+  }
+
+  /** RETIRE a group: delete its marker, then unregister its cursor on
+    * every member — the lifecycle END [[commitGroup]] needs. Without
+    * it a retired group (an abandoned composed loop, an index pair
+    * rebuilt under a new name) pins up to `protectCap` versions on
+    * every member table FOREVER — exactly the retention-debt class
+    * [[cursorLag]] exposes. Marker goes FIRST, so readers refuse
+    * typed ("no committed marker") before any protection lifts;
+    * the freed versions become ordinary retention candidates at each
+    * member's next publish (pruning happens at publish time — drop
+    * itself deletes no data). Returns whether a marker existed.
+    *
+    * Races: a concurrent [[commitGroup]] whose CAS expected the
+    * dropped marker loses typed and its retry re-creates the group
+    * from absence — drop-then-recommit is a fresh group, never a
+    * resurrected vector. A winner's post-swap cursor re-assert can
+    * land AFTER this drop unregistered (leaking a cursor with no
+    * marker): the lag report names it via its `group` column and a
+    * RE-DROP sweeps it — when the marker is already absent the
+    * member list falls back to the whole catalog. */
+  def dropGroup(group: String): Boolean = {
+    val f = groupFile(group)
+    val members: Seq[String] =
+      groupVersions(group).map(_.keys.toSeq).getOrElse(tables)
+    val existed = Files.deleteIfExists(f)
+    members.foreach(t => unregisterCursor(t, groupConsumer(group)))
+    existed
   }
 
   /** Delete version dirs (winners and any lingering lost-race

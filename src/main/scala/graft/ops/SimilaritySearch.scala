@@ -1296,11 +1296,22 @@ object SimilaritySearch {
     // folds, so a probe racing a paired mutation (or landing after a
     // crash between the folds) sees a marker behind at least one
     // resolved meta and refuses retryably.
-    val pairVs = store.groupVersions(pairMetaTable).getOrElse(
-      throw new IllegalStateException(
+    // marker first; a store written by the pre-group-marker revision
+    // carries the pin as a one-row TABLE (ivf_meta_version,
+    // pq_meta_version) instead — honor it as a read-only fallback so
+    // existing stores keep answering, and let the next ivfPqPairPin /
+    // ingest batch migrate it to the marker (which also drops the
+    // stale table). Marker-absent AND table-absent refuses as before.
+    val pairVs = store.groupVersions(pairMetaTable).getOrElse {
+      if (store.exists(pairMetaTable)) {
+        val r = store.read(spark, pairMetaTable)
+          .select("ivf_meta_version", "pq_meta_version").head
+        Map(ivfMetaTable -> r.getLong(0), pqMetaTable -> r.getLong(1))
+      } else throw new IllegalStateException(
         s"ivfPqTopKStored: group marker $pairMetaTable missing — the " +
           "paired probe needs the cross-family pin committed after " +
-          "BOTH folds (ivfPqPairPin; ivfPqIngest commits it every batch)"))
+          "BOTH folds (ivfPqPairPin; ivfPqIngest commits it every batch)")
+    }
     val (pinIvf, pinPq) = (pairVs.getOrElse(ivfMetaTable, -1L),
       pairVs.getOrElse(pqMetaTable, -1L))
     if (pinIvf != ivfMetaV || pinPq != meta.metaV)
@@ -1383,6 +1394,13 @@ object SimilaritySearch {
       store.commitGroup(Map(ivfMetaTable -> iv, pqMetaTable -> pv),
         store.groupPin(pairMetaTable))
     }
+    // migrate-on-pin: a store written by the pre-marker revision kept
+    // the pin as a one-row table under the same name — the marker now
+    // supersedes it ([[ivfPqTopKStored]] resolves marker-first), so
+    // drop the stale table rather than leave a lingering shadow pin
+    // that a rollback could resurrect at an old corpus state
+    if (store.exists(pairMetaTable)) store.dropTable(pairMetaTable)
+    ()
   }
 
   /** BINARY SHORTLIST-AND-RERANK — the 1-bit member of the

@@ -31,8 +31,13 @@ object Streams {
   val inboxSchema: StructType = StructType(Seq(
     StructField("path", StringType), StructField("content", StringType)))
 
-  /** Run independent-TABLE store commits concurrently and wait for
-    * all of them. The ingest loops' dominant fixed cost is the
+  /** Run independent-TABLE store commits concurrently, wait for all
+    * of them, and return their results in op order — each op returns
+    * the version it committed, so a following group-marker swap can
+    * pin EXPLICIT versions instead of re-reading heads (a competitor
+    * advancing a member between an op's CAS and a head re-read would
+    * weave a vector no writer committed together — the torn view the
+    * marker exists to rule out). The ingest loops' dominant fixed cost is the
     * per-commit action round (touched-set collect + listing + CAS
     * publish each schedule a full job round, ~mass-independent), and
     * a micro-batch lands 3 artifact tables — serializing them pays
@@ -44,7 +49,7 @@ object Streams {
     * helper. All ops run to completion even when one fails (no
     * straggler keeps writing while the batch unwinds), then the
     * first failure is rethrown so foreachBatch aborts the batch. */
-  private[streaming] def commitInParallel(ops: (() => Unit)*): Unit = {
+  private[streaming] def commitInParallel[T](ops: (() => T)*): Seq[T] = {
     // a DEDICATED pool per call, one thread per op — never the global
     // fork-join pool: each op blocks on Spark job rounds + filesystem
     // CAS, not CPU, and the round-12 `blocking{}` marker only asked
@@ -61,15 +66,16 @@ object Streams {
       math.max(1, ops.size))
     try {
       val futures = ops.map(op =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = op()
+        pool.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = op()
         }))
       val done = futures.map(f => scala.util.Try(f.get()))
       done.collectFirst {
         case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
           throw e.getCause
         case scala.util.Failure(e) => throw e
-      }.getOrElse(())
+      }
+      done.map(_.get)
     } finally pool.shutdown()
   }
 
@@ -1164,30 +1170,38 @@ object Streams {
               val survivors = ded.join(contaminated, Seq("id"), "left_anti")
                 .select("id", "text").persist(lvl)
               try {
-                commitInParallel(
-                  () => if (ded.limit(1).count() > 0)
-                    store.withCommitRetries()(store.upsertBucketed(
-                      spark, digestsTable,
-                      ded.select(col("fp"), col("id").as("keeper_id")),
-                      Seq("fp"), numBuckets)),
-                  () => if (survivors.limit(1).count() > 0)
-                    store.withCommitRetries()(store.upsertBucketed(
-                      spark, cleanTable, survivors, Seq("id"),
-                      numBuckets)))
+                val committed: Seq[Option[(String, Long)]] =
+                  commitInParallel(
+                    () => if (ded.limit(1).count() > 0)
+                      Some(digestsTable ->
+                        store.withCommitRetries()(
+                          store.upsertBucketedVersioned(spark, digestsTable,
+                            ded.select(col("fp"), col("id").as("keeper_id")),
+                            Seq("fp"), numBuckets))._2)
+                    else None,
+                    () => if (survivors.limit(1).count() > 0)
+                      Some(cleanTable ->
+                        store.withCommitRetries()(
+                          store.upsertBucketedVersioned(spark, cleanTable,
+                            survivors, Seq("id"), numBuckets))._2)
+                    else None)
                 // ledger+corpus marker (the generic multi-table
                 // commit): one CAS pins the pair a batch just
                 // landed, so an auditor can resolve the digest
                 // ledger and the clean corpus at the SAME batch
                 // boundary (store.readGroup) instead of a torn
-                // ledger-ahead-of-corpus view mid-commit. Members
-                // that have never committed (all-reject batches)
-                // simply aren't in the vector yet.
-                val members = Seq(digestsTable, cleanTable)
-                  .flatMap(t => store.currentVersion(t).map(t -> _))
-                  .toMap
-                if (members.nonEmpty)
-                  store.withCommitRetries()(store.commitGroup(members,
-                    store.groupPin(s"$cleanTable-pair")))
+                // ledger-ahead-of-corpus view mid-commit. The vector
+                // names the EXPLICIT versions the ops above returned
+                // — never re-read heads, which under a concurrent
+                // committer would weave a vector no writer committed
+                // together. A member this batch skipped (all-reject)
+                // carries forward from the live pin's vector.
+                val delta = committed.flatten.toMap
+                if (delta.nonEmpty)
+                  store.withCommitRetries() {
+                    val pin = store.groupPin(s"$cleanTable-pair")
+                    store.commitGroup(pin.versions ++ delta, pin)
+                  }
               } finally survivors.unpersist(false)
             } finally ded.unpersist(false)
           } finally winners.unpersist(false)
@@ -1246,19 +1260,14 @@ object Streams {
             // st1 commit discipline); each is independently
             // replay-idempotent, so one failing mid-flight while the
             // other lands is just the per-family crash contract
-            commitInParallel(
-              () => {
-                graft.ops.PageRank.triangleCountsAppend(
-                  b, "src", "dst", store)
-                ()
-              },
-              () => {
-                graft.ops.PageRank.pageRankAppend(b, "src", "dst", store,
-                  iterations =
-                    if (first) buildIterations else foldIterations,
-                  damping = damping, tol = tol)
-                ()
-              })
+            val metaVs: Seq[Long] = commitInParallel(
+              () => graft.ops.PageRank.triangleCountsAppendVersioned(
+                b, "src", "dst", store)._2,
+              () => graft.ops.PageRank.pageRankAppendVersioned(
+                b, "src", "dst", store,
+                iterations =
+                  if (first) buildIterations else foldIterations,
+                damping = damping, tol = tol)._2)
             // CROSS-FAMILY marker, the ivfPqPairPin discipline made
             // generic ([[graft.ops.ParquetTableStore.commitGroup]]):
             // after BOTH folds land, one CAS pins the two families'
@@ -1268,10 +1277,13 @@ object Streams {
             // next batch's half-landed folds. A crash before the
             // swap leaves the previous consistent vector (the
             // replayed batch re-folds idempotently and swaps then).
+            // The vector pins the meta versions THE FOLDS RETURNED —
+            // never re-read heads, which a competitor's fold landing
+            // between a fold and the swap would contaminate with a
+            // version this writer never committed against.
             store.withCommitRetries() {
               store.commitGroup(Map(
-                "tri_meta" -> store.currentVersion("tri_meta").get,
-                "pr_meta" -> store.currentVersion("pr_meta").get),
+                "tri_meta" -> metaVs(0), "pr_meta" -> metaVs(1)),
                 store.groupPin("graph_pair"))
             }
           } finally b.unpersist(false)

@@ -885,6 +885,39 @@ class ParquetTableStoreSpec extends SparkSpec {
     Files.write(Paths.get(r2, "dst", "_BUCKETS"), "8".getBytes)
     intercept[ConcurrentCommitException](
       c2.cloneTable(spark, "src", "dst"))
+    // MID-PRUNE race: retention deletes a version tree BOTTOM-UP
+    // (files before the dir), so a clone walking a prune-eligible
+    // source version can hit a vanished DESCENDANT while srcDir still
+    // exists — that is the retention race (typed, retryable), never a
+    // raw NoSuchFileException. Simulate the source inode vanishing
+    // UNDER the walk via an io whose shareFile throws for data files;
+    // a cursor keeps v0 on disk past the keep window so the walk
+    // starts (head=v1, keepVersions=1 → v0 is prune-eligible).
+    val r3 = tmpDir("store-clone-midprune")
+    val c3 = new ParquetTableStore(r3, keepVersions = 1)
+    c3.registerCursor("src", "keeper", 0L)
+    c3.upsertBucketed(spark, "src", base, Seq("k"), numBuckets = 2) // v0
+    c3.upsertBucketed(spark, "src",
+      Seq((1L, "z", 0L)).toDF("k", "v", "ts"), Seq("k")) // v1 (head)
+    val vanishIo: StoreIo = new StoreIo {
+      override def swapPointer(p: Path, c: String): Unit =
+        PosixStoreIo.swapPointer(p, c)
+      override def swapPointerIfCurrent(p: Path, c: String,
+          e: Option[String]): Unit = PosixStoreIo.swapPointerIfCurrent(p, c, e)
+      override def deletePointerIfCurrent(p: Path, e: String): Unit =
+        PosixStoreIo.deletePointerIfCurrent(p, e)
+      override def shareFile(s: Path, d: Path): Unit =
+        if (s.getFileName.toString.endsWith(".parquet"))
+          throw new java.nio.file.NoSuchFileException(s.toString)
+        else PosixStoreIo.shareFile(s, d)
+    }
+    val c3racy = new ParquetTableStore(r3, keepVersions = 1, io = vanishIo)
+    intercept[ConcurrentCommitException](
+      c3racy.cloneTable(spark, "src", "dst", Some(0L)))
+    // inside the PLAIN keep window a vanish is a real I/O anomaly —
+    // the head version is never pruned, so the raw error surfaces
+    intercept[java.nio.file.NoSuchFileException](
+      c3racy.cloneTable(spark, "src", "dst2", Some(1L)))
   }
 
   test("tables/dropTable: catalog listing; drop frees the name, clones survive their source") {

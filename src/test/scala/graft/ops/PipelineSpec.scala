@@ -1569,4 +1569,49 @@ class PipelineSpec extends SparkSpec {
       m = 8, ks = 16, dim = 64)
     assert(pqProbeRows(store2, e.filter(col("id") < 10)).nonEmpty)
   }
+
+  test("stored pair: legacy pair-TABLE pin honored; ivfPqPairPin migrates it") {
+    // a store written by the pre-group-marker revision carries the
+    // pair pin as a one-row TABLE — the probe must answer from it
+    // (read-only fallback), and the next ivfPqPairPin must migrate it
+    // to the marker and drop the stale shadow pin
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val queries = e.filter(col("id") < 5)
+    val root = Scratch.tempDir("ivfpq-legacy-")
+    val store = new ParquetTableStore(s"$root/store")
+    SimilaritySearch.ivfBuildIndexStored(e, "id", "embedding", store,
+      numCentroids = 16)
+    SimilaritySearch.pqBuildIndexStored(e, "id", "embedding", store,
+      m = 8, ks = 16, dim = 64)
+    SimilaritySearch.ivfPqPairPin(spark, store)
+    val expected = SimilaritySearch.ivfPqTopKStored(queries, "id",
+      "embedding", store, k = 5, probes = 8, cellCap = 1000)
+      .collect().toSeq
+    // rewind to the legacy layout: marker gone, one-row table instead
+    val iv = store.currentVersion("ivf_meta").get
+    val pv = store.currentVersion("pq_meta").get
+    assert(store.dropGroup("ivfpq_pair_meta"))
+    store.commit(spark, "ivfpq_pair_meta",
+      Seq((iv, pv)).toDF("ivf_meta_version", "pq_meta_version"))
+    assert(SimilaritySearch.ivfPqTopKStored(queries, "id", "embedding",
+      store, k = 5, probes = 8, cellCap = 1000).collect().toSeq == expected,
+      "probe did not answer from the legacy pair-table pin")
+    // a STALE legacy row still refuses at the cross-family check
+    store.commit(spark, "ivfpq_pair_meta",
+      Seq((iv + 7, pv)).toDF("ivf_meta_version", "pq_meta_version"))
+    val exStale = intercept[IllegalStateException] {
+      SimilaritySearch.ivfPqTopKStored(queries, "id", "embedding",
+        store, k = 5, probes = 8, cellCap = 1000).collect()
+    }
+    assert(exStale.getMessage.contains("pair mid-update"), exStale.getMessage)
+    // migrate-on-pin: marker re-created, shadow table dropped
+    SimilaritySearch.ivfPqPairPin(spark, store)
+    assert(store.groupVersions("ivfpq_pair_meta").isDefined)
+    assert(!store.exists("ivfpq_pair_meta"),
+      "stale legacy pair table lingered after the marker migration")
+    assert(SimilaritySearch.ivfPqTopKStored(queries, "id", "embedding",
+      store, k = 5, probes = 8, cellCap = 1000).collect().toSeq == expected)
+  }
 }

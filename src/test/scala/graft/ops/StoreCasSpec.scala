@@ -585,4 +585,122 @@ class StoreCasSpec extends SparkSpec {
     // an unknown group refuses at read time
     intercept[IllegalStateException](store.readGroup(spark, "missing"))
   }
+
+  test("versioned commits return the version the call published") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("store-versioned"))
+    val (_, v0) = store.upsertBucketedVersioned(spark, "t",
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), numBuckets = 4)
+    assert(v0 == store.currentVersion("t").get)
+    val (_, v1) = store.upsertBucketedVersioned(spark, "t",
+      Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(v1 == v0 + 1 && v1 == store.currentVersion("t").get)
+    // empty delta: a version NO-OP reports the base it checked
+    // against, never a re-read head
+    val (_, vNoop) = store.upsertBucketedVersioned(spark, "t",
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))
+    assert(vNoop == v1)
+    // snapshot paths
+    val (_, s0) = store.commitNewVersioned(spark, "s",
+      Seq((1L, "a")).toDF("id", "v"))
+    assert(s0 == store.currentVersion("s").get)
+    val (_, pin) = store.readPinned(spark, "s")
+    assert(store.pinVersion(pin).contains(s0))
+    val (_, s1) = store.commitPinnedVersioned(spark,
+      Seq((2L, "b")).toDF("id", "v"), pin)
+    assert(s1 == s0 + 1 && s1 == store.currentVersion("s").get)
+  }
+
+  test("group commit pins the writer's OWN versions, not re-read heads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the ADVICE-medium shape: writer W commits its member, a
+    // competitor advances the same member, then W swaps the marker.
+    // W's vector must name the version W committed — the marker
+    // time-travels readers to a state some writer actually produced
+    // together, never a competitor's head woven in.
+    val store = new ParquetTableStore(tmpDir("store-group-own"),
+      keepVersions = 4)
+    val (_, vMine) = store.upsertBucketedVersioned(spark, "m",
+      Seq((1L, "mine")).toDF("id", "v"), Seq("id"), numBuckets = 2)
+    // competitor lands between W's member commit and W's marker swap
+    store.upsertBucketed(spark, "m",
+      Seq((1L, "competitor")).toDF("id", "v"), Seq("id"))
+    assert(store.currentVersion("m").get == vMine + 1)
+    store.withCommitRetries()(
+      store.commitGroup(Map("m" -> vMine), store.groupPin("own")))
+    val g = store.readGroup(spark, "own")
+    assert(g("m")._2 == vMine, s"marker pinned ${g("m")._2}, not $vMine")
+    assert(g("m")._1.filter(col("v") === "competitor").count() == 0,
+      "group read leaked the competitor's head — vector not the writer's")
+  }
+
+  test("group CAS loser re-asserts the live marker's cursor protection") {
+    import spark.implicits._
+    // protect-then-CAS under-protection (ADVICE-low): the registry is
+    // last-write-wins per consumer, so a loser registering at NEWER
+    // versions before losing the swap would leave the live marker's
+    // OLDER versions unprotected. The loser must re-assert the live
+    // vector's cursors before surfacing its conflict.
+    val store = new ParquetTableStore(tmpDir("store-group-reassert"),
+      keepVersions = 2)
+    def bump(tag: String): Long = {
+      store.commit(spark, "m", Seq((tag, 1L)).toDF("tag", "n"))
+      store.currentVersion("m").get
+    }
+    val vOld = bump("v0")
+    val vNew = { bump("v1"); bump("v2"); bump("v3") }
+    // both writers resolve the marker as ABSENT, then race
+    val pinLoser = store.groupPin("g")
+    store.commitGroup(Map("m" -> vOld), store.groupPin("g")) // winner
+    assert(store.cursorFloor("m").contains(vOld))
+    intercept[ConcurrentCommitException](
+      store.commitGroup(Map("m" -> vNew), pinLoser))
+    // without the re-assert the loser's pre-CAS registration (vNew,
+    // last write) would have clobbered the winner's vOld protection
+    assert(store.cursorFloor("m").contains(vOld),
+      s"loser clobbered the live marker's cursor: ${store.cursorFloor("m")}")
+  }
+
+  test("dropGroup: marker gone, protection released, recommit is a fresh group") {
+    import spark.implicits._
+    val store = new ParquetTableStore(tmpDir("store-group-drop"),
+      keepVersions = 2)
+    def bump(tag: String): Long = {
+      store.upsertBucketed(spark, "m",
+        Seq((tag, 1L)).toDF("tag", "n"), Seq("tag"), numBuckets = 2)
+      store.currentVersion("m").get
+    }
+    val v0 = bump("a")
+    store.withCommitRetries()(
+      store.commitGroup(Map("m" -> v0), store.groupPin("g")))
+    assert(store.listGroups == Seq("g"))
+    // a burst keeps v0 alive ONLY through the group's cursor
+    (1 to 5).foreach(i => bump(s"b$i"))
+    assert(store.versions("m").contains(v0),
+      "marker protection failed before the drop — test premise broken")
+    // lag report attributes the debt to the group
+    val lag = store.cursorLag(spark, "m")
+      .filter(org.apache.spark.sql.functions.col("group") === "g").collect()
+    assert(lag.length == 1 && lag(0).getAs[Long]("cursor_version") == v0)
+    // drop: reader refuses typed BEFORE protection lifts; the next
+    // publish physically prunes the ex-pinned version
+    assert(store.dropGroup("g"))
+    assert(store.listGroups.isEmpty)
+    intercept[IllegalStateException](store.readGroup(spark, "g"))
+    bump("after-drop")
+    assert(!store.versions("m").contains(v0),
+      "dropGroup did not release the group's retention protection")
+    // re-drop of an absent group: false, and sweeps any leaked cursor
+    assert(!store.dropGroup("g"))
+    // a commitGroup racing the drop with a stale pin loses typed and
+    // its retry re-creates the group from absence
+    val head = store.currentVersion("m").get
+    val stale = GroupPin("g", Map("m" -> v0), Some(s"m=$v0"))
+    intercept[ConcurrentCommitException](
+      store.commitGroup(Map("m" -> head), stale))
+    store.withCommitRetries()(
+      store.commitGroup(Map("m" -> head), store.groupPin("g")))
+    assert(store.readGroup(spark, "g")("m")._2 == head)
+  }
 }
