@@ -91,6 +91,18 @@ final case class GroupPin private[ops] (group: String,
     versions: Map[String, Long],
     private[ops] val raw: Option[String])
 
+/** Plan ingredients of one resolved store version for the SQL catalog
+  * face ([[ParquetTableStore.scanSpec]]): the catalog builds a
+  * manifest-fed, zone-skipping scan from these without touching the
+  * store's internals. `bucketCol` is Some for bucket-partitioned
+  * layouts (the column is layout-only and excluded from `schema`). */
+final case class StoreScanSpec private[ops] (rootDir: String,
+    schema: org.apache.spark.sql.types.StructType,
+    files: Seq[(String, Long)],
+    bucketCol: Option[String],
+    skip: Option[graft.sources.ZoneSkip],
+    version: Long)
+
 final class ParquetTableStore(root: String, keepVersions: Int = 2,
     io: StoreIo = StoreIo.default, maxRetained: Int = 64) {
   require(keepVersions >= 1)
@@ -212,6 +224,48 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       }
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
+
+  /** A vanished input file anywhere in a failure's cause chain —
+    * Spark wraps an executor-side FileNotFoundException in
+    * SparkException layers, so the match walks the chain (bounded:
+    * exception causes can self-reference). */
+  private def vanishedInputIn(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 16) {
+      t match {
+        case _: java.io.FileNotFoundException |
+             _: java.nio.file.NoSuchFileException => return true
+        case _ =>
+      }
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** EAGER-ACTION GUARD for the task-time vanished-version window
+    * [[readDir]] documents: a frame planned from a version RETAINED
+    * at plan time re-checks nothing at execution, so a version pruned
+    * between the plan and the action surfaces from the scan as a raw
+    * executor FileNotFoundException. Every store-OWNED eager consumer
+    * (the merge/fold/stats actions inside the commit paths) runs
+    * under this guard, which maps a vanished input anywhere in the
+    * failure's cause chain to the retryable
+    * [[ConcurrentCommitException]] — the [[changesBetween]] guarded()
+    * contract (re-read the winner, re-derive, retry under
+    * [[withCommitRetries]]). Long-lived CALLER frames keep the
+    * documented window: act on a frame while its version is retained
+    * (`keepVersions` / the cursor registry size that window). */
+  private def guardedAction[T](context: => String)(action: => T): T =
+    try action
+    catch {
+      case e: Throwable if vanishedInputIn(e) =>
+        throw new ConcurrentCommitException(
+          s"$context: an input file vanished mid-action — a concurrent " +
+            "commit advanced past retention while this frame executed; " +
+            "re-read and retry", e)
+    }
 
   /** `_manifest` rows (rel path, bytes) read DRIVER-SIDE with the
     * bare parquet reader — no Spark job: every [[readDir]] plans
@@ -396,6 +450,69 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     else Some(org.apache.spark.sql.types.DataType.fromJson(
       new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
       .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** The PLAN INGREDIENTS of a table's CURRENT version, for the SQL
+    * catalog face ([[graft.sources.GraftCatalog]]): root dir URI,
+    * canonical schema (bucket column EXCLUDED — it is layout, not
+    * data), manifest (rel path, bytes) rows, whether the layout is
+    * bucket-partitioned, the zone-skip stats, and the resolved
+    * version. Resolving this at `loadTable` time is what makes a
+    * catalog read bind the CURRENT version at ANALYSIS time — the
+    * property session views can't have (they bind at registration).
+    * Requires the `_schema.json` + `_manifest` sidecars every version
+    * this store writes carries; a pre-sidecar version refuses typed
+    * (one rewriting commit migrates it). */
+  private[graft] def scanSpec(table: String): StoreScanSpec = {
+    val p = currentPointer(table).getOrElse(
+      throw new IllegalStateException(
+        s"table $table has no committed version"))
+    val vdir = tableDir(table).resolve(dirNameOf(p))
+    def remap(e: Throwable): Nothing =
+      throw new ConcurrentCommitException(
+        s"version $vdir pruned during catalog resolution — a concurrent " +
+          "commit advanced past retention; re-read and retry", e)
+    try {
+      val schema = storedSchemaOf(vdir).getOrElse(
+        throw new IllegalStateException(
+          s"table $table version $vdir predates the _schema.json " +
+            "sidecar — rewrite it (any commit) before catalog reads"))
+      val rows = manifestRowsDirect(vdir).getOrElse(
+        throw new IllegalStateException(
+          s"table $table version $vdir predates the _manifest " +
+            "sidecar — rewrite it (any commit) before catalog reads"))
+      val partitioned = schema.fieldNames.contains(BucketCol) &&
+        rows.nonEmpty && rows.forall(_._1.startsWith(s"$BucketCol="))
+      StoreScanSpec(vdir.toUri.toString,
+        org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name == BucketCol)),
+        rows, if (partitioned) Some(BucketCol) else None,
+        zoneSkipOf(table, vdir, schema), versionOf(dirNameOf(p)))
+    } catch {
+      case e: java.nio.file.NoSuchFileException => remap(e)
+      case e: java.io.FileNotFoundException => remap(e)
+    }
+  }
+
+  /** Key columns stamped at bucketed-table creation (`_KEYS`,
+    * first-writer-wins like `_BUCKETS`) — what lets a DECLARATIVE
+    * writer (SQL `INSERT INTO` through the catalog) route rows to the
+    * LWW merge without the caller passing keys. None = a table
+    * created before the stamp existed (programmatic upserts keep
+    * passing keys explicitly; one `replaceBucketed` re-stamps). */
+  def keyColumns(table: String): Option[Seq[String]] =
+    if (!Files.exists(keysFile(table))) None
+    else Some(new String(Files.readAllBytes(keysFile(table)),
+      StandardCharsets.UTF_8).trim.split(',').toSeq)
+
+  private def keysFile(table: String): Path = tableDir(table).resolve("_KEYS")
+
+  private def stampKeys(table: String, keys: Seq[String]): Unit = {
+    Files.createDirectories(tableDir(table))
+    try Files.write(keysFile(table),
+      keys.mkString(",").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
   }
 
   /** A version dir as a frame, under its recorded canonical schema
@@ -1159,8 +1276,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       val curDir = tableDir(table).resolve(dirNameOf(prev.get))
       // which buckets does the delta touch? (≤ n ints — driver-safe)
       val inc = bucketed(incoming, n)
-      val touched = inc.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).toSet
+      val touched = guardedAction(s"upsert touched-set of $table") {
+        inc.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet
+      }
       // empty delta → version no-op (free — the touched set already
       // told us): onto an EMPTY table, the merged partitionBy write
       // would otherwise produce a fileless version and wedge every
@@ -1179,8 +1298,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
         Upserts.upsertLastWriteWins(stored, incA, keys), n)
       val staged = stagedDirName(versionOf(dirNameOf(prev.get)) + 1)
       val nextDir = tableDir(table).resolve(tmpName(staged))
-      merged.write.mode("errorifexists")
-        .partitionBy(BucketCol).parquet(nextDir.toString)
+      guardedAction(s"upsert merge of $table") {
+        merged.write.mode("errorifexists")
+          .partitionBy(BucketCol).parquet(nextDir.toString)
+      }
       writeSchemaFile(nextDir, merged.schema)
       shareUntouchedBuckets(curDir, nextDir, touched)
       // O(delta) map maintenance: the touched buckets' fresh files
@@ -1219,9 +1340,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       throw new IllegalStateException(s"table $table has no committed version"))
     val curDir = tableDir(table).resolve(dirNameOf(prev))
     val rem = removals.select(keys.map(col): _*).distinct()
-    val touched = rem
-      .select(pmod(hash(keys.map(col): _*), lit(n)).as("kb"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val touched = guardedAction(s"delete touched-set of $table") {
+      rem.select(pmod(hash(keys.map(col): _*), lit(n)).as("kb"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    }
     if (touched.isEmpty) return read(spark, table)
     val kept = readBucketRestricted(spark, curDir, touched)
       .filter(col(BucketCol).isin(touched.toSeq: _*))
@@ -1289,9 +1411,11 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // one aggregation derives BOTH the touched buckets and the label
     // audit (upsert and delete keys hash identically — every change
     // row marks its bucket)
-    val probe = changes
-      .groupBy(pmod(hash(keys.map(col): _*), lit(n)).as("kb"))
-      .agg(max(labelAudit).as("bad")).collect()
+    val probe = guardedAction(s"change-feed probe of $table") {
+      changes
+        .groupBy(pmod(hash(keys.map(col): _*), lit(n)).as("kb"))
+        .agg(max(labelAudit).as("bad")).collect()
+    }
     requireLabels(probe.flatMap(r => Option(r.getString(1))).toSeq)
     val delKeys = changes.filter(col("change") === "delete")
       .select(keys.map(col): _*).distinct()
@@ -1322,8 +1446,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val staged = stagedDirName(versionOf(dirNameOf(prev)) + 1)
     val nextDir = tableDir(table).resolve(tmpName(staged))
     val curDir = tableDir(table).resolve(dirNameOf(prev))
-    laid.write.mode("errorifexists")
-      .partitionBy(BucketCol).parquet(nextDir.toString)
+    guardedAction(s"touched-bucket rewrite of $table") {
+      laid.write.mode("errorifexists")
+        .partitionBy(BucketCol).parquet(nextDir.toString)
+    }
     writeSchemaFile(nextDir, laid.schema)
     shareUntouchedBuckets(curDir, nextDir, touched)
     val anyFiles = listDir(nextDir).exists(p => Files.isDirectory(p) &&
@@ -1387,7 +1513,10 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       df: DataFrame, prev: Option[String]): String = {
     val staged = stagedDirName(prev.map(p => versionOf(dirNameOf(p))).getOrElse(-1L) + 1)
     val dir = tableDir(table).resolve(tmpName(staged))
-    df.write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
+    guardedAction(s"bucketed commit of $table") {
+      df.write.mode("errorifexists").partitionBy(BucketCol)
+        .parquet(dir.toString)
+    }
     val hasData = listDir(dir).exists(p => Files.isDirectory(p) &&
       p.getFileName.toString.startsWith(s"$BucketCol="))
     if (!hasData) {
@@ -1409,6 +1538,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       incoming: DataFrame, keys: Seq[String], numBuckets: Int,
       sortWithin: Seq[String]): (DataFrame, Long) = {
     val n = stampBuckets(table, numBuckets)
+    stampKeys(table, keys)
     val staged = writeBucketedVersion(spark, table,
       layoutBuckets(incoming, n, keys, sortWithin), None)
     publish(table, staged, None)
@@ -1530,6 +1660,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       // adopt a pre-existing snapshot table: the rewrite replaces all
       // content, so stamping _BUCKETS now is safe (first writer wins)
       val n = stampBuckets(table, numBuckets)
+      stampKeys(table, keys)
       val prev = currentPointer(table)
       val staged = writeBucketedVersion(spark, table,
         layoutBuckets(df, n, keys, sortWithin), prev)
@@ -1964,7 +2095,9 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     val staged = stagedDirName(prev.map(p => versionOf(dirNameOf(p))).getOrElse(-1L) + 1)
     val dir = tableDir(table).resolve(tmpName(staged))
     val w = df.write.mode("errorifexists")
-    (if (partitioned) w.partitionBy(BucketCol) else w).parquet(dir.toString)
+    guardedAction(s"commit of $table") {
+      (if (partitioned) w.partitionBy(BucketCol) else w).parquet(dir.toString)
+    }
     writeSchemaFile(dir, df.schema)
     // snapshot commits rewrite everything — the zone map (when
     // declared) recomputes whole, version-atomically with the data

@@ -7,8 +7,9 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
 /** A competing writer published between this writer's snapshot read
   * and its publish attempt. The staged version directory is intact;
   * the caller may re-read the table, re-apply its delta, and retry. */
-final class ConcurrentCommitException(msg: String)
-  extends RuntimeException(msg)
+final class ConcurrentCommitException(msg: String,
+    cause: Throwable = null)
+  extends RuntimeException(msg, cause)
 
 /** A time-travel read's version fell out of the retention window
   * (pruned, or never committed) — permanently gone, so retrying is

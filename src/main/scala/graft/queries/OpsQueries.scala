@@ -1110,7 +1110,178 @@ object OpsQueries {
             FROM registry r CROSS JOIN const c
             ORDER BY consumer"""))
 
+  /** U23: the V2 TABLE CATALOG face ([[graft.sources.GraftCatalog]])
+    * — u12b/u14b's session views bound a version at REGISTRATION and
+    * went silently stale until re-registered; the catalog resolves
+    * the CURRENT version at ANALYSIS time, with zero registration:
+    * `spark.sql("… FROM <cat>.<table>")` after two conf keys. The
+    * scan underneath is the SAME manifest-fed, zone-skipping index
+    * as the programmatic read (ManifestV2FileIndex — CatalogSeamSpec
+    * pins it inside the BatchScan with pushdown/pruning intact).
+    * This gate runs u12's range query over the z-ordered published
+    * artifact through a catalog identifier against u12's oracle. */
+  private val u23 = QueryDef(
+    "u23_v2_catalog_read",
+    "V2 catalog read: u12's range query via catalog identifier ≡ u12's oracle",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      val root = graft.ops.Scratch.tempDir("graft-u23-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.commit(s, "fact", li)
+      graft.ops.Layout.zorderPublish(s, store, "fact", "fact_pub",
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), numFiles = 8)
+      s.conf.set("spark.sql.catalog.u23cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.u23cat.root", s"$root/store")
+      s.sql("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                      l_quantity
+               FROM u23cat.fact_pub
+               WHERE l_partkey BETWEEN 100 AND 300
+               ORDER BY l_orderkey, l_linenumber""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              l_quantity
+            FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** U23b: the catalog's WRITE face + analysis-time version binding —
+    * u14's full bucketed write surface (appends, rewriting upsert,
+    * compaction) built programmatically, then a SQL `INSERT INTO`
+    * through the catalog: the insert lands as a REAL store commit
+    * (CAS publish, LWW merge on the stamped `_KEYS`, manifest and
+    * zone-map maintenance, retention), and the very next catalog
+    * query sees it with no registration or refresh — the property
+    * the session views could not have. The oracle is u14's plus the
+    * inserted row. */
+  private val u23b = QueryDef(
+    "u23b_v2_catalog_insert",
+    "V2 catalog INSERT round-trip: SQL write is a store commit, read sees it",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val mx = ev.agg(max("event_id")).head.getLong(0)
+      val (c1, c2) = (mx / 3, 2 * (mx / 3))
+      val root = graft.ops.Scratch.tempDir("graft-u23b-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") <= c1),
+        Seq("event_id"), numBuckets = 8)
+      store.appendBucketed(s, "ev",
+        ev.filter(col("event_id") > c1 && col("event_id") <= c2),
+        Seq("event_id"))
+      store.appendBucketed(s, "ev", ev.filter(col("event_id") > c2),
+        Seq("event_id"))
+      store.upsertBucketed(s, "ev",
+        ev.filter(col("event_id") % 100 === 0)
+          .select(col("event_id"), col("user_id"),
+            lit("UPD").as("event_type")),
+        Seq("event_id"))
+      store.compactBuckets(s, "ev", maxFilesPerBucket = 2)
+      s.conf.set("spark.sql.catalog.u23bcat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.u23bcat.root", s"$root/store")
+      val vBefore = store.currentVersion("ev").get
+      s.sql("INSERT INTO u23bcat.ev VALUES " +
+        "(-1L, -1L, 'SQLROW'), (-2L, -2L, 'SQLROW')")
+      require(store.currentVersion("ev").contains(vBefore + 1),
+        "u23b: SQL INSERT did not publish a store version")
+      // the u20 invariant survives the SQL writer: manifest-planned
+      // and listing-planned reads agree on the post-insert table
+      require(store.read(s, "ev").count() ==
+        store.readLegacy(s, "ev").count(),
+        "u23b: SQL INSERT broke the manifest sidecar")
+      s.sql("""SELECT event_id, user_id, event_type
+               FROM u23bcat.ev
+               WHERE event_id % 97 = 0 OR event_id < 0
+               ORDER BY event_id""")
+    },
+    Some("""SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id,
+                CASE WHEN event_id % 100 = 0 THEN 'UPD'
+                     ELSE event_type END AS event_type
+              FROM events
+              UNION ALL
+              SELECT -1::BIGINT, -1::BIGINT, 'SQLROW'
+              UNION ALL
+              SELECT -2::BIGINT, -2::BIGINT, 'SQLROW')
+            WHERE event_id % 97 = 0 OR event_id < 0
+            ORDER BY event_id"""))
+
+  /** U24: GROUP LIFECYCLE END ([[graft.ops.ParquetTableStore
+    * .dropGroup]]) — [[graft.ops.ParquetTableStore.commitGroup]]
+    * registers a cursor that protects the marker's versions, and
+    * before this round NOTHING ever released it: a retired group (an
+    * abandoned composed loop, an index pair rebuilt under a new name)
+    * pinned up to `protectCap` versions on every member FOREVER — the
+    * exact retention-debt class u22's report exists to expose. The
+    * gate drives six upsert spans under keepVersions=2 with a marker
+    * pinned at span 1, asserts the protection physically held (v1
+    * retained through the burst, the lag report attributing the debt
+    * to the group via its `group` column, the pinned snapshot
+    * answering exactly span-≤1 content), then DROPS the group and
+    * asserts the full release: listGroups empty, readGroup refusing
+    * typed, and the next publish physically pruning the ex-pinned
+    * version. Returns the live table content against the plain
+    * upsert-fold oracle; the drop-vs-concurrent-commitGroup race and
+    * the loser's cursor re-assert are spec-pinned (StoreCasSpec). */
+  private val u24 = QueryDef(
+    "u24_group_lifecycle",
+    "dropGroup releases marker protection; pinned snapshot exact before drop",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-u24-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 2)
+      var pinnedV = -1L
+      for (i <- 0 to 5) {
+        val (_, v) = store.upsertBucketedVersioned(s, "corpus",
+          d.filter(col("doc_id") % 6 === i), Seq("doc_id"), numBuckets = 8)
+        if (i == 1) {
+          pinnedV = v
+          store.withCommitRetries()(store.commitGroup(
+            Map("corpus" -> v), store.groupPin("audit")))
+        }
+      }
+      // the marker's cursor physically held span 1 through the burst
+      require(store.versions("corpus").contains(pinnedV),
+        s"u24: marker protection failed: ${store.versions("corpus")}")
+      require(store.listGroups == Seq("audit"),
+        s"u24: listGroups drifted: ${store.listGroups}")
+      // the lag report attributes the debt to the GROUP, not an
+      // opaque registry string: cursor at v1, 3 versions (1,2,3)
+      // alive only through it (plain floor = 5-2+1 = 4)
+      val lag = store.cursorLag(s, "corpus")
+        .filter(col("group") === "audit").collect()
+      require(lag.length == 1 &&
+        lag(0).getAs[Long]("cursor_version") == pinnedV &&
+        lag(0).getAs[Long]("versions_protected") == 3L,
+        s"u24: lag report wrong: ${lag.mkString(";")}")
+      // the pinned snapshot answers exactly span-≤1 content
+      val pinned = store.readGroup(s, "audit")("corpus")._1
+      require(pinned.filter(col("doc_id") % 6 >= 2).limit(1).count() == 0,
+        "u24: group read leaked post-pin spans")
+      require(pinned.count() == d.filter(col("doc_id") % 6 <= 1).count(),
+        "u24: group read lost pinned rows")
+      // DROP: marker gone first (readers refuse typed before any
+      // protection lifts), then the next publish prunes v1
+      require(store.dropGroup("audit"), "u24: dropGroup found no marker")
+      require(store.listGroups.isEmpty, "u24: marker survived the drop")
+      require(!store.dropGroup("audit"), "u24: re-drop claimed a marker")
+      val refused =
+        try { store.readGroup(s, "audit"); false }
+        catch { case _: IllegalStateException => true }
+      require(refused, "u24: readGroup answered after the drop")
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 6 === 0), Seq("doc_id"))
+      require(!store.versions("corpus").contains(pinnedV),
+        "u24: dropGroup did not release the retention protection — " +
+          s"v$pinnedV still retained: ${store.versions("corpus")}")
+      store.read(s, "corpus").select("doc_id", "text").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text FROM documents ORDER BY doc_id"""))
+
   def defs: Seq[QueryDef] =
     Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u12b, u13, u14,
-      u14b, u15, u16, u17, u18, u19, u20, u21, u22)
+      u14b, u15, u16, u17, u18, u19, u20, u21, u22, u23, u23b, u24)
 }

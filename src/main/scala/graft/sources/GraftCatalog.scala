@@ -1,0 +1,267 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{PartitionPath, PartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.{ParquetTableStore, StoreScanSpec}
+
+/** [[ManifestFileIndex]] adapted to the `PartitioningAwareFileIndex`
+  * shape Spark's DSv2 file sources plan through — what lets the V2
+  * catalog face ([[GraftCatalog]]) reuse Spark's own
+  * `ParquetScanBuilder` (column pruning, filter pushdown, partition
+  * split) while EVERY listing decision still comes from the store's
+  * `_manifest` sidecar and zone map: `listFiles` delegates verbatim
+  * to the wrapped manifest index, so a catalog scan pays zero
+  * directory listing and data-skips files exactly like the
+  * programmatic `store.read` path. The abstract leaf-map members are
+  * materialized from the same manifest rows (they feed only
+  * `allFiles`/size estimates — never a filesystem walk). */
+final class ManifestV2FileIndex(spark: SparkSession, rootDir: String,
+    files: Seq[(String, Long)], partSchema: StructType,
+    skip: Option[ZoneSkip])
+  extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+
+  private val inner = new ManifestFileIndex(rootDir, files, partSchema, skip)
+  private val rootHPath = new HPath(rootDir)
+  private val statuses: Seq[FileStatus] = files.map { case (rel, bytes) =>
+    new FileStatus(bytes, false, 1, 128L << 20, 0L,
+      new HPath(rootHPath, rel))
+  }
+
+  override def partitionSpec(): PartitionSpec =
+    if (partSchema.isEmpty) PartitionSpec.emptySpec
+    else {
+      val pcol = partSchema.fields.head.name
+      val dirs = files.map(_._1.takeWhile(_ != '/')).distinct
+        .map(d => d.stripPrefix(s"$pcol=").toInt -> d).sortBy(_._1)
+      PartitionSpec(partSchema, dirs.map { case (v, d) =>
+        PartitionPath(InternalRow(v), new HPath(rootHPath, d))
+      })
+    }
+
+  override protected def leafFiles
+      : scala.collection.mutable.LinkedHashMap[HPath, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[HPath, FileStatus]
+    statuses.foreach(s => m.put(s.getPath, s))
+    m
+  }
+
+  override protected def leafDirToChildrenFiles
+      : Map[HPath, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent)
+      .map { case (d, fs) => d -> fs.toArray }
+
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+    inner.listFiles(partitionFilters, dataFilters)
+
+  override def rootPaths: Seq[HPath] = inner.rootPaths
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = inner.sizeInBytes
+  override def inputFiles: Array[String] = inner.inputFiles
+}
+
+/** One resolved store version as a Spark DSv2 [[Table]]: reads plan
+  * through [[ManifestV2FileIndex]] (manifest-fed, zone-skipping —
+  * bit-identical planning to the programmatic `store.read`), writes
+  * fall back to the V1 [[InsertableRelation]] seam and land as REAL
+  * store commits — `INSERT INTO` is an LWW [[ParquetTableStore
+  * .upsertBucketed]] on the stamped key columns (bucketed tables) or
+  * a pinned append commit (snapshot tables); `INSERT OVERWRITE` is
+  * `replaceBucketed`/`commit`. Every write rides the store's CAS
+  * publish, manifest/zone-map maintenance, and retention — a SQL
+  * writer and a programmatic writer are indistinguishable to readers.
+  *
+  * The version binds when the catalog LOADS the table — analysis
+  * time — which is the property [[StoreViews]]' session views could
+  * not have (they bind at registration and go silently stale). */
+final class GraftTable(spark: SparkSession, store: ParquetTableStore,
+    tableName: String, qualified: String, spec: StoreScanSpec)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = qualified
+  override def schema(): StructType = spec.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("version", spec.version.toString)
+    m.put("format", "graft-store-parquet")
+    m
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val partSchema = spec.bucketCol match {
+      case Some(bc) =>
+        // layout-only: the bucket value types as the canonical schema
+        // typed it, but the column is NOT in the exposed schema, so
+        // SQL never projects or filters it — partition pruning is the
+        // programmatic path's optimization, data skipping is SQL's
+        new StructType(Array(StructField(bc,
+          org.apache.spark.sql.types.IntegerType, nullable = true)))
+      case None => new StructType()
+    }
+    ParquetScanBuilder(spark,
+      new ManifestV2FileIndex(spark, spec.rootDir, spec.files, partSchema,
+        spec.skip),
+      spec.schema, spec.schema, options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // append by default; INSERT OVERWRITE arrives as a true-literal
+      // OverwriteByExpression, which Spark maps to truncate() on a
+      // SupportsTruncate builder — the V1 fallback then receives
+      // overwrite=true and replaces wholesale through the store
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        private val overwrite = overwriteAll
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                ignoredOverwrite: Boolean): Unit = {
+              val s = data.sparkSession
+              store.withCommitRetries() {
+                store.numBuckets(tableName) match {
+                  case Some(n) =>
+                    val keys = store.keyColumns(tableName).getOrElse(
+                      throw new IllegalStateException(
+                        s"table $tableName has no _KEYS stamp — SQL " +
+                          "INSERT needs the key columns; re-stamp via " +
+                          "one replaceBucketed"))
+                    if (overwrite)
+                      store.replaceBucketed(s, tableName, data, keys, n)
+                    else store.upsertBucketed(s, tableName, data, keys, n)
+                  case None =>
+                    if (overwrite) store.commit(s, tableName, data)
+                    else {
+                      // pinned append: a competitor landing between
+                      // the read and this commit fails the CAS and
+                      // the retry re-reads — never a lost update
+                      val (stored, pin) = store.readPinned(s, tableName)
+                      store.commitPinned(s, stored.unionByName(data), pin)
+                    }
+                }
+              }
+              ()
+            }
+          }
+      }
+    }
+}
+
+/** Spark V2 `TableCatalog` over a [[graft.ops.ParquetTableStore]] —
+  * the store's SQL face, replacing [[StoreViews]]' manual-refresh
+  * session views (kept as the lightweight twin):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.mystore",
+  *   "graft.sources.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.mystore.root", "/data/store")
+  * spark.sql("SELECT … FROM mystore.corpus WHERE ts > …")
+  * spark.sql("INSERT INTO mystore.corpus SELECT …")
+  * }}}
+  *
+  * `loadTable` resolves the table's CURRENT version — so every query
+  * binds the head at ANALYSIS time, no registration or refresh — and
+  * returns a [[GraftTable]] whose scan plans from the `_manifest`
+  * sidecar with zone-map data skipping, and whose `INSERT` lands as a
+  * real store commit (CAS publish, manifest/zone-map maintenance,
+  * retention — the full protocol). The `root` option re-reads the
+  * LIVE session conf on each load, so repointing the catalog at
+  * another store is one `conf.set`, not a session rebuild.
+  *
+  * DDL surface: `DROP TABLE` maps to [[ParquetTableStore.dropTable]];
+  * CREATE/ALTER/RENAME refuse — store tables are created by their
+  * first commit (the store's create-CAS discipline), which SQL DDL
+  * with no data cannot express faithfully. */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var initOptions: CaseInsensitiveStringMap = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initOptions = options
+  }
+
+  override def name(): String = catalogName
+
+  /** The store root resolved from the LIVE conf (catalog instances
+    * are cached per session; reading the conf per call lets
+    * `conf.set("spark.sql.catalog.<name>.root", …)` repoint the
+    * cached instance). */
+  private def storeAndSession: (ParquetTableStore, SparkSession) = {
+    val spark = SparkSession.active
+    val root = spark.conf.getOption(s"spark.sql.catalog.$catalogName.root")
+      .orElse(Option(initOptions.get("root")))
+      .getOrElse(throw new IllegalStateException(
+        s"catalog $catalogName needs spark.sql.catalog.$catalogName.root"))
+    val keep = spark.conf
+      .getOption(s"spark.sql.catalog.$catalogName.keepVersions")
+      .orElse(Option(initOptions.get("keepVersions")))
+      .map(_.toInt).getOrElse(2)
+    (new ParquetTableStore(root, keepVersions = keep), spark)
+  }
+
+  private def requireTopLevel(ident: Identifier): String = {
+    if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
+    ident.name()
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val (store, _) = storeAndSession
+    if (namespace.nonEmpty) Array.empty
+    else store.tables.map(t => Identifier.of(Array.empty, t)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = requireTopLevel(ident)
+    val (store, spark) = storeAndSession
+    if (!store.exists(t)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, store, t, s"$catalogName.$t", store.scanSpec(t))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && storeAndSession._1.exists(ident.name())
+
+  override def dropTable(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && storeAndSession._1.dropTable(ident.name())
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName: store tables are created by their first " +
+        "commit (upsertBucketed/commit) — the create-CAS discipline SQL " +
+        "DDL with no data cannot express; create programmatically, then " +
+        "SELECT/INSERT here")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName: schema evolves add-only through commits " +
+        "(SchemaEvolution.align), not DDL")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName: rename is cloneTable + dropTable — an " +
+        "explicit two-step, never a silent pointer move")
+}

@@ -1061,4 +1061,36 @@ class ParquetTableStoreSpec extends SparkSpec {
       store.readZonePruned(spark, "t", "k", 10, 60).count())
     assert(e.getMessage.contains("desync"))
   }
+
+  test("version pruned between plan and action: store-owned eager paths refuse typed") {
+    import spark.implicits._
+    // the task-time vanished-version window: a frame BOUND while its
+    // version was retained re-checks nothing at execution, so a prune
+    // landing in between surfaces from the scan as a raw executor
+    // FileNotFoundException. Store-owned eager consumers (the
+    // merge/collect actions inside every commit path) must map it to
+    // the retryable ConcurrentCommitException instead — re-read the
+    // winner, re-derive, retry (the changesBetween guarded contract).
+    val root = tmpDir("store-plan-action")
+    val store = new ParquetTableStore(root, keepVersions = 1)
+    val base = (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 2) // v0
+    val boundAtV0 = store.read(spark, "t") // lazy; plans v0's files
+    // two commits prune v0 out from under the bound frame
+    store.upsertBucketed(spark, "t", Seq((1L, "x")).toDF("k", "v"), Seq("k"))
+    store.upsertBucketed(spark, "t", Seq((2L, "y")).toDF("k", "v"), Seq("k"))
+    assert(!store.versions("t").contains(0L), "test premise: v0 pruned")
+    // bucketed path: the touched-set collect consumes the dead frame
+    val e1 = intercept[ConcurrentCommitException](
+      store.upsertBucketed(spark, "t2", boundAtV0, Seq("k"), numBuckets = 2))
+    assert(e1.getMessage.contains("vanished mid-action"), e1.getMessage)
+    // snapshot path: the staging write consumes the dead frame
+    val e2 = intercept[ConcurrentCommitException](
+      store.commit(spark, "t3", boundAtV0))
+    assert(e2.getMessage.contains("vanished mid-action"), e2.getMessage)
+    // and a LIVE frame through the same paths still lands fine
+    store.upsertBucketed(spark, "t2", store.read(spark, "t"), Seq("k"),
+      numBuckets = 2)
+    assert(store.read(spark, "t2").count() == 40L)
+  }
 }
