@@ -62,6 +62,18 @@ final class HttpApi(spark: SparkSession, store: ParquetTableStore,
           .limit(2).toJSON.collect()
         if (rows.isEmpty) (404, """{"error":"Video not found"}""")
         else (200, rows.head)
+      // store observability (the engine's own dashboard: the gated
+      // tableStats/groupStats/cursorLag queries as JSON routes)
+      case "api" :: "store" :: "stats" :: Nil =>
+        (200, toJsonArray(store.tableStats(spark)
+          .orderBy("table")))
+      case "api" :: "store" :: "groups" :: Nil =>
+        (200, toJsonArray(store.groupStats(spark)
+          .orderBy("group", "table")))
+      case "api" :: "store" :: "lag" :: tbl :: Nil =>
+        if (!store.exists(tbl)) (404, """{"error":"Table not found"}""")
+        else (200, toJsonArray(store.cursorLag(spark, tbl)
+          .orderBy("consumer")))
       case _ => (404, """{"error":"Not found"}""")
     }
   }

@@ -652,6 +652,32 @@ object Main {
         }
         println(s"gc done (${tables.size} tables, ${hours}h age gate)")
 
+      case "stats" =>
+        // store observability: per-table dashboard (versions, files,
+        // bytes, layout stamps), group-marker vectors with staleness,
+        // and per-consumer retention debt (the cursorLag report, with
+        // group attribution) — the reference's summary-stats dashboard
+        // shape (display.py:153-187) pointed at the ENGINE's own state
+        val one = if (args.length > 2) Some(args(2)) else None
+        println("== tables ==")
+        store.tableStats(spark)
+          .filter(one.map(t => col("table") === t)
+            .getOrElse(lit(true)))
+          .orderBy("table").show(1000, truncate = false)
+        val groups = store.groupStats(spark)
+        if (groups.limit(1).count() > 0) {
+          println("== groups ==")
+          groups.orderBy("group", "table").show(1000, truncate = false)
+        }
+        val lagTables = one.map(Seq(_)).getOrElse(store.tables)
+        lagTables.foreach { tbl =>
+          val lag = store.cursorLag(spark, tbl)
+          if (lag.limit(1).count() > 0) {
+            println(s"== consumers of $tbl ==")
+            lag.orderBy("consumer").show(1000, truncate = false)
+          }
+        }
+
       case other =>
         sys.error(s"unknown command '$other' — see graft.app.Main scaladoc")
     }

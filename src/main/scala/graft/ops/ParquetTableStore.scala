@@ -270,34 +270,135 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   /** `_manifest` rows (rel path, bytes) read DRIVER-SIDE with the
     * bare parquet reader — no Spark job: every [[readDir]] plans
     * through these rows, and a scheduler round-trip per read would
-    * tax all the small store reads the battery is full of. The
-    * sidecar is one coalesced file (≤ a few MB at 10⁶ files), and
-    * the row array is exactly the FileStatus list the FileIndex must
-    * hold on the driver anyway. Distributed consumers (maintenance
-    * rollups, [[fileStats]]) keep reading it as a frame via
-    * [[manifestAt]]. None = the version predates manifests. */
-  private def manifestRowsDirect(vdir: Path): Option[Seq[(String, Long)]] = {
+    * tax all the small store reads the battery is full of. The row
+    * array is exactly the FileStatus list the FileIndex must hold on
+    * the driver anyway. Large manifests are written as SLICES
+    * ([[writeManifestFrame]] — range-partitioned and sorted by rel
+    * path, ~128k rows each) and parse in PARALLEL here: the bare
+    * Group reader runs ~6 s/10⁶ rows single-threaded (the
+    * ManifestProbe 10⁶ row), which a thread per slice collapses to
+    * ~1 s. Distributed consumers (maintenance rollups, [[fileStats]])
+    * keep reading the same sidecar as a frame via [[manifestAt]].
+    * None = the version predates manifests. */
+  private def manifestRowsDirect(vdir: Path): Option[Seq[(String, Long)]] =
+    manifestRowsSliced(vdir, None)
+
+  /** [[manifestRowsDirect]] restricted to rel-path `prefixes` (the
+    * bucket-restricted read): slices whose footer min/max rel-path
+    * range provably misses every prefix are SKIPPED without parsing
+    * a row — a touched-bucket read of a 10⁶-file version parses only
+    * its own slice(s), not the whole sidecar. Sliced manifests are
+    * sorted by rel path, so bucket prefixes concentrate in few
+    * slices; stats-less or anomalous slices parse conservatively. */
+  private def manifestRowsSliced(vdir: Path,
+      prefixes: Option[Set[String]]): Option[Seq[(String, Long)]] = {
     val mdir = vdir.resolve(ManifestDir)
     if (!Files.exists(mdir)) None
     else {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      listDir(mdir)
+      val parts = listDir(mdir)
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
-        .foreach { p =>
-          val reader = org.apache.parquet.hadoop.ParquetReader.builder(
-            new org.apache.parquet.hadoop.example.GroupReadSupport(),
-            new org.apache.hadoop.fs.Path(p.toUri)).build()
-          try {
-            var g = reader.read()
-            while (g != null) {
-              buf += ((g.getString("file", 0), g.getLong("bytes", 0)))
-              g = reader.read()
-            }
-          } finally reader.close()
+      val kept = prefixes match {
+        case Some(ps) => parts.filter(p => sliceMayContain(p, ps))
+        case None => parts
+      }
+      val parsed: Seq[Seq[(String, Long)]] =
+        if (kept.size <= 1) kept.map(parseManifestSlice)
+        else {
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(math.min(8, kept.size))
+          try kept.map(p => pool.submit(
+              new java.util.concurrent.Callable[Seq[(String, Long)]] {
+                def call(): Seq[(String, Long)] = parseManifestSlice(p)
+              })).map(_.get())
+          finally pool.shutdown()
         }
-      Some(buf.toSeq)
+      val rows = parsed.flatten
+      Some(prefixes match {
+        case Some(ps) => rows.filter(r => ps.exists(r._1.startsWith(_)))
+        case None => rows
+      })
     }
+  }
+
+  private def parseManifestSlice(p: Path): Seq[(String, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+      new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(p.toUri)).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        buf += ((g.getString("file", 0), g.getLong("bytes", 0)))
+        g = reader.read()
+      }
+    } finally reader.close()
+    buf.toSeq
+  }
+
+  /** Could slice `part` hold a rel path starting with any of
+    * `prefixes`? Decided from the parquet FOOTER's per-row-group
+    * min/max stats of the `file` column — a footer-only read, no row
+    * decode. Paths are ASCII, so byte-lexicographic parquet stats
+    * order agrees with string order; a prefix `p` covers exactly
+    * [p, next(p)) where next increments p's last char. Anomalies
+    * (missing stats, unreadable footer) answer true — parse it. */
+  private def sliceMayContain(part: Path, prefixes: Set[String]): Boolean = {
+    def next(p: String): String =
+      p.substring(0, p.length - 1) + (p.charAt(p.length - 1) + 1).toChar
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks
+        if (blocks.isEmpty) false // no rows — nothing to miss
+        else {
+          import scala.jdk.CollectionConverters._
+          blocks.asScala.exists { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == "file") match {
+              case Some(cc) =>
+                val st = cc.getStatistics
+                if (st == null || !st.hasNonNullValue) true
+                else {
+                  val mn = new String(st.getMinBytes,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  val mx = new String(st.getMaxBytes,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  prefixes.exists(p =>
+                    mx.compareTo(p) >= 0 && mn.compareTo(next(p)) < 0)
+                }
+              case None => true
+            }
+          }
+        }
+      } finally r.close()
+    } catch { case _: Exception => true }
+  }
+
+  /** Exact row count of a version's manifest from slice FOOTERS only
+    * (no row decode) — sizes the next version's slice count without
+    * a Spark job. 0 for absent/pre-manifest. */
+  private def manifestRowCountAt(vdir: Path): Long = {
+    val mdir = vdir.resolve(ManifestDir)
+    if (!Files.exists(mdir)) 0L
+    else listDir(mdir)
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri),
+            new org.apache.hadoop.conf.Configuration())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          } finally r.close()
+        } catch { case _: Exception => 0L }
+      }.sum
   }
 
   /** The version's zone-map sidecar as [[graft.sources.ZoneSkip]]
@@ -388,19 +489,24 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * [[ConcurrentCommitException]], never a silently-empty frame. */
   private def readBucketRestricted(spark: SparkSession, vdir: Path,
       kbs: Set[Int]): DataFrame =
-    try (storedSchemaOf(vdir), manifestRowsDirect(vdir)) match {
-      case (Some(s), Some(rows)) =>
-        val bucketLayout = rows.nonEmpty &&
-          rows.forall(_._1.startsWith(s"$BucketCol="))
+    try (storedSchemaOf(vdir),
+        Files.exists(vdir.resolve(ManifestDir))) match {
+      case (Some(s), true) =>
+        // bucket layout iff bucket dirs exist (the fileless-empty
+        // version writes root files) — an O(buckets) listing, never
+        // O(files); the restricted parse then touches ONLY slices
+        // whose footer range intersects the requested buckets
+        val bucketLayout = listDir(vdir).exists(p =>
+          Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(s"$BucketCol="))
         val use =
-          if (!bucketLayout) rows // root-file (empty) layout: kb is data
-          else {
-            val prefixes = kbs.map(b => s"$BucketCol=$b/")
-            rows.filter(r => prefixes.exists(r._1.startsWith))
-          }
+          if (!bucketLayout) // root-file (empty) layout: kb is data
+            manifestRowsDirect(vdir).get
+          else manifestRowsSliced(vdir,
+            Some(kbs.map(b => s"$BucketCol=$b/"))).get
         graft.sources.ManifestFileIndex.storeFrame(spark,
           vdir.toUri.toString, s, use, BucketCol)
-      case (Some(s), None) if s.fieldNames.contains(BucketCol) =>
+      case (Some(s), false) if s.fieldNames.contains(BucketCol) =>
         val dirs = kbs.toSeq.sorted.map(b => vdir.resolve(s"$BucketCol=$b"))
           .filter(Files.isDirectory(_))
         if (dirs.isEmpty && !Files.exists(vdir))
@@ -1002,9 +1108,25 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * before the manifest existed fall back to directory listing. */
   private val ManifestDir = "_manifest"
 
-  private def writeManifestFrame(stagedTmpDir: Path, m: DataFrame): Unit =
-    m.coalesce(1).write.mode("errorifexists")
+  /** Write a version's `_manifest`: one coalesced file normally; at
+    * `estRows` ≳ 128k, SLICES — range-partitioned and sorted by rel
+    * path (≤ 32 files) — so [[manifestRowsDirect]] parses them in
+    * parallel and a bucket-restricted read skips non-intersecting
+    * slices by footer stats ([[sliceMayContain]]). Sorting makes each
+    * slice a tight disjoint rel-path range; bucket prefixes land in
+    * few slices. `estRows` comes from driver-known listings + the
+    * previous version's footer row count — never a Spark job. */
+  private def writeManifestFrame(stagedTmpDir: Path, m: DataFrame,
+      estRows: Long = 0L): Unit = {
+    val slices = math.max(1L, math.min(32L, (estRows + 131071L) / 131072L))
+      .toInt
+    val laid =
+      if (slices <= 1) m.coalesce(1)
+      else m.repartitionByRange(slices, col("file"))
+        .sortWithinPartitions("file")
+    laid.write.mode("errorifexists")
       .parquet(stagedTmpDir.resolve(ManifestDir).toString)
+  }
 
   private def manifestAt(spark: SparkSession, vdir: Path): Option[DataFrame] = {
     val m = vdir.resolve(ManifestDir)
@@ -1042,8 +1164,9 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   /** Full-recompute manifest for a staged dir (everything fresh). */
   private def writeFullManifest(spark: SparkSession, nextDir: Path): Unit = {
     import spark.implicits._
-    writeManifestFrame(nextDir,
-      listedManifestRows(nextDir, None).toDF("file", "bytes"))
+    val rows = listedManifestRows(nextDir, None)
+    writeManifestFrame(nextDir, rows.toDF("file", "bytes"),
+      estRows = rows.size.toLong)
   }
 
   /** O(delta) manifest for a staged BUCKETED version, post-link:
@@ -1066,9 +1189,12 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     }
     carried match {
       case Some(c) =>
+        val fresh = listedManifestRows(nextDir, touched)
         writeManifestFrame(nextDir,
-          listedManifestRows(nextDir, touched).toDF("file", "bytes")
-            .unionByName(c.select("file", "bytes")))
+          fresh.toDF("file", "bytes")
+            .unionByName(c.select("file", "bytes")),
+          estRows = fresh.size.toLong + manifestRowCountAt(
+            tableDir(table).resolve(dirNameOf(prev.get))))
       case None => writeFullManifest(spark, nextDir)
     }
   }
@@ -1623,9 +1749,11 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       prevMan.foreach { pm =>
         import spark.implicits._
         val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
+        val fresh = listedManifestRows(nextDir, None)
         writeManifestFrame(nextDir,
-          listedManifestRows(nextDir, None).toDF("file", "bytes")
-            .unionByName(pm.filter(kb =!= "").select("file", "bytes")))
+          fresh.toDF("file", "bytes")
+            .unionByName(pm.filter(kb =!= "").select("file", "bytes")),
+          estRows = fresh.size.toLong + manifestRowCountAt(curDir))
       }
       // touched = none: every existing file links across (append-only
       // — fresh part names are job-UUID-unique, so a bucket dir holds
@@ -1764,7 +1892,9 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * NO new version published (maintenance never churns versions
     * for its own sake). */
   def compactBuckets(spark: SparkSession, table: String,
-      maxFilesPerBucket: Int = 4): Set[Int] = {
+      maxFilesPerBucket: Int = 4,
+      clusterBy: Option[String] = None,
+      clusterRowsPerFile: Long = 1L << 20): Set[Int] = {
     require(maxFilesPerBucket >= 1)
     numBuckets(table).getOrElse(throw new IllegalStateException(
       s"table $table is not bucketed; snapshot tables rewrite whole on commit"))
@@ -1807,25 +1937,58 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
               "competitor's swept publish is mid-undo; re-read and retry")
       }
     val rewrite = counts.filter(_._2 > maxFilesPerBucket).keySet
-    compactBucketSet(spark, table, rewrite, prev)
+    compactBucketSet(spark, table, rewrite, prev, clusterBy,
+      clusterRowsPerFile)
   }
 
   /** Rewrite exactly `rewrite`'s buckets of the version pinned by
-    * `prev` down to one file each — the shared compaction tail of
-    * [[compactBuckets]] (count trigger) and [[autoMaintain]]
-    * (size-tiered policy). Empty set ⇒ no version published. */
+    * `prev` — the shared compaction tail of [[compactBuckets]]
+    * (count trigger) and [[autoMaintain]] (size-tiered policy).
+    * Empty set ⇒ no version published.
+    *
+    * ZONE CLUSTERING (the Delta OPTIMIZE ZORDER shape, single
+    * column): plain compaction rewrites debt buckets AS-IS, so an
+    * organically-grown table's per-file min/max ranges on the zone
+    * column overlap and [[graft.sources.ManifestFileIndex]]'s data
+    * skipping keeps everything. With `clusterBy = Some(c)` the
+    * rewrite SORTS each bucket by `c` and splits it into
+    * `clusterRowsPerFile`-row files — sequential slices of a sorted
+    * stream, so every file covers a TIGHT disjoint `c`-range and a
+    * range predicate over the zone map (and parquet's own row-group
+    * stats) cuts to the few files that matter. `c` must already be a
+    * declared zone column (the map is maintained in the same version
+    * publish — there is nothing to cluster FOR otherwise). Answers
+    * are invariant (ZoneMapSpec pins shuffled ≡ clustered); size
+    * `clusterRowsPerFile` so a bucket splits into ≤ the maintenance
+    * policy's `maxFilesPerBucket` files, or the count tier re-elects
+    * the bucket every pass (idempotent rewrites — cost, not drift). */
   private def compactBucketSet(spark: SparkSession, table: String,
-      rewrite: Set[Int], prev: String): Set[Int] = {
+      rewrite: Set[Int], prev: String,
+      clusterBy: Option[String] = None,
+      clusterRowsPerFile: Long = 1L << 20): Set[Int] = {
     val curDir = tableDir(table).resolve(dirNameOf(prev))
+    clusterBy.foreach { c =>
+      require(clusterRowsPerFile >= 1)
+      require(zoneColumns(table).exists(_.contains(c)),
+        s"compact clusterBy=$c: not a declared zone column of $table " +
+          s"(declared: ${zoneColumns(table).getOrElse(Seq.empty)}) — " +
+          "clustering exists to tighten the zone map's per-file ranges")
+    }
     if (rewrite.isEmpty) Set.empty
     else {
-      val fragmented = readBucketRestricted(spark, curDir, rewrite)
+      val base = readBucketRestricted(spark, curDir, rewrite)
         .filter(col(BucketCol).isin(rewrite.toSeq: _*))
         .repartition(rewrite.size, col(BucketCol))
+      val fragmented = clusterBy match {
+        case Some(c) => base.sortWithinPartitions(col(BucketCol), col(c))
+        case None => base
+      }
       val staged = stagedDirName(versionOf(dirNameOf(prev)) + 1)
       val nextDir = tableDir(table).resolve(tmpName(staged))
-      fragmented.write.mode("errorifexists")
-        .partitionBy(BucketCol).parquet(nextDir.toString)
+      val writer = fragmented.write.mode("errorifexists")
+      clusterBy.foreach(_ =>
+        writer.option("maxRecordsPerFile", clusterRowsPerFile))
+      writer.partitionBy(BucketCol).parquet(nextDir.toString)
       writeSchemaFile(nextDir, fragmented.schema)
       shareUntouchedBuckets(curDir, nextDir, rewrite)
       // compaction rewrites whole buckets: same zone-map shape as the
@@ -1860,7 +2023,9 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * ingest run, ParquetTableStoreSpec pins trigger selection. */
   def autoMaintain(spark: SparkSession, table: String,
       maxFilesPerBucket: Int = 4,
-      minBytesPerFile: Long = 8L << 20): Set[Int] = {
+      minBytesPerFile: Long = 8L << 20,
+      clusterBy: Option[String] = None,
+      clusterRowsPerFile: Long = 1L << 20): Set[Int] = {
     require(maxFilesPerBucket >= 1 && minBytesPerFile >= 0)
     numBuckets(table).getOrElse(throw new IllegalStateException(
       s"table $table is not bucketed; snapshot tables rewrite whole on commit"))
@@ -1903,7 +2068,8 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
             s"current version $curDir vanished during auto-maintenance " +
               "— a competitor's swept publish is mid-undo; re-read and retry")
       }
-    compactBucketSet(spark, table, rewrite, prev)
+    compactBucketSet(spark, table, rewrite, prev, clusterBy,
+      clusterRowsPerFile)
   }
 
   /** ZERO-COPY CLONE: publish `dstTable` (first version) holding
@@ -2334,6 +2500,41 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   private def groupOfConsumer(consumer: String): Option[String] =
     if (consumer.startsWith("_group-")) Some(consumer.stripPrefix("_group-"))
     else None
+
+  /** STORE DASHBOARD, table axis: one row per committed table —
+    * head version, retained version count, live files/bytes (from
+    * the manifest, one sidecar read per table), bucket count and
+    * stamped keys (null for snapshot tables), declared zone columns.
+    * The observability face the CLI `stats` command and the HTTP
+    * `/api/store/stats` route serve; heavy terms (protected BYTES per
+    * consumer) live in [[cursorLag]], priced per table on demand. */
+  def tableStats(spark: SparkSession): DataFrame = {
+    val rows = tables.map { t =>
+      val (files, bytes) = fileStats(spark, t)
+      (t, currentVersion(t).getOrElse(-1L), versions(t).size.toLong,
+        files, bytes,
+        numBuckets(t).map(_.toString).orNull,
+        keyColumns(t).map(_.mkString(",")).orNull,
+        zoneColumns(t).map(_.mkString(",")).orNull)
+    }
+    spark.createDataFrame(rows).toDF("table", "head_version",
+      "versions_retained", "files", "bytes", "buckets", "keys",
+      "zone_columns")
+  }
+
+  /** STORE DASHBOARD, group axis: one row per (group, member) of
+    * every committed marker — the vector [[readGroup]] would resolve,
+    * with the member's head alongside so marker staleness is visible
+    * (pinned < head = a writer committed past the marker). */
+  def groupStats(spark: SparkSession): DataFrame = {
+    val rows = for {
+      g <- listGroups
+      vs <- groupVersions(g).toSeq
+      (t, v) <- vs.toSeq.sortBy(_._1)
+    } yield (g, t, v, currentVersion(t).getOrElse(-1L))
+    spark.createDataFrame(rows).toDF("group", "table",
+      "pinned_version", "head_version")
+  }
 
   /** The oldest registered cursor on `table` (None = no consumers) —
     * the retention floor pruning honors, capped at `maxRetained`. */

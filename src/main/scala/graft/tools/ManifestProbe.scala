@@ -59,11 +59,19 @@ object ManifestProbe {
       }
     }
     println(f"PROBE synth_layout_${nFiles / 1000}k            ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($nFiles files / $nBuckets buckets)")
-    // the sidecar, written the store's way (one parquet file)
+    // the sidecar, written the store's way: one file when small,
+    // rel-path-range SLICES at scale (parallel parse + footer-stat
+    // slice skipping for bucket-restricted reads)
     t0 = System.nanoTime()
-    rows.toDF("file", "bytes").coalesce(1)
+    val slices = math.max(1L, math.min(32L,
+      (nFiles + 131071L) / 131072L)).toInt
+    val mdf = rows.toDF("file", "bytes")
+    (if (slices <= 1) mdf.coalesce(1)
+     else mdf.repartitionByRange(slices,
+       org.apache.spark.sql.functions.col("file"))
+       .sortWithinPartitions("file"))
       .write.parquet(vdir.resolve("_manifest").toString)
-    println(f"PROBE manifest_write_${nFiles / 1000}k          ${(System.nanoTime() - t0) / 1e9}%8.2f s  (one sidecar file)")
+    println(f"PROBE manifest_write_${nFiles / 1000}k          ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($slices slice(s))")
 
     val store = new graft.ops.ParquetTableStore(root)
 
@@ -155,6 +163,18 @@ object ManifestProbe {
     store.readLegacy(spark, "t").queryExecution.executedPlan
     val tPlainList = (System.nanoTime() - t0) / 1e9
     println(f"PROBE plain_read_listing_${nFiles / 1000}k      $tPlainList%8.2f s  (recursive discovery, ~$nFiles list/stat calls)")
+
+    // BUCKET-RESTRICTED standup: a 3-bucket probe (the readBucketsOf
+    // shape every upsert/delete/index probe plans) — with sliced
+    // manifests the parse touches ONLY slices whose footer rel-path
+    // range intersects the requested bucket prefixes
+    t0 = System.nanoTime()
+    import spark.implicits._ // schema read path needs the canonical file
+    val probed = store.readBucketsOf(spark, "t",
+      Seq(1L, 2L, 3L).toDF("k"))._1
+    probed.queryExecution.executedPlan
+    val tRestricted = (System.nanoTime() - t0) / 1e9
+    println(f"PROBE bucket_restricted_${nFiles / 1000}k       $tRestricted%8.2f s  (3-bucket probe, slice-skipped parse)")
     spark.stop()
   }
 }

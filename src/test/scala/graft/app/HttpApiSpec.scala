@@ -67,6 +67,25 @@ class HttpApiSpec extends SparkSpec {
       assert(c4 == 404 && missing.contains("Video not found"), missing)
       val (c5, _) = get(port, "/api/bogus")
       assert(c5 == 404)
+      // store observability routes: per-table dashboard, group
+      // vectors, per-consumer retention debt with group attribution
+      store.registerCursor("videos", "reader", 0L)
+      store.withCommitRetries()(store.commitGroup(
+        Map("videos" -> store.currentVersion("videos").get),
+        store.groupPin("vg")))
+      val (c6, stats) = get(port, "/api/store/stats")
+      assert(c6 == 200 && stats.contains("\"table\":\"videos\"") &&
+        stats.contains("\"head_version\":0") &&
+        stats.contains("\"files\":"), stats)
+      val (c7, groups) = get(port, "/api/store/groups")
+      assert(c7 == 200 && groups.contains("\"group\":\"vg\"") &&
+        groups.contains("\"pinned_version\":0"), groups)
+      val (c8, lag) = get(port, "/api/store/lag/videos")
+      assert(c8 == 200 && lag.contains("\"consumer\":\"reader\"") &&
+        lag.contains("\"consumer\":\"_group-vg\"") &&
+        lag.contains("\"group\":\"vg\""), lag)
+      val (c9, nolag) = get(port, "/api/store/lag/nope")
+      assert(c9 == 404 && nolag.contains("Table not found"), nolag)
     } finally api.stop()
     // stopped: the port no longer answers
     intercept[java.io.IOException] { get(port, "/api/playlists") }

@@ -194,4 +194,63 @@ class ZoneMapSpec extends SparkSpec {
       Seq((301L, "d301", 7L)).toDF("k", "v", "extra"), Seq("k"))
     assert(evolved.filter(col("k") === 301L).head.getString(1) == "d301")
   }
+
+  test("zone-clustered compaction: shuffled table re-skips; answers invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the cut-quality gap clustering closes: a table grown in RANDOM
+    // zone-column order has every file spanning the whole range, so
+    // data skipping keeps everything; plain compaction rewrites the
+    // debt AS-IS and the overlap survives. clusterBy sorts each
+    // bucket and slices it into tight-ranged files — the same range
+    // predicate then cuts to a sliver, with answers identical.
+    val store = new ParquetTableStore(tmpDir("store-zcluster"),
+      keepVersions = 10)
+    store.declareZoneColumns("t", Seq("ts"))
+    val rnd = new scala.util.Random(7)
+    // four appends, each spanning the FULL ts range (organic growth)
+    for (b <- 0 until 4)
+      store.appendBucketed(spark, "t",
+        (0 until 2000).map { i =>
+          val id = (b * 2000 + i).toLong
+          (id, rnd.nextLong(100000L), s"row$id")
+        }.toDF("id", "ts", "v"), Seq("id"), numBuckets = 2)
+    // metric probe without a shuffle (AQE would hide the scan node)
+    def scanned(): Long = {
+      val df = store.read(spark, "t")
+        .filter(col("ts").between(1000L, 3000L))
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+    }
+    def rangeQ = store.read(spark, "t")
+      .filter(col("ts").between(1000L, 3000L)).orderBy("id")
+    val before = rangeQ.collect().toSeq
+    val (filesBefore, _) = store.fileStats(spark, "t")
+    val scannedBefore = scanned()
+    assert(scannedBefore == filesBefore,
+      s"test premise: shuffled growth must defeat skipping " +
+        s"($scannedBefore of $filesBefore)")
+    // clusterBy refuses a non-zone column loudly
+    intercept[IllegalArgumentException](
+      store.compactBuckets(spark, "t", maxFilesPerBucket = 1,
+        clusterBy = Some("v")))
+    // cluster: each bucket sorts by ts and slices into ~1000-row files
+    val rewritten = store.compactBuckets(spark, "t",
+      maxFilesPerBucket = 1, clusterBy = Some("ts"),
+      clusterRowsPerFile = 1000L)
+    assert(rewritten == Set(0, 1))
+    val after = rangeQ.collect().toSeq
+    assert(after == before, "clustering changed answers")
+    val (filesAfter, _) = store.fileStats(spark, "t")
+    val scannedAfter = scanned()
+    // 2% of the ts range over ~1000-row slices: a sliver of the files
+    assert(scannedAfter < filesAfter / 2,
+      s"clustering did not tighten the cut: $scannedAfter of $filesAfter")
+    // the sidecar zone map stayed exact through the clustered rewrite
+    // (the maintain-vs-recompute invariant the chain test pins)
+    val full = store.read(spark, "t").orderBy("id").collect().toSeq
+    assert(full.size == 8000)
+  }
 }

@@ -63,4 +63,78 @@ class CurationIngestSpec extends SparkSpec {
     assert(clean2 == clean)
     assert(store.read(spark, "corpus_digests").count() == 3)
   }
+
+  test("writer crash between member commits and the marker swap: replay converges") {
+    import graft.ops.{PosixStoreIo, StoreIo}
+    import java.nio.file.Path
+    // the group-commit crash shape the marker's scaladoc argues and
+    // this pins: the process dies AFTER commitInParallel landed both
+    // member tables but BEFORE the marker CAS. Readers must keep the
+    // PREVIOUS consistent vector (stale by one span, never mixed),
+    // and the checkpoint replay must re-derive idempotently and swap
+    // then — reader-visible vector never regresses.
+    val in = tmpDir("cu-crash-in")
+    val ckpt = tmpDir("cu-crash-ckpt")
+    val root = tmpDir("cu-crash-store")
+    val store = new ParquetTableStore(root)
+
+    // batch 1: a clean full pass establishes the marker
+    Seq((30L, good), (32L, good2))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    runOnce(in, ckpt, store)
+    val v1 = store.groupVersions("corpus_clean-pair").getOrElse(
+      fail("batch 1 committed no group marker"))
+
+    // batch 2 runs against a store whose io DIES at the marker swap
+    // (after the member CASes — _CURRENT pointers — succeeded)
+    val crashIo: StoreIo = new StoreIo {
+      override def swapPointer(p: Path, c: String): Unit =
+        PosixStoreIo.swapPointer(p, c)
+      override def shareFile(s: Path, d: Path): Unit =
+        PosixStoreIo.shareFile(s, d)
+      override def deletePointerIfCurrent(p: Path, e: String): Unit =
+        PosixStoreIo.deletePointerIfCurrent(p, e)
+      override def swapPointerIfCurrent(p: Path, c: String,
+          exp: Option[String]): Unit = {
+        if (p.toString.contains("_groups/"))
+          throw new RuntimeException("injected crash before marker swap")
+        PosixStoreIo.swapPointerIfCurrent(p, c, exp)
+      }
+    }
+    Seq((3L, good), (40L, good + " and that is the whole of it truly"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    val crashed = Streams.curationIngest(spark, in, ckpt,
+      new ParquetTableStore(root, io = crashIo),
+      bench, "bench_id", "text", minShared = 2)
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashed.awaitTermination(180000); ()
+    }
+    if (crashed.isActive) crashed.stop()
+    assert(died.getMessage.contains("injected crash") ||
+      Option(died.getCause).exists(_.getMessage.contains("injected crash")))
+    // members advanced (the batch's upserts landed) but the marker
+    // still names batch 1's whole vector — stale, never mixed
+    val midMarker = store.groupVersions("corpus_clean-pair").get
+    assert(midMarker == v1, s"marker moved under a crashed swap: $midMarker")
+    assert(store.currentVersion("corpus_clean").get > v1("corpus_clean"),
+      "test premise: the member commit must land before the crash")
+    val mid = store.readGroup(spark, "corpus_clean-pair")
+    assert(mid("corpus_clean")._2 == v1("corpus_clean"),
+      "group read regressed or mixed under the crash")
+
+    // restart with a healthy store handle: the checkpoint replays the
+    // batch (idempotent re-upserts), then the marker swaps — the
+    // reader-visible vector converges forward, never backward
+    runOnce(in, ckpt, store)
+    val fin = store.groupVersions("corpus_clean-pair").get
+    assert(fin("corpus_clean") >= midMarker("corpus_clean") &&
+      fin("corpus_digests") >= midMarker("corpus_digests"),
+      s"vector regressed: $midMarker -> $fin")
+    assert(fin("corpus_clean") == store.currentVersion("corpus_clean").get &&
+      fin("corpus_digests") == store.currentVersion("corpus_digests").get,
+      s"replay did not converge the marker to the replayed commits: $fin")
+    val clean = store.read(spark, "corpus_clean")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(30L, 40L), s"replayed content drifted: $clean")
+  }
 }
