@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned parquet table store with atomic commits — the persistence
@@ -569,11 +569,25 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * Requires the `_schema.json` + `_manifest` sidecars every version
     * this store writes carries; a pre-sidecar version refuses typed
     * (one rewriting commit migrates it). */
-  private[graft] def scanSpec(table: String): StoreScanSpec = {
-    val p = currentPointer(table).getOrElse(
-      throw new IllegalStateException(
-        s"table $table has no committed version"))
-    val vdir = tableDir(table).resolve(dirNameOf(p))
+  private[graft] def scanSpec(table: String): StoreScanSpec =
+    scanSpecAt(table, None)
+
+  /** [[scanSpec]] pinned to retained committed version `version` —
+    * the SQL time-travel seam (`SELECT … FROM <cat>.<t> VERSION AS OF
+    * <v>`). Resolution rides [[versionDirNameOf]]'s contract: above
+    * the pointer, pruned, or ambiguous (a crash orphan sharing the
+    * number) all refuse typed rather than serve unpublished or wrong
+    * bytes. */
+  private[graft] def scanSpecAt(table: String,
+      version: Option[Long]): StoreScanSpec = {
+    val dirName = version match {
+      case Some(v) => versionDirNameOf(table, v)
+      case None =>
+        dirNameOf(currentPointer(table).getOrElse(
+          throw new IllegalStateException(
+            s"table $table has no committed version")))
+    }
+    val vdir = tableDir(table).resolve(dirName)
     def remap(e: Throwable): Nothing =
       throw new ConcurrentCommitException(
         s"version $vdir pruned during catalog resolution — a concurrent " +
@@ -593,7 +607,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
         org.apache.spark.sql.types.StructType(
           schema.fields.filterNot(_.name == BucketCol)),
         rows, if (partitioned) Some(BucketCol) else None,
-        zoneSkipOf(table, vdir, schema), versionOf(dirNameOf(p)))
+        zoneSkipOf(table, vdir, schema), versionOf(dirName))
     } catch {
       case e: java.nio.file.NoSuchFileException => remap(e)
       case e: java.io.FileNotFoundException => remap(e)
@@ -1476,6 +1490,63 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       .drop(BucketCol)
       .join(rem, keys, "left_anti")
     publishTouchedRewrite(spark, table, kept, keys, n, touched, prev)
+  }
+
+  /** PREDICATE DELETE (`DELETE FROM t WHERE p` — the SQL face's
+    * row-level delete, and the programmatic delete-by-CONTENT: an
+    * expired span, a banned domain, a recalled ingest batch — where
+    * the caller has no key list). SQL semantics: a row deletes iff
+    * `p` is TRUE; FALSE and NULL rows survive.
+    *
+    * O(TOUCHED BUCKETS) like [[deleteBucketed]]: one manifest-fed,
+    * zone-skipped scan (the same file cut any pushed predicate gets
+    * through [[read]]) locates the buckets that hold matches, ONLY
+    * those buckets rewrite (keeping their non-matching rows), every
+    * other bucket hard-links forward — at 100 TB a full-snapshot
+    * rewrite per delete batch is the failure mode. Re-routing kept
+    * rows needs the `_KEYS` stamp (same contract as SQL INSERT).
+    * No matches is a version no-op. Snapshot tables (no bucket
+    * granularity) rewrite wholesale under a pinned CAS — a competitor
+    * landing between the read and the publish fails the swap and
+    * [[withCommitRetries]] re-reads, never a lost update. */
+  def deleteWhere(spark: SparkSession, table: String,
+      pred: Column): DataFrame = {
+    val victim = coalesce(pred, lit(false)) // NULL predicate = keep
+    numBuckets(table) match {
+      case None =>
+        val (cur, pin) = readPinned(spark, table)
+        val any = guardedAction(s"deleteWhere probe of $table")(
+          cur.filter(victim).limit(1).count())
+        if (any == 0L) cur
+        else commitPinned(spark, cur.filter(!victim), pin)
+      case Some(n) =>
+        val keys = keyColumns(table).getOrElse(
+          throw new IllegalStateException(
+            s"table $table has no _KEYS stamp — predicate delete " +
+              "re-routes kept rows by key; re-stamp via one " +
+              "replaceBucketed"))
+        val prev = currentPointer(table).getOrElse(
+          throw new IllegalStateException(
+            s"table $table has no committed version"))
+        val curDir = tableDir(table).resolve(dirNameOf(prev))
+        // victims' buckets from ONE zone-skipped scan (≤ n ints):
+        // the predicate pushes into the manifest-planned read, so a
+        // zone-mapped delete key prices at its file cut, not a full
+        // pass
+        val touched = guardedAction(s"deleteWhere touched-set of $table") {
+          readDir(spark, table, dirNameOf(prev)).filter(victim)
+            .select(pmod(hash(keys.map(col): _*), lit(n)).as("kb"))
+            .distinct().collect().map(_.getInt(0)).toSet
+        }
+        if (touched.isEmpty) read(spark, table)
+        else {
+          val kept = readBucketRestricted(spark, curDir, touched)
+            .filter(col(BucketCol).isin(touched.toSeq: _*))
+            .drop(BucketCol)
+            .filter(!victim)
+          publishTouchedRewrite(spark, table, kept, keys, n, touched, prev)
+        }
+    }
   }
 
   /** APPLY A CHANGE FEED in ONE atomic version publish: `changes` is

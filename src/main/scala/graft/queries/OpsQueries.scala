@@ -1281,7 +1281,89 @@ object OpsQueries {
     },
     Some("""SELECT doc_id, text FROM documents ORDER BY doc_id"""))
 
+  /** U25: SQL TIME TRAVEL through the V2 catalog — the store's
+    * versioned history surfaced as `SELECT … FROM <cat>.<t> VERSION
+    * AS OF <v>` (the audit/reproducibility read: "train on the corpus
+    * exactly as committed before Tuesday's rewrite"). The gate
+    * commits the full corpus as one LWW version, rewrites a fifth of
+    * it in a second version, confirms the HEAD read sees the rewrite,
+    * then returns the PINNED version-1 read — which must equal the
+    * untouched fixture (the oracle). The pinned scan plans through
+    * the same manifest-fed zone-skipping index as a head read, and
+    * the table is read-only; INSERT-refusal, pruned-version refusal,
+    * and TIMESTAMP-AS-OF refusal are spec-pinned (CatalogSeamSpec). */
+  private val u25 = QueryDef(
+    "u25_time_travel",
+    "VERSION AS OF reads committed history exactly; head sees the rewrite",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-u25-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 4)
+      val (_, v1) = store.upsertBucketedVersioned(s, "corpus", d,
+        Seq("doc_id"), numBuckets = 8)
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lit("REWRITTEN").as("text")),
+        Seq("doc_id"))
+      s.conf.set("spark.sql.catalog.u25cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.u25cat.root", s"$root/store")
+      // the head moved: the rewrite is live without the VERSION clause
+      require(s.sql(
+        "SELECT count(*) c FROM u25cat.corpus WHERE text = 'REWRITTEN'")
+        .head.getLong(0) == d.filter(col("doc_id") % 5 === 0).count(),
+        "u25: head read does not see the version-2 rewrite")
+      s.sql(s"""SELECT doc_id, text FROM u25cat.corpus VERSION AS OF $v1
+                ORDER BY doc_id""")
+    },
+    Some("""SELECT doc_id, text FROM documents ORDER BY doc_id"""))
+
+  /** U26: SQL `DELETE FROM` through the V2 catalog ([[graft.sources
+    * .GraftTable.deleteWhere]] → [[graft.ops.ParquetTableStore
+    * .deleteWhere]]) — the row-level delete a curation/compliance
+    * pipeline issues by CONTENT ("purge the error events and the
+    * first id span"), landing O(touched buckets): one zone-skipped
+    * scan locates victim buckets, only those rewrite, the rest
+    * hard-link, one CAS publish. The gate deletes via SQL, asserts
+    * the version advanced and the manifest invariant held, then
+    * returns the surviving rows against the set-difference oracle.
+    * Untranslatable-predicate refusal, DELETE-as-truncate, and the
+    * no-match version no-op are spec-pinned (CatalogSeamSpec). */
+  private val u26 = QueryDef(
+    "u26_sql_delete",
+    "SQL DELETE lands as an O(touched-buckets) store commit",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = graft.ops.Scratch.tempDir("graft-u26-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.upsertBucketed(s, "ev", ev, Seq("event_id"), numBuckets = 8)
+      s.conf.set("spark.sql.catalog.u26cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.u26cat.root", s"$root/store")
+      val vBefore = store.currentVersion("ev").get
+      s.sql("""DELETE FROM u26cat.ev
+               WHERE event_type = 'error' OR event_id < 500""")
+      require(store.currentVersion("ev").contains(vBefore + 1),
+        "u26: SQL DELETE did not publish a store version")
+      // deleting again is a version no-op — no victims, no churn
+      s.sql("DELETE FROM u26cat.ev WHERE event_type = 'error'")
+      require(store.currentVersion("ev").contains(vBefore + 1),
+        "u26: no-match DELETE churned a version")
+      // the manifest invariant survived the rewrite+links version
+      require(store.read(s, "ev").count() ==
+        store.readLegacy(s, "ev").count(),
+        "u26: SQL DELETE broke the manifest sidecar")
+      s.sql("""SELECT event_id, user_id, event_type FROM u26cat.ev
+               ORDER BY event_id""")
+    },
+    Some("""SELECT event_id, user_id, event_type FROM events
+            WHERE NOT (event_type = 'error' OR event_id < 500)
+            ORDER BY event_id"""))
+
   def defs: Seq[QueryDef] =
     Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u12b, u13, u14,
-      u14b, u15, u16, u17, u18, u19, u20, u21, u22, u23, u23b, u24)
+      u14b, u15, u16, u17, u18, u19, u20, u21, u22, u23, u23b, u24, u25,
+      u26)
 }

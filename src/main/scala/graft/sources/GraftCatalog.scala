@@ -6,7 +6,9 @@ import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -76,6 +78,39 @@ final class ManifestV2FileIndex(spark: SparkSession, rootDir: String,
   override def inputFiles: Array[String] = inner.inputFiles
 }
 
+/** V1 source `Filter` → `Column` for the SQL `DELETE FROM` seam:
+  * Spark hands [[GraftTable.deleteWhere]] the WHERE clause as pushed
+  * filters, and the store's predicate delete wants a `Column`. Only
+  * shapes with exact SQL semantics translate; anything else returns
+  * None and `canDeleteWhere` refuses the WHOLE delete (Spark then
+  * errors loudly) — a partial translation would delete the wrong
+  * rows. */
+private[sources] object FilterToColumn {
+  import org.apache.spark.sql.sources._
+  def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+}
+
 /** One resolved store version as a Spark DSv2 [[Table]]: reads plan
   * through [[ManifestV2FileIndex]] (manifest-fed, zone-skipping —
   * bit-identical planning to the programmatic `store.read`), writes
@@ -91,14 +126,17 @@ final class ManifestV2FileIndex(spark: SparkSession, rootDir: String,
   * time — which is the property [[StoreViews]]' session views could
   * not have (they bind at registration and go silently stale). */
 final class GraftTable(spark: SparkSession, store: ParquetTableStore,
-    tableName: String, qualified: String, spec: StoreScanSpec)
-  extends Table with SupportsRead with SupportsWrite {
+    tableName: String, qualified: String, spec: StoreScanSpec,
+    writable: Boolean = true)
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = qualified
   override def schema(): StructType = spec.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    if (writable)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     m.put("version", spec.version.toString)
@@ -123,7 +161,38 @@ final class GraftTable(spark: SparkSession, store: ParquetTableStore,
       spec.schema, spec.schema, options)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  /** SQL `DELETE FROM <cat>.<t> WHERE …` — lands as the store's
+    * predicate delete ([[ParquetTableStore.deleteWhere]]): O(touched
+    * buckets) rewrite + hard links, CAS publish, manifest/zone-map
+    * maintenance, retried on commit races. All-or-nothing: if ANY
+    * conjunct fails to translate with exact SQL semantics,
+    * `canDeleteWhere` refuses the whole statement (Spark reports it)
+    * rather than deleting approximately. `DELETE` with no WHERE
+    * arrives as AlwaysTrue via `truncateTable()` and empties the
+    * table through the same protocol. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writable && filters.forall(FilterToColumn.translate(_).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (!writable) throw new UnsupportedOperationException(
+      s"$qualified VERSION AS OF ${spec.version} is committed history — " +
+        "DELETE targets the head (drop the VERSION clause)")
+    val pred = filters.map(f => FilterToColumn.translate(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$qualified: cannot DELETE WHERE $f — predicate shape has no " +
+          "exact translation; delete programmatically via " +
+          "deleteWhere(Column)")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    store.withCommitRetries()(store.deleteWhere(spark, tableName, pred))
+    ()
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (!writable) throw new UnsupportedOperationException(
+      s"$qualified VERSION AS OF ${spec.version} is committed history — " +
+        "writes go to the head (INSERT without the VERSION clause)")
     new WriteBuilder with SupportsTruncate {
       // append by default; INSERT OVERWRITE arrives as a true-literal
       // OverwriteByExpression, which Spark maps to truncate() on a
@@ -165,6 +234,7 @@ final class GraftTable(spark: SparkSession, store: ParquetTableStore,
           }
       }
     }
+  }
 }
 
 /** Spark V2 `TableCatalog` over a [[graft.ops.ParquetTableStore]] —
@@ -239,6 +309,41 @@ final class GraftCatalog extends TableCatalog {
     if (!store.exists(t)) throw new NoSuchTableException(ident)
     new GraftTable(spark, store, t, s"$catalogName.$t", store.scanSpec(t))
   }
+
+  /** TIME TRAVEL (`SELECT … FROM <cat>.<t> VERSION AS OF <v>`): the
+    * scan pins retained committed version `v` through the SAME
+    * manifest-fed, zone-skipping index as a head read — and the table
+    * is READ-ONLY (history is immutable; `INSERT` refuses). Pruned /
+    * never-committed / orphan-ambiguous versions refuse typed via
+    * [[ParquetTableStore.scanSpecAt]]'s resolution contract rather
+    * than serving wrong bytes. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = requireTopLevel(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new UnsupportedOperationException(
+            s"catalog $catalogName: VERSION AS OF takes a store version " +
+              s"number (got '$version') — see versions(<table>)")
+      }
+    val (store, spark) = storeAndSession
+    if (!store.exists(t)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, store, t, s"$catalogName.$t@v$v",
+      store.scanSpecAt(t, Some(v)), writable = false)
+  }
+
+  /** `TIMESTAMP AS OF` refuses by design: the store orders history by
+    * VERSION (the CAS publish sequence) and records no commit
+    * wall-clock — a timestamp resolution would have to guess from
+    * file mtimes, which clone/restore/finalize-lag all shift. The
+    * deterministic audit read is `VERSION AS OF` (versions(<table>)
+    * lists the retained window). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName: TIMESTAMP AS OF is not supported — store " +
+        "history is ordered by version, not wall-clock (no recorded " +
+        "commit timestamps to resolve against); use VERSION AS OF <v>")
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty && storeAndSession._1.exists(ident.name())

@@ -181,4 +181,129 @@ class CatalogSeamSpec extends SparkSpec {
     assert(spark.sql("SELECT n, tag FROM g16cat.stats").collect().toSeq
       .map(r => (r.getLong(0), r.getString(1))) == Seq((7L, "only")))
   }
+
+  test("V2 catalog DELETE: row-level delete is a store commit, refusals exact") {
+    import spark.implicits._
+    val root = tmpDir("v2cat-del")
+    val store = new graft.ops.ParquetTableStore(root)
+    store.upsertBucketed(spark, "docs",
+      (1 to 200).map(i =>
+        (i.toLong, if (i % 10 == 0) null else s"t$i", i % 5))
+        .toDF("id", "body", "grp"), Seq("id"), numBuckets = 4)
+    spark.conf.set("spark.sql.catalog.dcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dcat.root", root)
+    val v0 = store.currentVersion("docs").get
+    spark.sql("DELETE FROM dcat.docs WHERE grp = 2 AND id <= 100")
+    assert(store.currentVersion("docs").get == v0 + 1,
+      "DELETE did not publish a store version")
+    val expectGone = (1 to 100).count(_ % 5 == 2)
+    assert(store.read(spark, "docs").count() == 200L - expectGone)
+    assert(store.read(spark, "docs")
+      .filter(col("grp") === 2 && col("id") <= 100).count() == 0L)
+    // SQL semantics: a NULL predicate keeps the row (every i%10==0
+    // body is null — none may vanish on a body comparison), and a
+    // no-match DELETE is a version no-op, never churn
+    val nullBodies = store.read(spark, "docs")
+      .filter(col("body").isNull).count()
+    spark.sql("DELETE FROM dcat.docs WHERE body = 'matches-nothing'")
+    assert(store.read(spark, "docs")
+      .filter(col("body").isNull).count() == nullBodies,
+      "NULL-predicate rows were deleted — SQL DELETE semantics broken")
+    assert(store.currentVersion("docs").get == v0 + 1,
+      "no-match DELETE churned a version")
+    // an untranslatable predicate refuses the WHOLE statement and
+    // deletes nothing — never an approximate delete
+    val before = store.read(spark, "docs").count()
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("DELETE FROM dcat.docs WHERE id % 2 = 0"))
+    assert(store.read(spark, "docs").count() == before,
+      "refused DELETE still removed rows")
+    // DELETE with no WHERE = truncate through the same CAS protocol;
+    // the emptied table stays readable under its canonical schema
+    spark.sql("DELETE FROM dcat.docs")
+    assert(spark.sql("SELECT count(*) FROM dcat.docs").head.getLong(0) == 0L)
+    assert(store.read(spark, "docs").columns.toSeq ==
+      Seq("id", "body", "grp"))
+  }
+
+  test("V2 catalog time travel: VERSION AS OF pins history, refusals typed") {
+    import spark.implicits._
+    val root = tmpDir("v2cat-tt")
+    val store = new graft.ops.ParquetTableStore(root, keepVersions = 4)
+    store.declareZoneColumns("docs", Seq("grp"))
+    val (_, v1) = store.upsertBucketedVersioned(spark,
+      "docs", (1 to 300).map(i => (i.toLong, s"text $i", i % 7))
+        .toDF("id", "body", "grp"), Seq("id"), numBuckets = 4)
+    store.upsertBucketed(spark, "docs",
+      (1 to 300).filter(_ % 3 == 0)
+        .map(i => (i.toLong, "rewritten", i % 7))
+        .toDF("id", "body", "grp"), Seq("id"))
+    spark.conf.set("spark.sql.catalog.ttcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ttcat.root", root)
+    // the pinned read answers version-1 content exactly; the head
+    // read (no VERSION clause) sees the rewrite
+    assert(spark.sql(
+      s"SELECT count(*) FROM ttcat.docs VERSION AS OF $v1 " +
+        "WHERE body = 'rewritten'").head.getLong(0) == 0L,
+      "time-travel read leaked the later version")
+    assert(spark.sql(
+      "SELECT count(*) FROM ttcat.docs WHERE body = 'rewritten'")
+      .head.getLong(0) == 100L, "head read does not see the rewrite")
+    val pinned = spark.sql(
+      s"SELECT id, body, grp FROM ttcat.docs VERSION AS OF $v1")
+    assert(pinned.count() == 300L)
+    val v1Api = store.readVersion(spark, "docs", v1)
+      .select("id", "body", "grp")
+    assert(pinned.exceptAll(v1Api).isEmpty && v1Api.exceptAll(pinned).isEmpty,
+      "VERSION AS OF content drifts from readVersion")
+    // the pinned scan is the SAME manifest-fed zone-skipping index:
+    // an out-of-range zone predicate keeps zero files at plan time
+    val q = spark.sql(
+      s"SELECT id FROM ttcat.docs VERSION AS OF $v1 WHERE grp = 99")
+    val scan = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.scan
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+      .fileIndex.isInstanceOf[graft.sources.ManifestV2FileIndex],
+      "time-travel scan did not plan through the manifest-fed index")
+    assert(scan.inputRDD.partitions.isEmpty && q.count() == 0L,
+      "zone-map skip did not apply inside the time-travel scan")
+    // history is read-only: the pinned table offers no write surface
+    val cat = spark.sessionState.catalogManager.catalog("ttcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, "docs")
+    val ttTable = cat.loadTable(ident, v1.toString)
+    assert(!ttTable.capabilities().contains(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE),
+      "time-travel table claims a write capability")
+    intercept[UnsupportedOperationException](
+      ttTable.asInstanceOf[graft.sources.GraftTable].newWriteBuilder(null))
+    // refusals are typed: above-head / pruned versions, non-numeric
+    // versions, and TIMESTAMP AS OF (no recorded commit wall-clock)
+    intercept[graft.ops.RetentionLostException](
+      cat.loadTable(ident, "9999"))
+    intercept[UnsupportedOperationException](cat.loadTable(ident, "tuesday"))
+    intercept[UnsupportedOperationException](
+      spark.sql("SELECT * FROM ttcat.docs TIMESTAMP AS OF '2026-01-01'")
+        .collect())
+    val tightRoot = tmpDir("v2cat-tt2")
+    val tight = new graft.ops.ParquetTableStore(tightRoot, keepVersions = 1)
+    val (_, w1) = tight.upsertBucketedVersioned(spark, "t",
+      Seq((1L, "a")).toDF("id", "b"), Seq("id"), numBuckets = 2)
+    tight.upsertBucketed(spark, "t", Seq((2L, "b")).toDF("id", "b"),
+      Seq("id"))
+    spark.conf.set("spark.sql.catalog.ttcat2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ttcat2.root", tightRoot)
+    spark.conf.set("spark.sql.catalog.ttcat2.keepVersions", "1")
+    val cat2 = spark.sessionState.catalogManager.catalog("ttcat2")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    intercept[graft.ops.RetentionLostException](cat2.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "t"),
+      w1.toString))
+  }
 }

@@ -614,6 +614,57 @@ class ParquetTableStoreSpec extends SparkSpec {
     assert(store.fileStats(spark, "t") == ((0L, 0L)))
   }
 
+  test("deleteWhere: predicate delete rewrites only victim buckets; NULL keeps; snapshot + refusal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("store")
+    val store = new ParquetTableStore(root)
+    val base = (1 to 100).map(i => (s"k$i", s"v$i")).toDF("k", "v")
+    store.upsertBucketed(spark, "t", base, Seq("k"), numBuckets = 8)
+    val before = inodesUnder(verDir(root, "t", 0))
+    // delete by CONTENT (non-key column) — no key list anywhere
+    val out = store.deleteWhere(spark, "t", col("v").isin("v1", "v50"))
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.size == 98 && !got.contains("k1") && !got.contains("k50")
+      && got("k2") == "v2")
+    // untouched buckets carried as the SAME inodes; ≤2 dirs rewrote
+    val after = inodesUnder(verDir(root, "t", 1))
+    assert(after.exists { case (rel, ino) => before.get(rel).contains(ino) })
+    val rewritten = after.keys.map(_.split('/').head).toSet.filter { d =>
+      after.exists { case (rel, ino) =>
+        rel.startsWith(d + "/") && !before.get(rel).contains(ino) } }
+    assert(rewritten.size <= 2, rewritten)
+    // manifest stayed == the tree
+    val m = store.fileManifest(spark, "t").get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == after.keySet)
+    // SQL semantics: NULL-predicate rows survive an equality delete
+    store.upsertBucketed(spark, "t",
+      Seq(("kn1", null), ("kn2", null)).toDF("k", "v"), Seq("k"))
+    store.deleteWhere(spark, "t", col("v") === "v2")
+    val left = store.read(spark, "t")
+    assert(left.filter(col("k") === "k2").count() == 0L)
+    assert(left.filter(col("v").isNull).count() == 2L,
+      "NULL-predicate rows must survive")
+    // no victims = version no-op
+    val v = store.currentVersion("t").get
+    store.deleteWhere(spark, "t", col("v") === "matches-nothing")
+    assert(store.currentVersion("t").contains(v))
+    // snapshot table: wholesale rewrite under the pinned CAS, same
+    // NULL/no-op contract
+    store.commit(spark, "s",
+      Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("id", "tag"))
+    assert(store.deleteWhere(spark, "s", col("tag") === "a").count() == 2L)
+    val vs = store.currentVersion("s").get
+    store.deleteWhere(spark, "s", col("tag") === "zz")
+    assert(store.currentVersion("s").contains(vs))
+    // a bucketed table missing its _KEYS stamp refuses loudly (kept
+    // rows cannot re-route) rather than guessing
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "t", "_KEYS"))
+    intercept[IllegalStateException](
+      store.deleteWhere(spark, "t", col("v") === "v3"))
+  }
+
   test("autoMaintain: size-tiered triggers fire from the manifest; auto == manual; no debt, no churn") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
