@@ -1765,6 +1765,22 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * orders rows inside each new file (row-group stat quality for
     * [[readBucketsOf]]-style probes). Publishes through the same CAS
     * pointer swap as every commit; creates the table if absent. */
+  /** Nullability markers erased recursively — parquet bytes cannot
+    * distinguish them, so schema EQUALITY contracts compare this form
+    * (the public twin of Spark's `private[spark]` `asNullable`). */
+  private def relaxNulls(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(relaxNulls(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(relaxNulls(k), relaxNulls(v),
+        valueContainsNull = true)
+    case st: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        f.copy(dataType = relaxNulls(f.dataType), nullable = true)))
+    case other => other
+  }
+
   def appendBucketed(spark: SparkSession, table: String, incoming: DataFrame,
       keys: Seq[String], numBuckets: Int = 32,
       sortWithin: Seq[String] = Nil): DataFrame = {
@@ -1784,8 +1800,16 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       val curDir = tableDir(table).resolve(dirNameOf(prev.get))
       val storedSchema = readVersionFrame(spark, curDir)
         .drop(BucketCol).schema
-      require(storedSchema.fields.map(f => (f.name, f.dataType)).toSet ==
-        incoming.schema.fields.map(f => (f.name, f.dataType)).toSet,
+      // compare nullability-relaxed forms: a file read forces
+      // nullability up (array containsNull included), so an
+      // encoder-derived delta with containsNull=false is the SAME
+      // parquet shape, not an evolution — refusing it would reject
+      // every array-typed append
+      require(
+        storedSchema.fields.map(f => (f.name, relaxNulls(f.dataType)))
+          .toSet ==
+          incoming.schema.fields
+            .map(f => (f.name, relaxNulls(f.dataType))).toSet,
         s"appendBucketed($table): incoming ${incoming.schema.simpleString} " +
           s"must equal stored ${storedSchema.simpleString} — " +
           "schema evolution goes through upsertBucketed")

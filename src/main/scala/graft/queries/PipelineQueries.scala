@@ -6613,6 +6613,52 @@ object PipelineQueries {
               END::BIGINT AS n_tokens
             FROM fin ORDER BY doc_id"""))
 
+  /** ST18: the store as a streaming SOURCE
+    * ([[graft.streaming.StoreTailStream]] behind
+    * `spark.readStream.table("<cat>.<t>")`) — every prior st-gate
+    * streams INTO the store; this one streams OUT of it: a downstream
+    * consumer subscribes to a store table through Spark's own
+    * streaming engine, with store VERSIONS as offsets (the CAS
+    * publish sequence is already a total order — exactly-once costs
+    * nothing extra). Two `Trigger.AvailableNow` runs over one
+    * checkpoint: the first delivers the current snapshot (offset −1 →
+    * head), the second — after two more append versions — must
+    * deliver ONLY the delta files (manifest name-set diff, two
+    * driver-side sidecar parses, no listing, no Spark job to plan).
+    * The oracle is the whole corpus: any re-delivery across the
+    * restart (a broken offset) or a lost row (a broken diff) breaks
+    * the hash. The append-only refusal, the cursor handshake, and the
+    * per-type reader round-trip are spec-pinned (StoreTailSpec). */
+  private val st18 = QueryDef(
+    "st18_stream_table_tail",
+    "readStream.table over the catalog: snapshot + deltas, exactly-once",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.fastDir("graft-st18-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.appendBucketed(s, "inbox", d.filter(col("doc_id") % 3 === 0),
+        Seq("doc_id"), numBuckets = 8)
+      s.conf.set("spark.sql.catalog.st18cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.st18cat.root", s"$root/store")
+      val out = s"$root/out"
+      val ck = s"$root/ck"
+      def run(): Unit =
+        s.readStream.table("st18cat.inbox")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      run() // snapshot batch
+      store.appendBucketed(s, "inbox", d.filter(col("doc_id") % 3 === 1),
+        Seq("doc_id"))
+      store.appendBucketed(s, "inbox", d.filter(col("doc_id") % 3 === 2),
+        Seq("doc_id"))
+      run() // restart from the checkpoint: deltas only
+      s.read.parquet(out).select("doc_id", "text").orderBy("doc_id")
+    },
+    Some("SELECT doc_id, text FROM documents ORDER BY doc_id"))
+
   /** ST11: streaming GRAPH maintenance
     * ([[graft.streaming.Streams.graphIngest]]) — the g3 + g4 folds
     * driven from an edge FEED: the co-order edges arrive as two
@@ -7798,5 +7844,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ss22, ss23, ss24, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, ts31, ts32, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16, st17)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16, st17, st18)
 }

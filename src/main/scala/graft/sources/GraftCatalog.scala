@@ -135,7 +135,8 @@ final class GraftTable(spark: SparkSession, store: ParquetTableStore,
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.MICRO_BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ)
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -155,10 +156,26 @@ final class GraftTable(spark: SparkSession, store: ParquetTableStore,
           org.apache.spark.sql.types.IntegerType, nullable = true)))
       case None => new StructType()
     }
-    ParquetScanBuilder(spark,
+    val inner = ParquetScanBuilder(spark,
       new ManifestV2FileIndex(spark, spec.rootDir, spec.files, partSchema,
         spec.skip),
       spec.schema, spec.schema, options)
+    // the micro-batch face (spark.readStream.table): same builder,
+    // every batch-pushdown call forwarded verbatim — see
+    // StreamCapableScanBuilder; the tail stream itself is
+    // graft.streaming.StoreTailStream (versions-as-offsets,
+    // append-only contract, cursor-protected retention)
+    new org.apache.spark.sql.graft.StreamCapableScanBuilder(inner,
+      (readSchema, checkpointLoc) => {
+        if (!writable) throw new UnsupportedOperationException(
+          s"$qualified VERSION AS OF ${spec.version} is one committed " +
+            "snapshot — a bounded frame, not a stream; read it with " +
+            "spark.read / SELECT, or stream the head")
+        val consumer = Option(options.get("tailconsumer")).getOrElse(
+          "tail-" + java.lang.Integer.toHexString(checkpointLoc.hashCode))
+        new graft.streaming.StoreTailStream(store, tableName, readSchema,
+          consumer)
+      })
   }
 
   /** SQL `DELETE FROM <cat>.<t> WHERE …` — lands as the store's

@@ -120,6 +120,7 @@ class CatalogSeamSpec extends SparkSpec {
     }
     assert(scans.nonEmpty, "no BatchScan under the V2 catalog read")
     val pScan = scans.head.scan
+      .asInstanceOf[org.apache.spark.sql.graft.StreamCapableScan].inner
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
     assert(pScan.fileIndex.isInstanceOf[graft.sources.ManifestV2FileIndex],
       "catalog scan did not plan through the manifest-fed index")
@@ -266,6 +267,7 @@ class CatalogSeamSpec extends SparkSpec {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.head
     assert(scan.scan
+      .asInstanceOf[org.apache.spark.sql.graft.StreamCapableScan].inner
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
       .fileIndex.isInstanceOf[graft.sources.ManifestV2FileIndex],
       "time-travel scan did not plan through the manifest-fed index")
