@@ -40,8 +40,30 @@ def zipf_keys(rng, n, n_keys, a):
 
 
 def write(out, name, table):
-    pq.write_table(table, f"{out}/{name}.parquet")
-    print(f"{name}: {table.num_rows} rows")
+    """Large tables land as a DIRECTORY of part files (like any real
+    corpus — and like Spark's own output): a single-file table caps
+    every scan-side pipeline at 1-2 tasks (maxPartitionBytes splits
+    FILES, not row groups), which serialized the whole dup-heavy gram
+    join at sf1skew until the first exchange — measured round 16, the
+    executor pegged one core for 10+ min in a partial aggregation.
+    Target ~24 parts for anything above ~100k rows; small dims stay
+    single-file."""
+    n = table.num_rows
+    if n < 10_000:
+        pq.write_table(table, f"{out}/{name}.parquet")
+    else:
+        import os
+        d = f"{out}/{name}.parquet"
+        os.makedirs(d, exist_ok=True)
+        parts = 24
+        step = (n + parts - 1) // parts
+        for i in range(parts):
+            lo = i * step
+            if lo >= n:
+                break
+            pq.write_table(table.slice(lo, step),
+                           f"{d}/part-{i:05d}.parquet")
+    print(f"{name}: {n} rows")
 
 
 def main():
