@@ -171,13 +171,26 @@ def main():
         "props": np.array([f'{{"k": {k}}}' for k in range(10)])[
             rng.integers(0, 10, n_ev)]}))
 
-    # documents: heavy-tail lengths + zipf-sized NEAR-DUP clusters
+    # documents: heavy-tail lengths + zipf-sized NEAR-DUP clusters.
+    # The vocabulary must carry REAL stopword mass (like the driver
+    # fixture's "a a the ... table scan" style): the engine's quality
+    # model scores stopword/digit/length ratios, and an all-synthetic
+    # w042-style vocabulary flunks EVERY doc below the curation
+    # threshold — st13's curated table came out empty on the first
+    # sf1skew cut (measured round 16), which is fixture unrealism,
+    # not engine behavior.
+    stopwords = np.array(["a", "the", "of", "and", "to", "in", "is",
+                          "on", "for", "with"])
     vocab = np.array([f"w{i:03d}" for i in range(600)])
     langs = np.array(["en", "es", "de", "zh", "fr"])
     sources = np.array([f"src{i}" for i in range(20)])
 
     def make_text(n_tok):
-        return " ".join(vocab[rng.integers(0, len(vocab), n_tok)])
+        toks = vocab[rng.integers(0, len(vocab), n_tok)]
+        stop_mask = rng.random(n_tok) < 0.35
+        toks[stop_mask] = stopwords[
+            rng.integers(0, len(stopwords), int(stop_mask.sum()))]
+        return " ".join(toks)
 
     # cluster sizes: zipf — a handful of big clusters, a long tail of
     # singletons; ~40% of docs live in a multi-doc cluster
