@@ -707,6 +707,108 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     }
   }
 
+  private val CommitTsFile = "_commit_ts"
+
+  /** Commit wall-clock (epoch millis) of retained version `version` —
+    * the `_commit_ts` sidecar [[publish]] stamps immediately before
+    * the pointer CAS. None = the version predates the stamp (written
+    * by an older revision). Rides [[versionDirNameOf]]'s resolution
+    * contract (above-pointer / pruned / ambiguous refuse typed). */
+  def commitTimestamp(table: String, version: Long): Option[Long] = {
+    val f = tableDir(table).resolve(versionDirNameOf(table, version))
+      .resolve(CommitTsFile)
+    if (!Files.exists(f)) None
+    else Some(new String(Files.readAllBytes(f),
+      StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  /** TIME TRAVEL BY WALL-CLOCK: the version that was LIVE at
+    * `tsMillis` — the greatest retained version whose commit stamp is
+    * at or before it (`SELECT … TIMESTAMP AS OF` resolves here). The
+    * refusals mirror [[readVersion]]'s determinism contract:
+    *
+    *  - a timestamp BEFORE the oldest retained stamp refuses
+    *    [[RetentionLostException]] — the version live then is pruned
+    *    space, and serving the oldest survivor would silently show a
+    *    LATER state than asked for;
+    *  - retained history that PREDATES commit stamps (written by an
+    *    older store revision) refuses typed rather than guess from
+    *    file mtimes, which clone/restore/finalize-lag all shift —
+    *    `VERSION AS OF` still serves it deterministically;
+    *  - a timestamp at or past the head's stamp is the head (reading
+    *    "as of now" is the live read).
+    *
+    * Per-table stamps are monotone (the CAS serializes publishes and
+    * losers re-stamp on retry), so greatest-stamp-at-or-before is
+    * well-defined; equal millis stamps (two commits inside one
+    * millisecond) resolve to the later version — the state a reader
+    * AT that instant would have seen last. */
+  def versionAsOf(table: String, tsMillis: Long): Long = {
+    val vs = versions(table)
+    if (vs.isEmpty) throw new IllegalStateException(
+      s"table $table has no committed version")
+    val stamped = vs.map(v => v -> commitTimestamp(table, v))
+    val known = stamped.collect { case (v, Some(ts)) => (v, ts) }
+    val unstamped = stamped.collect { case (v, None) => v }
+    known.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse {
+      if (unstamped.nonEmpty) throw new IllegalStateException(
+        s"table $table: retained versions ${unstamped.mkString(", ")} " +
+          "predate commit-timestamp stamps — TIMESTAMP AS OF cannot " +
+          "resolve into them (file mtimes would be a guess); use " +
+          "VERSION AS OF, or let retention age the unstamped window out")
+      else throw new RetentionLostException(
+        s"table $table has no retained version at or before " +
+          s"timestamp $tsMillis — the version live then is pruned " +
+          s"(oldest retained stamp: ${known.map(_._2).min})")
+    }
+  }
+
+  // ── streaming-sink seam (`writeStream.toTable` through the V2
+  //    catalog — graft.streaming.StoreStreamWrite) ──────────────────
+
+  /** Staging directory for stream query `queryId`'s epoch `epochId`:
+    * executors stage partition parquet under it; the driver's epoch
+    * commit reads EXACTLY the staged paths back (never a listing —
+    * stray files from attempts that died before abort() are inert)
+    * and folds them through the store protocol. Lives inside the
+    * table dir under the `tmp-` prefix, so a crashed query's staging
+    * is reclaimed by [[gc]]'s age-gated orphan sweep — and on a real
+    * cluster it shares the table's filesystem, which is exactly the
+    * shared storage an executor-staged write needs. */
+  def streamStagingDir(table: String, queryId: String,
+      epochId: Long): Path = {
+    require(queryId.matches("[A-Za-z0-9_-]+"),
+      s"stream query id '$queryId' is not a safe path segment")
+    tableDir(table).resolve(s"tmp-stream-$queryId")
+      .resolve(s"epoch=$epochId")
+  }
+
+  /** Highest stream epoch recorded committed for (`table`,
+    * `queryId`) — the sink's replay guard: a restart re-delivers the
+    * last epoch (staged + store-committed, but the checkpoint's own
+    * commit log missed it), and this watermark turns the replay into
+    * a no-op instead of a second fold. */
+  def lastStreamEpoch(table: String, queryId: String): Option[Long] = {
+    val f = tableDir(table).resolve(s"_stream-$queryId")
+    if (!Files.exists(f)) None
+    else Some(new String(Files.readAllBytes(f),
+      StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  /** Record `epochId` committed for (`table`, `queryId`). Rides the
+    * [[StoreIo]] pointer CAS: Spark's contract is single-writer per
+    * query id, but the CAS keeps a zombie driver (the failover twin
+    * of the one that just resumed) from regressing the watermark —
+    * the newer record always survives. */
+  def recordStreamEpoch(table: String, queryId: String,
+      epochId: Long): Unit = {
+    val f = tableDir(table).resolve(s"_stream-$queryId")
+    val prev = lastStreamEpoch(table, queryId)
+    if (prev.exists(_ >= epochId)) return
+    try io.swapPointerIfCurrent(f, epochId.toString, prev.map(_.toString))
+    catch { case _: ConcurrentCommitException => () } // newer writer won
+  }
+
   /** Write `df` as the next version, atomically publish it, and
     * return the RE-READ frame. The returned frame reads the committed
     * files (not the input's lazy plan), so it stays valid across
@@ -2389,9 +2491,22 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // interleaving safe: gc's filter sees a fresh mtime and skips it.
     // A touch that finds the dir ALREADY gone aborts before anything
     // is published — cleanly retryable.
-    try Files.setLastModifiedTime(stagedDir,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-    catch { case _: java.io.IOException =>
+    val publishMs = System.currentTimeMillis()
+    try {
+      Files.setLastModifiedTime(stagedDir,
+        java.nio.file.attribute.FileTime.fromMillis(publishMs))
+      // commit wall-clock stamp (`_commit_ts`, millis) — what makes
+      // TIMESTAMP AS OF resolvable without guessing from file mtimes
+      // (which clone/restore/finalize-lag all shift). Written before
+      // the CAS so a committed version ALWAYS carries it; a loser's
+      // stamp dies with its deleted dir; a cloned tree's inherited
+      // stamp is overwritten here with the clone's own publish time.
+      // Per-table stamps are monotone: the CAS serializes publishes,
+      // and a competitor landing between this write and the swap
+      // fails the expectation, so the retry re-stamps.
+      Files.write(stagedDir.resolve(CommitTsFile),
+        publishMs.toString.getBytes(StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException =>
       throw new ConcurrentCommitException(
         s"staged version $staged of $table disappeared before publish " +
           "(gc swept a stalled writer's dir) — re-stage and retry")

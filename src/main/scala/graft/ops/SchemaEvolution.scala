@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Add-only schema evolution for stored tables — the engine analog of
   * the reference's runtime migrations (migrate_schema.py:15-42 probes
@@ -31,11 +32,33 @@ object SchemaEvolution {
       storedFields.map(f => col(f.name)) ++
         newFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
     val incomingOut = incoming.select(
-      storedFields.map(f =>
-        if (incomingNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)) ++
+      storedFields.map { f =>
+        if (incomingNames.contains(f.name)) {
+          val inc = incoming.schema(incoming.schema.fieldIndex(f.name)).dataType
+          // equal modulo nullability: parquet bytes cannot tell the
+          // forms apart, and the nullable→non-null direction is a
+          // REFUSED narrowing cast (a streamed frame arrives forced
+          // nullable-up) — keep the column as-is
+          if (relax(inc) == relax(f.dataType)) col(f.name).as(f.name)
+          else col(f.name).cast(f.dataType).as(f.name)
+        } else lit(null).cast(f.dataType).as(f.name)
+      } ++
         newFields.map(f => col(f.name)): _*)
     (storedOut, incomingOut)
+  }
+
+  /** Recursive nullable-up (the `asNullable` Spark keeps
+    * `private[spark]`): every field nullable, every array
+    * containsNull, every map valueContainsNull. Types equal after
+    * relaxing are byte-identical in parquet. */
+  def relax(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = relax(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      a.copy(elementType = relax(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(valueType = relax(m.valueType), valueContainsNull = true)
+    case other => other
   }
 
   /** True when a merge of `incoming` into `stored` needs alignment. */

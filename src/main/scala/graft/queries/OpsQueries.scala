@@ -1362,8 +1362,57 @@ object OpsQueries {
             WHERE NOT (event_type = 'error' OR event_id < 500)
             ORDER BY event_id"""))
 
+  /** U27: SQL TIME TRAVEL BY WALL-CLOCK through the V2 catalog —
+    * `SELECT … FROM <cat>.<t> TIMESTAMP AS OF <ts>`, resolving
+    * against the `_commit_ts` stamp every publish writes immediately
+    * before its pointer CAS ([[graft.ops.ParquetTableStore
+    * .versionAsOf]]): a RECORDED commit clock, never a file-mtime
+    * guess (round 15 refused this syntax for exactly that reason —
+    * the stamp upgrades the refusal to a contract). The gate commits
+    * the corpus, rewrites a fifth of it in a second version, confirms
+    * a read at version 2's stamp sees the rewrite, then returns the
+    * read AT version 1's own stamp — which must equal the untouched
+    * fixture (the oracle). Before-retention and pre-stamp-history
+    * refusals, the micros→millis floor, and read-only-ness are
+    * spec-pinned (CatalogSeamSpec). */
+  private val u27 = QueryDef(
+    "u27_timestamp_as_of",
+    "TIMESTAMP AS OF resolves recorded commit stamps to pinned history",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-u27-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store",
+        keepVersions = 4)
+      val (_, v1) = store.upsertBucketedVersioned(s, "corpus", d,
+        Seq("doc_id"), numBuckets = 8)
+      Thread.sleep(5) // stamps are millis; keep v2's stamp strictly later
+      store.upsertBucketed(s, "corpus",
+        d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lit("REWRITTEN").as("text")),
+        Seq("doc_id"))
+      val ts1 = store.commitTimestamp("corpus", v1).get
+      val ts2 = store.commitTimestamp("corpus", v1 + 1).get
+      require(ts2 > ts1, "u27: publish stamps are not monotone")
+      s.conf.set("spark.sql.catalog.u27cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.u27cat.root", s"$root/store")
+      def fmt(ms: Long) = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      require(s.sql(
+        s"""SELECT count(*) c FROM u27cat.corpus
+            TIMESTAMP AS OF '${fmt(ts2)}'
+            WHERE text = 'REWRITTEN'""").head.getLong(0) ==
+          d.filter(col("doc_id") % 5 === 0).count(),
+        "u27: read at version-2's stamp does not see the rewrite")
+      s.sql(s"""SELECT doc_id, text FROM u27cat.corpus
+                TIMESTAMP AS OF '${fmt(ts1)}' ORDER BY doc_id""")
+    },
+    Some("""SELECT doc_id, text FROM documents ORDER BY doc_id"""))
+
   def defs: Seq[QueryDef] =
     Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u12b, u13, u14,
       u14b, u15, u16, u17, u18, u19, u20, u21, u22, u23, u23b, u24, u25,
-      u26)
+      u26, u27)
 }

@@ -6659,6 +6659,49 @@ object PipelineQueries {
     },
     Some("SELECT doc_id, text FROM documents ORDER BY doc_id"))
 
+  /** ST19: the store as a streaming SINK
+    * ([[graft.streaming.StoreStreamWrite]] behind
+    * `writeStream.toTable("<cat>.<t>")`) — st18's other half: a
+    * Spark streaming query lands IN a store table through the SQL
+    * face, each epoch staged executor-side as plain parquet (Spark's
+    * own `ParquetWriteSupport`, `InternalRow` straight to pages — no
+    * driver relay) and folded by the driver as one keyed LWW
+    * [[graft.ops.ParquetTableStore.upsertBucketed]] under the store's
+    * CAS protocol. Two `Trigger.AvailableNow` runs over one
+    * checkpoint: the second — a restart — must fold ONLY the new
+    * files; the oracle is the whole corpus, so any duplicated or lost
+    * epoch breaks the hash. Exactly-once is the epoch watermark
+    * (`recordStreamEpoch`) plus keyed-merge idempotence — which is
+    * also why snapshot tables refuse streaming writes (spec-pinned,
+    * StoreSinkSpec, with the zombie-replay and Update-mode pins). */
+  private val st19 = QueryDef(
+    "st19_stream_table_sink",
+    "writeStream.toTable: executor-staged epochs fold as LWW upserts",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.fastDir("graft-st19-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.upsertBucketed(s, "corpus", d.filter(col("doc_id") % 3 === 0),
+        Seq("doc_id"), numBuckets = 8)
+      s.conf.set("spark.sql.catalog.st19cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.st19cat.root", s"$root/store")
+      val inDir = s"$root/in"
+      val ck = s"$root/ck"
+      def run(): Unit =
+        s.readStream.schema(d.schema).parquet(inDir)
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("st19cat.corpus").awaitTermination()
+      d.filter(col("doc_id") % 3 === 1).coalesce(1).write.parquet(inDir)
+      run() // first epoch
+      d.filter(col("doc_id") % 3 === 2).coalesce(1).write.mode("append")
+        .parquet(inDir)
+      run() // restart from the checkpoint: the new files only
+      store.read(s, "corpus").select("doc_id", "text").orderBy("doc_id")
+    },
+    Some("SELECT doc_id, text FROM documents ORDER BY doc_id"))
+
   /** ST11: streaming GRAPH maintenance
     * ([[graft.streaming.Streams.graphIngest]]) — the g3 + g4 folds
     * driven from an edge FEED: the co-order edges arrive as two
@@ -7844,5 +7887,5 @@ object PipelineQueries {
       ss3, ss4, ss5, ss6, ss7, ss8, ss9, ss10, ss11, ss12, ss13, ss14, ss15, ss16, ss17, ss18, ss19, ss20, ss21, ss22, ss23, ss24, ts1, ts2, ts3, ts4, ts5, ts6, ts7, ts8,
       ts9, ts10, ts11, ts12, ts13, ts13b, ts14, ts15, ts16, ts17, ts18, ts19, ts20, ts21, ts22, ts23, ts24, ts25, ts26, ts27, ts28, ts29, ts30, ts31, ts32, sm1, sm2, sm3, sm4, sm5, sm6, sm7, sm8, sm9, sm10, sm11, sp1,
       tp1, tp2, tp3, tp4, tp5, tp6, tp7, tp8, tp9, tp10, tp11, tp12, tp13, tp14, tp15, mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9, a7b, a8b,
-      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16, st17, st18)
+      st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16, st17, st18, st19)
 }

@@ -131,12 +131,21 @@ final class GraftTable(spark: SparkSession, store: ParquetTableStore,
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = qualified
-  override def schema(): StructType = spec.schema
+  /** Nullable-RELAXED: streaming inputs arrive forced nullable-up
+    * (Spark relaxes every streaming source's schema, array
+    * containsNull included), and output resolution refuses the
+    * narrowing cast against a strict schema — while parquet bytes
+    * cannot distinguish the two forms at all (the same fact behind
+    * the store's own append schema check). Reads are indifferent;
+    * writes land through the store's merge, which aligns against the
+    * canonical stored schema anyway. */
+  override def schema(): StructType =
+    graft.ops.SchemaEvolution.relax(spec.schema).asInstanceOf[StructType]
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.MICRO_BATCH_READ)
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -210,7 +219,12 @@ final class GraftTable(spark: SparkSession, store: ParquetTableStore,
     if (!writable) throw new UnsupportedOperationException(
       s"$qualified VERSION AS OF ${spec.version} is committed history — " +
         "writes go to the head (INSERT without the VERSION clause)")
-    new WriteBuilder with SupportsTruncate {
+    // StreamUpdateAsAppendBuilder lets streaming Update mode plan as
+    // append — right by construction, since the streaming append IS
+    // the keyed LWW upsert; Complete mode arrives as truncate() and
+    // replaces per epoch
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.graft.StreamUpdateAsAppendBuilder {
       // append by default; INSERT OVERWRITE arrives as a true-literal
       // OverwriteByExpression, which Spark maps to truncate() on a
       // SupportsTruncate builder — the V1 fallback then receives
@@ -219,6 +233,29 @@ final class GraftTable(spark: SparkSession, store: ParquetTableStore,
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def build(): Write = new V1Write {
         private val overwrite = overwriteAll
+        /** `writeStream.toTable` — [[graft.streaming.StoreStreamWrite]]:
+          * executor-staged epochs folded as LWW upserts (Append /
+          * Update) or per-epoch replaces (Complete), exactly-once via
+          * the epoch watermark + keyed-merge idempotence. Bucketed
+          * keyed tables only: a snapshot append replay after restart
+          * would duplicate rows with no key to converge on. */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          val n = store.numBuckets(tableName).getOrElse(
+            throw new UnsupportedOperationException(
+              s"$qualified: streaming writes need a BUCKETED keyed " +
+                "table — epoch replay after a restart re-folds the " +
+                "last batch, and only the keyed LWW merge makes that " +
+                "a no-op; for snapshot tables use foreachBatch with " +
+                "commitPinned"))
+          val keys = store.keyColumns(tableName).getOrElse(
+            throw new IllegalStateException(
+              s"table $tableName has no _KEYS stamp — streaming " +
+                "writes need the key columns; re-stamp via one " +
+                "replaceBucketed"))
+          new graft.streaming.StoreStreamWrite(store, tableName,
+            info.schema(), info.queryId(), overwrite, keys, n)
+        }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
@@ -350,17 +387,25 @@ final class GraftCatalog extends TableCatalog {
       store.scanSpecAt(t, Some(v)), writable = false)
   }
 
-  /** `TIMESTAMP AS OF` refuses by design: the store orders history by
-    * VERSION (the CAS publish sequence) and records no commit
-    * wall-clock — a timestamp resolution would have to guess from
-    * file mtimes, which clone/restore/finalize-lag all shift. The
-    * deterministic audit read is `VERSION AS OF` (versions(<table>)
-    * lists the retained window). */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      s"catalog $catalogName: TIMESTAMP AS OF is not supported — store " +
-        "history is ordered by version, not wall-clock (no recorded " +
-        "commit timestamps to resolve against); use VERSION AS OF <v>")
+  /** TIME TRAVEL BY WALL-CLOCK (`SELECT … FROM <cat>.<t> TIMESTAMP AS
+    * OF <ts>`): resolves to the version LIVE at `ts` via the
+    * `_commit_ts` stamp [[ParquetTableStore.publish]] writes
+    * immediately before each pointer CAS — a recorded commit clock,
+    * never a file-mtime guess. Spark hands the timestamp in
+    * MICROseconds since the epoch; stamps are millis, so the
+    * resolution floors (a reader "at" 12:00:00.0005 saw the state as
+    * of .000). Same read-only pinned scan as `VERSION AS OF`; a
+    * timestamp before the retained window, or one landing in
+    * pre-stamp history (an older store revision's versions), refuses
+    * typed via [[ParquetTableStore.versionAsOf]]. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = requireTopLevel(ident)
+    val (store, spark) = storeAndSession
+    if (!store.exists(t)) throw new NoSuchTableException(ident)
+    val v = store.versionAsOf(t, Math.floorDiv(timestamp, 1000L))
+    new GraftTable(spark, store, t, s"$catalogName.$t@v$v",
+      store.scanSpecAt(t, Some(v)), writable = false)
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty && storeAndSession._1.exists(ident.name())

@@ -48,6 +48,15 @@ final class StreamCapableScanBuilder(val inner: ParquetScanBuilder,
   override def build(): Scan = new StreamCapableScan(inner.build(), mkStream)
 }
 
+/** Forward for `SupportsStreamingUpdateAsAppend` (`private[sql]`):
+  * a `WriteBuilder` mixing this in tells Spark's streaming planner
+  * that Update output mode may ride the sink's append path — exactly
+  * right for a store table whose "append" IS a keyed LWW upsert
+  * ([[graft.streaming.StoreStreamWrite]]). Same access seam as
+  * [[StreamCapableScanBuilder]]; no logic lives here. */
+trait StreamUpdateAsAppendBuilder
+  extends org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+
 /** The built twin of [[StreamCapableScanBuilder]]: batch members
   * delegate to the wrapped `ParquetScan` (same Batch, same columnar
   * mode, same metrics), `toMicroBatchStream` is the added face. */

@@ -107,10 +107,15 @@ class CatalogSeamSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.g16cat",
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.g16cat.root", root)
-    // parity: the catalog serves exactly the programmatic read
+    // parity: the catalog serves exactly the programmatic read — the
+    // catalog face is nullable-RELAXED (streaming inputs arrive
+    // forced nullable-up and output resolution refuses the narrowing
+    // cast against a strict schema), so the pin compares modulo
+    // nullability: parquet bytes cannot tell the forms apart
     val viaSql = spark.sql("SELECT id, body, grp FROM g16cat.docs")
     val viaApi = store.read(spark, "docs").select("id", "body", "grp")
-    assert(viaSql.schema == viaApi.schema, "catalog schema drift")
+    assert(viaSql.schema == graft.ops.SchemaEvolution.relax(viaApi.schema),
+      "catalog schema drift")
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
     // the catalog scan plans through the manifest-fed index — no
     // directory listing — with pushdown + pruning intact
@@ -285,12 +290,14 @@ class CatalogSeamSpec extends SparkSpec {
     intercept[UnsupportedOperationException](
       ttTable.asInstanceOf[graft.sources.GraftTable].newWriteBuilder(null))
     // refusals are typed: above-head / pruned versions, non-numeric
-    // versions, and TIMESTAMP AS OF (no recorded commit wall-clock)
+    // versions, and TIMESTAMP AS OF before the retained window (the
+    // version live then is pruned space — serving the oldest survivor
+    // would silently show a later state than asked for)
     intercept[graft.ops.RetentionLostException](
       cat.loadTable(ident, "9999"))
     intercept[UnsupportedOperationException](cat.loadTable(ident, "tuesday"))
-    intercept[UnsupportedOperationException](
-      spark.sql("SELECT * FROM ttcat.docs TIMESTAMP AS OF '2026-01-01'")
+    intercept[graft.ops.RetentionLostException](
+      spark.sql("SELECT * FROM ttcat.docs TIMESTAMP AS OF '2020-01-01'")
         .collect())
     val tightRoot = tmpDir("v2cat-tt2")
     val tight = new graft.ops.ParquetTableStore(tightRoot, keepVersions = 1)
@@ -307,5 +314,68 @@ class CatalogSeamSpec extends SparkSpec {
     intercept[graft.ops.RetentionLostException](cat2.loadTable(
       org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "t"),
       w1.toString))
+  }
+
+  test("V2 catalog TIMESTAMP AS OF: commit stamps resolve wall-clock reads") {
+    import spark.implicits._
+    val root = tmpDir("v2cat-ts")
+    val store = new graft.ops.ParquetTableStore(root, keepVersions = 4)
+    val (_, v1) = store.upsertBucketedVersioned(spark, "docs",
+      (1 to 100).map(i => (i.toLong, s"text $i")).toDF("id", "body"),
+      Seq("id"), numBuckets = 2)
+    Thread.sleep(5) // stamps are millis; keep v2's stamp strictly later
+    store.upsertBucketed(spark, "docs",
+      Seq((1L, "rewritten")).toDF("id", "body"), Seq("id"))
+    val ts1 = store.commitTimestamp("docs", v1).get
+    val ts2 = store.commitTimestamp("docs", v1 + 1).get
+    assert(ts2 > ts1, "publish stamps are not monotone")
+    spark.conf.set("spark.sql.catalog.tscat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tscat.root", root)
+    def fmt(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    // at version 1's own stamp: version-1 content (v2 is strictly later)
+    assert(spark.sql(
+      s"SELECT body FROM tscat.docs TIMESTAMP AS OF '${fmt(ts1)}' " +
+        "WHERE id = 1").head.getString(0) == "text 1",
+      "read at v1's stamp did not pin v1")
+    // micros floor: half a millisecond past v1's stamp still reads v1
+    // (stamps are millis — the reader at .0005 last saw the .000 state)
+    assert(spark.sql(
+      s"SELECT body FROM tscat.docs TIMESTAMP AS OF '${fmt(ts1)}500' " +
+        "WHERE id = 1").head.getString(0) == "text 1",
+      "sub-millisecond timestamp did not floor to v1's stamp")
+    // at version 2's stamp and beyond: the head state
+    assert(spark.sql(
+      s"SELECT body FROM tscat.docs TIMESTAMP AS OF '${fmt(ts2)}' " +
+        "WHERE id = 1").head.getString(0) == "rewritten",
+      "read at v2's stamp did not see the rewrite")
+    // the pinned table is read-only history, like VERSION AS OF
+    val cat = spark.sessionState.catalogManager.catalog("tscat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, "docs")
+    assert(!cat.loadTable(ident, ts1 * 1000L).capabilities().contains(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE),
+      "TIMESTAMP AS OF table claims a write capability")
+    // pre-stamp history refuses typed (never an mtime guess): strip
+    // v1's stamp — a timestamp below every KNOWN stamp now lands in
+    // unstamped territory instead of cleanly out of retention
+    import scala.jdk.CollectionConverters._
+    val s0 = java.nio.file.Files.list(java.nio.file.Paths.get(root, "docs"))
+    val v1dir = try s0.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("v=") &&
+        n.stripPrefix("v=").takeWhile(_ != '-') == v1.toString).toList.head
+      finally s0.close()
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "docs", v1dir, "_commit_ts"))
+    val e = intercept[IllegalStateException](
+      spark.sql(
+        s"SELECT body FROM tscat.docs TIMESTAMP AS OF '${fmt(ts1)}' " +
+          "WHERE id = 1").collect())
+    assert(e.getMessage.contains("predate commit-timestamp stamps"),
+      s"unexpected refusal: ${e.getMessage}")
   }
 }
