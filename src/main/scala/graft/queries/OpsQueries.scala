@@ -1411,8 +1411,56 @@ object OpsQueries {
     },
     Some("""SELECT doc_id, text FROM documents ORDER BY doc_id"""))
 
+  /** U28: atomic `CREATE TABLE … AS SELECT` / `REPLACE TABLE … AS
+    * SELECT` through the V2 catalog ([[graft.sources.StagedGraftTable]])
+    * — create-WITH-data is exactly the store's create-CAS discipline
+    * (which is why data-less CREATE refuses): the staged V1 write
+    * lands the query result as ONE store commit, `TBLPROPERTIES
+    * ('graft.keys'=…, 'graft.buckets'=…)` declaring the keyed LWW
+    * layout, and REPLACE rewrites wholesale in one CAS publish while
+    * INHERITING the live layout (prior version stays retained). The
+    * gate CTASes the even half into a keyed table, REPLACEs it with a
+    * suffixed rewrite, asserts single-commit semantics + stamped
+    * keys + inherited buckets in-gate, and returns the final table vs
+    * the fixture-side oracle. Collision/missing-table/PARTITIONED BY
+    * refusals and failed-CTAS cleanup are spec-pinned
+    * (CatalogSeamSpec). */
+  private val u28 = QueryDef(
+    "u28_ctas",
+    "CTAS / REPLACE TABLE AS SELECT land as single atomic store commits",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val root = graft.ops.Scratch.tempDir("graft-u28-")
+      val store = new graft.ops.ParquetTableStore(s"$root/store")
+      store.upsertBucketed(s, "corpus", d, Seq("doc_id"), numBuckets = 8)
+      s.conf.set("spark.sql.catalog.u28cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.u28cat.root", s"$root/store")
+      s.sql("""CREATE TABLE u28cat.evens
+               TBLPROPERTIES('graft.keys'='doc_id','graft.buckets'='4')
+               AS SELECT doc_id, text FROM u28cat.corpus
+               WHERE doc_id % 2 = 0""")
+      val vCreate = store.currentVersion("evens").getOrElse(
+        throw new IllegalStateException("u28: CTAS did not create"))
+      require(store.keyColumns("evens").contains(Seq("doc_id")),
+        "u28: CTAS did not stamp the declared keys")
+      require(store.numBuckets("evens").contains(4),
+        "u28: CTAS did not honor the declared bucket count")
+      s.sql("""REPLACE TABLE u28cat.evens AS
+               SELECT doc_id, concat(text, '!') AS text FROM u28cat.corpus
+               WHERE doc_id % 2 = 0""")
+      require(store.currentVersion("evens").contains(vCreate + 1),
+        "u28: REPLACE was not exactly one more commit")
+      require(store.numBuckets("evens").contains(4) &&
+        store.keyColumns("evens").contains(Seq("doc_id")),
+        "u28: REPLACE did not inherit the keyed layout")
+      s.sql("SELECT doc_id, text FROM u28cat.evens ORDER BY doc_id")
+    },
+    Some("""SELECT doc_id, text || '!' AS text FROM documents
+            WHERE doc_id % 2 = 0 ORDER BY doc_id"""))
+
   def defs: Seq[QueryDef] =
     Seq(u1, u2, u3, u4, u5, u6, u7, u8, u9, u10, u11, u12, u12b, u13, u14,
       u14b, u15, u16, u17, u18, u19, u20, u21, u22, u23, u23b, u24, u25,
-      u26, u27)
+      u26, u27, u28)
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -291,6 +292,61 @@ final class GraftTable(spark: SparkSession, store: ParquetTableStore,
   }
 }
 
+/** The staging half of `CREATE/REPLACE TABLE … AS SELECT`: the V1
+  * write lands the query result as ONE store commit —
+  * [[ParquetTableStore.replaceBucketed]] when a keyed layout was
+  * declared (or inherited), [[ParquetTableStore.commit]] for a
+  * snapshot table — so "commit staged changes" is already done by the
+  * store's own CAS the moment the write finishes (`commitStagedChanges`
+  * has nothing left to do). A failure BEFORE the CAS leaves nothing
+  * published (create) or the previous version live (replace);
+  * `abortStagedChanges` additionally drops a table this staging
+  * CREATED, so a failed CTAS never leaves a half-made table behind. */
+final class StagedGraftTable(spark: SparkSession,
+    store: ParquetTableStore, tableName: String, qualified: String,
+    tableSchema: StructType, keys: Option[Seq[String]], buckets: Int,
+    didCreate: Boolean)
+  extends StagedTable with SupportsWrite {
+
+  @volatile private var written = false
+
+  override def name(): String = qualified
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // REPLACE TABLE … AS SELECT plans its write as a truncate; the
+      // staged write is a wholesale one-commit replace either way
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              val s = data.sparkSession
+              store.withCommitRetries() {
+                keys match {
+                  case Some(k) =>
+                    store.replaceBucketed(s, tableName, data, k, buckets)
+                  case None => store.commit(s, tableName, data)
+                }
+              }
+              written = true
+              ()
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = ()
+
+  override def abortStagedChanges(): Unit =
+    if (written && didCreate) { store.dropTable(tableName); () }
+}
+
 /** Spark V2 `TableCatalog` over a [[graft.ops.ParquetTableStore]] —
   * the store's SQL face, replacing [[StoreViews]]' manual-refresh
   * session views (kept as the lightweight twin):
@@ -313,10 +369,12 @@ final class GraftTable(spark: SparkSession, store: ParquetTableStore,
   * another store is one `conf.set`, not a session rebuild.
   *
   * DDL surface: `DROP TABLE` maps to [[ParquetTableStore.dropTable]];
-  * CREATE/ALTER/RENAME refuse — store tables are created by their
-  * first commit (the store's create-CAS discipline), which SQL DDL
-  * with no data cannot express faithfully. */
-final class GraftCatalog extends TableCatalog {
+  * `CREATE TABLE … AS SELECT` (and `REPLACE TABLE … AS SELECT`)
+  * stage through [[StagedGraftTable]] — create-WITH-data is exactly
+  * the store's create-CAS discipline, and the staged write IS the
+  * atomic publish; plain CREATE/ALTER/RENAME (data-less DDL) still
+  * refuse. */
+final class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var initOptions: CaseInsensitiveStringMap = _
@@ -419,8 +477,55 @@ final class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       s"catalog $catalogName: store tables are created by their first " +
         "commit (upsertBucketed/commit) — the create-CAS discipline SQL " +
-        "DDL with no data cannot express; create programmatically, then " +
-        "SELECT/INSERT here")
+        "DDL with no data cannot express; CREATE TABLE … AS SELECT " +
+        "(create WITH data) works, as does creating programmatically " +
+        "and SELECT/INSERT here")
+
+  /** `CREATE TABLE … AS SELECT`: create-WITH-data IS the store's
+    * create-CAS discipline, so CTAS stages faithfully where data-less
+    * `CREATE TABLE` cannot. `TBLPROPERTIES('graft.keys'='a,b'
+    * [, 'graft.buckets'='8'])` creates a keyed BUCKETED table
+    * (`replaceBucketed` — LWW layout, `_KEYS` stamped, ready for
+    * INSERT/streaming); without properties the table is a snapshot
+    * (`commit`). `PARTITIONED BY` refuses — bucketing is declared via
+    * the properties, the store owns physical layout. */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, replaceable = false, createable = true)
+
+  /** `REPLACE TABLE … AS SELECT`: an atomic wholesale rewrite — one
+    * CAS publish, history retained (the previous version stays
+    * time-travelable within retention). Layout (keys/buckets) is
+    * INHERITED from the existing table unless overridden via
+    * `graft.*` properties. */
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, replaceable = true, createable = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    staged(ident, info, replaceable = true, createable = true)
+
+  private def staged(ident: Identifier, info: TableInfo,
+      replaceable: Boolean, createable: Boolean): StagedTable = {
+    val t = requireTopLevel(ident)
+    val (store, spark) = storeAndSession
+    if (info.partitions().nonEmpty) throw new UnsupportedOperationException(
+      s"catalog $catalogName: PARTITIONED BY is not supported — declare " +
+        "a keyed bucketed layout via TBLPROPERTIES('graft.keys'='…'" +
+        "[, 'graft.buckets'='…']); the store owns physical layout")
+    val exists = store.exists(t)
+    if (exists && !replaceable) throw new TableAlreadyExistsException(ident)
+    if (!exists && !createable) throw new NoSuchTableException(ident)
+    val props = info.properties()
+    // explicit properties win; a replace inherits the live layout
+    val keys = Option(props.get("graft.keys"))
+      .map(_.split(',').map(_.trim).toSeq)
+      .orElse(if (exists) store.keyColumns(t) else None)
+    val buckets = Option(props.get("graft.buckets")).map(_.toInt)
+      .orElse(if (exists) store.numBuckets(t) else None)
+      .getOrElse(8)
+    new StagedGraftTable(spark, store, t, s"$catalogName.$t",
+      info.schema(), keys, buckets, didCreate = !exists)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

@@ -378,4 +378,50 @@ class CatalogSeamSpec extends SparkSpec {
     assert(e.getMessage.contains("predate commit-timestamp stamps"),
       s"unexpected refusal: ${e.getMessage}")
   }
+
+  test("V2 catalog CTAS: atomic create-with-data, refusals, failure cleanup") {
+    import spark.implicits._
+    val root = tmpDir("v2cat-ctas")
+    val store = new graft.ops.ParquetTableStore(root)
+    store.upsertBucketed(spark, "src",
+      (1 to 100).map(i => (i.toLong, s"text $i")).toDF("id", "body"),
+      Seq("id"), numBuckets = 4)
+    spark.conf.set("spark.sql.catalog.ctcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ctcat.root", root)
+    // snapshot CTAS (no properties): one commit, content exact
+    spark.sql("""CREATE TABLE ctcat.snap AS
+                 SELECT id, body FROM ctcat.src WHERE id <= 10""")
+    assert(store.exists("snap") && store.numBuckets("snap").isEmpty)
+    assert(spark.sql("SELECT count(*) FROM ctcat.snap").head.getLong(0) == 10L)
+    // keyed CTAS: bucketed layout ready for INSERT/streaming
+    spark.sql("""CREATE TABLE ctcat.keyed
+                 TBLPROPERTIES('graft.keys'='id','graft.buckets'='2')
+                 AS SELECT id, body FROM ctcat.src WHERE id > 90""")
+    assert(store.keyColumns("keyed").contains(Seq("id")) &&
+      store.numBuckets("keyed").contains(2))
+    spark.sql("INSERT INTO ctcat.keyed VALUES (91, 'rewritten')")
+    assert(spark.sql(
+      "SELECT body FROM ctcat.keyed WHERE id = 91").head.getString(0)
+      == "rewritten", "CTAS table did not take a keyed LWW INSERT")
+    // collision / missing / layout refusals are typed
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException](
+      spark.sql("CREATE TABLE ctcat.snap AS SELECT * FROM ctcat.src"))
+    intercept[Exception](
+      spark.sql("REPLACE TABLE ctcat.missing AS SELECT * FROM ctcat.src"))
+    intercept[UnsupportedOperationException](
+      spark.sql("""CREATE TABLE ctcat.part PARTITIONED BY (id)
+                   AS SELECT * FROM ctcat.src"""))
+    // data-less CREATE still refuses (the create-CAS needs data)
+    intercept[UnsupportedOperationException](
+      spark.sql("CREATE TABLE ctcat.empty (id BIGINT, body STRING)"))
+    // a CTAS whose query fails mid-write leaves NOTHING behind
+    intercept[Exception](
+      spark.sql("""CREATE TABLE ctcat.bad AS
+                   SELECT id, raise_error('boom') AS body FROM ctcat.src"""))
+    assert(!store.exists("bad"), "failed CTAS left a half-made table")
+    assert(spark.sql("SHOW TABLES IN ctcat").collect()
+      .map(_.getString(1)).toSet == Set("src", "snap", "keyed"),
+      "catalog listing drifted after the refused/failed DDL")
+  }
 }
