@@ -1141,7 +1141,7 @@ object Dedup {
     // turning the window pass O(L²) per doc (measured ~2x the whole
     // operator at sf0.1). Whitespace is case-invariant, so the arrays
     // align index-for-index.
-    val toks = df.select(col(idCol).as("id"),
+    val toks = Par.fanOut(df).select(col(idCol).as("id"),
       tokens(col(textCol)).as("__toks"),
       tokens(lower(col(textCol))).as("__lc"))
     // positional windows (NOT hashedWordShingles — that kernel emits
@@ -1184,7 +1184,9 @@ object Dedup {
   def repeatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int, hashedKey: Boolean = true): DataFrame = {
     require(n >= 2 && minDocs >= 2, s"need n >= 2, minDocs >= 2; got $n/$minDocs")
-    val grams = df.select(col(idCol).as("id"),
+    // shingle+hash is the op's CPU mass — [[Par.fanOut]] (integer
+    // counts and min(struct) below: partitioning-independent)
+    val grams = Par.fanOut(df).select(col(idCol).as("id"),
       explode(wordShingles(tokens(lower(col(textCol))), n)).as("gram"))
     if (hashedKey)
       grams

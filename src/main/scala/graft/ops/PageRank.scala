@@ -366,12 +366,21 @@ object PageRank {
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val spark = edges.sparkSession
 
-    val staged = scala.collection.mutable.ArrayBuffer.empty[
-      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    // Staging rides DataFrame persist (columnar in-memory blocks,
+    // codegen intact across the cache boundary) — the old
+    // `df.rdd.persist + createDataFrame` detour paid an
+    // InternalRow→Row conversion on every write AND read of every
+    // staged block and dropped out of whole-stage codegen at each
+    // boundary (guide §4: keep the hot path on built-in/codegen'd
+    // execution). Lineage depth is bounded (≤ `iterations` shallow
+    // steps), so the plan-truncation the RDD detour bought was not
+    // needed; values are bit-identical (same plan, same partial-agg
+    // shape — g1/g4/st11's oracles pin that).
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def stage(df: DataFrame): DataFrame = {
-      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      staged += rdd
-      spark.createDataFrame(rdd, df.schema)
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      staged += p
+      p
     }
     def freeAll(): Unit = staged.foreach(_.unpersist(blocking = false))
 
@@ -468,12 +477,13 @@ object PageRank {
             .collect { case (t, true) => t }.mkString(", ") +
           ") — a build crashed between commits; delete the three " +
           "tables and re-append the full edge history to rebuild")
-    val staged = scala.collection.mutable.ArrayBuffer.empty[
-      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    // DataFrame persist, not the rdd detour — see [[pageRank]]'s
+    // staging note (columnar cache, codegen intact, same values).
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def stage(df: DataFrame): DataFrame = {
-      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      staged += rdd
-      spark.createDataFrame(rdd, df.schema)
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      staged += p
+      p
     }
     def freeAll(): Unit = staged.foreach(_.unpersist(blocking = false))
     // the shared damped loop: exactly `iterations` rounds, or (tol >

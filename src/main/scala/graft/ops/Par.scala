@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive parallelism helpers. */
+object Par {
+
+  /** Fan a frame out to the session's full parallelism BEFORE a
+    * CPU-heavy per-row stage (feature explosion, per-token hashing,
+    * tokenization) — but only when the frame's PLANNED parallelism is
+    * below the core count.
+    *
+    * Why this exists (guide §2.5 "input skew", and the round-16
+    * sf1skew post-mortem): scan-side pipelines inherit the file
+    * layout's parallelism until the first exchange. A small table
+    * written as one parquet file (or one row group) hands the whole
+    * scan→explode→hash→partial-agg pipeline to 1-3 tasks, and a
+    * feature pass that costs 100× the scan serializes on one core
+    * while the rest of the machine idles — measured: the DSIR
+    * char-gram pass over the sf0.1 documents table ran as a single
+    * 8-10 s task with 31 cores idle.
+    *
+    * Why it is safe at 100 TB: the condition `planned partitions <
+    * defaultParallelism` is FALSE for any at-scale input (a 100 TB
+    * scan plans orders of magnitude more splits than the cluster has
+    * cores), so the exchange never fires where shuffling the corpus
+    * would be the failure mode — the repartition only triggers where
+    * its cost (one pass of a sub-core-count input) is trivially
+    * bought back by the parallel heavy stage. Callers apply it ONLY
+    * above order-insensitive aggregation (integer counts, sorted
+    * folds) — every catalog gate re-proves value equality against
+    * the DuckDB oracle. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+}

@@ -273,7 +273,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * tax all the small store reads the battery is full of. The row
     * array is exactly the FileStatus list the FileIndex must hold on
     * the driver anyway. Large manifests are written as SLICES
-    * ([[writeManifestFrame]] — range-partitioned and sorted by rel
+    * ([[writeManifestRowsDriver]] — range-partitioned and sorted by rel
     * path, ~128k rows each) and parse in PARALLEL here: the bare
     * Group reader runs ~6 s/10⁶ rows single-threaded (the
     * ManifestProbe 10⁶ row), which a thread per slice collapses to
@@ -291,6 +291,27 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * sorted by rel path, so bucket prefixes concentrate in few
     * slices; stats-less or anomalous slices parse conservatively. */
   private def manifestRowsSliced(vdir: Path,
+      prefixes: Option[Set[String]]): Option[Seq[(String, Long)]] =
+    prefixes match {
+      case None =>
+        cachedSidecar[Option[Seq[(String, Long)]]]("m", vdir)(
+          manifestRowsParse(vdir, None))
+      case Some(ps) =>
+        // a cached FULL parse serves any restriction by the same
+        // prefix filter the restricted parse would apply; absent one,
+        // parse restricted (and don't cache the partial view)
+        val full = sidecarCache.synchronized {
+          Option(sidecarCache.get("m:" + vdir.toString))
+        }
+        full match {
+          case Some(v) if Files.exists(vdir) =>
+            v.asInstanceOf[Option[Seq[(String, Long)]]]
+              .map(_.filter(r => ps.exists(r._1.startsWith(_))))
+          case _ => manifestRowsParse(vdir, prefixes)
+        }
+    }
+
+  private def manifestRowsParse(vdir: Path,
       prefixes: Option[Set[String]]): Option[Seq[(String, Long)]] = {
     val mdir = vdir.resolve(ManifestDir)
     if (!Files.exists(mdir)) None
@@ -378,27 +399,52 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     } catch { case _: Exception => true }
   }
 
-  /** Exact row count of a version's manifest from slice FOOTERS only
-    * (no row decode) — sizes the next version's slice count without
-    * a Spark job. 0 for absent/pre-manifest. */
-  private def manifestRowCountAt(vdir: Path): Long = {
-    val mdir = vdir.resolve(ManifestDir)
-    if (!Files.exists(mdir)) 0L
-    else listDir(mdir)
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        try {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p.toUri),
-            new org.apache.hadoop.conf.Configuration())
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            import scala.jdk.CollectionConverters._
-            r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-          } finally r.close()
-        } catch { case _: Exception => 0L }
-      }.sum
+  /** Bounded per-store LRU over DRIVER-SIDE sidecar parses (manifest
+    * rows, `_schema.json`, zone-map stats), keyed by the version DIR
+    * — which is immutable once finalized (`v=<K>-<uuid>`: writers
+    * stage under `tmp-` and move in whole; only `_commit_ts`, which
+    * no cached parse reads, is added after the move). A store gate
+    * re-reads the same version many times per fold (the commit's
+    * return read, the next fold's pinned read, each stored-set scan
+    * plans through the same sidecar), and re-parsing the identical
+    * bytes per read was pure driver overhead (guide §6: metadata
+    * caching — the manifest IS the listing cache). Entries are only
+    * cached for finalized `v=` dirs; a HIT re-checks the dir still
+    * exists (one stat) so a pruned version keeps surfacing as the
+    * plan-time [[ConcurrentCommitException]], never a stale serve.
+    * This caches file LISTS and schemas only — never query results
+    * or data bytes; every read still scans the parquet inputs. */
+  private val sidecarCache =
+    new java.util.LinkedHashMap[String, AnyRef](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, AnyRef]): Boolean = size() > 128
+    }
+
+  /** Drop every cached sidecar parse. Version dirs are immutable by
+    * the store's own contract, so the store never needs this; it
+    * exists for tests that tamper a committed version's sidecars IN
+    * PLACE to simulate maintenance bugs. */
+  private[ops] def invalidateSidecars(): Unit =
+    sidecarCache.synchronized(sidecarCache.clear())
+
+  private def cachedSidecar[T <: AnyRef](kind: String, dir: Path)(
+      compute: => T): T = {
+    val finalized = dir.getFileName != null &&
+      dir.getFileName.toString.startsWith("v=")
+    if (!finalized) compute
+    else {
+      val key = kind + ":" + dir.toString
+      val hit = sidecarCache.synchronized {
+        Option(sidecarCache.get(key))
+      }
+      hit match {
+        case Some(v) if Files.exists(dir) => v.asInstanceOf[T]
+        case _ =>
+          val v = compute
+          sidecarCache.synchronized { sidecarCache.put(key, v) }
+          v
+      }
+    }
   }
 
   /** The version's zone-map sidecar as [[graft.sources.ZoneSkip]]
@@ -421,6 +467,8 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     zoneColumns(table) match {
       case Some(cols) if Files.exists(zm) &&
           cols.forall(schema.fieldNames.contains) =>
+        cachedSidecar[Option[graft.sources.ZoneSkip]](
+          "z" + cols.mkString(","), vdir) {
         val types = cols.map(c => c -> schema(c).dataType)
         val supported = types.forall { case (_, t) => t match {
           case LongType | IntegerType | ShortType | ByteType |
@@ -470,6 +518,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
               } finally reader.close()
             }
           Some(graft.sources.ZoneSkip(statsSchema, rows.toMap))
+        }
         }
       case _ => None
     }
@@ -550,13 +599,14 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   }
 
   private def storedSchemaOf(dir: Path)
-      : Option[org.apache.spark.sql.types.StructType] = {
-    val f = dir.resolve(SchemaFile)
-    if (!Files.exists(f)) None
-    else Some(org.apache.spark.sql.types.DataType.fromJson(
-      new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
-  }
+      : Option[org.apache.spark.sql.types.StructType] =
+    cachedSidecar[Option[org.apache.spark.sql.types.StructType]]("s", dir) {
+      val f = dir.resolve(SchemaFile)
+      if (!Files.exists(f)) None
+      else Some(org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
 
   /** The PLAN INGREDIENTS of a table's CURRENT version, for the SQL
     * catalog face ([[graft.sources.GraftCatalog]]): root dir URI,
@@ -1232,16 +1282,56 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     * slice a tight disjoint rel-path range; bucket prefixes land in
     * few slices. `estRows` comes from driver-known listings + the
     * previous version's footer row count — never a Spark job. */
-  private def writeManifestFrame(stagedTmpDir: Path, m: DataFrame,
-      estRows: Long = 0L): Unit = {
-    val slices = math.max(1L, math.min(32L, (estRows + 131071L) / 131072L))
-      .toInt
-    val laid =
-      if (slices <= 1) m.coalesce(1)
-      else m.repartitionByRange(slices, col("file"))
-        .sortWithinPartitions("file")
-    laid.write.mode("errorifexists")
-      .parquet(stagedTmpDir.resolve(ManifestDir).toString)
+  /** Write the `_manifest` sidecar DRIVER-SIDE with the bare parquet
+    * writer — no Spark job. The rows are driver-resident at every
+    * call site anyway (a fresh listing walk, or the previous
+    * version's sidecar parsed by [[manifestRowsDirect]]), and the
+    * old `toDF.coalesce(1).write` path scheduled a full job round
+    * per COMMIT just to serialize them (measured: 2 of the ~4 jobs
+    * every bucketed commit paid were manifest read+write — pure
+    * fixed cost on the battery's store gates; guide §1.2 step 1,
+    * remove work that isn't the algorithm). Slicing policy is
+    * unchanged: ≤32 range-partitioned slices sorted by rel path
+    * (~128k rows each) so [[manifestRowsSliced]]'s footer-range
+    * slice skipping keeps working; the parquet schema matches what
+    * the Spark writer produced (optional binary file (STRING),
+    * optional int64 bytes), so every existing reader — the bare
+    * Group reader, `spark.read.parquet` via [[manifestAt]] — reads
+    * both eras identically. */
+  private def writeManifestRowsDriver(stagedTmpDir: Path,
+      rows: Seq[(String, Long)]): Unit = {
+    val mdir = stagedTmpDir.resolve(ManifestDir)
+    if (Files.exists(mdir))
+      throw new java.nio.file.FileAlreadyExistsException(mdir.toString)
+    Files.createDirectories(mdir)
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message spark_schema { optional binary file (STRING); " +
+        "optional int64 bytes; }")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val sorted = rows.sortBy(_._1)
+    val slices = math.max(1L,
+      math.min(32L, (sorted.size + 131071L) / 131072L)).toInt
+    val per = math.max(1, (sorted.size + slices - 1) / slices)
+    val chunks: Seq[Seq[(String, Long)]] =
+      if (sorted.isEmpty) Seq(Seq.empty)
+      else sorted.grouped(per).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val f = mdir.resolve(f"part-$i%05d.parquet")
+      val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf))
+        .withConf(conf)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      try chunk.foreach { case (file, bytes) =>
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+        g.add("file", file)
+        g.add("bytes", bytes)
+        writer.write(g)
+      } finally writer.close()
+    }
   }
 
   private def manifestAt(spark: SparkSession, vdir: Path): Option[DataFrame] = {
@@ -1278,12 +1368,15 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   }
 
   /** Full-recompute manifest for a staged dir (everything fresh). */
-  private def writeFullManifest(spark: SparkSession, nextDir: Path): Unit = {
-    import spark.implicits._
-    val rows = listedManifestRows(nextDir, None)
-    writeManifestFrame(nextDir, rows.toDF("file", "bytes"),
-      estRows = rows.size.toLong)
-  }
+  private def writeFullManifest(spark: SparkSession, nextDir: Path): Unit =
+    writeManifestRowsDriver(nextDir, listedManifestRows(nextDir, None))
+
+  /** First bucket id in a manifest rel path, if any — the driver-side
+    * twin of the `regexp_extract(file, "__kb=(\d+)/", 1)` the old
+    * Spark-frame maintenance filtered with. */
+  private val bucketOfRel = s"$BucketCol=(\\d+)/".r
+  private def relBucketOf(rel: String): Option[Int] =
+    bucketOfRel.findFirstMatchIn(rel).map(_.group(1).toInt)
 
   /** O(delta) manifest for a staged BUCKETED version, post-link:
     * `touched` buckets' files re-list (their dirs hold only fresh
@@ -1292,25 +1385,18 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   private def maintainManifestBucketed(spark: SparkSession, table: String,
       nextDir: Path, prev: Option[String],
       touched: Option[Set[Int]]): Unit = {
-    import spark.implicits._
     val carried = for {
       p <- prev
       ts <- touched
-      pm <- manifestAt(spark, tableDir(table).resolve(dirNameOf(p)))
-    } yield {
+      rows <- manifestRowsDirect(tableDir(table).resolve(dirNameOf(p)))
+    } yield
       // only bucket-dir files link forward (the sharing walk links
       // kb= DIRS); rewritten buckets' rows are replaced
-      val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
-      pm.filter(kb =!= "" && !kb.cast("int").isin(ts.toSeq: _*))
-    }
+      rows.filter(r => relBucketOf(r._1).exists(b => !ts.contains(b)))
     carried match {
       case Some(c) =>
-        val fresh = listedManifestRows(nextDir, touched)
-        writeManifestFrame(nextDir,
-          fresh.toDF("file", "bytes")
-            .unionByName(c.select("file", "bytes")),
-          estRows = fresh.size.toLong + manifestRowCountAt(
-            tableDir(table).resolve(dirNameOf(prev.get))))
+        writeManifestRowsDriver(nextDir,
+          listedManifestRows(nextDir, touched) ++ c)
       case None => writeFullManifest(spark, nextDir)
     }
   }
@@ -1327,16 +1413,18 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
   /** (file count, total bytes) of the live version from the manifest
     * — one sidecar read, O(1) driver rows; falls back to a directory
     * walk for pre-manifest versions. */
-  def fileStats(spark: SparkSession, table: String): (Long, Long) =
-    fileManifest(spark, table) match {
-      case Some(m) =>
-        val r = m.agg(count(lit(1)), coalesce(sum("bytes"), lit(0L))).head
-        (r.getLong(0), r.getLong(1))
+  def fileStats(spark: SparkSession, table: String): (Long, Long) = {
+    val p = currentPointer(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version"))
+    val vdir = tableDir(table).resolve(dirNameOf(p))
+    // driver-side sidecar parse (cached) — no job round for two longs
+    manifestRowsDirect(vdir) match {
+      case Some(rows) => (rows.size.toLong, rows.map(_._2).sum)
       case None =>
-        val p = currentPointer(table).get
-        val rows = listedManifestRows(tableDir(table).resolve(dirNameOf(p)), None)
+        val rows = listedManifestRows(vdir, None)
         (rows.size.toLong, rows.map(_._2).sum)
     }
+  }
 
   /** CHANGE-DATA-FEED between two retained versions: keyed
     * inserts/updates/deletes from `vFrom`'s snapshot to `vTo`'s —
@@ -1398,16 +1486,18 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // (links never rewrite). A row outside a kb dir (fileless-empty
     // layouts) defeats bucket granularity → full diff.
     val touched: Option[Seq[Int]] = guarded {
-      (manifestAt(spark, fromDir), manifestAt(spark, toDir)) match {
-        case (Some(mf), Some(mt)) =>
-          val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
-          val oneSided = mf.select(col("file"), lit(1L).as("s"))
-            .unionByName(mt.select(col("file"), lit(2L).as("s")))
-            .groupBy("file").agg(sum("s").as("ss"))
-            .filter(col("ss") =!= 3L)
-            .select(kb.as("kb")).distinct().collect()
-          if (oneSided.exists(_.getString(0).isEmpty)) None
-          else Some(oneSided.map(_.getString(0).toInt).toSeq)
+      // driver-side name-set diff over the two parsed sidecars (the
+      // StoreTail batch-planning discipline) — the old Spark
+      // union+groupBy+collect paid a full job round per CDC read for
+      // a computation the driver already held both inputs of
+      (manifestRowsDirect(fromDir), manifestRowsDirect(toDir)) match {
+        case (Some(rf), Some(rt)) =>
+          val sf = rf.map(_._1).toSet
+          val st = rt.map(_._1).toSet
+          val oneSided = (sf diff st) ++ (st diff sf)
+          val kbs = oneSided.toSeq.map(relBucketOf)
+          if (kbs.exists(_.isEmpty)) None
+          else Some(kbs.flatten.distinct)
         case _ => None
       }
     }
@@ -1759,9 +1849,7 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       maintainManifestBucketed(spark, table, nextDir, Some(prev),
         Some(touched))
     } else {
-      import spark.implicits._
-      writeManifestFrame(nextDir,
-        Seq.empty[(String, Long)].toDF("file", "bytes"))
+      writeManifestRowsDriver(nextDir, Seq.empty)
     }
     finalizeStaged(table, staged)
     publish(table, staged, Some(prev))
@@ -1942,15 +2030,11 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       // fresh files exist now — post-link they mix with carried links
       // in the same dirs) and carry EVERY previous bucket row; a
       // previous version without a manifest recomputes full, post-link
-      val prevMan = manifestAt(spark, curDir)
+      val prevMan = manifestRowsDirect(curDir)
       prevMan.foreach { pm =>
-        import spark.implicits._
-        val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
-        val fresh = listedManifestRows(nextDir, None)
-        writeManifestFrame(nextDir,
-          fresh.toDF("file", "bytes")
-            .unionByName(pm.filter(kb =!= "").select("file", "bytes")),
-          estRows = fresh.size.toLong + manifestRowCountAt(curDir))
+        writeManifestRowsDriver(nextDir,
+          listedManifestRows(nextDir, None) ++
+            pm.filter(r => relBucketOf(r._1).isDefined))
       }
       // touched = none: every existing file links across (append-only
       // — fresh part names are job-UUID-unique, so a bucket dir holds
@@ -2106,14 +2190,13 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // surface that as the retryable conflict it is (the
     // shareUntouchedBuckets discipline), never a raw I/O error.
     val counts: Map[Int, Int] =
-      try manifestAt(spark, curDir) match {
-        // manifest era: one sidecar read, ≤ numBuckets rows to the
-        // driver — never a 10⁵-entry directory walk per maintenance
-        case Some(m) =>
-          val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
-          m.filter(kb =!= "").groupBy(kb.cast("int").as("b"))
-            .agg(count(lit(1)).cast("int").as("n"))
-            .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      try manifestRowsDirect(curDir) match {
+        // manifest era: one driver-side sidecar parse, grouped in
+        // Scala — never a 10⁵-entry directory walk (nor, since this
+        // round, a Spark job round) per maintenance
+        case Some(rows) =>
+          rows.flatMap(r => relBucketOf(r._1))
+            .groupBy(identity).map { case (b, bs) => b -> bs.size }
         case None => listDir(curDir)
           .filter(p => Files.isDirectory(p) &&
             p.getFileName.toString.startsWith(s"$BucketCol="))
@@ -2233,16 +2316,18 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     // competitor publish mid-undo (or retention racing us) surfaces
     // as the retryable conflict it is, never a raw I/O error
     val rewrite: Set[Int] =
-      try manifestAt(spark, curDir) match {
-        case Some(m) =>
-          val kb = regexp_extract(col("file"), s"$BucketCol=(\\d+)/", 1)
-          m.filter(kb =!= "")
-            .groupBy(kb.cast("int").as("b"))
-            .agg(count(lit(1)).as("n"), sum("bytes").as("bytes"))
-            .filter(col("n") > maxFilesPerBucket ||
-              (col("n") > 1 &&
-                col("bytes") / col("n") < minBytesPerFile))
-            .select("b").collect().map(_.getInt(0)).toSet
+      try manifestRowsDirect(curDir) match {
+        case Some(rows) =>
+          rows.flatMap(r => relBucketOf(r._1).map(b => (b, r._2)))
+            .groupBy(_._1)
+            .collect { case (b, fs)
+                if fs.size > maxFilesPerBucket ||
+                  (fs.size > 1 &&
+                    // the Spark-frame era divided as DOUBLE
+                    // (Divide casts); keep that semantic exactly
+                    fs.map(_._2).sum.toDouble / fs.size
+                      < minBytesPerFile) => b }
+            .toSet
         case None =>
           // pre-manifest version: count tier only, from the listing
           listDir(curDir)
@@ -2673,25 +2758,26 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
         catch { case _: java.io.IOException | _: NumberFormatException =>
           None }
       }.sortBy(_._1)
-    def manifests(vs: Seq[Long]): Option[DataFrame] = {
-      val ms = vs.flatMap(v => manifestAt(spark,
+    // all set math on DRIVER-SIDE sidecar parses (cached): the old
+    // per-consumer distinct + anti-join + agg scheduled a Spark job
+    // round per registry row for sets the driver already held
+    def manifests(vs: Seq[Long]): Option[Seq[(String, Long)]] = {
+      val ms = vs.flatMap(v => manifestRowsDirect(
         tableDir(table).resolve(versionDirNameOf(table, v))))
-      if (ms.isEmpty) None
-      else Some(ms.map(_.select(col("file"), col("bytes")))
-        .reduce(_ unionByName _))
+      if (ms.isEmpty) None else Some(ms.flatten)
     }
-    val surviving = manifests(retained.filter(_ >= plainFloor))
+    val survivingFiles: Option[Set[String]] =
+      manifests(retained.filter(_ >= plainFloor)).map(_.map(_._1).toSet)
     val rows = consumers.map { case (c, cur) =>
       val protVs = retained.filter(v => v >= cur && v < plainFloor)
       val bytes = manifests(protVs) match {
         case None => 0L
         case Some(p) =>
-          val uniq = surviving match {
-            case Some(s) => p.distinct()
-              .join(s.select("file").distinct(), Seq("file"), "left_anti")
-            case None => p.distinct()
+          val uniq = survivingFiles match {
+            case Some(s) => p.distinct.filterNot(r => s.contains(r._1))
+            case None => p.distinct
           }
-          uniq.agg(coalesce(sum("bytes"), lit(0L))).head.getLong(0)
+          uniq.map(_._2).sum
       }
       (c, cur, head, head - cur, protVs.size.toLong, bytes,
         groupOfConsumer(c).orNull)

@@ -88,8 +88,13 @@ object TextAnalysis {
     * combinable aggregation per (doc, lang). Nothing corpus-sized
     * joins or collects. */
   def trigramLangId(train: DataFrame, langCol: String, textCol: String,
-      test: DataFrame, idCol: String, testTextCol: String): DataFrame = {
-    val labeled = train.select(col(langCol).as("lang"),
+      test0: DataFrame, idCol: String, testTextCol: String): DataFrame = {
+    // the trigram explosion is the op's CPU mass — fan both text
+    // inputs out of a sub-core-parallel file layout ([[Par.fanOut]];
+    // every aggregate below is an integer count or a pos-sorted fold,
+    // so values are partitioning-independent)
+    val test = Par.fanOut(test0)
+    val labeled = Par.fanOut(train).select(col(langCol).as("lang"),
       charTrigrams(col(textCol)).as("t"))
     val tx = labeled.select(col("lang"), explode(col("t")).as("g"))
     val gm = tx.groupBy("lang", "g").agg(count(lit(1)).as("c"))
@@ -311,7 +316,8 @@ object TextAnalysis {
     require(maxDupTokenPct >= 0 && maxDupTokenPct <= 100)
     require(maxTopBigramPct >= 0 && maxTopBigramPct <= 100)
     require(minTokens >= 1 && maxTokens >= minTokens)
-    df.withColumn("__r", repetitionStats(col(textCol)))
+    // the one-pass stats kernel is per-row CPU — [[Par.fanOut]]
+    Par.fanOut(df).withColumn("__r", repetitionStats(col(textCol)))
       .filter(col("__r.n_tokens") >= minTokens &&
         col("__r.n_tokens") <= maxTokens &&
         (col("__r.n_tokens") - col("__r.n_distinct")) * 100 <=
@@ -343,19 +349,25 @@ object TextAnalysis {
     * corpus-sized broadcasts: the count tables are vocabulary-sized
     * and broadcast only when genuinely small. */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val toks = Par.fanOut(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
     val x = toks.select(col("id"), posexplode(expr(
       "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
         " (a, b) -> struct(a AS w1, b AS w2))")))
       .select(col("id"), col("pos"), col("col.w1").as("w1"),
         col("col.w2").as("w2"))
+    // c1 as a per-w1 window over the bigram-count frame — the
+    // separate groupBy+join re-evaluated the whole bigram explode a
+    // second time (the dsirFold totals fix; window sum of longs over
+    // the identical rows is integer-exact)
     val c2 = x.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      .withColumn("c1", sum(col("c2")).over(
+        Window.partitionBy("w1").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
     val v = toks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val lp = x.join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .select(col("id"), col("pos"),
         log((col("c2") + lit(1L)).cast("double") /
@@ -389,21 +401,32 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val zipExpr = "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
       " (a, b) -> struct(a AS w1, b AS w2))"
-    val rtoks = ref.select(tokens(col(refTextCol)).as("t"))
+    val rtoks = Par.fanOut(ref).select(tokens(col(refTextCol)).as("t"))
       .filter(size(col("t")) >= 2)
     val rx = rtoks.select(posexplode(expr(zipExpr)))
       .select(col("col.w1").as("w1"), col("col.w2").as("w2"))
+    // c1 as a per-w1 window over c2 — one reference gram pass, not
+    // two (see bigramLmScore)
     val c2 = rx.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      .withColumn("c1", sum(col("c2")).over(
+        Window.partitionBy("w1").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
     val v = rtoks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val toks = Par.fanOut(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
     val x = toks.select(col("id"), posexplode(expr(zipExpr)))
       .select(col("id"), col("pos"), col("col.w1").as("w1"),
         col("col.w2").as("w2"))
-    val lp = x.join(c2, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
+    // both model joins derive from the SAME windowed c2 frame (the
+    // per-w1 slice must survive a (w1,w2) miss — an unseen bigram
+    // with a seen left word still smooths against c1), so the
+    // reference gram pass is shared via the window's exchange
+    val lp = x.join(c2.select(col("w1"), col("w2"), col("c2")),
+        Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1"), col("c1")).dropDuplicates("w1"),
+        Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .select(col("id"), col("pos"),
         log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
@@ -556,24 +579,34 @@ object TextAnalysis {
     * handles Zipf skew, as in ts12), and the only corpus-sized
     * exchanges are the (id)-keyed fold and the token-keyed count —
     * both unavoidable and both single. */
-  def nbQualityScores(df: DataFrame, idCol: String, textCol: String,
+  def nbQualityScores(df0: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
+    // tokenize+count is the op's CPU mass ([[Par.fanOut]] note:
+    // integer counts + pos-sorted folds only below this point)
+    val df = Par.fanOut(df0)
     val labeled = df.select(col(idCol).as("id"),
       col(labelCol).cast("boolean").cast("int").as("y"),
       tokens(col(textCol)).as("t"))
     val x = labeled.select(col("id"), col("y"), posexplode(col("t")))
       .select(col("id"), col("y"), col("pos"), col("col").as("w"))
+    // model totals as whole-frame window sums over the vocab-sized
+    // word-count frame — the separate wm.agg scalar re-evaluated the
+    // whole tokenize+count pass a second time (the dsirFold totals
+    // fix, same integer-exactness argument: window sum of longs over
+    // the identical rows)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wm = x.groupBy("w").agg(
       sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
       sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
-    val stats = wm.agg(sum(col("c1")).as("tot1"), sum(col("c0")).as("tot0"),
-      count(lit(1)).as("v"))
+      .withColumn("tot1", sum(col("c1")).over(wAll))
+      .withColumn("tot0", sum(col("c0")).over(wAll))
+      .withColumn("v", count(lit(1)).over(wAll))
     val priors = labeled.agg(
       sum(when(col("y") === 1, 1L).otherwise(0L)).as("nd1"),
       sum(when(col("y") === 0, 1L).otherwise(0L)).as("nd0"),
       count(lit(1)).as("n"))
     val lp = x.join(wm, Seq("w"))
-      .crossJoin(broadcast(stats))
       .select(col("id"), col("pos"),
         log((col("c1") + lit(1L)).cast("double") /
           (col("tot1") + col("v")).cast("double")).as("lp1"),
@@ -689,12 +722,13 @@ object TextAnalysis {
     * partitioning never moves a double. The global top-k plans as
     * TakeOrderedAndProject; the rank window runs on the k-row
     * result. */
-  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+  def bm25TopK(df0: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(query.nonEmpty, "query must carry at least one term")
     val q = query.map(_.toLowerCase).distinct
+    val df = Par.fanOut(df0)
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
     // doc lengths from per-row size() aggregated per id — the same
@@ -780,11 +814,13 @@ object TextAnalysis {
     * append) on one index must be externally serialized — racing
     * mutators trip the store's CAS, but the version the stats frame
     * records is only exact when mutations don't interleave. */
-  def bm25BuildIndex(df: DataFrame, idCol: String, textCol: String,
+  def bm25BuildIndex(df0: DataFrame, idCol: String, textCol: String,
       store: ParquetTableStore,
       postingsTable: String = "bm25_postings",
       statsTable: String = "bm25_stats",
       numBuckets: Int = 32): Unit = {
+    // the tokenize pass is the build's dominant cost — [[Par.fanOut]]
+    val df = Par.fanOut(df0)
     val spark = df.sparkSession
     // id stays whatever type the caller keys by (string video ids and
     // long doc ids both index — the MainDedupSpec genericity rule).
@@ -1360,7 +1396,8 @@ object TextAnalysis {
   private[graft] def dsirSlotCounts(df: DataFrame, textCol: String,
       buckets: Int, portableHash: Boolean = true,
       charNgrams: Option[Int] = None): DataFrame =
-    df.select(explode(dsirFeats(col(textCol), charNgrams)).as("f"))
+    Par.fanOut(df)
+      .select(explode(dsirFeats(col(textCol), charNgrams)).as("f"))
       .select(dsirSlotOf(col("f"), buckets, portableHash).as("slot"))
       .groupBy("slot").agg(count(lit(1)).as("c"))
 
@@ -1368,7 +1405,10 @@ object TextAnalysis {
   private def dsirDocSlots(corpus: DataFrame, idCol: String,
       textCol: String, buckets: Int, portableHash: Boolean,
       charNgrams: Option[Int]): DataFrame =
-    corpus.select(col(idCol).as("id"),
+    // feature explosion + per-feature md5 slot hash: the DSIR pass's
+    // CPU mass, measured 8-10 s on ONE task over a single-file
+    // layout ([[Par.fanOut]]; integer counts below)
+    Par.fanOut(corpus).select(col(idCol).as("id"),
       explode(dsirFeats(col(textCol), charNgrams)).as("f"))
       .select(col("id"),
         dsirSlotOf(col("f"), buckets, portableHash).as("slot"))
@@ -1382,12 +1422,23 @@ object TextAnalysis {
   private def dsirFold(corpusIds: DataFrame, docSlots: DataFrame,
       tc: DataFrame, cc: DataFrame, buckets: Int): DataFrame = {
     val spark = corpusIds.sparkSession
-    val tTot = tc.agg(coalesce(sum(col("c")), lit(0L)).as("tt"))
-    val cTot = cc.agg(coalesce(sum(col("c")), lit(0L)).as("ct"))
+    // totals as WHOLE-FRAME window sums over the already-joined
+    // buckets-row frame, not separate tc.agg/cc.agg scalar frames:
+    // each scalar agg re-evaluated its side's ENTIRE feature pass
+    // (explode + per-gram hash + count — the op's CPU mass) a second
+    // time, because a scalar subtree shares no exchange with the
+    // joined one (measured: 5 gram passes per dsirWeights call, 2 of
+    // them the totals'). The window runs over ≤`buckets` rows in one
+    // partition — trivially cheap at every scale — and every slot
+    // appears EXACTLY once in the range join, so
+    // sum(coalesce(c,0)) ≡ the old agg's sum — integer-exact.
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val lambda = spark.range(buckets).select(col("id").as("slot"))
       .join(tc.select(col("slot"), col("c").as("c_t")), Seq("slot"), "left")
       .join(cc.select(col("slot"), col("c").as("c_c")), Seq("slot"), "left")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(cTot))
+      .withColumn("tt", sum(coalesce(col("c_t"), lit(0L))).over(wAll))
+      .withColumn("ct", sum(coalesce(col("c_c"), lit(0L))).over(wAll))
       .select(col("slot"),
         (log((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
           (col("tt") + lit(buckets.toLong)).cast("double")) -

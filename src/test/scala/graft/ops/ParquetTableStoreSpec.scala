@@ -1108,6 +1108,11 @@ class ParquetTableStoreSpec extends SparkSpec {
     }
     rmRf(vdir.resolve("_manifest"))
     Files.move(tmp.resolve("m"), vdir.resolve("_manifest"))
+    // the tamper mutates a FINALIZED version's sidecar in place —
+    // out of the store's immutability contract, so the sidecar
+    // cache (correctly) wouldn't see it; flush so the desync check
+    // is exercised against the tampered bytes
+    store.invalidateSidecars()
     val e = intercept[IllegalStateException](
       store.readZonePruned(spark, "t", "k", 10, 60).count())
     assert(e.getMessage.contains("desync"))
