@@ -1141,7 +1141,7 @@ object Dedup {
     // turning the window pass O(L²) per doc (measured ~2x the whole
     // operator at sf0.1). Whitespace is case-invariant, so the arrays
     // align index-for-index.
-    val toks = Par.fanOut(df).select(col(idCol).as("id"),
+    val toks = df.select(col(idCol).as("id"),
       tokens(col(textCol)).as("__toks"),
       tokens(lower(col(textCol))).as("__lc"))
     // positional windows (NOT hashedWordShingles — that kernel emits

@@ -366,21 +366,23 @@ object PageRank {
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val spark = edges.sparkSession
 
-    // Staging rides DataFrame persist (columnar in-memory blocks,
-    // codegen intact across the cache boundary) — the old
-    // `df.rdd.persist + createDataFrame` detour paid an
-    // InternalRow→Row conversion on every write AND read of every
-    // staged block and dropped out of whole-stage codegen at each
-    // boundary (guide §4: keep the hot path on built-in/codegen'd
-    // execution). Lineage depth is bounded (≤ `iterations` shallow
-    // steps), so the plan-truncation the RDD detour bought was not
-    // needed; values are bit-identical (same plan, same partial-agg
-    // shape — g1/g4/st11's oracles pin that).
-    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Staging detours through RDD[Row] persist + createDataFrame ON
+    // PURPOSE: it truncates the logical plan per iteration, so each
+    // staged frame plans as a flat LogicalRDD. The round-16
+    // optimization pass A/B-tested plain DataFrame persist (columnar
+    // cache, codegen intact across the boundary) and MEASURED it
+    // slower here (g1 4→6 s, g4 11→13 s in the full battery): these
+    // staged frames are narrow (id, r)/(src, dst) rows read a handful
+    // of times, so the columnar encode+decode per cached block costs
+    // more than the Row conversion it saves, and the growing
+    // InMemoryRelation lineage re-plans per iteration. Deliberately
+    // kept on the RDD detour — evidence over theory (guide §1.1).
+    val staged = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     def stage(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      staged += p
-      p
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      staged += rdd
+      spark.createDataFrame(rdd, df.schema)
     }
     def freeAll(): Unit = staged.foreach(_.unpersist(blocking = false))
 
@@ -477,13 +479,14 @@ object PageRank {
             .collect { case (t, true) => t }.mkString(", ") +
           ") — a build crashed between commits; delete the three " +
           "tables and re-append the full edge history to rebuild")
-    // DataFrame persist, not the rdd detour — see [[pageRank]]'s
-    // staging note (columnar cache, codegen intact, same values).
-    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the RDD-detour staging is deliberate — see [[pageRank]]'s
+    // staging note (A/B-measured faster than DataFrame persist here).
+    val staged = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     def stage(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      staged += p
-      p
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      staged += rdd
+      spark.createDataFrame(rdd, df.schema)
     }
     def freeAll(): Unit = staged.foreach(_.unpersist(blocking = false))
     // the shared damped loop: exactly `iterations` rounds, or (tol >

@@ -31,8 +31,29 @@ object Par {
     * folds) — every catalog gate re-proves value equality against
     * the DuckDB oracle. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
+    // Fan ONLY scan-shaped frames (projections/filters/unions over
+    // leaf relations). Two reasons, both measured in the round-16
+    // battery: (a) the partition probe below plans the frame once
+    // more than the real query does, which is free for a scan but
+    // doubles a composed pipeline's analysis cost (tp10/tp11
+    // regressed 2-4 s from exactly that); (b) a composed input has
+    // exchanges upstream, so its parallelism is already the
+    // session's — the wedge this helper exists for is the
+    // scan-inherits-file-layout case only.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def scanShaped(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case u: Union => u.children.forall(scanShaped)
+      case pr: Project => scanShaped(pr.child)
+      case f: Filter => scanShaped(f.child)
+      case s: SubqueryAlias => scanShaped(s.child)
+      case _ => false
+    }
+    if (!scanShaped(df.queryExecution.analyzed)) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df
+      else df.repartition(target)
+    }
   }
 }

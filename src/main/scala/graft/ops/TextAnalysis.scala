@@ -89,12 +89,14 @@ object TextAnalysis {
     * joins or collects. */
   def trigramLangId(train: DataFrame, langCol: String, textCol: String,
       test0: DataFrame, idCol: String, testTextCol: String): DataFrame = {
-    // the trigram explosion is the op's CPU mass — fan both text
-    // inputs out of a sub-core-parallel file layout ([[Par.fanOut]];
-    // every aggregate below is an integer count or a pos-sorted fold,
-    // so values are partitioning-independent)
+    // the corpus-side trigram explosion is the op's CPU mass — fan
+    // the TEST input out of a sub-core-parallel file layout
+    // ([[Par.fanOut]]; integer counts + pos-sorted folds below). The
+    // train side stays un-fanned: it is curated-small by contract,
+    // and its subtree re-evaluates under several model branches —
+    // an exchange there multiplies fixed cost, not parallelism.
     val test = Par.fanOut(test0)
-    val labeled = Par.fanOut(train).select(col(langCol).as("lang"),
+    val labeled = train.select(col(langCol).as("lang"),
       charTrigrams(col(textCol)).as("t"))
     val tx = labeled.select(col("lang"), explode(col("t")).as("g"))
     val gm = tx.groupBy("lang", "g").agg(count(lit(1)).as("c"))
@@ -316,8 +318,7 @@ object TextAnalysis {
     require(maxDupTokenPct >= 0 && maxDupTokenPct <= 100)
     require(maxTopBigramPct >= 0 && maxTopBigramPct <= 100)
     require(minTokens >= 1 && maxTokens >= minTokens)
-    // the one-pass stats kernel is per-row CPU — [[Par.fanOut]]
-    Par.fanOut(df).withColumn("__r", repetitionStats(col(textCol)))
+    df.withColumn("__r", repetitionStats(col(textCol)))
       .filter(col("__r.n_tokens") >= minTokens &&
         col("__r.n_tokens") <= maxTokens &&
         (col("__r.n_tokens") - col("__r.n_distinct")) * 100 <=
@@ -579,11 +580,8 @@ object TextAnalysis {
     * handles Zipf skew, as in ts12), and the only corpus-sized
     * exchanges are the (id)-keyed fold and the token-keyed count —
     * both unavoidable and both single. */
-  def nbQualityScores(df0: DataFrame, idCol: String, textCol: String,
+  def nbQualityScores(df: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
-    // tokenize+count is the op's CPU mass ([[Par.fanOut]] note:
-    // integer counts + pos-sorted folds only below this point)
-    val df = Par.fanOut(df0)
     val labeled = df.select(col(idCol).as("id"),
       col(labelCol).cast("boolean").cast("int").as("y"),
       tokens(col(textCol)).as("t"))
