@@ -51,8 +51,26 @@ object Par {
     }
     if (!scanShaped(df.queryExecution.analyzed)) df
     else {
-      val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions >= target) df
+      val spark = df.sparkSession
+      val target = spark.sparkContext.defaultParallelism
+      // Planned-split ESTIMATE from logical stats — the round-16
+      // probe (`df.rdd.getNumPartitions`) forced physical planning +
+      // an RDD conversion per call, a fixed tax per wrapped operator
+      // invocation (paid per iteration in probe-loop gates). The
+      // estimate mirrors FilePartition.maxSplitBytes: splitSize =
+      // min(maxPartitionBytes, max(openCostInBytes, bytes/target)),
+      // so a sub-(target·openCost) input reads "fewer splits than
+      // cores" exactly where the old probe did, and any at-scale
+      // input (stats ≥ cores × 128 MB) stays untouched. Stats come
+      // from the already-analyzed logical plan (file-listing sizes
+      // for scans — no job, no physical plan).
+      val conf = spark.sessionState.conf
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val maxSplit = BigInt(conf.filesMaxPartitionBytes)
+      val openCost = BigInt(conf.filesOpenCostInBytes).max(BigInt(1))
+      val splitSize = maxSplit.min(openCost.max(bytes / target))
+      val estSplits = ((bytes + splitSize - 1) / splitSize).max(BigInt(1))
+      if (estSplits >= target) df
       else df.repartition(target)
     }
   }

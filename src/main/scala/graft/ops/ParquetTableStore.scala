@@ -1977,11 +1977,6 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
     require(numBuckets >= 1)
     if (!exists(table))
       createBucketed(spark, table, incoming, keys, numBuckets, sortWithin)._1
-    // an empty delta is a NO-OP, never a version churn: a staged
-    // append of zero rows would link every file into a new version
-    // (retention pressure) and, written unpartitioned per the empty
-    // rule, would MIX a root file into a partitioned layout
-    else if (incoming.limit(1).count() == 0) read(spark, table)
     else {
       val n = this.numBuckets(table).getOrElse(throw new IllegalStateException(
         s"table $table was created as a snapshot table; appends need " +
@@ -2009,6 +2004,20 @@ final class ParquetTableStore(root: String, keepVersions: Int = 2,
       val laid = layoutBuckets(aligned, n, keys, sortWithin)
       laid.write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(nextDir.toString)
+      // an empty delta is a NO-OP, never a version churn: a staged
+      // append of zero rows would link every file into a new version
+      // (retention pressure) and mix layouts. Emptiness is detected
+      // AFTER the write (did any kb= dir appear? — a free driver
+      // listing) rather than probed up front: the old limit(1).count
+      // probe scheduled a full job round evaluating the delta plan
+      // once more PER APPEND (the writeBucketedVersion rationale,
+      // guide §1.2 — remove work that isn't the algorithm).
+      val hasData = listDir(nextDir).exists(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$BucketCol="))
+      if (!hasData) {
+        deleteRecursively(nextDir)
+        return read(spark, table)
+      }
       writeSchemaFile(nextDir, laid.schema)
       // zone map, append shape: nothing is rewritten, so EVERY
       // previous row carries and only the fresh delta files scan —

@@ -726,7 +726,14 @@ object TextAnalysis {
     require(k >= 1, s"k must be positive, got $k")
     require(query.nonEmpty, "query must carry at least one term")
     val q = query.map(_.toLowerCase).distinct
-    val df = Par.fanOut(df0)
+    // NO fan-out here: the token stream reduces immediately to
+    // query-term postings (the isin filter rides the scan), so the
+    // per-row work is one tokenize + filter — the round-16 battery
+    // measured the added exchange as a pure regression across the
+    // whole bm25 family (ts17 1→3 s, ts21 3→5 s, with inverted
+    // 8-vs-32-core scaling), paid per probe in the append/reindex
+    // gates.
+    val df = df0
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
     // doc lengths from per-row size() aggregated per id — the same
@@ -817,8 +824,12 @@ object TextAnalysis {
       postingsTable: String = "bm25_postings",
       statsTable: String = "bm25_stats",
       numBuckets: Int = 32): Unit = {
-    // the tokenize pass is the build's dominant cost — [[Par.fanOut]]
-    val df = Par.fanOut(df0)
+    // NO fan-out here: the round-16 battery measured the build-side
+    // round-robin exchange as a regression for every stored-index
+    // gate (ts25 6→9 s, ts28 7→10 s, ss24 14→17 s, st8 8→10 s — the
+    // build cost is re-paid per probe/append iteration), and the
+    // committed before/after plans showed no structural win.
+    val df = df0
     val spark = df.sparkSession
     // id stays whatever type the caller keys by (string video ids and
     // long doc ids both index — the MainDedupSpec genericity rule).
@@ -905,18 +916,29 @@ object TextAnalysis {
       s"bm25AppendIndex: index ($postingsTable, $statsTable) not built — " +
         "run bm25BuildIndex first")
     val ids = newDocs.select(col(idCol).as("id"))
-    val nDup = ids.groupBy("id").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).count()
-    require(nDup == 0,
+    // ONE job runs BOTH validation probes (intra-delta dup + stored-id
+    // clash): each limit(1) existence probe scheduled its own job
+    // round — pure fixed cost per append at streaming cadence (guide
+    // §1.2). The union evaluates both sides in a single action; the
+    // semi-join keeps the stored postings as the streamed side with
+    // the delta ids broadcast (the distinct before it was a spare
+    // exchange — existence needs no dedup).
+    val dupProbe = ids.groupBy("id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).select(lit("dup").as("bad"))
+    val probe =
+      if (validateNewIds)
+        dupProbe.unionByName(
+          store.read(spark, postingsTable).select("id")
+            .join(ids, Seq("id"), "left_semi").limit(1)
+            .select(lit("clash").as("bad")))
+      else dupProbe
+    val bad = probe.collect().map(_.getString(0)).toSet
+    require(!bad.contains("dup"),
       s"bm25AppendIndex: newDocs carries duplicate $idCol values — " +
         "postings would double-count; dedup the delta first")
-    if (validateNewIds) {
-      val clash = store.read(spark, postingsTable).select("id").distinct()
-        .join(ids, Seq("id"), "left_semi").limit(1).count()
-      require(clash == 0,
-        s"bm25AppendIndex: newDocs contains ids already indexed in " +
-          s"$postingsTable — append is insert-only; rebuild to re-index")
-    }
+    require(!bad.contains("clash"),
+      s"bm25AppendIndex: newDocs contains ids already indexed in " +
+        s"$postingsTable — append is insert-only; rebuild to re-index")
     // one tokenize pass (dl = row-sum of tf — see bm25BuildIndex),
     // PINNED across the fold's three actions (postings append, scalar
     // collect, stats commit) so the delta text is read exactly once
@@ -1025,11 +1047,6 @@ object TextAnalysis {
       s"bm25ReindexDocs: index ($postingsTable, $statsTable) not built — " +
         "run bm25BuildIndex first")
     val ids = docs.select(col(idCol).as("id"))
-    val nDup = ids.groupBy("id").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).count()
-    require(nDup == 0,
-      s"bm25ReindexDocs: docs carries duplicate $idCol values — " +
-        "postings would double-count; dedup the delta first")
     val statsAll = store.read(spark, statsTable)
     require(statsAll.columns.contains("tombstones_version"),
       s"bm25ReindexDocs: $statsTable predates the generation layout — " +
@@ -1039,25 +1056,11 @@ object TextAnalysis {
       if (store.exists(tombstoneTable))
         Some(store.read(spark, tombstoneTable))
       else None
-    // TORN-STATE ENTRY GUARD: stats commit LAST pinning both table
-    // versions, so pins behind the live versions mean a prior
-    // mutation crashed between its commits — folding deltas on top
-    // would not converge (see the scaladoc), and worse, this run's
-    // stats commit would re-pin a consistent-looking pair. Refuse
-    // loudly with the repair path. An EMPTY stats frame (all-empty
-    // corpus build) has no pin row and is compatible by convention.
-    statsAll.select(col("postings_version"), col("tombstones_version"))
-      .limit(1).collect().headOption.foreach { p =>
-      val curPv = store.currentVersion(postingsTable).getOrElse(-1L)
-      val curTv = store.currentVersion(tombstoneTable).getOrElse(-1L)
-      if (p.getLong(0) != curPv || p.getLong(1) != curTv)
-        throw new IllegalStateException(
-          s"bm25ReindexDocs: index torn — $statsTable pins postings " +
-            s"v${p.getLong(0)}/tombstones v${p.getLong(1)} but the " +
-            s"tables are at v$curPv/v$curTv; a prior mutation crashed " +
-            "between commits. Run bm25CompactIndex to repair, or " +
-            "bm25BuildIndex to rebuild")
-    }
+    // The TORN-STATE ENTRY GUARD and the intra-delta dup probe now
+    // ride the single scalar-collect job below (each limit(1) probe
+    // scheduled its own job round — fixed per-mutation cost, guide
+    // §1.2); refusal ORDER is preserved in the post-collect checks
+    // (dup first, then torn — the spec-pinned precedence).
     // ALL old rows of exactly the reindexed ids: one postings scan.
     // Generations derive from every row (dead included) — a doc
     // previously reindexed to zero tokens has only DEAD rows, and
@@ -1091,8 +1094,12 @@ object TextAnalysis {
           .join(gens, Seq("id"), "left")
           .select(col("term"), col("id"), col("tf"), col("dl"),
             coalesce(col("gen"), lit(0L)).as("gen"))
-        // ONE job for all six scalars: stored (n, total_dl), dead
-        // (docs, dl mass), new (docs, dl mass)
+        // ONE job for all six scalars — stored (n, total_dl), dead
+        // (docs, dl mass), new (docs, dl mass) — PLUS the three
+        // probes that each used to schedule their own job round:
+        // the intra-delta dup check, the torn-state pin row, and the
+        // deadMarks-nonempty existence (gens row ⟺ some reindexed id
+        // already has postings, dead or live)
         val oldDl = oldLive.select("id", "dl").distinct()
         val scalarRows = statsAll.select(lit(0).as("side"), col("n"),
             col("total_dl")).limit(1)
@@ -1101,11 +1108,44 @@ object TextAnalysis {
             coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
           .unionByName(dl.agg(lit(2).as("side"), count(lit(1)).as("n"),
             coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
+          .unionByName(ids.groupBy("id").agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1).limit(1)
+            .select(lit(3).as("side"), lit(1L).as("n"),
+              lit(0L).as("total_dl")))
+          .unionByName(statsAll.select(lit(4).as("side"),
+            col("postings_version").as("n"),
+            col("tombstones_version").as("total_dl")).limit(1))
+          .unionByName(gens.limit(1).select(lit(5).as("side"),
+            lit(1L).as("n"), lit(0L).as("total_dl")))
           .collect()
-        def side(i: Int): (Long, Long) = scalarRows.find(_.getInt(0) == i)
-          .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+        def sideOpt(i: Int): Option[(Long, Long)] =
+          scalarRows.find(_.getInt(0) == i)
+            .map(r => (r.getLong(1), r.getLong(2)))
+        def side(i: Int): (Long, Long) = sideOpt(i).getOrElse((0L, 0L))
+        require(sideOpt(3).isEmpty,
+          s"bm25ReindexDocs: docs carries duplicate $idCol values — " +
+            "postings would double-count; dedup the delta first")
+        // TORN-STATE ENTRY GUARD: stats commit LAST pinning both table
+        // versions, so pins behind the live versions mean a prior
+        // mutation crashed between its commits — folding deltas on top
+        // would not converge (see the scaladoc), and worse, this run's
+        // stats commit would re-pin a consistent-looking pair. Refuse
+        // loudly with the repair path. An EMPTY stats frame (all-empty
+        // corpus build) has no pin row and is compatible by convention.
+        sideOpt(4).foreach { case (pv0, tv0) =>
+          val curPv = store.currentVersion(postingsTable).getOrElse(-1L)
+          val curTv = store.currentVersion(tombstoneTable).getOrElse(-1L)
+          if (pv0 != curPv || tv0 != curTv)
+            throw new IllegalStateException(
+              s"bm25ReindexDocs: index torn — $statsTable pins postings " +
+                s"v$pv0/tombstones v$tv0 but the " +
+                s"tables are at v$curPv/v$curTv; a prior mutation crashed " +
+                "between commits. Run bm25CompactIndex to repair, or " +
+                "bm25BuildIndex to rebuild")
+        }
         val (n0, t0) = side(0); val (nDead, tDead) = side(1)
         val (nNew, tNew) = side(2)
+        val haveDeadMarks = sideOpt(5).isDefined
         val n2 = n0 - nDead + nNew
         val totalDl2 = t0 - tDead + tNew
         // commits: postings first (insert-only; an all-empty new text
@@ -1115,7 +1155,7 @@ object TextAnalysis {
           postingsTable, newPostings, Seq("term"),
           sortWithin = Seq("term", "id")))
         val deadMarks = gens.select(col("id"), col("gen").as("dead_below"))
-        if (deadMarks.limit(1).count() > 0)
+        if (haveDeadMarks)
           store.withCommitRetries()(
             store.upsert(spark, tombstoneTable, deadMarks, Seq("id")))
         val pv = store.currentVersion(postingsTable).get
