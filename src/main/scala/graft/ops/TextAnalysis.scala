@@ -353,20 +353,40 @@ object TextAnalysis {
     val toks = Par.fanOut(df)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
+    // the explicit isnotnull filter is a data NO-OP (zip_with over a
+    // non-null token array yields non-null struct fields) — it exists
+    // so every consumer branch of x carries the SAME predicate the
+    // scoring join would otherwise INFER on its own branch only,
+    // which broke canonical exchange equality and forced the v branch
+    // below to re-run the whole gram pass (plans/r17/ts12_*)
     val x = toks.select(col("id"), posexplode(expr(
       "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
         " (a, b) -> struct(a AS w1, b AS w2))")))
       .select(col("id"), col("pos"), col("col.w1").as("w1"),
         col("col.w2").as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     // c1 as a per-w1 window over the bigram-count frame — the
     // separate groupBy+join re-evaluated the whole bigram explode a
     // second time (the dsirFold totals fix; window sum of longs over
     // the identical rows is integer-exact)
-    val c2 = x.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c2b = x.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c2 = c2b
       .withColumn("c1", sum(col("c2")).over(
         Window.partitionBy("w1").rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-    val v = toks.select(explode(col("t")).as("w"))
+    // V from the bigram-count frame, NOT a third tokenize pass: every
+    // token of a ≥2-token doc appears as w1 (all positions but the
+    // last) or w2 (all but the first), so distinct(w1 ∪ w2) over the
+    // ≥2-token-filtered corpus IS the unigram vocabulary — identical
+    // integer. The old `explode(t) → countDistinct` branch re-ran the
+    // whole tokenize+zip pass; this one aggregates the vocab-sized
+    // (w1, w2) count frame. The `c2 >= 1` filter is always TRUE
+    // (count of an existing group) — it pins the count column as
+    // CONSUMED so column pruning cannot rewrite this branch's
+    // aggregate into a count-less twin, which would fork a separate
+    // exchange and re-run the gram pass (the reuse-breaking shape).
+    val v = c2b.filter(col("c2") >= 1).select(col("w1").as("w"))
+      .union(c2b.filter(col("c2") >= 1).select(col("w2").as("w")))
       .agg(countDistinct(col("w")).as("v"))
     val lp = x.join(c2, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
@@ -404,15 +424,25 @@ object TextAnalysis {
       " (a, b) -> struct(a AS w1, b AS w2))"
     val rtoks = Par.fanOut(ref).select(tokens(col(refTextCol)).as("t"))
       .filter(size(col("t")) >= 2)
+    // explicit isnotnull + `c2 >= 1` pins: data no-ops that keep every
+    // consumer branch of the reference gram pass canonically EQUAL so
+    // the exchange is planned once and reused (see bigramLmScore)
     val rx = rtoks.select(posexplode(expr(zipExpr)))
       .select(col("col.w1").as("w1"), col("col.w2").as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     // c1 as a per-w1 window over c2 — one reference gram pass, not
     // two (see bigramLmScore)
-    val c2 = rx.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c2b = rx.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c2 = c2b
       .withColumn("c1", sum(col("c2")).over(
         Window.partitionBy("w1").rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-    val v = rtoks.select(explode(col("t")).as("w"))
+    // V from the reference bigram-count frame — see bigramLmScore:
+    // distinct(w1 ∪ w2) over the ≥2-token-filtered reference equals
+    // the reference unigram vocabulary exactly; the old branch re-ran
+    // the reference tokenize+explode pass
+    val v = c2b.filter(col("c2") >= 1).select(col("w1").as("w"))
+      .union(c2b.filter(col("c2") >= 1).select(col("w2").as("w")))
       .agg(countDistinct(col("w")).as("v"))
     val toks = Par.fanOut(df)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
@@ -585,26 +615,36 @@ object TextAnalysis {
     val labeled = df.select(col(idCol).as("id"),
       col(labelCol).cast("boolean").cast("int").as("y"),
       tokens(col(textCol)).as("t"))
+    // the explicit isnotnull is a data NO-OP (split tokens are never
+    // null) — it keeps the wm and totals branches canonically EQUAL
+    // (the word-model join infers it on its own branch only, which
+    // forked the exchange and re-ran the tokenize pass — see
+    // plans/r17/ts18_*)
     val x = labeled.select(col("id"), col("y"), posexplode(col("t")))
       .select(col("id"), col("y"), col("pos"), col("col").as("w"))
-    // model totals as whole-frame window sums over the vocab-sized
-    // word-count frame — the separate wm.agg scalar re-evaluated the
-    // whole tokenize+count pass a second time (the dsirFold totals
-    // fix, same integer-exactness argument: window sum of longs over
-    // the identical rows)
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      .filter(col("w").isNotNull)
+    // model totals (tot1/tot0/v) as a SECOND-LEVEL aggregate over the
+    // per-word count frame, broadcast-crossed back in: the r16 shape
+    // computed them as whole-frame window sums, which moved the
+    // vocab-sized frame to ONE partition (WindowExec's own warning —
+    // a serial sort chokepoint at a 10⁷-10⁸-row corpus vocabulary).
+    // The totals branch consumes wm's full output (w through the
+    // grouping key, both partial sums), so column pruning cannot
+    // diverge the two branches and the exchange under wm's final
+    // aggregate is REUSED — one tokenize+count pass feeds both (plans
+    // pinned in plans/r17/ts18_*). Integer-exact: sums of longs over
+    // the identical rows the window summed.
     val wm = x.groupBy("w").agg(
       sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
       sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
-      .withColumn("tot1", sum(col("c1")).over(wAll))
-      .withColumn("tot0", sum(col("c0")).over(wAll))
-      .withColumn("v", count(lit(1)).over(wAll))
+    val totals = wm.agg(sum(col("c1")).as("tot1"),
+      sum(col("c0")).as("tot0"), count(lit(1)).as("v"))
     val priors = labeled.agg(
       sum(when(col("y") === 1, 1L).otherwise(0L)).as("nd1"),
       sum(when(col("y") === 0, 1L).otherwise(0L)).as("nd0"),
       count(lit(1)).as("n"))
     val lp = x.join(wm, Seq("w"))
+      .crossJoin(broadcast(totals))
       .select(col("id"), col("pos"),
         log((col("c1") + lit(1L)).cast("double") /
           (col("tot1") + col("v")).cast("double")).as("lp1"),
