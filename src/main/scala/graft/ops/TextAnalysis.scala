@@ -98,7 +98,17 @@ object TextAnalysis {
     val test = Par.fanOut(test0)
     val labeled = train.select(col(langCol).as("lang"),
       charTrigrams(col(textCol)).as("t"))
+    // explicit isnotnull pins on the gram stream: charTrigrams never
+    // yields null grams, and a NULL train label never matched the
+    // (lang, g) scoring join or the per-lang tot join anyway (NULL ≠
+    // NULL) — the filters only make every gm consumer branch
+    // canonically EQUAL, so the train-side gram pass plans ONE
+    // exchange reused by the model join, the per-lang totals, and V
+    // (each branch re-ran the whole pass before: inferred join
+    // filters + pruned aggregate columns forked the subtrees — the
+    // ts12/ts18 mechanism, plans/r17/ts26_*)
     val tx = labeled.select(col("lang"), explode(col("t")).as("g"))
+      .filter(col("lang").isNotNull && col("g").isNotNull)
     val gm = tx.groupBy("lang", "g").agg(count(lit(1)).as("c"))
     // every LABELED language scores, even one whose training texts
     // produced zero trigrams (all < 3 chars): its tot is 0, so each
@@ -110,7 +120,11 @@ object TextAnalysis {
         Seq("lang"), "left")
       .select(col("lang"), coalesce(col("tot"), lit(0L)).as("tot"),
         col("nd"))
-    val scalars = gm.agg(countDistinct(col("g")).as("v"))
+    // `c >= 1` is always true — it pins the count column as consumed
+    // so pruning cannot rewrite V's aggregate into a count-less twin
+    // with its own exchange (see bigramLmScore's V)
+    val scalars = gm.filter(col("c") >= 1)
+      .agg(countDistinct(col("g")).as("v"))
       .crossJoin(labeled.agg(count(lit(1)).as("n")))
     val x = test.select(col(idCol).as("id"),
       posexplode(charTrigrams(col(testTextCol))))
