@@ -332,14 +332,25 @@ object TextAnalysis {
     require(maxDupTokenPct >= 0 && maxDupTokenPct <= 100)
     require(maxTopBigramPct >= 0 && maxTopBigramPct <= 100)
     require(minTokens >= 1 && maxTokens >= minTokens)
-    df.withColumn("__r", repetitionStats(col(textCol)))
-      .filter(col("__r.n_tokens") >= minTokens &&
-        col("__r.n_tokens") <= maxTokens &&
-        (col("__r.n_tokens") - col("__r.n_distinct")) * 100 <=
-          col("__r.n_tokens") * maxDupTokenPct &&
-        col("__r.top_bigram_n") * 100 <=
-          col("__r.n_bigrams") * maxTopBigramPct)
-      .drop("__r")
+    // ONE kernel evaluation per row: the natural withColumn+filter
+    // form collapses into a single Filter whose six struct-field
+    // predicates each inline the whole repetition_stats call — and
+    // FilterExec performs no common-subexpression elimination across
+    // short-circuited conjuncts, so the tokenize+count kernel ran up
+    // to 6× per row (visible verbatim in the pushed DataFilters of
+    // every gopher-gate scan). Binding the struct through a
+    // single-element `exists` lambda evaluates the kernel exactly
+    // once; the lambda variable is a bound value. Three-valued logic
+    // matches the plain filter (a null struct yields a null
+    // predicate → row dropped in both forms).
+    val pred = (r: Column) =>
+      r.getField("n_tokens") >= minTokens &&
+        r.getField("n_tokens") <= maxTokens &&
+        (r.getField("n_tokens") - r.getField("n_distinct")) * 100 <=
+          r.getField("n_tokens") * maxDupTokenPct &&
+        r.getField("top_bigram_n") * 100 <=
+          r.getField("n_bigrams") * maxTopBigramPct
+    df.filter(exists(array(repetitionStats(col(textCol))), pred))
   }
 
   /** PERPLEXITY-PROXY quality scoring (the CCNet discipline): a
@@ -1524,6 +1535,13 @@ object TextAnalysis {
     // partition — trivially cheap at every scale — and every slot
     // appears EXACTLY once in the range join, so
     // sum(coalesce(c,0)) ≡ the old agg's sum — integer-exact.
+    //
+    // BOUND AUDIT (r17, the nbQualityScores lesson): this is the one
+    // whole-frame window the engine keeps, and it is SAFE because its
+    // frame is `spark.range(buckets)` — the row count is the caller's
+    // λ-model width (≤ 10⁴-10⁵ by construction), NEVER corpus- or
+    // vocabulary-sized. A window like this over an unbounded frame is
+    // the single-partition chokepoint nbQualityScores had to remove.
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val lambda = spark.range(buckets).select(col("id").as("slot"))

@@ -28,14 +28,30 @@ object StageProfile {
     // submitted from futures carry no graft frame in si.details, but
     // the JOB's callsite (captured at submission) survives
     val jobSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val jobGraftSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    // job timeline: start/end wall times expose DRIVER GAPS (planning,
+    // commit protocol, sidecar I/O) that per-stage metrics can't see
+    val jobLines = mutable.ArrayBuffer[String]()
+    val lastJobEnd = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStartT = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
           .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
         jobSite.put(js.jobId, site)
+        jobStartT.put(js.jobId, js.time)
         js.stageIds.foreach(sid => stageJob.put(sid, js.jobId))
+      }
+      override def onJobEnd(
+          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val st = Option(jobStartT.get(je.jobId)).getOrElse(je.time)
+        val prev = lastJobEnd.getAndSet(je.time)
+        val gap = if (prev == 0L) 0.0 else (st - prev) / 1e3
+        jobLines += f"JOB ${je.jobId}%4d wall=${(je.time - st) / 1e3}%7.2fs " +
+          f"gapBefore=$gap%7.2fs  ${jobSite.getOrDefault(je.jobId, "")} " +
+          jobGraftSite.getOrDefault(je.jobId, "")
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -47,6 +63,9 @@ object StageProfile {
         val graftSite = si.details.linesIterator
           .find(l => l.contains("graft.") && !l.contains("graft.tools."))
           .map(_.trim.replaceAll("^at ", "").take(70)).getOrElse("")
+        if (graftSite.nonEmpty)
+          Option(stageJob.get(si.stageId)).foreach(j =>
+            jobGraftSite.putIfAbsent(j, graftSite))
         lines += f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d wall=$wall%7.2fs " +
           f"cpu=${m.executorCpuTime / 1e9}%8.2fs run=${m.executorRunTime / 1e3}%8.2fs " +
           f"in=${m.inputMetrics.recordsRead}%9d sw=${m.shuffleWriteMetrics.bytesWritten / 1048576}%6dMB " +
@@ -60,12 +79,15 @@ object StageProfile {
 
     args.drop(1).foreach { name =>
       lines.clear()
+      jobLines.clear()
+      lastJobEnd.set(0L)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
       // give the listener bus a moment to drain
       Thread.sleep(1500)
       println(s"======== $name  total=${"%.2f".format(dt)}s ========")
+      jobLines.foreach(println)
       lines.sortBy(_.substring(6, 10).trim.toInt).foreach(println)
     }
     spark.stop()
