@@ -32,15 +32,22 @@ object TextAnalysis {
     * fixed preference order (en > de > es > fr), 'und' (undetermined)
     * when no stopword hits at all. Deterministic — the same CASE
     * chain runs in the oracle. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val s = Seq("en", "de", "es", "fr").map(l => l -> stopwordHits(toks, stopwords(l))).toMap
-    when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr") && s("en") > 0, "en")
-      .when(s("de") >= s("es") && s("de") >= s("fr") && s("de") > 0, "de")
-      .when(s("es") >= s("fr") && s("es") > 0, "es")
-      .when(s("fr") > 0, "fr")
-      .otherwise("und")
-  }
+  def langId(text: Column): Column =
+    // token array bound ONCE through a single-element transform
+    // lambda: the when-chain references the tokenize up to 7× and
+    // Filter contexts perform no subexpression elimination (the
+    // gopherFilter lesson), so `filter(langId(text) === ...)` was
+    // re-splitting the text per reference. Same CASE chain over the
+    // same hit counts — bit-identical output.
+    element_at(transform(array(tokens(lower(text))), { toks =>
+      val s = Seq("en", "de", "es", "fr")
+        .map(l => l -> stopwordHits(toks, stopwords(l))).toMap
+      when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr") && s("en") > 0, "en")
+        .when(s("de") >= s("es") && s("de") >= s("fr") && s("de") > 0, "de")
+        .when(s("es") >= s("fr") && s("es") > 0, "es")
+        .when(s("fr") > 0, "fr")
+        .otherwise("und")
+    }), 1)
 
   /** Sliding character trigrams of the lowercased text — the
     * classical language-ID feature (Cavnar & Trenkle 1994). Pure
@@ -182,13 +189,28 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: rewards reasonable length and
     * stopword density, penalizes digit soup. Weighted per-row double
     * math only. */
-  def qualityScore(text: Column): Column = {
-    val c = qualityComponents(text).toMap
-    val lengthTerm = least(c("n_tokens").cast("double") / 100.0, lit(1.0))
-    lit(0.4) * lengthTerm +
-      lit(0.3) * least(c("stopword_ratio") * 5.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - least(c("digit_ratio") * 10.0, lit(1.0)))
-  }
+  def qualityScore(text: Column): Column =
+    // both token arrays bound ONCE (the langId/gopherFilter lesson:
+    // no subexpression elimination inside Filter predicates — the
+    // composite referenced tokens(text) twice and tokens(lower(text))
+    // once, so a quality-threshold filter re-split the text per
+    // reference). The arithmetic tree is IDENTICAL to the
+    // qualityComponents form — same double ops in the same order.
+    element_at(transform(array(struct(tokens(text).as("t"),
+        tokens(lower(text)).as("lt"))), { s =>
+      val nToks = size(s.getField("t"))
+      val nChars = length(text)
+      val stops = stopwordHits(s.getField("lt"), stopwords("en"))
+      val digits = regexp_count(text, lit("[0-9]"))
+      val stopwordRatio = when(nToks === 0, 0.0)
+        .otherwise(stops.cast("double") / nToks.cast("double"))
+      val digitRatio = when(nChars === 0, 0.0)
+        .otherwise(digits.cast("double") / nChars.cast("double"))
+      val lengthTerm = least(nToks.cast("double") / 100.0, lit(1.0))
+      lit(0.4) * lengthTerm +
+        lit(0.3) * least(stopwordRatio * 5.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - least(digitRatio * 10.0, lit(1.0)))
+    }), 1)
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
